@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric": ..., "value": N, "unit": "sec", "queries":
+{...}, "sf": ...}.
+
+Each query is fully executed (collected to count) — not just planned.
+A warmup query first absorbs JVM/codegen startup so per-query numbers
+reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from es_analytics_spark.queries import REGISTRY
+from es_analytics_spark.session import get_spark
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_distinct_multi",
+    "join_5way_revenue",
+    "join_left_outer",
+    "join_range",
+    "join_asof",
+    "window_rank_dense_ntile",
+    "window_running_frame",
+    "window_sessionize",
+    "sort_topk_global",
+    "setop_dedup_keys",
+    "fn_string",
+    "fn_math",
+    "fn_json",
+    "fn_array",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # warmup: run the flagship once to JIT/codegen-compile the common path
+    REGISTRY[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

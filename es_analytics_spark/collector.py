@@ -1,0 +1,270 @@
+"""Typed event collector → partitioned data lake, Spark-first.
+
+Re-implements the reference ingestion surface (capabilities A1–A16 of
+SURVEY.md §2.A; reference behavior at
+/root/reference/lib/collector/Collector.ts) on Spark:
+
+- ``track(table, record, token=None)`` — typed append with wildcard
+  table resolution (``$`` → token; Collector.ts:96,210-214).
+- Per-table batches flush on record-limit / age-limit / explicit stop
+  (FlushTrigger; Collector.ts:11-21,276-288); defaults mirror the
+  reference (200k records, 1h age; Collector.ts:177-179).
+- Flush writes one object per batch into a date-partitioned lake,
+  ``YYYY/MM/DD/HH/{table}/{uuid}`` (Collector.ts:136-142,342-350):
+  parquet natively, or RFC-4180 CSV(+gzip) with a ``#``-prefixed typed
+  header line for byte-level compat (Collector.ts:290-308).
+- ``on_flush`` / ``on_error`` callbacks mirror the reference's signals
+  (Collector.ts:147-151).
+
+Differences by design (semantic upgrades, SURVEY.md §1.4-1.5):
+
+- Schema is inferred ONCE per (schema-)table from the first record and
+  held in a registry; later records are validated/coerced against it
+  instead of the reference's silent first-record-wins corruption.
+- Batches buffer as plain Python rows and materialize through
+  ``spark.createDataFrame`` (Arrow path) — at cluster scale the same
+  API is fronted by a streaming source (es_analytics_spark.streaming).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import enum
+import gzip
+import io
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+WILDCARD = "$"
+
+
+class DataType(enum.Enum):
+    """Logical column types (reference enum: Collector.ts:34-41)."""
+
+    String = "STRING"
+    Integer = "INTEGER"
+    Float = "FLOAT"
+    Time = "TIME"
+    Boolean = "BOOLEAN"
+    UUID = "UUID"
+
+
+SPARK_TYPE: dict[DataType, T.DataType] = {
+    DataType.String: T.StringType(),
+    DataType.Integer: T.LongType(),
+    DataType.Float: T.DoubleType(),
+    DataType.Time: T.TimestampType(),
+    DataType.Boolean: T.BooleanType(),
+    DataType.UUID: T.StringType(),
+}
+
+
+class FlushTrigger(enum.Enum):
+    """Why a batch flushed (reference enum: Collector.ts:11-21)."""
+
+    RecordLimit = "record_limit"
+    AgeLimit = "age_limit"
+    Stop = "stop"
+    Manual = "manual"
+
+
+@dataclass
+class FlushInfo:
+    """Emitted per flush (reference FlushInfo: Collector.ts:60-72)."""
+
+    table: str
+    id: str
+    trigger: FlushTrigger
+    records: int
+    age_ms: int
+    key: str
+
+
+@dataclass
+class CollectorConfig:
+    """Reference CollectorConfig (Collector.ts:43-58) + engine extras."""
+
+    lake_dir: str
+    batch_record_limit: int = 200_000  # Collector.ts:178
+    batch_age_limit_ms: int = 3_600_000  # Collector.ts:179
+    batch_zip: bool = True  # Collector.ts:177
+    sink_format: str = "parquet"  # "parquet" | "csv" (typed-header compat)
+    # type overrides keyed by SCHEMA table name, so one entry covers all
+    # concretizations of a wildcard table (Collector.ts:43-46,291-306)
+    column_types: dict[str, dict[str, DataType]] = field(default_factory=dict)
+
+
+def infer_column_type(value: Any) -> DataType:
+    """Value-based scalar type inference (Collector.ts:112-123)."""
+    if isinstance(value, dt.datetime):
+        return DataType.Time
+    if isinstance(value, bool):  # bool before int: bool is an int subclass
+        return DataType.Boolean
+    if isinstance(value, int):
+        return DataType.Integer
+    if isinstance(value, float):
+        return DataType.Float
+    return DataType.String
+
+
+@dataclass
+class _Batch:
+    id: str
+    schema_table: str
+    table: str
+    rows: list[dict]
+    started: float
+
+
+class Collector:
+    """Typed ingestion API. One instance per lake; thread-unsafe like the reference."""
+
+    def __init__(self, spark: SparkSession, config: CollectorConfig):
+        self.spark = spark
+        self.config = config
+        self._batches: dict[str, _Batch] = {}
+        self._schemas: dict[str, dict[str, DataType]] = {}  # schema-table → col → type
+        self._disabled = False
+        self.on_flush: list[Callable[[FlushInfo], None]] = []
+        self.on_error: list[Callable[[Exception], None]] = []
+
+    # -- A1/A2: ingest ---------------------------------------------------
+    def track(self, table: str, record: dict[str, Any], token: str | None = None) -> None:
+        if self._disabled:
+            self._emit_error(RuntimeError("collector is stopped"))
+            return
+        name = table
+        if WILDCARD in table:  # wildcard table family (Collector.ts:210-214)
+            if not token:
+                self._emit_error(ValueError(f"table {table!r} requires a token"))
+                return
+            name = table.replace(WILDCARD, token)
+        batch = self._batches.get(name)
+        if batch is None:
+            batch = _Batch(str(uuid.uuid4()), table, name, [], time.time())
+            self._batches[name] = batch
+            self._register_schema(table, record)
+        batch.rows.append(self._conform(table, record))
+        # trigger evaluation, reference priority order (Collector.ts:276-288)
+        if len(batch.rows) >= self.config.batch_record_limit:
+            self._flush(batch, FlushTrigger.RecordLimit)
+        elif (time.time() - batch.started) * 1000 >= self.config.batch_age_limit_ms:
+            self._flush(batch, FlushTrigger.AgeLimit)
+
+    # -- A3/A6: schema registry -----------------------------------------
+    def _register_schema(self, schema_table: str, record: dict[str, Any]) -> None:
+        if schema_table in self._schemas:
+            return
+        overrides = self.config.column_types.get(schema_table, {})
+        self._schemas[schema_table] = {
+            k: overrides.get(k, infer_column_type(v)) for k, v in record.items()
+        }
+
+    def schema_of(self, schema_table: str) -> T.StructType:
+        cols = self._schemas[schema_table]
+        return T.StructType([T.StructField(k, SPARK_TYPE[t], True) for k, t in cols.items()])
+
+    def _conform(self, schema_table: str, record: dict[str, Any]) -> dict[str, Any]:
+        """Validate/coerce against the registered schema (upgrade over
+        the reference's silent first-record-wins mis-serialization)."""
+        cols = self._schemas[schema_table]
+        out: dict[str, Any] = {}
+        for k, typ in cols.items():
+            v = record.get(k)
+            if v is None:
+                out[k] = None
+            elif typ in (DataType.String, DataType.UUID):
+                out[k] = v if isinstance(v, str) else str(v)
+            elif typ is DataType.Integer:
+                out[k] = int(v)
+            elif typ is DataType.Float:
+                out[k] = float(v)
+            elif typ is DataType.Boolean:
+                out[k] = bool(v)
+            else:
+                out[k] = v
+        return out
+
+    # -- A9/A10/A15: flush machinery -------------------------------------
+    def flush_all(self, trigger: FlushTrigger = FlushTrigger.Manual) -> None:
+        for batch in list(self._batches.values()):
+            self._flush(batch, trigger)
+
+    def stop(self) -> None:
+        """Drain all pending batches then disable intake (Collector.ts:182-200)."""
+        self.flush_all(FlushTrigger.Stop)
+        self._disabled = True
+
+    def _flush(self, batch: _Batch, trigger: FlushTrigger) -> None:
+        self._batches.pop(batch.table, None)  # next record opens a new batch
+        try:
+            key = self._store(batch)
+        except Exception as exc:  # reference: onError, batch lost (no retry)
+            self._emit_error(exc)
+            return
+        info = FlushInfo(
+            table=batch.table,
+            id=batch.id,
+            trigger=trigger,
+            records=len(batch.rows),
+            age_ms=int((time.time() - batch.started) * 1000),
+            key=key,
+        )
+        for cb in self.on_flush:
+            cb(info)
+
+    # -- A11-A14: date-partitioned store ---------------------------------
+    def _store(self, batch: _Batch) -> str:
+        now = dt.datetime.now(dt.timezone.utc)  # flush-time UTC (Collector.ts:344)
+        prefix = f"{now.year:04d}/{now.month:02d}/{now.day:02d}/{now.hour:02d}"
+        if self.config.sink_format == "csv":
+            ext = ".csv.gz" if self.config.batch_zip else ".csv"
+            key = f"{prefix}/{batch.table}/{batch.id}{ext}"
+            self._store_csv(batch, os.path.join(self.config.lake_dir, key))
+        else:
+            key = f"{prefix}/{batch.table}/{batch.id}"
+            df = self.spark.createDataFrame(
+                [tuple(r.values()) for r in batch.rows], self.schema_of(batch.schema_table)
+            )
+            df.write.mode("overwrite").parquet(os.path.join(self.config.lake_dir, key))
+        return key
+
+    def _store_csv(self, batch: _Batch, path: str) -> None:
+        """RFC-4180 CSV with '#'-prefixed typed header (Collector.ts:290-308,
+        lake format spec README.md:125-148). Single-writer compat sink; the
+        distributed variant is sinks.write_typed_csv."""
+        from es_analytics_spark.sources.typed_csv import encode_typed_csv
+
+        cols = self._schemas[batch.schema_table]
+        data = encode_typed_csv(batch.rows, cols)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if self.config.batch_zip:
+            with open(path, "wb") as f:
+                # mtime=0 for deterministic bytes (test goldens)
+                with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+                    gz.write(data)
+        else:
+            with open(path, "wb") as f:
+                f.write(data)
+
+    def _emit_error(self, exc: Exception) -> None:
+        if not self.on_error:
+            raise exc
+        for cb in self.on_error:
+            cb(exc)
+
+    # -- read-back -------------------------------------------------------
+    def table(self, name: str):
+        """Read every stored object of a table back as one DataFrame."""
+        path = os.path.join(self.config.lake_dir, "*/*/*/*", name)
+        if self.config.sink_format == "csv":
+            from es_analytics_spark.sources.typed_csv import read_typed_csv
+
+            return read_typed_csv(self.spark, path + "/*.csv*")
+        return self.spark.read.parquet(path + "/*")

@@ -1,0 +1,79 @@
+"""Join operators Spark lacks as primitives (SURVEY.md §2.B Joins).
+
+as-of join: implemented with the union + last(ignorenulls) window
+rewrite rather than join-then-filter. The naive inequality join
+explodes to O(matches) intermediate rows; the union plan is one shuffle
+on the key, a sort within partitions, and a linear window pass —
+the shape that survives a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tolerance: Column | None = None,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right[right_ts] <= left[left_ts]`` and equal ``on`` key
+    (backward as-of; DuckDB ``ASOF JOIN`` semantics, left outer).
+
+    ``tie_break``: right column ordering the winner among right rows
+    sharing the same timestamp (latest wins); required for a
+    deterministic, oracle-matchable result.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    payload = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols])
+
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if tie_break is not None:
+        order.append(F.col("__tie").asc_nulls_first())
+
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),  # right sorts before left at equal ts → inclusive <=
+        (F.col(tie_break) if tie_break else F.lit(None)).alias("__tie"),
+        payload.alias("__payload"),
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).alias("__tie"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    unioned = l.unionByName(r.select(*r.columns, F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow")))
+
+    w = W.partitionBy("__key").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__match",
+            F.when(F.col("__ts") - F.col("__match.__rts") <= tolerance, F.col("__match")),
+        )
+    sel = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    sel += [F.col(f"__match.{c}").alias(c) for c in right_cols]
+    return out.select(*sel)
+
+
+def topk_per_group(df: DataFrame, keys: list[str], order: list[Column], k: int) -> DataFrame:
+    """Deterministic per-group top-k via a rank window (planner keeps it
+    as one shuffle + partial sort; no global sort)."""
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .withColumnRenamed("__rn", "rank_in_group")
+    )

@@ -1,0 +1,148 @@
+"""Embedding similarity search (SURVEY.md §2.B north-star extensions).
+
+Brute-force cosine is the exact baseline: broadcast the (small) query
+set against the corpus and evaluate the dot product with built-in
+higher-order array functions — stays in the JVM, no Python boundary.
+The scale path buckets the corpus (LSH by sign of random projections)
+so each query probes only its bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str, out_col: str = "norm") -> DataFrame:
+    return df.withColumn(out_col, _norm(F.col(vec_col)))
+
+
+def cosine_pairs_above(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    qid_col: str | None = None,
+) -> DataFrame:
+    """All (query, corpus) pairs with cosine >= threshold, excluding
+    self-pairs. Queries are broadcast (small side by contract)."""
+    qid = qid_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+    return (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    qid_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (ties broken by neighbor
+    id for determinism)."""
+    from pyspark.sql import Window as W
+
+    pairs = cosine_pairs_above(corpus, queries, id_col, vec_col, threshold=-2.0, qid_col=qid_col)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: sign-of-random-projection LSH bucketing.
+
+    Corpus and queries hash to a bucket id from the signs of
+    ``num_planes`` fixed pseudo-random hyperplanes; each query only
+    scans its bucket. Recall < 1 by design; the exact variant is
+    :func:`cosine_topk`. At cluster scale the bucketed join shuffles
+    each side once on the bucket id instead of broadcasting the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    planes = _fixed_planes(num_planes, dim)
+    def bucket(vc: Column) -> Column:
+        bits = [
+            F.when(_dot(vc, F.array(*[F.lit(v) for v in plane])) >= 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+            for i, plane in enumerate(planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        bucket(F.col(vec_col)).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        bucket(F.col(vec_col)).alias("__bucket"),
+    )
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+    pairs = (
+        c.join(q, "__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", sim)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _fixed_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (LCG-derived)."""
+    state = 88172645463325252
+    planes = []
+    for _ in range(num_planes):
+        v = []
+        for _ in range(dim):
+            # xorshift64
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            v.append(((state % 2001) - 1000) / 1000.0)
+        planes.append(v)
+    return planes

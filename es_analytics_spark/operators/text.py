@@ -1,0 +1,90 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md
+§2.B): token counting, quality scoring, n-gram-free language ID
+heuristic, all with built-in string/array functions (JVM codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword seed lists for the heuristic language ID —
+# chosen to be disjoint where possible
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "los", "las", "es", "un", "una", "en", "por", "para", "con"],
+    "zh": ["de", "shi", "bu", "le", "wo", "you", "he", "zai", "ren", "ta"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(_tokens(col)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: words + digits + punctuation marks each
+    count (a cheap, deterministic BPE stand-in usable for budget
+    accounting at scale)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), F.lit(0))
+    )
+
+
+def text_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Standard quality-signal columns: n_tokens, avg token length,
+    punctuation ratio, digit ratio, uppercase ratio, en-stopword ratio,
+    and a composite quality score in [0, 1]."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    toks = _tokens(c)
+    n_tokens = token_count(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    avg_tok_len = F.when(n_tokens > 0, (F.length(F.regexp_replace(c, r"\s+", "")) / n_tokens)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    quality = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "avg_token_len": avg_tok_len,
+            "punct_ratio": punct_ratio,
+            "digit_ratio": digit_ratio,
+            "upper_ratio": upper_ratio,
+            "stopword_ratio": stop_ratio,
+            "quality_score": quality,
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax over per-language stopword hit
+    counts (ties → lexicographically first language, deterministic)."""
+    toks = _tokens(F.col(text_col))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("hits"),
+                F.lit({"en": 4, "de": 3, "fr": 2, "es": 1, "zh": 0}[lang]).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(out_col, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))

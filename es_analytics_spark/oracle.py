@@ -1,0 +1,110 @@
+"""Local DuckDB oracle harness mirroring the driver's correctness gate:
+row count + column names + order-insensitive value comparison.
+
+Used by tests and by `python -m es_analytics_spark.oracle [sf_dir]`
+during development to validate every REGISTRY query before shipping.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+
+from pyspark.sql import SparkSession
+
+from es_analytics_spark.queries import REGISTRY
+from es_analytics_spark.sources.lake import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None and not isinstance(v, str) else v)
+    return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str
+
+
+def compare_query(
+    spark: SparkSession, con: duckdb.DuckDBPyConnection, sf_dir: str, name: str
+) -> CompareResult:
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        return CompareResult(name, len(sdf) >= 0, f"rows-only: {len(sdf)} rows")
+    ddf = con.sql(spec.oracle).df()
+    if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, ddf.columns)):
+        return CompareResult(
+            name, False, f"column mismatch: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"
+        )
+    if len(sdf) != len(ddf):
+        return CompareResult(name, False, f"row count: spark={len(sdf)} duck={len(ddf)}")
+    ddf.columns = [c for c in ddf.columns]
+    a, b = _canon(sdf), _canon(ddf.rename(columns=dict(zip(ddf.columns, ddf.columns))))
+    b.columns = a.columns  # align case
+    bad = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = av.astype(float)
+            bv = bv.astype(float)
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if neq.any():
+                idx = neq.idxmax()
+                maxdiff = (av[neq] - bv[neq]).abs().max()
+                bad.append(f"{c}: {int(neq.sum())} diffs, max {maxdiff:.3g} e.g. {av[idx]}!={bv[idx]}")
+        else:
+            try:
+                neq = ~((av == bv) | (av.isna() & bv.isna()))
+            except Exception:
+                neq = av.astype(str) != bv.astype(str)
+            if neq.any():
+                idx = neq.idxmax()
+                bad.append(f"{c}: {int(neq.sum())} diffs e.g. {av[idx]!r}!={bv[idx]!r}")
+    if bad:
+        return CompareResult(name, False, "; ".join(bad[:4]))
+    return CompareResult(name, True, f"{len(a)} rows exact")
+
+
+def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:
+    con = duck_connection(sf_dir)
+    out = []
+    for name in names or list(REGISTRY):
+        try:
+            out.append(compare_query(spark, con, sf_dir, name))
+        except Exception as exc:
+            out.append(CompareResult(name, False, f"EXCEPTION: {type(exc).__name__}: {exc}"))
+    return out
+
+
+if __name__ == "__main__":
+    from es_analytics_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    spark = get_spark("oracle_check")
+    results = run_all(spark, sf_dir, names)
+    n_ok = sum(r.ok for r in results)
+    for r in results:
+        print(("PASS" if r.ok else "FAIL"), r.name.ljust(28), r.detail)
+    print(f"\n{n_ok}/{len(results)} passed")
+    sys.exit(0 if n_ok == len(results) else 1)

@@ -1,0 +1,960 @@
+"""Oracle-checkable query catalog — the engine's declared surface.
+
+Every entry pairs a Spark implementation (DataFrame/SQL, Catalyst-
+optimized) with an equivalent ANSI-SQL oracle that DuckDB runs on the
+same parquet tables. The driver hash-compares the two at sf0.01
+(row count + schema + order-insensitive value hash), so every query is
+written to be *deterministic as a set of rows* and *bit-identical* in
+float math:
+
+- double SUM/AVG go through DECIMAL(38,10) (order-independent; see
+  es_analytics_spark.functions.exact),
+- transcendental / variance results are rounded to a fixed scale,
+- every top-k has a total order (explicit tie-break columns).
+
+Queries cover SURVEY.md §2.B family by family; names group them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from es_analytics_spark.functions.exact import dsum, davg, dsum_expr, davg_expr
+from es_analytics_spark.sources.lake import load_tables
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, names or None)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_expr('l_quantity')} AS sum_qty,
+           {dsum_expr('l_extendedprice')} AS sum_base_price,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_expr('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_expr('l_quantity')} AS avg_qty,
+           {davg_expr('l_extendedprice')} AS avg_price,
+           {davg_expr('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (flagship). Single scan →
+    partial+final hash aggregate; filter pushed to parquet."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_stats_minmax",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "agg_variance",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "agg_distinct_multi",
+    oracle="""
+    SELECT COUNT(DISTINCT l_orderkey) AS d_orders,
+           COUNT(DISTINCT l_partkey) AS d_parts,
+           COUNT(DISTINCT l_suppkey) AS d_supps,
+           COUNT(DISTINCT (l_partkey, l_suppkey)) AS d_part_supp
+    FROM lineitem
+    """,
+)
+def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("d_orders"),
+        F.countDistinct("l_partkey").alias("d_parts"),
+        F.countDistinct("l_suppkey").alias("d_supps"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("d_part_supp"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # HLL impls differ engine-to-engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    QUANTILE_CONT)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {dsum_expr('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {dsum_expr('l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(dsum("l_extendedprice").alias("sum_price"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {dsum_expr('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               {dsum_expr('o_totalprice')} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum_expr("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+           {dsum_expr("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")["nation"]
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / expressions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 1000 AND 5000
+      AND o_orderpriority LIKE '2-%'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 5000)
+        & F.col("o_orderpriority").like("2-%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+
+
+@query(
+    "project_case_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CASE WHEN o_totalprice > 3000 THEN 'high'
+                WHEN o_totalprice > 1000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           TRY_CAST(o_orderstatus AS DOUBLE) AS bad_cast
+    FROM orders
+    """,
+)
+def project_case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.when(F.col("o_totalprice") > 3000, "high")
+        .when(F.col("o_totalprice") > 1000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.col("o_orderstatus").try_cast("double").alias("bad_cast"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_5way_revenue",
+    oracle=f"""
+    SELECT n_name, {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def join_5way_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact table shuffles once on orderkey;
+    every dimension is broadcast (no dim-side shuffles)."""
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle=f"""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           {dsum_expr('o_totalprice')} AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"), dsum("o_totalprice").alias("total_spent"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(a.k, b.k) AS k, a.n_cust, b.n_supp
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) a
+    FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) b
+    ON a.k = b.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "supplier")
+    a = t["customer"].groupBy(F.col("c_nationkey").alias("k")).agg(F.count("*").alias("n_cust"))
+    b = t["supplier"].groupBy(F.col("s_nationkey").alias("k")).agg(F.count("*").alias("n_supp"))
+    return (
+        a.join(b, a["k"] == b["k"], "full_outer")
+        .select(F.coalesce(a["k"], b["k"]).alias("k"), "n_cust", "n_supp")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 4000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(F.col("o_totalprice") > 4000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_cross_theta",
+    oracle="""
+    SELECT r1.r_name AS region_a, r2.r_name AS region_b
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey < r2.r_regionkey
+    """,
+)
+def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")["region"]
+    r1 = r.select(F.col("r_name").alias("region_a"), F.col("r_regionkey").alias("ka"))
+    r2 = r.select(F.col("r_name").alias("region_b"), F.col("r_regionkey").alias("kb"))
+    return r1.crossJoin(r2).filter(F.col("ka") < F.col("kb")).select("region_a", "region_b")
+
+
+@query(
+    "join_range",
+    oracle=f"""
+    SELECT o_orderkey, COUNT(*) AS n_lines_in_window,
+           {dsum_expr('l_extendedprice')} AS window_price
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderkey
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range predicate: planner keeps the equi part as the
+    join key (hash/SMJ) and evaluates the range as a post-condition —
+    no BNLJ blow-up."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+    )
+    return (
+        t["orders"]
+        .join(t["lineitem"], cond)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_lines_in_window"),
+            dsum("l_extendedprice").alias("window_price"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of: latest order at-or-before each event for the same
+    user/customer. Union + last(ignorenulls) window — one shuffle,
+    no join explosion (operators.joins.asof_join)."""
+    from es_analytics_spark.operators.joins import asof_join
+
+    t = _t(spark, sf_dir, "events", "orders")
+    ev = t["events"].select("event_id", F.col("user_id"), "ts")
+    od = t["orders"].select(
+        F.col("o_custkey"), "o_orderdate", "o_orderkey"
+    )
+    out = asof_join(
+        ev.withColumnRenamed("user_id", "k"),
+        od.withColumnRenamed("o_custkey", "k"),
+        on="k",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tie_break="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")["customer"]
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LAG(o_orderkey) OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           DATE_DIFF('day', LAG(o_orderdate) OVER w, o_orderdate) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+@query(
+    "window_running_frame",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling3
+    FROM orders
+    """,
+)
+def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    dec = F.col("o_totalprice").cast(T.DecimalType(38, 10))
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double").alias("running_spend"),
+        F.sum(dec).over(w.rowsBetween(-2, 0)).cast("double").alias("rolling3"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rank_in_group
+      FROM customer)
+    SELECT c_mktsegment, c_custkey, c_acctbal, rank_in_group
+    FROM ranked WHERE rank_in_group <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from es_analytics_spark.operators.joins import topk_per_group
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    return topk_per_group(
+        c.select("c_mktsegment", "c_custkey", "c_acctbal"),
+        ["c_mktsegment"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        3,
+    )
+
+
+@query(
+    "window_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-session rollup."""
+    from es_analytics_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    s = sessionize(ev.select("user_id", "ts"), "user_id", "ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+    """,
+)
+def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: planner emits TakeOrderedAndProject (per-partition
+    heap + driver merge), not a full sort."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "sort_multikey_nulls",
+    oracle="""
+    SELECT p_brand, p_size, p_retailprice FROM part
+    WHERE p_size > 40
+    ORDER BY p_brand ASC, p_retailprice DESC NULLS LAST, p_size
+    """,
+)
+def sort_multikey_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    return (
+        p.filter(F.col("p_size") > 40)
+        .select("p_brand", "p_size", "p_retailprice")
+        .orderBy(F.col("p_brand").asc(), F.col("p_retailprice").desc_nulls_last(), F.col("p_size"))
+    )
+
+
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        t["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .union(t["supplier"].select("s_nationkey"))
+        .distinct()
+    )
+
+
+@query(
+    "setop_intersect_except",
+    oracle="""
+    SELECT 'both' AS side, k FROM (
+      SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS side, k FROM (
+      SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+)
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "supplier")
+    c = t["customer"].select(F.col("c_nationkey").alias("k"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("k"))
+    both = c.intersect(s).select(F.lit("both").alias("side"), "k")
+    only = c.subtract(s).select(F.lit("cust_only").alias("side"), "k")  # EXCEPT DISTINCT
+    return both.unionAll(only)
+
+
+@query(
+    "setop_dedup_keys",
+    oracle="""
+    SELECT l_orderkey, l_partkey, MIN(l_linenumber) AS first_line
+    FROM lineitem GROUP BY l_orderkey, l_partkey
+    """,
+)
+def setop_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based dedup with a deterministic survivor (vs dropDuplicates'
+    arbitrary one)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_orderkey", "l_partkey").agg(F.min("l_linenumber").alias("first_line"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_u,
+           LOWER(p_type) AS type_l,
+           LENGTH(p_name) AS name_len,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           TRIM(CONCAT('  ', p_brand, '  ')) AS trimmed,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+           REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CONTAINS(p_type, 'BRASS') AS has_brass,
+           SPLIT_PART(p_type, ' ', 1) AS type_first
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").contains("BRASS").alias("has_brass"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT event_id,
+           DATE_TRUNC('hour', ts) AS ts_hour,
+           DATE_TRUNC('day', ts) AS ts_day,
+           CAST(YEAR(ts) AS BIGINT) AS y,
+           CAST(MONTH(ts) AS BIGINT) AS m,
+           CAST(DAYOFMONTH(ts) AS BIGINT) AS d,
+           CAST(HOUR(ts) AS BIGINT) AS h,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS unix_s,
+           STRFTIME(ts, '%Y-%m-%d') AS day_str,
+           CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS days_since_jan1
+    FROM events
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return ev.select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.date_trunc("day", "ts").alias("ts_day"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.unix_timestamp(F.date_trunc("second", F.col("ts"))).alias("unix_s"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_jan1"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           FLOOR(l_extendedprice) AS price_floor,
+           CEIL(l_extendedprice) AS price_ceil,
+           ABS(l_discount - 0.05) AS disc_dev,
+           ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+           ROUND(POW(l_quantity, 2), 6) AS qty_sq,
+           ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+           CAST(MOD(CAST(l_quantity AS BIGINT), 7) AS BIGINT) AS qty_mod7
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+    )
+
+
+@query(
+    "fn_conditional_null",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(TRY_CAST(o_orderstatus AS DOUBLE), o_totalprice, 0.0) AS first_num,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           CASE WHEN o_totalprice IS NULL THEN 'null' ELSE 'set' END AS price_state,
+           IFNULL(NULLIF(o_orderstatus, o_orderstatus), 'same') AS always_same
+    FROM orders
+    """,
+)
+def fn_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.col("o_orderstatus").try_cast("double"), F.col("o_totalprice"), F.lit(0.0)
+        ).alias("first_num"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.when(F.col("o_totalprice").isNull(), "null").otherwise("set").alias("price_state"),
+        F.nvl(F.nullif(F.col("o_orderstatus"), F.col("o_orderstatus")), F.lit("same")).alias(
+            "always_same"
+        ),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_val,
+           JSON_EXTRACT_STRING(props, '$.k') AS k_str
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           MD5(c_name) AS name_md5,
+           SHA256(c_name) AS name_sha256
+    FROM customer
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")["customer"]
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id, label,
+           LEN(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+           ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 6) AS vec_max,
+           LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_elem"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double")), 4
+        ).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@query(
+    "fn_explode_posexplode",
+    oracle="""
+    SELECT vec_id, CAST(p.pos AS INTEGER) AS pos, p.elem
+    FROM (
+      SELECT vec_id,
+             UNNEST(LIST_TRANSFORM(embedding,
+                    (x, i) -> {'pos': i - 1, 'elem': ROUND(CAST(x AS DOUBLE), 6)})) AS p
+      FROM embeddings WHERE vec_id < 5)
+    """,
+)
+def fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        e.filter(F.col("vec_id") < 5)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "elem"))
+        .select("vec_id", "pos", F.round(F.col("elem").cast("double"), 6).alias("elem"))
+    )

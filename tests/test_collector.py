@@ -1,0 +1,117 @@
+"""Ingestion-semantics tests (SURVEY.md §5.3) — flush triggers,
+wildcard routing, type inference/overrides, typed-CSV golden bytes,
+lake read-back."""
+
+import datetime as dt
+import gzip
+
+import pytest
+
+from es_analytics_spark.collector import (
+    Collector,
+    CollectorConfig,
+    DataType,
+    FlushTrigger,
+    infer_column_type,
+)
+from es_analytics_spark.sources.typed_csv import encode_typed_csv
+
+
+def test_infer_column_type():
+    # value-based inference rules (reference Collector.ts:112-123)
+    assert infer_column_type(dt.datetime.now()) is DataType.Time
+    assert infer_column_type(True) is DataType.Boolean
+    assert infer_column_type(3) is DataType.Integer
+    assert infer_column_type(3.5) is DataType.Float
+    assert infer_column_type("x") is DataType.String
+
+
+def test_typed_csv_golden_bytes():
+    # lake format spec: '#types' line, header, RFC-4180 rows (README.md:125-148)
+    rows = [
+        {"ts": dt.datetime(2020, 5, 6, 7, 8, 9, 123000), "name": 'say "hi"', "n": 7, "ok": True},
+        {"ts": dt.datetime(2020, 5, 6, 7, 8, 10), "name": "a,b", "n": None, "ok": False},
+    ]
+    cols = {
+        "ts": DataType.Time,
+        "name": DataType.String,
+        "n": DataType.Integer,
+        "ok": DataType.Boolean,
+    }
+    data = encode_typed_csv(rows, cols)
+    assert data == (
+        b"#TIME,STRING,INTEGER,BOOLEAN\r\n"
+        b"ts,name,n,ok\r\n"
+        b'2020-05-06T07:08:09.123Z,"say ""hi""",7,true\r\n'
+        b'2020-05-06T07:08:10.000Z,"a,b",,false\r\n'
+    )
+
+
+def test_record_limit_flush_and_readback(spark, tmp_path):
+    cfg = CollectorConfig(lake_dir=str(tmp_path), batch_record_limit=50)
+    col = Collector(spark, cfg)
+    flushes = []
+    col.on_flush.append(flushes.append)
+    for i in range(120):
+        col.track("game_user_event", {"uid": i, "score": i * 1.5, "name": f"u{i}"})
+    col.stop()
+    assert [f.trigger for f in flushes] == [
+        FlushTrigger.RecordLimit,
+        FlushTrigger.RecordLimit,
+        FlushTrigger.Stop,
+    ]
+    assert sum(f.records for f in flushes) == 120
+    df = col.table("game_user_event")
+    assert df.count() == 120
+    assert dict(df.dtypes) == {"uid": "bigint", "score": "double", "name": "string"}
+
+
+def test_wildcard_routing_and_overrides(spark, tmp_path):
+    cfg = CollectorConfig(
+        lake_dir=str(tmp_path),
+        sink_format="csv",
+        batch_zip=True,
+        column_types={"game_custom_event_$": {"session_id": DataType.UUID}},
+    )
+    col = Collector(spark, cfg)
+    flushes = []
+    col.on_flush.append(flushes.append)
+    rec = {"session_id": "123e4567-e89b-12d3-a456-426614174000", "v": 1}
+    col.track("game_custom_event_$", rec, token="pool")
+    col.track("game_custom_event_$", {**rec, "v": 2}, token="chess")
+    col.stop()
+    tables = sorted(f.table for f in flushes)
+    assert tables == ["game_custom_event_chess", "game_custom_event_pool"]
+    # one shared schema (keyed by the wildcard schema-table) covers both tokens
+    path = tmp_path.glob("*/*/*/*/game_custom_event_pool/*.csv.gz")
+    data = gzip.decompress(next(iter(path)).read_bytes())
+    assert data.startswith(b"#UUID,INTEGER\r\nsession_id,v\r\n")
+
+
+def test_stop_disables_tracking(spark, tmp_path):
+    col = Collector(spark, CollectorConfig(lake_dir=str(tmp_path)))
+    errors = []
+    col.on_error.append(errors.append)
+    col.track("t", {"a": 1})
+    col.stop()
+    col.track("t", {"a": 2})
+    assert len(errors) == 1
+
+
+def test_csv_roundtrip_through_spark(spark, tmp_path):
+    cfg = CollectorConfig(lake_dir=str(tmp_path), sink_format="csv", batch_zip=False)
+    col = Collector(spark, cfg)
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0, 250000)
+    col.track("evt", {"ts": ts, "n": 5, "f": 2.25, "s": "hello", "b": True})
+    col.track("evt", {"ts": ts, "n": 6, "f": -1.5, "s": "bye", "b": False})
+    col.stop()
+    df = col.table("evt")
+    rows = sorted(df.collect(), key=lambda r: r.n)
+    assert rows[0].ts == ts and rows[0].b is True and rows[0].f == 2.25
+    assert dict(df.dtypes) == {
+        "ts": "timestamp",
+        "n": "bigint",
+        "f": "double",
+        "s": "string",
+        "b": "boolean",
+    }
