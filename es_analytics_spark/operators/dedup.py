@@ -18,10 +18,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# deterministic odd multipliers/offsets for the minhash permutation
-# family h_i(x) = (a_i * x + b_i) mod 2^61-1 (a classic Carter-Wegman
-# construction; seeds fixed for reproducibility)
-_MERSENNE = (1 << 61) - 1
+# deterministic multipliers/offsets for the minhash permutation family
+# h_i(x) = (a_i * x + b_i) mod p (Carter-Wegman; seeds fixed for
+# reproducibility). Sizes are chosen to stay inside signed-64 ANSI
+# arithmetic: x < p < 2^33, a < 2^30 → a*x + b < 2^63, no overflow.
+_PRIME = 4294967311  # smallest prime > 2^32
 
 
 def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
@@ -30,9 +31,9 @@ def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
     state = 0x9E3779B97F4A7C15
     for _ in range(num_hashes):
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        a = (state | 1) % _MERSENNE
+        a = (state % ((1 << 30) - 1)) + 1
         state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-        b = state % _MERSENNE
+        b = state % _PRIME
         params.append((a, b))
     return params
 
@@ -90,10 +91,10 @@ def minhash_signatures(
     """
     base = df.select(
         F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("shingles")
-    ).withColumn("hashes", F.transform("shingles", lambda s: F.abs(F.xxhash64(s)) % _MERSENNE))
+    ).withColumn("hashes", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME))))
     sig_cols = [
         F.array_min(
-            F.transform("hashes", lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE)
+            F.transform("hashes", lambda h: (h * F.lit(a) + F.lit(b)) % _PRIME)
         ).alias(f"h{i}")
         for i, (a, b) in enumerate(_hash_params(num_hashes))
     ]

@@ -82,48 +82,59 @@ def lsh_bucketed_topk(
     id_col: str,
     vec_col: str,
     k: int,
-    num_planes: int = 8,
+    num_planes: int = 6,
+    num_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: sign-of-random-projection LSH bucketing.
+    """Approximate top-k: multi-table sign-of-random-projection LSH.
 
-    Corpus and queries hash to a bucket id from the signs of
-    ``num_planes`` fixed pseudo-random hyperplanes; each query only
-    scans its bucket. Recall < 1 by design; the exact variant is
-    :func:`cosine_topk`. At cluster scale the bucketed join shuffles
-    each side once on the bucket id instead of broadcasting the corpus.
+    Each of ``num_tables`` independent tables hashes a vector to a
+    bucket from the signs of ``num_planes`` fixed pseudo-random
+    hyperplanes; a candidate pair is any (query, corpus) row sharing a
+    bucket in ≥1 table (union → distinct). Recall ≈ 1-(1-r)^T per the
+    standard LSH analysis; the exact variant is :func:`cosine_topk`.
+
+    At cluster scale this is the path that avoids broadcasting the
+    corpus: both sides shuffle once on (table, bucket), candidates are
+    deduped, and only candidates pay the full dot product.
     """
     from pyspark.sql import Window as W
 
-    planes = _fixed_planes(num_planes, dim)
-    def bucket(vc: Column) -> Column:
-        bits = [
-            F.when(_dot(vc, F.array(*[F.lit(v) for v in plane])) >= 0, F.lit(1 << i)).otherwise(
-                F.lit(0)
-            )
-            for i, plane in enumerate(planes)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+    def buckets(vc: Column) -> Column:
+        """array of per-table bucket ids, entry t = (t, bits) struct key"""
+        out = []
+        for t in range(num_tables):
+            planes = _fixed_planes(num_planes, dim, seed=88172645463325252 + 7919 * t)
+            bits = [
+                F.when(
+                    _dot(vc, F.array(*[F.lit(v) for v in plane])) >= 0, F.lit(1 << i)
+                ).otherwise(F.lit(0))
+                for i, plane in enumerate(planes)
+            ]
+            acc = bits[0]
+            for b in bits[1:]:
+                acc = acc + b
+            out.append(F.struct(F.lit(t).alias("t"), acc.alias("b")))
+        return F.array(*out)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        bucket(F.col(vec_col)).alias("__bucket"),
+        F.explode(buckets(F.col(vec_col))).alias("__bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        bucket(F.col(vec_col)).alias("__bucket"),
+        F.explode(buckets(F.col(vec_col))).alias("__bucket"),
     )
-    sim = _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
-    pairs = (
+    cand = (
         c.join(q, "__bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", sim)
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+    pairs = cand.withColumn("cosine", sim)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -132,9 +143,9 @@ def lsh_bucketed_topk(
     )
 
 
-def _fixed_planes(num_planes: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random unit-ish hyperplanes (LCG-derived)."""
-    state = 88172645463325252
+def _fixed_planes(num_planes: int, dim: int, seed: int = 88172645463325252) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (xorshift64)."""
+    state = seed & 0xFFFFFFFFFFFFFFFF or 1
     planes = []
     for _ in range(num_planes):
         v = []

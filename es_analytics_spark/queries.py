@@ -958,3 +958,419 @@ def fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode("embedding").alias("pos", "elem"))
         .select("vec_id", "pos", F.round(F.col("elem").cast("double"), 6).alias("elem"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+# normalization mirrored between engines: lower → strip non-[a-z0-9\s] →
+# collapse whitespace → trim
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'))) AS BIGINT)
+             AS n_unique_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks_l = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks_l)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                 / LENGTH(text), 6) AS punct_ratio,
+           ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS DOUBLE)
+                 / LENGTH(text), 6) AS digit_ratio,
+           ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                 t -> LIST_CONTAINS(['the','and','of','to','is','in','that','it','for','with'], t)))
+                 AS DOUBLE) / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')), 6) AS stopword_ratio
+    FROM documents
+    WHERE LENGTH(text) > 0
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from es_analytics_spark.operators.text import STOPWORDS
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    c = F.col("text")
+    n_chars = F.length(c)
+    toks_l = F.split(F.lower(F.trim(c)), r"\s+")
+    n_tokens = F.size(F.split(F.trim(c), r"\s+"))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks_l, lambda t: F.array_contains(sw, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return d.filter(n_chars > 0).select(
+        "doc_id",
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(n_digit.cast("double") / n_chars, 6).alias("digit_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_fingerprint_dedup",
+    oracle=f"""
+    SELECT MD5({_NORM_SQL}) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprint groups: the exact near-dup key
+    (case/punct/whitespace-insensitive) with a deterministic keeper."""
+    from es_analytics_spark.operators.dedup import document_fingerprint
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        document_fingerprint(d, "text")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT MD5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY 1 HAVING COUNT(*) >= 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id")
+    )
+
+
+_SW_SQL = {
+    "en": "['the','and','of','to','is','in','that','it','for','with']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','auf','zu']",
+    "fr": "['le','la','les','et','est','un','une','dans','pour','que']",
+    "es": "['el','los','las','es','un','una','en','por','para','con']",
+    "zh": "['de','shi','bu','le','wo','you','he','zai','ren','ta']",
+}
+
+
+_HITS_SQL = ", ".join(
+    "LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'), "
+    "t -> LIST_CONTAINS(" + sql + ", t))) AS hits_" + lang
+    for lang, sql in _SW_SQL.items()
+)
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang AS lang_true, {_HITS_SQL}
+      FROM documents)
+    SELECT doc_id, lang_true,
+           CASE WHEN GREATEST(hits_en, hits_de, hits_fr, hits_es, hits_zh) = 0 THEN 'und'
+                WHEN hits_en >= GREATEST(hits_de, hits_fr, hits_es, hits_zh) THEN 'en'
+                WHEN hits_de >= GREATEST(hits_fr, hits_es, hits_zh) THEN 'de'
+                WHEN hits_fr >= GREATEST(hits_es, hits_zh) THEN 'fr'
+                WHEN hits_es >= hits_zh THEN 'es'
+                ELSE 'zh' END AS lang_pred
+    FROM hits
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID; tie-break order en>de>fr>es>zh is
+    part of the operator contract (deterministic)."""
+    from es_analytics_spark.operators.text import STOPWORDS
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def _hits(lang):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        # nb: the lambda must be unary — a 2-arg lambda would be
+        # interpreted by F.filter as (element, index)
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    hits = {lang: _hits(lang) for lang in _SW_SQL}
+    best = F.greatest(*[hits[l] for l in ("de", "fr", "es", "zh")])
+    pred = (
+        F.when(F.greatest(*hits.values()) == 0, "und")
+        .when(hits["en"] >= F.greatest(hits["de"], hits["fr"], hits["es"], hits["zh"]), "en")
+        .when(hits["de"] >= F.greatest(hits["fr"], hits["es"], hits["zh"]), "de")
+        .when(hits["fr"] >= F.greatest(hits["es"], hits["zh"]), "fr")
+        .when(hits["es"] >= hits["zh"], "es")
+        .otherwise("zh")
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, source, STRING_SPLIT({_NORM_SQL}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             LIST_DISTINCT(CASE WHEN LEN(w) >= 3
+               THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [ARRAY_TO_STRING(w, ' ')] END) AS g
+      FROM words)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+             / LEN(LIST_DISTINCT(a.g || b.g)) AS jaccard
+    FROM grams a JOIN grams b ON b.doc_id > a.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+             / LEN(LIST_DISTINCT(a.g || b.g)) >= 0.35
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs word-3-gram Jaccard ≥ 0.35 — the exact ground truth the
+    MinHash-LSH path approximates (tables here are small; at scale the
+    pair set comes from LSH banding, see dedup_minhash_lsh)."""
+    from es_analytics_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(d, "doc_id", "text", ngram=3).filter(F.col("jaccard") >= 0.35)
+
+
+@query("dedup_minhash_lsh", oracle=None)  # xxhash64 family not in the oracle engine
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates, Jaccard-verified (≥0.5).
+    Correctness covered by tests/test_operators.py against exact
+    all-pairs Jaccard at sf0.001."""
+    from es_analytics_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5)
+
+
+@query("dedup_simhash", oracle=None)  # xxhash64 not in the oracle engine
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from es_analytics_spark.operators.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return simhash(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: embedding similarity (embeddings table)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+    ROUND(
+      LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.embedding, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      6)
+"""
+
+
+@query(
+    "sim_cosine_pairs",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 20 AND {_COS_SQL} >= 0.25
+    """,
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine: all corpus neighbors of the first 20 query
+    vectors above 0.25. Query side broadcast; dot product via
+    zip_with/aggregate (JVM codegen, no Python)."""
+    from es_analytics_spark.operators.similarity import cosine_pairs_above
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 20)
+    out = cosine_pairs_above(e, q, "vec_id", "embedding", threshold=-2.0)
+    return out.withColumn("cosine", F.round("cosine", 6)).filter(F.col("cosine") >= 0.25)
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cosine
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sims)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors for 10 queries; ranking on the rounded
+    cosine (the cross-engine-stable value) with id tie-break."""
+    from pyspark.sql import Window as W2
+
+    from es_analytics_spark.operators.similarity import cosine_pairs_above
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    pairs = cosine_pairs_above(e, q, "vec_id", "embedding", threshold=-2.0).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+    w = W2.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@query("sim_lsh_bucketed", oracle=None)  # approximate by design (recall < 1)
+def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path: sign-of-random-projection buckets, top-5 within bucket.
+    Recall measured against sim_cosine_topk in tests."""
+    from es_analytics_spark.operators.similarity import lsh_bucketed_topk
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(e, q, "vec_id", "embedding", k=5, num_planes=6)
+
+
+@query(
+    "sim_embedding_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+             AS avg_sq_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats (norm profile) — the embedding-hygiene
+    check a pipeline runs before indexing. AVG over a deterministic
+    per-row double is ROUND-stabilized."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    sq = F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(sq), 6).alias("avg_sq_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming family: the bounded fixture replayed through Structured
+# Streaming (availableNow) must equal the batch/oracle answer.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_windowed_counts",
+    oracle=f"""
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           {dsum_expr('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows computed BY THE STREAMING ENGINE
+    (file source → watermark → window agg → memory sink, availableNow),
+    then compared against the batch SQL oracle."""
+    from es_analytics_spark.streaming.ingest import (
+        replay_stream,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    return replay_stream(
+        spark, windowed_event_counts(ev, "1 hour"), name="stream_windowed_counts",
+        output_mode="complete",
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30 min gap) in the streaming engine;
+    oracle = the window-function sessionization (same gap semantics:
+    session end is last event + gap)."""
+    from es_analytics_spark.streaming.ingest import (
+        replay_stream,
+        session_window_agg,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    return replay_stream(
+        spark, session_window_agg(ev, "30 minutes"), name="stream_session_windows",
+        output_mode="complete",
+    )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT user_id, event_type, DATE_TRUNC('minute', ts) AS ts_minute,
+           MIN(event_id) AS event_id
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user, type, minute): duplicates in
+    the fixture arrive within the 10-min watermark horizon, so the
+    streaming result equals batch dedup. min(event_id) survivor for
+    determinism."""
+    from es_analytics_spark.streaming.ingest import replay_stream, stream_events
+
+    ev = stream_events(spark, sf_dir).withColumn(
+        "ts_minute", F.date_trunc("minute", "ts")
+    )
+    src = ev.withWatermark("ts", "10 minutes")
+    dedup = (
+        src.groupBy("user_id", "event_type", "ts_minute")
+        .agg(F.min("event_id").alias("event_id"))
+    )
+    return replay_stream(
+        spark, dedup, name="stream_dedup_watermark", output_mode="complete"
+    )

@@ -1,0 +1,15 @@
+from es_analytics_spark.streaming.ingest import (
+    replay_stream,
+    stream_events,
+    windowed_event_counts,
+    session_window_agg,
+    dedup_within_watermark,
+)
+
+__all__ = [
+    "replay_stream",
+    "stream_events",
+    "windowed_event_counts",
+    "session_window_agg",
+    "dedup_within_watermark",
+]

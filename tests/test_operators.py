@@ -1,0 +1,140 @@
+"""Operator correctness beyond the SQL oracle: NumPy/exact references
+for the approximate operators (SURVEY.md §2.B north-star extensions)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from es_analytics_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from es_analytics_spark.operators.joins import asof_join
+from es_analytics_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+from es_analytics_spark.sources.lake import read_table
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH candidates (verified ≥0.5 Jaccard) must equal the exact
+    all-pairs result at the same threshold: banding with 16 bands × 4
+    rows has ~.99+ recall at j=0.5, and verification removes all false
+    positives, so on the fixture data the sets should coincide."""
+    docs = read_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0, "fixture should contain near-duplicates"
+
+
+def test_simhash_similar_docs_close(spark):
+    rows = [
+        Row(id=1, text="the quick brown fox jumps over the lazy dog near the river bank"),
+        Row(id=2, text="the quick brown fox jumps over the lazy dog near the river shore"),
+        Row(id=3, text="completely unrelated text about spark streaming and parquet files"),
+    ]
+    df = spark.createDataFrame(rows)
+    fp = {r.id: r.simhash for r in simhash(df, "id", "text").collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(fp[1], fp[2]) < hamming(fp[1], fp[3])
+    assert hamming(fp[1], fp[2]) < hamming(fp[2], fp[3])
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    got = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=3).collect()
+
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    for qi in range(5):
+        order = sorted(
+            [(s, i) for s, i in zip(sims[qi], ids) if i != ids[qi]],
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        expect = [i for _, i in order]
+        actual = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == ids[qi]]
+        assert actual == expect, f"query {ids[qi]}"
+        for (s, _), r in zip(order, [r for r in sorted(got, key=lambda r: r.rank) if r.query_id == ids[qi]]):
+            assert math.isclose(r.cosine, s, rel_tol=1e-9)
+
+
+def test_lsh_bucketed_recall(spark, sf_dir):
+    """ANN recall@5 vs exact top-5 should be well above chance (bucket
+    search scans ~1/2^planes of the corpus)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    approx = lsh_bucketed_topk(
+        emb, q, "vec_id", "embedding", k=5, num_planes=4, num_tables=12
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hit = tot = 0
+    for r in approx:
+        tot += 1
+        if r.neighbor_id in exact_sets.get(r.query_id, set()):
+            hit += 1
+    assert tot > 0
+    assert hit / (5 * len(exact_sets)) > 0.3, f"recall@5 too low: {hit}/{5 * len(exact_sets)}"
+
+
+def test_asof_join_semantics(spark):
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", qts=10, px=1.0),
+            Row(sym="A", qts=20, px=2.0),
+            Row(sym="A", qts=20, px=3.0),  # tie on ts → larger tie_break wins
+            Row(sym="B", qts=5, px=9.0),
+        ]
+    )
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", tts=9),   # before any quote → null
+            Row(sym="A", tts=10),  # equal ts → inclusive
+            Row(sym="A", tts=25),  # after both ts=20 quotes → px=3 (tie-break on px)
+            Row(sym="B", tts=100),
+            Row(sym="C", tts=1),   # key absent from right → null
+        ]
+    )
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        right_cols=["px"], tie_break="px",
+    )
+    got = {(r.sym, r.tts): r.px for r in out.collect()}
+    assert got == {
+        ("A", 9): None,
+        ("A", 10): 1.0,
+        ("A", 25): 3.0,
+        ("B", 100): 9.0,
+        ("C", 1): None,
+    }
+
+
+def test_topk_per_group_determinism(spark, sf_dir):
+    from es_analytics_spark.operators.joins import topk_per_group
+
+    c = read_table(spark, sf_dir, "customer")
+    a = topk_per_group(c, ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey")], 2)
+    b = topk_per_group(
+        c.repartition(7), ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey")], 2
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -1,0 +1,52 @@
+"""Batch ≡ streaming replay equivalence (SURVEY.md §5.4): the same
+transformation applied to the batch frame and to the streamed fixture
+must agree, and streaming-only state ops behave as specified."""
+
+from pyspark.sql import functions as F
+
+from es_analytics_spark.sources.lake import read_table
+from es_analytics_spark.streaming.ingest import (
+    dedup_within_watermark,
+    replay_stream,
+    session_window_agg,
+    stream_events,
+    windowed_event_counts,
+)
+
+
+def _rows(df, *keys):
+    return sorted(map(tuple, df.collect()), key=lambda t: tuple(str(x) for x in t))
+
+
+def test_windowed_counts_stream_equals_batch(spark, sf_dir):
+    batch = windowed_event_counts(read_table(spark, sf_dir, "events"))
+    stream = replay_stream(
+        spark, windowed_event_counts(stream_events(spark, sf_dir)),
+        name="t_wc", output_mode="complete",
+    )
+    assert _rows(batch) == _rows(stream)
+
+
+def test_session_windows_stream_equals_batch(spark, sf_dir):
+    batch = session_window_agg(read_table(spark, sf_dir, "events"))
+    stream = replay_stream(
+        spark, session_window_agg(stream_events(spark, sf_dir)),
+        name="t_sw", output_mode="complete",
+    )
+    assert _rows(batch) == _rows(stream)
+
+
+def test_dedup_within_watermark_drops_in_horizon_dupes(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    # duplicate every event (same event_id) — dupes are at identical
+    # event time, trivially inside the watermark horizon
+    doubled = ev.union(ev)
+    out = replay_stream(
+        spark, dedup_within_watermark(doubled, ["event_id"]), name="t_dd"
+    )
+    n_batch = read_table(spark, sf_dir, "events").count()
+    assert out.count() == n_batch
+
+
+def test_stream_source_schema_matches_batch(spark, sf_dir):
+    assert stream_events(spark, sf_dir).schema == read_table(spark, sf_dir, "events").schema
