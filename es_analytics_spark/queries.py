@@ -1374,3 +1374,341 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_stream(
         spark, dedup, name="stream_dedup_watermark", output_mode="complete"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: opaque binary payloads + typed metadata
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           SHA256(text) AS payload_sha256,
+           MD5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata computed JVM-side: the documents' utf-8
+    bytes stand in for media payloads (same code path as image/audio
+    blobs — binary is binary)."""
+    from es_analytics_spark.operators.multimodal import attach_media_meta
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    payload = d.withColumn("payload", F.encode("text", "utf-8"))
+    out = attach_media_meta(payload, "payload", "application/octet-stream")
+    return out.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("payload_sha256"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@query("mm_extract_features", oracle=None)  # mapInPandas decode path; NumPy-checked in tests
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (mapInPandas). Decode is the deterministic stand-in (see
+    operators.multimodal: codec libs absent by environment contract)."""
+    from es_analytics_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    payload = d.withColumn("payload", F.encode("text", "utf-8"))
+    return extract_features(payload, "payload", "doc_id")
+
+
+@query(
+    "mm_segment_sample",
+    oracle="""
+    SELECT doc_id, CAST(seg.i AS INTEGER) AS segment_idx,
+           SUBSTRING(text, CAST(seg.i * GREATEST(LENGTH(text) // 4, 1) + 1 AS INTEGER), 16)
+             AS segment_text,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+    FROM documents, (SELECT UNNEST([0,1,2,3]) AS i) seg
+    """,
+)
+def mm_segment_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'frame sampling': 4 evenly spaced windows per doc.
+    ASCII fixture text → byte offsets == char offsets, so the binary
+    segment decodes to the oracle's substring."""
+    from es_analytics_spark.operators.multimodal import sample_segments
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    payload = d.withColumn("payload", F.encode("text", "utf-8"))
+    out = sample_segments(payload, "payload", "doc_id", n_segments=4, segment_bytes=16)
+    return out.select(
+        "doc_id",
+        "segment_idx",
+        F.decode(F.col("segment"), "utf-8").alias("segment_text"),
+        "n_bytes",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map / JSON-map functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_map_explode",
+    oracle="""
+    SELECT event_id, u.k AS key, CAST(JSON_EXTRACT(props, '$.' || u.k) AS BIGINT) AS value
+    FROM events, UNNEST(JSON_KEYS(props)) AS u(k)
+    """,
+)
+def fn_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props JSON → MapType → explode to (key, value) rows; also the
+    engine's map_keys/map_values surface."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select("event_id", F.explode(m).alias("key", "value"))
+
+
+@query(
+    "fn_map_ops",
+    oracle="""
+    SELECT event_id,
+           JSON_KEYS(props)[1] AS first_key,
+           CAST(LEN(JSON_KEYS(props)) AS INTEGER) AS n_keys,
+           CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")["events"]
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m)[0].alias("first_key"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        m["k"].alias("k_value"),
+    )
+
+
+@query(
+    "fn_uuid_deterministic",
+    oracle="""
+    SELECT c_custkey,
+           SUBSTRING(MD5(c_name), 1, 8) || '-' || SUBSTRING(MD5(c_name), 9, 4) || '-' ||
+           SUBSTRING(MD5(c_name), 13, 4) || '-' || SUBSTRING(MD5(c_name), 17, 4) || '-' ||
+           SUBSTRING(MD5(c_name), 21, 12) AS name_uuid
+    FROM customer
+    """,
+)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-derived UUID (name-based, UUIDv3-flavored formatting) —
+    the deterministic sibling of uuid(); random uuid() itself is
+    exercised in the collector (batch ids)."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    h = F.md5("c_name")
+    uuid_str = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return c.select("c_custkey", uuid_str.alias("name_uuid"))
+
+
+@query(
+    "fn_string_extra",
+    oracle="""
+    SELECT s_suppkey,
+           REVERSE(s_name) AS name_rev,
+           REPEAT(SUBSTRING(s_name, 1, 2), 3) AS name_rep,
+           TRANSLATE(s_name, '#', '_') AS name_tr,
+           CAST(STRPOS(s_name, '#') AS BIGINT) AS hash_pos,
+           LEFT(s_name, 4) AS name_left,
+           RIGHT(s_name, 3) AS name_right,
+           REPLACE(s_name, 'Supplier', 'S') AS name_short
+    FROM supplier
+    """,
+)
+def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")["supplier"]
+    return s.select(
+        "s_suppkey",
+        F.reverse("s_name").alias("name_rev"),
+        F.repeat(F.substring("s_name", 1, 2), 3).alias("name_rep"),
+        F.translate("s_name", "#", "_").alias("name_tr"),
+        F.instr(F.col("s_name"), "#").cast("long").alias("hash_pos"),
+        F.substring("s_name", 1, 4).alias("name_left"),
+        F.substring(F.col("s_name"), -3, 3).alias("name_right"),
+        F.regexp_replace("s_name", "Supplier", "S").alias("name_short"),
+    )
+
+
+@query(
+    "fn_datetime_extra",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 MONTH AS plus_3m,
+           LAST_DAY(o_orderdate) AS month_end,
+           ROUND(CAST(DATEDIFF('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) / 30.0, 4)
+             AS months_since,
+           CAST(DAYOFWEEK(o_orderdate) + 1 AS BIGINT) AS dow,  -- 1-based Sunday (engine convention)
+           CAST(WEEKOFYEAR(o_orderdate) AS BIGINT) AS woy,
+           CAST(QUARTER(o_orderdate) AS BIGINT) AS q
+    FROM orders
+    """,
+)
+def fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("plus_3m"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.round(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("double")
+            / 30.0,
+            4,
+        ).alias("months_since"),
+        (F.dayofweek("o_orderdate")).cast("long").alias("dow"),
+        F.weekofyear("o_orderdate").cast("long").alias("woy"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes (SQL surface; what a reference-lake user runs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue, o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_orderkey, {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue, o_orderdate
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_expr('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle=f"""
+    SELECT (100.0 * {dsum_expr("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END")}
+            / {dsum_expr('l_extendedprice * (1 - l_discount)')}) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * dsum(promo) / dsum(disc)).alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )

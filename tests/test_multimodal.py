@@ -1,0 +1,66 @@
+"""Multimodal plumbing: schema, Arrow batch shape, determinism of the
+stand-in decode, and the NotImplementedError gate for real codecs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from es_analytics_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    fake_decode,
+    real_decode,
+    sample_segments,
+)
+from es_analytics_spark.sources.lake import read_table
+
+
+def _payloads(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    return d.withColumn("payload", F.encode("text", "utf-8"))
+
+
+def test_extract_features_schema_and_shape(spark, sf_dir):
+    out = extract_features(_payloads(spark, sf_dir), "payload", "doc_id")
+    assert [f.simpleString() for f in out.schema.fields] == [
+        "id:bigint",
+        "features:array<float>",
+        "n_bytes:bigint",
+    ]
+    rows = out.collect()
+    assert len(rows) == 500
+    for r in rows[:10]:
+        assert len(r.features) == FEATURE_DIM
+        norm = float(np.linalg.norm(r.features))
+        assert abs(norm - 1.0) < 1e-5 or norm == 0.0  # l2-normalized
+
+
+def test_extract_features_deterministic_across_partitioning(spark, sf_dir):
+    base = _payloads(spark, sf_dir)
+    a = {r.id: r.features for r in extract_features(base, "payload", "doc_id").collect()}
+    b = {
+        r.id: r.features
+        for r in extract_features(base.repartition(13), "payload", "doc_id").collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]
+
+
+def test_fake_decode_contract():
+    sig = fake_decode(b"\x00\x01\x01\xff")
+    assert sig.shape == (256,) and sig.dtype == np.float32
+    assert sig[0] == 1 and sig[1] == 2 and sig[255] == 1
+    assert fake_decode(b"").sum() == 0  # empty payload → zero signal
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\xff\xd8\xff")  # JPEG magic — codec not in container
+
+
+def test_segment_sample_offsets(spark):
+    df = spark.createDataFrame([(1, b"0123456789abcdef")], "id long, payload binary")
+    rows = {r.segment_idx: bytes(r.segment) for r in
+            sample_segments(df, "payload", "id", n_segments=4, segment_bytes=4).collect()}
+    assert rows == {0: b"0123", 1: b"4567", 2: b"89ab", 3: b"cdef"}

@@ -1,0 +1,55 @@
+"""Scale guardrails: physical plans must keep the shapes that survive
+a 100× scale-up — pushdown reaches parquet, dims broadcast, no
+accidental cartesian products, projections prune columns."""
+
+from pyspark.sql import functions as F
+
+from es_analytics_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    physical_plan,
+    read_schema_columns,
+)
+from es_analytics_spark.queries import REGISTRY
+
+
+def test_flagship_pushdown_and_pruning(spark, sf_dir):
+    df = REGISTRY["agg_pricing_summary"].fn(spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate")
+    cols = set(read_schema_columns(df))
+    # 7 needed columns, not all 11
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+
+
+def test_5way_join_broadcasts_dims(spark, sf_dir):
+    df = REGISTRY["join_5way_revenue"].fn(spark, sf_dir)
+    assert_broadcast_join(df, min_count=3)
+    assert_no_cartesian(df)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = REGISTRY["sort_topk_global"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_filter_projection_prunes(spark, sf_dir):
+    df = REGISTRY["filter_predicates"].fn(spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    assert "o_orderdate" not in cols, cols
+    assert_pushed_filters(df, "o_totalprice")
+
+
+def test_asof_join_is_single_shuffle_no_explosion(spark, sf_dir):
+    df = REGISTRY["join_asof"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # union+window rewrite: no join node at all
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = REGISTRY["fn_math"].fn(spark, sf_dir)
+    # formatted explain marks codegen stages as "[codegen id : N]"
+    assert "[codegen id :" in physical_plan(df)
