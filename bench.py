@@ -35,6 +35,14 @@ HEADLINE = [
     "fn_math",
     "fn_json",
     "fn_array",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "dedup_minhash_lsh",
+    "dedup_exact_docs",
+    "sim_cosine_topk",
+    "text_language_id",
+    "mm_extract_features",
+    "stream_windowed_counts",
 ]
 
 

@@ -68,13 +68,50 @@ def document_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerpri
     return df.withColumn(out_col, F.md5(normalize_text(F.col(text_col))))
 
 
-def _shingles(col: Column, k: int) -> Column:
-    """Word k-shingles of normalized text as a distinct array."""
-    words = F.split(normalize_text(col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", words))))
+def _shingle_expr(words_col: str, k: int) -> Column:
+    """Word k-shingle array from a *materialized* words column."""
+    w = F.col(words_col)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j).cast("int")) for j in range(k)]),
+    )
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", w))))
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, k: int, keep: list[str], out_col: str = "shingles"
+) -> DataFrame:
+    """(keep…, shingles) with the words array materialized through a
+    projection boundary first.
+
+    The boundary matters: inlining split(normalize(text)) into the
+    shingle transform makes Catalyst re-evaluate the normalize+split
+    (two regexes) once per shingle window — observed ~15× slower on
+    500-word documents. Referencing the words column several times
+    keeps CollapseProject from re-inlining it.
+    """
+    words = df.select(*[F.col(c) for c in keep], F.split(normalize_text(F.col(text_col)), " ").alias("__w"))
+    return words.select(*[F.col(c) for c in keep], _shingle_expr("__w", k).alias(out_col))
+
+
+def exploded_shingles(
+    df: DataFrame, text_col: str, k: int, keep: list[str], out_col: str = "sh"
+) -> DataFrame:
+    """One row per (keep…, shingle).
+
+    The explode is applied to the shingle *expression* inside the words
+    projection, NOT to a pre-aliased shingle column: exploding an
+    aliased column lets InferFiltersFromGenerate synthesize a
+    ``size(shingles) > 0`` filter that pushdown then re-inlines as a
+    from-scratch re-evaluation of the whole pipeline per row (observed
+    40× slowdown). Keep this shape — check `.explain()` shows
+    Generate directly over the words Project, with no Filter between
+    scan and Generate re-deriving the array.
+    """
+    words = df.select(*[F.col(c) for c in keep], F.split(normalize_text(F.col(text_col)), " ").alias("__w"))
+    return words.select(*[F.col(c) for c in keep], F.explode(_shingle_expr("__w", k)).alias(out_col))
 
 
 def minhash_signatures(
@@ -84,21 +121,25 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, shingles, sig[num_hashes]) — sig[i] = min over shingles of
-    the i-th Carter-Wegman permutation of xxhash64(shingle).
+    """(id, sig[num_hashes]) — sig[i] = min over shingles of the i-th
+    Carter-Wegman permutation of xxhash64(shingle).
 
-    All array math is built-in higher-order functions → JVM codegen.
+    Shape: explode shingles → hash each once → groupBy(id) with
+    num_hashes MIN aggregates. The mins partial-combine map-side, so
+    the shuffle carries one num_hashes-wide row per document regardless
+    of document length — the layout that scales. (The first-cut
+    implementation, 64 nested array transforms in one projection,
+    spent ~25s in codegen/eval for 500 docs.)
     """
-    base = df.select(
-        F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("shingles")
-    ).withColumn("hashes", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME))))
+    exploded = exploded_shingles(df, text_col, shingle_k, keep=[id_col]).select(
+        F.col(id_col), F.pmod(F.xxhash64("sh"), F.lit(_PRIME)).alias("h")
+    )
     sig_cols = [
-        F.array_min(
-            F.transform("hashes", lambda h: (h * F.lit(a) + F.lit(b)) % _PRIME)
-        ).alias(f"h{i}")
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % _PRIME).alias(f"h{i}")
         for i, (a, b) in enumerate(_hash_params(num_hashes))
     ]
-    return base.select(id_col, "shingles", F.array(*sig_cols).alias("sig"))
+    votes = exploded.groupBy(id_col).agg(*sig_cols)
+    return votes.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -120,7 +161,6 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
     banded = sigs.select(
         id_col,
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -140,19 +180,22 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "shingles", "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
 
-    a = banded.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    b = banded.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
-    )
+    # candidate ids first (cheap distinct on two longs), shingle arrays
+    # joined back only for surviving candidates
+    a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    grams = with_shingles(df, text_col, shingle_k, keep=[id_col], out_col="sh")
+    cand = (
+        cand.join(grams.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(grams.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
@@ -199,10 +242,12 @@ def ngram_jaccard_pairs(
     ``|id_a - id_b| <= max_id_gap``) are compared, keeping the join
     shuffle-bounded instead of n².
     """
-    base = df.select(
-        F.col(id_col),
-        *([F.col(block_col)] if block_col else []),
-        _shingles(F.col(text_col), ngram).alias("grams"),
+    base = with_shingles(
+        df,
+        text_col,
+        ngram,
+        keep=[id_col] + ([block_col] if block_col else []),
+        out_col="grams",
     )
     on = [block_col] if block_col else []
     a = base.select(
