@@ -46,6 +46,32 @@ HEADLINE = [
 ]
 
 
+def ingest_events_per_sec(spark, n: int = 50_000) -> float:
+    """Reference-comparable ingest rate: events/s through the typed
+    collector API → partitioned parquet lake (BASELINE.md's only
+    quantitative dimension; the reference test sustains ~1k ev/s)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from es_analytics_spark.collector import Collector, CollectorConfig
+
+    lake = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        col = Collector(spark, CollectorConfig(lake_dir=lake))
+        base = dt.datetime(2024, 1, 1)
+        t0 = time.perf_counter()
+        for i in range(n):
+            col.track(
+                "game_user_event",
+                {"uid": i % 997, "ts": base, "etype": "purchase", "value": i * 0.5},
+            )
+        col.stop()
+        return round(n / (time.perf_counter() - t0), 1)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -71,6 +97,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ingest_events_per_sec": ingest_events_per_sec(spark),
             }
         )
     )

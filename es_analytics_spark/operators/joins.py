@@ -68,6 +68,29 @@ def asof_join(
     return out.select(*sel)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi join: the (large, skewed) left side gets a
+    random salt in [0, salt_buckets); the (smaller) right side is
+    replicated across all salt values, so a hot key's rows spread over
+    ``salt_buckets`` tasks instead of one straggler.
+
+    AQE's skew-join splitting handles most cases at runtime; this
+    explicit rewrite is for the pathological keys AQE can't split
+    (single-key hot partitions feeding a window/agg downstream) and as
+    the documented, testable form of the technique.
+    """
+    salted_l = left.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
+    salted_r = right.select(F.col("*"), salts)
+    return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")
+
+
 def topk_per_group(df: DataFrame, keys: list[str], order: list[Column], k: int) -> DataFrame:
     """Deterministic per-group top-k via a rank window (planner keeps it
     as one shuffle + partial sort; no global sort)."""

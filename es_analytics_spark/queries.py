@@ -1712,3 +1712,167 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / CTE / remaining window + array surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subq_correlated_scalar",
+    oracle=f"""
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem l1
+    WHERE l_quantity > 2 * (SELECT AVG(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def subq_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery, decorrelated by
+    Catalyst into an aggregate + join (no per-row re-execution).
+    AVG double here is safe: the comparison margin (2x) dwarfs ulp."""
+    _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_partkey, l_quantity
+        FROM lineitem l1
+        WHERE l_quantity > 2 * (SELECT AVG(l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )
+
+
+@query(
+    "subq_in_uncorrelated",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      AND o_orderstatus <> 'F'
+    """,
+)
+def subq_in_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+          AND o_orderstatus <> 'F'
+        """
+    )
+
+
+@query(
+    "subq_cte_chain",
+    oracle=f"""
+    WITH cust_spend AS (
+      SELECT o_custkey, {dsum_expr('o_totalprice')} AS spend FROM orders GROUP BY o_custkey),
+    segmented AS (
+      SELECT c_mktsegment, spend FROM cust_spend JOIN customer ON c_custkey = o_custkey)
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           {dsum_expr('spend')} AS total_spend
+    FROM segmented GROUP BY c_mktsegment
+    """,
+)
+def subq_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        f"""
+        WITH cust_spend AS (
+          SELECT o_custkey, {dsum_expr('o_totalprice')} AS spend FROM orders GROUP BY o_custkey),
+        segmented AS (
+          SELECT c_mktsegment, spend FROM cust_spend JOIN customer ON c_custkey = o_custkey)
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               {dsum_expr('spend')} AS total_spend
+        FROM segmented GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "window_cume_nth",
+    oracle="""
+    SELECT s_suppkey,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           NTH_VALUE(s_suppkey, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_richest,
+           FIRST_VALUE(s_suppkey) OVER w AS richest,
+           LAST_VALUE(s_suppkey) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def window_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")["supplier"]
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("s_suppkey", 2).over(wfull).alias("second_richest"),
+        F.first("s_suppkey").over(w).alias("richest"),
+        F.last("s_suppkey").over(wfull).alias("poorest"),
+    )
+
+
+@query(
+    "fn_array_extra",
+    oracle="""
+    SELECT vec_id,
+           LIST_SORT(LIST_TRANSFORM(embedding[1:4], x -> ROUND(CAST(x AS DOUBLE), 4)), 'DESC')
+             AS top_head,
+           LEN(FLATTEN([embedding[1:2], embedding[3:4]])) AS flat_len,
+           ROUND(CAST(LIST_MIN(embedding) AS DOUBLE), 4) AS vec_min,
+           LIST_CONTAINS(LIST_TRANSFORM(embedding, x -> x > 0.5), TRUE) AS any_big,
+           ROUND(GREATEST(CAST(embedding[1] AS DOUBLE), CAST(embedding[2] AS DOUBLE)), 4)
+             AS head_max,
+           ROUND(LEAST(CAST(embedding[1] AS DOUBLE), CAST(embedding[2] AS DOUBLE)), 4)
+             AS head_min
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def fn_array_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    head4 = F.slice("embedding", 1, 4)
+    return e.filter(F.col("vec_id") < 50).select(
+        "vec_id",
+        F.sort_array(
+            F.transform(head4, lambda x: F.round(x.cast("double"), 4)), asc=False
+        ).alias("top_head"),
+        F.size(F.flatten(F.array(F.slice("embedding", 1, 2), F.slice("embedding", 3, 2))))
+        .cast("long")
+        .alias("flat_len"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("vec_min"),
+        F.exists("embedding", lambda x: x > 0.5).alias("any_big"),
+        F.round(
+            F.greatest(F.col("embedding")[0].cast("double"), F.col("embedding")[1].cast("double")), 4
+        ).alias("head_max"),
+        F.round(
+            F.least(F.col("embedding")[0].cast("double"), F.col("embedding")[1].cast("double")), 4
+        ).alias("head_min"),
+    )
+
+
+@query(
+    "agg_windowed_time_bucket",
+    oracle=f"""
+    SELECT DATE_TRUNC('day', ts) AS day, event_type,
+           COUNT(*) AS n, {dsum_expr('value')} AS total_value,
+           COUNT(DISTINCT user_id) AS uniq_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_windowed_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-side tumbling window via F.window (the streaming operator's
+    batch twin — same window() function, same buckets)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+        .select(F.col("w.start").alias("day"), "event_type", "n", "total_value", "uniq_users")
+    )

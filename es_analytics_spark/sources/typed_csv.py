@@ -82,6 +82,9 @@ def read_typed_csv(spark: SparkSession, pattern: str) -> DataFrame:
         spark.read.option("header", True)
         .option("comment", "#")
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSX")
+        # RFC-4180 escapes quotes by doubling them; Spark's default
+        # escape is backslash, which misparses a field like `"""`
+        .option("escape", '"')
         .schema(schema)
         .csv(paths)
     )

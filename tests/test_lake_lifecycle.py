@@ -1,0 +1,115 @@
+"""Streaming→lake lifecycle, compaction, salted join, property-based
+collector roundtrip (SURVEY.md §5.3-5.5)."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from es_analytics_spark.collector import Collector, CollectorConfig
+from es_analytics_spark.maintenance import compact, table_stats
+from es_analytics_spark.operators.joins import salted_join
+from es_analytics_spark.sources.lake import read_table
+from es_analytics_spark.streaming.collector_sink import read_lake_table, stream_to_lake
+from es_analytics_spark.streaming.ingest import stream_events
+
+
+def test_stream_to_lake_roundtrip(spark, sf_dir, tmp_path):
+    flushes = []
+    q = stream_to_lake(
+        stream_events(spark, sf_dir),
+        table="events",
+        lake_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        on_flush=flushes.append,
+    )
+    q.awaitTermination()
+    got = read_lake_table(spark, str(tmp_path / "lake"), "events")
+    n = read_table(spark, sf_dir, "events").count()
+    assert got.count() == n
+    assert {"ingest_date", "ingest_hour"} <= set(got.columns)
+    assert flushes and sum(f.records for f in flushes) == n
+    # partition pruning: filter on partition col reads a strict subset
+    pruned = got.filter(F.col("ingest_hour") == 3)
+    assert 0 < pruned.count() < n
+
+
+def test_stream_to_lake_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Re-running with the same checkpoint must not duplicate data."""
+    for _ in range(2):
+        q = stream_to_lake(
+            stream_events(spark, sf_dir),
+            table="events",
+            lake_dir=str(tmp_path / "lake"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+    got = read_lake_table(spark, str(tmp_path / "lake"), "events")
+    assert got.count() == read_table(spark, sf_dir, "events").count()
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 20000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # deliberately fragmented
+    assert table_stats(spark, path)["n_files"] == 64
+    report = compact(spark, path, target_file_bytes=10 * 1024 * 1024)
+    assert report["after"]["n_files"] < 8
+    out = spark.read.parquet(path)
+    assert out.count() == 20000
+    assert out.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    salted = salted_join(
+        li, orders.withColumnRenamed("o_orderkey", "l_orderkey"), on="l_orderkey"
+    ).count()
+    assert salted == plain
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.fixed_dictionaries(
+            {
+                "s": st.text(
+                    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\r\n"),
+                    max_size=40,
+                ),
+                "i": st.integers(min_value=-(2**62), max_value=2**62),
+                "f": st.floats(allow_nan=False, allow_infinity=False, width=64),
+                "b": st.booleans(),
+                "t": st.datetimes(
+                    min_value=dt.datetime(1970, 1, 2),
+                    max_value=dt.datetime(2100, 1, 1),
+                ).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000)),
+            }
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_collector_roundtrip_property(spark, tmp_path_factory, rows):
+    """Any flat record of the §1.3 type table survives track→lake→read
+    unchanged (CSV compat sink: ms-truncated timestamps by spec)."""
+    lake = tmp_path_factory.mktemp("lake_prop")
+    col = Collector(
+        spark, CollectorConfig(lake_dir=str(lake), sink_format="csv", batch_zip=False)
+    )
+    for i, r in enumerate(rows):
+        col.track("t", {"k": i, **r})
+    col.stop()
+    got = {r.k: r for r in col.table("t").collect()}
+    assert len(got) == len(rows)
+    for i, r in enumerate(rows):
+        g = got[i]
+        assert (g.s or "") == r["s"]
+        assert g.i == r["i"]
+        assert g.f == r["f"] or (g.f is None and r["f"] is None)
+        assert g.b == r["b"]
+        assert g.t == r["t"]
