@@ -1876,3 +1876,106 @@ def agg_windowed_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("day"), "event_type", "n", "total_value", "uniq_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Python-extension surface: pandas UDAF / grouped map / UDTF / state
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (quantity-weighted price). fsum in the
+    UDAF makes the result order-independent; ROUND(4) absorbs the
+    last-ulp difference vs the oracle's sequential sum."""
+    from es_analytics_spark.operators.udfs import grouped_weighted_avg
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    out = grouped_weighted_avg(li, ["l_returnflag"], "l_extendedprice", "l_quantity")
+    return out.withColumn("wavg", F.round("wavg", 4))
+
+
+@query(
+    "udf_zscore_groupmap",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER seg) / STDDEV_SAMP(c_acctbal) OVER seg, 6)
+             AS zscore
+    FROM customer
+    WINDOW seg AS (PARTITION BY c_mktsegment)
+    """,
+)
+def udf_zscore_groupmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped map: per-segment z-score normalization —
+    the feature-scaling step of a training-data pipeline."""
+    from es_analytics_spark.operators.udfs import zscore_normalize
+
+    c = _t(spark, sf_dir, "customer")["customer"].select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    out = zscore_normalize(c, ["c_mktsegment"], "c_acctbal", order_col="c_custkey")
+    return out.select("c_custkey", "c_mktsegment", F.round("zscore", 6).alias("zscore"))
+
+
+@query(
+    "udf_token_udtf",
+    oracle="""
+    SELECT s_suppkey, CAST(p.pos AS INTEGER) AS pos, p.token
+    FROM (
+      SELECT s_suppkey,
+             UNNEST(LIST_TRANSFORM(STRING_SPLIT_REGEX(TRIM(s_name), '\\s+'),
+                    (x, i) -> {'pos': i - 1, 'token': x})) AS p
+      FROM supplier)
+    """,
+)
+def udf_token_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF expanding text to (pos, token) rows via LATERAL —
+    the declared UDTF surface on a deliberately small table."""
+    from es_analytics_spark.operators.udfs import token_udtf
+
+    _t(spark, sf_dir, "supplier")
+    token_udtf(spark)
+    return spark.sql(
+        """
+        SELECT s_suppkey, t.pos, t.token
+        FROM supplier, LATERAL split_tokens(s_name) t
+        """
+    )
+
+
+@query(
+    "stream_stateful_profiles",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4)::DOUBLE AS total_value,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState: running per-user profiles across
+    micro-batches; the final (max-n) row per user must equal the batch
+    aggregate. fsum accumulation over a canonical in-key order makes
+    total_value order-independent (round 4 = the dsum contract)."""
+    from pyspark.sql import Window as W2
+
+    from es_analytics_spark.streaming.ingest import replay_stream, stream_events
+    from es_analytics_spark.streaming.stateful import running_user_profiles
+
+    ev = stream_events(spark, sf_dir)
+    out = replay_stream(
+        spark, running_user_profiles(ev), name="stream_stateful_profiles", output_mode="append"
+    )
+    w = W2.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value", "last_ts")
+    )

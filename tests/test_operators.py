@@ -138,3 +138,26 @@ def test_topk_per_group_determinism(spark, sf_dir):
         c.repartition(7), ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey")], 2
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_weighted_avg_udaf_order_independent(spark, sf_dir):
+    from es_analytics_spark.operators.udfs import grouped_weighted_avg
+
+    li = read_table(spark, sf_dir, "lineitem")
+    a = grouped_weighted_avg(li, ["l_returnflag"], "l_extendedprice", "l_quantity")
+    b = grouped_weighted_avg(
+        li.repartition(17), ["l_returnflag"], "l_extendedprice", "l_quantity"
+    )
+    assert {r.l_returnflag: r.wavg for r in a.collect()} == {
+        r.l_returnflag: r.wavg for r in b.collect()
+    }
+
+
+def test_zscore_groupmap_properties(spark, sf_dir):
+    from es_analytics_spark.operators.udfs import zscore_normalize
+
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    out = zscore_normalize(c, ["c_mktsegment"], "c_acctbal", "c_custkey").toPandas()
+    for _seg, grp in out.groupby("c_mktsegment"):
+        assert abs(grp.zscore.mean()) < 1e-9
+        assert abs(grp.zscore.std(ddof=1) - 1.0) < 1e-6
