@@ -48,6 +48,10 @@ def get_spark(app_name: str = "es_analytics_spark", cpus: int | None = None) -> 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # catalog tables (bucketed layouts) go to a scratch warehouse,
+        # not the repo working dir
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/es_analytics_warehouse"))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

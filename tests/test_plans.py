@@ -53,3 +53,30 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     df = REGISTRY["fn_math"].fn(spark, sf_dir)
     # formatted explain marks codegen stages as "[codegen id : N]"
     assert "[codegen id :" in physical_plan(df)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key → SortMergeJoin with zero
+    shuffles (the write-once-join-many layout for fact⋈fact at scale)."""
+    from es_analytics_spark.sources.bucketed import bucketed, write_bucketed
+    from es_analytics_spark.sources.lake import read_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = read_table(spark, sf_dir, "lineitem")
+        orders = read_table(spark, sf_dir, "orders")
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+        write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+        joined = bucketed(spark, "b_lineitem").join(
+            bucketed(spark, "b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sanity: result matches the plain join
+        assert joined.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
