@@ -2134,3 +2134,31 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
+
+
+@query(
+    "fn_nan_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ISNAN(CASE WHEN l_discount = 0 THEN CAST('NaN' AS DOUBLE)
+                      ELSE l_extendedprice / l_discount END) AS ratio_is_nan,
+           CASE WHEN ISNAN(CASE WHEN l_discount = 0 THEN CAST('NaN' AS DOUBLE)
+                                ELSE l_extendedprice / l_discount END)
+                THEN -1.0
+                ELSE ROUND(l_extendedprice / l_discount, 4) END AS ratio_or_neg1
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def fn_nan_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isnan / nanvl over a computed NaN (declared conditional-family
+    coverage; NULL vs NaN distinction is part of the engine contract)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    ratio = F.when(F.col("l_discount") == 0, F.lit(float("nan"))).otherwise(
+        F.col("l_extendedprice") / F.col("l_discount")
+    )
+    return li.filter(F.col("l_orderkey") < 100).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.isnan(ratio).alias("ratio_is_nan"),
+        F.when(F.isnan(ratio), F.lit(-1.0)).otherwise(F.round(ratio, 4)).alias("ratio_or_neg1"),
+    )

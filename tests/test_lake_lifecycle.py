@@ -113,3 +113,33 @@ def test_collector_roundtrip_property(spark, tmp_path_factory, rows):
         assert g.f == r["f"] or (g.f is None and r["f"] is None)
         assert g.b == r["b"]
         assert g.t == r["t"]
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    values=st.lists(
+        st.floats(
+            allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_dsum_matches_decimal_reference(spark, values):
+    """functions.exact.dsum == the same contract computed with Python's
+    exact Decimal arithmetic, independent of partitioning."""
+    import decimal
+
+    from es_analytics_spark.functions.exact import dsum
+
+    df = spark.createDataFrame([(v,) for v in values], "v double").repartition(5)
+    got = df.agg(dsum("v").alias("s")).first().s
+
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        total = sum(
+            decimal.Decimal(v).quantize(decimal.Decimal("1e-10"), rounding=decimal.ROUND_HALF_UP)
+            for v in values
+        )
+        expect = float(total.quantize(decimal.Decimal("1e-4"), rounding=decimal.ROUND_HALF_UP))
+    assert got == expect, (got, expect)

@@ -50,3 +50,35 @@ def test_dedup_within_watermark_drops_in_horizon_dupes(spark, sf_dir):
 
 def test_stream_source_schema_matches_batch(spark, sf_dir):
     assert stream_events(spark, sf_dir).schema == read_table(spark, sf_dir, "events").schema
+
+
+def test_rate_source_smoke(spark):
+    """The declared rate streaming source: produces rows at a fixed
+    rate; one availableNow-style micro-batch must yield rows with the
+    (timestamp, value) contract."""
+    from es_analytics_spark.streaming.ingest import replay_stream
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .option("numPartitions", 2)
+        .load()
+    )
+    q = (
+        rate.writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        import time as _t
+
+        deadline = _t.time() + 20
+        while _t.time() < deadline and spark.table("t_rate").count() == 0:
+            _t.sleep(0.5)
+        got = spark.table("t_rate")
+        assert got.count() > 0
+        assert [f.name for f in got.schema.fields] == ["timestamp", "value"]
+    finally:
+        q.stop()
