@@ -143,6 +143,75 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    centroid_stride: int = 50,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Coarse quantizer: every ``centroid_stride``-th corpus vector (by id)
+    is a centroid — deterministic, no training pass; a real deployment
+    would swap in k-means centroids without changing the dataflow.
+    Every corpus vector is assigned to its max-cosine centroid (its
+    *cell*); a query probes its ``nprobe`` nearest cells and pays the
+    exact dot product only against those cells' members.
+
+    Scale shape: centroids are tiny and broadcast twice (assignment +
+    probe); the candidate join shuffles corpus and queries once on
+    ``cell``, so the full n×m pair matrix is never materialized —
+    cost drops from O(n·m) to O(n·m·nprobe/#cells) dot products.
+    """
+    from pyspark.sql import Window as W
+
+    cents = F.broadcast(
+        corpus.filter((F.col(id_col) % centroid_stride) == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent")
+        )
+    )
+
+    def nearest_cells(df: DataFrame, out_id: str, out_vec: str, n: int) -> DataFrame:
+        """Attach the n max-cosine centroid ids as exploded `cell` rows."""
+        sim = _dot(F.col(out_vec), F.col("__cent")) / (
+            _norm(F.col(out_vec)) * _norm(F.col("__cent"))
+        )
+        w = W.partitionBy(out_id).orderBy(F.col("__csim").desc(), F.col("cent_id").asc())
+        return (
+            df.join(cents)
+            .withColumn("__csim", sim)
+            .withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= n)
+            .select(out_id, out_vec, F.col("cent_id").alias("cell"))
+        )
+
+    c = nearest_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "neighbor_id",
+        "__cv",
+        1,
+    )
+    q = nearest_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "query_id",
+        "__qv",
+        nprobe,
+    )
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        c.join(q, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(sim, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _fixed_planes(num_planes: int, dim: int, seed: int = 88172645463325252) -> list[list[float]]:
     """Deterministic pseudo-random unit-ish hyperplanes (xorshift64)."""
     state = seed & 0xFFFFFFFFFFFFFFFF or 1

@@ -2162,3 +2162,7 @@ def fn_nan_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.isnan(ratio).alias("ratio_is_nan"),
         F.when(F.isnan(ratio), F.lit(-1.0)).otherwise(F.round(ratio, 4)).alias("ratio_or_neg1"),
     )
+
+
+# Registered last: TPC-H suite completion + embedding-dedup / IVF ANN.
+from es_analytics_spark import queries_ext as _queries_ext  # noqa: E402,F401

@@ -1,0 +1,511 @@
+"""TPC-H suite completion + embedding-dedup / IVF-ANN extensions.
+
+Registered into :mod:`es_analytics_spark.queries` REGISTRY (imported at
+the bottom of that module). With these, all 22 TPC-H query *shapes* are
+covered — the testdata star schema lacks ``partsupp``,
+``l_commitdate/receiptdate/shipmode`` and ``c_phone``, so Q2/Q9/Q11/Q12/
+Q16/Q20/Q21/Q22 are shape-preserving adaptations to the available
+columns (each docstring states the substitution); Q5 and Q8 are
+structurally verbatim.
+
+Scale notes (100 TB design intent) are per-query docstrings: every join
+here either broadcasts a dimension or shuffles on the natural key that a
+bucketed layout (sources/bucketed.py) co-locates; the correlated
+subqueries decorrelate to aggregates + joins under Catalyst (verified
+via .explain — no per-row subquery execution anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from es_analytics_spark.functions.exact import davg_expr, dsum, dsum_expr
+from es_analytics_spark.queries import _t, query
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (shapes 2, 5, 8, 9, 11, 12, 16, 20, 21, 22)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n_name, {dsum_expr('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 (verbatim shape): local-supplier revenue by nation. The only
+    fact-fact join (lineitem⋈orders) shuffles on orderkey; customer,
+    supplier, nation, region all broadcast. The c_nationkey=s_nationkey
+    equality rides along as a post-join filter on broadcast columns."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           ROUND({dsum_expr("CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END")}
+                 / {dsum_expr('volume')}, 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00') all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 (verbatim shape): NATION_7 market share of ECONOMY parts sold
+    into ASIA customers, by year. Two roles of `nation` (customer-side
+    n1, supplier-side n2) — both broadcast; conditional-sum ratio uses
+    the decimal-exact dsum on both numerator and denominator so the
+    rounded quotient is engine-stable."""
+    t = _t(spark, sf_dir, "part", "lineitem", "supplier", "orders", "customer", "nation", "region")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = t["nation"].select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation"))
+    base = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("c_rkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "nation",
+        )
+    )
+    num = dsum(F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(F.lit(0)))
+    return base.groupBy("o_year").agg(F.round(num / dsum(F.col("volume")), 6).alias("mkt_share"))
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+           {dsum_expr('l_extendedprice * (1 - l_discount)')} AS sum_profit
+    FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (adapted: testdata has no partsupp, so profit =
+    discounted revenue without the ps_supplycost term). Supplier-nation
+    × order-year profit rollup over a LIKE-filtered part subset; part/
+    supplier/nation broadcast, lineitem⋈orders shuffles on orderkey."""
+    t = _t(spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, l_extendedprice AS min_price
+    FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_size = 15
+      AND l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2
+          JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (adapted: no partsupp — lineitem is the part↔supplier
+    association and l_extendedprice stands in for ps_supplycost).
+    Correlated MIN subquery per part; Catalyst decorrelates it into an
+    aggregate + equi-join on l_partkey (verified in the plan — no
+    per-row subquery). MIN over double is order-independent, so no
+    decimal canonicalization is needed."""
+    _t(spark, sf_dir, "part", "lineitem", "supplier", "nation", "region")
+    return spark.sql(
+        """
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, l_extendedprice AS min_price
+        FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND p_size = 15
+          AND l_extendedprice = (
+            SELECT MIN(l2.l_extendedprice)
+            FROM lineitem l2
+              JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+              JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+            WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        """
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH nat_supp AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')),
+    grouped AS (
+      SELECT l_partkey, {dsum_expr('l_extendedprice * l_quantity')} AS value
+      FROM lineitem JOIN nat_supp ON l_suppkey = s_suppkey
+      GROUP BY l_partkey),
+    total AS (
+      SELECT {dsum_expr('l_extendedprice * l_quantity')} * 0.001 AS threshold
+      FROM lineitem JOIN nat_supp ON l_suppkey = s_suppkey)
+    SELECT l_partkey, value FROM grouped, total WHERE value > threshold
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (adapted: inventory value from lineitem instead of
+    partsupp). Grouped value per part HAVING > fraction-of-total scalar
+    subquery. The total is a one-row broadcast cross join — the fact
+    table is scanned twice (grouped + total); at scale the two scans
+    share the shuffle on l_suppkey⋈nat_supp via exchange reuse."""
+    t = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select("s_suppkey")
+    )
+    joined = t["lineitem"].join(
+        F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    value = (F.col("l_extendedprice") * F.col("l_quantity")).alias("v")
+    grouped = joined.groupBy("l_partkey").agg(dsum(value).alias("value"))
+    total = joined.agg((dsum(value) * F.lit(0.001)).alias("threshold"))
+    return grouped.join(F.broadcast(total)).filter(F.col("value") > F.col("threshold")).select(
+        "l_partkey", "value"
+    )
+
+
+@query(
+    "tpch_q12_priority_class",
+    oracle="""
+    SELECT l_linestatus AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag <> 'A'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (adapted: no l_shipmode/commitdate/receiptdate —
+    l_linestatus plays shipmode, the date-window filter plays the
+    late-delivery predicate). Conditional-count pivot over the
+    orders⋈lineitem join; integer CASE sums are engine-exact."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].filter(
+        (F.col("l_returnflag") != "A")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#9' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (adapted: lineitem as the part↔supplier association;
+    negative-balance suppliers play the excluded-complaints set).
+    NOT IN over a non-null subquery plans as a broadcast anti-join;
+    COUNT(DISTINCT) shuffles on the group keys with distinct-expand."""
+    _t(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#9' AND p_type <> 'MEDIUM'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+@query(
+    "tpch_q20_part_promo",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_4', 'NATION_9', 'NATION_12', 'NATION_17', 'NATION_21')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 30)
+    """,
+)
+def tpch_q20_part_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (adapted: availability = shipped quantity from
+    lineitem instead of ps_availqty). Nested IN chains: part-name
+    prefix → qualifying (supplier, part) groups → supplier semi-join.
+    SUM(l_quantity) is integer-valued double — exact in the HAVING."""
+    _t(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_4', 'NATION_9', 'NATION_12', 'NATION_17', 'NATION_21')
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(l_quantity) > 30)
+        """
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders     ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (adapted: l_returnflag='R' plays the late-delivery
+    predicate receiptdate>commitdate). The hard shape survives intact:
+    EXISTS (another supplier on the order) AND NOT EXISTS (another
+    *late* supplier) — a semi- and an anti-join against the same fact
+    table, both shuffling on l_orderkey so they co-locate with the
+    l1⋈orders join. Top-20 with (numwait DESC, s_name) total order."""
+    _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+          JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+          JOIN orders     ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )
+
+
+@query(
+    "tpch_q22_global_sales",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {davg_expr('c_acctbal')} AS a FROM customer WHERE c_acctbal > 0.0)
+    SELECT SUBSTRING(c_name, 18, 1) AS cntrycode,
+           COUNT(*) AS numcust,
+           {dsum_expr('c_acctbal')} AS totacctbal
+    FROM customer, avg_bal
+    WHERE SUBSTRING(c_name, 18, 1) IN ('1', '2', '3', '4', '6', '9')
+      AND c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY SUBSTRING(c_name, 18, 1)
+    """,
+)
+def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape (adapted: country code = last digit of c_name —
+    testdata has no c_phone). Above-average-balance customers with no
+    orders: scalar AVG subquery (decimal-exact, see functions.exact)
+    broadcast against customer, then an anti-join to orders on
+    o_custkey."""
+    _t(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        f"""
+        WITH avg_bal AS (
+          SELECT {davg_expr('c_acctbal')} AS a FROM customer WHERE c_acctbal > 0.0)
+        SELECT SUBSTRING(c_name, 18, 1) AS cntrycode,
+               COUNT(*) AS numcust,
+               {dsum_expr('c_acctbal')} AS totacctbal
+        FROM customer, avg_bal
+        WHERE SUBSTRING(c_name, 18, 1) IN ('1', '2', '3', '4', '6', '9')
+          AND c_acctbal > a
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY SUBSTRING(c_name, 18, 1)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup + IVF ANN (north-star extensions)
+# ---------------------------------------------------------------------------
+
+_PAIR_COS_SQL = """
+    ROUND(
+      LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      6)
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, {_PAIR_COS_SQL} AS cosine
+      FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+      WHERE {_PAIR_COS_SQL} >= 0.40)
+    SELECT dup_id, MIN(keep_id) AS kept_id, MAX(cosine) AS max_cosine
+    FROM pairs GROUP BY dup_id
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: rows whose vector is ≥0.93 cosine to a
+    lower-id row are duplicates; the lowest such id is the kept
+    canonical (transitive closure is out of scope — single-link
+    clustering needs an iterative connected-components pass). All-pairs
+    here (correctness baseline); the scale path generates candidate
+    pairs with sim_lsh_bucketed / IVF cells first."""
+    from es_analytics_spark.operators.similarity import cosine_pairs_above
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    pairs = (
+        cosine_pairs_above(e, e, "vec_id", "embedding", threshold=-2.0)
+        .filter(F.col("neighbor_id") > F.col("query_id"))
+        .withColumn("cosine", F.round("cosine", 6))
+        .filter(F.col("cosine") >= 0.40)
+    )
+    return pairs.groupBy(F.col("neighbor_id").alias("dup_id")).agg(
+        F.min("query_id").alias("kept_id"), F.max("cosine").alias("max_cosine")
+    )
+
+
+@query("sim_ivf_topk", oracle=None)  # approximate by design (probes a cell subset)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (every 50th vector is a
+    centroid), vectors assigned to their max-cosine cell, queries probe
+    the 2 nearest cells and exact-rerank top-5 within candidates.
+    Recall vs brute force covered by tests/test_operators.py."""
+    from es_analytics_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        e, q, "vec_id", "embedding", k=5, centroid_stride=50, nprobe=2
+    )

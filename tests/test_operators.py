@@ -161,3 +161,21 @@ def test_zscore_groupmap_properties(spark, sf_dir):
     for _seg, grp in out.groupby("c_mktsegment"):
         assert abs(grp.zscore.mean()) < 1e-9
         assert abs(grp.zscore.std(ddof=1) - 1.0) < 1e-6
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF recall@5 vs exact top-5: probing 2 of ~10 cells must stay
+    well above chance; result must be deterministic (fixed centroids)."""
+    from es_analytics_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    approx = ivf_topk(emb, q, "vec_id", "embedding", k=5, centroid_stride=50, nprobe=2).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hit = sum(1 for r in approx if r.neighbor_id in exact_sets.get(r.query_id, set()))
+    assert len(approx) > 0
+    assert hit / (5 * len(exact_sets)) > 0.3, f"recall@5 too low: {hit}/{5 * len(exact_sets)}"
+    again = ivf_topk(emb, q, "vec_id", "embedding", k=5, centroid_stride=50, nprobe=2).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
