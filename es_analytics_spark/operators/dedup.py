@@ -182,14 +182,29 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    # candidate ids first (cheap distinct on two longs), shingle arrays
-    # joined back only for surviving candidates
-    a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
-    b = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
+    # candidate pairs from co-bucketed id lists — one aggregation over
+    # the banded rows rather than a self-join, which would evaluate the
+    # whole signature pipeline once per join side (2× the dominant
+    # cost). Per-bucket pair explosion is the same quadratic-in-bucket
+    # work the join does, minus the recompute.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     grams = with_shingles(df, text_col, shingle_k, keep=[id_col], out_col="sh")
