@@ -509,3 +509,79 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         e, q, "vec_id", "embedding", k=5, centroid_stride=50, nprobe=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function coverage completion (SURVEY §2.B families)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_scalar_extra",
+    oracle="""
+    SELECT event_id,
+           STRFTIME(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso,
+           STRPTIME(STRFTIME(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z',
+                    '%Y-%m-%dT%H:%M:%S.%gZ') AS parsed_ts,
+           CAST((EXTRACT(YEAR FROM ts) - 2024) * 12
+                + (EXTRACT(MONTH FROM ts) - 1) AS DOUBLE) AS months_since,
+           ((CAST(event_id AS BIGINT) - 7) % 5 + 5) % 5 AS pm,
+           LIST_SORT(LIST_TRANSFORM(JSON_KEYS(props),
+                     k -> CAST(JSON_EXTRACT(props, '$.' || k) AS BIGINT))) AS map_vals,
+           TO_JSON(struct_pack(id := event_id, t := event_type))::VARCHAR AS js,
+           JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+           CASE WHEN ISNAN(CASE WHEN value = 0 THEN CAST('NaN' AS DOUBLE)
+                                ELSE value END)
+                THEN -1.0 ELSE CASE WHEN value = 0 THEN CAST('NaN' AS DOUBLE)
+                                    ELSE value END END AS value_or_neg1
+    FROM events
+    """,
+)
+def fn_scalar_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining SURVEY-named scalars in one oracle-checked pass:
+    ISO-8601 round-trip (`date_format` → `to_timestamp`, the exact
+    `Date.toISOString()` wire format the reference emits —
+    /root/reference lib/collector/Collector.ts:130), whole-month
+    `months_between` (month-truncated operands keep it integral so
+    DuckDB's year/month arithmetic matches), `pmod`, `map_values` over
+    parsed JSON (sorted — map iteration order is not part of the
+    contract), `to_json` of a struct, `json_tuple` single-path
+    extraction, and `nanvl` (surfaced as a CASE so the oracle computes
+    the identical double)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    iso_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSX"
+    iso = F.date_format("ts", iso_fmt)
+    m = F.from_json("props", "map<string,bigint>")
+    nan_val = F.when(F.col("value") == 0, F.lit(float("nan"))).otherwise(F.col("value"))
+    return ev.select(
+        "event_id",
+        iso.alias("iso"),
+        F.to_timestamp(iso, iso_fmt).alias("parsed_ts"),
+        F.months_between(
+            F.date_trunc("month", "ts"), F.lit("2024-01-01").cast("timestamp")
+        ).alias("months_since"),
+        F.pmod(F.col("event_id") - 7, F.lit(5)).alias("pm"),
+        F.array_sort(F.map_values(m)).alias("map_vals"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("t"))
+        ).alias("js"),
+        F.json_tuple(F.col("props"), "k").alias("k_str"),
+        F.nanvl(nan_val, F.lit(-1.0)).alias("value_or_neg1"),
+    )
+
+
+@query("fn_hash_bucketing", oracle=None)  # xxhash64/hash families absent in DuckDB
+def fn_hash_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 / hash (Murmur3) / crc32 bucketing — the partitioner
+    primitives (dedup banding, salted joins, shard routing). No oracle
+    engine implements Spark's seeded variants, so this is rows-only
+    here; cross-run stability is pinned by
+    tests/test_operators.py::test_hash_functions_stable."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("xx64"),
+        F.hash("c_name").alias("murmur"),
+        F.crc32(F.col("c_name").cast("binary")).alias("crc"),
+        F.pmod(F.xxhash64("c_name"), F.lit(64)).alias("bucket64"),
+    )

@@ -179,3 +179,25 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert hit / (5 * len(exact_sets)) > 0.3, f"recall@5 too low: {hit}/{5 * len(exact_sets)}"
     again = ivf_topk(emb, q, "vec_id", "embedding", k=5, centroid_stride=50, nprobe=2).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+def test_hash_functions_stable(spark, sf_dir):
+    """Pin xxhash64 / murmur hash / crc32 outputs (the partitioner
+    primitives fn_hash_bucketing exposes) and seeded rand()
+    reproducibility — these must never drift across runs or versions,
+    or every banding/salting layout changes under existing lakes."""
+    df = spark.createDataFrame([("Customer#000000000",), ("Supplier#000000042",)], ["s"])
+    rows = df.select(
+        F.xxhash64("s").alias("xx"),
+        F.hash("s").alias("mm"),
+        F.crc32(F.col("s").cast("binary")).alias("crc"),
+    ).collect()
+    assert [(r.xx, r.mm, r.crc) for r in rows] == [
+        (8301032585243059592, -112550077, 2010948394),
+        (-9068927139218753206, 982784409, 3430008262),
+    ]
+    # rand(seed) derives each partition's stream from (seed, partition
+    # index) — pin numPartitions so the expectation is layout-stable
+    rnd = spark.range(0, 3, 1, numPartitions=1).select(F.round(F.rand(seed=42), 8).alias("r"))
+    r1 = [r.r for r in rnd.collect()]
+    r2 = [r.r for r in rnd.collect()]
+    assert r1 == r2 == [0.61918937, 0.50960188, 0.83252594]
