@@ -37,9 +37,14 @@ HEADLINE = [
     "fn_array",
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
+    "tpch_q5_local_supplier",
+    "tpch_q21_waiting_supplier",
+    "fn_scalar_extra",
     "dedup_minhash_lsh",
     "dedup_exact_docs",
+    "dedup_embedding_cosine",
     "sim_cosine_topk",
+    "sim_ivf_topk",
     "text_language_id",
     "mm_extract_features",
     "stream_windowed_counts",

@@ -482,14 +482,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering needs an iterative connected-components pass). All-pairs
     here (correctness baseline); the scale path generates candidate
     pairs with sim_lsh_bucketed / IVF cells first."""
-    from es_analytics_spark.operators.similarity import cosine_pairs_above
+    from es_analytics_spark.operators.similarity import cosine_pairs_above_np
 
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    pairs = (
-        cosine_pairs_above(e, e, "vec_id", "embedding", threshold=-2.0)
-        .filter(F.col("neighbor_id") > F.col("query_id"))
-        .withColumn("cosine", F.round("cosine", 6))
-        .filter(F.col("cosine") >= 0.40)
+    pairs = cosine_pairs_above_np(e, e, "vec_id", "embedding", threshold=0.40).filter(
+        F.col("neighbor_id") > F.col("query_id")
     )
     return pairs.groupBy(F.col("neighbor_id").alias("dup_id")).agg(
         F.min("query_id").alias("kept_id"), F.max("cosine").alias("max_cosine")

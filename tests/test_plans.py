@@ -80,3 +80,48 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_q5_broadcasts_and_date_pushdown(spark, sf_dir):
+    """Q5: every dimension broadcasts; the o_orderdate range reaches the
+    parquet scan; the only shuffle joins are on the fact keys."""
+    df = REGISTRY["tpch_q5_local_supplier"].fn(spark, sf_dir)
+    assert_broadcast_join(df, min_count=4)
+    assert_no_cartesian(df)
+    assert_pushed_filters(df, "o_orderdate")
+
+
+def test_q9_like_filter_pushed_as_contains(spark, sf_dir):
+    """Q9: LIKE '%red%' must reach parquet as StringContains, and the
+    part/supplier/nation dims must broadcast."""
+    df = REGISTRY["tpch_q9_product_profit"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "StringContains(p_name,red)" in plan, plan
+    assert_broadcast_join(df, min_count=3)
+
+
+def test_q21_exists_plans_as_semi_and_anti(spark, sf_dir):
+    """Q21: EXISTS → LeftSemi, NOT EXISTS → LeftAnti — set-membership
+    joins, never a per-row subquery or cartesian explosion."""
+    plan = physical_plan(REGISTRY["tpch_q21_waiting_supplier"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_decorrelates(spark, sf_dir):
+    """Q2: the correlated MIN subquery must decorrelate into an
+    aggregate joined on l_partkey (SMJ/SHJ fact-fact join), not execute
+    per outer row (which would show as a nested-loop over a subquery)."""
+    plan = physical_plan(REGISTRY["tpch_q2_min_cost_supplier"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_plans_as_anti_join(spark, sf_dir):
+    """Q16: NOT IN over the (non-null) supplier subquery must plan as a
+    broadcast anti-join with the acctbal filter pushed to parquet."""
+    df = REGISTRY["tpch_q16_supplier_cnt"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert_pushed_filters(df, "s_acctbal")
