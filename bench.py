@@ -77,6 +77,33 @@ def ingest_events_per_sec(spark, n: int = 50_000) -> float:
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def ingest_bulk_events_per_sec(spark, n: int = 400_000, chunk: int = 20_000) -> float:
+    """Bulk-path ingest rate (track_many in backfill-sized chunks)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from es_analytics_spark.collector import Collector, CollectorConfig
+
+    lake = tempfile.mkdtemp(prefix="bench_lake_bulk_")
+    try:
+        col = Collector(spark, CollectorConfig(lake_dir=lake))
+        base = dt.datetime(2024, 1, 1)
+        t0 = time.perf_counter()
+        for start in range(0, n, chunk):
+            col.track_many(
+                "game_user_event",
+                [
+                    {"uid": i % 997, "ts": base, "etype": "purchase", "value": i * 0.5}
+                    for i in range(start, start + chunk)
+                ],
+            )
+        col.stop()
+        return round(n / (time.perf_counter() - t0), 1)
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -109,6 +136,7 @@ def main() -> None:
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "ingest_events_per_sec": ingest_events_per_sec(spark),
+                "ingest_bulk_events_per_sec": ingest_bulk_events_per_sec(spark),
             }
         )
     )

@@ -6,6 +6,11 @@ header, then data rows; optionally gzipped. Spark's CSV reader skips
 comment lines without capturing them, so the reader here fetches line 1
 separately to build the StructType, then does a normal schema'd CSV read
 (SURVEY.md §1.6).
+
+Wire-format limitation: embedded NUL (``\\x00``) in string values does
+not survive the read side — Spark's univocity CSV parser strips it.
+Data that must carry NUL belongs on the native parquet sink, which
+round-trips it bit-exactly.
 """
 
 from __future__ import annotations

@@ -115,3 +115,36 @@ def test_csv_roundtrip_through_spark(spark, tmp_path):
         "s": "string",
         "b": "boolean",
     }
+
+def test_track_many_equivalent_to_track_loop(spark, tmp_path):
+    """Bulk ingest must produce the same flush boundaries and the same
+    stored rows as the per-event path."""
+    import datetime as dt
+
+    from es_analytics_spark.collector import Collector, CollectorConfig
+
+    def run(bulk: bool):
+        lake = tmp_path / ("bulk" if bulk else "loop")
+        col = Collector(spark, CollectorConfig(lake_dir=str(lake), batch_record_limit=100))
+        flushes = []
+        col.on_flush.append(lambda fi: flushes.append((fi.trigger, fi.records)))
+        recs = [
+            {"uid": i, "ts": dt.datetime(2024, 1, 1), "etype": "t", "value": float(i)}
+            for i in range(250)
+        ]
+        if bulk:
+            col.track_many("game_user_event", recs)
+        else:
+            for r in recs:
+                col.track("game_user_event", r)
+        col.stop()
+        rows = sorted(
+            (r.uid, r.value) for r in col.table("game_user_event").collect()
+        )
+        return flushes, rows
+
+    f_loop, r_loop = run(False)
+    f_bulk, r_bulk = run(True)
+    assert f_loop == f_bulk
+    assert r_loop == r_bulk
+    assert len(r_bulk) == 250

@@ -77,8 +77,13 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     rows=st.lists(
         st.fixed_dictionaries(
             {
+                # NUL excluded: the CSV wire format can't carry it —
+                # Spark's univocity reader strips '\x00' on parse (the
+                # native parquet sink round-trips it fine)
                 "s": st.text(
-                    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\r\n"),
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs",), blacklist_characters="\r\n\x00"
+                    ),
                     max_size=40,
                 ),
                 "i": st.integers(min_value=-(2**62), max_value=2**62),
