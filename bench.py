@@ -46,6 +46,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ivf_topk",
     "text_language_id",
+    "text_winnow_shared",
     "mm_extract_features",
     "stream_windowed_counts",
 ]

@@ -221,6 +221,69 @@ def minhash_lsh_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing: one row per (id, fingerprint).
+
+    Rolling char ``k``-gram hashes over normalized text, then the
+    minimum hash of every ``window`` consecutive grams — the classic
+    guarantee that any shared substring of length ≥ k+window-1 yields
+    at least one shared fingerprint. Hashes are md5 hex strings (every
+    engine agrees on md5; the min is lexicographic), selected with
+    array_min over a sliding slice.
+
+    Scale shape: the rolling min runs as a window function over
+    posexploded gram rows (one shuffle on the doc id) rather than an
+    array-of-slices expression — the slice form makes CollapseProject
+    re-inline the whole md5 gram array once per window position
+    (observed ~300× recompute; same trap documented on
+    exploded_shingles). Downstream matching is an inverted-index
+    equi-join on the fingerprint — the same candidate-bounded pattern
+    as LSH banding, never n² text comparisons.
+    """
+    from pyspark.sql import Window as W
+
+    # The repartition is a materialization barrier as much as a
+    # partitioner: without it CollapseProject re-inlines the normalize
+    # regexes into the gram lambda (≈4× slower), and the window below
+    # needs hashpartitioning(id) anyway, so the exchange is not an
+    # extra shuffle. The partition count is pinned (not AQE-advisory):
+    # the pre-explode side is tiny in bytes, and letting AQE coalesce
+    # it would serialize the ~300×-wider explode+hash stage above it.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    t = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__t")).repartition(
+        nparts, F.col(id_col)
+    )
+    n = F.length("__t")
+    grams = t.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+                lambda i: F.md5(F.substr(F.col("__t"), i, F.lit(k)).cast("binary")),
+            )
+        ).alias("pos", "h"),
+    )
+    w = W.partitionBy(id_col).orderBy("pos").rowsBetween(W.currentRow, window - 1)
+    n_grams = W.partitionBy(id_col)
+    wins = (
+        grams.withColumn("win_min", F.min("h").over(w))
+        .withColumn("__n", F.max("pos").over(n_grams))
+        # window start positions only: trailing frames shorter than
+        # `window` are not winnowing windows (unless the doc is shorter
+        # than one window, where pos 0 min-of-all applies)
+        .filter(F.col("pos") <= F.greatest(F.col("__n") - window + 1, F.lit(0)))
+        .select(id_col, F.col("win_min").alias("fingerprint"))
+        .distinct()
+    )
+    return wins
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash over word tokens: per-bit majority vote of
     xxhash64(token), reassembled into one signed 64-bit long."""

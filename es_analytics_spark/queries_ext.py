@@ -582,3 +582,79 @@ def fn_hash_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32(F.col("c_name").cast("binary")).alias("crc"),
         F.pmod(F.xxhash64("c_name"), F.lit(64)).alias("bucket64"),
     )
+
+
+_NORM_DOC_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@query(
+    "text_winnow_shared",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_DOC_SQL} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - 8 + 1, 1)),
+                                    i -> MD5(SUBSTRING(t, i, 8))) AS g
+      FROM norm),
+    wins AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(g) - 4 + 1, 1)),
+                                          i -> LIST_MIN(LIST_SLICE(g, i, i + 3)))) AS fps
+      FROM grams),
+    fp AS (SELECT doc_id, UNNEST(fps) AS fingerprint FROM wins),
+    rare AS (SELECT fingerprint FROM fp GROUP BY fingerprint
+             HAVING COUNT(*) <= GREATEST(0.02 * (SELECT COUNT(*) FROM documents), 5)),
+    fpr AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN rare USING (fingerprint))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(DISTINCT a.fingerprint) AS BIGINT) AS shared
+    FROM fpr a JOIN fpr b ON a.fingerprint = b.fingerprint AND b.doc_id > a.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(DISTINCT a.fingerprint) >= 20
+    """,
+)
+def text_winnow_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing, k=8 w=4):
+    near-dup pairs sharing ≥20 discriminative fingerprints, found by an
+    inverted-index self-join on the fingerprint — candidate-bounded
+    like LSH banding, no n² text comparison. Any shared substring of
+    ≥11 normalized chars is guaranteed to surface as a shared
+    fingerprint. Fingerprints in >2% of the corpus (template phrases)
+    are dropped first — the stop-word analog; without the cap one
+    ubiquitous fingerprint makes the self-join quadratic in corpus
+    size (observed 190M candidate pairs at 5000 docs)."""
+    from es_analytics_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    fp = winnow_fingerprints(d, "doc_id", "text", k=8, window=4)
+    # one aggregation over the fingerprint index: per-fingerprint doc
+    # list, df cap as a size filter, pairs exploded in-bucket — the
+    # fingerprint pipeline is evaluated exactly once (a
+    # rare-join/self-join formulation re-runs it per DAG branch)
+    n_docs = d.select(F.count("*").alias("__n"))
+    buckets = (
+        fp.groupBy("fingerprint")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .join(F.broadcast(n_docs))
+        .filter(
+            (F.size("ids") >= 2)
+            & (F.size("ids") <= F.greatest(0.02 * F.col("__n"), F.lit(5.0)))
+        )
+    )
+    ids = F.col("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 20)
+    )
