@@ -201,3 +201,31 @@ def test_hash_functions_stable(spark, sf_dir):
     r1 = [r.r for r in rnd.collect()]
     r2 = [r.r for r in rnd.collect()]
     assert r1 == r2 == [0.61918937, 0.50960188, 0.83252594]
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing's selection guarantee: two documents sharing a
+    normalized substring of length >= k + window - 1 must share at
+    least one fingerprint; disjoint random texts share none."""
+    import random
+
+    from es_analytics_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha + " ") for _ in range(n))
+
+    shared = rand_text(15)  # >= k + window - 1 = 11 for k=8, w=4
+    rows = [
+        (0, rand_text(60) + " " + shared + " " + rand_text(60)),
+        (1, rand_text(60) + " " + shared + " " + rand_text(60)),
+        (2, rand_text(200)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = winnow_fingerprints(df, "doc_id", "text", k=8, window=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[0] & by_doc[1], "shared substring must yield a shared fingerprint"
+    assert not (by_doc[0] & by_doc[2] & by_doc[1]), "disjoint doc should not match both"
