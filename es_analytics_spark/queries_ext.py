@@ -658,3 +658,93 @@ def text_winnow_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming joins (stream-static enrichment, stream-stream interval join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast per micro-batch — the standard
+    streaming-ETL enrichment shape), aggregated by segment. Replayed
+    with availableNow and compared to the batch join."""
+    from es_analytics_spark.streaming.ingest import replay_stream, stream_events
+
+    t = _t(spark, sf_dir, "events", "customer")
+    ev = stream_events(spark, sf_dir)
+    joined = (
+        ev.join(F.broadcast(t["customer"]), ev.user_id == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    return replay_stream(spark, joined, name="stream_static_enrich", output_mode="complete")
+
+
+@query(
+    "stream_stream_funnel",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(EPOCH(p.ts) - EPOCH(c.ts) AS DOUBLE) AS latency_s
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click → purchase funnel within 30
+    minutes per user. Both sides are watermarked streams; the time-range
+    condition bounds the join state the engine must keep (the unbounded
+    variant is rejected by Spark's UnsupportedOperationChecker). The
+    availableNow replay must equal the batch interval join."""
+    from es_analytics_spark.streaming.ingest import replay_stream, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.col("purchase_ts").cast("double") - F.col("click_ts").cast("double")).alias(
+            "latency_s"
+        ),
+    )
+    return replay_stream(spark, joined, name="stream_stream_funnel", output_mode="append")
