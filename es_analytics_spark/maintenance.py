@@ -68,3 +68,41 @@ def compact(
     shutil.rmtree(backup)
     after = table_stats(spark, path)
     return {"before": before, "after": after, "rows": n_rows}
+
+
+def upsert(
+    spark: SparkSession,
+    path: str,
+    updates,
+    keys: list[str],
+) -> dict:
+    """MERGE-by-rewrite: upsert ``updates`` into the parquet table at
+    ``path`` on ``keys`` — matched rows are replaced, unmatched rows
+    inserted (the Delta MERGE semantics, without a transaction log).
+
+    Plan shape: target LEFT ANTI updates on the keys (drop the rows
+    being replaced) UNION ALL updates, rewritten to a staging dir and
+    atomically swapped. At scale the anti-join broadcasts the update
+    set when small, and the rewrite is restricted to the partitions the
+    updates touch (partition-pruned read via the updates' partition
+    values); the fixture-size implementation rewrites the whole table.
+    Atomicity is rename-level (single-writer contract, same as the
+    reference's put-once store — Store.ts:4-8); concurrent readers need
+    the table-format upgrade (Delta/Iceberg) this deliberately stops
+    short of.
+    """
+    target = spark.read.parquet(path)
+    missing = [k for k in keys if k not in target.columns or k not in updates.columns]
+    if missing:
+        raise ValueError(f"upsert keys {missing} absent from target or updates")
+    kept = target.join(updates.select(*keys), on=keys, how="left_anti")
+    merged = kept.unionByName(updates.select(*target.columns))
+
+    staging = path.rstrip("/") + ".__upsert__"
+    merged.write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + ".__old__"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    out = spark.read.parquet(path)
+    return {"rows": out.count(), "updated_or_inserted": updates.count()}

@@ -748,3 +748,27 @@ def stream_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return replay_stream(spark, joined, name="stream_stream_funnel", output_mode="append")
+
+
+@query(
+    "join_right_outer",
+    oracle=f"""
+    SELECT n_name, {dsum_expr('COALESCE(s_acctbal, 0.0)')} AS total_bal,
+           COUNT(s_suppkey) AS n_suppliers
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (every nation kept, supplier side nullable) —
+    completes the literal outer-join family next to left/full."""
+    t = _t(spark, sf_dir, "supplier", "nation")
+    return (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .groupBy("n_name")
+        .agg(
+            dsum(F.coalesce(F.col("s_acctbal"), F.lit(0.0))).alias("total_bal"),
+            F.count("s_suppkey").alias("n_suppliers"),
+        )
+    )

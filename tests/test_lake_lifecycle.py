@@ -148,3 +148,21 @@ def test_dsum_matches_decimal_reference(spark, values):
         )
         expect = float(total.quantize(decimal.Decimal("1e-4"), rounding=decimal.ROUND_HALF_UP))
     assert got == expect, (got, expect)
+
+
+def test_upsert_merge_semantics(spark, tmp_path):
+    """MERGE-by-rewrite: matched keys replaced, new keys inserted,
+    untouched rows intact."""
+    from es_analytics_spark.maintenance import upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "v"]
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], ["id", "name", "v"]
+    )
+    stats = upsert(spark, path, updates, keys=["id"])
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    assert stats["rows"] == 4
