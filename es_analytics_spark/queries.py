@@ -979,11 +979,18 @@ _NORM_SQL = (
            CAST(LENGTH(text) AS BIGINT) AS n_chars,
            CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS BIGINT) AS n_tokens,
            CAST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'))) AS BIGINT)
-             AS n_unique_tokens
+             AS n_unique_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT)
+             AS n_bpe_tokens
     FROM documents
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts (word / single digit /
+    punctuation pieces — the pre-merge segmentation BPE vocabularies
+    start from), the brief's two token-counting modes."""
+    from es_analytics_spark.operators.text import bpe_ish_token_count
+
     d = _t(spark, sf_dir, "documents")["documents"]
     toks = F.split(F.trim(F.col("text")), r"\s+")
     toks_l = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -994,6 +1001,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks_l)).cast("long").alias("n_unique_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
 
 
