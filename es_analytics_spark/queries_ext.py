@@ -772,3 +772,32 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("s_suppkey").alias("n_suppliers"),
         )
     )
+
+
+@query(
+    "stream_sliding_counts",
+    oracle=f"""
+    SELECT MAKE_TIMESTAMP(CAST((FLOOR(EPOCH(ts) / 900) * 900 - k * 900) * 1000000 AS BIGINT))
+             AS window_start,
+           event_type, COUNT(*) AS n_events, {dsum_expr('value')} AS sum_value
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1 h duration, 15 min hop) in the
+    streaming engine: every event lands in exactly 4 overlapping
+    buckets. The oracle materializes the same 4 window starts per event
+    arithmetically (floor to the hop, back-step k hops)."""
+    from es_analytics_spark.streaming.ingest import replay_stream, stream_events
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    return replay_stream(spark, agg, name="stream_sliding_counts", output_mode="complete")
