@@ -131,6 +131,16 @@ def minhash_signatures(
     implementation, 64 nested array transforms in one projection,
     spent ~25s in codegen/eval for 500 docs.)
     """
+    votes = _minhash_sig_cols(df, id_col, text_col, num_hashes, shingle_k)
+    return votes.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def _minhash_sig_cols(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_k: int
+) -> DataFrame:
+    """(id, h0..h{n-1}) — the signature as flat columns; banding reads
+    these directly (building the array only to slice it back apart
+    costs an extra per-band slice+transform in every expression)."""
     exploded = exploded_shingles(df, text_col, shingle_k, keep=[id_col]).select(
         F.col(id_col), F.pmod(F.xxhash64("sh"), F.lit(_PRIME)).alias("h")
     )
@@ -138,8 +148,7 @@ def minhash_signatures(
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % _PRIME).alias(f"h{i}")
         for i, (a, b) in enumerate(_hash_params(num_hashes))
     ]
-    votes = exploded.groupBy(id_col).agg(*sig_cols)
-    return votes.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    return exploded.groupBy(id_col).agg(*sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -158,7 +167,7 @@ def minhash_lsh_pairs(
     (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = _minhash_sig_cols(df, id_col, text_col, num_hashes, shingle_k)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -167,13 +176,10 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
