@@ -121,10 +121,16 @@ def main() -> None:
         return time.perf_counter() - t0
 
     # cold pass (includes per-query plan + whole-stage-codegen compile,
-    # a fixed cost irrelevant at scale), then hot pass = steady-state
-    # execution, the number comparable across engines / scale factors.
+    # a fixed cost irrelevant at scale), then two hot passes; report the
+    # per-query best — steady-state execution robust to transient
+    # machine noise (single-VM runs see multi-second noisy-neighbor
+    # spikes), the number comparable across engines / scale factors.
     cold: dict[str, float] = {name: round(run(name), 3) for name in names}
-    timings: dict[str, float] = {name: round(run(name), 3) for name in names}
+    hot1 = {name: run(name) for name in names}
+    hot2 = {name: run(name) for name in names}
+    timings: dict[str, float] = {
+        name: round(min(hot1[name], hot2[name]), 3) for name in names
+    }
 
     total = round(sum(timings.values()), 3)
     print(
