@@ -801,3 +801,38 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
     return replay_stream(spark, agg, name="stream_sliding_counts", output_mode="complete")
+
+
+@query(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER w, 4) AS DOUBLE)
+             AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per-user trailing 1-hour count and
+    value sum. Ordered on epoch microseconds in BOTH engines so the
+    frame boundary is value-based (RANGE), not row-based — the
+    time-decayed-metric windowing shape; decimal sum keeps the running
+    total order-independent."""
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    dec = F.col("value").cast(T.DecimalType(38, 10))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum(dec).over(w), 4).cast("double").alias("value_last_hour"),
+    )
