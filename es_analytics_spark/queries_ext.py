@@ -836,3 +836,51 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_last_hour"),
         F.round(F.sum(dec).over(w), 4).cast("double").alias("value_last_hour"),
     )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT c_mktsegment,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(o_orderpriority))), ',')
+             AS priorities,
+           COUNT(DISTINCT o_orderpriority) AS n_distinct
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set (deduplicating collect; sorted before joining —
+    set iteration order is not part of the contract)."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+                "priorities"
+            ),
+            F.countDistinct("o_orderpriority").alias("n_distinct"),
+        )
+    )
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big' END AS marker
+    FROM orders
+    """,
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer null semantics: rows whose array is empty survive
+    with a NULL element (plain explode would drop them). The oracle
+    states the equivalent row-preserving CASE for the 0/1-element
+    arrays used here."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    arr = F.when(F.col("o_totalprice") > 200000, F.array(F.lit("big"))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return o.select("o_orderkey", F.explode_outer(arr).alias("marker"))
