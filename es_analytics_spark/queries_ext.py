@@ -884,3 +884,16 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array().cast("array<string>")
     )
     return o.select("o_orderkey", F.explode_outer(arr).alias("marker"))
+
+
+@query("agg_approx_percentile", oracle=None)  # sketch-based, engine-specific values
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch): mergeable one-pass
+    quantiles — the scale path when exact percentile's full sort per
+    group is too expensive. Rank-error bound vs the exact percentile is
+    pinned by tests/test_operators.py::test_approx_percentile_bound."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts"),
+        F.count("*").alias("n"),
+    )

@@ -229,3 +229,23 @@ def test_winnow_guarantee_shared_substring(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
     assert by_doc[0] & by_doc[1], "shared substring must yield a shared fingerprint"
     assert not (by_doc[0] & by_doc[2] & by_doc[1]), "disjoint doc should not match both"
+
+def test_approx_percentile_bound(spark, sf_dir):
+    """percentile_approx(accuracy=A) guarantees rank error <= n/A; with
+    the fixture sizes that bounds the value error to within the local
+    value spread — check against the exact percentile."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        # rank error n/10000 < 1 row at fixture sizes → approx must be
+        # within the two neighboring observed values; 1% value slack
+        assert abs(r.approx - r.exact) / r.exact < 0.01, r
