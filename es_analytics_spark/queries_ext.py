@@ -897,3 +897,17 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts"),
         F.count("*").alias("n"),
     )
+
+
+@query("sample_stratified", oracle=None)  # sample membership is engine-specific
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling (per-language quotas — the
+    training-data mixing primitive): Bernoulli per stratum with fixed
+    seed, deterministic given a fixed source layout so pipeline reruns
+    select identical rows. Rate conformance and reproducibility pinned
+    by tests/test_operators.py::test_stratified_sample."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
+    frac = {lang: fractions.get(lang, 0.1) for lang in
+            [r.lang for r in d.select("lang").distinct().collect()]}
+    return d.sampleBy("lang", frac, seed=42).select("doc_id", "lang", "source")

@@ -249,3 +249,14 @@ def test_approx_percentile_bound(spark, sf_dir):
         # rank error n/10000 < 1 row at fixture sizes → approx must be
         # within the two neighboring observed values; 1% value slack
         assert abs(r.approx - r.exact) / r.exact < 0.01, r
+
+def test_stratified_sample(spark, sf_dir):
+    """sampleBy: reproducible under a fixed seed and layout, and
+    per-stratum rates near the requested fractions."""
+    docs = read_table(spark, sf_dir, "documents")
+    fractions = {r.lang: 0.5 for r in docs.select("lang").distinct().collect()}
+    a = docs.sampleBy("lang", fractions, seed=42).select("doc_id").collect()
+    b = docs.sampleBy("lang", fractions, seed=42).select("doc_id").collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    n, total = len(a), docs.count()
+    assert 0.3 < n / total < 0.7, f"rate {n}/{total} far from 0.5"
