@@ -911,3 +911,38 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac = {lang: fractions.get(lang, 0.1) for lang in
             [r.lang for r in d.select("lang").distinct().collect()]}
     return d.sampleBy("lang", frac, seed=42).select("doc_id", "lang", "source")
+
+
+@query(
+    "ml_split_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN ('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+                  THEN 'train'
+                WHEN ('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+                  THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(ROW_NUMBER() OVER (ORDER BY MD5(CAST(doc_id AS VARCHAR) || ':epoch1'), doc_id)
+                AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def ml_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic train/val/test split (80/10/10 on an md5
+    bucket of the id — stable under any re-partitioning, re-run, or
+    engine, unlike random splits) and a seeded epoch shuffle (global
+    permutation rank by salted md5 — change the salt, get a new
+    deterministic order). The two assignment primitives every training
+    pipeline needs on top of the lake."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    shuffle_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch1")))
+    w = W.orderBy(shuffle_key, "doc_id")
+    return d.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        F.row_number().over(w).cast("bigint").alias("shuffle_rank"),
+    )
