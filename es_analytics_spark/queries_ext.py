@@ -933,7 +933,10 @@ def ml_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine, unlike random splits) and a seeded epoch shuffle (global
     permutation rank by salted md5 — change the salt, get a new
     deterministic order). The two assignment primitives every training
-    pipeline needs on top of the lake."""
+    pipeline needs on top of the lake. Scale note: the global rank
+    here makes the permutation oracle-checkable; a 100 TB shuffle
+    materializes no rank — repartitionByRange(shuffle_key) +
+    sortWithinPartitions gives the same total order distributively."""
     d = _t(spark, sf_dir, "documents")["documents"]
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
