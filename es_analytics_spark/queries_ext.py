@@ -949,3 +949,69 @@ def ml_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
         F.row_number().over(w).cast("bigint").alias("shuffle_rank"),
     )
+
+
+@query(
+    "text_pii_flags",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b'))
+                AS BIGINT) AS n_phoneish,
+           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+             AS has_pii_candidate
+    FROM documents
+    """,
+)
+def text_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / link candidate counts per document (emails, URLs,
+    phone-shaped numbers) — the redaction/filter pre-pass of a
+    training-data pipeline, as pure regex counts (JVM regexp_count, no
+    Python). Flagged docs route to a redaction UDF downstream."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^\s]+"
+    phone = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+    n_emails = F.regexp_count("text", F.lit(email))
+    return d.select(
+        "doc_id",
+        n_emails.cast("bigint").alias("n_emails"),
+        F.regexp_count("text", F.lit(url)).cast("bigint").alias("n_urls"),
+        F.regexp_count("text", F.lit(phone)).cast("bigint").alias("n_phoneish"),
+        (n_emails > 0).alias("has_pii_candidate"),
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS w
+      FROM documents),
+    freq AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(MAX(c) AS BIGINT) AS top_word_count,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_word_ratio
+    FROM freq GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (Gopher-rule family): most-frequent-
+    word share per document — high ratios mark boilerplate/spam for
+    the quality filter. Explode → two-level aggregate; both groupBys
+    partial-combine map-side."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    freq = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return freq.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.max("c").cast("bigint").alias("top_word_count"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_word_ratio"),
+    )
