@@ -1015,3 +1015,31 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("bigint").alias("top_word_count"),
         F.round(F.max("c") / F.sum("c"), 6).alias("top_word_ratio"),
     )
+
+
+@query(
+    "fn_bitwise_datearith",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           xor(event_id, 12345) AS xored,
+           (event_id << 2) AS shifted,
+           ts + INTERVAL 7 DAY AS ts_plus_week,
+           CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS date_plus_2mo
+    FROM events
+    """,
+)
+def fn_bitwise_datearith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (AND/XOR/shift — the sketch/partitioner
+    primitives, cf. SimHash internals) and calendar interval
+    arithmetic (timestamp + interval, end-of-month-clamped
+    add_months)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseXOR(F.lit(12345)).alias("xored"),
+        F.shiftleft(F.col("event_id"), 2).alias("shifted"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("ts_plus_week"),
+        F.add_months(F.col("ts").cast("date"), 2).alias("date_plus_2mo"),
+    )
