@@ -1043,3 +1043,40 @@ def fn_bitwise_datearith(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("ts_plus_week"),
         F.add_months(F.col("ts").cast("date"), 2).alias("date_plus_2mo"),
     )
+
+
+@query(
+    "fn_date_spine_gapfill",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(UNNEST(GENERATE_SERIES(TIMESTAMP '2024-01-01 00:00:00',
+                                         TIMESTAMP '2024-01-31 00:00:00',
+                                         INTERVAL 1 DAY)) AS DATE) AS day),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1)
+    SELECT spine.day, COALESCE(daily.n, 0) AS n_events
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+)
+def fn_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar spine: generate the full day range, left-join
+    daily counts, zero-fill the gaps — the reporting shape that turns
+    sparse event data into a dense series. The spine is generated
+    (sequence+explode, tiny) and broadcast against the aggregated
+    side."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-31").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("__d")
+    ).select(F.col("__d").cast("date").alias("day"))
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(F.count("*").alias("n"))
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n_events"))
+    )
