@@ -16,9 +16,12 @@ def sessionize(
     the gap since the previous event exceeds ``gap_seconds``."""
     w = W.partitionBy(user_col).orderBy(ts_col)
     prev = F.lag(ts_col).over(w)
+    # Compare in microseconds: unix_timestamp() truncates to whole seconds,
+    # which misses boundaries where the true gap exceeds gap_seconds only in
+    # the fractional part (DuckDB EPOCH() is fractional).
     is_new = F.when(
         prev.isNull()
-        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)) > gap_seconds),
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_seconds * 1_000_000),
         1,
     ).otherwise(0)
     return df.withColumn(

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 from dataclasses import dataclass
 
 import duckdb
@@ -42,6 +43,7 @@ class CompareResult:
     name: str
     ok: bool
     detail: str
+    secs: float = 0.0
 
 
 def compare_query(
@@ -89,10 +91,13 @@ def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) ->
     con = duck_connection(sf_dir)
     out = []
     for name in names or list(REGISTRY):
+        t0 = time.monotonic()
         try:
-            out.append(compare_query(spark, con, sf_dir, name))
+            res = compare_query(spark, con, sf_dir, name)
         except Exception as exc:
-            out.append(CompareResult(name, False, f"EXCEPTION: {type(exc).__name__}: {exc}"))
+            res = CompareResult(name, False, f"EXCEPTION: {type(exc).__name__}: {exc}")
+        res.secs = time.monotonic() - t0
+        out.append(res)
     return out
 
 
@@ -105,6 +110,6 @@ if __name__ == "__main__":
     results = run_all(spark, sf_dir, names)
     n_ok = sum(r.ok for r in results)
     for r in results:
-        print(("PASS" if r.ok else "FAIL"), r.name.ljust(28), r.detail)
-    print(f"\n{n_ok}/{len(results)} passed")
+        print(("PASS" if r.ok else "FAIL"), f"{r.secs:6.2f}s", r.name.ljust(28), r.detail)
+    print(f"\n{n_ok}/{len(results)} passed, {sum(r.secs for r in results):.1f}s total")
     sys.exit(0 if n_ok == len(results) else 1)

@@ -1151,19 +1151,23 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
              / LEN(LIST_DISTINCT(a.g || b.g)) AS jaccard
-    FROM grams a JOIN grams b ON b.doc_id > a.doc_id
+    FROM grams a JOIN grams b ON b.doc_id > a.doc_id AND a.source = b.source
     WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
              / LEN(LIST_DISTINCT(a.g || b.g)) >= 0.35
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs word-3-gram Jaccard ≥ 0.35 — the exact ground truth the
-    MinHash-LSH path approximates (tables here are small; at scale the
-    pair set comes from LSH banding, see dedup_minhash_lsh)."""
+    """Blocked word-3-gram Jaccard ≥ 0.35: only pairs sharing ``source``
+    are compared, so the join shuffles once on the block key instead of
+    going n² — the shape that survives 100×. The un-blocked all-pairs
+    form lives only in tests/test_operators.py as the recall referee for
+    the MinHash-LSH path (see dedup_minhash_lsh)."""
     from es_analytics_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")["documents"]
-    return ngram_jaccard_pairs(d, "doc_id", "text", ngram=3).filter(F.col("jaccard") >= 0.35)
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", ngram=3, block_col="source"
+    ).filter(F.col("jaccard") >= 0.35)
 
 
 @query("dedup_minhash_lsh", oracle=None)  # xxhash64 family not in the oracle engine

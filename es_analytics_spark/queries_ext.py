@@ -933,21 +933,51 @@ def ml_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine, unlike random splits) and a seeded epoch shuffle (global
     permutation rank by salted md5 — change the salt, get a new
     deterministic order). The two assignment primitives every training
-    pipeline needs on top of the lake. Scale note: the global rank
-    here makes the permutation oracle-checkable; a 100 TB shuffle
-    materializes no rank — repartitionByRange(shuffle_key) +
-    sortWithinPartitions gives the same total order distributively."""
+    pipeline needs on top of the lake. The global permutation rank is
+    computed DISTRIBUTIVELY: repartitionByRange(shuffle_key) gives
+    ordered, balanced partitions; row_number within each partition plus
+    a broadcast cumulative-count offset per partition yields the exact
+    global rank with no single-partition window — the shape that
+    survives 100× (the offset table has one row per shuffle partition,
+    never per data row)."""
     d = _t(spark, sf_dir, "documents")["documents"]
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint") % 100
     )
     shuffle_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch1")))
-    w = W.orderBy(shuffle_key, "doc_id")
-    return d.select(
+    keyed = d.select(
         "doc_id",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
-        F.row_number().over(w).cast("bigint").alias("shuffle_rank"),
+        shuffle_key.alias("sk"),
+    )
+    # Range-partition on the total order (sk, doc_id): every row in
+    # partition i sorts before every row in partition i+1, so
+    # global_rank = local_rank + sum(counts of partitions < i).
+    # Explicit partition count: AQE must not coalesce this exchange,
+    # or the two DAG branches below could disagree on pid assignment.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = keyed.repartitionByRange(n_parts, "sk", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "lr", F.row_number().over(W.partitionBy("pid").orderBy("sk", "doc_id"))
+    )
+    # Offset table: one row per shuffle partition — bounded by partition
+    # count, not data size, so the unpartitioned window here is safe.
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    )
+    return local.join(F.broadcast(offsets.select("pid", "off")), "pid").select(
+        "doc_id", "split", (F.col("lr") + F.col("off")).cast("bigint").alias("shuffle_rank")
     )
 
 

@@ -118,6 +118,35 @@ def test_q2_correlated_min_decorrelates(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_no_registered_query_is_cartesian(spark, sf_dir):
+    """No catalog query may plan an all-pairs product on data-sized
+    tables. Allowlist: join_cross_theta is BY CONTRACT a cross/theta
+    join over the two constant-size dims (region×nation, 25×5 rows);
+    sim_cosine_* broadcast a small-by-contract query side (nested-loop
+    over a broadcast of ~10 rows, not a shuffle cartesian)."""
+    allow_cartesian = {"join_cross_theta", "sim_cosine_pairs", "sim_cosine_topk"}
+    for name, spec in REGISTRY.items():
+        if name in allow_cartesian or name.startswith("stream_"):
+            continue  # streaming fns run a query; plan check n/a here
+        plan = physical_plan(spec.fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
+
+
+def test_ml_split_shuffle_rank_distributes(spark, sf_dir):
+    """The epoch-shuffle global rank must distribute: the data-sized
+    row_number windows by pid (range partitions), never over a single
+    partition. The only single-partition window allowed is the offset
+    cumsum, whose input is one row per shuffle partition (post-agg)."""
+    import re
+
+    df = REGISTRY["ml_split_shuffle"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan.lower(), plan
+    # every row_number window spec must be partitioned by pid
+    for spec in re.findall(r"row_number\(\) windowspecdefinition\(([^,]+),", plan):
+        assert "pid" in spec, plan
+
+
 def test_q16_not_in_plans_as_anti_join(spark, sf_dir):
     """Q16: NOT IN over the (non-null) supplier subquery must plan as a
     broadcast anti-join with the acctbal filter pushed to parquet."""
