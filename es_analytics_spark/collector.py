@@ -41,6 +41,8 @@ from typing import Any, Callable
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
+from es_analytics_spark.sources import fsio
+
 WILDCARD = "$"
 
 
@@ -265,10 +267,11 @@ class Collector:
         if self.config.sink_format == "csv":
             ext = ".csv.gz" if self.config.batch_zip else ".csv"
             key = f"{prefix}/{batch.table}/{batch.id}{ext}"
-            self._store_csv(batch, os.path.join(self.config.lake_dir, key))
+            self._store_csv(batch, fsio.join(self.config.lake_dir, key))
         else:
             key = f"{prefix}/{batch.table}/{batch.id}"
             schema = self.schema_of(batch.schema_table)
+            df = None
             try:
                 # Arrow path: one columnar conversion + batched transfer,
                 # ~3-4x the row-tuple serializer on 200k-row batches
@@ -276,30 +279,36 @@ class Collector:
 
                 pdf = pd.DataFrame(batch.rows, columns=list(self._schemas[batch.schema_table]))
                 df = self.spark.createDataFrame(pdf, schema)
-            except Exception:
+            except ImportError:
+                pass  # no pandas in this env: silent slow path is correct
+            except Exception as exc:
+                # A conversion failure is a real schema/value bug signal —
+                # surface it on the error channel, then degrade gracefully.
+                self._report(RuntimeError(f"arrow flush path failed, using row path: {exc}"))
+            if df is None:
                 df = self.spark.createDataFrame(
                     [tuple(r.values()) for r in batch.rows], schema
                 )
-            df.write.mode("overwrite").parquet(os.path.join(self.config.lake_dir, key))
+            df.write.mode("overwrite").parquet(fsio.join(self.config.lake_dir, key))
         return key
 
     def _store_csv(self, batch: _Batch, path: str) -> None:
         """RFC-4180 CSV with '#'-prefixed typed header (Collector.ts:290-308,
-        lake format spec README.md:125-148). Single-writer compat sink; the
-        distributed variant is sinks.write_typed_csv."""
+        lake format spec README.md:125-148). Single-writer compat sink
+        through the store seam — StoreS3.put / StoreFS.put analog
+        (StoreS3.ts:21-35, StoreFS.ts:31-39): any Hadoop URI works as the
+        lake root. The distributed variant is sinks.write_typed_csv."""
         from es_analytics_spark.sources.typed_csv import encode_typed_csv
 
         cols = self._schemas[batch.schema_table]
         data = encode_typed_csv(batch.rows, cols)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
         if self.config.batch_zip:
-            with open(path, "wb") as f:
-                # mtime=0 for deterministic bytes (test goldens)
-                with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
-                    gz.write(data)
-        else:
-            with open(path, "wb") as f:
-                f.write(data)
+            buf = io.BytesIO()
+            # mtime=0 for deterministic bytes (test goldens)
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(data)
+            data = buf.getvalue()
+        fsio.lake_fs(self.spark, self.config.lake_dir).put_bytes(path, data)
 
     def _emit_error(self, exc: Exception) -> None:
         if not self.on_error:
@@ -307,10 +316,21 @@ class Collector:
         for cb in self.on_error:
             cb(exc)
 
+    def _report(self, exc: Exception) -> None:
+        """Non-fatal error reporting: notify on_error listeners if any,
+        else warn — never raise (callers have a working fallback)."""
+        if self.on_error:
+            for cb in self.on_error:
+                cb(exc)
+        else:
+            import warnings
+
+            warnings.warn(str(exc), RuntimeWarning, stacklevel=3)
+
     # -- read-back -------------------------------------------------------
     def table(self, name: str):
         """Read every stored object of a table back as one DataFrame."""
-        path = os.path.join(self.config.lake_dir, "*/*/*/*", name)
+        path = fsio.join(self.config.lake_dir, "*/*/*/*", name)
         if self.config.sink_format == "csv":
             from es_analytics_spark.sources.typed_csv import read_typed_csv
 

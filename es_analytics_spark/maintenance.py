@@ -6,28 +6,43 @@ engine needs explicit compaction (SURVEY.md §4 "small-file
 compaction"): rewrite a partitioned table so files approach a target
 size, preserving partition columns. Plain DataFrame rewrite — no
 custom rules; Catalyst + maxRecordsPerFile do the sizing.
+
+File operations route through the ``sources.fsio`` seam, so ``path``
+may be a plain local path or any Hadoop URI (``s3a://`` etc., the
+reference's StoreS3 analog — StoreS3.ts:21-35). Swap atomicity is
+rename-level and has a crash window: between the two renames (target →
+backup, staging → target) no table exists at ``path``; a crash there
+needs a manual rename of the ``.__old__`` backup. On object stores
+rename is copy+delete (not atomic at all) — concurrent readers need a
+transactional table format (Delta/Iceberg), which this single-writer
+contract deliberately stops short of.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import SparkSession
+
+from es_analytics_spark.sources.fsio import lake_fs
 
 
 def table_stats(spark: SparkSession, path: str) -> dict:
-    files = []
-    for root, _dirs, names in os.walk(path):
-        files.extend(
-            os.path.join(root, n) for n in names if n.endswith(".parquet")
-        )
-    sizes = [os.path.getsize(f) for f in files]
+    sizes = lake_fs(spark, path).file_sizes(path, ".parquet")
     return {
-        "n_files": len(files),
+        "n_files": len(sizes),
         "total_bytes": sum(sizes),
         "avg_bytes": (sum(sizes) // len(sizes)) if sizes else 0,
     }
+
+
+def _swap(spark: SparkSession, path: str, staging: str) -> None:
+    """Replace ``path`` with ``staging`` via the two-rename dance.
+    Single-writer contract; see module docstring for the crash window."""
+    fs = lake_fs(spark, path)
+    backup = path.rstrip("/") + ".__old__"
+    fs.delete(backup)  # a crashed prior run may have left one behind
+    fs.rename(path, backup)
+    fs.rename(staging, path)
+    fs.delete(backup)
 
 
 def compact(
@@ -41,9 +56,9 @@ def compact(
 
     Strategy: read, estimate rows/file from current bytes-per-row,
     write with maxRecordsPerFile + one shuffle-free coalesce pass to a
-    staging dir, then atomically swap. On a cluster the same job runs
-    per-partition-predicate to bound memory; local fixture sizes keep
-    it single-pass here.
+    staging dir, then swap (see module docstring for atomicity). On a
+    cluster the same job runs per-partition-predicate to bound memory;
+    local fixture sizes keep it single-pass here.
     """
     before = table_stats(spark, path)
     df = spark.read.parquet(path)
@@ -62,10 +77,7 @@ def compact(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staging)
 
-    backup = path.rstrip("/") + ".__old__"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    _swap(spark, path, staging)
     after = table_stats(spark, path)
     return {"before": before, "after": after, "rows": n_rows}
 
@@ -80,29 +92,41 @@ def upsert(
     ``path`` on ``keys`` — matched rows are replaced, unmatched rows
     inserted (the Delta MERGE semantics, without a transaction log).
 
+    Like SQL/Delta MERGE, duplicate key tuples in ``updates`` are an
+    error (each would try to replace the same target row); the check is
+    one aggregate over the update set, done before any write.
+
     Plan shape: target LEFT ANTI updates on the keys (drop the rows
     being replaced) UNION ALL updates, rewritten to a staging dir and
-    atomically swapped. At scale the anti-join broadcasts the update
-    set when small, and the rewrite is restricted to the partitions the
-    updates touch (partition-pruned read via the updates' partition
-    values); the fixture-size implementation rewrites the whole table.
-    Atomicity is rename-level (single-writer contract, same as the
-    reference's put-once store — Store.ts:4-8); concurrent readers need
-    the table-format upgrade (Delta/Iceberg) this deliberately stops
-    short of.
+    swapped (see module docstring for the atomicity contract). At scale
+    the anti-join broadcasts the update set when small, and the rewrite
+    is restricted to the partitions the updates touch (partition-pruned
+    read via the updates' partition values); the fixture-size
+    implementation rewrites the whole table.
     """
+    from pyspark.sql import functions as F
+
     target = spark.read.parquet(path)
     missing = [k for k in keys if k not in target.columns or k not in updates.columns]
     if missing:
         raise ValueError(f"upsert keys {missing} absent from target or updates")
+    dup = (
+        updates.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"upsert updates contain duplicate key tuple {tuple(dup[0][k] for k in keys)}; "
+            "deduplicate updates on the merge keys first (MERGE semantics)"
+        )
+    # Materialize the count before the swap: if ``updates`` was derived
+    # from reading ``path`` itself, counting after the rewrite would
+    # re-read the new data (or fail on the vanished files).
+    n_updates = updates.count()
     kept = target.join(updates.select(*keys), on=keys, how="left_anti")
     merged = kept.unionByName(updates.select(*target.columns))
 
     staging = path.rstrip("/") + ".__upsert__"
     merged.write.mode("overwrite").parquet(staging)
-    backup = path.rstrip("/") + ".__old__"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    _swap(spark, path, staging)
     out = spark.read.parquet(path)
-    return {"rows": out.count(), "updated_or_inserted": updates.count()}
+    return {"rows": out.count(), "updated_or_inserted": n_updates}

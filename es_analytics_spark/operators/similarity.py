@@ -206,31 +206,46 @@ def ivf_topk(
     k: int,
     centroid_stride: int = 50,
     nprobe: int = 2,
+    max_centroids: int = 256,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
-    Coarse quantizer: every ``centroid_stride``-th corpus vector (by id)
-    is a centroid — deterministic, no training pass; a real deployment
-    would swap in k-means centroids without changing the dataflow.
-    Every corpus vector is assigned to its max-cosine centroid (its
-    *cell*); a query probes its ``nprobe`` nearest cells and pays the
-    exact dot product only against those cells' members.
+    Coarse quantizer: every ``centroid_stride``-th corpus vector (by id),
+    capped at ``max_centroids`` — deterministic, no training pass; a real
+    deployment would swap in k-means centroids without changing the
+    dataflow. Every corpus vector is assigned to its max-cosine centroid
+    (its *cell*); a query probes its ``nprobe`` nearest cells and pays
+    the exact dot product only against those cells' members.
 
-    Scale shape: centroids are tiny and broadcast twice (assignment +
-    probe); the candidate join shuffles corpus and queries once on
-    ``cell``, so the full n×m pair matrix is never materialized —
-    cost drops from O(n·m) to O(n·m·nprobe/#cells) dot products.
+    Scale shape: the centroid pull is an orderBy+limit (TakeOrdered), so
+    the driver receives at most ``max_centroids`` rows NO MATTER the
+    corpus size; the tiny centroid matrix then ships to tasks like a
+    broadcast var (numpy needs it local for the blocked matmul). The
+    candidate join shuffles corpus and queries once on ``cell``, so the
+    full n×m pair matrix is never materialized — cost drops from O(n·m)
+    to O(n·m·nprobe/#cells) dot products.
     """
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import Window as W
 
+    # Element type of the embedding column drives the UDF schema — a
+    # double corpus must not be silently downcast to float in the rerank.
+    elem_type = corpus.schema[vec_col].dataType.elementType.simpleString()
+
     cent_rows = (
         corpus.filter((F.col(id_col) % centroid_stride) == 0)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent"))
+        .orderBy("cent_id")
+        .limit(max_centroids)
         .collect()
     )
+    if not cent_rows:
+        raise ValueError(
+            f"ivf_topk: no centroids — no corpus row has {id_col} % {centroid_stride} == 0; "
+            "lower centroid_stride or use integer ids"
+        )
     cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
     cent_mat = np.array([r["__cent"] for r in cent_rows], dtype=np.float64)
     cent_norm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
@@ -263,7 +278,7 @@ def ivf_topk(
                 )
 
         return df.mapInPandas(
-            assign, f"{out_id} long, {out_vec} array<float>, cell long"
+            assign, f"{out_id} long, {out_vec} array<{elem_type}>, cell long"
         )
 
     c = nearest_cells(

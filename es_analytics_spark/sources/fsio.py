@@ -1,0 +1,148 @@
+"""Filesystem seam for lake object operations (A12-A14).
+
+The reference's ``Store`` abstraction (lib/store/Store.ts:4-8) hides
+S3 vs local FS behind one ``put`` contract (StoreS3.ts:21-35,
+StoreFS.ts:31-39). The engine's equivalent: DataFrame reads/writes
+already speak any Hadoop URI (``s3a://``, ``hdfs://``, ``file://``)
+natively, so the seam is only needed for the *maintenance* file ops —
+atomic swap, recursive delete, stats, raw-bytes put (CSV compat sink).
+
+``lake_fs(spark, path)`` returns:
+
+- ``LocalFS`` for plain paths — os/shutil, zero JVM round-trips.
+- ``HadoopFS`` for URI paths — Hadoop ``FileSystem`` via the session
+  JVM, which is exactly the client the cluster's s3a committer uses,
+  so a path that works here works on the real bucket. Rename on S3 is
+  copy+delete (non-atomic) — callers that need atomic swap must layer
+  a table format (Delta/Iceberg) on object stores; the seam keeps the
+  single-writer rename contract explicit instead of binding everything
+  to os.rename.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import re
+import shutil
+
+from pyspark.sql import SparkSession
+
+# scheme-qualified path: Hadoop emits both file:///x and file:/x forms
+_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/")
+
+
+def is_uri(path: str) -> bool:
+    return bool(_SCHEME.match(path))
+
+
+def join(base: str, *parts: str) -> str:
+    """Path join that preserves URI schemes (os.path.join would not)."""
+    if is_uri(base):
+        return posixpath.join(base, *parts)
+    return os.path.join(base, *parts)
+
+
+class LocalFS:
+    """os/shutil-backed implementation for plain local paths."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def delete(self, path: str) -> None:
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def file_sizes(self, path: str, suffix: str = ".parquet") -> list[int]:
+        sizes = []
+        for root, _dirs, names in os.walk(path):
+            sizes.extend(
+                os.path.getsize(os.path.join(root, n)) for n in names if n.endswith(suffix)
+            )
+        return sizes
+
+    def glob(self, pattern: str) -> list[str]:
+        import glob as _glob
+
+        return sorted(_glob.glob(pattern))
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+
+class HadoopFS:
+    """Hadoop FileSystem-backed implementation for any URI Spark can
+    reach (s3a://, hdfs://, file://). One JVM FileSystem client per
+    scheme+authority, resolved through the session's Hadoop conf — the
+    same credentials/committer config the DataFrame writers use."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        uri = jvm.java.net.URI.create(path)
+        self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
+            uri, spark._jsc.hadoopConfiguration()
+        )
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._jpath(path))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._jpath(path))
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._jpath(src), self._jpath(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._jpath(path), True)
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        out = self._fs.create(self._jpath(path), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def file_sizes(self, path: str, suffix: str = ".parquet") -> list[int]:
+        sizes = []
+        it = self._fs.listFiles(self._jpath(path), True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(suffix):
+                sizes.append(st.getLen())
+        return sizes
+
+    def glob(self, pattern: str) -> list[str]:
+        statuses = self._fs.globStatus(self._jpath(pattern))
+        if statuses is None:
+            return []
+        return sorted(str(s.getPath()) for s in statuses)
+
+    def read_bytes(self, path: str) -> bytes:
+        stream = self._fs.open(self._jpath(path))
+        try:
+            # one JVM round-trip; commons-io ships with Hadoop
+            return bytes(self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+
+
+def lake_fs(spark: SparkSession, path: str):
+    """Pick the implementation by path shape (URI → Hadoop, else local)."""
+    return HadoopFS(spark, path) if is_uri(path) else LocalFS()

@@ -16,7 +16,6 @@ round-trips it bit-exactly.
 from __future__ import annotations
 
 import datetime as dt
-import glob as _glob
 import gzip
 import io
 import csv as _csv
@@ -25,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from es_analytics_spark.collector import DataType, SPARK_TYPE
+from es_analytics_spark.sources import fsio
 
 
 def _iso(v: dt.datetime) -> str:
@@ -57,32 +57,37 @@ def encode_typed_csv(rows: list[dict], cols: dict[str, DataType]) -> bytes:
     return buf.getvalue().encode("utf-8")
 
 
-def _read_types_line(path: str) -> list[DataType]:
-    opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "rt", encoding="utf-8") as f:
-        line = f.readline().strip()
-    if not line.startswith("#"):
-        raise ValueError(f"{path}: missing typed header line")
-    return [DataType(tok) for tok in line[1:].split(",")]
+def _head_lines(spark: SparkSession, path: str, n: int = 2) -> list[str]:
+    """First n text lines of a (possibly gzipped) lake object, fetched
+    through the store seam so URI lake roots (s3a:// etc.) work."""
+    data = fsio.lake_fs(spark, path).read_bytes(path)
+    if path.endswith(".gz"):
+        data = gzip.decompress(data)
+    return data.decode("utf-8").splitlines()[:n]
+
+
+def schema_from_typed_header(lines: list[str]) -> T.StructType:
+    """StructType from the '#types' line + RFC-4180 header row."""
+    if not lines or not lines[0].startswith("#"):
+        raise ValueError("missing typed header line")
+    types = [DataType(tok) for tok in lines[0][1:].split(",")]
+    header = next(_csv.reader([lines[1]]))
+    return T.StructType(
+        [T.StructField(name, SPARK_TYPE[t], True) for name, t in zip(header, types)]
+    )
 
 
 def read_typed_csv(spark: SparkSession, pattern: str) -> DataFrame:
     """Read typed-header CSV objects (possibly gzipped) into a DataFrame.
 
     Schema comes from the first matched file's ``#types`` line + header
-    row; the scan itself is Spark's distributed CSV source.
+    row; the scan itself is Spark's distributed CSV source. ``pattern``
+    may be a local glob or a Hadoop-URI glob (file://, s3a://, ...).
     """
-    paths = sorted(_glob.glob(pattern))
+    paths = fsio.lake_fs(spark, pattern).glob(pattern)
     if not paths:
         raise FileNotFoundError(pattern)
-    types = _read_types_line(paths[0])
-    opener = gzip.open if paths[0].endswith(".gz") else open
-    with opener(paths[0], "rt", encoding="utf-8") as f:
-        f.readline()
-        header = next(_csv.reader([f.readline()]))
-    schema = T.StructType(
-        [T.StructField(name, SPARK_TYPE[t], True) for name, t in zip(header, types)]
-    )
+    schema = schema_from_typed_header(_head_lines(spark, paths[0]))
     return (
         spark.read.option("header", True)
         .option("comment", "#")

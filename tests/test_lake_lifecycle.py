@@ -170,3 +170,63 @@ def test_upsert_merge_semantics(spark, tmp_path):
     got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
     assert stats["rows"] == 4
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    """MERGE semantics: two updates hitting the same key tuple is an
+    error (Delta/SQL MERGE raises on multiple matches), not a silent
+    double-insert."""
+    import pytest
+
+    from es_analytics_spark.maintenance import upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(path)
+    dupes = spark.createDataFrame([(2, "x"), (2, "y")], ["id", "name"])
+    with pytest.raises(ValueError, match="duplicate key"):
+        upsert(spark, path, dupes, keys=["id"])
+    # target untouched
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_lake_ops_work_over_uri_store(spark, tmp_path):
+    """A12: the whole single-writer surface — collector CSV sink,
+    compact, upsert — runs against a Hadoop-URI lake root (file://
+    here; s3a:// is the same FileSystem API with different scheme),
+    never touching os.rename/shutil."""
+    from es_analytics_spark.maintenance import upsert
+    from es_analytics_spark.sources.fsio import HadoopFS, lake_fs
+
+    uri = f"file://{tmp_path}"
+    assert isinstance(lake_fs(spark, uri), HadoopFS)
+
+    # collector round-trip (parquet + csv sinks) over the URI root
+    flushes = []
+    col = Collector(spark, CollectorConfig(lake_dir=f"{uri}/lake", batch_record_limit=50))
+    col.on_flush.append(flushes.append)
+    for i in range(120):
+        col.track("ev", {"n": i, "name": f"r{i}"})
+    col.stop()
+    assert [f.trigger.name for f in flushes] == ["RecordLimit", "RecordLimit", "Stop"]
+    assert col.table("ev").count() == 120
+
+    csv_col = Collector(
+        spark, CollectorConfig(lake_dir=f"{uri}/csvlake", sink_format="csv")
+    )
+    csv_col.track("ev", {"n": 1, "name": "x"})
+    csv_col.stop()
+    assert csv_col.table("ev").count() == 1
+
+    # compact + upsert through the same seam
+    path = f"{uri}/t"
+    base = spark.range(0, 1000).select(
+        F.col("id").cast("long").alias("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    base.repartition(8).write.parquet(path)
+    assert table_stats(spark, path)["n_files"] == 8
+    compact(spark, path, target_file_bytes=1 << 20)
+    assert table_stats(spark, path)["n_files"] < 8
+    upsert(spark, path, spark.createDataFrame([(2, "b2"), (1001, "c")], ["id", "name"]), ["id"])
+    out = spark.read.parquet(path)
+    assert out.count() == 1001
+    assert {r.name for r in out.filter(F.col("id").isin(2, 1001)).collect()} == {"b2", "c"}
