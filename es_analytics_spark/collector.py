@@ -211,6 +211,28 @@ class Collector:
         cols = self._schemas[schema_table]
         return T.StructType([T.StructField(k, SPARK_TYPE[t], True) for k, t in cols.items()])
 
+    def evolve_schema(self, schema_table: str, new_columns: dict[str, DataType]) -> None:
+        """Widen a registered table's schema with new nullable columns
+        (SURVEY.md §1.4: evolution the reference cannot express — its
+        first-record-wins schema silently corrupts on drift). Existing
+        columns cannot change type; objects written before the evolution
+        read back with nulls in the new columns (parquet mergeSchema).
+        Any open batch for the table flushes first so every stored
+        object has a single consistent schema."""
+        if schema_table not in self._schemas:
+            raise KeyError(f"unknown table {schema_table!r}; track a record first")
+        current = self._schemas[schema_table]
+        for k, t in new_columns.items():
+            if k in current and current[k] is not t:
+                raise ValueError(
+                    f"column {k!r} is {current[k].value}, cannot become {t.value}; "
+                    "schema evolution is add-nullable-column only"
+                )
+        for name, batch in list(self._batches.items()):
+            if batch.schema_table == schema_table:
+                self._flush(batch, FlushTrigger.Manual)
+        current.update(new_columns)
+
     def _conform(self, schema_table: str, record: dict[str, Any]) -> dict[str, Any]:
         """Validate/coerce against the registered schema (upgrade over
         the reference's silent first-record-wins mis-serialization)."""
@@ -329,10 +351,12 @@ class Collector:
 
     # -- read-back -------------------------------------------------------
     def table(self, name: str):
-        """Read every stored object of a table back as one DataFrame."""
+        """Read every stored object of a table back as one DataFrame.
+        mergeSchema unifies objects written before/after an
+        ``evolve_schema`` call (old files surface nulls in new cols)."""
         path = fsio.join(self.config.lake_dir, "*/*/*/*", name)
         if self.config.sink_format == "csv":
             from es_analytics_spark.sources.typed_csv import read_typed_csv
 
             return read_typed_csv(self.spark, path + "/*.csv*")
-        return self.spark.read.parquet(path + "/*")
+        return self.spark.read.option("mergeSchema", True).parquet(path + "/*")

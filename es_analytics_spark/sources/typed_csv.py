@@ -98,3 +98,45 @@ def read_typed_csv(spark: SparkSession, pattern: str) -> DataFrame:
         .schema(schema)
         .csv(paths)
     )
+
+
+def read_typed_csv_lake(
+    spark: SparkSession,
+    lake_dir: str,
+    table: str,
+    y: int | None = None,
+    m: int | None = None,
+    d: int | None = None,
+    h: int | None = None,
+) -> DataFrame:
+    """Read a whole ``YYYY/MM/DD/HH/{table}/`` lake tree (the reference
+    key scheme — Collector.ts:136-142,344-346) as one DataFrame with
+    ``y/m/d/h`` recovered as partition columns.
+
+    Partition pruning: the lake's date dirs are positional, not
+    hive-style ``k=v``, so Spark's partition discovery can't prune them.
+    Pruning happens at file-list time instead — y/m/d/h constraints
+    narrow the glob BEFORE the scan is planned, so unselected hours
+    never enter the file index (same effect as hive pruning: the scan's
+    inputFiles only cover matching dirs). The recovered columns come
+    from the file path, one regexp per row, JVM-side.
+    """
+    from pyspark.sql import functions as F
+
+    seg = [
+        f"{y:04d}" if y is not None else "*",
+        f"{m:02d}" if m is not None else "*",
+        f"{d:02d}" if d is not None else "*",
+        f"{h:02d}" if h is not None else "*",
+    ]
+    pattern = fsio.join(lake_dir, *seg, table, "*.csv*")
+    df = read_typed_csv(spark, pattern)
+    fname = F.input_file_name()
+    rx = r"(\d{4})/(\d{2})/(\d{2})/(\d{2})/[^/]+/[^/]+$"
+    return df.select(
+        "*",
+        F.regexp_extract(fname, rx, 1).cast("int").alias("y"),
+        F.regexp_extract(fname, rx, 2).cast("int").alias("m"),
+        F.regexp_extract(fname, rx, 3).cast("int").alias("d"),
+        F.regexp_extract(fname, rx, 4).cast("int").alias("h"),
+    )

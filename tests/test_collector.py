@@ -148,3 +148,67 @@ def test_track_many_equivalent_to_track_loop(spark, tmp_path):
     assert f_loop == f_bulk
     assert r_loop == r_bulk
     assert len(r_bulk) == 250
+
+
+def test_schema_evolution_merges_old_and_new(spark, tmp_path):
+    """SURVEY §1.4: evolve_schema widens the registry; objects written
+    before the evolution read back with nulls in the new column."""
+    col = Collector(spark, CollectorConfig(lake_dir=str(tmp_path)))
+    col.track("ev", {"n": 1, "name": "a"})
+    col.flush_all()  # v1 object on disk
+
+    col.evolve_schema("ev", {"score": DataType.Float})
+    col.track("ev", {"n": 2, "name": "b", "score": 0.5})
+    col.stop()
+
+    df = col.table("ev")
+    assert set(df.columns) == {"n", "name", "score"}
+    rows = {r.n: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.5)}
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    col = Collector(spark, CollectorConfig(lake_dir=str(tmp_path)))
+    col.track("ev", {"n": 1})
+    with pytest.raises(ValueError, match="add-nullable-column only"):
+        col.evolve_schema("ev", {"n": DataType.String})
+    with pytest.raises(KeyError):
+        col.evolve_schema("nope", {"x": DataType.Float})
+
+
+def test_evolve_flushes_open_batch_first(spark, tmp_path):
+    """An open batch must flush pre-evolution so no stored object mixes
+    schemas."""
+    flushes = []
+    col = Collector(spark, CollectorConfig(lake_dir=str(tmp_path)))
+    col.on_flush.append(flushes.append)
+    col.track("ev", {"n": 1})  # left unflushed
+    col.evolve_schema("ev", {"tag": DataType.String})
+    assert [f.trigger for f in flushes] == [FlushTrigger.Manual]
+    col.track("ev", {"n": 2, "tag": "x"})
+    col.stop()
+    assert col.table("ev").count() == 2
+
+
+def test_typed_csv_lake_tree_reader_recovers_partitions(spark, tmp_path):
+    """SURVEY §1.6 compat reader: a whole YYYY/MM/DD/HH/table tree reads
+    as one frame with y/m/d/h recovered; date constraints prune the
+    file list before the scan (inputFiles shrinks accordingly)."""
+    from es_analytics_spark.sources.typed_csv import read_typed_csv_lake
+
+    cols = {"n": DataType.Integer, "name": DataType.String}
+    for hour, n0 in [(3, 0), (4, 10), (5, 20)]:
+        p = tmp_path / "2026" / "08" / "13" / f"{hour:02d}" / "ev"
+        p.mkdir(parents=True)
+        rows = [{"n": n0 + i, "name": f"r{n0 + i}"} for i in range(5)]
+        (p / "obj.csv").write_bytes(encode_typed_csv(rows, cols))
+
+    full = read_typed_csv_lake(spark, str(tmp_path), "ev")
+    assert full.count() == 15
+    assert set(full.columns) == {"n", "name", "y", "m", "d", "h"}
+    assert {r.h for r in full.select("h").distinct().collect()} == {3, 4, 5}
+    assert {r.y for r in full.select("y").distinct().collect()} == {2026}
+
+    pruned = read_typed_csv_lake(spark, str(tmp_path), "ev", h=4)
+    assert len(pruned.inputFiles()) == 1 and len(full.inputFiles()) == 3
+    assert sorted(r.n for r in pruned.collect()) == list(range(10, 15))
