@@ -97,35 +97,65 @@ def lsh_bucketed_topk(
     At cluster scale this is the path that avoids broadcasting the
     corpus: both sides shuffle once on (table, bucket), candidates are
     deduped, and only candidates pay the full dot product.
+
+    Bucket signs are computed in one Arrow-batched numpy matmul against
+    the stacked (tables×planes, dim) plane matrix — the expression-tree
+    form (48 interpreted array-lambda dot products per row) measured
+    ~6× slower end-to-end at sf0.01.
     """
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql import Window as W
 
-    def buckets(vc: Column) -> Column:
-        """array of per-table bucket ids, entry t = (t, bits) struct key"""
-        out = []
-        for t in range(num_tables):
-            planes = _fixed_planes(num_planes, dim, seed=88172645463325252 + 7919 * t)
-            bits = [
-                F.when(
-                    _dot(vc, F.array(*[F.lit(v) for v in plane])) >= 0, F.lit(1 << i)
-                ).otherwise(F.lit(0))
-                for i, plane in enumerate(planes)
-            ]
-            acc = bits[0]
-            for b in bits[1:]:
-                acc = acc + b
-            out.append(F.struct(F.lit(t).alias("t"), acc.alias("b")))
-        return F.array(*out)
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        F.explode(buckets(F.col(vec_col))).alias("__bucket"),
+    plane_mat = np.array(
+        [
+            plane
+            for t in range(num_tables)
+            for plane in _fixed_planes(num_planes, dim, seed=88172645463325252 + 7919 * t)
+        ],
+        dtype=np.float64,
+    )  # (num_tables*num_planes, dim)
+    weights = np.tile(1 << np.arange(num_planes, dtype=np.int64), num_tables).reshape(
+        num_tables, num_planes
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(buckets(F.col(vec_col))).alias("__bucket"),
+
+    def attach_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        elem = df.schema[1].dataType.elementType.simpleString()
+
+        def compute(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array(list(pdf[out_vec]), dtype=np.float64)  # (n, dim)
+                signs = (v @ plane_mat.T >= 0).reshape(len(v), num_tables, num_planes)
+                b = (signs * weights[None, :, :]).sum(axis=2)  # (n, tables)
+                rows = np.repeat(np.arange(len(v)), num_tables)
+                yield pd.DataFrame(
+                    {
+                        out_id: pdf[out_id].to_numpy()[rows],
+                        out_vec: pdf[out_vec].to_numpy()[rows],
+                        "t": np.tile(np.arange(num_tables), len(v)),
+                        "b": b.ravel(),
+                    }
+                )
+
+        with_b = df.mapInPandas(
+            compute, f"{out_id} long, {out_vec} array<{elem}>, t int, b long"
+        )
+        return with_b.withColumn(
+            "__bucket", F.struct(F.col("t"), F.col("b"))
+        ).drop("t", "b")
+
+    c = attach_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+        "neighbor_id",
+        "__cv",
+    )
+    q = attach_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "query_id",
+        "__qv",
     )
     cand = (
         c.join(q, "__bucket")

@@ -597,16 +597,21 @@ _NORM_DOC_SQL = (
     "text_winnow_shared",
     oracle=f"""
     WITH norm AS (SELECT doc_id, {_NORM_DOC_SQL} AS t FROM documents),
-    grams AS (
-      SELECT doc_id, LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - 8 + 1, 1)),
-                                    i -> MD5(SUBSTRING(t, i, 8))) AS g
+    pos AS (
+      SELECT doc_id, t, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 8 + 1, 1))) AS pos
       FROM norm),
+    grams AS (SELECT doc_id, pos, MD5(SUBSTRING(t, pos, 8)) AS h FROM pos),
+    -- rolling min as a window frame (linear), not per-position list
+    -- slices (quadratic per doc — measured ~18s vs ~1s at sf0.01)
     wins AS (
-      SELECT doc_id,
-             LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(g) - 4 + 1, 1)),
-                                          i -> LIST_MIN(LIST_SLICE(g, i, i + 3)))) AS fps
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+             MAX(pos) OVER (PARTITION BY doc_id) AS n
       FROM grams),
-    fp AS (SELECT doc_id, UNNEST(fps) AS fingerprint FROM wins),
+    fp AS (
+      SELECT DISTINCT doc_id, win_min AS fingerprint
+      FROM wins WHERE pos <= GREATEST(n - 4 + 1, 1)),
     rare AS (SELECT fingerprint FROM fp GROUP BY fingerprint
              HAVING COUNT(*) <= GREATEST(0.02 * (SELECT COUNT(*) FROM documents), 5)),
     fpr AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN rare USING (fingerprint))

@@ -109,15 +109,24 @@ def replay_stream(
     ones: replaying the bounded fixture through the streaming engine
     must produce the batch answer.
     """
-    query = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Stateful operators keep one state-store instance per shuffle
+    # partition; at fixture scale 32 stores are pure overhead, so the
+    # replay runs with 8 (results are partition-count independent).
+    # A real deployment sizes this to cluster cores via config.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        query.awaitTermination()
+        query = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination()
+        finally:
+            query.stop()
     finally:
-        query.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
