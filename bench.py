@@ -43,6 +43,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_exact_docs",
     "dedup_embedding_cosine",
+    # r2 additions: the de-cartesianed / distributed shapes, benched so
+    # regressions in their new plans show up round-over-round
+    "dedup_ngram_jaccard",
+    "ml_split_shuffle",
+    "sim_lsh_bucketed",
     "sim_cosine_topk",
     "sim_ivf_topk",
     "text_language_id",

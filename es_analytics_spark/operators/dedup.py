@@ -319,31 +319,154 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     block_col: str | None = None,
     max_id_gap: int | None = None,
+    threshold: float | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact character-free *word* n-gram Jaccard for candidate pairs.
 
     Blocking: only pairs sharing ``block_col`` (and optionally with
     ``|id_a - id_b| <= max_id_gap``) are compared, keeping the join
     shuffle-bounded instead of n².
+
+    ``threshold``: lossless pruning for callers that only keep pairs
+    with jaccard >= t (they MUST still apply that filter; pairs below
+    t may or may not appear). Enables the size bound t·|B| ≤ |A|
+    (J ≥ t ⟹ min/max ≥ t), evaluated before the intersect.
+
+    ``prefix_filter`` (requires ``threshold``): PPJoin-style prefix
+    filtering (Xiao et al., "Efficient Similarity Joins for Near
+    Duplicate Detection", WWW'08): tokens are globally ordered
+    rarest-first, each doc exposes only its first ``floor((1-t)*|g|)+1``
+    tokens, and a candidate pair must share a prefix token — J(A,B) >= t
+    implies the prefixes intersect, so no qualifying pair is lost.
+    Candidates then pay the exact intersect verify. This replaces the
+    in-block all-pairs compare with explode + equi-join on rare tokens.
+    Trade-off, pinned by test_prefix_filter_lossless: the prefix length
+    is (1-t)·|g|, so it prunes hard at high thresholds (t ≳ 0.7,
+    near-identical dup mining) but approaches all-tokens at low ones —
+    at t = 0.35 the blocked all-pairs verify is measurably faster.
+
+    Verify-side costs on either path: per-doc gram-set sizes are
+    precomputed and |A∪B| = |A|+|B|-|A∩B| (grams are distinct), so no
+    union array is materialized per pair.
     """
-    base = with_shingles(
-        df,
-        text_col,
-        ngram,
-        keep=[id_col] + ([block_col] if block_col else []),
-        out_col="grams",
+    if prefix_filter and threshold is None:
+        raise ValueError("prefix_filter requires a threshold")
+    keep = [id_col] + ([block_col] if block_col else [])
+    base = with_shingles(df, text_col, ngram, keep=keep, out_col="grams").withColumn(
+        "n_grams", F.size("grams")
     )
     on = [block_col] if block_col else []
-    a = base.select(
-        *on, F.col(id_col).alias("id_a"), F.col("grams").alias("g_a")
-    )
-    b = base.select(
-        *on, F.col(id_col).alias("id_b"), F.col("grams").alias("g_b")
-    )
-    j = a.join(b, on) if on else a.crossJoin(b)
-    j = j.filter(F.col("id_a") < F.col("id_b"))
+
+    if not prefix_filter:
+        a = base.select(
+            *on, F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"),
+            F.col("n_grams").alias("na"),
+        )
+        b = base.select(
+            *on, F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"),
+            F.col("n_grams").alias("nb"),
+        )
+        j = a.join(b, on) if on else a.crossJoin(b)
+        cand = j.filter(F.col("id_a") < F.col("id_b"))
+    else:
+        from pyspark.sql import Window as W
+
+        t = threshold
+        tok = base.select(id_col, *on, F.explode("grams").alias("tok"))
+        # global rarest-first total order (count, token) — ties on the
+        # token string keep the order deterministic across engines
+        freq = tok.groupBy("tok").agg(F.count("*").alias("tf"))
+        ranked = tok.join(freq, "tok").withColumn(
+            "r", F.row_number().over(W.partitionBy(id_col).orderBy("tf", "tok"))
+        )
+        n_tok = ranked.withColumn(
+            "n", F.count("*").over(W.partitionBy(id_col))
+        )
+        prefix = n_tok.filter(F.col("r") <= F.floor((1 - t) * F.col("n")) + 1).select(
+            id_col, *on, "tok"
+        )
+        pa = prefix.select(*on, F.col(id_col).alias("id_a"), "tok")
+        pb = prefix.select(*on, F.col(id_col).alias("id_b"), "tok")
+        cand = (
+            pa.join(pb, on + ["tok"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        ga = base.select(
+            F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"),
+            F.col("n_grams").alias("na"),
+        )
+        gb = base.select(
+            F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"),
+            F.col("n_grams").alias("nb"),
+        )
+        cand = cand.join(ga, "id_a").join(gb, "id_b")
     if max_id_gap is not None:
-        j = j.filter(F.col("id_b") - F.col("id_a") <= max_id_gap)
+        cand = cand.filter(F.col("id_b") - F.col("id_a") <= max_id_gap)
+    if threshold is not None:
+        # lossless size bound for J >= t: evaluated before the intersect
+        cand = cand.filter(
+            (F.col("na") >= threshold * F.col("nb"))
+            & (F.col("nb") >= threshold * F.col("na"))
+        )
     inter = F.size(F.array_intersect("g_a", "g_b"))
-    union = F.size(F.array_union("g_a", "g_b"))
-    return j.select("id_a", "id_b", (inter / union).alias("jaccard"))
+    union = F.col("na") + F.col("nb") - inter
+    return cand.select("id_a", "id_b", (inter / union).alias("jaccard"))
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list: the step that
+    turns near-dup candidate PAIRS into duplicate CLUSTERS (single-link
+    closure), so a keep-one-per-cluster policy can pick the canonical
+    survivor. Returns ``(id, component)`` with component = the minimum
+    id reachable from ``id``.
+
+    Algorithm: min-label propagation. Each round every node takes the
+    min of its own label and its neighbors' labels — one shuffle join
+    edges⋈labels plus one groupBy-min per round, converging in
+    O(graph diameter) rounds. Near-dup graphs are shallow (dup clusters
+    are cliques-ish, diameter 1-3), so 3-5 rounds is typical; a chain
+    graph is the worst case and bounded by ``max_iter``.
+
+    Scale shape: state per round is one (id, label) row per node and
+    the edge list is reused as-is — both shuffle on the node id, no
+    per-round growth. ``localCheckpoint`` truncates lineage each round
+    so the plan doesn't deepen; the convergence check is a count of
+    changed labels (one action per round, the driver holds only the
+    scalar). This is the plain-DataFrame version of the map-reduce CC
+    algorithms (large-star/small-star); for diameter-heavy graphs swap
+    in that doubling variant — same dataflow primitives.
+    """
+    sym = edges.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    ).union(
+        edges.select(F.col(b_col).cast("long").alias("src"), F.col(a_col).cast("long").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        updated = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.col("comp").alias("old"),
+            F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+        )
+        changed = updated.filter(F.col("comp") < F.col("old")).count()
+        labels = updated.select("id", "comp").localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))

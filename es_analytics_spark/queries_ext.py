@@ -1118,3 +1118,58 @@ def fn_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(daily, "day", "left")
         .select("day", F.coalesce("n", F.lit(0)).alias("n_events"))
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, source,
+             STRING_SPLIT(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             LIST_DISTINCT(CASE WHEN LEN(w) >= 3
+               THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [ARRAY_TO_STRING(w, ' ')] END) AS g
+      FROM words),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM grams a JOIN grams b ON b.doc_id > a.doc_id AND a.source = b.source
+      WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(a.g || b.g)) >= 0.35),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.r FROM edges e JOIN walk w ON w.id = e.a
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_rep,
+           CAST(COUNT(*) OVER (PARTITION BY MIN(r)) AS BIGINT) AS n_members
+    FROM walk GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: blocked 3-gram Jaccard
+    candidates (same generation as dedup_ngram_jaccard) closed into
+    connected components — the single-link clustering step a real dedup
+    pipeline runs so keep-min-id-per-cluster drops every duplicate at
+    once (A-B plus B-C collapses to one {A,B,C} cluster with survivor
+    A, which pairwise filtering alone cannot express). Iterative
+    min-label propagation, one shuffle join per round, O(diameter)
+    rounds; oracle is the equivalent recursive-CTE closure."""
+    from es_analytics_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", ngram=3, block_col="source"
+    ).filter(F.col("jaccard") >= 0.35)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_rep"),
+        F.count("*").over(W.partitionBy("component")).cast("bigint").alias("n_members"),
+    )

@@ -260,3 +260,41 @@ def test_stratified_sample(spark, sf_dir):
     assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
     n, total = len(a), docs.count()
     assert 0.3 < n / total < 0.7, f"rate {n}/{total} far from 0.5"
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label CC: a 4-chain (worst-case diameter) and a triangle
+    collapse to their min ids; disconnected nodes keep distinct labels."""
+    from es_analytics_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_prefix_filter_lossless(spark, sf_dir):
+    """PPJoin prefix filtering + size bound must return EXACTLY the
+    pairs >= threshold that unpruned all-pairs returns (losslessness is
+    the theorem; this pins the implementation to it)."""
+    from es_analytics_spark.operators.dedup import ngram_jaccard_pairs
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for t in (0.35, 0.7):
+        exact = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3)
+            .filter(F.col("jaccard") >= t).collect()
+        }
+        pruned = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", 3, threshold=t, prefix_filter=True
+            ).filter(F.col("jaccard") >= t).collect()
+        }
+        assert pruned == exact, f"t={t}: prefix filter lost/invented pairs"
