@@ -1173,3 +1173,61 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_rep"),
         F.count("*").over(W.partitionBy("component")).cast("bigint").alias("n_members"),
     )
+
+
+@query(
+    "text_redact_pii",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\\s]+', '<URL>', 'g'),
+             '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '<PHONE>', 'g') AS redacted,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+             LEN(REGEXP_EXTRACT_ALL(text, 'https?://[^\\s]+')) +
+             LEN(REGEXP_EXTRACT_ALL(text, '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b'))
+             AS BIGINT) AS n_redactions
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the action step after text_pii_flags: emails,
+    URLs, and phone-shaped numbers replaced with typed placeholder
+    tokens, count of replacements kept for pipeline stats. Pure JVM
+    regexp_replace (vectorized, no Python); the same regexes as the
+    flags query so flag counts equal redaction counts by construction."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^\s]+"
+    phone = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), url, "<URL>"
+        ),
+        phone,
+        "<PHONE>",
+    )
+    n = (
+        F.regexp_count("text", F.lit(email))
+        + F.regexp_count("text", F.lit(url))
+        + F.regexp_count("text", F.lit(phone))
+    )
+    return d.select("doc_id", red.alias("redacted"), n.cast("bigint").alias("n_redactions"))
+
+
+@query("ml_pack_sequences", oracle=None)  # greedy packing is not SQL-expressible
+def ml_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents binned into fixed-token
+    context windows (first-fit-decreasing per hash bucket) so short
+    docs share a sequence instead of wasting pad tokens. Invariants
+    (each doc in exactly one pack; packs never exceed the budget unless
+    a single doc alone does; deterministic across runs) are pinned by
+    tests/test_operators.py::test_pack_sequences_invariants."""
+    from es_analytics_spark.operators.text import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    docs = d.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", max_tokens=256, num_buckets=8)

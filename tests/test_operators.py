@@ -298,3 +298,32 @@ def test_prefix_filter_lossless(spark, sf_dir):
             ).filter(F.col("jaccard") >= t).collect()
         }
         assert pruned == exact, f"t={t}: prefix filter lost/invented pairs"
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing: every doc in exactly one pack; no pack over budget
+    unless a single oversize doc; deterministic across runs."""
+    from es_analytics_spark.operators.text import pack_sequences
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", max_tokens=256, num_buckets=8)
+    rows = packed.collect()
+    assert len(rows) == docs.count()  # every doc exactly once
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for members in by_pack.values():
+        total = sum(r.n_tokens for r in members)
+        if total > 256:  # only legal as a singleton oversize doc
+            assert len(members) == 1 and members[0].oversize
+    # determinism
+    again = {(r.doc_id, r.pack_id) for r in
+             pack_sequences(docs, "doc_id", "n_tokens", max_tokens=256, num_buckets=8).collect()}
+    assert again == {(r.doc_id, r.pack_id) for r in rows}
+    # packing actually packs: fewer packs than docs
+    assert len(by_pack) < len(rows)
