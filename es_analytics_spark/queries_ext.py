@@ -1231,3 +1231,42 @@ def ml_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
     )
     return pack_sequences(docs, "doc_id", "n_tokens", max_tokens=256, num_buckets=8)
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC materialization BY THE STREAMING ENGINE: the events stream
+    replayed through a foreachBatch MERGE sink (latest row per user
+    wins; per-batch reduce → anti-join+union swap via
+    maintenance.upsert), then the resulting table read back — must
+    equal the batch last-per-key answer. (user_id, ts) is unique in the
+    fixture, so 'latest' is deterministic. Restart-safe by idempotence:
+    a replayed epoch MERGEs the same rows to the same state."""
+    import tempfile
+
+    from es_analytics_spark.streaming.collector_sink import stream_upsert_to_table
+    from es_analytics_spark.streaming.ingest import stream_events
+
+    d = tempfile.mkdtemp(prefix="cdc_upsert_")
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "event_type", "value")
+    q = stream_upsert_to_table(
+        ev, f"{d}/table", keys=["user_id"], checkpoint_dir=f"{d}/ckpt",
+        order_col="ts", available_now=True,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{d}/table").select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )

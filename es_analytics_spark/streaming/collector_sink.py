@@ -96,3 +96,62 @@ def read_lake_table(spark: SparkSession, lake_dir: str, table: str) -> DataFrame
     """Partition-discovering read of a lake table written by
     stream_to_lake; filters on ingest_date/ingest_hour prune files."""
     return spark.read.parquet(f"{lake_dir}/{table}")
+
+
+def stream_upsert_to_table(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    order_col: str,
+    available_now: bool = False,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """CDC-style streaming sink: each micro-batch MERGEs into the
+    parquet table at ``path`` on ``keys`` (latest row per key wins,
+    "latest" = max ``order_col`` with key order as tie-break for
+    determinism).
+
+    foreachBatch + maintenance.upsert: the batch is first reduced to
+    one row per key (upsert rejects duplicate key tuples by contract),
+    then anti-join + union + swap. Restart semantics: foreachBatch can
+    re-run a committed epoch after crash-restart, but the MERGE is
+    idempotent (same rows upsert to the same state), so the table
+    converges — the standard exactly-once-by-idempotence argument.
+    On a transactional table format this maps 1:1 to MERGE INTO.
+    """
+    from pyspark.sql import Window as W
+
+    from es_analytics_spark.maintenance import upsert
+
+    def apply_batch(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.columns:
+            return
+        w = W.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), *[F.col(k) for k in keys]
+        )
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if latest.isEmpty():
+            return
+        spark = batch.sparkSession
+        try:
+            spark.read.parquet(path).limit(0).collect()
+        except Exception:
+            latest.write.mode("overwrite").parquet(path)  # first epoch bootstraps
+            return
+        upsert(spark, path, latest, keys)
+
+    writer = (
+        df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

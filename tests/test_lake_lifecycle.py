@@ -230,3 +230,30 @@ def test_lake_ops_work_over_uri_store(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 1001
     assert {r.name for r in out.filter(F.col("id").isin(2, 1001)).collect()} == {"b2", "c"}
+
+
+def test_stream_upsert_cdc_latest_wins(spark, sf_dir, tmp_path):
+    """Streaming MERGE sink: replaying the events stream with per-user
+    upserts must leave exactly the latest event per user — equal to the
+    batch last-per-key answer."""
+    from es_analytics_spark.streaming.collector_sink import stream_upsert_to_table
+    from pyspark.sql import Window as W
+
+    path = str(tmp_path / "profiles")
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "event_type", "value")
+    q = stream_upsert_to_table(
+        ev, path, keys=["user_id"], checkpoint_dir=str(tmp_path / "ckpt"),
+        order_col="ts", available_now=True,
+    )
+    q.awaitTermination()
+
+    batch = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), "user_id")
+    expect = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+    got = spark.read.parquet(path)
+    assert got.count() == expect.count()
+    joined = got.alias("g").join(expect.alias("e"), "user_id")
+    assert joined.filter(F.col("g.ts") != F.col("e.ts")).count() == 0
