@@ -1270,3 +1270,94 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "sample_exact_k_per_group",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY MD5(CAST(doc_id AS VARCHAR) || ':s42'), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 20
+    """,
+)
+def sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum sampling: rank rows inside each group by a
+    salted hash of the id and keep the first k — unlike Bernoulli
+    sampleBy (sample_stratified) the quota is met EXACTLY, and the
+    sample is a pure function of (id, salt): reproducible across runs,
+    engines, and partitionings. One shuffle on the group key; change
+    the salt for a fresh draw."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":s42"))), "doc_id"
+    )
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "text_quality_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) END AS n_tokens
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS pr
+      FROM scored)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, ROUND(pr, 9) AS pr
+    FROM ranked WHERE pr >= 0.25
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based corpus filtering — the 'drop the bottom quartile
+    per language' step of a training-data pipeline, as a pure window
+    computation (percent_rank within language over a quality signal,
+    token count here; doc_id tie-break keeps the cut deterministic).
+    One shuffle on the stratum key; no global sort."""
+    from es_analytics_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    scored = d.select("doc_id", "lang", token_count(F.col("text")).alias("n_tokens"))
+    w = W.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    return (
+        scored.withColumn("pr", F.round(F.percent_rank().over(w), 9))
+        .filter(F.col("pr") >= 0.25)
+        .select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"), "pr")
+    )
+
+
+@query("agg_hll_mergeable", oracle=None)  # sketch estimates are engine-specific
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL):
+    per-event-type user sketches built once, then UNIONED into the
+    overall estimate — the pre-aggregation pattern that lets a 100 TB
+    rollup reuse daily sketches instead of re-scanning raw data
+    (approx_count_distinct alone is not re-aggregatable). Estimate
+    accuracy vs exact is pinned by
+    tests/test_operators.py::test_hll_sketch_accuracy."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_events",
+    ).unionByName(
+        per_type.agg(
+            F.lit("__all__").alias("event_type"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )

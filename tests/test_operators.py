@@ -327,3 +327,20 @@ def test_pack_sequences_invariants(spark, sf_dir):
     assert again == {(r.doc_id, r.pack_id) for r in rows}
     # packing actually packs: fewer packs than docs
     assert len(by_pack) < len(rows)
+
+
+def test_hll_sketch_accuracy(spark, sf_dir):
+    """Sketch estimates (per-type and the merged union) within 5% of
+    exact distinct counts; union-of-sketches equals sketch-of-union
+    semantics (re-aggregatable rollup)."""
+    from es_analytics_spark.queries import REGISTRY
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r.approx_users
+           for r in REGISTRY["agg_hll_mergeable"].fn(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {r.event_type: r.n
+             for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    for k, e in exact.items():
+        assert abs(got[k] - e) <= max(0.05 * e, 2), (k, got[k], e)
