@@ -444,12 +444,15 @@ def connected_components(
     algorithms (large-star/small-star); for diameter-heavy graphs swap
     in that doubling variant — same dataflow primitives.
     """
-    sym = edges.select(
+    # Materialize the (possibly expensive) edge pipeline ONCE before
+    # mirroring: a union of two selects over the raw `edges` would
+    # evaluate the whole upstream candidate-generation subtree twice.
+    base_edges = edges.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
-    ).union(
-        edges.select(F.col(b_col).cast("long").alias("src"), F.col(a_col).cast("long").alias("dst"))
+    ).localCheckpoint(eager=True)
+    sym = base_edges.union(
+        base_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
