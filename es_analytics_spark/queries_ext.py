@@ -1361,3 +1361,35 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("n_events"),
         )
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salting rewrite as a judged query: lineitem⋈orders with
+    the left side salted into 16 buckets and the right side replicated
+    across them, so a pathological hot orderkey spreads over 16 tasks
+    instead of one straggler — result provably identical to the plain
+    join (the oracle IS the plain join). AQE skew-split covers the
+    discovered cases at runtime; this is the explicit form for known
+    hot keys."""
+    from es_analytics_spark.operators.joins import salted_join
+
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    j = salted_join(
+        t["lineitem"].select("l_orderkey", "l_quantity"),
+        t["orders"].select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"),
+        on="l_orderkey",
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double").alias("sum_qty"),
+    )
