@@ -237,15 +237,18 @@ def ivf_topk(
     centroid_stride: int = 50,
     nprobe: int = 2,
     max_centroids: int = 256,
+    quantizer: str = "stride",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
-    Coarse quantizer: every ``centroid_stride``-th corpus vector (by id),
-    capped at ``max_centroids`` — deterministic, no training pass; a real
-    deployment would swap in k-means centroids without changing the
-    dataflow. Every corpus vector is assigned to its max-cosine centroid
-    (its *cell*); a query probes its ``nprobe`` nearest cells and pays
-    the exact dot product only against those cells' members.
+    Coarse quantizer (``quantizer``): ``"stride"`` takes every
+    ``centroid_stride``-th corpus vector (by id), capped at
+    ``max_centroids`` — deterministic, no training pass; ``"kmeans"``
+    trains ``max_centroids`` spherical k-means centroids distributively
+    (see :func:`kmeans_centroids`) for better-balanced cells on
+    clustered data. Every corpus vector is assigned to its max-cosine
+    centroid (its *cell*); a query probes its ``nprobe`` nearest cells
+    and pays the exact dot product only against those cells' members.
 
     Scale shape: the centroid pull is an orderBy+limit (TakeOrdered), so
     the driver receives at most ``max_centroids`` rows NO MATTER the
@@ -264,20 +267,24 @@ def ivf_topk(
     # double corpus must not be silently downcast to float in the rerank.
     elem_type = corpus.schema[vec_col].dataType.elementType.simpleString()
 
-    cent_rows = (
-        corpus.filter((F.col(id_col) % centroid_stride) == 0)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent"))
-        .orderBy("cent_id")
-        .limit(max_centroids)
-        .collect()
-    )
-    if not cent_rows:
-        raise ValueError(
-            f"ivf_topk: no centroids — no corpus row has {id_col} % {centroid_stride} == 0; "
-            "lower centroid_stride or use integer ids"
+    if quantizer == "kmeans":
+        cent_mat = kmeans_centroids(corpus, id_col, vec_col, k=max_centroids)
+        cent_ids = np.arange(len(cent_mat), dtype=np.int64)
+    else:
+        cent_rows = (
+            corpus.filter((F.col(id_col) % centroid_stride) == 0)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent"))
+            .orderBy("cent_id")
+            .limit(max_centroids)
+            .collect()
         )
-    cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
-    cent_mat = np.array([r["__cent"] for r in cent_rows], dtype=np.float64)
+        if not cent_rows:
+            raise ValueError(
+                f"ivf_topk: no centroids — no corpus row has {id_col} % {centroid_stride} == 0; "
+                "lower centroid_stride or use integer ids"
+            )
+        cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+        cent_mat = np.array([r["__cent"] for r in cent_rows], dtype=np.float64)
     cent_norm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
 
     def nearest_cells(df: DataFrame, out_id: str, out_vec: str, n: int) -> DataFrame:
@@ -349,3 +356,69 @@ def _fixed_planes(num_planes: int, dim: int, seed: int = 88172645463325252) -> l
             v.append(((state % 2001) - 1000) / 1000.0)
         planes.append(v)
     return planes
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 5,
+):
+    """Train spherical k-means centroids distributively; returns a
+    (k, dim) numpy matrix ready to drive IVF assignment.
+
+    - Init: the k corpus vectors with the smallest xxhash64(id) — a
+      deterministic uniform sample pulled with orderBy+limit, so the
+      driver receives exactly k rows regardless of corpus size.
+    - Each iteration: one Arrow-batched matmul pass assigns every
+      vector to its max-cosine centroid (map-only, no shuffle), then a
+      groupBy(cell) with per-dimension avg aggregates (64 map-side-
+      combined aggs) produces the new means — one shuffle carrying k
+      rows per partition at most. Empty cells keep their previous
+      centroid. Driver state is only the (k, dim) matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("kmeans_centroids: empty corpus")
+    dim = len(first[0])
+    init = (
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    cent = np.array([r["__v"] for r in init], dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    src = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    for _ in range(iters):
+        cmat = cent  # rebind for closure capture per iteration
+
+        def assign(batches, cmat=cmat):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array(list(pdf["__v"]), dtype=np.float64)
+                vn = np.maximum(np.linalg.norm(v, axis=1), 1e-12)
+                cell = np.argmax((v @ cmat.T) / vn[:, None], axis=1)
+                yield pd.DataFrame({"cell": cell.astype(np.int32), "__v": pdf["__v"]})
+
+        assigned = src.mapInPandas(assign, f"cell int, __v array<double>")
+        means = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("__v")[i]).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        new = cent.copy()
+        for r in means:
+            new[r["cell"]] = [r[f"d{i}"] for i in range(dim)]
+        norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cent = new / norms
+    return cent

@@ -1393,3 +1393,20 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_items"),
         F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double").alias("sum_qty"),
     )
+
+
+@query("sim_ivf_kmeans", oracle=None)  # approximate by design
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: spherical k-means fit
+    distributively (one matmul assignment pass + one k-row shuffle per
+    iteration, driver holds only the (k, dim) matrix), then the same
+    cell-bucketed probe as sim_ivf_topk. Deterministic init (smallest
+    xxhash64 ids) + fixed iterations → reproducible; recall pinned by
+    tests/test_operators.py::test_ivf_kmeans_quantizer_recall."""
+    from es_analytics_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.limit(10)
+    return ivf_topk(
+        e, q, "vec_id", "embedding", k=5, max_centroids=16, nprobe=4, quantizer="kmeans"
+    )

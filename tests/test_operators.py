@@ -344,3 +344,23 @@ def test_hll_sketch_accuracy(spark, sf_dir):
     exact["__all__"] = ev.select("user_id").distinct().count()
     for k, e in exact.items():
         assert abs(got[k] - e) <= max(0.05 * e, 2), (k, got[k], e)
+
+
+def test_ivf_kmeans_quantizer_recall(spark, sf_dir):
+    """k-means-trained IVF must be deterministic and reach reasonable
+    recall@5 against exact brute force on the fixture (same bound as
+    the stride quantizer test)."""
+    from es_analytics_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(10)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()}
+    kw = dict(k=5, max_centroids=16, nprobe=4, quantizer="kmeans")
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(emb, q, "vec_id", "embedding", **kw).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    again = {(r.query_id, r.neighbor_id)
+             for r in ivf_topk(emb, q, "vec_id", "embedding", **kw).collect()}
+    assert again == approx  # deterministic init + iteration count
