@@ -130,3 +130,39 @@ def upsert(
     _swap(spark, path, staging)
     out = spark.read.parquet(path)
     return {"rows": out.count(), "updated_or_inserted": n_updates}
+
+
+def cluster_by(
+    spark: SparkSession,
+    path: str,
+    cluster_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite ``path`` range-clustered on ``cluster_cols`` (the
+    OPTIMIZE ZORDER-lite for a single sort dimension set): rows are
+    range-partitioned then sorted within files, so every file covers a
+    narrow, non-overlapping slice of the cluster key and parquet
+    row-group min/max stats let scans with predicates on those columns
+    skip whole files/row groups instead of reading everything.
+
+    One repartitionByRange shuffle + in-partition sort; file sizing via
+    the same bytes-per-row estimate as compact. Swap semantics identical
+    to compact (module docstring).
+    """
+    before = table_stats(spark, path)
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    bytes_per_row = max(before["total_bytes"] / max(n_rows, 1), 1.0)
+    rows_per_file = max(int(target_file_bytes / bytes_per_row), 1)
+    n_files = max(int(n_rows / rows_per_file), 1)
+
+    staging = path.rstrip("/") + ".__cluster__"
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .parquet(staging)
+    )
+    _swap(spark, path, staging)
+    return {"before": before, "after": table_stats(spark, path), "rows": n_rows}

@@ -257,3 +257,44 @@ def test_stream_upsert_cdc_latest_wins(spark, sf_dir, tmp_path):
     assert got.count() == expect.count()
     joined = got.alias("g").join(expect.alias("e"), "user_id")
     assert joined.filter(F.col("g.ts") != F.col("e.ts")).count() == 0
+
+
+def test_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
+    """After cluster_by, parquet footer stats must show (near-)disjoint
+    per-file ranges on the cluster key — the property row-group/file
+    skipping depends on. Verified from the actual parquet metadata."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 50_000).selectExpr(
+        "cast(rand(7) * 1000000 as long) as k", "id as payload"
+    )
+    df.repartition(8).write.parquet(path)  # k scattered across all files
+
+    from es_analytics_spark.maintenance import cluster_by
+
+    report = cluster_by(spark, path, ["k"], target_file_bytes=200 * 1024)
+    assert report["rows"] == 50_000
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 3  # actually split into multiple files
+    overlaps = sum(
+        1 for (a, b) in zip(ranges, ranges[1:]) if b[0] <= a[1]
+    )
+    # range partitioning gives disjoint files (boundary duplicates aside)
+    assert overlaps <= 1, ranges
+    # content preserved
+    out = spark.read.parquet(path)
+    assert out.count() == 50_000
+    assert out.agg(F.sum("payload")).first()[0] == sum(range(50_000))
