@@ -1410,3 +1410,36 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         e, q, "vec_id", "embedding", k=5, max_centroids=16, nprobe=4, quantizer="kmeans"
     )
+
+
+@query(
+    "sim_group_centroids",
+    oracle="""
+    WITH pos AS (
+      SELECT label, embedding,
+             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i
+      FROM embeddings)
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM pos GROUP BY label, i
+    """,
+)
+def sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids) — the vector
+    aggregation behind centroid classifiers, cluster summaries, and
+    drift monitors. posexplode → groupBy(label, dim) avg: partial
+    aggregation map-side-combines per (label, dim), so the shuffle
+    carries one row per label×dim regardless of corpus size; output as
+    exploded (label, dim, value) rows, the engine-stable comparison
+    form for vector results (array-typed outputs canonicalize
+    differently per engine)."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("centroid_val"),
+            F.count("*").cast("bigint").alias("n_vectors"),
+        )
+    )
