@@ -1443,3 +1443,53 @@ def sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_vectors"),
         )
     )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+    SELECT vec_id,
+           LEN(LIST_FILTER(embedding, x -> x > 0.5)) > 0 AS any_gt_half,
+           LEN(LIST_FILTER(embedding, x -> x >= -1)) = LEN(embedding) AS all_ge_negone,
+           ROUND(LIST_SUM(LIST_TRANSFORM(
+             LIST_ZIP(embedding, LIST_REVERSE(embedding)),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 5) AS dot_reversed,
+           ROUND(CAST(LIST_MIN(LIST_TRANSFORM(embedding, x -> ABS(x))) AS DOUBLE), 6)
+             AS min_abs,
+           LIST_SORT(LIST_TRANSFORM(
+             LIST_FILTER(embedding, x -> x > 0.9), x -> ROUND(CAST(x AS DOUBLE), 4)))
+             AS top_tail
+    FROM embeddings
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function coverage beyond fn_array: exists /
+    forall predicates, zip_with (dot with reversed self), transform-
+    then-reduce min of abs, and a filter→transform→sort chain — all JVM
+    expression-tree lambdas inside whole-stage codegen; the DuckDB
+    equivalents are LIST_* compositions. The one array-typed output
+    column is rounded before comparison so both engines canonicalize
+    identically."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.exists(emb, lambda x: x > 0.5).alias("any_gt_half"),
+        F.forall(emb, lambda x: x >= -1).alias("all_ge_negone"),
+        F.round(
+            F.aggregate(
+                F.zip_with(emb, F.reverse(emb), lambda a, b: a.cast("double") * b.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            5,
+        ).alias("dot_reversed"),
+        F.round(F.array_min(F.transform(emb, lambda x: F.abs(x))).cast("double"), 6).alias(
+            "min_abs"
+        ),
+        F.sort_array(
+            F.transform(
+                F.filter(emb, lambda x: x > 0.9), lambda x: F.round(x.cast("double"), 4)
+            )
+        ).alias("top_tail"),
+    )
