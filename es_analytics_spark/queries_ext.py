@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from es_analytics_spark.functions.exact import davg_expr, dsum, dsum_expr
+from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
 from es_analytics_spark.queries import _t, query
 
 # ---------------------------------------------------------------------------
@@ -1492,4 +1492,92 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.filter(emb, lambda x: x > 0.9), lambda x: F.round(x.cast("double"), 4)
             )
         ).alias("top_tail"),
+    )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, DATE_TRUNC('hour', ts) AS h,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE)
+               / COUNT(value) AS v
+      FROM events WHERE user_id < 20 GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT user_id, UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds),
+    joined AS (
+      SELECT s.user_id, s.h, hourly.v
+      FROM spine s LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h),
+    ctx AS (
+      SELECT user_id, h, v,
+        LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM joined)
+    SELECT user_id, h,
+      -- floor-quantize, not ROUND: interpolated values land exactly on
+      -- half boundaries where the engines' ROUND implementations differ
+      FLOOR((CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN pv IS NULL THEN nv
+        WHEN nv IS NULL THEN pv
+        ELSE pv + (nv - pv) * ((EPOCH(h) - EPOCH(ph)) / (EPOCH(nh) - EPOCH(ph)))
+      END) * 1e6) / 1e6 AS v_interp,
+      (v IS NULL) AS was_gap
+    FROM ctx
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation over a per-user hourly spine — the
+    time-series repair step (sensor dropout, sparse activity) done with
+    two window passes: last non-null before (value + its hour) and
+    first non-null after, then the position-weighted blend; edges clamp
+    to the nearest present value. One shuffle on the series key; the
+    spine explode is per-user bounded. user_id < 20 keeps the judged
+    fixture slice small while exercising every code path."""
+    ev = _t(spark, sf_dir, "events")["events"].filter(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(davg("value").alias("v"))
+    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left")
+
+    back = W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    fwd = W.partitionBy("user_id").orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    marked_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    pv = F.last("v", ignorenulls=True).over(back)
+    ph = F.last(marked_h, ignorenulls=True).over(back)
+    nv = F.first("v", ignorenulls=True).over(fwd)
+    nh = F.first(marked_h, ignorenulls=True).over(fwd)
+    frac = (F.unix_timestamp("h") - F.unix_timestamp(ph)) / (
+        F.unix_timestamp(nh) - F.unix_timestamp(ph)
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    # floor-quantize (not round): both engines compute x*1e6, floor,
+    # /1e6 as the same three IEEE ops; ROUND implementations disagree
+    # exactly on the half-boundary values interpolation produces
+    return joined.select(
+        "user_id",
+        "h",
+        (F.floor(interp * 1e6) / 1e6).alias("v_interp"),
+        F.col("v").isNull().alias("was_gap"),
     )
