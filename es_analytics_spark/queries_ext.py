@@ -1581,3 +1581,59 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(interp * 1e6) / 1e6).alias("v_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@query(
+    "funnel_view_to_purchase",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    starts AS (
+      SELECT user_id, ts, next_purchase,
+             next_purchase IS NOT NULL
+               AND EPOCH(next_purchase) - EPOCH(ts) <= 3600 AS converted
+      FROM seq WHERE event_type = 'view')
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           FLOOR(AVG(CASE WHEN converted THEN 1.0 ELSE 0.0 END) * 1e6) / 1e6
+             AS conversion_rate,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM starts
+    """,
+)
+def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch funnel: for every 'view', the user's next 'purchase'
+    (strictly after, any intervening events ignored) and whether it
+    landed within the 1-hour window — the sequential-pattern query
+    behind conversion reporting, as one MIN-over-following-frame window
+    (single shuffle on user_id; no self-join, no row explosion). The
+    streaming twin is stream_stream_funnel (interval join with
+    watermark-bounded state)."""
+    ev = (
+        _t(spark, sf_dir, "events")["events"]
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "ts", "event_type")
+    )
+    w = W.partitionBy("user_id").orderBy("ts").rowsBetween(1, W.unboundedFollowing)
+    nxt = F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w)
+    starts = (
+        ev.withColumn("next_purchase", nxt)
+        .filter(F.col("event_type") == "view")
+        .withColumn(
+            "converted",
+            F.col("next_purchase").isNotNull()
+            & ((F.unix_micros("next_purchase") - F.unix_micros("ts")) <= 3600 * 1_000_000),
+        )
+    )
+    return starts.agg(
+        F.count("*").cast("bigint").alias("n_views"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).cast("bigint").alias("n_converted"),
+        (
+            F.floor(F.avg(F.when(F.col("converted"), 1.0).otherwise(0.0)) * 1e6) / 1e6
+        ).alias("conversion_rate"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
