@@ -1637,3 +1637,113 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conversion_rate"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "retention_next_day",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    joined AS (
+      SELECT d.day, d.user_id,
+             r.user_id IS NOT NULL AS retained
+      FROM daily d LEFT JOIN daily r
+        ON r.user_id = d.user_id AND r.day = d.day + INTERVAL 1 DAY)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN retained THEN 1 ELSE 0 END) AS BIGINT) AS retained_next_day,
+           FLOOR(AVG(CASE WHEN retained THEN 1.0 ELSE 0.0 END) * 1e6) / 1e6
+             AS retention_rate
+    FROM joined GROUP BY day
+    """,
+)
+def retention_next_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention per activity date: distinct (user, day) pairs
+    self-joined one day forward — the cohort-retention primitive. The
+    self-join shuffles both sides once on user_id (day rides along);
+    daily-active counts sum exactly (0/1 doubles), rate floor-quantized
+    for engine stability."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    nxt = daily.select("user_id", F.date_sub("day", 1).alias("day"), F.lit(True).alias("__r"))
+    joined = daily.join(nxt, ["user_id", "day"], "left")
+    return joined.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("active_users"),
+        F.sum(F.when(F.col("__r"), 1).otherwise(0)).cast("bigint").alias("retained_next_day"),
+        (
+            F.floor(F.avg(F.when(F.col("__r"), 1.0).otherwise(0.0)) * 1e6) / 1e6
+        ).alias("retention_rate"),
+    )
+
+
+@query(
+    "dedup_survivors",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, source,
+             STRING_SPLIT(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             LIST_DISTINCT(CASE WHEN LEN(w) >= 3
+               THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [ARRAY_TO_STRING(w, ' ')] END) AS g
+      FROM words),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM grams a JOIN grams b ON b.doc_id > a.doc_id AND a.source = b.source
+      WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(a.g || b.g)) >= 0.35),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.r FROM edges e JOIN walk w ON w.id = e.a
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM walk GROUP BY id),
+    quality AS (
+      SELECT doc_id,
+             CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+                  ELSE LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) END AS n_tokens
+      FROM documents),
+    scored AS (
+      SELECT q.doc_id, COALESCE(c.cluster_rep, q.doc_id) AS cluster_rep, q.n_tokens
+      FROM quality q LEFT JOIN comp c ON q.doc_id = c.doc_id)
+    SELECT doc_id, cluster_rep,
+           ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                              ORDER BY n_tokens DESC, doc_id) = 1 AS is_kept
+    FROM scored
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline ENDPOINT: near-dup pairs → connected-
+    component clusters → keep the HIGHEST-QUALITY doc per cluster
+    (token count, doc_id tie-break), singletons kept as their own
+    cluster — i.e. the actual keep/drop decision a corpus build
+    executes, where survivor choice is a policy (best quality), not
+    an artifact of id ordering. Costs: the pair pipeline once, the CC
+    closure, one broadcast-ish join back to all docs, one rank window
+    per cluster."""
+    from es_analytics_spark.operators.dedup import connected_components, ngram_jaccard_pairs
+    from es_analytics_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", ngram=3, block_col="source"
+    ).filter(F.col("jaccard") >= 0.35)
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
+    scored = (
+        d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster_rep", F.coalesce("cluster_rep", "doc_id"))
+    )
+    w = W.partitionBy("cluster_rep").orderBy(F.col("n_tokens").desc(), "doc_id")
+    return scored.select(
+        "doc_id",
+        "cluster_rep",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
