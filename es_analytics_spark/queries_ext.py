@@ -1747,3 +1747,115 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_rep",
         (F.row_number().over(w) == 1).alias("is_kept"),
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, source,
+             STRING_SPLIT(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             CASE WHEN LEN(w) >= 5
+               THEN LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 4),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+               ELSE [] END AS g
+      FROM norm),
+    bench AS (
+      SELECT DISTINCT UNNEST(g) AS gram FROM grams WHERE source = 'src0'),
+    hits AS (
+      SELECT t.doc_id, COUNT(DISTINCT b.gram) AS n_shared
+      FROM (SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE source <> 'src0') t
+      JOIN bench b ON t.gram = b.gram
+      GROUP BY t.doc_id)
+    SELECT g.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_grams,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+    WHERE g.source <> 'src0'
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the step that keeps eval data out of
+    training corpora: every training doc is flagged if it shares any
+    word 5-gram with the benchmark set (here the 'src0' slice stands in
+    for the eval suite). Dataflow: benchmark grams dedup to a small
+    DISTINCT membership set that BROADCASTS (eval suites are tiny vs
+    the corpus), so the corpus-side explode + join is one map-side
+    pass + a per-doc count — candidate-bounded, never doc×doc. Docs
+    shorter than one 5-gram are uncontaminated by definition (the
+    degenerate whole-text shingle is filtered by its token count)."""
+    from es_analytics_spark.operators.dedup import with_shingles
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    base = with_shingles(d, "text", 5, keep=["doc_id", "source"], out_col="g")
+    exploded = base.select("doc_id", "source", F.explode("g").alias("gram")).filter(
+        F.size(F.split(F.col("gram"), " ")) == 5
+    )
+    bench = exploded.filter(F.col("source") == "src0").select("gram").distinct()
+    hits = (
+        exploded.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )
+    return (
+        d.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared_grams"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "text_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT DISTINCT doc_id, source, UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS w
+      FROM documents),
+    df AS (
+      SELECT source, w, COUNT(*) AS doc_freq FROM words WHERE LEN(w) >= 4
+      GROUP BY source, w),
+    ranked AS (
+      SELECT source, w AS term, doc_freq,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_freq DESC, w) AS rnk
+      FROM df)
+    SELECT source, term, CAST(doc_freq AS BIGINT) AS doc_freq, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top terms by document frequency (words ≥4 chars) —
+    the vocabulary profile behind corpus curation and drift reports.
+    Distinct (doc, word) explode → df count → per-group top-k window:
+    partial counts combine map-side, the rank is one shuffle on
+    source, and nothing global is sorted."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    words = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.length("w") >= 4)
+        .distinct()
+    )
+    df_counts = words.groupBy("source", "w").agg(F.count("*").alias("doc_freq"))
+    w = W.partitionBy("source").orderBy(F.col("doc_freq").desc(), "w")
+    return (
+        df_counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
