@@ -26,12 +26,19 @@ from es_analytics_spark.collector import FlushInfo, FlushTrigger
 
 
 class FlushSignalListener(StreamingQueryListener):
-    """Adapts StreamingQueryListener progress events to the collector's
-    FlushInfo callback contract (A16 parity)."""
+    """Adapts StreamingQueryListener events to the collector's signal
+    contract (A16 parity): progress → on_flush (FlushInfo), abnormal
+    termination → on_error (reference onError, Collector.ts:147-151)."""
 
-    def __init__(self, table: str, on_flush: Callable[[FlushInfo], None]):
+    def __init__(
+        self,
+        table: str,
+        on_flush: Callable[[FlushInfo], None],
+        on_error: Callable[[Exception], None] | None = None,
+    ):
         self.table = table
         self.on_flush = on_flush
+        self.on_error = on_error
 
     def onQueryStarted(self, event):  # noqa: N802 (Spark API casing)
         pass
@@ -53,7 +60,9 @@ class FlushSignalListener(StreamingQueryListener):
         pass
 
     def onQueryTerminated(self, event):  # noqa: N802
-        pass
+        exc = getattr(event, "exception", None)
+        if exc and self.on_error is not None:
+            self.on_error(RuntimeError(f"stream {self.table} failed: {exc}"))
 
 
 def stream_to_lake(
@@ -65,14 +74,15 @@ def stream_to_lake(
     processing_time: str | None = None,
     available_now: bool = False,
     on_flush: Callable[[FlushInfo], None] | None = None,
+    on_error: Callable[[Exception], None] | None = None,
 ) -> StreamingQuery:
     """Write a streaming frame to the lake partitioned by ingest date/hour
     (the reference's YYYY/MM/DD/HH key scheme as hive partitions, which
     Spark partition-prunes on read)."""
     spark = df.sparkSession
     listener = None
-    if on_flush is not None:
-        listener = FlushSignalListener(table, on_flush)
+    if on_flush is not None or on_error is not None:
+        listener = FlushSignalListener(table, on_flush or (lambda _info: None), on_error)
         spark.streams.addListener(listener)
 
     out = df.withColumn("ingest_date", F.to_date(F.col(ts_col))).withColumn(

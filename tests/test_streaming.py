@@ -82,3 +82,36 @@ def test_rate_source_smoke(spark):
         assert [f.name for f in got.schema.fields] == ["timestamp", "value"]
     finally:
         q.stop()
+
+
+def test_stream_failure_routes_to_on_error(spark, sf_dir, tmp_path):
+    """A16 parity for the error signal: a stream that dies must emit on
+    the on_error channel (reference onError, Collector.ts:147-151)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from es_analytics_spark.streaming.collector_sink import stream_to_lake
+    from es_analytics_spark.streaming.ingest import stream_events
+
+    errors = []
+    failing = stream_events(spark, sf_dir).withColumn(
+        "boom", F.raise_error(F.lit("deliberate failure"))
+    )
+    q = stream_to_lake(
+        failing,
+        table="events",
+        lake_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        on_error=errors.append,
+    )
+    try:
+        q.awaitTermination()
+    except Exception:
+        pass  # the query itself fails; the signal is what we assert
+    for _ in range(50):  # listener events are delivered asynchronously
+        if errors:
+            break
+        time.sleep(0.2)
+    assert errors and "failed" in str(errors[0])
