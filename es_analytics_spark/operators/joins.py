@@ -100,3 +100,45 @@ def topk_per_group(df: DataFrame, keys: list[str], order: list[Column], k: int) 
         .filter(F.col("__rn") <= k)
         .withColumnRenamed("__rn", "rank_in_group")
     )
+
+
+def interval_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Pure interval join (point ∈ [start, end], NO equi key) without
+    the nested-loop blow-up: both sides map to fixed-width time
+    buckets — points to the one bucket containing them, intervals
+    exploded to every bucket they overlap — then a plain equi-join on
+    the bucket plus the exact range filter. Each qualifying pair
+    appears exactly once (the point's bucket), so no dedup pass.
+
+    Scale shape: shuffle on the bucket id replaces the BNLJ that a raw
+    theta join plans; cost is points + sum(interval_span/width) rows.
+    Pick ``bucket`` near the median interval span — too fine explodes
+    the interval side, too coarse funnels everything into few buckets
+    (time skew: salt hot buckets or AQE-split them).
+    """
+    unit_us = {
+        "1 hour": 3_600_000_000,
+        "1 day": 86_400_000_000,
+        "1 week": 7 * 86_400_000_000,
+    }[bucket]
+    def us(c: str):
+        # NTZ columns cast to TIMESTAMP first (UTC session: same wall clock)
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    p = points.withColumn("__b", F.floor(us(ts_col) / unit_us))
+    i = intervals.withColumn(
+        "__b",
+        F.explode(F.sequence(F.floor(us(start_col) / unit_us), F.floor(us(end_col) / unit_us))),
+    )
+    return (
+        p.join(i, "__b")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("__b")
+    )

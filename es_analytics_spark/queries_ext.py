@@ -1859,3 +1859,42 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@query(
+    "join_interval_bucketed",
+    oracle="""
+    WITH windows AS (
+      SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 4 HOUR AS w_end
+      FROM events WHERE event_type = 'signup' AND event_id % 97 = 0)
+    SELECT window_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM windows JOIN events ON ts >= w_start AND ts <= w_end
+    GROUP BY window_id
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join (no shared key): every event counted into
+    4-hour observation windows (anchored at sampled signups) via the
+    bucketized rewrite — hour buckets equi-join + exact range filter —
+    where a raw theta join plans a nested-loop over points×intervals.
+    Plan pinned cartesian-free by the registry sweep; the oracle is the
+    plain BETWEEN join."""
+    from es_analytics_spark.operators.joins import interval_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    windows = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("event_id") % 97 == 0))
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 4 HOUR")).alias("w_end"),
+        )
+    )
+    j = interval_join_bucketed(
+        ev.select("user_id", "ts"), windows, "ts", "w_start", "w_end", bucket="1 hour"
+    )
+    return j.groupBy("window_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
