@@ -1898,3 +1898,44 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "fn_map_higher_order",
+    oracle="""
+    SELECT event_id,
+           CAST((CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) + user_id
+                 + CAST(FLOOR(value * 100) AS BIGINT)) * 2 AS BIGINT) AS sum_doubled,
+           CAST((CASE WHEN CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END)
+              + (CASE WHEN user_id > 50 THEN 1 ELSE 0 END)
+              + (CASE WHEN FLOOR(value * 100) > 50 THEN 1 ELSE 0 END) AS INTEGER) AS n_big,
+           'k,uid,val100' AS key_list,
+           CAST((CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) + user_id
+                 + CAST(FLOOR(value * 100) AS BIGINT)) * 2 AS BIGINT) AS zip_sum
+    FROM events
+    """,
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (transform_values, map_filter,
+    map_zip_with, map_keys) over a per-event metric map — the oracle
+    computes the same answers from the flat scalars, proving the map
+    pipeline transforms values losslessly. All JVM expression lambdas
+    inside codegen."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k").cast("bigint"),
+        F.lit("uid"), F.col("user_id").cast("bigint"),
+        F.lit("val100"), F.floor(F.col("value") * 100).cast("bigint"),
+    )
+    doubled = F.transform_values(m, lambda _k, v: v * 2)
+    sum_vals = F.aggregate(F.map_values(doubled), F.lit(0).cast("bigint"), lambda a, x: a + x)
+    n_big = F.size(F.map_filter(m, lambda _k, v: v > 50))
+    zipped = F.map_zip_with(m, m, lambda _k, v1, v2: v1 + v2)
+    zip_sum = F.aggregate(F.map_values(zipped), F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return ev.select(
+        "event_id",
+        sum_vals.alias("sum_doubled"),
+        n_big.cast("int").alias("n_big"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("key_list"),
+        zip_sum.alias("zip_sum"),
+    )

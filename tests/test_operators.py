@@ -364,3 +364,34 @@ def test_ivf_kmeans_quantizer_recall(spark, sf_dir):
     again = {(r.query_id, r.neighbor_id)
              for r in ivf_topk(emb, q, "vec_id", "embedding", **kw).collect()}
     assert again == approx  # deterministic init + iteration count
+
+
+def test_interval_join_bucketed_equals_theta(spark, sf_dir):
+    """The bucketized interval join must equal the naive theta join at
+    every bucket width (width is a perf knob, never a semantics knob)."""
+    from es_analytics_spark.operators.joins import interval_join_bucketed
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    windows = (
+        ev.filter(F.col("event_id") % 211 == 0)
+        .select(
+            F.col("event_id").alias("wid"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 150 MINUTE")).alias("w_end"),
+        )
+    )
+    naive = {
+        (r.event_id, r.wid)
+        for r in ev.join(
+            windows, (F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end"))
+        ).collect()
+    }
+    for width in ("1 hour", "1 day"):
+        got = {
+            (r.event_id, r.wid)
+            for r in interval_join_bucketed(
+                ev, windows, "ts", "w_start", "w_end", bucket=width
+            ).collect()
+        }
+        assert got == naive, width
