@@ -370,9 +370,10 @@ def test_interval_join_bucketed_equals_theta(spark, sf_dir):
     """The bucketized interval join must equal the naive theta join at
     every bucket width (width is a perf knob, never a semantics knob)."""
     from es_analytics_spark.operators.joins import interval_join_bucketed
+    from es_analytics_spark.sources.lake import read_table
     from pyspark.sql import functions as F
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
     windows = (
         ev.filter(F.col("event_id") % 211 == 0)
         .select(
