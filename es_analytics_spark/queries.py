@@ -1166,7 +1166,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")["documents"]
     return ngram_jaccard_pairs(
-        d, "doc_id", "text", ngram=3, block_col="source"
+        d, "doc_id", "text", ngram=3, block_col="source", threshold=0.35
     ).filter(F.col("jaccard") >= 0.35)
 
 

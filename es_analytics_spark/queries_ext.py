@@ -1165,7 +1165,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")["documents"]
     pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", ngram=3, block_col="source"
+        d, "doc_id", "text", ngram=3, block_col="source", threshold=0.35
     ).filter(F.col("jaccard") >= 0.35)
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.select(
@@ -1731,7 +1731,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")["documents"]
     pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", ngram=3, block_col="source"
+        d, "doc_id", "text", ngram=3, block_col="source", threshold=0.35
     ).filter(F.col("jaccard") >= 0.35)
     comp = connected_components(pairs, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster_rep")
