@@ -19,6 +19,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
     # parquet reader rejects by default; read as long and convert.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # naive parquet timestamps (isAdjustedToUTC=false) would infer as
+    # TIMESTAMP_NTZ, which unix_micros and streaming watermarks reject;
+    # with a UTC session the LTZ reading is value-identical.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -39,6 +39,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer div, not double div: double rounding at ~1.7e18 ns
         # flips the last microsecond vs an engine that truncates
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Normalize any TIMESTAMP_NTZ column to session-TZ TIMESTAMP (UTC):
+    # watermarks and unix_micros require LTZ, and with a UTC session the
+    # wall-clock values are identical. Belt-and-braces for sessions where
+    # inferTimestampNTZ could not be disabled (see session.RUNTIME_CONFS).
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
