@@ -2176,5 +2176,7 @@ def fn_nan_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Registered last: TPC-H suite completion + embedding-dedup / IVF ANN.
+# Registered last: TPC-H suite completion + embedding-dedup / IVF ANN,
+# then the modern-SQL surface (LATERAL / RECURSIVE / UNPIVOT / ordered-set).
 from es_analytics_spark import queries_ext as _queries_ext  # noqa: E402,F401
+from es_analytics_spark import queries_sql2 as _queries_sql2  # noqa: E402,F401
