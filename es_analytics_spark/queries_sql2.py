@@ -17,7 +17,7 @@ aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.queries import _t, query
 
@@ -224,3 +224,219 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text relevance / fuzzy matching / profiling (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+_TFIDF_SQL = """
+    WITH tok AS (
+        SELECT doc_id, t AS term FROM (
+            SELECT doc_id,
+                   UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z]+')) AS t
+            FROM documents)
+        WHERE LENGTH(t) >= 3
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT COUNT(*) AS n FROM documents
+    ), scored AS (
+        SELECT doc_id, tf.term,
+               ROUND(tf * (LN((1.0 + n) / (1.0 + df)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term ASC) AS rn
+        FROM scored) r
+    WHERE rn <= 3
+"""
+
+
+@query("text_tfidf_topk", oracle=_TFIDF_SQL)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF (smoothed idf,
+    ``ln((1+N)/(1+df)) + 1``), ranked on the rounded score with a term
+    tie-break so the answer is deterministic across engines.
+
+    Scale: tokenize is map-side explode; tf and df are partial+final
+    hash aggregates (doc,term) and (term); the tf<->df join shuffles on
+    term (vocab-sized, zipfian but bounded); the final top-3 is a
+    window over doc_id. N arrives as a literal from a count — one
+    cheap job, no driver data transfer beyond the scalar.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("df"))) + 1.0
+    scored = tf.join(dfq, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+_FUZZY_SQL = """
+    WITH d AS (
+        SELECT doc_id, lang, source, SUBSTR(text, 1, 60) AS pre
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               LEVENSHTEIN(a.pre, b.pre) AS dist
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY dist ASC, doc_a ASC, doc_b ASC) AS rn
+        FROM pairs) r
+    WHERE rn <= 20
+"""
+
+
+@query("text_fuzzy_match", oracle=_FUZZY_SQL)
+def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: within each (lang, source) block, edit
+    distance between 60-char prefixes for every id-ordered pair; the 20
+    globally closest pairs come back. Levenshtein is integer-exact, so
+    the comparison needs no float rounding.
+
+    Scale: the self-join is equi-keyed on the block (never cartesian —
+    the plan guard test checks), so work is sum(block^2) with blocks
+    bounded by the (lang, source) partitioning a real corpus carries;
+    the global top-20 is a TakeOrdered, not a full sort. For corpora
+    where blocks grow unbounded, tighten blocks (prefix bands) exactly
+    like dedup.ngram_jaccard_pairs does.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "source", F.substring("text", 1, 60).alias("pre")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.pre"), F.col("b.pre")).alias("dist"),
+    )
+    return pairs.orderBy(F.asc("dist"), F.asc("doc_a"), F.asc("doc_b")).limit(20)
+
+
+_EWMA_SQL = """
+    WITH o AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           ROUND(SUM(b.value * POWER(0.7, a.rn - b.rn))
+                 / SUM(POWER(0.7, a.rn - b.rn)), 6) AS ewma
+    FROM o a JOIN o b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 23 AND a.rn
+    GROUP BY a.user_id, a.event_id
+"""
+
+
+@query("ts_ewma", oracle=_EWMA_SQL)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.3) of event
+    value per user over the trailing 24 events, normalized over the
+    in-frame weights. The Spark side is a single window (collect the
+    frame, weight it with JVM array lambdas); the oracle is the
+    relational equivalent — a banded self-join on row numbers.
+
+    Scale: one shuffle on user_id; the frame is ROWS-bounded (24), so
+    state per row is constant — no unbounded preceding, no self-join on
+    the engine side.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-23, 0)
+    lst = F.collect_list("value").over(frame)
+    num = F.expr(
+        "aggregate(zip_with(frame_vals, sequence(size(frame_vals) - 1, 0, -1),"
+        " (x, k) -> x * power(0.7, k)), 0D, (a, v) -> a + v)"
+    )
+    den = F.expr(
+        "aggregate(transform(sequence(size(frame_vals) - 1, 0, -1),"
+        " k -> power(0.7, k)), 0D, (a, v) -> a + v)"
+    )
+    return (
+        ev.select("user_id", "event_id", lst.alias("frame_vals"))
+        .select("user_id", "event_id", F.round(num / den, 6).alias("ewma"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling (ANALYZE-style column summary)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_val,
+           CAST(MAX({c}) AS VARCHAR) AS max_val
+    FROM orders
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@query("agg_profile_columns", oracle=_PROFILE_SQL)
+def agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style profile of every orders column: null count,
+    distinct count, min/max rendered as strings. Column list is shared
+    with the oracle (both sides are generated from _PROFILE_COLS), so
+    the surfaces cannot drift.
+
+    Scale: one pass per metric family — Spark computes all six columns'
+    aggregates in a single job (one scan, partial+final agg, grouped by
+    nothing), then unions the six single-row frames; the exact
+    COUNT(DISTINCT) is the only shuffle-bearing piece and AQE handles
+    its expand. For >billions of distincts swap in approx_count_distinct
+    (agg_approx_distinct is the sketch-path twin).
+    """
+    o = _t(spark, sf_dir, "orders")["orders"]
+    frames = []
+    for c in _PROFILE_COLS:
+        frames.append(
+            o.agg(
+                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("n_nulls"),
+                F.count_distinct(F.col(c)).cast("bigint").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_val"),
+                F.max(c).cast("string").alias("max_val"),
+            ).select(F.lit(c).alias("col_name"), "*")
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
