@@ -1,0 +1,52 @@
+"""Z-order (Morton) curve expression, generated as portable SQL text.
+
+The same generated expression string parses in Spark SQL and in the
+DuckDB oracle (both use C-style ``>> << & |`` with identical
+precedence once fully parenthesized), so an engine query and its
+correctness oracle can share one source of truth for the bit
+interleave.
+
+Why z-order: range-clustering on a single key (maintenance.cluster_by)
+gives perfect skipping on that key and none on others; interleaving
+the bits of several normalized keys gives every file a small bounding
+box in ALL cluster dimensions, so parquet min/max footer stats prune
+multi-dimensional box predicates. This is the OPTIMIZE ZORDER BY of
+Delta/Iceberg re-expressed as plain column arithmetic + one
+repartitionByRange — no table-format dependency.
+"""
+
+from __future__ import annotations
+
+
+def interleave_expr(cols: list[str], bits: int = 16) -> str:
+    """SQL expression interleaving the low ``bits`` bits of each input
+    expression (round-robin, col0 owns bit positions 0, k, 2k, ...).
+    Inputs must already be non-negative integers < 2**bits; see
+    :func:`normalize_expr` for mapping raw values into that domain.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("z-order needs at least two columns")
+    terms = [
+        f"((({c}) >> {i}) & 1) << {i * k + j}"
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return "(" + " | ".join(f"({t})" for t in terms) + ")"
+
+
+def normalize_expr(col: str, lo: float, hi: float, bits: int = 16) -> str:
+    """SQL expression mapping a numeric column into [0, 2**bits) by
+    linear scaling over the [lo, hi] stats range, clamped at the ends
+    (values at ``hi`` land in the top cell, out-of-range values clamp
+    rather than wrap so late-arriving outliers cannot corrupt the
+    curve).
+    """
+    cells = (1 << bits) - 1
+    span = hi - lo
+    if span <= 0:
+        return "CAST(0 AS BIGINT)"
+    return (
+        f"CAST(LEAST({cells}, GREATEST(0, "
+        f"FLOOR((({col}) - {lo!r}) * {cells!r} / {span!r}))) AS BIGINT)"
+    )

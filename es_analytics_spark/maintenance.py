@@ -166,3 +166,59 @@ def cluster_by(
     )
     _swap(spark, path, staging)
     return {"before": before, "after": table_stats(spark, path), "rows": n_rows}
+
+
+def zorder_by(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite ``path`` clustered on the z-order (Morton) curve of
+    ``zorder_cols`` — multi-dimensional OPTIMIZE ZORDER without a
+    table-format dependency. Each column is linearly normalized into
+    [0, 2**bits) using its min/max (one stats pass), the bit
+    interleave (functions.zorder) produces the curve position, and a
+    repartitionByRange + in-partition sort on that position gives every
+    output file a small bounding box in EVERY cluster dimension, so
+    parquet footer min/max stats prune box predicates on any of them.
+
+    Contrast cluster_by: perfect pruning on one leading key, none on
+    the rest. Swap semantics identical to compact (module docstring).
+    Two jobs (stats, rewrite) + the one range shuffle — same cost
+    shape as cluster_by at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    from es_analytics_spark.functions.zorder import interleave_expr, normalize_expr
+
+    before = table_stats(spark, path)
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(zorder_cols)],
+        *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(zorder_cols)],
+    ).first()
+    cells = [
+        normalize_expr(f"CAST({c} AS DOUBLE)", stats[f"lo_{i}"], stats[f"hi_{i}"], bits)
+        for i, c in enumerate(zorder_cols)
+    ]
+    z = interleave_expr(cells, bits)
+
+    bytes_per_row = max(before["total_bytes"] / max(n_rows, 1), 1.0)
+    rows_per_file = max(int(target_file_bytes / bytes_per_row), 1)
+    n_files = max(int(n_rows / rows_per_file), 1)
+
+    staging = path.rstrip("/") + ".__zorder__"
+    (
+        df.withColumn("__z", F.expr(z))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .parquet(staging)
+    )
+    _swap(spark, path, staging)
+    return {"before": before, "after": table_stats(spark, path), "rows": n_rows}

@@ -440,3 +440,40 @@ def agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fdf in frames[1:]:
         out = out.unionByName(fdf)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Z-order curve profile (multi-dim clustering key)
+# ---------------------------------------------------------------------------
+
+from es_analytics_spark.functions.zorder import interleave_expr as _interleave  # noqa: E402
+
+_ZX = "(o_custkey & 65535)"
+_ZY = "LEAST(65535, GREATEST(0, CAST(FLOOR(o_totalprice / 10) AS BIGINT)))"
+_ZORDER_SQL = f"""
+    SELECT CAST({_interleave([_ZX, _ZY])} >> 22 AS BIGINT) AS z_bucket,
+           COUNT(*) AS n,
+           CAST(MIN({_ZX}) AS BIGINT) AS min_cust,
+           CAST(MAX({_ZX}) AS BIGINT) AS max_cust,
+           CAST(MIN({_ZY}) AS BIGINT) AS min_price_cell,
+           CAST(MAX({_ZY}) AS BIGINT) AS max_price_cell
+    FROM orders
+    GROUP BY 1
+"""
+
+
+@query("sort_zorder_cluster", oracle=_ZORDER_SQL)
+def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve positions over (custkey, price cell),
+    profiled per curve bucket: within one z-bucket BOTH dimensions stay
+    inside a narrow band — the property that makes the curve a
+    multi-dimensional clustering key (maintenance.zorder_by is the
+    rewrite that exploits it; this query exposes the curve itself as a
+    queryable surface). Spark and oracle share the generated interleave
+    expression text, so the bit math cannot drift.
+
+    Scale: the z-value is a pure map-side integer expression inside
+    codegen; the profile is a partial+final hash agg on ~1024 buckets.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_ZORDER_SQL)

@@ -298,3 +298,51 @@ def test_cluster_by_produces_disjoint_file_ranges(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 50_000
     assert out.agg(F.sum("payload")).first()[0] == sum(range(50_000))
+
+
+def test_zorder_by_bounds_every_dimension(spark, tmp_path):
+    """After zorder_by on two independent uniform dims, every file's
+    bounding box must be small in BOTH dims (the multi-dim skipping
+    property). A single-key cluster_by would leave the second dim at
+    full span in every file — the assertion separates the two."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 60_000).selectExpr(
+        "cast(rand(11) * 65536 as long) as x",
+        "cast(rand(13) * 65536 as long) as y",
+        "id as payload",
+    )
+    df.repartition(8).write.parquet(path)
+
+    from es_analytics_spark.maintenance import zorder_by
+
+    report = zorder_by(spark, path, ["x", "y"], target_file_bytes=40 * 1024)
+    assert report["rows"] == 60_000
+
+    full = 65536.0
+    boxes = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        span = {}
+        for ci in range(md.num_row_groups and md.row_group(0).num_columns):
+            name = md.row_group(0).column(ci).path_in_schema
+            if name not in ("x", "y"):
+                continue
+            mins = [md.row_group(rg).column(ci).statistics.min for rg in range(md.num_row_groups)]
+            maxs = [md.row_group(rg).column(ci).statistics.max for rg in range(md.num_row_groups)]
+            span[name] = (max(maxs) - min(mins)) / full
+        boxes.append((span["x"], span["y"]))
+    assert len(boxes) >= 8
+    # every file covers a fraction of both dims; a linear sort would
+    # pin one dim near 1.0 in every file (fraction-small ~0, avg area
+    # ~span_x). Robust to the occasional boundary-straddling file.
+    avg_area = sum(sx * sy for sx, sy in boxes) / len(boxes)
+    assert avg_area < 0.2, boxes
+    small = sum(1 for sx, sy in boxes if max(sx, sy) <= 0.5)
+    assert small / len(boxes) >= 0.6, boxes
+    out = spark.read.parquet(path)
+    assert out.count() == 60_000
+    assert out.agg(F.sum("payload")).first()[0] == sum(range(60_000))
