@@ -422,3 +422,206 @@ def kmeans_centroids(
         norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
         cent = new / norms
     return cent
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 4,
+):
+    """Train product-quantization codebooks: the vector is split into
+    ``m`` contiguous sub-vectors and each subspace gets its own
+    ``ksub``-centroid L2 k-means codebook. Returns a (m, ksub, dim/m)
+    numpy array.
+
+    All m subspaces train in ONE distributed loop: every vector
+    explodes into m (subspace, subvec) rows JVM-side, a single
+    Arrow-batched pass assigns each row to its nearest centroid within
+    its own subspace, and one groupBy(subspace, cell) with per-dim avg
+    aggregates produces all m codebooks' new means — m*ksub tiny rows
+    per iteration reach the driver, never the data.
+
+    Init is deterministic: the ``ksub`` corpus vectors with the
+    smallest xxhash64(id) seed every subspace's codebook (TakeOrdered —
+    driver receives ksub rows regardless of corpus size).
+    """
+    import numpy as np
+    import pandas as pd
+
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_train_codebooks: empty corpus")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    init = (
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.xxhash64(F.col(id_col)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(ksub)
+        .collect()
+    )
+    seed = np.array([r["__v"] for r in init], dtype=np.float64)  # (ksub, dim)
+    books = np.stack([seed[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+    sub_rows = corpus.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), j -> "
+                f"struct(j AS sub, slice(CAST({vec_col} AS array<double>), "
+                f"j * {dsub} + 1, {dsub}) AS sv))"
+            )
+        ).alias("e")
+    ).select(F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+
+    for _ in range(iters):
+        bk = books  # rebind for closure capture
+
+        def assign(batches, bk=bk):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                sub = pdf["sub"].to_numpy()
+                sv = np.array(list(pdf["sv"]), dtype=np.float64)  # (n, dsub)
+                cell = np.empty(len(sv), dtype=np.int32)
+                for j in np.unique(sub):
+                    mask = sub == j
+                    d = ((sv[mask, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
+                    cell[mask] = np.argmin(d, axis=1)
+                yield pd.DataFrame({"sub": sub, "cell": cell, "sv": pdf["sv"]})
+
+        assigned = sub_rows.mapInPandas(assign, "sub int, cell int, sv array<double>")
+        means = (
+            assigned.groupBy("sub", "cell")
+            .agg(*[F.avg(F.col("sv")[i]).alias(f"d{i}") for i in range(dsub)])
+            .collect()
+        )
+        new = books.copy()
+        for r in means:
+            new[r["sub"], r["cell"]] = [r[f"d{i}"] for i in range(dsub)]
+        books = new
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 4,
+    oversample: int = 8,
+) -> DataFrame:
+    """Approximate top-k by cosine via product quantization with exact
+    rerank (IVF-PQ's compression half, the standard ANN pairing with
+    sim_ivf_topk's cell-probing half).
+
+    Corpus vectors compress to ``m`` codebook indices (here m bytes —
+    a 64-dim float vector becomes 8 codes, a 32x memory cut at 100 TB);
+    each query builds an (m, ksub) look-up table of sub-vector dot
+    products, approximate inner product is m table lookups per corpus
+    row (asymmetric distance computation), the per-query top
+    ``k * oversample`` candidates by approximate score are exact-
+    reranked by true cosine.
+
+    Scale shape: encoding and ADC scoring are map-only Arrow passes —
+    the shuffle-bearing steps are the k-means training aggregates
+    (m*ksub rows each) and the final per-query top-k windows over
+    candidate sets (bounded by queries * k * oversample). The LUT ships
+    with the task closure (queries are small by contract — same
+    contract as cosine_topk's broadcast side).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    books = pq_train_codebooks(corpus, id_col, vec_col, m=m, ksub=ksub, iters=iters)
+    dsub = books.shape[2]
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("pq_topk: empty query set")
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in q_rows], dtype=np.float64)  # (nq, dim)
+    # (nq, m, ksub) LUT of sub-dot-products: approx IP = sum_j LUT[q,j,code_j]
+    lut = np.einsum(
+        "qjd,jkd->qjk",
+        qmat.reshape(len(qmat), m, dsub),
+        books,
+    )
+
+    def adc_score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf["__v"]), dtype=np.float64)  # (n, dim)
+            # encode: nearest codebook entry per subspace
+            codes = np.empty((len(v), m), dtype=np.int64)
+            sv = v.reshape(len(v), m, dsub)
+            for j in range(m):
+                d = ((sv[:, j, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d, axis=1)
+            # ADC: gather per-query approximations for all rows at once
+            approx = lut[:, np.arange(m)[None, :], codes].sum(axis=2)  # (nq, n)
+            n = len(v)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, n),
+                    "cand_id": np.tile(pdf["__id"].to_numpy(), len(qids)),
+                    "approx_ip": approx.reshape(-1),
+                }
+            )
+
+    src = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    scored = src.mapInPandas(adc_score, "qid long, cand_id long, approx_ip double")
+    w = W.partitionBy("qid").orderBy(F.desc("approx_ip"), F.asc("cand_id"))
+    cands = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k * oversample)
+        .drop("__rn")
+    )
+
+    # exact rerank: join candidates back to true vectors, one broadcast
+    # of the (small) query matrix inside the scoring lambda
+    qdf = cands.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in qmat[j]]) for j, i in enumerate(qids)],
+        f"qid long, qv array<double>",
+    )
+    joined = (
+        cands.join(src, cands["cand_id"] == src["__id"])
+        .join(F.broadcast(qdf), "qid")
+        .select("qid", "cand_id", "qv", F.col("__v").alias("cv"))
+    )
+    ip = F.expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+    qn = F.expr("sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))")
+    cn = F.expr("sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))")
+    exact = joined.select(
+        "qid",
+        "cand_id",
+        F.round(ip / (qn * cn), 6).alias("cosine"),
+    )
+    w2 = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cand_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

@@ -477,3 +477,22 @@ def sort_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "orders")
     return spark.sql(_ZORDER_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (approximate by design -> rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@query("sim_pq_topk", oracle=None)  # approximate by design (recall < 1)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: 64-dim embeddings quantize to 8 one-byte
+    codes (8x8-dim codebooks, L2 k-means trained in one distributed
+    loop), queries score via asymmetric-distance LUT lookups and
+    exact-rerank the top candidates. Recall vs brute force pinned by
+    tests/test_operators.py::test_pq_topk_recall."""
+    from es_analytics_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    return pq_topk(e, q, "vec_id", "embedding", k=5, m=8, ksub=16, oversample=8)

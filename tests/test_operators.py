@@ -396,3 +396,24 @@ def test_interval_join_bucketed_equals_theta(spark, sf_dir):
             ).collect()
         }
         assert got == naive, width
+
+
+def test_pq_topk_recall(spark, sf_dir):
+    """PQ+rerank recall@5 vs exact top-5: ADC candidate generation at
+    8x oversample with exact rerank must beat the same bar as the
+    other ANN paths (bucketed LSH, IVF)."""
+    from es_analytics_spark.operators.similarity import cosine_topk, pq_topk
+    from es_analytics_spark.sources.lake import load_tables
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(e, q, "vec_id", "embedding", k=5)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = pq_topk(e, q, "vec_id", "embedding", k=5, m=8, ksub=16, oversample=8)
+    hit = 0
+    for r in approx.collect():
+        if r.neighbor_id in exact_sets.get(r.query_id, set()):
+            hit += 1
+    assert hit / (5 * len(exact_sets)) > 0.3, f"recall@5 too low: {hit}/{5 * len(exact_sets)}"
