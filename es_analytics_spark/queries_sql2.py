@@ -496,3 +496,187 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
     return pq_topk(e, q, "vec_id", "embedding", k=5, m=8, ksub=16, oversample=8)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch + feature hashing (portable char-fold hash both engines)
+# ---------------------------------------------------------------------------
+
+# Shared constants: charfold polynomial modulus, sketch width, and the
+# (a, b) params of the three pairwise-independent rows. Both the Spark
+# implementation and the DuckDB oracle are generated from these, so the
+# sketch arithmetic cannot drift between the surfaces.
+_CM_P = 1000003
+_CM_W = 512
+_CM_ROWS = [(9973, 1), (8191, 17), (4099, 29)]
+
+_CM_SQL = f"""
+    WITH tok AS (
+        SELECT t AS term FROM (
+            SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z]+')) AS t
+            FROM documents)
+        WHERE LENGTH(t) >= 3
+    ), coded AS (
+        SELECT term,
+               LIST_REDUCE(LIST_TRANSFORM(STRING_SPLIT(term, ''),
+                                          c -> CAST(ASCII(c) AS BIGINT)),
+                           (a, b) -> (a * 31 + b) % {_CM_P}) AS code
+        FROM tok
+    ), sketch AS (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS row_i, ((code * {a} + {b}) % {_CM_P}) % {_CM_W} AS bucket,"
+            f" COUNT(*) AS n FROM coded GROUP BY 2"
+            for i, (a, b) in enumerate(_CM_ROWS))}
+    ), top AS (
+        SELECT term, code, COUNT(*) AS true_n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term ASC) AS rn
+        FROM coded GROUP BY term, code
+    )
+    SELECT term, true_n, MIN(n) AS cm_est
+    FROM (SELECT * FROM top WHERE rn <= 20) t
+    JOIN sketch s
+      ON s.bucket = ((t.code * CASE s.row_i {" ".join(
+            f"WHEN {i} THEN {a}" for i, (a, _) in enumerate(_CM_ROWS))} END
+                      + CASE s.row_i {" ".join(
+            f"WHEN {i} THEN {b}" for i, (_, b) in enumerate(_CM_ROWS))} END)
+                     % {_CM_P}) % {_CM_W}
+    GROUP BY term, true_n
+"""
+
+
+@query("agg_count_min", oracle=_CM_SQL)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch, oracle-checked end to end: three hash rows x
+    512 buckets built over the document token stream with a portable
+    char-fold polynomial hash (identical arithmetic in Spark and
+    DuckDB — no engine-specific hash function), then the 20 most
+    frequent terms' true counts sit next to their sketch estimates
+    (est >= true always; equality when no collision).
+
+    Scale: the sketch is 3 aggregates of <=512 groups each — fully
+    map-side combined, mergeable across partitions/streams by
+    construction (same property agg_hll_mergeable pins for distinct
+    counts); the true-count top-20 is the only vocabulary-sized
+    aggregate.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tok = d.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.length("term") >= 3)
+    code = F.expr(
+        f"aggregate(transform(split(term, ''), c -> cast(ascii(c) as bigint)),"
+        f" cast(0 as bigint), (a, b) -> (a * 31 + b) % {_CM_P})"
+    )
+    coded = tok.select("term", code.alias("code"))
+
+    def buckets(col):
+        return F.array(
+            *[((col * a + b) % _CM_P) % _CM_W for (a, b) in _CM_ROWS]
+        )
+
+    # one explode -> ONE (row_i, bucket) aggregate builds all 3 sketch
+    # rows in a single shuffle (instead of a union of per-row aggs that
+    # would re-evaluate the token pipeline per row)
+    sketch = (
+        coded.select(F.posexplode(buckets(F.col("code"))).alias("row_i", "bucket"))
+        .groupBy("row_i", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+    top = (
+        coded.groupBy("term", "code")
+        .agg(F.count("*").alias("true_n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.desc("true_n"), F.asc("term"))),
+        )
+        .filter(F.col("rn") <= 20)
+    )
+    probes = top.select(
+        "term",
+        "true_n",
+        F.posexplode(buckets(F.col("code"))).alias("row_i", "bucket"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["row_i", "bucket"])
+        .groupBy("term", "true_n")
+        .agg(F.min("n").alias("cm_est"))
+    )
+
+
+_FEATHASH_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, t AS term FROM (
+            SELECT doc_id,
+                   UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z]+')) AS t
+            FROM documents)
+        WHERE LENGTH(t) >= 3
+    ), coded AS (
+        SELECT doc_id,
+               LIST_REDUCE(LIST_TRANSFORM(STRING_SPLIT(term, ''),
+                                          c -> CAST(ASCII(c) AS BIGINT)),
+                           (a, b) -> (a * 31 + b) % {_CM_P}) % 64 AS idx
+        FROM tok
+    ), cnt AS (
+        SELECT doc_id, idx, COUNT(*) AS n FROM coded GROUP BY doc_id, idx
+    ), spine AS (
+        SELECT d.doc_id, s.i FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i) s
+    )
+    SELECT spine.doc_id,
+           LIST(CAST(COALESCE(cnt.n, 0) AS BIGINT) ORDER BY spine.i) AS features
+    FROM spine LEFT JOIN cnt ON spine.doc_id = cnt.doc_id AND spine.i = cnt.idx
+    GROUP BY spine.doc_id
+"""
+
+
+@query("ml_feature_hashing", oracle=_FEATHASH_SQL)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: every document becomes a dense
+    64-bin term-count vector, bins assigned by the same portable
+    char-fold hash the count-min sketch uses — so the oracle verifies
+    the exact vectors, not just shapes (most feature-hashing impls are
+    unauditable across engines because they bake in murmur3).
+
+    Scale: tokenize+hash is map-side; one (doc, idx) count aggregate
+    shuffles on doc_id; the dense vector assembles JVM-side from a
+    map_from_entries + transform(sequence) — no per-doc spine join (the
+    oracle's LEFT JOIN spine is the relational spelling of the same
+    gap fill).
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.length("term") >= 3)
+    idx = F.expr(
+        f"aggregate(transform(split(term, ''), c -> cast(ascii(c) as bigint)),"
+        f" cast(0 as bigint), (a, b) -> (a * 31 + b) % {_CM_P}) % 64"
+    )
+    cnt = (
+        tok.select("doc_id", idx.alias("idx"))
+        .groupBy("doc_id", "idx")
+        .agg(F.count("*").alias("n"))
+    )
+    vec = (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("idx", "n"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 63), i -> coalesce(m[cast(i as bigint)], cast(0 as bigint)))"
+            ).alias("features"),
+        )
+    )
+    # docs whose every token hashed away (none at these fixtures) still
+    # need a zero vector: right-join back to the doc list
+    all_docs = d.select("doc_id").distinct()
+    zero = F.expr("transform(sequence(0, 63), i -> cast(0 as bigint))")
+    return (
+        vec.join(all_docs, "doc_id", "right")
+        .select("doc_id", F.coalesce("features", zero).alias("features"))
+    )
