@@ -54,6 +54,10 @@ HEADLINE = [
     "text_winnow_shared",
     "mm_extract_features",
     "stream_windowed_counts",
+    # r2 batch 2: new SQL-surface / sketch / clustering shapes
+    "text_tfidf_topk",
+    "sort_zorder_cluster",
+    "agg_count_min",
 ]
 
 
