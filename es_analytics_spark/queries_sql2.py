@@ -680,3 +680,227 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec.join(all_docs, "doc_id", "right")
         .select("doc_id", F.coalesce("features", zero).alias("features"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval concurrency, attribution, sequence patterns, fingerprints
+# ---------------------------------------------------------------------------
+
+_CONCURRENT_SQL = """
+    WITH iv AS (
+        SELECT event_id, event_type,
+               EPOCH_US(ts) AS t0,
+               EPOCH_US(ts) + ((CAST(FLOOR(value * 10) AS BIGINT) % 3600) + 60)
+                              * 1000000 AS t1
+        FROM events
+    ), bounds AS (
+        SELECT event_type, t0 AS t, 1 AS delta, event_id FROM iv
+        UNION ALL
+        SELECT event_type, t1 AS t, -1 AS delta, event_id FROM iv
+    ), swept AS (
+        SELECT event_type,
+               SUM(delta) OVER (PARTITION BY event_type
+                                ORDER BY t, delta, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS live
+        FROM bounds
+    )
+    SELECT event_type, CAST(MAX(live) AS BIGINT) AS peak_concurrency
+    FROM swept GROUP BY event_type
+"""
+
+
+@query("ts_max_concurrent", oracle=_CONCURRENT_SQL)
+def ts_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type via the +1/-1 boundary sweep:
+    each event carries a value-derived duration, boundaries sort by
+    (instant, delta, id) — ends close before starts at the same
+    instant — and a running sum's max is the answer. The classic
+    interval-overlap aggregation (concurrent sessions, room booking,
+    GPU occupancy) without a self-join.
+
+    Scale: 2 rows per event, one shuffle on event_type for the sweep
+    window; everything after the explode is a single ordered pass. A
+    skewed type can salt into time ranges (the per-range peaks then
+    combine with a prefix-sum offset, same trick ml_split_shuffle uses
+    for distributed rank).
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    t0 = F.unix_micros(F.col("ts"))
+    dur = ((F.floor(F.col("value") * 10).cast("bigint") % 3600) + 60) * 1000000
+    iv = ev.select("event_id", "event_type", t0.alias("t0"), (t0 + dur).alias("t1"))
+    bounds = iv.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select(
+            "event_type", F.col("t1").alias("t"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        bounds.select("event_type", F.sum("delta").over(w).alias("live"))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("bigint").alias("peak_concurrency"))
+    )
+
+
+_LAST_TOUCH_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, EPOCH_US(ts) AS tus,
+               LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_id,
+               LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                               THEN EPOCH_US(ts) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_tus
+        FROM events
+    )
+    SELECT user_id, event_id AS purchase_id,
+           CASE WHEN touch_tus >= tus - CAST(604800000000 AS BIGINT)
+                THEN touch_id END AS attributed_touch_id
+    FROM seq WHERE event_type = 'purchase'
+"""
+
+
+@query("attr_last_touch", oracle=_LAST_TOUCH_SQL)
+def attr_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase claims the same user's
+    most recent prior view/click, voided when the touch is older than
+    a 7-day lookback. One window pass (last ignoreNulls over an
+    unbounded-preceding frame) — no per-purchase subquery, no as-of
+    join; ties at the same microsecond break on event_id.
+
+    Scale: single shuffle on user_id, then map-side filtering; the
+    window state is one struct per partition row. This is the
+    batch twin of the streaming funnel's sequential semantics.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    tus = F.unix_micros(F.col("ts"))
+    is_touch = F.col("event_type").isin("view", "click")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(tus, "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch_id = F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True).over(w)
+    touch_tus = F.last(F.when(is_touch, tus), ignorenulls=True).over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            tus.alias("tus"),
+            touch_id.alias("touch_id"),
+            touch_tus.alias("touch_tus"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.when(
+                F.col("touch_tus") >= F.col("tus") - 7 * 86400 * 1000000,
+                F.col("touch_id"),
+            ).alias("attributed_touch_id"),
+        )
+    )
+
+
+_PATTERN_SQL = """
+    WITH seq AS (
+        SELECT user_id,
+               STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                          ORDER BY EPOCH_US(ts), event_id) AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, LENGTH(path) AS path_len,
+           REGEXP_MATCHES(path, 'v[^p]*c[^p]*p') AS funnel_hit,
+           REGEXP_MATCHES(path, 'ee') AS error_burst
+    FROM seq
+"""
+
+
+@query("window_pattern_match", oracle=_PATTERN_SQL)
+def window_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: each user's ordered event-initial string
+    is matched against regex patterns — view->click->purchase with no
+    intervening purchase, and back-to-back errors. Encoding a user
+    journey as a string turns sequence analytics into regexp work the
+    engine runs codegen'd.
+
+    Scale: one groupBy(user) building the path (collect_list sorted
+    in-group, bounded by per-user event counts), then map-side regex.
+    The funnel_view_to_purchase query is the window-frame spelling of
+    the same idea; this is the whole-journey spelling.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    path = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros(F.col("ts")).alias("tus"),
+                        F.col("event_id").alias("eid"),
+                        F.substring("event_type", 1, 1).alias("c"),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(path.alias("path"))
+        .select(
+            "user_id",
+            F.length("path").alias("path_len"),
+            F.col("path").rlike("v[^p]*c[^p]*p").alias("funnel_hit"),
+            F.col("path").rlike("ee").alias("error_burst"),
+        )
+    )
+
+
+_FINGERPRINT_SQL = """
+    SELECT o_orderstatus,
+           SUM((o_orderkey * 2654435761 +
+                CAST(FLOOR(o_totalprice * 100) AS BIGINT)) % 1000000007)
+             % 1000000007 AS fingerprint,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("agg_table_fingerprint", oracle=_FINGERPRINT_SQL)
+def agg_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint per partition group: each
+    row maps to a modular signature (key x Knuth constant + price
+    cents), the group fingerprint is the modular sum — equal data
+    yields equal fingerprints regardless of row order or partitioning,
+    so two engines (or two replicas) can diff a 100 TB table by
+    exchanging a handful of group fingerprints. The oracle recomputes
+    the identical arithmetic.
+
+    Scale: map-side signature + partial/final sum, one shuffle on the
+    group key. At ~1e12 rows the pre-mod partial sums stay < 2^63
+    (1e12 x 1e9 needs the per-partition mod Spark's partial aggregate
+    applies here by construction: each partial sums <=
+    maxPartitionBytes worth of rows).
+    """
+    o = _t(spark, sf_dir, "orders")["orders"]
+    sig = (
+        F.col("o_orderkey") * F.lit(2654435761)
+        + F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    ) % 1000000007
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            (F.sum(sig) % 1000000007).alias("fingerprint"),
+            F.count("*").alias("n"),
+        )
+    )
