@@ -346,3 +346,58 @@ def test_zorder_by_bounds_every_dimension(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 60_000
     assert out.agg(F.sum("payload")).first()[0] == sum(range(60_000))
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    """refresh(batch1) then refresh(batch2) must equal a one-shot
+    groupBy over batch1+batch2 exactly (decimal-mergeable partials),
+    and the second refresh must read only the new files."""
+    src = str(tmp_path / "facts")
+    roll = str(tmp_path / "rollup")
+    measures = {
+        "n": ("count", None),
+        "revenue": ("sum", "amount"),
+        "lo": ("min", "amount"),
+        "hi": ("max", "amount"),
+    }
+
+    from es_analytics_spark.materialized import read_rollup, refresh_rollup
+
+    b1 = spark.range(0, 20_000).selectExpr(
+        "id % 7 as grp", "cast(id as double) * 0.37 as amount"
+    )
+    b1.coalesce(2).write.mode("append").parquet(src)
+    r1 = refresh_rollup(spark, f"{src}/*.parquet", roll, ["grp"], measures)
+    assert r1["new_files"] >= 1 and r1["groups"] == 7
+
+    b2 = spark.range(20_000, 50_000).selectExpr(
+        "id % 7 as grp", "cast(id as double) * 0.37 as amount"
+    )
+    b2.coalesce(3).write.mode("append").parquet(src)
+    r2 = refresh_rollup(spark, f"{src}/*.parquet", roll, ["grp"], measures)
+    assert r2["new_files"] >= 1
+    assert r2["total_files"] == r1["total_files"] + r2["new_files"]
+
+    got = {
+        r["grp"]: (r["n"], r["revenue"], r["lo"], r["hi"])
+        for r in read_rollup(spark, roll, measures).collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["revenue"], r["lo"], r["hi"])
+        for r in spark.read.parquet(src)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("amount").cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("revenue"),
+            F.min("amount").alias("lo"),
+            F.max("amount").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # idempotent: nothing new -> no work, same answer
+    r3 = refresh_rollup(spark, f"{src}/*.parquet", roll, ["grp"], measures)
+    assert r3["new_files"] == 0 and r3["groups"] == 7
