@@ -96,7 +96,7 @@ class CollectorConfig:
     batch_record_limit: int = 200_000  # Collector.ts:178
     batch_age_limit_ms: int = 3_600_000  # Collector.ts:179
     batch_zip: bool = True  # Collector.ts:177
-    sink_format: str = "parquet"  # "parquet" | "csv" (typed-header compat)
+    sink_format: str = "parquet"  # "parquet" | "orc" | "csv" (typed compat)
     # type overrides keyed by SCHEMA table name, so one entry covers all
     # concretizations of a wildcard table (Collector.ts:43-46,291-306)
     column_types: dict[str, dict[str, DataType]] = field(default_factory=dict)
@@ -317,7 +317,9 @@ class Collector:
                 df = self.spark.createDataFrame(
                     [tuple(r.values()) for r in batch.rows], schema
                 )
-            df.write.mode("overwrite").parquet(fsio.join(self.config.lake_dir, key))
+            df.write.mode("overwrite").format(self.config.sink_format).save(
+                fsio.join(self.config.lake_dir, key)
+            )
         return key
 
     def _store_csv(self, batch: _Batch, path: str) -> None:
@@ -365,4 +367,8 @@ class Collector:
             from es_analytics_spark.sources.typed_csv import read_typed_csv
 
             return read_typed_csv(self.spark, path + "/*.csv*")
-        return self.spark.read.option("mergeSchema", True).parquet(path + "/*")
+        return (
+            self.spark.read.option("mergeSchema", True)
+            .format(self.config.sink_format)
+            .load(path + "/*")
+        )

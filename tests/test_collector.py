@@ -212,3 +212,21 @@ def test_typed_csv_lake_tree_reader_recovers_partitions(spark, tmp_path):
     pruned = read_typed_csv_lake(spark, str(tmp_path), "ev", h=4)
     assert len(pruned.inputFiles()) == 1 and len(full.inputFiles()) == 3
     assert sorted(r.n for r in pruned.collect()) == list(range(10, 15))
+
+
+def test_collector_orc_sink_roundtrip(spark, tmp_path):
+    """ORC is a first-class columnar alternative to parquet for the
+    native sink: same lake layout, same read-back semantics."""
+    from es_analytics_spark.collector import Collector, CollectorConfig
+
+    col = Collector(
+        spark, CollectorConfig(lake_dir=str(tmp_path / "lake"), sink_format="orc")
+    )
+    for i in range(50):
+        col.track("t", {"k": i, "v": i * 2.5, "s": f"x{i}"})
+    col.stop()
+    from pyspark.sql import functions as F
+
+    got = col.table("t")
+    assert got.count() == 50
+    assert got.agg(F.sum("v")).first()[0] == sum(i * 2.5 for i in range(50))

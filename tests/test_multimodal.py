@@ -64,3 +64,39 @@ def test_segment_sample_offsets(spark):
     rows = {r.segment_idx: bytes(r.segment) for r in
             sample_segments(df, "payload", "id", n_segments=4, segment_bytes=4).collect()}
     assert rows == {0: b"0123", 1: b"4567", 2: b"89ab", 3: b"cdef"}
+
+
+def test_binary_file_source_to_features(spark, tmp_path):
+    """Raw media dir -> binaryFile scan -> typed meta -> Arrow
+    featurize: the full multimodal ingest edge on real files."""
+    from pyspark.sql import functions as F
+
+    from es_analytics_spark.operators.multimodal import FEATURE_DIM, extract_features
+    from es_analytics_spark.sources.binary import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {
+        "a.img": bytes(range(256)) * 4,
+        "b.img": b"\x07" * 1024,
+        "c.img": b"\x00\x01\x02\x03" * 100,
+    }
+    for name, data in payloads.items():
+        (media / name).write_bytes(data)
+    (media / "ignore.txt").write_bytes(b"not media")
+
+    df = read_binary_files(spark, str(media), glob_filter="*.img", mime="image/fake")
+    rows = {r["file_id"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    for name, data in payloads.items():
+        assert rows[name]["length"] == len(data)
+        assert rows[name]["media_meta"]["n_bytes"] == len(data)
+        assert rows[name]["media_meta"]["mime"] == "image/fake"
+
+    feats = extract_features(
+        df.withColumn("mid", F.xxhash64("file_id")), "content", "mid"
+    )
+    got = feats.collect()
+    assert len(got) == 3
+    assert all(len(r["features"]) == FEATURE_DIM for r in got)
+    assert all(abs(sum(x * x for x in r["features"]) - 1.0) < 1e-3 for r in got)
