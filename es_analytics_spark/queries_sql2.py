@@ -1010,3 +1010,134 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", F.round("rank", 9).alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap distinct, try_* arithmetic, OHLC resample
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS nd_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting through Spark 4's bitmap aggregate
+    pipeline: user ids bucket into 32k-bit bitmaps
+    (bitmap_construct_agg per bucket, bitmap_or_agg across buckets,
+    bitmap_count at the end). The oracle is plain COUNT(DISTINCT) —
+    the bitmap path must agree exactly, which is the point: bitmaps
+    give the exactness of COUNT(DISTINCT) with the mergeability of a
+    sketch (partials OR together, no expand node, no re-shuffle of raw
+    ids on re-aggregation).
+
+    Scale: per (type, bucket) partial bitmaps combine map-side; the
+    final shuffle carries one bitmap per 32k-id range instead of every
+    distinct id — the standard high-cardinality distinct design.
+    """
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(bitmap_count(bitmap_or_agg(b)) AS BIGINT) AS nd_users
+        FROM (
+            -- +1: bitmap positions are 1-based, id 0 would alias id 1
+            SELECT event_type,
+                   bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b
+            FROM events
+            GROUP BY event_type, bitmap_bucket_number(user_id + 1)
+        )
+        GROUP BY event_type
+        """
+    )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_discount, 0.0) AS price_per_disc,
+           CASE WHEN l_orderkey >= 2 THEN NULL
+                ELSE l_orderkey * 4611686018427387904 END AS maybe_overflow,
+           CASE WHEN l_linenumber <= 3 THEN l_linenumber * 100 END AS elem_or_null
+    FROM lineitem
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe arithmetic: try_divide (null on /0),
+    try_multiply (null on bigint overflow), try_element_at (null out
+    of bounds) — the fns a pipeline uses to keep one poisoned row from
+    failing a 100 TB job while staying in strict ANSI mode everywhere
+    else. The oracle spells each as its guarded CASE equivalent.
+    """
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    lookup = F.array(F.lit(100), F.lit(200), F.lit(300))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_disc"
+        ),
+        F.try_multiply(F.col("l_orderkey"), F.lit(4611686018427387904)).alias(
+            "maybe_overflow"
+        ),
+        F.try_element_at(lookup, F.col("l_linenumber")).cast("int").alias(
+            "elem_or_null"
+        ),
+    )
+
+
+_OHLC_SQL = """
+    WITH pts AS (
+        SELECT event_type,
+               DATE_TRUNC('HOUR', ts) AS bar,
+               value, EPOCH_US(ts) AS tus, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('HOUR', ts)
+                                  ORDER BY EPOCH_US(ts) ASC, event_id ASC) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('HOUR', ts)
+                                  ORDER BY EPOCH_US(ts) DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bar,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM pts GROUP BY event_type, bar
+"""
+
+
+@query("ts_resample_ohlc", oracle=_OHLC_SQL)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: per (event_type, hour bar) the first/last
+    (open/close, tie-broken on (ts, event_id)), extremes and count —
+    the time-series downsampling shape every metrics store runs.
+    Spark computes open/close with min_by/max_by over the (time, id)
+    struct in ONE aggregate pass — no ranking window, no second
+    shuffle; the oracle spells the same with two row_number windows.
+
+    Scale: single partial+final hash aggregate on (type, bar); min_by
+    partials carry one (key, value) pair each — constant state.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    order_key = F.struct(
+        F.unix_micros(F.col("ts")).alias("tus"), F.col("event_id").alias("eid")
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("HOUR", F.col("ts")).alias("bar"),
+            "value",
+            order_key.alias("ok"),
+        )
+        .groupBy("event_type", "bar")
+        .agg(
+            F.min_by("value", F.col("ok")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("ok")).alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
