@@ -401,3 +401,64 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
     # idempotent: nothing new -> no work, same answer
     r3 = refresh_rollup(spark, f"{src}/*.parquet", roll, ["grp"], measures)
     assert r3["new_files"] == 0 and r3["groups"] == 7
+
+
+def test_streaming_lake_feeds_incremental_rollup(spark, sf_dir, tmp_path):
+    """The end-to-end incremental path: new files land in the source
+    dir, ONE checkpointed availableNow stream drains them into the
+    lake, the rollup folds in only the newly flushed lake files — the
+    refresh cost tracks the increment, and the rollup always equals a
+    full groupBy over everything the lake holds."""
+    from es_analytics_spark.materialized import read_rollup, refresh_rollup
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    lake = str(tmp_path / "lake")
+    glob = f"{lake}/events/*/*/*.parquet"
+    measures = {"n": ("count", None), "total": ("sum", "value")}
+    events = read_table(spark, sf_dir, "events")
+    schema = events.schema
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = stream_to_lake(
+            stream,
+            table="events",
+            lake_dir=lake,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(str(src / "f1"))
+    drain()
+    r1 = refresh_rollup(spark, glob, str(tmp_path / "roll"), ["event_type"], measures)
+    assert r1["new_files"] >= 1
+
+    events.filter(F.col("event_id") % 2 == 1).write.parquet(str(src / "f2"))
+    drain()
+    r2 = refresh_rollup(spark, glob, str(tmp_path / "roll"), ["event_type"], measures)
+    assert r2["new_files"] >= 1
+    assert r2["total_files"] == r1["total_files"] + r2["new_files"]
+
+    got = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in read_rollup(spark, str(tmp_path / "roll"), measures).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in spark.read.parquet(glob)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
