@@ -1141,3 +1141,112 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring, trailing distinct counts
+# ---------------------------------------------------------------------------
+
+_LM_SQL = """
+    WITH tok AS (
+        SELECT doc_id, t AS term FROM (
+            SELECT doc_id,
+                   UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z]+')) AS t
+            FROM documents)
+        WHERE LENGTH(t) >= 3
+    ), vocab AS (
+        SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+    ), totals AS (
+        SELECT SUM(n) AS total, COUNT(*) AS v FROM vocab
+    ), scored AS (
+        SELECT tok.doc_id,
+               LN((vocab.n + 1.0) / (totals.total + totals.v)) AS logp
+        FROM tok JOIN vocab ON tok.term = vocab.term CROSS JOIN totals
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           FLOOR(-CAST(ROUND(SUM(CAST(logp AS DECIMAL(38,10))), 4) AS DOUBLE)
+                 / COUNT(*) * 10000 + 0.5) / 10000 AS nll_per_token
+    FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_lm_quality", oracle=_LM_SQL)
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality signal: train add-one-smoothed
+    token probabilities over the whole corpus, score every document by
+    its mean negative log-likelihood — the classic
+    out-of-distribution / gibberish detector in training-data
+    pipelines (high NLL = unusual token mix). The log-prob sum goes
+    through the decimal contract so the distributed sum matches the
+    oracle exactly.
+
+    Scale: vocabulary is a (term) aggregate; scoring joins tokens to
+    vocab on term (zipf-bounded) and reduces per doc — two shuffles
+    total, corpus never collected. The trained "model" stays a
+    DataFrame; nothing ships to the driver.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.length("term") >= 3)
+    vocab = tok.groupBy("term").agg(F.count("*").alias("n"))
+    tot = vocab.agg(
+        F.sum("n").alias("total"), F.count("*").alias("v")
+    )
+    logp = F.log(
+        (F.col("n") + 1.0) / (F.col("total") + F.col("v"))
+    )
+    scored = tok.join(vocab, "term").join(F.broadcast(tot)).select(
+        "doc_id", logp.alias("logp")
+    )
+    nll = -F.round(F.sum(F.col("logp").cast("decimal(38,10)")), 4).cast("double")
+    # explicit half-up in plain double ops: F.round/DuckDB ROUND disagree
+    # on double halfway cases (HALF_UP vs half-even)
+    per_tok = F.floor(nll / F.count("*") * 10000 + 0.5) / 10000
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        per_tok.alias("nll_per_token"),
+    )
+
+
+_ROLLING_DISTINCT_SQL = """
+    WITH o AS (
+        SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY EPOCH_US(ts), event_id) AS rn
+        FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           COUNT(DISTINCT b.event_type) AS nd_types_trailing10
+    FROM o a JOIN o b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
+    GROUP BY a.user_id, a.event_id
+"""
+
+
+@query("window_distinct_rolling", oracle=_ROLLING_DISTINCT_SQL)
+def window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing distinct count — how many distinct event types in each
+    user's last 10 events — a window shape SQL cannot express directly
+    (COUNT(DISTINCT) OVER a frame is unsupported everywhere): Spark
+    computes it as size(array_distinct(collect_list)) over a ROWS
+    frame; the oracle is the banded self-join equivalent.
+
+    Scale: one shuffle on user_id; frame state is <=10 elements per
+    row. The engine-side form never materializes the pair expansion
+    the oracle spells out.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")), "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("bigint")
+        .alias("nd_types_trailing10"),
+    )
