@@ -1250,3 +1250,56 @@ def window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nd_types_trailing10"),
     )
+
+
+_ISLANDS_SQL = """
+    WITH o AS (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY EPOCH_US(ts), event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY EPOCH_US(ts), event_id) AS rn_t
+        FROM events
+    )
+    SELECT user_id, event_type,
+           COUNT(*) AS run_len,
+           MIN(event_id) AS first_event,
+           MAX(event_id) AS last_event
+    FROM o
+    GROUP BY user_id, event_type, rn - rn_t
+    HAVING COUNT(*) >= 2
+"""
+
+
+@query("window_gaps_islands", oracle=_ISLANDS_SQL)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user via the classic rn - rn_per_type difference (constant
+    within a run, changes at every break), keeping runs of length >= 2.
+    Sessionize finds time gaps; this finds *value* runs — the other
+    half of the islands toolbox (outage spans, streak analytics).
+
+    Scale: two windows over the same (user) shuffle — Catalyst reuses
+    the exchange for both since they share partitioning — then one
+    aggregate on the derived island key.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    tus = F.unix_micros(F.col("ts"))
+    w_all = W.partitionBy("user_id").orderBy(tus, "event_id")
+    w_typ = W.partitionBy("user_id", "event_type").orderBy(tus, "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("island"),
+        )
+        .groupBy("user_id", "event_type", "island")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .filter(F.col("run_len") >= 2)
+        .drop("island")
+    )
