@@ -1303,3 +1303,71 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_len") >= 2)
         .drop("island")
     )
+
+
+_WINSORIZE_SQL = """
+    WITH bounds AS (
+        SELECT l_returnflag,
+               CAST(PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY l_extendedprice)
+                    AS DOUBLE) AS lo,
+               CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY l_extendedprice)
+                    AS DOUBLE) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT li.l_returnflag,
+           COUNT(*) AS n,
+           SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                    THEN 1 ELSE 0 END) AS n_clipped,
+           {WINS_SUM} AS sum_winsorized
+    FROM lineitem li JOIN bounds ON li.l_returnflag = bounds.l_returnflag
+    GROUP BY li.l_returnflag
+"""
+
+
+@query(
+    "agg_winsorize",
+    oracle=_WINSORIZE_SQL.replace(
+        "{WINS_SUM}",
+        "CAST(ROUND(SUM(CAST(LEAST(GREATEST(l_extendedprice, lo), hi)"
+        " AS DECIMAL(38,10))), 4) AS DOUBLE)",
+    ),
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics: clip extended price to each
+    group's [p5, p95] (PERCENTILE_DISC picks real data values, so the
+    bounds are exact), count the clipped tail and sum the clipped
+    column under the decimal contract — the outlier-robust
+    pre-aggregation every metrics pipeline applies before averaging
+    heavy-tailed values.
+
+    Scale: the bounds table is |groups| rows and broadcasts back onto
+    the fact scan; one aggregate pass each side — no sort of the fact
+    table (percentile_disc aggregates per group, no global order).
+    """
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    _views(spark, sf_dir, "lineitem")
+    bounds = spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY l_extendedprice)
+                    AS DOUBLE) AS lo,
+               CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY l_extendedprice)
+                    AS DOUBLE) AS hi
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    out_of_band = (F.col("l_extendedprice") < F.col("lo")) | (
+        F.col("l_extendedprice") > F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(out_of_band, 1).otherwise(0)).alias("n_clipped"),
+            F.round(F.sum(clipped.cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("sum_winsorized"),
+        )
+    )
