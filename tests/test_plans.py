@@ -179,3 +179,27 @@ def test_dynamic_partition_pruning_on_lake_join(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     # 6 of 30 days survive; the aggregate sees exactly those rows
     assert j.count() == 6
+
+
+def test_flagship_shuffle_budgets(spark, sf_dir):
+    """Pin the shuffle budget of flagship shapes: a refactor that
+    silently adds an Exchange fails here even while answers stay
+    right. Budgets are the shapes argued in SCALE.md."""
+    from es_analytics_spark.plans.inspect import plan_audit
+    from es_analytics_spark.queries import REGISTRY
+
+    budgets = {
+        "agg_pricing_summary": 1,   # partial+final agg
+        "join_5way_revenue": 1,     # all dims broadcast; one agg shuffle
+        "window_sessionize": 1,     # one user shuffle, windows share it
+        "window_gaps_islands": 1,   # two windows reuse one exchange
+        "join_asof": 1,             # union+window rewrite, single shuffle
+        "ts_max_concurrent": 1,     # boundary sweep over one shuffle
+        "ts_resample_ohlc": 1,      # single partial+final agg
+        "sort_topk_global": 0,      # TakeOrdered, no exchange at all
+        "attr_last_touch": 1,       # one user shuffle
+        "agg_count_min": 3,         # sketch agg + top-20 agg + probe-min agg
+    }
+    for name, budget in budgets.items():
+        audit = plan_audit(REGISTRY[name].fn(spark, sf_dir))
+        assert audit["shuffles"] <= budget, (name, audit)
