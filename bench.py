@@ -58,6 +58,8 @@ HEADLINE = [
     "text_tfidf_topk",
     "sort_zorder_cluster",
     "agg_count_min",
+    "graph_pagerank",
+    "agg_bitmap_distinct",
 ]
 
 
