@@ -989,6 +989,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
+        # materialize once: every iteration joins the edge list, and
+        # without truncation the lineage re-derives it per iteration
+        # (the standard persist-the-graph step of any iterative algo)
+        .localCheckpoint()
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n = edges.select("src").distinct().count()
