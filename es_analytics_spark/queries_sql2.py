@@ -1375,3 +1375,43 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_winsorized"),
         )
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k,
+           CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) IS NOT NULL AS has_k,
+           NULL AS missing_field,
+           'OBJECT' AS v_kind
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured type: parse props into a
+    variant, read typed paths with variant_get / try_variant_get
+    (null, not error, on absent paths), and classify the value kind
+    from schema_of_variant. The oracle reads the same answers straight
+    from the JSON text — variant must be a lossless, faster container,
+    not a different answer.
+
+    Scale: variant parses once per row into a compact binary form;
+    repeated path reads skip re-parsing the JSON text (the win over
+    get_json_object chains), all inside codegen.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint') IS NOT NULL").alias(
+            "has_k"
+        ),
+        F.expr("try_variant_get(parse_json(props), '$.absent', 'string')").alias(
+            "missing_field"
+        ),
+        F.expr(
+            "CASE WHEN schema_of_variant(parse_json(props)) LIKE 'OBJECT%'"
+            " THEN 'OBJECT' ELSE 'OTHER' END"
+        ).alias("v_kind"),
+    )
