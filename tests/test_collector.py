@@ -230,3 +230,48 @@ def test_collector_orc_sink_roundtrip(spark, tmp_path):
     got = col.table("t")
     assert got.count() == 50
     assert got.agg(F.sum("v")).first()[0] == sum(i * 2.5 for i in range(50))
+
+
+def test_typed_csv_python_datasource_matches_jvm_reader(spark, tmp_path):
+    """spark.read.format('typed_csv') — the lake wire format as a
+    registered Spark data source — must return exactly what the JVM
+    CSV reader path returns, including gzip objects, nulls, quoted
+    strings, and ms timestamps."""
+    import datetime as dt2
+
+    from pyspark.sql import functions as F
+
+    from es_analytics_spark.sources.typed_csv import read_typed_csv
+    from es_analytics_spark.sources.typed_csv_ds import register_typed_csv
+
+    col = Collector(
+        spark,
+        CollectorConfig(
+            lake_dir=str(tmp_path / "lake"), sink_format="csv", batch_record_limit=20
+        ),
+    )
+    base = dt2.datetime(2024, 3, 1, 10, 30, 0, 123000)
+    for i in range(50):
+        col.track(
+            "t",
+            {
+                "k": i,
+                "s": f'say "{i}", ok' if i % 3 == 0 else None,
+                "f": i * 0.25,
+                "b": i % 2 == 0,
+                "ts": base + dt2.timedelta(minutes=i),
+            },
+        )
+    col.stop()
+
+    pattern = str(tmp_path / "lake" / "*/*/*/*" / "t" / "*.csv*")
+    register_typed_csv(spark)
+    via_ds = spark.read.format("typed_csv").load(pattern)
+    via_jvm = read_typed_csv(spark, pattern)
+    assert via_ds.schema == via_jvm.schema
+    a = sorted(via_ds.collect(), key=lambda r: r["k"])
+    b = sorted(via_jvm.collect(), key=lambda r: r["k"])
+    assert a == b
+    assert len(a) == 50
+    # partition-parallel: one partition per lake object
+    assert via_ds.rdd.getNumPartitions() >= 3
