@@ -1415,3 +1415,84 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 'OBJECT' ELSE 'OTHER' END"
         ).alias("v_kind"),
     )
+
+
+@query(
+    "setop_all_variants",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    UNION ALL
+    (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+     EXCEPT ALL
+     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    multiplicity-preserving variants the DISTINCT forms
+    (setop_intersect_except) cannot express — the right tool when a
+    key legitimately repeats and the repeat count carries meaning.
+
+    Scale: Catalyst plans both as aggregate+join on per-key counts
+    (min for intersect, difference for except) — one shuffle each, no
+    row-by-row matching.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        UNION ALL
+        (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS uid
+        FROM events WHERE event_id % 5 = 0
+    ), r AS (
+        SELECT user_id AS uid, COUNT(*) AS n_events
+        FROM events GROUP BY user_id
+        UNION ALL
+        SELECT NULL AS uid, -1 AS n_events
+    )
+    SELECT l.event_id, l.uid, r.n_events
+    FROM l JOIN r ON l.uid IS NOT DISTINCT FROM r.uid
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — how an "unattributed"
+    bucket joins to its catch-all row without COALESCE sentinels.
+
+    Scale: <=> is a hash-joinable condition (null hashes to its own
+    bucket); the plan stays a plain shuffled hash join, no
+    null-expansion or fallback to nested loops.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    left = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+    )
+    right = (
+        ev.groupBy(F.col("user_id").alias("uid"))
+        .agg(F.count("*").alias("n_events"))
+        .unionByName(
+            ev.sparkSession.createDataFrame([(None, -1)], "uid bigint, n_events bigint")
+        )
+    )
+    return left.join(right, left["uid"].eqNullSafe(right["uid"])).select(
+        "event_id", left["uid"].alias("uid"), "n_events"
+    )
