@@ -1496,3 +1496,95 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(right, left["uid"].eqNullSafe(right["uid"])).select(
         "event_id", left["uid"].alias("uid"), "n_events"
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized rollup under the correctness gate; value-range frames
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_rollup_incremental",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE)
+             AS total_price,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-rollup machinery under the exact-compare gate:
+    build a manifest-driven rollup from the orders file into a temp
+    location, refresh it a second time (must be a no-op), and return
+    the read-back — which must hash-match a direct GROUP BY. Proves
+    the decimal-mergeable partial-aggregate path end to end, not just
+    in unit tests.
+
+    Scale: the refresh reads only manifest-new files (here: one), the
+    merge is |groups|-sized; see materialized.py for the 100 TB
+    argument.
+    """
+    import shutil
+    import tempfile
+
+    from es_analytics_spark.materialized import read_rollup, refresh_rollup
+
+    measures = {
+        "n": ("count", None),
+        "total_price": ("sum", "o_totalprice"),
+        "lo": ("min", "o_totalprice"),
+        "hi": ("max", "o_totalprice"),
+    }
+    tmp = tempfile.mkdtemp(prefix="rollup_q_")
+    try:
+        glob_pat = f"{sf_dir}/orders.parquet"
+        refresh_rollup(
+            spark, glob_pat, tmp, ["o_orderstatus", "o_orderpriority"], measures
+        )
+        second = refresh_rollup(
+            spark, glob_pat, tmp, ["o_orderstatus", "o_orderpriority"], measures
+        )
+        assert second["new_files"] == 0  # idempotence is part of the contract
+        out = read_rollup(spark, tmp, measures)
+        # materialize before the temp dir vanishes
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, out.schema)
+
+
+@query(
+    "window_range_value_frame",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           COUNT(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+                          RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING)
+             AS n_peers_within_500
+    FROM supplier
+    """,
+)
+def window_range_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame over a numeric (non-time) order key: for
+    each supplier, how many same-nation suppliers hold an account
+    balance within +-500 — peer-density without a self-join.
+    Complements window_range_interval (time-valued RANGE).
+
+    Scale: one shuffle on nationkey; the frame is maintained by two
+    moving pointers over the sorted run — O(n) per partition, state is
+    the frame boundary, never the frame contents.
+    """
+    # DataFrame rangeBetween only accepts integral offsets; the SQL
+    # form supports fractional range bounds, so this query IS the SQL
+    _views(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_acctbal,
+               COUNT(*) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal
+                              RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING)
+                 AS n_peers_within_500
+        FROM supplier
+        """
+    )
