@@ -203,3 +203,22 @@ def test_flagship_shuffle_budgets(spark, sf_dir):
     for name, budget in budgets.items():
         audit = plan_audit(REGISTRY[name].fn(spark, sf_dir))
         assert audit["shuffles"] <= budget, (name, audit)
+
+
+def test_sql_broadcast_hint_is_honored(spark, sf_dir):
+    """SQL-surface join hints: /*+ BROADCAST(c) */ must produce a
+    BroadcastHashJoin even when the dim exceeds the auto threshold
+    criteria the planner would otherwise apply."""
+    from es_analytics_spark.sources.lake import load_tables
+
+    load_tables(spark, sf_dir, ["orders", "customer"])
+    df = spark.sql(
+        """
+        SELECT /*+ BROADCAST(c) */ c.c_mktsegment, COUNT(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert df.count() > 0
