@@ -1588,3 +1588,132 @@ def window_range_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label vote, distribution entropy
+# ---------------------------------------------------------------------------
+
+_PAIR_COS = """
+    LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(q.embedding)),
+                               i -> q.embedding[i] * c.embedding[i]),
+                (a, b) -> a + b)
+    / (SQRT(LIST_REDUCE(LIST_TRANSFORM(q.embedding, x -> x * x), (a, b) -> a + b))
+       * SQRT(LIST_REDUCE(LIST_TRANSFORM(c.embedding, x -> x * x), (a, b) -> a + b)))
+"""
+
+_KNN_SQL = f"""
+    WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY ROUND(CAST({_PAIR_COS} AS DOUBLE), 6) DESC,
+                                           c.vec_id ASC) AS rn
+        FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    ), votes AS (
+        SELECT query_id, label, COUNT(*) AS n
+        FROM scored WHERE rn <= 5 GROUP BY query_id, label
+    )
+    SELECT v.query_id, v.label AS predicted_label, e.label AS true_label
+    FROM (SELECT query_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY n DESC, label ASC) AS vr
+          FROM votes) v
+    JOIN embeddings e ON e.vec_id = v.query_id
+    WHERE v.vr = 1
+"""
+
+
+@query("sim_knn_classify", oracle=_KNN_SQL)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification: each query vector takes the majority label
+    of its 5 nearest neighbors (cosine, self excluded; ties break on
+    count then label) — the similarity stack applied to an actual ML
+    task, exact-checked against DuckDB computing the same ranks from
+    list arithmetic.
+
+    Scale: the query side is small by contract (broadcast); swap the
+    brute-force scoring for sim_lsh_bucketed / sim_ivf_topk / sim_pq_topk
+    candidates at corpus scale — the vote is the same |q|x k aggregate.
+    """
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    ip = F.expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+    qn = F.expr("sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))")
+    cn = F.expr("sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))")
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round(ip / (qn * cn), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    votes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("n"), F.asc("label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"))
+    )
+    truth = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return pred.join(truth, "query_id")
+
+
+_ENTROPY_SQL = """
+    WITH cnt AS (
+        SELECT user_id, event_type, COUNT(*) AS n FROM events
+        GROUP BY user_id, event_type
+    ), tot AS (
+        SELECT user_id, SUM(n) AS total FROM cnt GROUP BY user_id
+    )
+    SELECT cnt.user_id,
+           CAST(ROUND(SUM(CAST(
+               -(CAST(n AS DOUBLE) / total) * LN(CAST(n AS DOUBLE) / total)
+               AS DECIMAL(38,10))), 6) AS DOUBLE) AS type_entropy,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM cnt JOIN tot ON cnt.user_id = tot.user_id
+    GROUP BY cnt.user_id
+"""
+
+
+@query("agg_entropy", oracle=_ENTROPY_SQL)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity signal (bots: near 0, organic users: higher).
+    Per-term -p ln p rides the decimal contract so the distributed sum
+    is exact.
+
+    Scale: two chained aggregates on user_id (counts, then the entropy
+    reduce) — the second reuses the first's partitioning, no extra
+    shuffle.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("user_id").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    term = (-p * F.log(p)).cast("decimal(38,10)")
+    return (
+        cnt.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(term), 6).cast("double").alias("type_entropy"),
+            F.count("*").cast("bigint").alias("n_types"),
+        )
+    )
