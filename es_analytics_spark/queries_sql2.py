@@ -1717,3 +1717,65 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_types"),
         )
     )
+
+
+_ANOMALY_SQL = """
+    WITH o AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY EPOCH_US(ts), event_id) AS rn
+        FROM events
+    ), framed AS (
+        SELECT a.user_id, a.event_id, a.value,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(b.value AS DECIMAL(38,10))), 6) AS DOUBLE) AS s1,
+               CAST(ROUND(SUM(CAST(b.value * b.value AS DECIMAL(38,10))), 6)
+                    AS DOUBLE) AS s2
+        FROM o a JOIN o b
+          ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+        GROUP BY a.user_id, a.event_id, a.value
+    )
+    SELECT user_id, event_id,
+           FLOOR((value - s1 / n)
+                 / SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 1e-9))
+                 * 10000 + 0.5) / 10000 AS zscore,
+           n AS frame_n
+    FROM framed WHERE n >= 10
+"""
+
+
+@query("ts_anomaly_zscore", oracle=_ANOMALY_SQL)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly signal: each event scored against the
+    mean/stddev of its user's trailing 20 values (population moments
+    from decimal-exact frame sums of x and x², variance floored at
+    1e-9, explicit half-up rounding) — frames shorter than 10 are
+    suppressed as unstable. The moment sums are decimal-contract, so
+    the arithmetic after them is identical IEEE in both engines.
+
+    Scale: one shuffle on user_id; two window sums over the same
+    bounded ROWS frame (the oracle spells them as a banded self-join).
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")), "event_id")
+        .rowsBetween(-19, 0)
+    )
+    n = F.count("*").over(w)
+    s1 = F.round(F.sum(F.col("value").cast("decimal(38,10)")).over(w), 6).cast("double")
+    s2 = F.round(
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,10)")).over(w), 6
+    ).cast("double")
+    mean = s1 / n
+    var = F.greatest(s2 / n - mean * mean, F.lit(1e-9))
+    z = F.floor((F.col("value") - mean) / F.sqrt(var) * 10000 + F.lit(0.5)) / 10000
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            z.alias("zscore"),
+            n.cast("bigint").alias("frame_n"),
+        )
+        .filter(F.col("frame_n") >= 10)
+    )
