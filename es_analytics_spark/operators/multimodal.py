@@ -135,3 +135,60 @@ def sample_segments(
         F.substring(F.col("__payload"), offset.cast("int"), segment_bytes).alias("segment"),
         F.col("__len").alias("n_bytes"),
     )
+
+
+def media_near_dup_pairs(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    decoder: Callable[[bytes], np.ndarray] = fake_decode,
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs over media payloads: decode →
+    pooled feature vector (extract_features) → sign-quantized
+    signature (each feature bit = above/below the global feature mean)
+    → candidates share a signature bucket → exact cosine verify at
+    ``threshold``. The binary-side analog of dedup.simhash for text:
+    re-encoded/resized variants keep their coarse signal shape, so
+    they land in the same bucket even when bytes differ.
+
+    Scale: features are FEATURE_DIM floats per object (the payload
+    never shuffles); bucketing is a groupBy on a 32/64-bit signature;
+    only in-bucket pairs pay the exact cosine — no all-pairs stage.
+    The global feature-mean vector is one tiny aggregate row.
+    """
+    feats = extract_features(df, bin_col, id_col, decoder=decoder)
+    dim = FEATURE_DIM
+    means = feats.agg(
+        *[F.avg(F.col("features")[i]).alias(f"m{i}") for i in range(dim)]
+    )
+    sig_bits = [
+        F.when(F.col("features")[i] > F.col(f"m{i}"), F.lit(1)).otherwise(0)
+        * F.lit(2**i)
+        for i in range(dim)
+    ]
+    signed = feats.join(F.broadcast(means)).select(
+        "id",
+        "features",
+        sum(sig_bits[1:], sig_bits[0]).cast("long").alias("sig"),
+    )
+    a = signed.alias("a")
+    b = signed.alias("b")
+    ip = F.expr(
+        "aggregate(zip_with(a.features, b.features, (x, y) -> x * y),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    # features are l2-normalized by extract_features, so dot = cosine
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(ip, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

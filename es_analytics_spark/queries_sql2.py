@@ -1779,3 +1779,20 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("frame_n") >= 10)
     )
+
+
+@query("mm_near_dup", oracle=None)  # decode/featurize not SQL-expressible
+def mm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-duplicate pairs: documents' text bytes stand in
+    for media payloads (the container has no codec libs — the
+    dataflow, bucketing, and verify join are the real thing; only the
+    decoder is the deterministic byte-histogram stub). Signature-
+    bucketed candidates, exact cosine verify; recall/precision pinned
+    by tests/test_multimodal.py::test_media_near_dup_pairs."""
+    from es_analytics_spark.operators.multimodal import media_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    media = d.select(
+        F.col("doc_id").alias("mid"), F.encode("text", "utf-8").alias("payload")
+    )
+    return media_near_dup_pairs(media, "payload", "mid", threshold=0.95)

@@ -100,3 +100,22 @@ def test_binary_file_source_to_features(spark, tmp_path):
     assert len(got) == 3
     assert all(len(r["features"]) == FEATURE_DIM for r in got)
     assert all(abs(sum(x * x for x in r["features"]) - 1.0) < 1e-3 for r in got)
+
+
+def test_media_near_dup_pairs(spark):
+    """Re-encoded variants (same byte distribution, jittered) must pair
+    up; structurally different payloads must not."""
+    from es_analytics_spark.operators.multimodal import media_near_dup_pairs
+
+    base = bytes(range(256)) * 8
+    variant = base[:-16] + bytes(range(16))  # near-identical histogram
+    other = b"\x01\x02" * 1024               # concentrated, different shape
+    rows = [(1, base), (2, variant), (3, other), (4, other + b"\x01\x02" * 4)]
+    df = spark.createDataFrame(rows, "mid long, payload binary")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in media_near_dup_pairs(df, "payload", "mid").collect()
+    }
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs
+    assert not any({a, b} == {1, 3} or {a, b} == {2, 3} for a, b in pairs)
