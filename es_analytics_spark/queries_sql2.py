@@ -1798,3 +1798,50 @@ def mm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word-soup fixtures share an alphabet, so histograms sit close
     # together; 0.9999 separates genuinely re-encoded-level variants
     return media_near_dup_pairs(media, "payload", "mid", threshold=0.9999)
+
+
+@query(
+    "stream_windowed_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                       ORDER BY n_events DESC, event_type ASC) AS rn
+          FROM counts) r
+    WHERE rn <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending-now: the STREAMING engine maintains tumbling
+    per-type counts; the rank (top-3 types per hour) runs as a batch
+    step over the replayed window state — the standard split, since
+    rank-over-window-results isn't expressible inside a streaming agg
+    (it would need a second stateful pass per trigger). foreachBatch
+    would publish these per micro-batch in production.
+
+    Scale: streaming state is |windows x types|; the rank is a window
+    over that (already small) result, not over raw events.
+    """
+    from es_analytics_spark.streaming.ingest import (
+        replay_stream,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    counts = replay_stream(
+        spark,
+        windowed_event_counts(ev, "1 hour"),
+        name="stream_windowed_topk",
+        output_mode="complete",
+    )
+    w = W.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("window_start", "event_type", "n_events")
+    )
