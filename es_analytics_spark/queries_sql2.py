@@ -1845,3 +1845,44 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("window_start", "event_type", "n_events")
     )
+
+
+@query(
+    "fn_xml",
+    oracle="""
+    SELECT event_id,
+           event_id AS xml_id,
+           CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+           event_type AS etype
+    FROM events
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip: serialize event fields into an XML fragment,
+    parse it back with from_xml (attribute + element extraction) and
+    one xpath_* probe — proving the XML path is lossless against an
+    oracle that reads the same answers straight from the columns
+    (the fn_map_higher_order proof pattern, applied to XML).
+
+    Scale: string build + parse are per-row expressions inside
+    codegen; no UDF, no shuffle beyond the scan.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    xml = F.concat(
+        F.lit('<e id="'),
+        F.col("event_id"),
+        F.lit('"><c>'),
+        F.floor(F.col("value") * 100).cast("bigint"),
+        F.lit("</c><t>"),
+        F.col("event_type"),
+        F.lit("</t></e>"),
+    )
+    parsed = F.from_xml(xml, "_id BIGINT, c BIGINT, t STRING")
+    return ev.select(
+        "event_id",
+        parsed.getField("_id").alias("xml_id"),
+        parsed.getField("c").alias("cents"),
+        F.expr(
+            "xpath_string(concat('<e><t>', event_type, '</t></e>'), '/e/t')"
+        ).alias("etype"),
+    )
