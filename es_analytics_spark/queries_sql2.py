@@ -1886,3 +1886,62 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xpath_string(concat('<e><t>', event_type, '</t></e>'), '/e/t')"
         ).alias("etype"),
     )
+
+
+_SCD2_SQL = """
+    WITH scd AS (
+        SELECT user_id, event_type AS state, EPOCH_US(ts) AS valid_from,
+               COALESCE(LEAD(EPOCH_US(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY EPOCH_US(ts), event_id),
+                        9223372036854775807) AS valid_to
+        FROM events WHERE event_type IN ('signup', 'click', 'view')
+    ), probes AS (
+        SELECT user_id, event_id AS purchase_id, EPOCH_US(ts) AS at_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, s.state
+    FROM probes p JOIN scd s
+      ON p.user_id = s.user_id
+     AND p.at_us >= s.valid_from AND p.at_us < s.valid_to
+"""
+
+
+@query("join_scd2_pointintime", oracle=_SCD2_SQL)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) point-in-time join: the
+    mutable "user state" dimension is DERIVED from the event log
+    (validity ranges via lead(), open-ended last version), then each
+    purchase joins the version valid at its instant — the warehouse
+    pattern behind "which plan was the user on when they bought".
+
+    Scale: building the SCD is one window over user_id; the
+    point-in-time join is equi on user_id plus a range predicate the
+    planner evaluates inside the hash-join post-filter — versions per
+    user are few, so the per-key fanout stays small (this is the same
+    shape as join_range, keyed). join_asof computes the same answer
+    without materializing versions; SCD2 is the right half when the
+    dimension is reused across many fact tables.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    tus = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy(tus, "event_id")
+    scd = (
+        ev.filter(F.col("event_type").isin("signup", "click", "view"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            tus.alias("valid_from"),
+            F.coalesce(
+                F.lead(tus).over(w), F.lit(9223372036854775807)
+            ).alias("valid_to"),
+        )
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), tus.alias("at_us")
+    )
+    return probes.join(
+        scd,
+        (probes["user_id"] == scd["user_id"])
+        & (probes["at_us"] >= scd["valid_from"])
+        & (probes["at_us"] < scd["valid_to"]),
+    ).select(probes["user_id"], "purchase_id", "state")
