@@ -417,3 +417,61 @@ def test_pq_topk_recall(spark, sf_dir):
         if r.neighbor_id in exact_sets.get(r.query_id, set()):
             hit += 1
     assert hit / (5 * len(exact_sets)) > 0.3, f"recall@5 too low: {hit}/{5 * len(exact_sets)}"
+
+
+def test_zorder_interleave_matches_python_reference_in_both_engines():
+    """The generated Morton expression must compute the textbook bit
+    interleave identically in DuckDB (the oracle side); the Spark side
+    is covered by the sort_zorder_cluster catalog entry."""
+    import duckdb
+
+    from es_analytics_spark.functions.zorder import interleave_expr
+
+    expr = interleave_expr(["x", "y"], bits=16)
+    vals = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (65535, 0)]
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = ", ".join(
+        f"(CAST({x} AS BIGINT), CAST({y} AS BIGINT))" for x, y in vals
+    )
+    got = duckdb.sql(
+        f"SELECT {expr} FROM (VALUES {rows}) t(x, y)"
+    ).fetchall()
+    assert [g[0] for g in got] == [ref(x, y) for x, y in vals]
+
+
+def test_charfold_hash_cross_engine_equality(spark):
+    """The portable char-fold hash (count-min / feature hashing) must
+    produce identical codes in Spark and DuckDB for adversarial
+    strings — the property the exact-compare of those queries rests
+    on."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    words = ["", "a", "zz", "hello", "x" * 50, "abcdefghij" * 3, "qqq", "tok123abc"]
+    sdf = spark.createDataFrame([(w,) for w in words], "t string")
+    spark_codes = [
+        r["h"]
+        for r in sdf.select(
+            F.expr(
+                "aggregate(transform(split(t, ''), c -> cast(ascii(c) as bigint)),"
+                " cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000003)"
+            ).alias("h")
+        ).collect()
+    ]
+    duck_codes = [
+        duckdb.sql(
+            "SELECT LIST_REDUCE(LIST_TRANSFORM(STRING_SPLIT(?, ''),"
+            " c -> CAST(ASCII(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000003)",
+            params=[w],
+        ).fetchone()[0]
+        for w in words
+    ]
+    assert spark_codes == duck_codes
