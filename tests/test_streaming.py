@@ -164,3 +164,35 @@ def test_typed_csv_streaming_source_incremental(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 60  # exactly-once: no re-read of batch-1 objects
     assert got.agg(F.sum("k")).first()[0] == sum(range(60))
+
+
+def test_tws_profiles_match_batch_aggregate(spark, sf_dir):
+    """transformWithState running profiles == batch aggregate (same
+    oracle as the applyInPandasWithState twin). Skips where the TWS
+    Python worker's protobuf dependency is absent."""
+    import pytest
+
+    from es_analytics_spark.queries_sql2 import _tws_available, stream_tws_profiles
+
+    if not _tws_available():
+        pytest.skip("google.protobuf absent: transformWithState worker cannot start")
+
+    from pyspark.sql import functions as F
+
+    from es_analytics_spark.sources.lake import read_table
+
+    got = {r.user_id: (r.n_events, r.total_value) for r in
+           stream_tws_profiles(spark, sf_dir).collect()}
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
