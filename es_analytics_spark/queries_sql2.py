@@ -1998,3 +1998,49 @@ def stream_tws_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if _tws_available():
     query("stream_tws_profiles", oracle=_TWS_ORACLE)(stream_tws_profiles)
+
+
+@query(
+    "ml_chunk_documents",
+    oracle="""
+    SELECT doc_id, chunk_id,
+           SUBSTR(text, (chunk_id - 1) * 180 + 1, 200) AS chunk,
+           LENGTH(SUBSTR(text, (chunk_id - 1) * 180 + 1, 200)) AS chunk_len
+    FROM (
+        SELECT doc_id, text,
+               UNNEST(GENERATE_SERIES(1,
+                      CAST(CEIL(GREATEST(LENGTH(text) - 20, 1) / 180.0) AS BIGINT)))
+                 AS chunk_id
+        FROM documents)
+    """,
+)
+def ml_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep chunking: slice every document into 200-char
+    windows with 20-char overlap (stride 180) — the step between
+    cleaning and tokenization in an LLM data pipeline; overlap
+    preserves cross-boundary context. Chunk count =
+    ceil((len - overlap) / stride), so the final partial window is
+    kept and no empty trailing chunk is emitted.
+
+    Scale: pure map-side explode (sequence + substring inside
+    codegen); a 100 TB corpus chunks without any shuffle at all —
+    downstream tokenize/pack stages decide the partitioning.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    n_chunks = F.ceil(
+        F.greatest(F.length("text") - 20, F.lit(1)) / F.lit(180.0)
+    ).cast("bigint")
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), n_chunks)).alias("chunk_id"),
+    )
+    piece = F.substring(
+        F.col("text"), ((F.col("chunk_id") - 1) * 180 + 1).cast("int"), 200
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        piece.alias("chunk"),
+        F.length(piece).alias("chunk_len"),
+    )
