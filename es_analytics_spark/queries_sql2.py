@@ -2044,3 +2044,53 @@ def ml_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         piece.alias("chunk"),
         F.length(piece).alias("chunk_len"),
     )
+
+
+_COHORT_SQL = """
+    WITH firsts AS (
+        SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(DATEDIFF('day', f.cohort_week, DATE_TRUNC('week', e.ts)) / 7
+                    AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+"""
+
+
+@query("retention_cohort_matrix", oracle=_COHORT_SQL)
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-seen
+    week, counted once per (cohort, weeks-since-cohort) cell — the
+    matrix behind every product retention chart
+    (retention_next_day is the daily point estimate; this is the full
+    surface).
+
+    Scale: first-seen is one user_id aggregate; the activity dedup is
+    a (user, offset) distinct that reuses the user_id shuffle; the
+    final cell count aggregates a users x weeks-sized (small) set.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )
