@@ -2094,3 +2094,78 @@ def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("n_active_users")
     )
+
+
+_HYBRID_SQL = f"""
+    WITH corpus AS (
+        SELECT e.vec_id, e.embedding, d.lang, d.source
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        WHERE d.lang = 'en' AND d.n_chars >= 150
+    ), q AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5
+    )
+    SELECT query_id, neighbor_id, lang, source, cosine, rn AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.lang, c.source,
+               ROUND(CAST({_PAIR_COS.replace('c.embedding', 'c.embedding')} AS DOUBLE), 6) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY ROUND(CAST({_PAIR_COS} AS DOUBLE), 6) DESC,
+                                           c.vec_id ASC) AS rn
+        FROM q JOIN corpus c ON q.vec_id <> c.vec_id
+    ) r WHERE rn <= 3
+"""
+
+
+@query("sim_hybrid_search", oracle=_HYBRID_SQL)
+def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (filtered) vector search: metadata predicate first
+    (lang = 'en', length >= 150 — pushed to the parquet scan), cosine
+    top-3 among survivors second. Pre-filtering is the scale-correct
+    order when the filter is selective: the ANN index never sees
+    excluded rows, and recall is exact over the eligible set —
+    post-filtering an unfiltered top-k can return < k or miss eligible
+    neighbors entirely. With a permissive filter, swap in the
+    LSH/IVF/PQ candidate paths and verify-filter after.
+
+    Scale: corpus-side filter + broadcast of the (small) query set;
+    one rank window on query_id — same shape as sim_cosine_topk plus
+    the metadata join, which broadcasts documents' two columns.
+    """
+    d, e = (
+        _t(spark, sf_dir, "documents", "embeddings")[t]
+        for t in ("documents", "embeddings")
+    )
+    corpus = (
+        e.join(d, e["vec_id"] == d["doc_id"])
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 150))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "lang",
+            "source",
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    ip = F.expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+    qn = F.expr("sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))")
+    cn = F.expr("sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))")
+    scored = (
+        F.broadcast(q)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "lang",
+            "source",
+            F.round(ip / (qn * cn), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "lang", "source", "cosine", "rank")
+    )
