@@ -2169,3 +2169,67 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "lang", "source", "cosine", "rank")
     )
+
+
+@query(
+    "fn_timezone",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 9 HOUR AS tokyo_wall,
+           ts + INTERVAL 330 MINUTE AS kolkata_wall,
+           ts - INTERVAL 9 HOUR AS from_tokyo_utc
+    FROM events
+    """,
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversions through the engine's tz database
+    (from_utc_timestamp / to_utc_timestamp / convert_timezone),
+    checked against pure interval arithmetic for DST-free zones
+    (Tokyo +9, Kolkata +5:30) — the oracle needs no tz database, so a
+    wrong or stale tzdata on the engine side cannot silently pass.
+
+    Scale: per-row codegen expressions; nothing shuffles.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    return ev.select(
+        "event_id",
+        F.from_utc_timestamp(F.col("ts"), "Asia/Tokyo").alias("tokyo_wall"),
+        F.expr("convert_timezone('UTC', 'Asia/Kolkata', ts)").alias("kolkata_wall"),
+        F.to_utc_timestamp(F.col("ts"), "Asia/Tokyo").alias("from_tokyo_utc"),
+    )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    SELECT LOWER(event_type) AS etype_ci, COUNT(*) AS n
+    FROM (
+        SELECT event_type FROM events
+        UNION ALL
+        SELECT UPPER(SUBSTR(event_type, 1, 1)) || SUBSTR(event_type, 2) FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: mixed-case values (raw + initcap'd) group
+    under UTF8_LCASE as one key per logical type — the declarative
+    alternative to scattering LOWER() through every predicate. The
+    oracle computes the same with explicit LOWER, pinning that the
+    collation's equality relation matches ASCII case-folding here.
+
+    Scale: collation comparisons stay codegen'd; grouping by a collated
+    column shuffles on the collation key like any other groupBy.
+    """
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT LOWER(ANY_VALUE(etype)) AS etype_ci, COUNT(*) AS n
+        FROM (
+            SELECT event_type COLLATE UTF8_LCASE AS etype FROM events
+            UNION ALL
+            SELECT INITCAP(event_type) COLLATE UTF8_LCASE FROM events
+        )
+        GROUP BY etype
+        """
+    )
