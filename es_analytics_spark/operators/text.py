@@ -155,3 +155,38 @@ def pack_sequences(
     return bucketed.groupBy("__b").applyInPandas(
         pack, "doc_id long, n_tokens long, pack_id long, oversize boolean"
     )
+
+
+def with_compression_ratio(df, text_col: str, keep: list[str]):
+    """zlib-compression ratio per document — the model-free
+    repetition/boilerplate signal (highly compressible text is
+    repetitive; near-random text barely compresses). Used alongside
+    the explicit repetition features in quality filtering pipelines.
+
+    Arrow-batched mapInPandas: one Python pass per batch, zlib level 6
+    (stdlib), compressed_len / raw_len as double. Rows with empty text
+    get ratio 1.0. Map-only — no shuffle; at 100 TB this is a pure
+    scan-side enrichment.
+    """
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql import types as T
+
+    fields = [df.schema[c] for c in keep]
+    schema = T.StructType(fields + [T.StructField("compression_ratio", T.DoubleType())])
+
+    def batches(it):
+        for pdf in it:
+            texts = pdf[text_col].fillna("")
+            ratios = [
+                (len(zlib.compress(t.encode("utf-8"), 6)) / max(len(t.encode("utf-8")), 1))
+                if t
+                else 1.0
+                for t in texts
+            ]
+            out = pdf[keep].copy()
+            out["compression_ratio"] = [round(r, 6) for r in ratios]
+            yield out
+
+    return df.select(*keep, text_col).mapInPandas(batches, schema)

@@ -2233,3 +2233,24 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY etype
         """
     )
+
+
+@query("text_compression_quality", oracle=None)  # zlib not SQL-expressible
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (RefinedWeb-style): zlib ratio
+    per document plus a repetitive/normal/incompressible band. Not
+    SQL-expressible (no DuckDB zlib) — invariants pinned by
+    tests/test_operators.py::test_compression_ratio_orders_repetition."""
+    from es_analytics_spark.operators.text import with_compression_ratio
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    scored = with_compression_ratio(d, "text", keep=["doc_id", "source"])
+    return scored.select(
+        "doc_id",
+        "source",
+        "compression_ratio",
+        F.when(F.col("compression_ratio") < 0.3, "repetitive")
+        .when(F.col("compression_ratio") < 0.7, "normal")
+        .otherwise("incompressible")
+        .alias("band"),
+    )

@@ -475,3 +475,25 @@ def test_charfold_hash_cross_engine_equality(spark):
         for w in words
     ]
     assert spark_codes == duck_codes
+
+
+def test_compression_ratio_orders_repetition(spark):
+    """Repetitive text must compress harder than diverse text; empty
+    text gets the neutral 1.0."""
+    from es_analytics_spark.operators.text import with_compression_ratio
+
+    rows = [
+        (1, "spam " * 200),
+        (2, "the quick brown fox jumps over the lazy dog " * 5),
+        (3, "".join(__import__("random").Random(7).choices(
+            [chr(c) for c in range(33, 127)], k=1000))),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.compression_ratio
+        for r in with_compression_ratio(df, "text", ["doc_id"]).collect()
+    }
+    assert got[1] < got[2] < got[3]
+    assert got[4] == 1.0
+    assert all(0 < v <= 1.5 for v in got.values())
