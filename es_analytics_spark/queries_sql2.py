@@ -2254,3 +2254,71 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("incompressible")
         .alias("band"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() markers on a ROLLUP: the flags that distinguish "NULL
+    because this row is a subtotal" from "NULL in the data" — without
+    them rollup output is ambiguous the moment a grouping column is
+    nullable.
+
+    Scale: same expand + partial/final agg as agg_rollup; the markers
+    are free bits in the grouping-set id.
+    """
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("tinyint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("tinyint").alias("g_priority"),
+            F.count("*").alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
+    )
+
+
+@query(
+    "window_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY EPOCH_US(ts), event_id) AS to_type
+        FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def window_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (the Markov counts behind user-flow
+    sankeys): consecutive event pairs per user via lead(), aggregated
+    into (from, to) cells. Diagonal cells are repetition, heavy
+    error->error cells are retry storms — one query feeds all of it.
+
+    Scale: one user_id shuffle for the lead window, then a tiny
+    |types|^2 aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")), "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
