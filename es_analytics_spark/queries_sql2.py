@@ -2322,3 +2322,35 @@ def window_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+_FILTER_WINDOW_SQL = """
+    SELECT user_id,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           CAST(MAX(rank_in_user) AS BIGINT) AS n_ranked
+    FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER w AS rank_in_user
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id)
+    ) t
+    GROUP BY user_id
+"""
+
+
+@query("agg_filter_clause", oracle=_FILTER_WINDOW_SQL)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI aggregate FILTER clauses + a named WINDOW definition — the
+    modern spellings of CASE-WHEN-sum pivoting and repeated OVER(...)
+    blocks. One SQL text serves both engines, with the single
+    epoch-micros spelling difference rewritten textually
+    (EPOCH_US -> unix_micros), so the surfaces cannot drift.
+
+    Scale: FILTER compiles to the same conditional partial aggregate
+    as the CASE form; the named window is pure syntax — one user_id
+    shuffle.
+    """
+    _views(spark, sf_dir, "events")
+    return spark.sql(_FILTER_WINDOW_SQL.replace("EPOCH_US(ts)", "unix_micros(ts)"))
