@@ -2354,3 +2354,38 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "events")
     return spark.sql(_FILTER_WINDOW_SQL.replace("EPOCH_US(ts)", "unix_micros(ts)"))
+
+
+@query(
+    "fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           PRINTF('%08d', o_orderkey) AS padded_key,
+           PRINTF('%.2f', o_totalprice) AS price_2dp,
+           FORMAT('{:,}', CAST(FLOOR(o_totalprice) AS BIGINT)) AS price_grouped,
+           PRINTF('order %d: %s priority', o_orderkey, o_orderpriority) AS label
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting (format_string) and thousands-grouped
+    number rendering (format_number) — report/label generation inside
+    the engine instead of post-processing. The grouped form feeds
+    format_number an already-floored bigint so both engines group the
+    identical integer.
+
+    Scale: per-row codegen string ops; the key filter pushes to the
+    scan.
+    """
+    o = _t(spark, sf_dir, "orders")["orders"].filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.format_string("%08d", F.col("o_orderkey")).alias("padded_key"),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("price_2dp"),
+        F.format_number(F.floor(F.col("o_totalprice")).cast("bigint"), 0).alias(
+            "price_grouped"
+        ),
+        F.format_string(
+            "order %d: %s priority", F.col("o_orderkey"), F.col("o_orderpriority")
+        ).alias("label"),
+    )
