@@ -2389,3 +2389,36 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order %d: %s priority", F.col("o_orderkey"), F.col("o_orderpriority")
         ).alias("label"),
     )
+
+
+@query(
+    "fn_binary_codecs",
+    oracle="""
+    SELECT doc_id,
+           TO_BASE64(CAST(SUBSTR(text, 1, 24) AS BLOB)) AS b64,
+           CAST(FROM_BASE64(TO_BASE64(CAST(SUBSTR(text, 1, 24) AS BLOB)))
+                AS VARCHAR) AS roundtrip,
+           LOWER(HEX(CAST(SUBSTR(text, 1, 8) AS BLOB))) AS hex8,
+           MD5(SUBSTR(text, 1, 64)) AS md5_64,
+           SHA256(SUBSTR(text, 1, 64)) AS sha_64
+    FROM documents
+    """,
+)
+def fn_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec surface: base64 round-trip, hex encoding, and the
+    md5/sha256 digests both engines expose — content-addressing and
+    wire-encoding primitives (the collector's A5/A11 keys and the
+    media meta sha256 ride the same functions).
+
+    Scale: per-row codegen; nothing shuffles.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    prefix24 = F.substring("text", 1, 24).cast("binary")
+    return d.select(
+        "doc_id",
+        F.base64(prefix24).alias("b64"),
+        F.unbase64(F.base64(prefix24)).cast("string").alias("roundtrip"),
+        F.lower(F.hex(F.substring("text", 1, 8).cast("binary"))).alias("hex8"),
+        F.md5(F.substring("text", 1, 64)).alias("md5_64"),
+        F.sha2(F.substring("text", 1, 64).cast("binary"), 256).alias("sha_64"),
+    )
