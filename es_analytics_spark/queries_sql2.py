@@ -2422,3 +2422,66 @@ def fn_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.substring("text", 1, 64)).alias("md5_64"),
         F.sha2(F.substring("text", 1, 64).cast("binary"), 256).alias("sha_64"),
     )
+
+
+@query(
+    "window_percent_of_total",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, revenue,
+           FLOOR(revenue / SUM(revenue) OVER () * 1000000 + 0.5) / 10000
+             AS pct_of_total,
+           RANK() OVER (ORDER BY revenue DESC) AS revenue_rank
+    FROM rev
+"""
+)
+def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total via an unpartitioned window over an ALREADY
+    AGGREGATED frame: per-nation revenue (decimal contract), each
+    row's percent of the grand total (explicit half-up to 4 dp), and
+    a dense revenue rank. The dangerous single-partition window is
+    safe here because its input is |nations| rows — the pattern is
+    aggregate-first, window-the-small-result, never window the fact
+    table globally (ml_split_shuffle documents the distributed
+    alternative when the input IS large).
+
+    Scale: fact shuffles once on suppkey for the join, once for the
+    nation aggregate; the global window sees 25 rows.
+    """
+    li, s, n = (
+        _t(spark, sf_dir, "lineitem", "supplier", "nation")[t]
+        for t in ("lineitem", "supplier", "nation")
+    )
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,10)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    total = F.sum("revenue").over(W.partitionBy())
+    pct = F.floor(F.col("revenue") / total * 1000000 + F.lit(0.5)) / 10000
+    return rev.select(
+        "n_name",
+        "revenue",
+        pct.alias("pct_of_total"),
+        F.rank().over(W.orderBy(F.desc("revenue"))).alias("revenue_rank"),
+    )
