@@ -418,28 +418,40 @@ def agg_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the oracle (both sides are generated from _PROFILE_COLS), so
     the surfaces cannot drift.
 
-    Scale: one pass per metric family — Spark computes all six columns'
-    aggregates in a single job (one scan, partial+final agg, grouped by
-    nothing), then unions the six single-row frames; the exact
-    COUNT(DISTINCT) is the only shuffle-bearing piece and AQE handles
-    its expand. For >billions of distincts swap in approx_count_distinct
-    (agg_approx_distinct is the sketch-path twin).
+    Scale: ONE scan, one aggregate computing all six columns' metrics
+    together (the multi-count-distinct goes through the planner's
+    expand), then a map-side stack to long form — not six unioned
+    single-column scans. For >billions of distincts swap in
+    approx_count_distinct (agg_approx_distinct is the sketch-path
+    twin).
     """
     o = _t(spark, sf_dir, "orders")["orders"]
-    frames = []
+    aggs = []
     for c in _PROFILE_COLS:
-        frames.append(
-            o.agg(
-                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("n_nulls"),
-                F.count_distinct(F.col(c)).cast("bigint").alias("n_distinct"),
-                F.min(c).cast("string").alias("min_val"),
-                F.max(c).cast("string").alias("max_val"),
-            ).select(F.lit(c).alias("col_name"), "*")
+        aggs.extend(
+            [
+                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"nn_{c}"),
+                F.count_distinct(F.col(c)).cast("bigint").alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            ]
         )
-    out = frames[0]
-    for fdf in frames[1:]:
-        out = out.unionByName(fdf)
-    return out
+    wide = o.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"nn_{c}").alias("n_nulls"),
+                    F.col(f"nd_{c}").alias("n_distinct"),
+                    F.col(f"mn_{c}").alias("min_val"),
+                    F.col(f"mx_{c}").alias("max_val"),
+                )
+                for c in _PROFILE_COLS
+            ]
+        )
+    )
+    return wide.select(stacked.alias("p")).select("p.*")
 
 
 # ---------------------------------------------------------------------------
