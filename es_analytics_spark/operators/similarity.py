@@ -76,6 +76,120 @@ def cosine_topk(
     )
 
 
+def lsh_attach_buckets(
+    df: DataFrame,
+    out_id: str,
+    out_vec: str,
+    num_planes: int = 6,
+    num_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Explode each vector row into ``num_tables`` (table, bucket) rows
+    under sign-of-random-projection hashing; a `__bucket` struct column
+    carries (t, b) so equi-joins on it co-locate collision candidates.
+
+    Bucket signs are computed in one Arrow-batched numpy matmul against
+    the stacked (tables×planes, dim) plane matrix — the expression-tree
+    form (48 interpreted array-lambda dot products per row) measured
+    ~6× slower end-to-end at sf0.01.
+    """
+    import numpy as np
+    import pandas as pd
+
+    plane_mat = np.array(
+        [
+            plane
+            for t in range(num_tables)
+            for plane in _fixed_planes(num_planes, dim, seed=88172645463325252 + 7919 * t)
+        ],
+        dtype=np.float64,
+    )  # (num_tables*num_planes, dim)
+    weights = np.tile(1 << np.arange(num_planes, dtype=np.int64), num_tables).reshape(
+        num_tables, num_planes
+    )
+    elem = df.schema[1].dataType.elementType.simpleString()
+
+    def compute(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf[out_vec]), dtype=np.float64)  # (n, dim)
+            signs = (v @ plane_mat.T >= 0).reshape(len(v), num_tables, num_planes)
+            b = (signs * weights[None, :, :]).sum(axis=2)  # (n, tables)
+            rows = np.repeat(np.arange(len(v)), num_tables)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[out_id].to_numpy()[rows],
+                    out_vec: pdf[out_vec].to_numpy()[rows],
+                    "t": np.tile(np.arange(num_tables), len(v)),
+                    "b": b.ravel(),
+                }
+            )
+
+    with_b = df.mapInPandas(
+        compute, f"{out_id} long, {out_vec} array<{elem}>, t int, b long"
+    )
+    return with_b.withColumn("__bucket", F.struct(F.col("t"), F.col("b"))).drop("t", "b")
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_planes: int = 4,
+    num_tables: int = 12,
+    dim: int = 64,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Candidate-generation → exact-verify near-duplicate pairs over a
+    single corpus — the 100 TB-safe spelling of all-pairs cosine dedup.
+
+    Shape: every vector hashes into ``num_tables`` (table, bucket) keys
+    (one Arrow matmul, map-only); a single self equi-join on the bucket
+    struct co-locates candidates (both sides shuffle once on the same
+    key — no broadcast of the corpus, no driver collect, no n² product);
+    candidate pairs are deduped then pay the exact JVM dot product, and
+    only pairs with cosine ≥ ``threshold`` survive. Work scales with
+    bucket collision counts, not |corpus|².
+
+    Recall is the standard multi-table LSH bound 1-(1-p^planes)^tables
+    with p = 1 - θ/π; the defaults (4 planes × 12 tables) give ≈0.89 at
+    cosine 0.40 and →1 as similarity →1. The exact all-pairs referee
+    (:func:`cosine_pairs_above_np` corpus-vs-corpus) lives in tests
+    only, where the corpus is fixture-sized by construction.
+
+    Returns (query_id, neighbor_id, cosine) with query_id < neighbor_id.
+    """
+    b = lsh_attach_buckets(
+        corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "query_id",
+        "__qv",
+        num_planes=num_planes,
+        num_tables=num_tables,
+        dim=dim,
+    )
+    other = (
+        b.select("query_id", "__qv", "__bucket")
+        .withColumnRenamed("query_id", "neighbor_id")
+        .withColumnRenamed("__qv", "__cv")
+    )
+    cand = (
+        b.join(other, "__bucket")
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        cand.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -103,59 +217,23 @@ def lsh_bucketed_topk(
     form (48 interpreted array-lambda dot products per row) measured
     ~6× slower end-to-end at sf0.01.
     """
-    import numpy as np
-    import pandas as pd
-
     from pyspark.sql import Window as W
 
-    plane_mat = np.array(
-        [
-            plane
-            for t in range(num_tables)
-            for plane in _fixed_planes(num_planes, dim, seed=88172645463325252 + 7919 * t)
-        ],
-        dtype=np.float64,
-    )  # (num_tables*num_planes, dim)
-    weights = np.tile(1 << np.arange(num_planes, dtype=np.int64), num_tables).reshape(
-        num_tables, num_planes
-    )
-
-    def attach_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        elem = df.schema[1].dataType.elementType.simpleString()
-
-        def compute(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                v = np.array(list(pdf[out_vec]), dtype=np.float64)  # (n, dim)
-                signs = (v @ plane_mat.T >= 0).reshape(len(v), num_tables, num_planes)
-                b = (signs * weights[None, :, :]).sum(axis=2)  # (n, tables)
-                rows = np.repeat(np.arange(len(v)), num_tables)
-                yield pd.DataFrame(
-                    {
-                        out_id: pdf[out_id].to_numpy()[rows],
-                        out_vec: pdf[out_vec].to_numpy()[rows],
-                        "t": np.tile(np.arange(num_tables), len(v)),
-                        "b": b.ravel(),
-                    }
-                )
-
-        with_b = df.mapInPandas(
-            compute, f"{out_id} long, {out_vec} array<{elem}>, t int, b long"
-        )
-        return with_b.withColumn(
-            "__bucket", F.struct(F.col("t"), F.col("b"))
-        ).drop("t", "b")
-
-    c = attach_buckets(
+    c = lsh_attach_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
         "neighbor_id",
         "__cv",
+        num_planes=num_planes,
+        num_tables=num_tables,
+        dim=dim,
     )
-    q = attach_buckets(
+    q = lsh_attach_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
         "query_id",
         "__qv",
+        num_planes=num_planes,
+        num_tables=num_tables,
+        dim=dim,
     )
     cand = (
         c.join(q, "__bucket")
@@ -181,6 +259,7 @@ def cosine_pairs_above_np(
     threshold: float,
     qid_col: str | None = None,
     round_to: int | None = 6,
+    max_query_rows: int = 4096,
 ) -> DataFrame:
     """NumPy-vectorized :func:`cosine_pairs_above` — the brute-force
     scale path.
@@ -193,6 +272,12 @@ def cosine_pairs_above_np(
     is identical: corpus stays partitioned, no shuffle, work is
     O(batch × queries) flops in BLAS.
 
+    ``max_query_rows`` enforces the "small by contract" side: the
+    collect goes through a LIMIT (so the driver never receives more
+    than the bound even from a huge input) and raises instead of
+    silently degrading into an all-pairs full-corpus broadcast — the
+    self-dedup shape belongs to :func:`lsh_near_dup_pairs`.
+
     With ``round_to`` the cosine is rounded (as the JVM variant's
     callers do) so results compare stably across engines.
     """
@@ -200,7 +285,17 @@ def cosine_pairs_above_np(
     import pandas as pd
 
     qid = qid_col or id_col
-    q_rows = queries.select(F.col(qid).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    q_rows = (
+        queries.select(F.col(qid).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"cosine_pairs_above_np: query side exceeds max_query_rows={max_query_rows}; "
+            "it is collected to the driver and must be small by contract — "
+            "use lsh_near_dup_pairs / ivf_topk for corpus-scale inputs"
+        )
     q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))

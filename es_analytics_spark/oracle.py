@@ -38,6 +38,24 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class the driver's value hash is sensitive to.
+
+    The driver hashes pandas values, so an int64 `1` vs float64 `1.0`
+    mismatch (DuckDB HUGEINT -> float64 being the classic source) fails
+    its hash even when every value compares equal. We therefore assert
+    class parity instead of silently coercing it away."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -64,6 +82,12 @@ def compare_query(
     a, b = _canon(sdf), _canon(ddf.rename(columns=dict(zip(ddf.columns, ddf.columns))))
     b.columns = a.columns  # align case
     bad = []
+    for c in a.columns:
+        ca, cb = _dtype_class(a[c]), _dtype_class(b[c])
+        if ca != cb:
+            bad.append(f"{c}: dtype class spark={ca}({a[c].dtype}) duck={cb}({b[c].dtype})")
+    if bad:
+        return CompareResult(name, False, "DTYPE: " + "; ".join(bad[:6]))
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):

@@ -635,8 +635,10 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sess AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             -- DuckDB's windowed SUM(int) yields HUGEINT -> pandas float64;
+             -- Spark emits bigint. CAST so the driver's dtype-sensitive hash matches.
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, COUNT(*) AS n_events,
            MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -1574,7 +1576,9 @@ def fn_datetime_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("plus_3m"),
-        F.last_day("o_orderdate").alias("month_end"),
+        # cast: Spark DATE -> pandas object(date) but DuckDB DATE -> datetime64;
+        # emit timestamp on both sides so the dtype-sensitive hash agrees
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
         F.round(
             F.datediff(F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date"))
             .cast("double")

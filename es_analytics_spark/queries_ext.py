@@ -261,10 +261,11 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_class",
     oracle="""
     SELECT l_linestatus AS ship_class,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           -- CAST: DuckDB SUM(int) is HUGEINT (pandas float64); Spark emits bigint.
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_returnflag <> 'A'
       AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -464,33 +465,28 @@ _PAIR_COS_SQL = """
 """
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    WITH pairs AS (
-      SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, {_PAIR_COS_SQL} AS cosine
-      FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
-      WHERE {_PAIR_COS_SQL} >= 0.40)
-    SELECT dup_id, MIN(keep_id) AS kept_id, MAX(cosine) AS max_cosine
-    FROM pairs GROUP BY dup_id
-    """,
-)
+@query("dedup_embedding_cosine", oracle=None)  # LSH candidates → recall<1 by design
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: rows whose vector is ≥0.40 cosine to a
-    lower-id row are duplicates (the fixture's embeddings are near-
-    uniform, so a production-style 0.93 bar would match nothing; the
-    threshold is a parameter, the dataflow is the point); the lowest
-    such id is the kept
+    """Embedding-cosine near-dup, candidate-generation → exact-verify:
+    rows whose vector is ≥0.40 cosine to a lower-id row are duplicates
+    (the fixture's embeddings are near-uniform, so a production-style
+    0.93 bar would match nothing; the threshold is a parameter, the
+    dataflow is the point); the lowest such id found is the kept
     canonical (transitive closure is out of scope — single-link
-    clustering needs an iterative connected-components pass). All-pairs
-    here (correctness baseline); the scale path generates candidate
-    pairs with sim_lsh_bucketed / IVF cells first."""
-    from es_analytics_spark.operators.similarity import cosine_pairs_above_np
+    clustering needs an iterative connected-components pass).
+
+    Candidates come from multi-table sign-LSH self-buckets
+    (:func:`lsh_near_dup_pairs`): one map-only bucket matmul, one
+    self equi-join on (table, bucket), exact JVM cosine on candidates
+    only — no corpus broadcast, no driver collect, no n² product, so
+    the registered shape survives a 100 TB corpus. Rows-only by
+    contract (multi-table LSH recall ≈0.89 at cosine 0.40, →1 as
+    similarity →1); the exact all-pairs referee and the measured
+    recall bound live in tests/test_operators.py."""
+    from es_analytics_spark.operators.similarity import lsh_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    pairs = cosine_pairs_above_np(e, e, "vec_id", "embedding", threshold=0.40).filter(
-        F.col("neighbor_id") > F.col("query_id")
-    )
+    pairs = lsh_near_dup_pairs(e, "vec_id", "embedding", threshold=0.40)
     return pairs.groupBy(F.col("neighbor_id").alias("dup_id")).agg(
         F.min("query_id").alias("kept_id"), F.max("cosine").alias("max_cosine")
     )
@@ -1063,7 +1059,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
            xor(event_id, 12345) AS xored,
            (event_id << 2) AS shifted,
            ts + INTERVAL 7 DAY AS ts_plus_week,
-           CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS date_plus_2mo
+           -- TIMESTAMP, not DATE: Spark DATE lands in pandas as object(date)
+           -- while DuckDB DATE becomes datetime64 — dtype-hash mismatch
+           CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS date_plus_2mo
     FROM events
     """,
 )
@@ -1079,7 +1077,7 @@ def fn_bitwise_datearith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").bitwiseXOR(F.lit(12345)).alias("xored"),
         F.shiftleft(F.col("event_id"), 2).alias("shifted"),
         (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("ts_plus_week"),
-        F.add_months(F.col("ts").cast("date"), 2).alias("date_plus_2mo"),
+        F.add_months(F.col("ts").cast("date"), 2).cast("timestamp").alias("date_plus_2mo"),
     )
 
 
@@ -1087,11 +1085,12 @@ def fn_bitwise_datearith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_date_spine_gapfill",
     oracle="""
     WITH spine AS (
-      SELECT CAST(UNNEST(GENERATE_SERIES(TIMESTAMP '2024-01-01 00:00:00',
-                                         TIMESTAMP '2024-01-31 00:00:00',
-                                         INTERVAL 1 DAY)) AS DATE) AS day),
+      SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-31 00:00:00',
+                                    INTERVAL 1 DAY)) AS day),
     daily AS (
-      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1)
+      SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1)
     SELECT spine.day, COALESCE(daily.n, 0) AS n_events
     FROM spine LEFT JOIN daily ON spine.day = daily.day
     """,
@@ -1111,8 +1110,10 @@ def fn_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("INTERVAL 1 DAY"),
             )
         ).alias("__d")
-    ).select(F.col("__d").cast("date").alias("day"))
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(F.count("*").alias("n"))
+    ).select(F.col("__d").alias("day"))  # timestamp spine (see oracle dtype note)
+    daily = ev.groupBy(
+        F.col("ts").cast("date").cast("timestamp").alias("day")
+    ).agg(F.count("*").alias("n"))
     return (
         F.broadcast(spine)
         .join(daily, "day", "left")
@@ -1649,7 +1650,8 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
              r.user_id IS NOT NULL AS retained
       FROM daily d LEFT JOIN daily r
         ON r.user_id = d.user_id AND r.day = d.day + INTERVAL 1 DAY)
-    SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users,
+    SELECT CAST(day AS TIMESTAMP) AS day,  -- dtype parity: see fn_date_spine note
+           CAST(COUNT(*) AS BIGINT) AS active_users,
            CAST(SUM(CASE WHEN retained THEN 1 ELSE 0 END) AS BIGINT) AS retained_next_day,
            FLOOR(AVG(CASE WHEN retained THEN 1.0 ELSE 0.0 END) * 1e6) / 1e6
              AS retention_rate
@@ -1666,7 +1668,7 @@ def retention_next_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
     nxt = daily.select("user_id", F.date_sub("day", 1).alias("day"), F.lit(True).alias("__r"))
     joined = daily.join(nxt, ["user_id", "day"], "left")
-    return joined.groupBy("day").agg(
+    return joined.groupBy(F.col("day").cast("timestamp").alias("day")).agg(
         F.count("*").cast("bigint").alias("active_users"),
         F.sum(F.when(F.col("__r"), 1).otherwise(0)).cast("bigint").alias("retained_next_day"),
         (

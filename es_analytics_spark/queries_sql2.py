@@ -880,9 +880,12 @@ def window_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FINGERPRINT_SQL = """
     SELECT o_orderstatus,
-           SUM((o_orderkey * 2654435761 +
+           -- CAST: DuckDB SUM over BIGINT signatures is HUGEINT; above 2^53 the
+           -- pandas float64 materialization would silently lose precision, so the
+           -- exact-compare MUST see int64 on both sides.
+           CAST(SUM((o_orderkey * 2654435761 +
                 CAST(FLOOR(o_totalprice * 100) AS BIGINT)) % 1000000007)
-             % 1000000007 AS fingerprint,
+             % 1000000007 AS BIGINT) AS fingerprint,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderstatus
 """
@@ -1335,8 +1338,8 @@ _WINSORIZE_SQL = """
     )
     SELECT li.l_returnflag,
            COUNT(*) AS n,
-           SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
-                    THEN 1 ELSE 0 END) AS n_clipped,
+           CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
            {WINS_SUM} AS sum_winsorized
     FROM lineitem li JOIN bounds ON li.l_returnflag = bounds.l_returnflag
     GROUP BY li.l_returnflag
@@ -1398,7 +1401,7 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k,
            CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) IS NOT NULL AS has_k,
-           NULL AS missing_field,
+           CAST(NULL AS VARCHAR) AS missing_field,  -- typed: bare NULL -> float64 in pandas
            'OBJECT' AS v_kind
     FROM events
     """,

@@ -97,6 +97,44 @@ def test_lsh_bucketed_recall(spark, sf_dir):
     assert hit / (5 * len(exact_sets)) > 0.3, f"recall@5 too low: {hit}/{5 * len(exact_sets)}"
 
 
+def test_lsh_near_dup_recall_vs_exact(spark, sf_dir):
+    """Recall referee for the registered dedup_embedding_cosine shape:
+    the LSH candidate→verify pair set must recover most of the exact
+    all-pairs set at the query's 0.40 bar, with zero false positives
+    (every emitted pair is exact-verified, so precision is 1.0 by
+    construction — assert it anyway)."""
+    from es_analytics_spark.operators.similarity import (
+        cosine_pairs_above_np,
+        lsh_near_dup_pairs,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_pairs_above_np(emb, emb, "vec_id", "embedding", threshold=0.40)
+        .filter(F.col("neighbor_id") > F.col("query_id"))
+        .collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.40).collect()
+    }
+    assert exact, "fixture must produce exact pairs at the 0.40 bar"
+    assert got <= exact, f"false positives: {sorted(got - exact)[:5]}"
+    recall = len(got & exact) / len(exact)
+    assert recall > 0.6, f"recall too low: {recall:.2f} ({len(got)}/{len(exact)})"
+
+
+def test_cosine_pairs_np_rejects_unbounded_query_side(spark, sf_dir):
+    """The brute-force path's collect is bounded: an over-limit query
+    side raises instead of silently shipping the corpus to the driver."""
+    from es_analytics_spark.operators.similarity import cosine_pairs_above_np
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_pairs_above_np(emb, emb, "vec_id", "embedding", 0.4, max_query_rows=100)
+
+
 def test_asof_join_semantics(spark):
     quotes = spark.createDataFrame(
         [
