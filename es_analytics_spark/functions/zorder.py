@@ -27,6 +27,14 @@ def interleave_expr(cols: list[str], bits: int = 16) -> str:
     k = len(cols)
     if k < 2:
         raise ValueError("z-order needs at least two columns")
+    if k * bits > 63:
+        # bit position k*bits-1 would land in (or past) the bigint sign
+        # bit, making top-half curve positions negative — silently wrong
+        # range clustering. Callers shrink bits instead (zorder_by does).
+        raise ValueError(
+            f"z-order interleave overflows bigint: {k} cols x {bits} bits "
+            f"= {k * bits} > 63; use bits <= {63 // k}"
+        )
     terms = [
         f"((({c}) >> {i}) & 1) << {i * k + j}"
         for j, c in enumerate(cols)
@@ -35,18 +43,24 @@ def interleave_expr(cols: list[str], bits: int = 16) -> str:
     return "(" + " | ".join(f"({t})" for t in terms) + ")"
 
 
-def normalize_expr(col: str, lo: float, hi: float, bits: int = 16) -> str:
+def normalize_expr(col: str, lo: float | None, hi: float | None, bits: int = 16) -> str:
     """SQL expression mapping a numeric column into [0, 2**bits) by
     linear scaling over the [lo, hi] stats range, clamped at the ends
     (values at ``hi`` land in the top cell, out-of-range values clamp
     rather than wrap so late-arriving outliers cannot corrupt the
     curve).
+
+    ``None`` stats (empty table, or an all-NULL column) degrade to the
+    constant 0 cell — the dimension contributes nothing to the curve
+    instead of crashing the rewrite. NULL values inside a non-degenerate
+    column also land in cell 0 (COALESCE), so every row gets a defined,
+    deterministic curve position.
     """
     cells = (1 << bits) - 1
-    span = hi - lo
-    if span <= 0:
+    if lo is None or hi is None or hi - lo <= 0:
         return "CAST(0 AS BIGINT)"
+    span = hi - lo
     return (
         f"CAST(LEAST({cells}, GREATEST(0, "
-        f"FLOOR((({col}) - {lo!r}) * {cells!r} / {span!r}))) AS BIGINT)"
+        f"FLOOR((COALESCE({col}, {lo!r}) - {lo!r}) * {cells!r} / {span!r}))) AS BIGINT)"
     )

@@ -196,6 +196,8 @@ def zorder_by(
     before = table_stats(spark, path)
     df = spark.read.parquet(path)
     n_rows = df.count()
+    # keep the interleave inside bigint: k*bits must fit below the sign bit
+    bits = min(bits, 63 // len(zorder_cols))
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(zorder_cols)],
         *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(zorder_cols)],

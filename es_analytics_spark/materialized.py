@@ -19,11 +19,21 @@ Mergeability rules (classic aggregation-lattice algebra):
 AVG is intentionally absent: store count+sum and divide at read time
 (``read_rollup`` exposes the division).
 
-The refresh never reads incorporated files again: the manifest (a JSON
-file next to the rollup data) records every file already folded in,
-new files are aggregated alone, and the two partial tables merge with
-one small groupBy. All file ops route through the sources.fsio seam,
-so the rollup lives on local FS or any Hadoop URI.
+The refresh never reads incorporated files again: the manifest records
+every file already folded in, new files are aggregated alone, and the
+two partial tables merge with one small groupBy. All file ops route
+through the sources.fsio seam, so the rollup lives on local FS or any
+Hadoop URI.
+
+Crash safety: data and manifest live TOGETHER inside one version
+directory (``<rollup>/current/{data, _manifest.json}``) and a refresh
+builds the complete next version in a staging dir, then swaps it in
+with the two-rename dance (staged manifest travels with its data, so
+no crash point can publish data the manifest doesn't record — the
+double-count / lost-rollup windows of a separate-manifest layout).
+The remaining window — backup renamed away, new version not yet
+renamed in — is healed on the next read/refresh by restoring the
+backup (single-writer contract, as in maintenance._swap).
 """
 
 from __future__ import annotations
@@ -65,16 +75,37 @@ def _merge_aggs(measures: dict[str, tuple[str, str | None]]) -> list:
     return aggs
 
 
-def _data_path(rollup_path: str) -> str:
-    return fs_join(rollup_path, "data")
+def _current_path(rollup_path: str) -> str:
+    return fs_join(rollup_path, "current")
 
 
-def _manifest_path(rollup_path: str) -> str:
-    return fs_join(rollup_path, "_manifest.json")
+def _backup_path(rollup_path: str) -> str:
+    return fs_join(rollup_path, "current.__old__")
+
+
+def _staging_path(rollup_path: str) -> str:
+    return fs_join(rollup_path, "current.__refresh__")
+
+
+def _data_path(version_path: str) -> str:
+    return fs_join(version_path, "data")
+
+
+def _manifest_path(version_path: str) -> str:
+    return fs_join(version_path, "_manifest.json")
+
+
+def _heal(fs, rollup_path: str) -> None:
+    """Finish an interrupted swap: if a crash left the backup as the
+    only complete version, restore it (single-writer contract)."""
+    cur, bak = _current_path(rollup_path), _backup_path(rollup_path)
+    if not fs.exists(cur) and fs.exists(bak):
+        fs.rename(bak, cur)
 
 
 def _read_manifest(fs, rollup_path: str) -> dict:
-    p = _manifest_path(rollup_path)
+    _heal(fs, rollup_path)
+    p = _manifest_path(_current_path(rollup_path))
     if not fs.exists(p):
         return {"files": []}
     return json.loads(fs.read_bytes(p).decode("utf-8"))
@@ -98,11 +129,12 @@ def refresh_rollup(
     one-shot build over a+b bit-for-bit.
     """
     fs = lake_fs(spark, rollup_path)
-    manifest = _read_manifest(fs, rollup_path)
+    manifest = _read_manifest(fs, rollup_path)  # heals interrupted swaps
     seen = set(manifest["files"])
-    current = lake_fs(spark, source_glob).glob(source_glob)
-    new_files = [f for f in current if f not in seen]
-    data = _data_path(rollup_path)
+    current_files = lake_fs(spark, source_glob).glob(source_glob)
+    new_files = [f for f in current_files if f not in seen]
+    cur = _current_path(rollup_path)
+    data = _data_path(cur)
 
     if not new_files:
         n_groups = spark.read.parquet(data).count() if fs.exists(data) else 0
@@ -121,16 +153,23 @@ def refresh_rollup(
     else:
         merged = fresh
 
-    staging = data.rstrip("/") + ".__refresh__"
-    merged.write.mode("overwrite").parquet(staging)
-    n_groups = spark.read.parquet(staging).count()
-    if fs.exists(data):
-        fs.delete(data)
-    fs.rename(staging, data)
+    # build the COMPLETE next version (data + its manifest) in staging,
+    # then swap the version directory — data and the manifest that
+    # records it are published in the same rename
+    staging = _staging_path(rollup_path)
+    fs.delete(staging)  # a crashed prior refresh may have left one
+    merged.write.mode("overwrite").parquet(_data_path(staging))
+    n_groups = spark.read.parquet(_data_path(staging)).count()
     manifest["files"] = sorted(seen | set(new_files))
     fs.put_bytes(
-        _manifest_path(rollup_path), json.dumps(manifest, indent=0).encode("utf-8")
+        _manifest_path(staging), json.dumps(manifest, indent=0).encode("utf-8")
     )
+    backup = _backup_path(rollup_path)
+    fs.delete(backup)
+    if fs.exists(cur):
+        fs.rename(cur, backup)
+    fs.rename(staging, cur)
+    fs.delete(backup)
     return {
         "new_files": len(new_files),
         "total_files": len(manifest["files"]),
@@ -147,7 +186,8 @@ def read_rollup(
     """Read the rollup, casting decimal sums back to double and adding
     derived averages (``avg_pairs`` maps out-name -> (sum_name,
     count_name))."""
-    df = spark.read.parquet(_data_path(rollup_path))
+    _heal(lake_fs(spark, rollup_path), rollup_path)
+    df = spark.read.parquet(_data_path(_current_path(rollup_path)))
     for name, (kind, _c) in measures.items():
         if kind == "sum":
             df = df.withColumn(name, F.round(F.col(name), 4).cast("double"))

@@ -347,8 +347,11 @@ _EWMA_SQL = """
         FROM events
     )
     SELECT a.user_id, a.event_id,
-           ROUND(SUM(b.value * POWER(0.7, a.rn - b.rn))
-                 / SUM(POWER(0.7, a.rn - b.rn)), 6) AS ewma
+           -- explicit half-up quantization (not ROUND): Spark rounds
+           -- doubles HALF_UP, DuckDB half-even — the halfway divergence
+           -- this file documents; the floor spelling is engine-stable
+           FLOOR(SUM(b.value * POWER(0.7, a.rn - b.rn))
+                 / SUM(POWER(0.7, a.rn - b.rn)) * 1e6 + 0.5) / 1e6 AS ewma
     FROM o a JOIN o b
       ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 23 AND a.rn
     GROUP BY a.user_id, a.event_id
@@ -381,7 +384,12 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.select("user_id", "event_id", lst.alias("frame_vals"))
-        .select("user_id", "event_id", F.round(num / den, 6).alias("ewma"))
+        .select(
+            "user_id",
+            "event_id",
+            # same explicit half-up spelling as the oracle (see _EWMA_SQL)
+            (F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6).alias("ewma"),
+        )
     )
 
 

@@ -7,10 +7,24 @@ comment lines without capturing them, so the reader here fetches line 1
 separately to build the StructType, then does a normal schema'd CSV read
 (SURVEY.md §1.6).
 
-Wire-format limitation: embedded NUL (``\\x00``) in string values does
-not survive the read side — Spark's univocity CSV parser strips it.
-Data that must carry NUL belongs on the native parquet sink, which
-round-trips it bit-exactly.
+Wire-format limitations (both readers, documented in one place):
+
+- Embedded NUL (``\\x00``) in string values does not survive the read
+  side — Spark's univocity CSV parser strips it. Data that must carry
+  NUL belongs on the native parquet sink, which round-trips it
+  bit-exactly.
+- Embedded newlines in string values are legal (QUOTE_MINIMAL quotes
+  them on write): the JVM path reads them via ``multiLine`` (which
+  makes a file the split unit — fine here, lake objects are already
+  bounded by ``batch_record_limit`` and are the parallel unit), and
+  the Python data source feeds one csv.reader the whole object so
+  quoted newlines never shear a row.
+- Unicode line separators (``\\u2028``, ``\\x85``) are ordinary
+  in-field characters, never record terminators.
+- Embedded ``\\r\\n`` inside a quoted field reads back as ``\\n``
+  (univocity's multiLine normalization; the Python source mirrors it
+  so both readers agree). Lone ``\\r`` and ``\\n`` survive unchanged.
+  CRLF-exact data belongs on the parquet sink.
 """
 
 from __future__ import annotations
@@ -95,6 +109,9 @@ def read_typed_csv(spark: SparkSession, pattern: str) -> DataFrame:
         # RFC-4180 escapes quotes by doubling them; Spark's default
         # escape is backslash, which misparses a field like `"""`
         .option("escape", '"')
+        # quoted fields may contain newlines; without multiLine the
+        # line-splitting scanner shears them (module docstring)
+        .option("multiLine", True)
         .schema(schema)
         .csv(paths)
     )

@@ -27,6 +27,7 @@ import csv as _csv
 import datetime as dt
 import glob as _glob
 import gzip
+import io
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -41,13 +42,29 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
-def _parse_header_bytes(data: bytes):
-    """(type tokens, column names) from the first two lines."""
-    lines = data.decode("utf-8").splitlines()[:2]
-    if not lines or not lines[0].startswith("#"):
+def _records(data: bytes):
+    """(type tokens, column names, data-row iterator) for one object.
+
+    One csv.reader over the whole decoded text — NOT splitlines() +
+    per-line readers: encode_typed_csv quotes fields containing
+    newlines (RFC-4180/QUOTE_MINIMAL), so line-splitting would shear
+    quoted multi-line values into corrupt rows, and str.splitlines
+    additionally breaks on Unicode line boundaries (\\u2028, \\x85)
+    that are ordinary in-field characters on the wire. io.StringIO
+    with newline='' hands the csv module raw text so only real
+    (unquoted) record terminators end a row."""
+    rdr = _csv.reader(io.StringIO(data.decode("utf-8"), newline=""))
+    first = next(rdr, None)
+    if not first or not first[0].startswith("#"):
         raise ValueError("missing typed header line")
-    types = lines[0][1:].split(",")
-    names = next(_csv.reader([lines[1]]))
+    types = [first[0][1:], *first[1:]]
+    names = next(rdr, None) or []
+    return types, names, rdr
+
+
+def _parse_header_bytes(data: bytes):
+    """(type tokens, column names) from the header records."""
+    types, names, _ = _records(data)
     return types, names
 
 
@@ -81,7 +98,11 @@ def _convert(token: str, value: str):
         return dt.datetime.strptime(value, "%Y-%m-%dT%H:%M:%S.%f%z").replace(
             tzinfo=None
         )
-    return value
+    # match the JVM reader exactly: univocity's multiLine parser
+    # normalizes \r\n -> \n inside quoted fields (lone \r, \n, \x85, \u2028
+    # all survive) — a documented wire-format limit, kept
+    # identical across both read paths
+    return value.replace("\r\n", "\n")
 
 
 class TypedCsvDataSource(DataSource):
@@ -121,10 +142,8 @@ class TypedCsvReader(DataSourceReader):
         return [_FilePartition(p) for p in self._paths]
 
     def read(self, partition: _FilePartition):
-        data = _read_file_bytes(partition.path)
-        text = data.decode("utf-8").splitlines()
-        types, _names = _parse_header_bytes(data)
-        for row in _csv.reader(text[2:]):
+        types, _names, rows = _records(_read_file_bytes(partition.path))
+        for row in rows:
             yield tuple(_convert(t, v) for t, v in zip(types, row))
 
 
@@ -154,9 +173,8 @@ class TypedCsvStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, paths: list[str]):
         rows = []
         for p in paths:
-            data = _read_file_bytes(p)
-            types, _names = _parse_header_bytes(data)
-            for row in _csv.reader(data.decode("utf-8").splitlines()[2:]):
+            types, _names, recs = _records(_read_file_bytes(p))
+            for row in recs:
                 rows.append(tuple(_convert(t, v) for t, v in zip(types, row)))
         return rows
 

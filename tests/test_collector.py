@@ -275,3 +275,37 @@ def test_typed_csv_python_datasource_matches_jvm_reader(spark, tmp_path):
     assert len(a) == 50
     # partition-parallel: one partition per lake object
     assert via_ds.rdd.getNumPartitions() >= 3
+
+
+def test_typed_csv_quoted_newlines_survive_both_readers(spark, tmp_path):
+    """RFC-4180 quoted fields may contain record terminators and
+    Unicode line boundaries; both the JVM reader (multiLine) and the
+    Python data source (single csv.reader over the object) must return
+    them intact — not shear rows at the embedded newline."""
+    import datetime as dt2
+
+    from es_analytics_spark.sources.typed_csv import read_typed_csv
+    from es_analytics_spark.sources.typed_csv_ds import register_typed_csv
+
+    tricky = [
+        "line one\nline two",
+        "crlf\r\nsecond",
+        "unicode \u2028 ls and \x85 nel",
+        'quote " and\nnewline',
+        "plain",
+    ]
+    # documented wire limit: embedded \r\n normalizes to \n on read
+    # (univocity multiLine behavior, mirrored by the Python source)
+    expect = {i: s.replace("\r\n", "\n") for i, s in enumerate(tricky)}
+    col = Collector(
+        spark, CollectorConfig(lake_dir=str(tmp_path / "lake"), sink_format="csv")
+    )
+    for i, s in enumerate(tricky):
+        col.track("t", {"k": i, "s": s, "ts": dt2.datetime(2024, 3, 1, 10, 30)})
+    col.stop()
+
+    pattern = str(tmp_path / "lake" / "*/*/*/*" / "t" / "*.csv*")
+    register_typed_csv(spark)
+    for df in (spark.read.format("typed_csv").load(pattern), read_typed_csv(spark, pattern)):
+        got = {r["k"]: r["s"] for r in df.collect()}
+        assert got == expect, df

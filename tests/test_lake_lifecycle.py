@@ -403,6 +403,85 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
     assert r3["new_files"] == 0 and r3["groups"] == 7
 
 
+def test_zorder_guards_sign_bit_and_degenerate_stats(spark, tmp_path):
+    """interleave_expr must refuse bit layouts that reach the bigint
+    sign bit (negative curve positions silently invert the clustering
+    order); zorder_by auto-shrinks bits instead. None/NULL stats
+    (empty table, all-NULL column) degrade to the constant 0 cell
+    rather than crashing."""
+    import pytest as _pytest
+
+    from es_analytics_spark.functions.zorder import interleave_expr, normalize_expr
+    from es_analytics_spark.maintenance import zorder_by
+
+    with _pytest.raises(ValueError, match="63"):
+        interleave_expr(["a", "b", "c", "d"], bits=16)  # 64 bits -> sign bit
+
+    assert normalize_expr("x", None, None) == "CAST(0 AS BIGINT)"
+    assert normalize_expr("x", 5.0, 5.0) == "CAST(0 AS BIGINT)"
+    # NULL values land in a defined cell (COALESCE inside the expr)
+    assert "COALESCE" in normalize_expr("x", 0.0, 10.0)
+
+    # 4 columns at default bits=16 would overflow; zorder_by shrinks to 15
+    path = str(tmp_path / "t4")
+    spark.range(0, 5000).selectExpr(
+        "cast(id % 100 as double) as a",
+        "cast(id % 97 as double) as b",
+        "cast(id % 89 as double) as c",
+        "cast(null as double) as d",  # all-NULL dim: constant cell
+    ).write.parquet(path)
+    report = zorder_by(spark, path, ["a", "b", "c", "d"], target_file_bytes=64 * 1024)
+    assert report["rows"] == 5000
+    assert spark.read.parquet(path).count() == 5000
+
+
+def test_rollup_refresh_survives_interrupted_swap(spark, tmp_path):
+    """Crash-safety contract: data and its manifest publish in one
+    version-directory rename, and a crash between the two renames
+    (backup moved away, new version not yet in) heals on the next
+    refresh/read — no double-count, no lost rollup."""
+    import shutil
+
+    from es_analytics_spark.materialized import read_rollup, refresh_rollup
+
+    src = str(tmp_path / "facts")
+    roll = str(tmp_path / "rollup")
+    measures = {"n": ("count", None), "total": ("sum", "amount")}
+    spark.range(0, 1000).selectExpr(
+        "id % 3 as grp", "cast(id as double) as amount"
+    ).coalesce(1).write.mode("append").parquet(src)
+    refresh_rollup(spark, f"{src}/*.parquet", roll, ["grp"], measures)
+
+    # simulate the worst crash point: current renamed to backup, new
+    # version never arrived
+    shutil.move(f"{roll}/current", f"{roll}/current.__old__")
+    spark.range(1000, 2000).selectExpr(
+        "id % 3 as grp", "cast(id as double) as amount"
+    ).coalesce(1).write.mode("append").parquet(src)
+    r = refresh_rollup(spark, f"{src}/*.parquet", roll, ["grp"], measures)
+    assert r["new_files"] == 1  # healed manifest: first file NOT re-read
+
+    got = {r["grp"]: (r["n"], r["total"]) for r in read_rollup(spark, roll, measures).collect()}
+    want = {
+        r["grp"]: (r["n"], r["total"])
+        for r in spark.read.parquet(src)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("amount").cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # a crash that left only staging behind must not poison the next run
+    (tmp_path / "rollup" / "current.__refresh__").mkdir()
+    r2 = refresh_rollup(spark, f"{src}/*.parquet", roll, ["grp"], measures)
+    assert r2["new_files"] == 0
+
+
 def test_streaming_lake_feeds_incremental_rollup(spark, sf_dir, tmp_path):
     """The end-to-end incremental path: new files land in the source
     dir, ONE checkpointed availableNow stream drains them into the
