@@ -131,6 +131,10 @@ if __name__ == "__main__":
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     spark = get_spark("oracle_check")
+    # fixture-scale check harness: tiny inputs under 32-task shuffles pay
+    # far more in scheduling than compute — 8 post-AQE partitions keeps
+    # the full 180-query sweep fast without touching any query's shape
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     results = run_all(spark, sf_dir, names)
     n_ok = sum(r.ok for r in results)
     for r in results:

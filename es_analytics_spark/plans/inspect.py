@@ -81,3 +81,53 @@ def plan_audit(df: DataFrame) -> dict:
         "sorts": n("Sort"),
         "nodes": len(tree),
     }
+
+
+def single_partition_hotspots(df: DataFrame) -> list[str]:
+    """Window/Sort nodes whose data flows through an
+    ``Exchange SinglePartition`` — the shape that funnels a data-sized
+    input onto ONE task (the 100 TB killer the ml_split_shuffle fix
+    removed). Returns the offending node lines; empty list = clean.
+
+    Detection: parse the physical plan tree (indentation = depth), and
+    for each Window/Sort node find the first Exchange in its subtree;
+    flag it when that exchange is SinglePartition. Bounded-by-design
+    cases (e.g. a cumsum over one row per shuffle partition) must be
+    allowlisted by the caller — plan text cannot see cardinality.
+    """
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    nodes: list[tuple[int, str]] = []  # (depth, node text)
+    for ln in plan.splitlines():
+        m = re.search(r"(?:\+-|:-) ", ln)
+        if m:
+            depth = m.start() // 3 + 1
+            text = ln[m.end():]
+        else:
+            depth, text = 0, ln
+        text = re.sub(r"^\*\(\d+\) ", "", text).strip()  # codegen prefix
+        if text:
+            nodes.append((depth, text))
+
+    # distribution-preserving single-child nodes: the exchange that set
+    # the Window/Sort's input distribution is found by walking straight
+    # down through these; anything else (join, aggregate, limit, scan)
+    # establishes its own output distribution, so stop clean there
+    passthrough = ("Sort ", "Project", "Filter", "Window", "WindowGroupLimit")
+    hits = []
+    for i, (d, text) in enumerate(nodes):
+        if not (text.startswith("Window") or text.startswith("Sort ")):
+            continue
+        cur = d
+        for dj, tj in nodes[i + 1:]:
+            if dj != cur + 1:
+                break  # not the direct child chain anymore
+            if tj.startswith(("Exchange", "ReusedExchange")):
+                if "SinglePartition" in tj:
+                    hits.append(text[:100])
+                break
+            if not tj.startswith(passthrough):
+                break
+            cur = dj
+    return hits

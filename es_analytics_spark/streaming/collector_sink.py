@@ -102,10 +102,15 @@ def stream_to_lake(
     return writer.start()
 
 
-def read_lake_table(spark: SparkSession, lake_dir: str, table: str) -> DataFrame:
+def read_lake_table(
+    spark: SparkSession, lake_dir: str, table: str, merge_schema: bool = False
+) -> DataFrame:
     """Partition-discovering read of a lake table written by
-    stream_to_lake; filters on ingest_date/ingest_hour prune files."""
-    return spark.read.parquet(f"{lake_dir}/{table}")
+    stream_to_lake; filters on ingest_date/ingest_hour prune files.
+    ``merge_schema`` unifies objects written before/after a schema
+    evolution (pre-evolution files surface nulls in new columns),
+    matching Collector.table's batch-side contract."""
+    return spark.read.option("mergeSchema", merge_schema).parquet(f"{lake_dir}/{table}")
 
 
 def stream_upsert_to_table(

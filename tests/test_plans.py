@@ -135,6 +135,31 @@ def test_no_registered_query_is_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
 
 
+def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
+    """Catalog-wide guard for the ml_split_shuffle class of bug: no
+    registered query may run a Window/Sort whose input funnels through
+    Exchange SinglePartition — at 100 TB that is one task holding the
+    table. Allowlist: shapes whose single-partition input is bounded
+    by construction (plan text cannot see cardinality, so each entry
+    documents its bound)."""
+    from es_analytics_spark.plans.inspect import single_partition_hotspots
+
+    allow_bounded = {
+        # offset cumsum over exactly one row per shuffle partition (the
+        # distributed-rank recipe; pinned by the dedicated test below)
+        "ml_split_shuffle",
+        # rank over the pre-aggregated |groups| frame (~5 rows)
+        "window_percent_of_total",
+    }
+    # dedup_clusters runs its iterative loop eagerly at build time
+    skip_eager = {"dedup_clusters"}
+    for name, spec in REGISTRY.items():
+        if name in allow_bounded | skip_eager or name.startswith("stream_"):
+            continue
+        hits = single_partition_hotspots(spec.fn(spark, sf_dir))
+        assert not hits, f"{name} windows/sorts over SinglePartition: {hits}"
+
+
 def test_ml_split_shuffle_rank_distributes(spark, sf_dir):
     """The epoch-shuffle global rank must distribute: the data-sized
     row_number windows by pid (range partitions), never over a single

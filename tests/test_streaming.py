@@ -166,6 +166,56 @@ def test_typed_csv_streaming_source_incremental(spark, tmp_path):
     assert got.agg(F.sum("k")).first()[0] == sum(range(60))
 
 
+def test_schema_evolution_across_streaming_restart(spark, tmp_path):
+    """Widen the schema between two availableNow replays with the
+    checkpoint intact: the restarted stream appends lake objects with
+    the new column, the first replay's files are NOT re-delivered
+    (offsets survive the schema change — exactly-once holds across
+    evolution), and a mergeSchema read surfaces nulls in the new
+    column for pre-evolution rows. Streaming twin of
+    test_schema_evolution_merges_old_and_new."""
+    from es_analytics_spark.streaming.collector_sink import read_lake_table, stream_to_lake
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+
+    def drain(schema):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = stream_to_lake(
+            stream, table="ev", lake_dir=lake, checkpoint_dir=ckpt, available_now=True
+        )
+        q.awaitTermination()
+
+    v1 = spark.range(0, 100).selectExpr(
+        "id as user_id",
+        "timestamp'2024-01-01 10:00:00' + make_interval(0,0,0,0,0,0,id) as ts",
+        "cast(id as double) as value",
+    )
+    v1.write.parquet(str(src / "b1"))
+    drain(v1.schema)
+
+    v2 = spark.range(100, 150).selectExpr(
+        "id as user_id",
+        "timestamp'2024-01-01 11:00:00' + make_interval(0,0,0,0,0,0,id) as ts",
+        "cast(id as double) as value",
+        "concat('t', id) as tag",  # evolved: new nullable column
+    )
+    v2.write.parquet(str(src / "b2"))
+    drain(v2.schema)
+
+    df = read_lake_table(spark, lake, "ev", merge_schema=True)
+    assert "tag" in df.columns
+    rows = {r.user_id: r.tag for r in df.collect()}
+    assert len(rows) == 150  # b1 delivered exactly once, not re-read
+    assert all(rows[i] is None for i in range(100))  # pre-evolution rows
+    assert rows[120] == "t120"
+
+
 def test_tws_profiles_match_batch_aggregate(spark, sf_dir):
     """transformWithState running profiles == batch aggregate (same
     oracle as the applyInPandasWithState twin). Skips where the TWS
