@@ -720,3 +720,257 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    k: int = 16,
+    iters: int = 3,
+    sub_bucket_over: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the
+    embedding space with distributed spherical k-means, then compare
+    pairs ONLY within a cluster (exact cosine) — the published recipe
+    for semantic dedup at web scale (Abbas et al. 2023, "SemDeDup"),
+    where k is chosen so expected cluster size n/k keeps the
+    within-cluster quadratic term tiny.
+
+    Guards for the quadratic term: clusters larger than
+    ``sub_bucket_over`` rows are split into hash sub-buckets before the
+    pairwise pass (bounded memory per group at a documented recall
+    cost on pathological skew — the same trade SemDeDup makes by
+    capping cluster size). Every emitted pair carries an exact cosine,
+    so precision is 1.0 by construction; recall vs the all-pairs
+    referee is pinned in tests.
+
+    Scale: centroid training collects only the (k, dim) matrix;
+    assignment is one Arrow-batched matmul map pass; the pairwise pass
+    shuffles once on (cell, sub) and works in numpy per group.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    cent = kmeans_centroids(corpus, id_col, vec_col, k=k, iters=iters)
+
+    src = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+
+    def assign(batches, cmat=cent):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf["__v"]), dtype=np.float64)
+            vn = np.maximum(np.linalg.norm(v, axis=1), 1e-12)
+            cell = np.argmax((v @ cmat.T) / vn[:, None], axis=1)
+            yield pd.DataFrame(
+                {"cell": cell.astype(np.int32), "__id": pdf["__id"], "__v": pdf["__v"]}
+            )
+
+    assigned = src.mapInPandas(assign, "cell int, __id bigint, __v array<double>")
+    # skew guard: oversized cells split into ceil(cell_size /
+    # sub_bucket_over) deterministic hash sub-buckets; cell sizes come
+    # from one tiny aggregate (k rows, broadcast back).
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("n_cell"))
+    assigned = assigned.join(F.broadcast(sizes), "cell").withColumn(
+        "sub",
+        F.pmod(
+            F.xxhash64("__id"),
+            F.greatest(F.lit(1), F.ceil(F.col("n_cell") / F.lit(sub_bucket_over))),
+        ).cast("int"),
+    )
+
+    def pairwise(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.array(list(pdf["__v"].iloc[order]), dtype=np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sim = v @ v.T
+        ia, ib = np.triu_indices(n, k=1)
+        keep = sim[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]].astype("int64"),
+                "id_b": ids[ib[keep]].astype("int64"),
+                "cosine": sim[ia[keep], ib[keep]].astype("float64"),
+            }
+        )
+
+    return (
+        assigned.groupBy("cell", "sub")
+        .applyInPandas(pairwise, "id_a bigint, id_b bigint, cosine double")
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    pool: int = 32,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k: fetch an exact
+    cosine candidate pool per query (bounded: ``pool`` rows), then
+    greedily pick k items maximizing
+    ``lam * sim(query, d) - (1 - lam) * max_{s in picked} sim(d, s)``
+    (Carbonell & Goldstein 1998) — the standard answer-diversification
+    step of retrieval pipelines.
+
+    The greedy loop is inherently sequential per query, so it runs as
+    an Arrow-batched ``applyInPandas`` over groups bounded at ``pool``
+    rows by construction — never data-sized. Determinism: candidate
+    pool uses cosine_topk's total order; inside the loop, score ties
+    break by neighbor id (scores rounded to 9dp first so float noise
+    cannot flip an order the contract considers tied).
+
+    Scale: the candidate fetch is the existing exact/ANN path (swap
+    cosine_topk for lsh_bucketed_topk at corpus scale); the rerank adds
+    one shuffle on query_id over pool-sized groups.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = cosine_topk(corpus, queries, id_col, vec_col, k=pool)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__nv"),
+    )
+    pool_df = cand.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine", "__nv"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cosine", "neighbor_id"], ascending=[False, True])
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        v = np.array(list(pdf["__nv"]), dtype=np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        n = len(ids)
+        picked: list[int] = []
+        picked_mask = np.zeros(n, dtype=bool)
+        max_sim = np.full(n, -2.0)
+        out_rows = []
+        for rank in range(1, min(k, n) + 1):
+            score = lam * rel - (1 - lam) * np.where(picked_mask, -np.inf, np.maximum(max_sim, 0))
+            score = np.where(picked_mask, -np.inf, score)
+            rounded = np.round(score, 9)
+            best = np.lexsort((ids, -rounded))[0]
+            picked.append(best)
+            picked_mask[best] = True
+            out_rows.append(
+                {
+                    "query_id": int(pdf["query_id"].iloc[0]),
+                    "neighbor_id": int(ids[best]),
+                    "mmr_rank": rank,
+                    "mmr_score": float(rounded[best]),
+                }
+            )
+            max_sim = np.maximum(max_sim, v @ v[best])
+        return pd.DataFrame(out_rows)
+
+    return (
+        pool_df.groupBy("query_id")
+        .applyInPandas(
+            greedy, "query_id bigint, neighbor_id bigint, mmr_rank int, mmr_score double"
+        )
+        .select("query_id", "neighbor_id", "mmr_rank", F.round("mmr_score", 6).alias("mmr_score"))
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    oversample: int = 4,
+) -> DataFrame:
+    """Scalar-quantized (int8) ANN: compress every vector to one byte
+    per dimension using per-dimension [min, max] ranges, score
+    candidates on the *dequantized* codes (decode is two JVM zip_with
+    passes; a raw integer dot over asymmetric-offset codes biases the
+    ranking by each candidate's alignment with the offset vector, which
+    measured recall@5 at 0.1 on the fixture), keep ``oversample * k``
+    per query, then exact-rerank the survivors against the original
+    floats — the SQ8 recipe every vector store ships as its cheap
+    memory/bandwidth tier (4x smaller than float32).
+
+    The only driver-side state is the per-dimension min/max pair — two
+    dim-length arrays from one aggregate (bounded by construction, like
+    IVF's centroid matrix). Quantized scoring and the rerank are
+    ordinary DataFrame expressions; recall vs brute force is pinned in
+    tests.
+    """
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("sq8_topk: empty corpus")
+    dim = len(first[0])
+    stats = corpus.agg(
+        *[F.min(F.col(vec_col)[i]).alias(f"lo{i}") for i in range(dim)],
+        *[F.max(F.col(vec_col)[i]).alias(f"hi{i}") for i in range(dim)],
+    ).first()
+    lo = [float(stats[f"lo{i}"]) for i in range(dim)]
+    span = [max(float(stats[f"hi{i}"]) - float(stats[f"lo{i}"]), 1e-12) for i in range(dim)]
+    lo_arr = F.array(*[F.lit(x) for x in lo])
+    span_arr = F.array(*[F.lit(x) for x in span])
+
+    def quant(col: Column) -> Column:
+        scaled = F.zip_with(col, lo_arr, lambda x, l: x.cast("double") - l)
+        return F.zip_with(
+            scaled,
+            span_arr,
+            lambda x, s: F.round(x / s * 255).cast("int"),
+        )
+
+    def dequant(col: Column) -> Column:
+        spanned = F.zip_with(col, span_arr, lambda c, s: c * s / 255.0)
+        return F.zip_with(spanned, lo_arr, lambda x, l: x + l)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        dequant(quant(F.col(vec_col))).alias("__cq"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        dequant(quant(F.col(vec_col))).alias("__qq"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("__cq"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    cand = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__qs", qdot)
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("__qs").desc(), F.col("neighbor_id").asc())
+    pool = cand.withColumn("__r", F.row_number().over(wq)).filter(
+        F.col("__r") <= oversample * k
+    )
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+    wf = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        pool.withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

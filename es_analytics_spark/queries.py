@@ -2184,3 +2184,4 @@ def fn_nan_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then the modern-SQL surface (LATERAL / RECURSIVE / UNPIVOT / ordered-set).
 from es_analytics_spark import queries_ext as _queries_ext  # noqa: E402,F401
 from es_analytics_spark import queries_sql2 as _queries_sql2  # noqa: E402,F401
+from es_analytics_spark import queries_sql3 as _queries_sql3  # noqa: E402,F401

@@ -1,0 +1,583 @@
+"""Round-3 surface: CUSUM changepoint detection, sketch-backed exact
+heavy hitters, bitmap set algebra, duplicated-n-gram quality signals,
+deterministic corpus resampling (domain mixing, quality curricula),
+BPE merge counting, and the embedding-space tier (SemDeDup, MMR
+reranking, int8 scalar quantization).
+
+Same contract as the rest of the catalog: every query pairs a
+Spark-first implementation with a DuckDB oracle (or a documented
+rows-only waiver for genuinely non-SQL shapes), is deterministic as a
+set of rows, and keeps float math bit-identical across engines via the
+DECIMAL sum / half-up-rounding contract in functions.exact.
+
+Scale notes per docstring; none of these shapes collect unbounded data
+to the driver — the two driver-visible artifacts (Misra-Gries candidate
+sets, per-dimension quantization stats) are bounded by construction
+(k × partitions counters, dim-sized arrays).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from es_analytics_spark.functions.exact import dsum, dsum_expr
+from es_analytics_spark.queries import _t, query
+
+
+# ---------------------------------------------------------------------------
+# Time series: CUSUM changepoint localization
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = f"""
+    WITH daily AS (
+        SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr('value')} AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), stats AS (
+        SELECT user_id, COUNT(*) AS n_days,
+               {dsum_expr('v')} / COUNT(*) AS mu
+        FROM daily GROUP BY user_id
+    ), walk AS (
+        SELECT d.user_id, d.day, s.n_days, s.mu,
+               CAST(ROUND(SUM(CAST(d.v AS DECIMAL(38,10))) OVER
+                      (PARTITION BY d.user_id ORDER BY d.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                    AS DOUBLE) AS prefix,
+               ROW_NUMBER() OVER (PARTITION BY d.user_id ORDER BY d.day) AS t
+        FROM daily d JOIN stats s ON d.user_id = s.user_id
+    ), scored AS (
+        SELECT user_id, day, n_days,
+               FLOOR(ABS(prefix - t * mu) * 1e4 + 0.5) / 1e4 AS c_mag,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY FLOOR(ABS(prefix - t * mu) * 1e4 + 0.5) / 1e4 DESC,
+                          day ASC) AS rn
+        FROM walk
+    )
+    SELECT user_id, day AS cp_day, c_mag, n_days
+    FROM scored WHERE rn = 1
+"""
+
+
+@query("ts_cusum_changepoint", oracle=_CUSUM_SQL)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint localization per series: the candidate
+    level-shift day is the argmax over t of |sum_{i<=t}(x_i) - t*mu| —
+    the classic cumulative-deviation statistic whose peak marks where a
+    series' mean shifted. Complements ts_anomaly_zscore (pointwise
+    outliers in a rolling frame) with *segment-level* drift detection;
+    the distributed shape is one aggregate for per-series mean, one
+    window pass for the prefix walk, one ranked window for the argmax.
+
+    Exactness: daily sums and per-series means go through the DECIMAL
+    contract; each prefix sum is an ordered decimal sum rounded at 4dp
+    before entering double arithmetic, so the walk is bit-identical to
+    the single-threaded oracle; the argmax orders by the half-up-rounded
+    magnitude with a day tie-break (total order).
+
+    Scale: everything keys on the series id; series stats join back
+    broadcast-style (|users| rows), no driver collection, no
+    single-partition window."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum(F.col("value")).alias("v"))
+    )
+    stats = daily.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        (dsum(F.col("v")) / F.count("*")).alias("mu"),
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    prefix = (
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,10)")).over(
+                w.rowsBetween(W.unboundedPreceding, 0)
+            ),
+            4,
+        ).cast("double")
+    )
+    walk = (
+        daily.join(stats, "user_id")
+        .withColumn("prefix", prefix)
+        .withColumn("t", F.row_number().over(w))
+    )
+    c_mag = F.floor(F.abs(F.col("prefix") - F.col("t") * F.col("mu")) * 1e4 + F.lit(0.5)) / 1e4
+    scored = walk.withColumn("c_mag", c_mag).withColumn(
+        "rn", F.row_number().over(W.partitionBy("user_id").orderBy(F.desc("c_mag"), F.asc("day")))
+    )
+    return scored.filter(F.col("rn") == 1).select(
+        "user_id", F.col("day").alias("cp_day"), "c_mag", "n_days"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-backed EXACT heavy hitters (Misra-Gries candidates + recount)
+# ---------------------------------------------------------------------------
+
+_HH_K = 255  # per-partition Misra-Gries counters
+_HH_PERMILLE = 5  # report keys with freq >= 0.5% of all events
+
+_HEAVY_HITTERS_SQL = f"""
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) * 1000 >= {_HH_PERMILLE} * (SELECT COUNT(*) FROM events)
+"""
+
+
+@query("agg_heavy_hitters", oracle=_HEAVY_HITTERS_SQL)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi-heavy hitters (phi = 0.5%) via the two-phase sketch
+    pattern: a per-partition Misra-Gries summary (k = 255 counters,
+    Arrow-batched) nominates candidates, then one exact recount over
+    the candidate set filters by the true threshold.
+
+    Correctness is unconditional, not approximate: Misra-Gries
+    guarantees every key with partition frequency > n_p/(k+1) survives
+    its partition summary, and by pigeonhole any key with global
+    frequency > n/(k+1) exceeds that bound in at least one partition —
+    so with phi = 0.005 > 1/(k+1) = 0.0039 the candidate union is a
+    provable superset of the true heavy hitters under EVERY possible
+    partitioning, and the exact recount makes the final set
+    deterministic. That is why this sketch query carries a plain SQL
+    oracle instead of a rows-only waiver.
+
+    Scale: the full table is summarized map-side into <= k rows per
+    partition (no shuffle); candidates (bounded by k x partitions) are
+    broadcast back for a semi-join recount whose aggregate only carries
+    candidate keys. The classic one-pass GROUP BY carries every
+    distinct key through the shuffle; this shape carries O(k)."""
+    ev = _t(spark, sf_dir, "events")["events"].select("user_id")
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for key, c in pdf["user_id"].value_counts().items():
+                counters[key] = counters.get(int(key), 0) + int(c)
+            if len(counters) > _HH_K:
+                # batch-decrement: subtract the smallest count from all;
+                # each round removes mass from > k counters at once, so
+                # total per-key decrement stays <= n_p/(k+1)
+                while len(counters) > _HH_K:
+                    m = min(counters.values())
+                    counters = {k: v - m for k, v in counters.items() if v > m}
+        if counters:
+            yield pd.DataFrame({"user_id": list(counters.keys())})
+
+    cand = ev.mapInPandas(mg_partition, "user_id bigint").distinct()
+    total = ev.agg(F.count("*").alias("total"))
+    return (
+        ev.join(F.broadcast(cand), "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 1000 >= _HH_PERMILLE * F.col("total"))
+        .select("user_id", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap set algebra over user audiences
+# ---------------------------------------------------------------------------
+
+_BITMAP_SETOPS_SQL = """
+    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM v UNION SELECT * FROM p) u)
+                AS BIGINT) AS n_union,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM v INTERSECT SELECT * FROM p) i)
+                AS BIGINT) AS n_both,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM v EXCEPT SELECT * FROM p) e)
+                AS BIGINT) AS n_view_only
+"""
+
+
+@query("agg_bitmap_setops", oracle=_BITMAP_SETOPS_SQL)
+def agg_bitmap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra (view vs purchase users) computed entirely
+    in compressed bitmap space: per (32k-id bucket, audience) bitmaps
+    from ``bitmap_construct_agg``, per-bucket union via
+    ``bitmap_or_agg``, and intersection/difference derived by
+    inclusion-exclusion (|A AND B| = |A| + |B| - |A OR B|) — Spark ships
+    no bitmap_and_agg, and this derivation keeps everything mergeable.
+    The oracle is plain DISTINCT set algebra; the bitmap path must agree
+    exactly.
+
+    Scale: the shuffle carries one fixed-size bitmap per (bucket,
+    audience) instead of every distinct user id — the same reason
+    agg_bitmap_distinct exists — and set ops compose per bucket, then
+    SUM across buckets. One wide row out; no collect."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH ids AS (
+            SELECT DISTINCT event_type,
+                   bitmap_bucket_number(user_id) AS bucket,
+                   bitmap_bit_position(user_id) AS pos
+            FROM events WHERE event_type IN ('view', 'purchase')
+        ), per_aud AS (
+            SELECT event_type, bucket,
+                   bitmap_count(bitmap_construct_agg(pos)) AS n
+            FROM ids GROUP BY event_type, bucket
+        ), unioned AS (
+            SELECT bucket, bitmap_count(bitmap_or_agg(bm)) AS n_or
+            FROM (SELECT event_type, bucket, bitmap_construct_agg(pos) AS bm
+                  FROM ids GROUP BY event_type, bucket)
+            GROUP BY bucket
+        ), folded AS (
+            SELECT
+              CAST(SUM(CASE WHEN event_type = 'view' THEN n ELSE 0 END) AS BIGINT)
+                AS n_view,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN n ELSE 0 END) AS BIGINT)
+                AS n_purchase
+            FROM per_aud
+        )
+        SELECT f.n_view, f.n_purchase,
+               u.n_union,
+               f.n_view + f.n_purchase - u.n_union AS n_both,
+               f.n_view - (f.n_view + f.n_purchase - u.n_union) AS n_view_only
+        FROM folded f
+        CROSS JOIN (SELECT CAST(SUM(n_or) AS BIGINT) AS n_union FROM unioned) u
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-n-gram fraction (RefinedWeb/MassiveText quality signal)
+# ---------------------------------------------------------------------------
+
+_DUP_NGRAM_N = 8
+_DUP_NGRAM_DOCS = 3  # a shingle is "duplicated" if it appears in >= 3 docs
+
+_DUP_NGRAM_SQL = f"""
+    WITH words AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(REGEXP_REPLACE(LOWER(text), '[^a-z]+', ' ', 'g'),
+                                        ' '), w -> LENGTH(w) > 0) AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, i AS pos,
+               ARRAY_TO_STRING(w[i : i + {_DUP_NGRAM_N} - 1], ' ') AS g
+        FROM words, UNNEST(GENERATE_SERIES(1, LEN(w) - {_DUP_NGRAM_N} + 1)) AS t(i)
+        WHERE LEN(w) >= {_DUP_NGRAM_N}
+    ), gram_docs AS (
+        SELECT g, COUNT(DISTINCT doc_id) AS ndocs FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN gd.ndocs >= {_DUP_NGRAM_DOCS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           FLOOR(SUM(CASE WHEN gd.ndocs >= {_DUP_NGRAM_DOCS} THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*) * 1e6 + 0.5) / 1e6 AS dup_frac
+    FROM grams gr JOIN gram_docs gd ON gr.g = gd.g
+    GROUP BY gr.doc_id
+"""
+
+
+@query("text_dup_ngram_fraction", oracle=_DUP_NGRAM_SQL)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-n-gram fraction: the share of a doc's
+    word-8-gram positions whose 8-gram also occurs in >= 3 distinct
+    documents — the MassiveText/RefinedWeb "duplicate n-gram" quality
+    signal used to down-weight boilerplate-heavy pages before training.
+
+    Shape: explode positional 8-grams (map-side from the tokenized
+    text), one aggregate for gram -> distinct-doc counts, one equi-join
+    back on the gram, one per-doc aggregate. Work is O(total grams) and
+    both shuffles key on the gram / doc id — no pairwise comparison
+    anywhere, which is what lets this quality pass run over the full
+    corpus where pairwise dedup needs LSH candidates first.
+
+    Tokenization matches the dedup family contract (lowercase, non-alpha
+    -> space, drop empties)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    words = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
+            lambda w: F.length(w) > 0,
+        ).alias("w"),
+    ).filter(F.size("w") >= _DUP_NGRAM_N)
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_DUP_NGRAM_N} + 1),"
+                f" i -> array_join(slice(w, i, {_DUP_NGRAM_N}), ' '))"
+            )
+        ).alias("g"),
+    )
+    gram_docs = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("ndocs"))
+    dup = F.when(F.col("ndocs") >= _DUP_NGRAM_DOCS, F.lit(1)).otherwise(F.lit(0))
+    return (
+        grams.join(gram_docs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(dup).cast("bigint").alias("n_dup"),
+            (
+                F.floor(F.sum(dup) / F.count("*") * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus resampling (training-data mixing)
+# ---------------------------------------------------------------------------
+
+# Portable multiplicative hash on a BIGINT id: identical integer
+# arithmetic in Spark and DuckDB (no overflow: id * A + B < 2^63 for
+# doc-scale ids), uniform enough for rate-based acceptance sampling.
+_MIX_A, _MIX_B, _MIX_P = 9973, 7919, 1_000_003
+
+
+def _accept_hash_sql(id_expr: str) -> str:
+    return f"(({id_expr}) * {_MIX_A} + {_MIX_B}) % {_MIX_P}"
+
+
+def _accept_hash(col: F.Column) -> F.Column:
+    return (col * _MIX_A + _MIX_B) % _MIX_P
+
+
+_DOMAIN_MIX_SQL = f"""
+    WITH sizes AS (
+        SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+    ), m AS (
+        SELECT MIN(n_lang) AS min_lang FROM sizes
+    )
+    SELECT d.lang,
+           CAST(ANY_VALUE(s.n_lang) AS BIGINT) AS n_orig,
+           CAST(COUNT(*) FILTER (
+               WHERE {_accept_hash_sql('d.doc_id')} * s.n_lang < {_MIX_P} * m.min_lang
+           ) AS BIGINT) AS n_kept
+    FROM documents d JOIN sizes s ON d.lang = s.lang CROSS JOIN m
+    GROUP BY d.lang
+"""
+
+
+@query("ml_domain_mix_sample", oracle=_DOMAIN_MIX_SQL)
+def ml_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixing resample: downsample every language
+    to the size of the smallest one (uniform target mix), accepting a
+    row iff hash(doc_id) * n_lang < P * min_lang — pure integer
+    arithmetic, so acceptance is reproducible row-by-row across runs,
+    engines, and partitionings (the property shuffle-based sampling
+    lacks). This is the mixture-reweighting step of training-data
+    pipelines (cf. The Pile / DoReMi domain weights); any target weight
+    vector slots into the same inequality.
+
+    Scale: per-language sizes via window over a broadcast-size group
+    count — spelled as two aggregates in the DataFrame form (group
+    sizes are |langs| rows, broadcast back), so the corpus itself
+    streams map-side through the acceptance filter with no extra
+    shuffle and nothing data-sized on the driver."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    sizes = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    min_lang = sizes.agg(F.min("n_lang").alias("min_lang"))
+    accepted = (
+        d.join(F.broadcast(sizes), "lang")
+        .crossJoin(F.broadcast(min_lang))
+        .withColumn(
+            "keep",
+            _accept_hash(F.col("doc_id")) * F.col("n_lang")
+            < F.lit(_MIX_P) * F.col("min_lang"),
+        )
+    )
+    return accepted.groupBy("lang").agg(
+        F.any_value("n_lang").cast("bigint").alias("n_orig"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+_QUALITY_BUCKET_SQL = f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               NTILE(10) OVER (ORDER BY n_chars DESC, doc_id ASC) AS decile
+        FROM documents
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orig,
+           CAST(COUNT(*) FILTER (
+               WHERE {_accept_hash_sql('doc_id')} * decile < {_MIX_P}
+           ) AS BIGINT) AS n_kept
+    FROM scored GROUP BY decile
+"""
+
+
+@query("ml_quality_bucket_sample", oracle=_QUALITY_BUCKET_SQL)
+def ml_quality_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum sampling: rank documents into deciles by a
+    quality proxy (length, with doc_id tie-break for a total order) and
+    keep bucket d with rate 1/d — the highest-quality decile survives
+    whole, the lowest at 10%. Acceptance reuses the portable integer
+    hash, so the kept subset is deterministic and engine-independent.
+
+    The decile assignment is computed DISTRIBUTIVELY, not with a global
+    NTILE (a single-partition window — the shape the catalog-wide plan
+    guard forbids): repartitionByRange on the quality order gives
+    sorted, balanced partitions; row_number within each plus a
+    broadcast per-partition cumulative-offset table yields the exact
+    global rank (the ml_split_shuffle recipe), and NTILE's bucket
+    arithmetic is then a closed-form integer expression over (rank, n).
+    The oracle spells it as plain NTILE — the distributed path must
+    reproduce single-threaded window semantics exactly."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = d.select("doc_id", "n_chars").repartitionByRange(
+        n_parts, F.desc("n_chars"), F.asc("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    local = ranged.withColumn(
+        "lr",
+        F.row_number().over(
+            W.partitionBy("pid").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        ),
+    )
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    )
+    total = offsets.agg(F.sum("cnt").alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets.select("pid", "off")), "pid")
+        .withColumn("rank", F.col("lr") + F.col("off"))
+        .crossJoin(F.broadcast(total))
+    )
+    # NTILE(10) closed form (exact integer arithmetic): the first
+    # n % 10 buckets hold ceil(n/10) rows, the rest floor(n/10)
+    decile = F.expr(
+        "CAST(IF(rank <= (n % 10) * (n div 10 + 1),"
+        "        (rank - 1) div (n div 10 + 1),"
+        "        n % 10 + (rank - (n % 10) * (n div 10 + 1) - 1)"
+        "                 div greatest(n div 10, 1)) + 1 AS INT)"
+    )
+    scored = ranked.select("doc_id", decile.alias("decile"))
+    keep = _accept_hash(F.col("doc_id")) * F.col("decile") < F.lit(_MIX_P)
+    return scored.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_orig"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (tokenizer-training inner loop)
+# ---------------------------------------------------------------------------
+
+_BPE_SQL = """
+    WITH words AS (
+        SELECT w AS word, COUNT(*) AS wfreq FROM (
+            SELECT UNNEST(LIST_FILTER(
+                STRING_SPLIT(REGEXP_REPLACE(LOWER(text), '[^a-z]+', ' ', 'g'), ' '),
+                x -> LENGTH(x) >= 2)) AS w
+            FROM documents)
+        GROUP BY w
+    ), pairs AS (
+        SELECT SUBSTRING(word, i, 2) AS pair, wfreq
+        FROM words, UNNEST(GENERATE_SERIES(1, LENGTH(word) - 1)) AS t(i)
+    )
+    SELECT pair, CAST(SUM(wfreq) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair ASC LIMIT 20
+"""
+
+
+@query("text_bpe_pair_counts", oracle=_BPE_SQL)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of BPE tokenizer training: count adjacent symbol
+    pairs across the corpus weighted by word frequency and emit the
+    top-20 merge candidates. The real training loop repeats this with
+    the previous winners merged into single symbols; the per-iteration
+    dataflow — word histogram, positional pair explode, weighted count,
+    bounded top-k — is exactly this query.
+
+    Scale: the word histogram collapses the corpus to its vocabulary
+    before any pair work (vocab << corpus), pairs explode map-side from
+    vocabulary rows, and the final top-20 is TakeOrdered (no global
+    sort shuffle)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    words = (
+        d.select(
+            F.explode(
+                F.filter(
+                    F.split(F.regexp_replace(F.lower("text"), "[^a-z]+", " "), " "),
+                    lambda w: F.length(w) >= 2,
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("wfreq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "wfreq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wfreq").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space round-3 operators (SemDeDup, MMR, SQ8)
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_semantic", oracle=None)  # k-means candidates: approximate by design
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-duplicate pairs (cosine >= 0.40 within
+    k-means clusters of the embedding space). Candidate generation is
+    the clustering itself — pairs in different clusters are never
+    compared, which is the published scaling argument (quadratic work
+    shrinks by ~k). Every emitted pair carries an exact cosine
+    (precision 1.0); recall vs the all-pairs referee is pinned in
+    tests/test_operators.py::test_semantic_dedup_recall. Rows-only by
+    contract: the k-means assignment is not SQL-expressible."""
+    from es_analytics_spark.operators.similarity import semantic_dedup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return semantic_dedup_pairs(e, "vec_id", "embedding", threshold=0.40, k=16)
+
+
+@query("sim_mmr_rerank", oracle=None)  # greedy-sequential: not SQL-expressible
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-8 per query (lambda = 0.7, pool = 32 exact
+    candidates, queries = vec_id < 5 by contract). Deterministic:
+    9dp-rounded scores with neighbor-id tie-breaks; invariants (first
+    pick equals the cosine top-1, no repeats, bounded pool) are pinned
+    in tests/test_operators.py::test_mmr_rerank_invariants."""
+    from es_analytics_spark.operators.similarity import mmr_rerank
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    return mmr_rerank(e, q, "vec_id", "embedding", k=8, pool=32, lam=0.7)
+
+
+@query("sim_sq8_topk", oracle=None)  # quantized scoring: approximate by design
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN top-5 (queries = vec_id < 10 by
+    contract): per-dimension [min,max] ranges quantize every vector to
+    one byte per dim, an integer dot product (JVM zip_with/aggregate)
+    scores candidates, the top 4*k survivors exact-rerank in float.
+    Recall vs brute force pinned in
+    tests/test_operators.py::test_sq8_topk_recall."""
+    from es_analytics_spark.operators.similarity import sq8_topk
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    return sq8_topk(e, q, "vec_id", "embedding", k=5, oversample=4)

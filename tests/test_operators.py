@@ -535,3 +535,104 @@ def test_compression_ratio_orders_repetition(spark):
     assert got[1] < got[2] < got[3]
     assert got[4] == 1.0
     assert all(0 < v <= 1.5 for v in got.values())
+
+
+def test_semantic_dedup_recall(spark, sf_dir):
+    """SemDeDup within-cluster pairs vs the all-pairs referee at the
+    same threshold: precision must be 1.0 (every emitted pair carries
+    an exact cosine >= tau) and recall must clear the same bar as the
+    other candidate-generation paths; rerun must be deterministic
+    (fixed xorshift k-means init)."""
+    from es_analytics_spark.operators.similarity import (
+        cosine_pairs_above_np,
+        semantic_dedup_pairs,
+    )
+    from es_analytics_spark.sources.lake import load_tables
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    exact = {
+        (min(r.query_id, r.neighbor_id), max(r.query_id, r.neighbor_id))
+        for r in cosine_pairs_above_np(
+            e, e, "vec_id", "embedding", threshold=0.40, max_query_rows=1000
+        ).collect()
+    }
+    assert exact, "fixture must contain semantic near-duplicates at 0.40"
+    got_rows = semantic_dedup_pairs(e, "vec_id", "embedding", threshold=0.40, k=16).collect()
+    got = {(r.id_a, r.id_b) for r in got_rows}
+    assert got <= exact, f"false positives: {got - exact}"
+    recall = len(got & exact) / len(exact)
+    assert recall > 0.3, f"semantic dedup recall too low: {recall:.2f}"
+    again = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(e, "vec_id", "embedding", threshold=0.40, k=16).collect()
+    }
+    assert got == again, "semantic dedup must be deterministic"
+
+
+def test_mmr_rerank_invariants(spark, sf_dir):
+    """MMR invariants: per query — rank 1 equals the exact cosine
+    top-1, no repeated neighbors, exactly k picks, and the pure-
+    relevance degenerate case (lambda=1) reproduces cosine_topk's
+    order."""
+    from es_analytics_spark.operators.similarity import cosine_topk, mmr_rerank
+    from es_analytics_spark.sources.lake import load_tables
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = e.filter(F.col("vec_id") < 5)
+    got = mmr_rerank(e, q, "vec_id", "embedding", k=8, pool=32, lam=0.7).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    exact1 = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(e, q, "vec_id", "embedding", k=1).collect()
+    }
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.mmr_rank)
+        assert len(rows) == 8
+        assert len({r.neighbor_id for r in rows}) == 8, "MMR must not repeat picks"
+        assert rows[0].neighbor_id == exact1[qid], "rank 1 must be the cosine top-1"
+    pure = mmr_rerank(e, q, "vec_id", "embedding", k=8, pool=32, lam=1.0).collect()
+    exact8 = cosine_topk(e, q, "vec_id", "embedding", k=8).collect()
+    pure_order = {(r.query_id, r.mmr_rank): r.neighbor_id for r in pure}
+    exact_order = {(r.query_id, r.rank): r.neighbor_id for r in exact8}
+    assert pure_order == exact_order, "lambda=1 MMR must equal relevance ranking"
+
+
+def test_sq8_topk_recall(spark, sf_dir):
+    """SQ8 + exact rerank recall@5 vs brute force — same bar as the
+    other ANN tiers; quantized candidates must rerank deterministically."""
+    from es_analytics_spark.operators.similarity import cosine_topk, sq8_topk
+    from es_analytics_spark.sources.lake import load_tables
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = e.filter(F.col("vec_id") < 10)
+    exact_sets = {}
+    for r in cosine_topk(e, q, "vec_id", "embedding", k=5).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = sq8_topk(e, q, "vec_id", "embedding", k=5, oversample=4).collect()
+    hit = sum(1 for r in approx if r.neighbor_id in exact_sets.get(r.query_id, set()))
+    assert hit / (5 * len(exact_sets)) > 0.5, f"SQ8 recall@5 too low: {hit}/{5 * len(exact_sets)}"
+
+
+def test_misra_gries_superset_guarantee(spark, sf_dir):
+    """The registered heavy-hitters query must agree with a plain
+    exact GROUP BY at the contract threshold — i.e. the Misra-Gries
+    candidate union is a true superset under the real partitioning."""
+    from es_analytics_spark.queries import REGISTRY
+    from es_analytics_spark.sources.lake import load_tables
+
+    got = {
+        (r.user_id, r.cnt)
+        for r in REGISTRY["agg_heavy_hitters"].fn(spark, sf_dir).collect()
+    }
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    total = ev.count()
+    truth = {
+        (r.user_id, r.cnt)
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * 1000 >= 5 * total)
+        .collect()
+    }
+    assert got == truth

@@ -148,6 +148,8 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         # offset cumsum over exactly one row per shuffle partition (the
         # distributed-rank recipe; pinned by the dedicated test below)
         "ml_split_shuffle",
+        # same offset-table recipe for the distributed NTILE decile
+        "ml_quality_bucket_sample",
         # rank over the pre-aggregated |groups| frame (~5 rows)
         "window_percent_of_total",
     }
