@@ -60,6 +60,12 @@ HEADLINE = [
     "agg_count_min",
     "graph_pagerank",
     "agg_bitmap_distinct",
+    # r3: sketch-exact hybrid, corpus quality signal, embedding tier
+    "agg_heavy_hitters",
+    "text_dup_ngram_fraction",
+    "dedup_semantic",
+    "sim_sq8_topk",
+    "ts_cusum_changepoint",
 ]
 
 

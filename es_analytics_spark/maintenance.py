@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from es_analytics_spark.sources.fsio import lake_fs
+from es_analytics_spark.sources.fsio import join, lake_fs
 
 
 def table_stats(spark: SparkSession, path: str) -> dict:
@@ -224,3 +224,58 @@ def zorder_by(
     )
     _swap(spark, path, staging)
     return {"before": before, "after": table_stats(spark, path), "rows": n_rows}
+
+
+# Artifacts the engine's own jobs leave behind on crash: swap backups,
+# staging rewrites, and Spark's output-committer scratch dirs.
+_VACUUM_SUFFIXES = (".__old__", ".__compact__", ".__upsert__", ".__cluster__", ".__zorder__")
+
+
+def vacuum(
+    spark: SparkSession,
+    lake_root: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """Remove crash leftovers under ``lake_root``: swap backups and
+    staging directories from interrupted compact/upsert/cluster/zorder
+    runs, and ``_temporary`` output-committer scratch dirs — but only
+    ones older than ``retention_hours`` (default 7 days, the Delta
+    VACUUM convention), so a concurrently *running* rewrite's staging
+    dir is never yanked out from under it.
+
+    Scoped deliberately: only artifacts with the engine's own staging
+    suffixes are candidates — vacuum never inspects or deletes data
+    files inside live table directories, because without a manifest
+    (no Delta/Iceberg here; see BASELINE.md's table-format decision)
+    a "file not referenced by the table" test does not exist. The
+    rename-swap contract guarantees anything carrying a staging suffix
+    is either crash debris or an in-flight rewrite, and the retention
+    window separates those two.
+
+    Returns the list of removed (or, with ``dry_run``, would-remove)
+    paths. Citation: reference keeps no janitor (write-once lake,
+    Collector.ts:342-350); this is lake-operations surface the engine
+    adds alongside compact/upsert.
+    """
+    import time as _time
+
+    fs = lake_fs(spark, lake_root)
+    cutoff = _time.time() - retention_hours * 3600.0
+    victims: list[str] = []
+    candidates: list[str] = []
+    for suffix in _VACUUM_SUFFIXES:
+        candidates.extend(fs.glob(join(lake_root, f"*{suffix}")))
+        candidates.extend(fs.glob(join(lake_root, "*", f"*{suffix}")))
+    candidates.extend(fs.glob(join(lake_root, "*", "_temporary")))
+    candidates.extend(fs.glob(join(lake_root, "_temporary")))
+    for path in sorted(set(candidates)):
+        try:
+            if fs.mtime(path) > cutoff:
+                continue
+        except Exception:
+            continue  # raced with a concurrent cleanup — skip
+        victims.append(path)
+        if not dry_run:
+            fs.delete(path)
+    return victims

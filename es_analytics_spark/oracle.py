@@ -111,21 +111,59 @@ def compare_query(
     return CompareResult(name, True, f"{len(a)} rows exact")
 
 
-def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:
-    con = duck_connection(sf_dir)
-    out = []
-    for name in names or list(REGISTRY):
+def run_all(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    workers: int = 1,
+) -> list[CompareResult]:
+    """Check the named queries (default: whole catalog) against DuckDB.
+
+    ``workers > 1`` checks queries concurrently: Spark's scheduler
+    interleaves jobs from multiple submitting threads (fixture-scale
+    queries are scheduling-bound, not compute-bound, so this is ~Nx),
+    and each worker owns a private DuckDB connection (the connection
+    object is not thread-safe). Safe because every query either derives
+    from the read-only sf_dir parquet or writes only to per-call
+    tempdirs, and concurrent createOrReplaceTempView calls register
+    identical definitions for a given sf_dir. Per-query secs are
+    wall-clock under contention — use workers=1 for timing work."""
+    todo = list(names or REGISTRY)
+
+    def check(name: str) -> CompareResult:
+        con = duck_connection(sf_dir)
         t0 = time.monotonic()
         try:
             res = compare_query(spark, con, sf_dir, name)
         except Exception as exc:
             res = CompareResult(name, False, f"EXCEPTION: {type(exc).__name__}: {exc}")
+        finally:
+            con.close()
         res.secs = time.monotonic() - t0
-        out.append(res)
-    return out
+        return res
+
+    if workers <= 1:
+        con = duck_connection(sf_dir)
+        out = []
+        for name in todo:
+            t0 = time.monotonic()
+            try:
+                res = compare_query(spark, con, sf_dir, name)
+            except Exception as exc:
+                res = CompareResult(name, False, f"EXCEPTION: {type(exc).__name__}: {exc}")
+            res.secs = time.monotonic() - t0
+            out.append(res)
+        return out
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(check, todo))
 
 
 if __name__ == "__main__":
+    import os
+
     from es_analytics_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -133,9 +171,13 @@ if __name__ == "__main__":
     spark = get_spark("oracle_check")
     # fixture-scale check harness: tiny inputs under 32-task shuffles pay
     # far more in scheduling than compute — 8 post-AQE partitions keeps
-    # the full 180-query sweep fast without touching any query's shape
+    # the full 190-query sweep fast without touching any query's shape
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    results = run_all(spark, sf_dir, names)
+    # FAIR pools keep one long query from starving the others when
+    # checking concurrently
+    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
+    workers = int(os.environ.get("ORACLE_WORKERS", "6"))
+    results = run_all(spark, sf_dir, names, workers=workers)
     n_ok = sum(r.ok for r in results)
     for r in results:
         print(("PASS" if r.ok else "FAIL"), f"{r.secs:6.2f}s", r.name.ljust(28), r.detail)

@@ -477,9 +477,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates come from multi-table sign-LSH self-buckets
     (:func:`lsh_near_dup_pairs`): one map-only bucket matmul, one
-    self equi-join on (table, bucket), exact JVM cosine on candidates
-    only — no corpus broadcast, no driver collect, no n² product, so
-    the registered shape survives a 100 TB corpus. Rows-only by
+    shuffle on (table, bucket), a local numpy exact-verify inside each
+    bucket group (only id-pairs above threshold leave it) — no corpus
+    broadcast, no driver collect, no n² product, so the registered
+    shape survives a 100 TB corpus. Rows-only by
     contract (multi-table LSH recall ≈0.89 at cosine 0.40, →1 as
     similarity →1); the exact all-pairs referee and the measured
     recall bound live in tests/test_operators.py."""

@@ -79,6 +79,9 @@ class LocalFS:
 
         return sorted(_glob.glob(pattern))
 
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
     def read_bytes(self, path: str) -> bytes:
         with open(path, "rb") as f:
             return f.read()
@@ -133,6 +136,9 @@ class HadoopFS:
         if statuses is None:
             return []
         return sorted(str(s.getPath()) for s in statuses)
+
+    def mtime(self, path: str) -> float:
+        return self._fs.getFileStatus(self._jpath(path)).getModificationTime() / 1000.0
 
     def read_bytes(self, path: str) -> bytes:
         stream = self._fs.open(self._jpath(path))

@@ -541,3 +541,40 @@ def test_streaming_lake_feeds_incremental_rollup(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_vacuum_removes_stale_staging_only(spark, tmp_path):
+    """vacuum must remove crash debris (stale .__old__ / staging /
+    _temporary) older than the retention window, leave fresh artifacts
+    (a running rewrite) and live table data untouched, and honor
+    dry_run. Works over both FS seams (plain path here; the URI-store
+    test covers the Hadoop client path for the same glob/delete API)."""
+    import os
+    import time
+
+    from es_analytics_spark.maintenance import vacuum
+
+    root = str(tmp_path / "lake")
+    table = os.path.join(root, "events")
+    spark.range(10).write.parquet(table)
+    stale_backup = table + ".__old__"
+    stale_staging = table + ".__compact__"
+    fresh_staging = table + ".__upsert__"
+    committer = os.path.join(table, "_temporary")
+    for d in (stale_backup, stale_staging, fresh_staging, committer):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "junk"), "w") as f:
+            f.write("x")
+    old = time.time() - 8 * 24 * 3600
+    for d in (stale_backup, stale_staging, committer):
+        os.utime(d, (old, old))
+
+    planned = vacuum(spark, root, retention_hours=168, dry_run=True)
+    assert sorted(planned) == sorted([stale_backup, stale_staging, committer])
+    assert all(os.path.exists(p) for p in planned), "dry_run must not delete"
+
+    removed = vacuum(spark, root, retention_hours=168)
+    assert sorted(removed) == sorted(planned)
+    assert not any(os.path.exists(p) for p in removed)
+    assert os.path.exists(fresh_staging), "fresh staging must survive retention"
+    assert spark.read.parquet(table).count() == 10, "table data untouched"
