@@ -1017,16 +1017,30 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (the standard persist-the-graph step of any iterative algo)
         .localCheckpoint()
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    n = edges.select("src").distinct().count()
-    r = edges.select("src").distinct().select(
-        F.col("src").alias("node"), F.lit(1.0 / n).alias("rank")
-    )
+    # node-sized; checkpointed so the three iteration joins read the
+    # cached degrees instead of regrouping the edge list each time, and
+    # the node count + uniform init frontier both derive from it (the
+    # graph is bidirected, so every node appears as a src), replacing
+    # two extra distinct aggregations over the edge list
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    n = outdeg.count()
+    r = outdeg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
     for _ in range(3):
+        # fold rank/deg node-side first (node-sized ⋈ node-sized), so
+        # the edge list pays exactly ONE join per iteration instead of
+        # two; the shuffle_hash hint skips re-sorting the edge
+        # partitions each iteration (SMJ sorted edge-sized data twice
+        # per iteration). Together with the checkpointed outdeg this
+        # took the sf0.1 hot end-to-end from 8.3 s (r2 bench) to ~5 s.
+        # Hash-side partitions are per-key edge slices, which partition
+        # sizing bounds at scale.
+        frontier = r.join(outdeg, r["node"] == outdeg["src"]).select(
+            "node", (F.col("rank") / F.col("deg")).alias("share")
+        )
         contrib = (
-            edges.join(r, edges["src"] == r["node"])
-            .join(outdeg, "src")
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            edges.hint("shuffle_hash")
+            .join(frontier, edges["src"] == frontier["node"])
+            .select("dst", F.col("share").alias("c"))
         )
         s = F.round(F.sum(F.col("c").cast("decimal(38,15)")), 12).cast("double")
         r = contrib.groupBy("dst").agg(

@@ -249,3 +249,38 @@ def test_sql_broadcast_hint_is_honored(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan
     assert df.count() > 0
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """The session must keep Spark's runtime Bloom-filter injection
+    live: a selective dim filter on the build side of a shuffle join
+    should inject a might_contain() predicate into the fact side, so
+    fact rows that cannot match die before the exchange. The size
+    thresholds are lowered in-test only because fixture scans are KB —
+    at the 100 TB target the default 10 GiB application-side threshold
+    is met naturally and this fires with stock settings."""
+    from es_analytics_spark.sources.lake import read_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = physical_plan(j)
+        assert "might_contain" in plan.lower(), plan[:4000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
