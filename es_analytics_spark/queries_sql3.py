@@ -117,6 +117,52 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HH_K = 255  # per-partition Misra-Gries counters
 _HH_PERMILLE = 5  # report keys with freq >= 0.5% of all events
 
+
+def mg_update(counters: dict, batch_counts, k: int) -> dict:
+    """Fold one batch of (key, count) pairs into a Misra-Gries summary
+    of at most ``k`` counters, in place. Batch-decrement variant:
+    subtract the smallest count from all; every decrement round removes
+    mass from > k counters at once, so the total per-key decrement
+    stays <= n_p/(k+1) and any key with partition frequency above that
+    bound survives — the superset invariant
+    tests/test_sketch_properties.py pins under adversarial streams."""
+    for key, c in batch_counts:
+        counters[int(key)] = counters.get(int(key), 0) + int(c)
+    while len(counters) > k:
+        m = min(counters.values())
+        drop = [key for key, v in counters.items() if v <= m]
+        for key in drop:
+            del counters[key]
+        for key in counters:
+            counters[key] -= m
+    return counters
+
+
+def _idiv(a: F.Column, b: F.Column) -> F.Column:
+    """Exact integer division on Columns: (a - a%b)/b through DECIMAL,
+    so no double rounding at any magnitude."""
+    return (
+        (a.cast("decimal(38,0)") - (a % b).cast("decimal(38,0)"))
+        / b.cast("decimal(38,0)")
+    ).cast("bigint")
+
+
+def ntile_closed_form(rank_col: F.Column, n_col: F.Column, buckets: int) -> F.Column:
+    """Closed-form NTILE(buckets) over a known total order: given a
+    1-based global ``rank`` and row count ``n``, the first n % buckets
+    tiles hold ceil(n/buckets) rows and the rest floor(n/buckets) —
+    exact integer arithmetic, no single-partition window. Equivalence
+    with the window NTILE is property-pinned in
+    tests/test_sketch_properties.py."""
+    b = F.lit(buckets)
+    q = _idiv(n_col, b)
+    rem = n_col % b
+    head = rem * (q + 1)
+    tile = F.when(rank_col <= head, _idiv(rank_col - 1, q + 1)).otherwise(
+        rem + _idiv(rank_col - head - 1, F.greatest(q, F.lit(1)))
+    )
+    return (tile + 1).cast("int")
+
 _HEAVY_HITTERS_SQL = f"""
     SELECT user_id, COUNT(*) AS cnt
     FROM events
@@ -154,15 +200,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         counters: dict[int, int] = {}
         for pdf in batches:
-            for key, c in pdf["user_id"].value_counts().items():
-                counters[key] = counters.get(int(key), 0) + int(c)
-            if len(counters) > _HH_K:
-                # batch-decrement: subtract the smallest count from all;
-                # each round removes mass from > k counters at once, so
-                # total per-key decrement stays <= n_p/(k+1)
-                while len(counters) > _HH_K:
-                    m = min(counters.values())
-                    counters = {k: v - m for k, v in counters.items() if v > m}
+            mg_update(counters, pdf["user_id"].value_counts().items(), _HH_K)
         if counters:
             yield pd.DataFrame({"user_id": list(counters.keys())})
 
@@ -455,15 +493,10 @@ def ml_quality_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.col("lr") + F.col("off"))
         .crossJoin(F.broadcast(total))
     )
-    # NTILE(10) closed form (exact integer arithmetic): the first
-    # n % 10 buckets hold ceil(n/10) rows, the rest floor(n/10)
-    decile = F.expr(
-        "CAST(IF(rank <= (n % 10) * (n div 10 + 1),"
-        "        (rank - 1) div (n div 10 + 1),"
-        "        n % 10 + (rank - (n % 10) * (n div 10 + 1) - 1)"
-        "                 div greatest(n div 10, 1)) + 1 AS INT)"
+    scored = ranked.select(
+        "doc_id",
+        ntile_closed_form(F.col("rank"), F.col("n"), 10).alias("decile"),
     )
-    scored = ranked.select("doc_id", decile.alias("decile"))
     keep = _accept_hash(F.col("doc_id")) * F.col("decile") < F.lit(_MIX_P)
     return scored.groupBy("decile").agg(
         F.count("*").cast("bigint").alias("n_orig"),
