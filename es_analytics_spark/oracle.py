@@ -173,9 +173,6 @@ if __name__ == "__main__":
     # far more in scheduling than compute — 8 post-AQE partitions keeps
     # the full 190-query sweep fast without touching any query's shape
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    # FAIR pools keep one long query from starving the others when
-    # checking concurrently
-    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
     workers = int(os.environ.get("ORACLE_WORKERS", "6"))
     results = run_all(spark, sf_dir, names, workers=workers)
     n_ok = sum(r.ok for r in results)
