@@ -250,38 +250,41 @@ def agg_bitmap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_bitmap_distinct exists — and set ops compose per bucket, then
     SUM across buckets. One wide row out; no collect."""
     ev = _t(spark, sf_dir, "events")["events"]
-    ev.createOrReplaceTempView("events")
-    return spark.sql(
-        """
-        WITH ids AS (
-            SELECT DISTINCT event_type,
-                   bitmap_bucket_number(user_id) AS bucket,
-                   bitmap_bit_position(user_id) AS pos
-            FROM events WHERE event_type IN ('view', 'purchase')
-        ), per_aud AS (
-            SELECT event_type, bucket,
-                   bitmap_count(bitmap_construct_agg(pos)) AS n
-            FROM ids GROUP BY event_type, bucket
-        ), unioned AS (
-            SELECT bucket, bitmap_count(bitmap_or_agg(bm)) AS n_or
-            FROM (SELECT event_type, bucket, bitmap_construct_agg(pos) AS bm
-                  FROM ids GROUP BY event_type, bucket)
-            GROUP BY bucket
-        ), folded AS (
-            SELECT
-              CAST(SUM(CASE WHEN event_type = 'view' THEN n ELSE 0 END) AS BIGINT)
-                AS n_view,
-              CAST(SUM(CASE WHEN event_type = 'purchase' THEN n ELSE 0 END) AS BIGINT)
-                AS n_purchase
-            FROM per_aud
+    # one shuffle builds the per-(audience, bucket) bitmaps; both folds
+    # below are bucket-count-sized aggregates over that output (the SQL
+    # CTE spelling re-derived the bitmap build per consumer: 7 shuffles
+    # in the audited plan vs 5 here; the remaining sorts are the
+    # SortAggregate the bitmap aggregates require)
+    bm = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
         )
-        SELECT f.n_view, f.n_purchase,
-               u.n_union,
-               f.n_view + f.n_purchase - u.n_union AS n_both,
-               f.n_view - (f.n_view + f.n_purchase - u.n_union) AS n_view_only
-        FROM folded f
-        CROSS JOIN (SELECT CAST(SUM(n_or) AS BIGINT) AS n_union FROM unioned) u
-        """
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("b"))
+        .withColumn("n", F.expr("bitmap_count(b)"))
+    )
+    folded = bm.agg(
+        F.sum(F.when(F.col("event_type") == "view", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchase"),
+    )
+    unioned = (
+        bm.groupBy("bucket")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(b))").alias("n_or"))
+        .agg(F.sum("n_or").cast("bigint").alias("n_union"))
+    )
+    both = F.col("n_view") + F.col("n_purchase") - F.col("n_union")
+    return (
+        folded.crossJoin(F.broadcast(unioned))
+        .withColumn("n_both", both)
+        .withColumn("n_view_only", F.col("n_view") - F.col("n_both"))
+        .select("n_view", "n_purchase", "n_union", "n_both", "n_view_only")
     )
 
 
@@ -614,3 +617,48 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     q = e.filter(F.col("vec_id") < 10)
     return sq8_topk(e, q, "vec_id", "embedding", k=5, oversample=4)
+
+
+# ---------------------------------------------------------------------------
+# Streaming: mergeable bitmap state in the state store
+# ---------------------------------------------------------------------------
+
+_STREAM_BITMAP_SQL = """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_users
+    FROM events GROUP BY event_type
+"""
+
+
+@query("stream_bitmap_distinct", oracle=_STREAM_BITMAP_SQL)
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type computed BY THE STREAMING
+    ENGINE with bitmap state: the per-(type, 32k-id bucket) streaming
+    aggregate keeps one compressed bitmap per group in the state store
+    (each micro-batch ORs its new bits in — bitmap_construct_agg is
+    mergeable, which is precisely what makes it streaming-legal), and a
+    batch fold over the replayed state counts the bits. The oracle is
+    plain COUNT(DISTINCT): streaming bitmap state must reproduce it
+    exactly after replaying the bounded fixture.
+
+    Scale: state per group is a fixed-size bitmap keyed by (type,
+    bucket) — state growth is bounded by the id domain / 32k, not by
+    the event count; the classic streaming dropDuplicates alternative
+    keys state by every distinct user id."""
+    from es_analytics_spark.streaming.ingest import replay_stream, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("b"))
+    )
+    replayed = replay_stream(
+        spark, agg, name="stream_bitmap_distinct", output_mode="complete"
+    )
+    return replayed.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(b)")).cast("bigint").alias("nd_users")
+    )
