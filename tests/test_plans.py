@@ -226,6 +226,11 @@ def test_flagship_shuffle_budgets(spark, sf_dir):
         "sort_topk_global": 0,      # TakeOrdered, no exchange at all
         "attr_last_touch": 1,       # one user shuffle
         "agg_count_min": 3,         # sketch agg + top-20 agg + probe-min agg
+        # round-3 shapes
+        "agg_heavy_hitters": 3,     # MG candidates distinct + recount agg + total
+        "text_dup_ngram_fraction": 3,  # gram-docs agg + gram join + per-doc agg
+        "text_bpe_pair_counts": 2,  # word histogram + pair agg (top-20 TakeOrdered)
+        "ts_cusum_changepoint": 4,  # daily agg + stats + walk window + argmax
     }
     for name, budget in budgets.items():
         audit = plan_audit(REGISTRY[name].fn(spark, sf_dir))
