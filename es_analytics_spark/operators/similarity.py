@@ -966,10 +966,15 @@ def sq8_topk(
 
     def quant(col: Column) -> Column:
         scaled = F.zip_with(col, lo_arr, lambda x, l: x.cast("double") - l)
+        # clamp to the byte range: corpus codes always land inside it
+        # (the ranges came from the corpus), but a query vector outside
+        # the corpus envelope must saturate, as stored int8 codes would
         return F.zip_with(
             scaled,
             span_arr,
-            lambda x, s: F.round(x / s * 255).cast("int"),
+            lambda x, s: F.greatest(
+                F.lit(0), F.least(F.lit(255), F.round(x / s * 255).cast("int"))
+            ),
         )
 
     def dequant(col: Column) -> Column:

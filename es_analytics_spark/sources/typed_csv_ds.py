@@ -32,8 +32,10 @@ import io
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -133,6 +135,9 @@ class TypedCsvDataSource(DataSource):
     def simpleStreamReader(self, schema) -> "TypedCsvStreamReader":  # noqa: N802
         return TypedCsvStreamReader(self.options.get("path"))
 
+    def writer(self, schema, overwrite: bool) -> "TypedCsvWriter":
+        return TypedCsvWriter(schema, self.options, overwrite)
+
 
 class TypedCsvReader(DataSourceReader):
     def __init__(self, paths: list[str]):
@@ -187,3 +192,94 @@ class TypedCsvStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
         fresh = sorted(set(end["files"]) - set(start["files"]))
         return iter(self._rows(fresh))
+
+
+# ---------------------------------------------------------------------------
+# Write path: df.write.format("typed_csv") — the reference's wire
+# format as a full pluggable citizen (read + stream + write)
+# ---------------------------------------------------------------------------
+
+_TOKEN_FOR_SPARK = {
+    "string": "STRING",
+    "bigint": "INTEGER",
+    "long": "INTEGER",
+    "int": "INTEGER",
+    "double": "FLOAT",
+    "float": "FLOAT",
+    "timestamp": "TIME",
+    "boolean": "BOOLEAN",
+}
+
+
+class _WroteFile(WriterCommitMessage):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class TypedCsvWriter(DataSourceWriter):
+    """One lake object per write task, uuid-named (the reference's
+    write-once object contract — Collector.ts:342-350: objects are
+    immutable, new data is always new files, so 'append' is the only
+    meaningful mode and overwrite is rejected at plan time). Each task
+    serializes its rows through the same encode_typed_csv the collector
+    uses (golden-bytes-tested), writes to a dot-prefixed in-progress
+    name and renames on task success — readers glob ``*.csv[.gz]`` so
+    half-written task files are never visible; abort deletes the
+    renamed files of completed tasks and in-progress stragglers are
+    invisible debris for maintenance.vacuum-style cleanup."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "typed_csv is an append-only lake format (write-once objects); "
+                "mode('overwrite') contradicts the object-immutability contract"
+            )
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("typed_csv: path option required")
+        self._gzip = str(options.get("compression", "gzip")).lower() != "none"
+        uuid_cols = {c for c in str(options.get("uuid_columns", "")).split(",") if c}
+        self._cols = {}
+        for field in schema.fields:
+            simple = field.dataType.simpleString()
+            token = "UUID" if field.name in uuid_cols else _TOKEN_FOR_SPARK.get(simple)
+            if token is None:
+                raise ValueError(
+                    f"typed_csv cannot encode column {field.name!r} of type {simple} "
+                    f"(wire format carries {sorted(set(_TOKEN_FOR_SPARK.values()))})"
+                )
+            self._cols[field.name] = token
+
+    def write(self, iterator):
+        import os
+        import uuid as _uuid
+
+        from es_analytics_spark.collector import DataType
+        from es_analytics_spark.sources.typed_csv import encode_typed_csv
+
+        cols = {name: DataType(tok) for name, tok in self._cols.items()}
+        rows = [r.asDict() for r in iterator]
+        data = encode_typed_csv(rows, cols)
+        suffix = ".csv.gz" if self._gzip else ".csv"
+        if self._gzip:
+            data = gzip.compress(data, mtime=0)
+        os.makedirs(self._dir, exist_ok=True)
+        final = os.path.join(self._dir, f"{_uuid.uuid4()}{suffix}")
+        tmp = os.path.join(self._dir, f".inprogress-{os.path.basename(final)}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.rename(tmp, final)
+        return _WroteFile(final)
+
+    def commit(self, messages) -> None:
+        pass  # files became visible at task rename; nothing to finalize
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass

@@ -309,3 +309,48 @@ def test_typed_csv_quoted_newlines_survive_both_readers(spark, tmp_path):
     for df in (spark.read.format("typed_csv").load(pattern), read_typed_csv(spark, pattern)):
         got = {r["k"]: r["s"] for r in df.collect()}
         assert got == expect, df
+
+
+def test_typed_csv_datasource_write_roundtrip(spark, tmp_path):
+    """df.write.format('typed_csv') must produce wire-format objects the
+    reader (and the JVM compat reader) round-trip exactly — including
+    RFC-4180 quoted commas/newlines, ms-precision timestamps, booleans,
+    and NULLs — one uuid-named gzipped object per task, with
+    mode('overwrite') rejected (write-once object contract) and no
+    in-progress debris left visible."""
+    import datetime as dt
+    import glob
+    import os
+
+    import pytest
+
+    from es_analytics_spark.sources.typed_csv_ds import register_typed_csv
+
+    register_typed_csv(spark)
+    out = str(tmp_path / "lakeobj")
+    df = spark.createDataFrame(
+        [
+            (1, 'a,b\n"q"', dt.datetime(2024, 1, 1, 10, 30, 0, 123000), True, 1.5),
+            (2, None, None, False, None),
+            (3, "plain", dt.datetime(2024, 2, 2), False, -0.25),
+        ],
+        "id bigint, s string, ts timestamp, b boolean, v double",
+    )
+    df.repartition(2).write.format("typed_csv").mode("append").option("path", out).save()
+
+    files = glob.glob(f"{out}/*.csv.gz")
+    assert len(files) == 2, files  # one object per task
+    assert not glob.glob(f"{out}/.inprogress-*"), "in-progress debris visible"
+
+    back = spark.read.format("typed_csv").load(f"{out}/*.csv.gz")
+    assert back.schema.simpleString() == df.schema.simpleString()
+    assert sorted(back.collect()) == sorted(df.collect())
+
+    # append adds objects; never rewrites existing ones
+    before = {p: os.path.getmtime(p) for p in files}
+    df.limit(1).write.format("typed_csv").mode("append").option("path", out).save()
+    assert len(glob.glob(f"{out}/*.csv.gz")) > 2
+    assert all(os.path.getmtime(p) == m for p, m in before.items())
+
+    with pytest.raises(Exception, match="append-only"):
+        df.write.format("typed_csv").mode("overwrite").option("path", out).save()
