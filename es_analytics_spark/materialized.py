@@ -194,3 +194,116 @@ def read_rollup(
     for out, (s, c) in (avg_pairs or {}).items():
         df = df.withColumn(out, F.col(s) / F.col(c))
     return df
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained enriched JOIN view (manifest-gated reads)
+# ---------------------------------------------------------------------------
+#
+# A rollup's output is one small merged table, so a refresh can rebuild
+# and atomically swap the whole version directory. An enriched view
+# (fact rows joined to dims) is FACT-SIZED — rebuilding it per refresh
+# would defeat incrementality — so this structure flips the contract:
+# data part-directories are immutable and append-only, and the single
+# atomically-renamed manifest is the source of truth for WHICH parts a
+# reader may see. A crash after writing parts but before the manifest
+# rename leaves orphan directories that no reader ever observes and the
+# next refresh re-derives (then reaps); nothing can double-count and
+# nothing is lost. This is the minimal manifest-gated-visibility step
+# toward a transactional log (see BASELINE.md's table-format decision
+# for where Delta/Iceberg would take over: multi-writer commits,
+# snapshots, compaction of the log itself).
+
+
+def _view_manifest_path(view_path: str) -> str:
+    return fs_join(view_path, "_manifest.json")
+
+
+def _read_view_manifest(fs, view_path: str) -> dict:
+    p = _view_manifest_path(view_path)
+    if not fs.exists(p):
+        return {"sources": [], "parts": []}
+    return json.loads(fs.read_bytes(p).decode("utf-8"))
+
+
+def _write_view_manifest(fs, view_path: str, manifest: dict) -> None:
+    """Publish the manifest atomically: write to a temp name, rename
+    over the final name (rename replaces on POSIX; on object stores
+    this is the exact seam a transactional log replaces)."""
+    tmp = fs_join(view_path, "._manifest.json.tmp")
+    fs.delete(tmp)
+    fs.put_bytes(tmp, json.dumps(manifest, indent=0).encode("utf-8"))
+    final = _view_manifest_path(view_path)
+    fs.delete(final)
+    fs.rename(tmp, final)
+
+
+def refresh_enriched_view(
+    spark: SparkSession,
+    source_glob: str,
+    view_path: str,
+    enrich,
+) -> dict:
+    """Create or incrementally refresh a fact-sized materialized view:
+    every source file not yet in the manifest is read, transformed by
+    ``enrich`` (a DataFrame -> DataFrame callable — typically a
+    broadcast-dim join and projection), and written as a new immutable
+    part directory; the manifest (sources + visible parts) is then
+    published in one atomic rename. Refresh cost tracks the increment,
+    never the view size. Returns {"new_files", "total_files", "parts"}.
+
+    ``enrich`` must be deterministic per source row (joins against
+    stable dims); if a dim changes, that is a *different view* —
+    rebuild under a new path or bump a version in the path. SCD-style
+    dim history belongs in the enrich join itself (join_scd2 shape).
+    """
+    import uuid as _uuid
+
+    fs = lake_fs(spark, view_path)
+    fs.mkdirs(view_path)
+    manifest = _read_view_manifest(fs, view_path)
+    seen = set(manifest["sources"])
+    new_files = [f for f in lake_fs(spark, source_glob).glob(source_glob) if f not in seen]
+    if not new_files:
+        return {
+            "new_files": 0,
+            "total_files": len(seen),
+            "parts": len(manifest["parts"]),
+        }
+    part = fs_join(view_path, "parts", str(_uuid.uuid4()))
+    enrich(spark.read.parquet(*new_files)).write.mode("overwrite").parquet(part)
+    manifest["sources"] = sorted(seen | set(new_files))
+    manifest["parts"] = sorted(set(manifest["parts"]) | {part})
+    _write_view_manifest(fs, view_path, manifest)
+    return {
+        "new_files": len(new_files),
+        "total_files": len(manifest["sources"]),
+        "parts": len(manifest["parts"]),
+    }
+
+
+def read_enriched_view(spark: SparkSession, view_path: str) -> DataFrame:
+    """Read ONLY the parts the manifest publishes — orphan part
+    directories from interrupted refreshes are invisible by
+    construction."""
+    fs = lake_fs(spark, view_path)
+    manifest = _read_view_manifest(fs, view_path)
+    if not manifest["parts"]:
+        raise FileNotFoundError(f"no published parts under {view_path}")
+    return spark.read.parquet(*manifest["parts"])
+
+
+def vacuum_enriched_view(spark: SparkSession, view_path: str) -> list[str]:
+    """Reap part directories the manifest does not reference (debris
+    from refreshes that crashed before their manifest rename). Safe at
+    any time: unreferenced parts are unreachable by readers, and the
+    manifest is only ever extended by whole committed refreshes."""
+    fs = lake_fs(spark, view_path)
+    manifest = _read_view_manifest(fs, view_path)
+    live = set(manifest["parts"])
+    victims = [
+        p for p in fs.glob(fs_join(view_path, "parts", "*")) if p not in live
+    ]
+    for p in victims:
+        fs.delete(p)
+    return victims

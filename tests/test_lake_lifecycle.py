@@ -578,3 +578,57 @@ def test_vacuum_removes_stale_staging_only(spark, tmp_path):
     assert not any(os.path.exists(p) for p in removed)
     assert os.path.exists(fresh_staging), "fresh staging must survive retention"
     assert spark.read.parquet(table).count() == 10, "table data untouched"
+
+
+def test_enriched_view_incremental_and_crash_invisible(spark, sf_dir, tmp_path):
+    """Incrementally-maintained join view: refresh(a) then refresh(b)
+    must equal the one-shot enrich over a+b; a part directory written
+    WITHOUT a manifest publish (crash between part write and manifest
+    rename) must be invisible to readers and reaped by the view
+    vacuum; a no-op refresh reads nothing new."""
+    import os
+
+    from es_analytics_spark.materialized import (
+        read_enriched_view,
+        refresh_enriched_view,
+        vacuum_enriched_view,
+    )
+    from es_analytics_spark.sources.lake import read_table
+
+    src = str(tmp_path / "fact")
+    view = str(tmp_path / "view")
+    ev = read_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/a")
+    dim = read_table(spark, sf_dir, "events").select("user_id").distinct().withColumn(
+        "segment", (F.col("user_id") % 3).cast("int")
+    )
+
+    def enrich(df):
+        return df.join(F.broadcast(dim), "user_id").select(
+            "event_id", "user_id", "segment", "value"
+        )
+
+    glob_pat = f"{src}/*/*.parquet"
+    r1 = refresh_enriched_view(spark, glob_pat, view, enrich)
+    assert r1["new_files"] == 1 and r1["parts"] == 1
+
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b")
+    r2 = refresh_enriched_view(spark, glob_pat, view, enrich)
+    assert r2["new_files"] == 1 and r2["parts"] == 2
+
+    got = read_enriched_view(spark, view)
+    want = enrich(spark.read.parquet(glob_pat))
+    assert got.count() == ev.count()
+    assert got.exceptAll(want).union(want.exceptAll(got)).count() == 0
+
+    # crash debris: a part dir that never made it into the manifest
+    orphan = os.path.join(view, "parts", "deadbeef-orphan")
+    spark.range(5).withColumn("junk", F.lit("x")).write.parquet(orphan)
+    assert read_enriched_view(spark, view).count() == ev.count(), (
+        "unpublished part leaked into the read"
+    )
+    reaped = vacuum_enriched_view(spark, view)
+    assert reaped == [orphan] and not os.path.exists(orphan)
+
+    r3 = refresh_enriched_view(spark, glob_pat, view, enrich)
+    assert r3["new_files"] == 0, "no-op refresh must read nothing"
