@@ -707,3 +707,65 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_lines"),
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental enriched-view machinery under the exact gate
+# ---------------------------------------------------------------------------
+
+_VIEW_INCREMENTAL_SQL = """
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(38,10))), 4) AS DOUBLE)
+             AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query("join_view_incremental", oracle=_VIEW_INCREMENTAL_SQL)
+def join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest-gated enriched-view machinery under the exact-
+    compare gate: materialize customer⋈nation incrementally into a temp
+    view (second refresh must be a no-op — idempotence is part of the
+    contract), read back ONLY manifest-published parts, aggregate, and
+    hash-match the direct join's SQL. Proves the append-only
+    part/manifest protocol end to end, not just in unit tests.
+
+    Scale: a refresh enriches only manifest-new fact files (here one);
+    view size never appears in refresh cost; see materialized.py."""
+    import shutil
+    import tempfile
+
+    from es_analytics_spark.materialized import (
+        read_enriched_view,
+        refresh_enriched_view,
+    )
+
+    dim = _t(spark, sf_dir, "nation")["nation"].select("n_nationkey", "n_name")
+
+    def enrich(df):
+        return df.join(
+            F.broadcast(dim), df["c_nationkey"] == dim["n_nationkey"]
+        ).select("c_custkey", "c_acctbal", F.col("n_name").alias("nation"))
+
+    tmp = tempfile.mkdtemp(prefix="view_q_")
+    try:
+        glob_pat = f"{sf_dir}/customer.parquet"
+        refresh_enriched_view(spark, glob_pat, tmp, enrich)
+        second = refresh_enriched_view(spark, glob_pat, tmp, enrich)
+        assert second["new_files"] == 0
+        out = (
+            read_enriched_view(spark, tmp)
+            .groupBy("nation")
+            .agg(
+                F.count("*").cast("bigint").alias("n_customers"),
+                F.round(F.sum(F.col("c_acctbal").cast("decimal(38,10)")), 4)
+                .cast("double")
+                .alias("total_acctbal"),
+            )
+        )
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, out.schema)
