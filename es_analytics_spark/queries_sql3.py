@@ -18,7 +18,7 @@ sets, per-dimension quantization stats) are bounded by construction
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum, dsum_expr
 from es_analytics_spark.queries import _t, query
@@ -138,7 +138,7 @@ def mg_update(counters: dict, batch_counts, k: int) -> dict:
     return counters
 
 
-def _idiv(a: F.Column, b: F.Column) -> F.Column:
+def _idiv(a: Column, b: Column) -> Column:
     """Exact integer division on Columns: (a - a%b)/b through DECIMAL,
     so no double rounding at any magnitude."""
     return (
@@ -147,7 +147,7 @@ def _idiv(a: F.Column, b: F.Column) -> F.Column:
     ).cast("bigint")
 
 
-def ntile_closed_form(rank_col: F.Column, n_col: F.Column, buckets: int) -> F.Column:
+def ntile_closed_form(rank_col: Column, n_col: Column, buckets: int) -> Column:
     """Closed-form NTILE(buckets) over a known total order: given a
     1-based global ``rank`` and row count ``n``, the first n % buckets
     tiles hold ceil(n/buckets) rows and the rest floor(n/buckets) —
@@ -382,7 +382,7 @@ def _accept_hash_sql(id_expr: str) -> str:
     return f"(({id_expr}) * {_MIX_A} + {_MIX_B}) % {_MIX_P}"
 
 
-def _accept_hash(col: F.Column) -> F.Column:
+def _accept_hash(col: Column) -> Column:
     return (col * _MIX_A + _MIX_B) % _MIX_P
 
 

@@ -632,3 +632,61 @@ def test_enriched_view_incremental_and_crash_invisible(spark, sf_dir, tmp_path):
 
     r3 = refresh_enriched_view(spark, glob_pat, view, enrich)
     assert r3["new_files"] == 0, "no-op refresh must read nothing"
+
+
+def test_streaming_lake_feeds_enriched_view(spark, sf_dir, tmp_path):
+    """Streaming twin for the manifest-gated view: a checkpointed
+    availableNow stream drains new files into the lake, the view
+    refresh enriches exactly the newly flushed lake files, and the
+    manifest-published view always equals the one-shot enrich over
+    everything the lake holds."""
+    from es_analytics_spark.materialized import (
+        read_enriched_view,
+        refresh_enriched_view,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    lake = str(tmp_path / "lake")
+    glob = f"{lake}/events/*/*/*.parquet"
+    view = str(tmp_path / "view")
+    events = read_table(spark, sf_dir, "events")
+    schema = events.schema
+    dim = events.select("user_id").distinct().withColumn(
+        "segment", (F.col("user_id") % 5).cast("int")
+    )
+
+    def enrich(df):
+        return df.join(F.broadcast(dim), "user_id").select(
+            "event_id", "user_id", "segment", "value"
+        )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = stream_to_lake(
+            stream,
+            table="events",
+            lake_dir=lake,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(str(src / "f1"))
+    drain()
+    r1 = refresh_enriched_view(spark, glob, view, enrich)
+    assert r1["new_files"] >= 1
+
+    events.filter(F.col("event_id") % 2 == 1).write.parquet(str(src / "f2"))
+    drain()
+    r2 = refresh_enriched_view(spark, glob, view, enrich)
+    assert r2["new_files"] >= 1 and r2["total_files"] == r1["total_files"] + r2["new_files"]
+
+    got = read_enriched_view(spark, view)
+    want = enrich(spark.read.parquet(glob))
+    assert got.count() == events.count()
+    assert got.exceptAll(want).union(want.exceptAll(got)).count() == 0
