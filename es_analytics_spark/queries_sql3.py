@@ -665,51 +665,6 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Skew-salted join as a driver-checkable query
-# ---------------------------------------------------------------------------
-
-_SALTED_JOIN_SQL = f"""
-    SELECT o.o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_lines,
-           {dsum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
-    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    GROUP BY o.o_orderpriority
-"""
-
-
-@query("join_salted_skew", oracle=_SALTED_JOIN_SQL)
-def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The explicit salt-and-replicate skew join under the exact-
-    compare gate: the fact side takes a random salt in [0, 16), the
-    build side replicates across all salts, the join keys on
-    (key, salt) so one hot key spreads over 16 tasks instead of one
-    straggler — and the answer must be BIT-IDENTICAL to the plain
-    join's oracle, which is the point: salting is a physical rewrite
-    with zero semantic surface. The random salt never reaches the
-    result (dropped before the aggregate), so nondeterministic salt
-    assignment cannot leak into the compare.
-
-    AQE's skew splitting handles most skew at runtime; this registered
-    form pins the technique for the cases AQE cannot split (hot keys
-    feeding stateful downstream ops). Equivalence against the unsalted
-    join is also pinned in tests/test_lake_lifecycle.py."""
-    from es_analytics_spark.operators.joins import salted_join
-
-    t = _t(spark, sf_dir, "lineitem", "orders")
-    li, o = t["lineitem"], t["orders"]
-    joined = salted_join(
-        li.select("l_orderkey", "l_extendedprice", "l_discount"),
-        o.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"),
-        on="l_orderkey",
-        salt_buckets=16,
-    )
-    return joined.groupBy("o_orderpriority").agg(
-        F.count("*").cast("bigint").alias("n_lines"),
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # Incremental enriched-view machinery under the exact gate
 # ---------------------------------------------------------------------------
 
