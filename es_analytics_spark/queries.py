@@ -37,6 +37,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in REGISTRY:
+            # a duplicate silently SHADOWS the earlier query in every
+            # harness (driver, oracle CLI, bench) — fail at import time
+            raise ValueError(
+                f"catalog name {name!r} registered twice "
+                f"(existing: {REGISTRY[name].fn.__module__}, new: {fn.__module__})"
+            )
         REGISTRY[name] = QuerySpec(fn, oracle)
         return fn
 
