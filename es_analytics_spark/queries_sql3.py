@@ -724,3 +724,80 @@ def join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(pdf, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric n-gram containment (excerpt / quote detection)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.5
+_CONTAIN_SQL = f"""
+    WITH words AS (
+      SELECT doc_id, source,
+             STRING_SPLIT(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             LIST_DISTINCT(CASE WHEN LEN(w) >= 3
+               THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [ARRAY_TO_STRING(w, ' ')] END) AS g
+      FROM words)
+    SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+           FLOOR(CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE) / LEN(a.g)
+                 * 1e6 + 0.5) / 1e6 AS containment
+    FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id != b.doc_id
+    WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE) / LEN(a.g) >= {_CONTAIN_T}
+"""
+
+
+@query("text_ngram_containment", oracle=_CONTAIN_SQL)
+def text_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric word-3-gram containment |grams(A) ∩ grams(B)| /
+    |grams(A)| >= 0.5 within a source block: the excerpt/quote
+    detector symmetric Jaccard misses — a short doc lifted wholesale
+    into a long one scores near-zero Jaccard (union is dominated by
+    the long doc) but containment ~1. This is the Broder containment
+    measure, the partial-duplicate signal corpus curation uses beside
+    dedup_ngram_jaccard's symmetric one.
+
+    Shape: same scale contract as the Jaccard query — explode distinct
+    grams, token equi-join on (source, gram) so only MATCHING grams
+    reach the pair aggregation (work scales with overlap, not
+    |block|²), per-doc gram counts as a separate tiny aggregate joined
+    back (inlining the size through the explode re-materializes the
+    shingle array per row; see ngram_jaccard_pairs' 13x note)."""
+    from es_analytics_spark.operators.dedup import exploded_shingles
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    # exploded_shingles keeps the projection boundary that stops
+    # CollapseProject from rebuilding the shingle array per exploded
+    # row (a naive explode-over-with_shingles spelling of this query
+    # measured 18 s vs ~2 s at sf0.01 — the 13x trap the jaccard
+    # docstring documents)
+    tok = exploded_shingles(
+        d, "text", 3, keep=["doc_id", "source"], out_col="tok"
+    ).select("source", F.col("doc_id").alias("id"), "tok")
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select("source", F.col("id").alias("id_a"), "tok")
+    b = tok.select("source", F.col("id").alias("id_b"), "tok")
+    pairs = (
+        a.join(b, ["source", "tok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+    )
+    # one ordered join pass yields BOTH directions: containment of a in
+    # b is inter/na, of b in a is inter/nb
+    def _dir(contained, container, size_col):
+        c = F.col("inter") / F.col(size_col)
+        return pairs.filter(c >= _CONTAIN_T).select(
+            F.col(contained).alias("id_contained"),
+            F.col(container).alias("id_container"),
+            (F.floor(c * 1e6 + F.lit(0.5)) / 1e6).alias("containment"),
+        )
+
+    return _dir("id_a", "id_b", "na").unionByName(_dir("id_b", "id_a", "nb"))
