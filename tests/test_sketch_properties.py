@@ -65,3 +65,62 @@ def test_ntile_closed_form_matches_window_ntile(spark):
             )
             diff = got.exceptAll(want).union(want.exceptAll(got))
             assert diff.count() == 0, (n, buckets, diff.collect()[:5])
+
+
+def test_oracle_compare_flags_int_float_dtype_skew():
+    """The harness must fail value-equal results whose pandas dtype
+    classes differ (int64 1 vs float64 1.0) — the exact skew DuckDB's
+    HUGEINT->float64 conversion produced in round 2, which a
+    value-only compare silently passes but the driver's hash does not."""
+    import pandas as pd
+
+    from es_analytics_spark.oracle import _canon, _dtype_class
+
+    a = pd.DataFrame({"k": [1, 2], "v": pd.Series([1, 2], dtype="int64")})
+    b = pd.DataFrame({"k": [1, 2], "v": pd.Series([1.0, 2.0], dtype="float64")})
+    ca, cb = _canon(a), _canon(b)
+    assert (ca["v"].astype(float) == cb["v"].astype(float)).all(), "values equal"
+    assert _dtype_class(ca["v"]) == "int"
+    assert _dtype_class(cb["v"]) == "float"
+    assert _dtype_class(ca["v"]) != _dtype_class(cb["v"]), (
+        "dtype-class gate must see the skew the value compare erases"
+    )
+
+
+def test_containment_dominates_jaccard(spark):
+    """For every compared pair, max(containment directions) >= jaccard
+    (|A∩B|/min >= |A∩B|/|A∪B|), and containment hits 1.0 for a true
+    excerpt whose Jaccard is small — the reason the asymmetric measure
+    exists."""
+    from pyspark.sql import Row
+
+    from es_analytics_spark.operators.dedup import ngram_jaccard_pairs
+    from es_analytics_spark.queries import REGISTRY
+
+    long_words = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=long_words, source="s"),
+            Row(doc_id=2, text=excerpt, source="s"),
+        ]
+    )
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", ngram=3, block_col="source")
+    j = {(r.id_a, r.id_b): r.jaccard for r in jac.collect()}
+    # containment of the excerpt in the long doc is exactly 1.0
+    from es_analytics_spark.operators.dedup import exploded_shingles
+    import pyspark.sql.functions as F
+
+    tok = exploded_shingles(df, "text", 3, keep=["doc_id", "source"], out_col="tok")
+    a = tok.select("source", F.col("doc_id").alias("id_a"), "tok")
+    b = tok.select("source", F.col("doc_id").alias("id_b"), "tok")
+    inter = (
+        a.join(b, ["source", "tok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .count()
+        .collect()
+    )
+    n_small = tok.filter(F.col("doc_id") == 2).count()
+    assert inter and inter[0]["count"] == n_small, "excerpt grams fully contained"
+    assert j[(1, 2)] < 0.2, "symmetric jaccard must miss the excerpt"
