@@ -124,3 +124,36 @@ def test_containment_dominates_jaccard(spark):
     n_small = tok.filter(F.col("doc_id") == 2).count()
     assert inter and inter[0]["count"] == n_small, "excerpt grams fully contained"
     assert j[(1, 2)] < 0.2, "symmetric jaccard must miss the excerpt"
+
+
+def test_partition_count_independence_of_sensitive_shapes(spark, sf_dir):
+    """The catalog's correctness contract is partition-count
+    independence (results identical on any cluster size). Full-catalog
+    sweeps at 8 and 17 shuffle partitions pass out-of-band; this pins
+    the shapes that *internally depend on partitioning* — the
+    distributed rank/NTILE (spark_partition_id + offset table), the
+    Misra-Gries candidate phase (per-partition summaries), and the
+    salted join — by comparing results across two partition counts in
+    one session."""
+    from es_analytics_spark.queries import REGISTRY
+
+    names = [
+        "ml_split_shuffle",
+        "ml_quality_bucket_sample",
+        "agg_heavy_hitters",
+        "join_salted_skew",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("5", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                rows = sorted(
+                    map(tuple, REGISTRY[n].fn(spark, sf_dir).collect())
+                )
+                results.setdefault(n, []).append(rows)
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} depends on the shuffle partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
