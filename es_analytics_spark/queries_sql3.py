@@ -1,8 +1,10 @@
 """Round-3 surface: CUSUM changepoint detection, sketch-backed exact
-heavy hitters, bitmap set algebra, duplicated-n-gram quality signals,
+heavy hitters, bitmap set algebra (batch + streaming state),
+duplicated-n-gram quality signals, asymmetric n-gram containment,
 deterministic corpus resampling (domain mixing, quality curricula),
-BPE merge counting, and the embedding-space tier (SemDeDup, MMR
-reranking, int8 scalar quantization).
+BPE merge counting, the embedding-space tier (SemDeDup, MMR
+reranking, int8 scalar quantization), and the manifest-gated
+incremental join view driven under the exact gate.
 
 Same contract as the rest of the catalog: every query pairs a
 Spark-first implementation with a DuckDB oracle (or a documented
