@@ -803,3 +803,120 @@ def text_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _dir("id_a", "id_b", "na").unionByName(_dir("id_b", "id_a", "nb"))
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface round-out: ordered LISTAGG, exact linear regression
+# ---------------------------------------------------------------------------
+
+_LISTAGG_SQL = """
+    WITH top3 AS (
+        SELECT c_nationkey, c_name,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM customer
+    )
+    SELECT c_nationkey,
+           STRING_AGG(c_name, ',' ORDER BY c_name) AS top_names
+    FROM top3 WHERE rn <= 3 GROUP BY c_nationkey
+"""
+
+
+@query("agg_listagg", oracle=_LISTAGG_SQL)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG (SQL:2016 / Spark 4 ``listagg ... WITHIN
+    GROUP``): the three highest-balance customers per nation folded
+    into one deterministic comma string. The WITHIN GROUP order is the
+    whole point — an unordered string fold is nondeterministic under
+    distribution and could never pass a hash gate.
+
+    Scale: the top-3 filter (per-group rank window) bounds the string
+    length per group before any aggregation; listagg over an unbounded
+    group would be the array-collect anti-pattern."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    top3 = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    top3.createOrReplaceTempView("__listagg_top3")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS top_names
+        FROM __listagg_top3 GROUP BY c_nationkey
+        """
+    )
+
+
+def _dsum4(col: Column) -> Column:
+    """Component sum for regression arithmetic: exact decimal fold,
+    rounded half-up at 4dp into double (same contract as dsum)."""
+    return F.round(F.sum(col.cast("decimal(38,10)")), 4).cast("double")
+
+
+_REGR_COMPONENTS_SQL = """
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(ROUND(SUM(CAST(x AS DECIMAL(38,10))), 4) AS DOUBLE) AS sx,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sy,
+               CAST(ROUND(SUM(CAST(x * value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sxy,
+               CAST(ROUND(SUM(CAST(x * x AS DECIMAL(38,10))), 4) AS DOUBLE) AS sxx,
+               CAST(ROUND(SUM(CAST(value * value AS DECIMAL(38,10))), 4) AS DOUBLE) AS syy
+        FROM (SELECT event_type, CAST(EXTRACT(day FROM ts) AS DOUBLE) AS x, value
+              FROM events)
+        GROUP BY event_type
+"""
+
+_REGR_SQL = f"""
+    WITH comp AS ({_REGR_COMPONENTS_SQL})
+    SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+           FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+             AS slope,
+           FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1e6
+                 + 0.5) / 1e6 AS intercept,
+           FLOOR((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e6 + 0.5) / 1e6
+             AS r2
+    FROM comp
+"""
+
+
+@query("agg_linear_regression", oracle=_REGR_SQL)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regr_* family (slope / intercept / r²) per event type —
+    value regressed on day-of-month — computed EXACTLY from decimal
+    component sums (n, Σx, Σy, Σxy, Σx², Σy²), each rounded half-up at
+    4dp into double before the closed-form arithmetic, so the
+    distributed partial aggregation bit-matches the single-threaded
+    oracle. Spark's native regr_slope/regr_intercept/regr_r2 carry
+    order-dependent double partials and could not pass a hash gate;
+    tests pin that this decimal spelling agrees with the native
+    aggregates to float tolerance.
+
+    Scale: one partial+final aggregate over six mergeable components —
+    the textbook map-side-combine shape; magnitudes (day-of-month x,
+    fixture values) keep every rounded component far inside 2^53, so
+    the final IEEE arithmetic is deterministic everywhere."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    x = F.dayofmonth("ts").cast("double")
+    comp = ev.select(
+        "event_type", x.alias("x"), F.col("value").alias("y")
+    ).groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        _dsum4(F.col("x")).alias("sx"),
+        _dsum4(F.col("y")).alias("sy"),
+        _dsum4(F.col("x") * F.col("y")).alias("sxy"),
+        _dsum4(F.col("x") * F.col("x")).alias("sxx"),
+        _dsum4(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx * sx
+    slope = cov_n / var_n
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return comp.select(
+        "event_type",
+        n.cast("bigint").alias("n_obs"),
+        r6(slope).alias("slope"),
+        r6((sy - slope * sx) / n).alias("intercept"),
+        r6(cov_n * cov_n / (var_n * (n * syy - sy * sy))).alias("r2"),
+    )

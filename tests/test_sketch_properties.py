@@ -157,3 +157,36 @@ def test_partition_count_independence_of_sensitive_shapes(spark, sf_dir):
             assert a == b, f"{n} depends on the shuffle partition count"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_decimal_regression_agrees_with_native_regr(spark, sf_dir):
+    """The exact-contract regression must agree with Spark's native
+    regr_slope/intercept/r2 to float tolerance — the decimal component
+    spelling changes determinism, not semantics."""
+    from es_analytics_spark.queries import REGISTRY
+    from es_analytics_spark.sources.lake import load_tables
+
+    got = {
+        r.event_type: (r.slope, r.intercept, r.r2)
+        for r in REGISTRY["agg_linear_regression"].fn(spark, sf_dir).collect()
+    }
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    ev.createOrReplaceTempView("__regr_events")
+    native = {
+        r.event_type: (r.s, r.i, r.r)
+        for r in spark.sql(
+            """
+            SELECT event_type,
+                   regr_slope(value, CAST(day(ts) AS DOUBLE)) AS s,
+                   regr_intercept(value, CAST(day(ts) AS DOUBLE)) AS i,
+                   regr_r2(value, CAST(day(ts) AS DOUBLE)) AS r
+            FROM __regr_events GROUP BY event_type
+            """
+        ).collect()
+    }
+    assert set(got) == set(native)
+    for et, (s, i, r) in got.items():
+        ns, ni, nr = native[et]
+        assert abs(s - ns) < 1e-6 and abs(i - ni) < 1e-6 and abs(r - nr) < 1e-6, (
+            et, got[et], native[et]
+        )
