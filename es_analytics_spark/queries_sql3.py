@@ -920,3 +920,61 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6((sy - slope * sx) / n).alias("intercept"),
         r6(cov_n * cov_n / (var_n * (n * syy - sy * sy))).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL function family (parse + canonicalize)
+# ---------------------------------------------------------------------------
+
+_URL_SQL = """
+    WITH urls AS (
+        SELECT event_id,
+               'https://Shop.Example.COM/' || event_type || '/item?uid=' ||
+               CAST(user_id AS VARCHAR) || '&utm_source=mail&ref=' ||
+               CAST(event_id % 7 AS VARCHAR) AS url
+        FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           LOWER(REGEXP_EXTRACT(url, '^[a-z]+://([^/]+)', 1)) AS host,
+           REGEXP_EXTRACT(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+           REGEXP_EXTRACT(url, '[?&]ref=([^&#]*)', 1) AS ref_param,
+           LOWER(REGEXP_EXTRACT(url, '^[a-z]+://([^/]+)', 1))
+             || REGEXP_EXTRACT(url, '^[a-z]+://[^/]+(/[^?#]*)', 1)
+             || '?ref=' || REGEXP_EXTRACT(url, '[?&]ref=([^&#]*)', 1)
+             AS canonical
+    FROM urls
+"""
+
+
+@query("fn_url_parse", oracle=_URL_SQL)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: ``parse_url`` HOST/PATH/QUERY-key
+    extraction plus the canonicalization every web-corpus dedup
+    pipeline runs before URL-level dedup — lowercase the host, keep
+    the path, strip tracking params (utm_*), retain meaningful ones.
+    URLs are synthesized deterministically from event columns (the
+    fixture carries no URL column); the oracle spells the same
+    extraction with regexes, so Spark's parse_url semantics are
+    pinned against an independent implementation.
+
+    Scale: pure map-side expressions over the scan; the id filter is
+    pushed to parquet."""
+    ev = _t(spark, sf_dir, "events")["events"].filter(F.col("event_id") < 2000)
+    url = F.concat(
+        F.lit("https://Shop.Example.COM/"),
+        F.col("event_type"),
+        F.lit("/item?uid="),
+        F.col("user_id").cast("string"),
+        F.lit("&utm_source=mail&ref="),
+        (F.col("event_id") % 7).cast("string"),
+    )
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    path = F.parse_url(url, F.lit("PATH"))
+    ref = F.parse_url(url, F.lit("QUERY"), F.lit("ref"))
+    return ev.select(
+        "event_id",
+        host.alias("host"),
+        path.alias("path"),
+        ref.alias("ref_param"),
+        F.concat(host, path, F.lit("?ref="), ref).alias("canonical"),
+    )
