@@ -66,6 +66,9 @@ HEADLINE = [
     "dedup_semantic",
     "sim_sq8_topk",
     "ts_cusum_changepoint",
+    # r3 batch 2: SQL-surface round-out
+    "agg_listagg",
+    "agg_linear_regression",
 ]
 
 
