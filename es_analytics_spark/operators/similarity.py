@@ -532,24 +532,43 @@ def kmeans_centroids(
     for _ in range(iters):
         cmat = cent  # rebind for closure capture per iteration
 
-        def assign(batches, cmat=cmat):
+        def partials(batches, cmat=cmat, k=k, dim=dim):
+            # assign AND pre-reduce inside the same Arrow pass: each
+            # partition emits at most k (cell, count, sum-vector) rows,
+            # so the driver merge is bounded by k x partitions vectors
+            # (same boundedness argument as the centroid matrix) — and
+            # each iteration is ONE map-only job instead of a shuffle
+            # into a 64-expression aggregate plan recompiled per
+            # iteration (that spelling measured ~2x slower end-to-end)
+            counts = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, dim), dtype=np.float64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 v = np.array(list(pdf["__v"]), dtype=np.float64)
                 vn = np.maximum(np.linalg.norm(v, axis=1), 1e-12)
                 cell = np.argmax((v @ cmat.T) / vn[:, None], axis=1)
-                yield pd.DataFrame({"cell": cell.astype(np.int32), "__v": pdf["__v"]})
+                np.add.at(counts, cell, 1)
+                np.add.at(sums, cell, v)
+            live = np.nonzero(counts)[0]
+            if len(live):
+                yield pd.DataFrame(
+                    {
+                        "cell": live.astype(np.int32),
+                        "cnt": counts[live],
+                        "s": list(sums[live]),
+                    }
+                )
 
-        assigned = src.mapInPandas(assign, f"cell int, __v array<double>")
-        means = (
-            assigned.groupBy("cell")
-            .agg(*[F.avg(F.col("__v")[i]).alias(f"d{i}") for i in range(dim)])
-            .collect()
-        )
+        rows = src.mapInPandas(partials, "cell int, cnt bigint, s array<double>").collect()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for r in rows:
+            counts[r["cell"]] += r["cnt"]
+            sums[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
         new = cent.copy()
-        for r in means:
-            new[r["cell"]] = [r[f"d{i}"] for i in range(dim)]
+        live = counts > 0  # empty cells keep their previous centroid
+        new[live] = sums[live] / counts[live, None]
         norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
         cent = new / norms
     return cent
