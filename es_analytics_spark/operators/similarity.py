@@ -588,11 +588,12 @@ def pq_train_codebooks(
     numpy array.
 
     All m subspaces train in ONE distributed loop: every vector
-    explodes into m (subspace, subvec) rows JVM-side, a single
-    Arrow-batched pass assigns each row to its nearest centroid within
-    its own subspace, and one groupBy(subspace, cell) with per-dim avg
-    aggregates produces all m codebooks' new means — m*ksub tiny rows
-    per iteration reach the driver, never the data.
+    explodes into m (subspace, subvec) rows JVM-side, and a single
+    Arrow-batched pass both assigns each row to its nearest centroid
+    within its own subspace AND pre-reduces to per-partition
+    (sub, cell, count, sum) partials — at most m*ksub rows per
+    partition reach the driver per iteration, never the data (the
+    kmeans_centroids fusion; one map-only job per iteration).
 
     Init is deterministic: the ``ksub`` corpus vectors with the
     smallest xxhash64(id) seed every subspace's codebook (TakeOrdered —
@@ -634,28 +635,48 @@ def pq_train_codebooks(
     for _ in range(iters):
         bk = books  # rebind for closure capture
 
-        def assign(batches, bk=bk):
+        def partials(batches, bk=bk, m=m, ksub=ksub, dsub=dsub):
+            # assign and pre-reduce in one Arrow pass (the kmeans
+            # fusion): each partition emits at most m*ksub
+            # (sub, cell, count, sum) rows, so the driver merge is
+            # bounded by m*ksub*partitions sub-vectors — one map-only
+            # job per iteration, no shuffle into a dsub-expression
+            # aggregate plan recompiled per iteration
+            counts = np.zeros((m, ksub), dtype=np.int64)
+            sums = np.zeros((m, ksub, dsub), dtype=np.float64)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 sub = pdf["sub"].to_numpy()
                 sv = np.array(list(pdf["sv"]), dtype=np.float64)  # (n, dsub)
-                cell = np.empty(len(sv), dtype=np.int32)
                 for j in np.unique(sub):
                     mask = sub == j
                     d = ((sv[mask, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
-                    cell[mask] = np.argmin(d, axis=1)
-                yield pd.DataFrame({"sub": sub, "cell": cell, "sv": pdf["sv"]})
+                    cell = np.argmin(d, axis=1)
+                    np.add.at(counts[j], cell, 1)
+                    np.add.at(sums[j], cell, sv[mask])
+            js, cs = np.nonzero(counts)
+            if len(js):
+                yield pd.DataFrame(
+                    {
+                        "sub": js.astype(np.int32),
+                        "cell": cs.astype(np.int32),
+                        "cnt": counts[js, cs],
+                        "s": list(sums[js, cs]),
+                    }
+                )
 
-        assigned = sub_rows.mapInPandas(assign, "sub int, cell int, sv array<double>")
-        means = (
-            assigned.groupBy("sub", "cell")
-            .agg(*[F.avg(F.col("sv")[i]).alias(f"d{i}") for i in range(dsub)])
-            .collect()
-        )
+        rows = sub_rows.mapInPandas(
+            partials, "sub int, cell int, cnt bigint, s array<double>"
+        ).collect()
+        counts = np.zeros((m, ksub), dtype=np.int64)
+        sums = np.zeros((m, ksub, dsub), dtype=np.float64)
+        for r in rows:
+            counts[r["sub"], r["cell"]] += r["cnt"]
+            sums[r["sub"], r["cell"]] += np.asarray(r["s"], dtype=np.float64)
         new = books.copy()
-        for r in means:
-            new[r["sub"], r["cell"]] = [r[f"d{i}"] for i in range(dsub)]
+        live = counts > 0  # empty cells keep their previous centroid
+        new[live] = sums[live] / counts[live, None]
         books = new
     return books
 
