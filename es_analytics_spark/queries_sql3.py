@@ -978,3 +978,101 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref.alias("ref_param"),
         F.concat(host, path, F.lit("?ref="), ref).alias("canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal profile (day-of-week decomposition + seasonality strength)
+# ---------------------------------------------------------------------------
+
+_SEASONAL_SQL = """
+    WITH obs AS (
+        SELECT event_type, ISODOW(ts) AS dow, value FROM events
+    ), per_dow AS (
+        SELECT event_type, dow,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS s
+        FROM obs GROUP BY event_type, dow
+    ), per_type AS (
+        SELECT event_type,
+               COUNT(*) AS n_tot,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS s_tot,
+               CAST(ROUND(SUM(CAST(value * value AS DECIMAL(38,10))), 4) AS DOUBLE)
+                 AS ss_tot
+        FROM obs GROUP BY event_type
+    ), strength AS (
+        SELECT d.event_type,
+               FLOOR((CAST(SUM(CAST(d.s * d.s / d.n AS DECIMAL(38,10))) AS DOUBLE)
+                      - ANY_VALUE(t.s_tot) * ANY_VALUE(t.s_tot)
+                          / ANY_VALUE(t.n_tot))
+                     / (ANY_VALUE(t.ss_tot) - ANY_VALUE(t.s_tot) * ANY_VALUE(t.s_tot)
+                          / ANY_VALUE(t.n_tot)) * 1e6 + 0.5) / 1e6 AS strength
+        FROM per_dow d JOIN per_type t ON d.event_type = t.event_type
+        GROUP BY d.event_type
+    )
+    SELECT d.event_type, d.dow, CAST(d.n AS BIGINT) AS n_obs,
+           FLOOR(d.s / d.n * 1e6 + 0.5) / 1e6 AS mean_v,
+           FLOOR((d.s / d.n - t.s_tot / t.n_tot) * 1e6 + 0.5) / 1e6 AS dev_from_mean,
+           st.strength
+    FROM per_dow d
+    JOIN per_type t ON d.event_type = t.event_type
+    JOIN strength st ON d.event_type = st.event_type
+"""
+
+
+@query("ts_seasonal_profile", oracle=_SEASONAL_SQL)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition per event type: the weekly
+    profile (per-ISO-dow mean and its deviation from the series mean)
+    plus seasonality STRENGTH = SS_between / SS_total — the share of
+    total variance the weekly cycle explains (the one-way ANOVA
+    eta-squared, the strength statistic STL-style decompositions
+    report). Strength near 0 ⇒ the weekday means nothing; near 1 ⇒
+    the weekday IS the signal.
+
+    Exactness: every sum of values/squares is a 4dp-rounded decimal
+    component, and strength/means derive from those components in
+    closed-form double arithmetic with half-up rounding — identical on
+    both engines regardless of partitioning (the regression query's
+    contract).
+
+    Scale: two partial+final aggregates over (type, dow) and (type) —
+    map-side-combined, group counts bounded by |types| x 7."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    obs = ev.select(
+        "event_type",
+        (F.weekday("ts") + 1).alias("dow"),
+        F.col("value").alias("y"),
+    )
+    per_dow = obs.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"), _dsum4(F.col("y")).alias("s")
+    )
+    per_type = obs.groupBy("event_type").agg(
+        F.count("*").alias("n_tot"),
+        _dsum4(F.col("y")).alias("s_tot"),
+        _dsum4(F.col("y") * F.col("y")).alias("ss_tot"),
+    )
+    joined = per_dow.join(per_type, "event_type")
+    # the 7-row fold still goes through DECIMAL: a double SUM over even
+    # seven addends is order-dependent, and the hash gate tolerates zero
+    ss_between = F.sum(
+        (F.col("s") * F.col("s") / F.col("n")).cast("decimal(38,10)")
+    ).cast("double") - F.any_value(
+        F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
+    )
+    ss_total = F.any_value(
+        F.col("ss_tot") - F.col("s_tot") * F.col("s_tot") / F.col("n_tot")
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    strength = joined.groupBy("event_type").agg(
+        r6(ss_between / ss_total).alias("strength")
+    )
+    return joined.join(strength, "event_type").select(
+        "event_type",
+        "dow",
+        F.col("n").cast("bigint").alias("n_obs"),
+        r6(F.col("s") / F.col("n")).alias("mean_v"),
+        r6(F.col("s") / F.col("n") - F.col("s_tot") / F.col("n_tot")).alias(
+            "dev_from_mean"
+        ),
+        "strength",
+    )
