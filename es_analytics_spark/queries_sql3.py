@@ -13,9 +13,11 @@ set of rows, and keeps float math bit-identical across engines via the
 DECIMAL sum / half-up-rounding contract in functions.exact.
 
 Scale notes per docstring; none of these shapes collect unbounded data
-to the driver — the two driver-visible artifacts (Misra-Gries candidate
-sets, per-dimension quantization stats) are bounded by construction
-(k × partitions counters, dim-sized arrays).
+to the driver — every driver-visible artifact (Misra-Gries candidate
+sets, per-dimension quantization stats, k-means/PQ training partials,
+partition offset tables) is bounded by construction: k × partitions
+counters, dim-sized arrays, centroid-count-sized partials, one row per
+shuffle partition.
 """
 
 from __future__ import annotations
