@@ -146,12 +146,11 @@ def lsh_near_dup_pairs(
     single corpus — the 100 TB-safe spelling of all-pairs cosine dedup.
 
     Shape: every vector hashes into ``num_tables`` (table, bucket) keys
-    (one Arrow matmul, map-only); a single self equi-join on the bucket
-    struct co-locates candidates (both sides shuffle once on the same
-    key — no broadcast of the corpus, no driver collect, no n² product);
-    candidate pairs are deduped then pay the exact JVM dot product, and
-    only pairs with cosine ≥ ``threshold`` survive. Work scales with
-    bucket collision counts, not |corpus|².
+    (one Arrow matmul, map-only); one shuffle on the bucket struct
+    co-locates each bucket's members (no broadcast of the corpus, no
+    driver collect, no n² product); an exact verify runs locally inside
+    each bucket group and only id-pairs with cosine ≥ ``threshold``
+    leave it. Work scales with bucket collision counts, not |corpus|².
 
     Recall is the standard multi-table LSH bound 1-(1-p^planes)^tables
     with p = 1 - θ/π; the defaults (4 planes × 12 tables) give ≈0.89 at
@@ -502,12 +501,19 @@ def kmeans_centroids(
     - Init: the k corpus vectors with the smallest xxhash64(id) — a
       deterministic uniform sample pulled with orderBy+limit, so the
       driver receives exactly k rows regardless of corpus size.
-    - Each iteration: one Arrow-batched matmul pass assigns every
-      vector to its max-cosine centroid (map-only, no shuffle), then a
-      groupBy(cell) with per-dimension avg aggregates (64 map-side-
-      combined aggs) produces the new means — one shuffle carrying k
-      rows per partition at most. Empty cells keep their previous
-      centroid. Driver state is only the (k, dim) matrix.
+    - Each iteration: one Arrow-batched pass assigns every vector to
+      its max-cosine centroid AND pre-reduces to per-partition
+      (cell, count, sum) partials (map-only, no shuffle); the driver
+      merges at most k rows per partition. Empty cells keep their
+      previous centroid. Driver state is the (k, dim) matrix plus the
+      bounded partials.
+    - Determinism: init is a deterministic hash sample and iterations
+      are fixed, so results are reproducible for a given data layout;
+      the float partial merge is NOT under the decimal contract (the
+      quantizer is approximate by nature), so centroids may differ in
+      the last ulp under a different partitioning — which is why every
+      consumer is a rows-only catalog entry with recall tests, never a
+      hash-gated one.
     """
     import numpy as np
     import pandas as pd
