@@ -1078,3 +1078,36 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "strength",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic exact-k global sample
+# ---------------------------------------------------------------------------
+
+_GLOBAL_SAMPLE_SQL = f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    ORDER BY {_accept_hash_sql('doc_id')} ASC, doc_id ASC
+    LIMIT 40
+"""
+
+
+@query("sample_exact_k_global", oracle=_GLOBAL_SAMPLE_SQL)
+def sample_exact_k_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform global sample, deterministically: order by the
+    portable integer hash of the id (doc_id tie-break) and take the
+    first k — the same rows on every run, engine, and partitioning,
+    unlike rate-based .sample() (approximate k, seed-and-partitioning
+    dependent). The corpus-inspection primitive ("give me the same
+    1000 docs every time") next to sample_stratified's per-stratum
+    rates and sample_exact_k_per_group's per-group quotas.
+
+    Scale: orderBy+limit plans as TakeOrderedAndProject — each task
+    keeps a k-row heap and the driver merges partition heads; zero
+    shuffles, k rows ever cross the wire."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        d.select("doc_id", "lang", "source", "n_chars")
+        .orderBy(_accept_hash(F.col("doc_id")).asc(), F.col("doc_id").asc())
+        .limit(40)
+    )
