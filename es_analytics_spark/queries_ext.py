@@ -939,12 +939,13 @@ def ml_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation rank by salted md5 — change the salt, get a new
     deterministic order). The two assignment primitives every training
     pipeline needs on top of the lake. The global permutation rank is
-    computed DISTRIBUTIVELY: repartitionByRange(shuffle_key) gives
-    ordered, balanced partitions; row_number within each partition plus
-    a broadcast cumulative-count offset per partition yields the exact
-    global rank with no single-partition window — the shape that
-    survives 100× (the offset table has one row per shuffle partition,
-    never per data row)."""
+    computed DISTRIBUTIVELY: a deterministic range bucket derived from
+    the uniform shuffle key's 16-bit prefix gives ordered, balanced
+    buckets (no boundary sampling — see the pid comment below);
+    row_number within each bucket plus a broadcast cumulative-count
+    offset per bucket yields the exact global rank with no
+    single-partition window — the shape that survives 100× (the offset
+    table has one row per bucket, never per data row)."""
     d = _t(spark, sf_dir, "documents")["documents"]
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -956,14 +957,26 @@ def ml_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
         shuffle_key.alias("sk"),
     )
-    # Range-partition on the total order (sk, doc_id): every row in
-    # partition i sorts before every row in partition i+1, so
-    # global_rank = local_rank + sum(counts of partitions < i).
-    # Explicit partition count: AQE must not coalesce this exchange,
-    # or the two DAG branches below could disagree on pid assignment.
+    # Deterministic range bucketing on the total order (sk, doc_id):
+    # sk is a uniform md5 hex string, so its leading 16 bits ARE a
+    # balanced range partitioner — pid = prefix16 * n_parts div 65536
+    # is monotone in sk (bucket i's rows all sort before bucket i+1's)
+    # and needs NO boundary sampling. repartitionByRange was the first
+    # spelling here and is a correctness trap: RangePartitioner derives
+    # boundaries from a nondeterministically-seeded SAMPLE, and the two
+    # DAG branches below (local ranks, offsets) can re-execute the
+    # exchange with different boundaries — observed as 4 399 wrong
+    # ranks at sf0.1 while sf0.01 (sample ≥ data, boundaries exact)
+    # stayed green. global_rank = local_rank + sum(counts of buckets
+    # < i) needs every consumer to agree on pid, which only a
+    # row-deterministic pid can guarantee.
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = keyed.repartitionByRange(n_parts, "sk", "doc_id").withColumn(
-        "pid", F.spark_partition_id()
+    ranged = keyed.withColumn(
+        "pid",
+        (
+            F.conv(F.substring("sk", 1, 4), 16, 10).cast("bigint")
+            * n_parts / 65536
+        ).cast("int"),
     )
     local = ranged.withColumn(
         "lr", F.row_number().over(W.partitionBy("pid").orderBy("sk", "doc_id"))

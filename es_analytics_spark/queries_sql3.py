@@ -471,12 +471,25 @@ def ml_quality_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     global rank (the ml_split_shuffle recipe), and NTILE's bucket
     arithmetic is then a closed-form integer expression over (rank, n).
     The oracle spells it as plain NTILE — the distributed path must
-    reproduce single-threaded window semantics exactly."""
+    reproduce single-threaded window semantics exactly.
+
+    The ranged frame is localCheckpoint'ed: RangePartitioner derives
+    boundaries from a nondeterministically-seeded sample, so the two
+    consumers below (local ranks, offsets) could otherwise re-execute
+    the exchange with DIFFERENT boundaries and disagree on pid — the
+    bug the sf0.1 oracle gate caught in ml_split_shuffle. That query's
+    key is uniform, so it switched to sampling-free prefix bucketing;
+    this one ranks a non-uniform key (n_chars), where balanced
+    boundaries genuinely need the sample — materializing it once makes
+    every consumer read the same pids."""
     d = _t(spark, sf_dir, "documents")["documents"]
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = d.select("doc_id", "n_chars").repartitionByRange(
-        n_parts, F.desc("n_chars"), F.asc("doc_id")
-    ).withColumn("pid", F.spark_partition_id())
+    ranged = (
+        d.select("doc_id", "n_chars")
+        .repartitionByRange(n_parts, F.desc("n_chars"), F.asc("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     local = ranged.withColumn(
         "lr",
         F.row_number().over(

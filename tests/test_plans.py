@@ -164,17 +164,32 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
 
 def test_ml_split_shuffle_rank_distributes(spark, sf_dir):
     """The epoch-shuffle global rank must distribute: the data-sized
-    row_number windows by pid (range partitions), never over a single
-    partition. The only single-partition window allowed is the offset
-    cumsum, whose input is one row per shuffle partition (post-agg)."""
+    row_number windows by pid (deterministic prefix buckets of the
+    uniform shuffle key — sampling-free, so every DAG branch agrees on
+    pid), never over a single partition. The ranks themselves must
+    equal a single-window global reference exactly — the property the
+    sf0.1 oracle gate caught repartitionByRange violating (its sampled
+    boundaries can differ between re-executions of the same exchange)."""
     import re
+
+    from pyspark.sql import Window as W
 
     df = REGISTRY["ml_split_shuffle"].fn(spark, sf_dir)
     plan = physical_plan(df)
-    assert "rangepartitioning" in plan.lower(), plan
-    # every row_number window spec must be partitioned by pid
+    # every data-sized row_number window spec must be partitioned by pid
     for spec in re.findall(r"row_number\(\) windowspecdefinition\(([^,]+),", plan):
         assert "pid" in spec, plan
+    got = {(r.doc_id, r.shuffle_rank) for r in df.collect()}
+    sk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":epoch1")))
+    from es_analytics_spark.sources.lake import read_table
+
+    ref = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", sk.alias("sk"))
+        .withColumn("r", F.row_number().over(W.orderBy("sk", "doc_id")))
+    )
+    want = {(r.doc_id, r.r) for r in ref.collect()}
+    assert got == want, "distributed rank must equal the global window rank"
 
 
 def test_q16_not_in_plans_as_anti_join(spark, sf_dir):
