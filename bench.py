@@ -69,6 +69,11 @@ HEADLINE = [
     # r3 batch 2: SQL-surface round-out
     "agg_listagg",
     "agg_linear_regression",
+    # r3 batch 3: ordered-arg aggs, ACF, oriented triangles, lake audit
+    "agg_minmax_by",
+    "ts_autocorrelation",
+    "graph_triangle_count",
+    "lake_constraint_audit",
 ]
 
 

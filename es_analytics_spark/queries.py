@@ -2192,3 +2192,4 @@ def fn_nan_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 from es_analytics_spark import queries_ext as _queries_ext  # noqa: E402,F401
 from es_analytics_spark import queries_sql2 as _queries_sql2  # noqa: E402,F401
 from es_analytics_spark import queries_sql3 as _queries_sql3  # noqa: E402,F401
+from es_analytics_spark import queries_sql4 as _queries_sql4  # noqa: E402,F401

@@ -379,15 +379,11 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Portable multiplicative hash on a BIGINT id: identical integer
 # arithmetic in Spark and DuckDB (no overflow: id * A + B < 2^63 for
 # doc-scale ids), uniform enough for rate-based acceptance sampling.
-_MIX_A, _MIX_B, _MIX_P = 9973, 7919, 1_000_003
-
-
-def _accept_hash_sql(id_expr: str) -> str:
-    return f"(({id_expr}) * {_MIX_A} + {_MIX_B}) % {_MIX_P}"
-
-
-def _accept_hash(col: Column) -> Column:
-    return (col * _MIX_A + _MIX_B) % _MIX_P
+from es_analytics_spark.functions.portable import (  # noqa: E402
+    MIX_P as _MIX_P,
+    accept_hash as _accept_hash,
+    accept_hash_sql as _accept_hash_sql,
+)
 
 
 _DOMAIN_MIX_SQL = f"""

@@ -1,0 +1,545 @@
+"""Round-3 surface, continued: ordered-arg / boolean aggregates,
+autocorrelation and exact rolling medians under the decimal contract,
+degree-ordered triangle counting, exactly-k weighted reservoir
+sampling (A-ES), and a single-sweep lake constraint audit.
+
+Same contract as the rest of the catalog (see queries.py): every entry
+pairs a Spark-first implementation with a DuckDB oracle, is
+deterministic as a set of rows, and keeps float math bit-identical
+across engines via the DECIMAL-sum / explicit half-up-rounding
+contract in functions.exact.
+
+Scale notes live on each docstring; none of these shapes collect
+unbounded data to the driver, and every top-k is a TakeOrdered heap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
+from es_analytics_spark.functions.portable import MIX_P as _MIX_P, accept_hash as _accept_hash, accept_hash_sql as _accept_hash_sql
+from es_analytics_spark.queries import _t, query
+
+
+# ---------------------------------------------------------------------------
+# Ordered-arg and boolean aggregates (max_by / min_by / bool_and / count_if)
+# ---------------------------------------------------------------------------
+
+# max_by/arg_max tie-break hazard: two customers in a segment can share
+# an account balance, and neither engine defines which payload wins.
+# c_acctbal is 2-decimal by construction, so (balance, custkey) packs
+# into one integer-exact BIGINT key — cents * 1e8 + custkey — that both
+# engines order identically (custkey < 1e8 keeps the pack lexicographic,
+# including for negative balances: same cents → larger custkey → larger
+# key, regardless of sign).
+_MINMAX_BY_SQL = """
+    SELECT c_mktsegment,
+           arg_max(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100000000 + c_custkey)
+               AS richest,
+           arg_min(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100000000 + c_custkey)
+               AS poorest,
+           bool_and(c_acctbal > -1000.0) AS all_above_floor,
+           bool_or(c_acctbal > 9900.0)   AS any_near_cap,
+           CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative,
+           COUNT(*)                      AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+"""
+
+
+@query("agg_minmax_by", oracle=_MINMAX_BY_SQL)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-argument (max_by/min_by) and boolean (bool_and/bool_or/
+    count_if) aggregates — the "which row holds the extreme" family the
+    reference's lake consumers reach for before window functions.
+
+    Determinism: max_by over a non-unique ordering value is undefined
+    on ties in BOTH engines, so the ordering key is the integer-exact
+    (cents, custkey) pack documented on the SQL above — unique per row,
+    hence one well-defined winner everywhere.
+
+    Scale: one hash aggregate, one shuffle on the group key; max_by
+    carries a single (key, payload) pair per group through the partial/
+    final split, so memory is group-count-sized, not row-sized."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    pack = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(100000000)
+        + F.col("c_custkey")
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_name", pack).alias("richest"),
+        F.min_by("c_name", pack).alias("poorest"),
+        F.bool_and(F.col("c_acctbal") > -1000.0).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9900.0).alias("any_near_cap"),
+        F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time series: lag-k autocorrelation (ACF) under the decimal contract
+# ---------------------------------------------------------------------------
+
+_ACF_SQL = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr('value')} AS x
+        FROM events GROUP BY 1, 2
+    ), mu AS (
+        SELECT event_type, {davg_expr('x')} AS m, COUNT(*) AS n_days
+        FROM daily GROUP BY event_type
+    ), dev AS (
+        SELECT d.event_type, m.n_days, (d.x - m.m) AS d,
+               LAG(d.x - m.m, 1) OVER w AS d1,
+               LAG(d.x - m.m, 2) OVER w AS d2,
+               LAG(d.x - m.m, 3) OVER w AS d3
+        FROM daily d JOIN mu m USING (event_type)
+        WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)
+    )
+    SELECT event_type, ANY_VALUE(n_days) AS n_days,
+           FLOOR({dsum_expr('d * d1')} / {dsum_expr('d * d')} * 1e6 + 0.5) / 1e6 AS r1,
+           FLOOR({dsum_expr('d * d2')} / {dsum_expr('d * d')} * 1e6 + 0.5) / 1e6 AS r2,
+           FLOOR({dsum_expr('d * d3')} / {dsum_expr('d * d')} * 1e6 + 0.5) / 1e6 AS r3
+    FROM dev GROUP BY event_type
+"""
+
+
+@query("ts_autocorrelation", oracle=_ACF_SQL)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of each event type's daily-revenue
+    series — the "is this metric mean-reverting or trending" primitive
+    behind seasonality detection (ts_seasonal_profile) and anomaly
+    scoring (ts_anomaly_zscore).
+
+    Cross-engine float contract: the daily series and its mean come out
+    of decimal sums (identical doubles on both engines), so per-row
+    deviations and their products are identical IEEE values; the
+    order-dependent step — summing products over the series — goes back
+    through DECIMAL(38,10), and the final ratio is quantized with the
+    explicit half-up spelling.
+
+    Scale: one shuffle to daily grains (map-side partials first), a
+    broadcast-sized per-type mean join, one window over day-count-sized
+    partitions, one final aggregate. Day-grain state is |types| x |days|
+    — bounded by the calendar, not the event count."""
+    e = _t(spark, sf_dir, "events")["events"]
+    # calendar-bounded grain (|types| x |days|), reused by the mean
+    # branch and the window branch — materialize once so the event scan
+    # happens once, not per consumer
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value").alias("x"))
+        .localCheckpoint()
+    )
+    mu = daily.groupBy("event_type").agg(
+        davg("x").alias("m"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    dev = (
+        daily.join(F.broadcast(mu), "event_type")
+        .withColumn("d", F.col("x") - F.col("m"))
+        .select(
+            "event_type",
+            "n_days",
+            "d",
+            F.lag("d", 1).over(w).alias("d1"),
+            F.lag("d", 2).over(w).alias("d2"),
+            F.lag("d", 3).over(w).alias("d3"),
+        )
+    )
+
+    def r(k: str) -> Column:
+        num = dsum(F.col("d") * F.col(k))
+        den = dsum(F.col("d") * F.col("d"))
+        return (F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6).alias(f"r{k[1:]}")
+
+    return dev.groupBy("event_type").agg(
+        F.any_value(F.col("n_days")).alias("n_days"), r("d1"), r("d2"), r("d3")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time series: exact rolling median (trailing 7 observations)
+# ---------------------------------------------------------------------------
+
+_ROLLMED_SQL = f"""
+    WITH daily AS (
+        SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr('value')} AS spend
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT user_id, day, spend,
+           MEDIAN(spend) OVER (PARTITION BY user_id ORDER BY day
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+    FROM daily
+"""
+
+
+@query("ts_rolling_median", oracle=_ROLLMED_SQL)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-observation median of per-user daily spend — the
+    robust-center companion to ts_anomaly_zscore's mean/stddev frame
+    (a median shrugs off the one-day spikes that drag a mean).
+
+    Spark has no median window function; over a *bounded* frame the
+    exact spelling is sort_array(collect_list(x) over frame) + middle
+    element (odd n) or the mean of the two middles (even n) — which is
+    bit-identical to DuckDB's interpolating windowed MEDIAN, because
+    (a + b) / 2 on two identical doubles is one identical IEEE op.
+    The frame inputs are decimal-contract daily sums, so they are the
+    same doubles on both engines to begin with.
+
+    Scale: the collect_list is over a ROWS 6 PRECEDING frame — 7
+    elements max per row regardless of data size (NOT a per-partition
+    collect); one shuffle to daily grains, one user-partitioned window.
+    A calendar-RANGE variant would need a gap-filled spine
+    (fn_date_spine_gapfill) first."""
+    e = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value").alias("spend"))
+    )
+    w7 = W.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    arr = F.sort_array(F.collect_list("spend").over(w7))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
+        (lo + hi) / 2
+    )
+    return daily.select("user_id", "day", "spend", med.alias("med7"))
+
+
+# ---------------------------------------------------------------------------
+# Graph: triangle counting by degree-ordered edge orientation
+# ---------------------------------------------------------------------------
+
+# Co-supply blocking bound: parts supplied by more than _TRI_CAP distinct
+# suppliers are skipped when deriving edges (a part shared by s suppliers
+# contributes s*(s-1)/2 pair rows — the cap bounds the quadratic blowup of
+# pathological hub parts, the standard blocking move shared with the dedup
+# family). Fixture p99 is ~36 suppliers/part, so 64 keeps essentially all
+# real edges at every scale factor.
+_TRI_CAP = 64
+# Part-universe sample stride: the fixture's co-supply graph is nearly
+# complete (any two suppliers share ~18+ parts at every SF), so the full
+# graph's triangle count approaches C(n,3) — a dense-graph degeneracy,
+# not an operator property. The query analyzes the subgraph induced by a
+# deterministic 1-in-97 part sample (modulo a prime stride — no hash
+# needed, partkeys are dense), the standard subgraph-sampling move for
+# triangle statistics on dense graphs; the orientation machinery is
+# identical at any density.
+_TRI_STRIDE = 97
+
+_TRIANGLE_SQL = f"""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        WHERE l_partkey % {_TRI_STRIDE} = 0
+    ), keep AS (
+        SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= {_TRI_CAP}
+    ), edges AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        JOIN keep k ON a.p = k.p
+    ), deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ), oriented AS (
+        -- orient each edge from the (degree, id)-smaller endpoint: every
+        -- node's out-degree is O(sqrt(|E|)), which bounds the wedge join
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+        FROM edges e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM oriented e1
+        JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ), wedge AS (
+        SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           n_triangles, n_wedges,
+           FLOOR(3.0 * n_triangles / n_wedges * 1e6 + 0.5) / 1e6
+               AS clustering_coeff
+    FROM tri, wedge
+"""
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_SQL)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the supplier
+    co-supply graph (suppliers sharing >= 1 part of a deterministic
+    1-in-_TRI_STRIDE part sample are adjacent; see the module comment on
+    why the unsampled fixture graph is degenerate-dense) — the
+    graph-analytics companion to graph_pagerank/dedup_clusters, and the
+    canonical "join explosion unless you orient" benchmark shape.
+
+    The scalable move is degree-ordered orientation (node-iterator++):
+    orienting every edge from its (degree, id)-smaller endpoint caps
+    each node's out-degree at O(sqrt(|E|)), so the wedge self-join
+    enumerates each triangle exactly once and never materializes a
+    hub's full neighborhood square. The closing-edge check is an
+    equi-join on (src, dst); all math is integer-exact, and the one
+    double (clustering coefficient) uses the half-up spelling.
+
+    Scale: pair generation is bounded by the documented _TRI_CAP
+    blocking bound; degrees are node-sized (broadcast); the wedge join
+    shuffles oriented edges once on src and the closing check once on
+    (src, dst). No driver-side state at all — output is one row."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # localCheckpoint each bounded intermediate ONCE (the graph_pagerank
+    # pattern): ps feeds three consumers, edges four, oriented three —
+    # without materialization every consumer re-derives the whole
+    # lineage from the lineitem scan (measured: 60 scans / 116 shuffles
+    # for this plan vs 4 scans materialized). All are edge-list-sized,
+    # never event-sized.
+    ps = (
+        li.filter(F.col("l_partkey") % _TRI_STRIDE == 0)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    keep = (
+        ps.groupBy("p")
+        .count()
+        .filter(F.col("count") <= _TRI_CAP)
+        .select(F.col("p").alias("keep_p"))
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .join(F.broadcast(keep), F.col("a.p") == F.col("keep_p"))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+    e = (
+        edges.join(F.broadcast(deg).withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(F.broadcast(deg).withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint()
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") < F.col("e2.dst")))
+        .join(e3, (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wedge = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    counts = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        nodes.crossJoin(counts)
+        .crossJoin(tri)
+        .crossJoin(wedge)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            (
+                F.floor(3.0 * F.col("n_triangles") / F.col("n_wedges") * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-k weighted sampling without replacement (A-ES / exponential clocks)
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 50
+
+# A-ES (Efraimidis-Spirakis): each row gets key u^(1/w) with u uniform in
+# (0,1]; the k largest keys are a weighted-without-replacement sample.
+# Ordering by ln(u)/w is monotone-equivalent and avoids pow. u derives
+# from the portable integer hash, so both engines see identical u; ln()
+# may differ in the last ulp between libm and the JVM, so the key is
+# quantized to 9 decimals (boundary-crossing probability ~1e-9 per row)
+# with doc_id breaking quantization ties — the ORDER itself is the
+# deterministic contract, not the real-valued key.
+_WSAMPLE_SQL = f"""
+    SELECT doc_id, source, n_chars, key
+    FROM (
+        SELECT doc_id, source, n_chars,
+               FLOOR(LN(CAST({_accept_hash_sql('doc_id')} + 1 AS DOUBLE) / {_MIX_P})
+                     / n_chars * 1e9 + 0.5) / 1e9 AS key
+        FROM documents
+    )
+    ORDER BY key DESC, doc_id ASC
+    LIMIT {_WSAMPLE_K}
+"""
+
+
+@query("ml_weighted_sample", oracle=_WSAMPLE_SQL)
+def ml_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k weighted sample without replacement (weight = document
+    length), via Efraimidis-Spirakis exponential clocks — the
+    "length-proportional corpus spot-check" between sample_exact_k_global
+    (uniform exactly-k) and ml_domain_mix_sample (rate-based
+    acceptance): long documents are proportionally likelier to appear,
+    yet the result is exactly k rows and identical on every run, engine,
+    and partitioning.
+
+    Scale: map-only key computation, then orderBy+limit plans as
+    TakeOrderedAndProject — a k-row heap per task, k rows to the
+    driver, zero shuffles."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    u = (_accept_hash(F.col("doc_id")) + 1).cast("double") / _MIX_P
+    key = F.floor(F.log(u) / F.col("n_chars") * 1e9 + F.lit(0.5)) / 1e9
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("key"))
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(_WSAMPLE_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lake operations: single-sweep constraint audit
+# ---------------------------------------------------------------------------
+
+_AUDIT_SQL = """
+    SELECT * FROM (
+        SELECT 'customer_dup_key' AS rule,
+               (SELECT COUNT(*) FROM (
+                    SELECT c_custkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1))
+                   AS violations,
+               (SELECT COUNT(*) FROM customer) AS checked
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey',
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)),
+               (SELECT COUNT(*) FROM lineitem)
+        UNION ALL
+        SELECT 'lineitem_qty_range',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50),
+               (SELECT COUNT(*) FROM lineitem)
+        UNION ALL
+        SELECT 'orders_negative_total',
+               (SELECT COUNT(*) FROM orders
+                WHERE o_totalprice IS NULL OR o_totalprice <= 0),
+               (SELECT COUNT(*) FROM orders)
+        UNION ALL
+        SELECT 'orders_orphan_custkey',
+               (SELECT COUNT(*) FROM orders o
+                WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+               (SELECT COUNT(*) FROM orders)
+        UNION ALL
+        SELECT 'orders_null_custkey',
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+               (SELECT COUNT(*) FROM orders)
+    ) ORDER BY rule
+"""
+
+
+@query("lake_constraint_audit", oracle=_AUDIT_SQL)
+def lake_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over the lake: primary-key
+    uniqueness, NOT NULL, value-range, and referential-integrity rules,
+    each reported as (rule, violations, checked) — the check a
+    collector-fed lake runs before promoting a partition (the reference
+    never validates what it writes; see SURVEY §1.4 on its
+    first-record-wins schema drift).
+
+    Shapes, per rule class: uniqueness = one hash aggregate on the key;
+    range/NOT NULL = map-side conditional counts fused into ONE scan per
+    table (count_if over a shared pass, not one scan per rule);
+    referential = left-anti join with the dimension side broadcast.
+    Output is rule-count-sized; at 100 TB the audit costs ~one scan of
+    each fact table plus one shuffle for the uniqueness rule."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    c, o, li = t["customer"], t["orders"], t["lineitem"]
+
+    def row(rule: str, violations: Column | DataFrame, checked: DataFrame):
+        return violations.crossJoin(checked).select(
+            F.lit(rule).alias("rule"), "violations", "checked"
+        )
+
+    # each fused-count aggregate feeds multiple output rows; materialize
+    # the 1-row results so each fact table is scanned once for its
+    # map-side rules, not once per rule row
+    c_total = c.agg(F.count(F.lit(1)).alias("checked")).localCheckpoint()
+    o_counts = o.agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.count_if(F.col("o_custkey").isNull()).alias("null_cust"),
+        F.count_if(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("neg_total"),
+    ).localCheckpoint()
+    li_counts = li.agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.count_if(
+            F.col("l_quantity").isNull()
+            | (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 50)
+        ).alias("bad_qty"),
+    ).localCheckpoint()
+
+    dup = (
+        c.groupBy("c_custkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    o_orphan = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(c.select("c_custkey")), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    li_orphan = li.join(
+        o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("violations"))
+
+    rows = [
+        row("customer_dup_key", dup, c_total),
+        row(
+            "lineitem_orphan_orderkey",
+            li_orphan,
+            li_counts.select(F.col("checked")),
+        ),
+        li_counts.select(
+            F.lit("lineitem_qty_range").alias("rule"),
+            F.col("bad_qty").alias("violations"),
+            "checked",
+        ),
+        o_counts.select(
+            F.lit("orders_negative_total").alias("rule"),
+            F.col("neg_total").alias("violations"),
+            "checked",
+        ),
+        row("orders_orphan_custkey", o_orphan, o_counts.select(F.col("checked"))),
+        o_counts.select(
+            F.lit("orders_null_custkey").alias("rule"),
+            F.col("null_cust").alias("violations"),
+            "checked",
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("rule")
