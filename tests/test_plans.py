@@ -246,6 +246,10 @@ def test_flagship_shuffle_budgets(spark, sf_dir):
         "text_dup_ngram_fraction": 3,  # gram-docs agg + gram join + per-doc agg
         "text_bpe_pair_counts": 2,  # word histogram + pair agg (top-20 TakeOrdered)
         "ts_cusum_changepoint": 4,  # daily agg + stats + walk window + argmax
+        # round-3 batch 3
+        "ml_weighted_sample": 0,    # map-only keys + TakeOrdered heap
+        "agg_minmax_by": 1,         # one partial+final agg on the group key
+        "ts_autocorrelation": 2,    # daily grain checkpointed; type window + final agg
     }
     for name, budget in budgets.items():
         audit = plan_audit(REGISTRY[name].fn(spark, sf_dir))
