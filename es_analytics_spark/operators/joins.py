@@ -21,20 +21,30 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance: Column | None = None,
     tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right[right_ts] <= left[left_ts]`` and equal ``on`` key
-    (backward as-of; DuckDB ``ASOF JOIN`` semantics, left outer).
+    """For each left row, attach the nearest right row with equal
+    ``on`` key and ``right[right_ts] <= left[left_ts]``
+    (``direction="backward"``, the default; DuckDB ``ASOF JOIN``
+    semantics) or ``right[right_ts] >= left[left_ts]``
+    (``direction="forward"`` — "next event at-or-after"), left outer.
+
+    Forward is the identical union + running-last plan scanned in
+    descending timestamp order — still one shuffle, no join node.
 
     ``tie_break``: right column ordering the winner among right rows
-    sharing the same timestamp (latest wins); required for a
-    deterministic, oracle-matchable result.
+    sharing the same timestamp (the largest tie value wins, in both
+    directions); required for a deterministic, oracle-matchable
+    result.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     payload = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols])
 
-    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    order = [F.col("__ts").desc() if fwd else F.col("__ts").asc(), F.col("__side").asc()]
     if tie_break is not None:
         order.append(F.col("__tie").asc_nulls_first())
 
@@ -59,10 +69,12 @@ def asof_join(
     matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
     out = matched.filter(F.col("__side") == 1)
     if tolerance is not None:
-        out = out.withColumn(
-            "__match",
-            F.when(F.col("__ts") - F.col("__match.__rts") <= tolerance, F.col("__match")),
+        gap = (
+            F.col("__match.__rts") - F.col("__ts")
+            if fwd
+            else F.col("__ts") - F.col("__match.__rts")
         )
+        out = out.withColumn("__match", F.when(gap <= tolerance, F.col("__match")))
     sel = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
     sel += [F.col(f"__match.{c}").alias(c) for c in right_cols]
     return out.select(*sel)

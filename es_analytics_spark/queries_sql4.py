@@ -543,3 +543,212 @@ def lake_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (next event at-or-after)
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_SQL = """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate ASC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey AS next_orderkey,
+           o_orderdate AS next_orderdate
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("join_asof_forward", oracle=_ASOF_FWD_SQL)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: the EARLIEST order at-or-after each event for the
+    same user — the "time-to-next-conversion" direction join_asof's
+    backward scan can't answer. Same union + running-last rewrite, just
+    scanned in descending timestamp order (operators.joins.asof_join
+    direction="forward"): one shuffle on the key, no join node, no
+    per-event probe explosion. Ties on the order date resolve to the
+    largest orderkey in both engines (asof_join's documented tie rule;
+    the oracle's ORDER BY o_orderkey DESC mirrors it)."""
+    from es_analytics_spark.operators.joins import asof_join
+
+    t = _t(spark, sf_dir, "events", "orders")
+    ev = t["events"].select("event_id", F.col("user_id"), "ts")
+    od = t["orders"].select(F.col("o_custkey"), "o_orderdate", "o_orderkey")
+    out = asof_join(
+        ev.withColumnRenamed("user_id", "k"),
+        od.withColumnRenamed("o_custkey", "k"),
+        on="k",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tie_break="o_orderkey",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_orderdate").alias("next_orderdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame-exclusion window: leave-one-out peer deviation
+# ---------------------------------------------------------------------------
+
+_LOO_SQL = """
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) OVER (
+                    PARTITION BY l_suppkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                    EXCLUDE CURRENT ROW), 4) AS DOUBLE)
+               / (COUNT(*) OVER (PARTITION BY l_suppkey) - 1) AS loo_mean
+    FROM lineitem
+"""
+
+
+@query("window_loo_deviation", oracle=_LOO_SQL)
+def window_loo_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out peer mean: each line's price vs the mean of its
+    supplier's OTHER lines — the self-excluding baseline that makes
+    outlier scores unbiased (a row inflates any frame that includes
+    it). ANSI frames spell this EXCLUDE CURRENT ROW (the oracle runs
+    it natively); Spark has no frame exclusion, so the engine uses the
+    algebraic identity loo_mean = (S - x) / (n - 1) with S an exact
+    decimal partition sum — subtraction in decimal is exact, so the
+    identity IS the excluded frame, not an approximation of it.
+
+    Single-member partitions yield NULL in both spellings (empty
+    excluded frame vs n-1 = 0 guard).
+
+    Scale: one shuffle on l_suppkey; both window aggregates share the
+    exchange and the partition count is supplier-cardinality (no
+    6-value skew key: partitioning by returnflag/linestatus would make
+    each partition 1/6th of the table — suppkey keeps partitions
+    bounded as data grows)."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    w = W.partitionBy("l_suppkey")
+    price_dec = F.col("l_extendedprice").cast("decimal(38,10)")
+    s = F.sum(price_dec).over(w)
+    n = F.count(F.lit(1)).over(w)
+    loo = F.when(
+        n > 1,
+        F.round(s - price_dec, 4).cast("double") / (n - 1),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice",
+        loo.alias("loo_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (term -> document-frequency + bounded posting list)
+# ---------------------------------------------------------------------------
+
+_INVIDX_K = 8
+
+_INVIDX_SQL = f"""
+    WITH td AS (
+        SELECT DISTINCT term, doc_id FROM (
+            SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z]+')) AS term
+            FROM documents)
+        WHERE LENGTH(term) >= 3
+    )
+    SELECT term, COUNT(*) AS df,
+           (ARRAY_AGG(doc_id ORDER BY doc_id))[1:{_INVIDX_K}] AS postings
+    FROM td GROUP BY term
+"""
+
+
+@query("text_inverted_index", oracle=_INVIDX_SQL)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an inverted index: term -> document frequency + the first
+    {_INVIDX_K} doc_ids as a bounded posting-list head — the retrieval-
+    side artifact next to text_tfidf_topk's scoring side.
+
+    Scale: the tempting spelling — slice(sort_array(collect_list(...)))
+    — buffers EVERY posting per term before slicing, i.e. per-term state
+    proportional to document frequency (a stopword's postings = the
+    whole corpus). The engine instead ranks postings per term
+    (row_number over doc_id) and filters to the head BEFORE collecting,
+    so aggregate state is K-bounded by construction; df comes from a
+    plain count on the same exchange-shared shuffle key. The two
+    vocab-sized sides then join on term."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    td = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+        .distinct()
+    )
+    dfreq = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    heads = (
+        td.withColumn(
+            "rn", F.row_number().over(W.partitionBy("term").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") <= _INVIDX_K)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return dfreq.join(heads, "term").select("term", "df", "postings")
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: corpus-level summary via ROLLUP
+# ---------------------------------------------------------------------------
+
+_DATASET_CARD_SQL = """
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4
+               AS mean_chars,
+           COUNT(*) - COUNT(DISTINCT text) AS dup_docs
+    FROM documents
+    GROUP BY ROLLUP(lang)
+"""
+
+
+@query("ml_dataset_card", oracle=_DATASET_CARD_SQL)
+def ml_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass "dataset card" for the corpus: per-language and overall
+    document counts, source diversity, size totals/means, and exact-
+    duplicate counts — the summary block a training-data pipeline
+    publishes next to every shipped corpus snapshot (per-lang rows +
+    the ALL roll-up in one ROLLUP aggregate, not two scans).
+
+    Integer sums are exact (no decimal detour needed); the one double
+    (mean chars) is quantized half-up. Scale: ROLLUP expands each row
+    into its grouping sets map-side and aggregates once; the two
+    DISTINCTs make this an expand + two-phase distinct aggregate —
+    still a single scan of the corpus."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return (
+        d.rollup("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            (
+                F.floor(
+                    F.sum("n_chars").cast("double") / F.count(F.lit(1)) * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("mean_chars"),
+            (F.count(F.lit(1)) - F.countDistinct("text")).alias("dup_docs"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            "n_docs", "n_sources", "total_chars", "mean_chars", "dup_docs",
+        )
+    )
