@@ -74,6 +74,9 @@ HEADLINE = [
     "ts_autocorrelation",
     "graph_triangle_count",
     "lake_constraint_audit",
+    "join_asof_forward",
+    "window_loo_deviation",
+    "text_inverted_index",
 ]
 
 

@@ -233,6 +233,55 @@ _TRI_CAP = 64
 # identical at any density.
 _TRI_STRIDE = 97
 
+# Shared edge-list CTE text for the graph queries' oracles.
+_EDGES_CTE = f"""
+    ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        WHERE l_partkey % {_TRI_STRIDE} = 0
+    ), keepp AS (
+        SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= {_TRI_CAP}
+    ), edges AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        JOIN keepp k ON a.p = k.p
+    ), deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    )
+"""
+
+
+def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-supply edge list (u < v), sampled + capped as the
+    module comments document; localCheckpoint'd ONCE (the
+    graph_pagerank pattern) because each graph query's 3-4 consumers
+    would otherwise re-derive the whole lineage from the lineitem scan
+    (measured on the triangle query: 60 scans / 116 shuffles naive vs
+    ~4 / 8 materialized). Edge-list-sized, never lineitem-sized."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    ps = (
+        li.filter(F.col("l_partkey") % _TRI_STRIDE == 0)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    keep = (
+        ps.groupBy("p")
+        .count()
+        .filter(F.col("count") <= _TRI_CAP)
+        .select(F.col("p").alias("keep_p"))
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .join(F.broadcast(keep), F.col("a.p") == F.col("keep_p"))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 _TRIANGLE_SQL = f"""
     WITH ps AS (
         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
@@ -293,33 +342,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking bound; degrees are node-sized (broadcast); the wedge join
     shuffles oriented edges once on src and the closing check once on
     (src, dst). No driver-side state at all — output is one row."""
-    li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    # localCheckpoint each bounded intermediate ONCE (the graph_pagerank
-    # pattern): ps feeds three consumers, edges four, oriented three —
-    # without materialization every consumer re-derives the whole
-    # lineage from the lineitem scan (measured: 60 scans / 116 shuffles
-    # for this plan vs 4 scans materialized). All are edge-list-sized,
-    # never event-sized.
-    ps = (
-        li.filter(F.col("l_partkey") % _TRI_STRIDE == 0)
-        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .localCheckpoint()
-    )
-    keep = (
-        ps.groupBy("p")
-        .count()
-        .filter(F.col("count") <= _TRI_CAP)
-        .select(F.col("p").alias("keep_p"))
-    )
-    a, b = ps.alias("a"), ps.alias("b")
-    edges = (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
-        .join(F.broadcast(keep), F.col("a.p") == F.col("keep_p"))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = _co_supply_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -751,4 +774,175 @@ def ml_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
             "n_docs", "n_sources", "total_chars", "mean_chars", "dup_docs",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word-bigram association (PMI as exact lift)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_MIN = 5
+
+_BIGRAM_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z]+'),
+                           x -> LENGTH(x) >= 2) AS arr
+        FROM documents
+    ), big AS (
+        SELECT arr[i] AS a, arr[i + 1] AS b
+        FROM toks, UNNEST(GENERATE_SERIES(1, LEN(arr) - 1)) AS t(i)
+    ), uni AS (
+        SELECT w, COUNT(*) AS cw FROM (
+            SELECT UNNEST(arr) AS w FROM toks) GROUP BY w
+    ), bc AS (
+        SELECT a, b, COUNT(*) AS cab FROM big GROUP BY a, b
+    ), n AS (
+        SELECT COUNT(*) AS n FROM big
+    )
+    SELECT a, b, cab,
+           FLOOR(CAST(cab * n AS DOUBLE) / (ua.cw * ub.cw) * 1e6 + 0.5) / 1e6
+               AS lift
+    FROM bc, n
+    JOIN uni ua ON ua.w = bc.a
+    JOIN uni ub ON ub.w = bc.b
+    WHERE cab >= {_BIGRAM_MIN}
+    ORDER BY lift DESC, a ASC, b ASC LIMIT 20
+"""
+
+
+@query("text_bigram_lift", oracle=_BIGRAM_SQL)
+def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word-bigram associations: observed/expected co-occurrence
+    lift, cab*N / (ca*cb) — PMI without the log (log is monotone, so
+    the ranking is identical and the statistic stays a single exact
+    division of exact integers instead of a cross-engine ln()). The
+    collocation-mining companion to text_bpe_pair_counts' char-pair
+    loop and text_tfidf_topk's term weighting.
+
+    Scale: bigrams explode map-side from each document's token array
+    (no self-join); bigram counts shuffle once on the pair; unigram
+    counts are vocabulary-sized and broadcast into the lift join; the
+    final top-20 is TakeOrdered. All counts are exact integers; the one
+    double is a single division quantized half-up, with (a, b) breaking
+    rounded-lift ties."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = d.select(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: F.length(x) >= 2
+        ).alias("arr")
+    )
+    big = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(arr) - 2), i -> struct(arr[i] AS a, arr[i + 1] AS b))")
+        ).alias("p")
+    ).select("p.a", "p.b")
+    uni = (
+        toks.select(F.explode("arr").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    bc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    n = big.agg(F.count(F.lit(1)).alias("n"))
+    ua = uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
+    lift = (
+        F.floor(
+            (F.col("cab") * F.col("n")).cast("double")
+            / (F.col("ca") * F.col("cb"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return (
+        bc.filter(F.col("cab") >= _BIGRAM_MIN)
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .select("a", "b", "cab", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: Resource-Allocation index over common neighbors
+# ---------------------------------------------------------------------------
+
+# Fixed-point scale for the RA index: score = sum over common
+# neighbors w of FP // deg(w), in exact integer arithmetic (integer
+# division: DuckDB //, Spark div) — no cross-engine float summation.
+_RA_FP = 10_000_000_000
+
+_LINKPRED_SQL = f"""
+    WITH {_EDGES_CTE},
+    adj AS (
+        SELECT u AS w, v AS nb FROM edges
+        UNION ALL
+        SELECT v AS w, u AS nb FROM edges
+    ), wedge AS (
+        SELECT a.nb AS u, b.nb AS v, a.w AS w
+        FROM adj a JOIN adj b ON a.w = b.w AND a.nb < b.nb
+    ), scored AS (
+        SELECT wd.u, wd.v, COUNT(*) AS common_neighbors,
+               CAST(SUM({_RA_FP} // d.d) AS BIGINT) AS ra_score_fp
+        FROM wedge wd JOIN deg d ON d.node = wd.w
+        GROUP BY wd.u, wd.v
+    )
+    SELECT s.u, s.v, s.common_neighbors, s.ra_score_fp
+    FROM scored s
+    LEFT JOIN edges e ON e.u = s.u AND e.v = s.v
+    WHERE e.u IS NULL
+    ORDER BY s.ra_score_fp DESC, s.u ASC, s.v ASC LIMIT 20
+"""
+
+
+@query("graph_link_predict", oracle=_LINKPRED_SQL)
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-supply graph: the top-20 non-adjacent
+    supplier pairs by Resource-Allocation index (sum of 1/degree over
+    common neighbors — Adamic-Adar's integer-friendly sibling; RA is
+    the stronger baseline in the Zhou/Lu/Zhang comparison). "Which two
+    suppliers SHOULD be connected" is the recommendation query the
+    co-supply lake exists to answer.
+
+    Exactness: 1/deg(w) is fixed-point integer division (_RA_FP //
+    deg), summed as exact integers — no float summation to drift
+    between engines; ranking ties broken by (u, v).
+
+    Scale: common-neighbor pairs come from the wedge self-join of the
+    adjacency list on the CENTER node — each wedge is emitted exactly
+    once and joins degree by the center, so no neighborhood list is
+    ever materialized per row. One shuffle on the center for the wedge
+    join, one on (u, v) for the score aggregate, an edge-list-sized
+    anti-join to keep non-adjacent pairs, TakeOrdered top-20. The
+    edge list itself is the shared, checkpointed, sampled+capped
+    derivation (_co_supply_edges)."""
+    edges = _co_supply_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    adj = edges.select(F.col("u").alias("w"), F.col("v").alias("nb")).unionAll(
+        edges.select(F.col("v").alias("w"), F.col("u").alias("nb"))
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    wedge = a.join(
+        b, (F.col("a.w") == F.col("b.w")) & (F.col("a.nb") < F.col("b.nb"))
+    ).select(F.col("a.nb").alias("u"), F.col("b.nb").alias("v"), F.col("a.w").alias("w"))
+    scored = (
+        wedge.join(F.broadcast(deg.withColumnRenamed("node", "w")), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(F.expr(f"{_RA_FP} div d")).cast("bigint").alias("ra_score_fp"),
+        )
+    )
+    return (
+        scored.join(edges, ["u", "v"], "left_anti")
+        .orderBy(F.col("ra_score_fp").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(20)
     )

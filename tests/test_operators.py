@@ -167,6 +167,53 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_forward_semantics_and_symmetry(spark):
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", qts=10, px=1.0),
+            Row(sym="A", qts=20, px=2.0),
+            Row(sym="A", qts=20, px=3.0),  # tie on ts → larger tie_break wins
+            Row(sym="B", qts=5, px=9.0),
+        ]
+    )
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", tts=9),    # before both → nearest future qts=10
+            Row(sym="A", tts=20),   # equal ts → inclusive, tie → px=3
+            Row(sym="A", tts=25),   # after all quotes → null
+            Row(sym="B", tts=1),
+            Row(sym="C", tts=1),    # key absent from right → null
+        ]
+    )
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        right_cols=["px"], tie_break="px", direction="forward",
+    )
+    got = {(r.sym, r.tts): r.px for r in out.collect()}
+    assert got == {
+        ("A", 9): 1.0,
+        ("A", 20): 3.0,
+        ("A", 25): None,
+        ("B", 1): 9.0,
+        ("C", 1): None,
+    }
+
+    # Direction symmetry: forward on t is backward on -t (same tie rule),
+    # so the two scans must agree point-for-point on negated time.
+    back = asof_join(
+        trades.withColumn("tts", -F.col("tts")),
+        quotes.withColumn("qts", -F.col("qts")),
+        on="sym", left_ts="tts", right_ts="qts",
+        right_cols=["px"], tie_break="px",
+    )
+    got_back = {(r.sym, -r.tts): r.px for r in back.collect()}
+    assert got_back == got
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+                  direction="sideways")
+
+
 def test_topk_per_group_determinism(spark, sf_dir):
     from es_analytics_spark.operators.joins import topk_per_group
 
