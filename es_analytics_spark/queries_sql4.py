@@ -946,3 +946,93 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ra_score_fp").desc(), F.col("u").asc(), F.col("v").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch, exact-checked
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+# KMV estimator: hash every distinct key uniformly into [0, P); keep the
+# k smallest DISTINCT hash values; if at least k exist, the k-th one
+# estimates density — distinct ~= (k-1) * P / h_k. Fewer than k distinct
+# hashes means the sketch holds the whole set and is exact. Same
+# portable mix hash as the sampling family, so the oracle reproduces the
+# sketch arithmetic bit-for-bit; the one double is a single division
+# quantized half-up.
+_KMV_SQL = f"""
+    WITH hashes AS (
+        SELECT DISTINCT event_type, {_accept_hash_sql('user_id')} AS h
+        FROM events
+    ), ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS nh
+        FROM hashes
+    ), kth AS (
+        SELECT event_type, ANY_VALUE(nh) AS n_hashes,
+               MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+        FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+    ), exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_exact,
+           CASE WHEN k.n_hashes < {_KMV_K} THEN CAST(k.n_hashes AS DOUBLE)
+                ELSE FLOOR(({_KMV_K} - 1) * {_MIX_P} * 1.0 / k.hk * 1e4 + 0.5) / 1e4
+           END AS kmv_est
+    FROM exact e JOIN kth k USING (event_type)
+"""
+
+
+@query("agg_kmv_distinct", oracle=_KMV_SQL)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta-family) distinct-count sketch,
+    driven under the exact-compare gate like agg_count_min: the sketch
+    runs on the portable hash so BOTH engines compute the identical
+    estimate, and the exact count sits beside it so the error is
+    visible in the judged result, not asserted off-line. Completes the
+    sketch shelf: HLL (approx union-only), bitmap (exact, dense ids),
+    count-min (frequency), Misra-Gries (heavy hitters), KMV (distinct
+    with mergeable k-sample state and set-algebra headroom).
+
+    Scale: per-group state is the k smallest hashes — rank-then-filter
+    BEFORE any collection (the text_inverted_index rule), so nothing
+    df-sized is buffered; the distinct-hash dedup and the window share
+    one event_type shuffle. A mergeable production form keeps the same
+    k-sample per partition and merges by taking the k smallest of the
+    union — the estimator here is that merge's final step."""
+    e = _t(spark, sf_dir, "events")["events"]
+    hashes = e.select(
+        "event_type", _accept_hash(F.col("user_id")).alias("h")
+    ).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    ranked = hashes.select(
+        "event_type",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("nh"),
+    )
+    kth = (
+        ranked.filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.any_value(F.col("nh")).alias("n_hashes"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+        )
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_hashes") < _KMV_K, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.floor(
+            (_KMV_K - 1) * _MIX_P * F.lit(1.0) / F.col("hk") * 1e4 + F.lit(0.5)
+        )
+        / 1e4
+    )
+    return exact.join(kth, "event_type").select(
+        "event_type", "n_exact", est.alias("kmv_est")
+    )
