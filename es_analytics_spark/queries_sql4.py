@@ -1036,3 +1036,138 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(kth, "event_type").select(
         "event_type", "n_exact", est.alias("kmv_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lake operations: join-key skew diagnostics
+# ---------------------------------------------------------------------------
+
+# Skew ratio in fixed-point: (max single-key rows) / (mean rows per key),
+# scaled 1e4 and computed with integer division — 10000 means perfectly
+# uniform, 50000 means the hottest key is 5x the mean.
+_SKEW_KEY_SQL = """
+        SELECT '{label}' AS key, CAST(SUM(c) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_keys,
+               MAX(c) AS max_key_rows,
+               CAST(MAX(c) * COUNT(*) * 10000 // SUM(c) AS BIGINT) AS skew_ratio_fp
+        FROM (SELECT {col}, COUNT(*) AS c FROM {table} GROUP BY {col})
+"""
+
+_SKEW_KEYS = [
+    ("events.user_id", "events", "user_id"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+]
+
+_SKEW_SQL = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        _SKEW_KEY_SQL.format(label=label, table=table, col=col)
+        for label, table, col in _SKEW_KEYS
+    )
+    + ") ORDER BY key"
+)
+
+
+@query("lake_skew_report", oracle=_SKEW_SQL)
+def lake_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for the lake's shuffle keys: per key,
+    total rows, distinct keys, the hottest key's row count, and the
+    fixed-point max/mean skew ratio — the report that tells an operator
+    WHICH joins need the salted rewrite (operators.joins.salted_join)
+    or AQE skew-split headroom before a 100 TB run, instead of
+    discovering the straggler task in production.
+
+    Mechanics, per key: one partial+final count aggregate on the key
+    (per-key counts never leave the executors un-aggregated), then a
+    1-row summary; the per-key grain is reused by three statistics in
+    one aggregate pass. All arithmetic is exact integers (fixed-point
+    ratio via integer division)."""
+    tables = _t(spark, sf_dir, "events", "lineitem", "orders")
+
+    def one(label: str, table: str, col: str) -> DataFrame:
+        per_key = tables[table].groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return per_key.agg(
+            F.lit(label).alias("key"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+            F.expr("max(c) * count(1) * 10000 div sum(c)").alias("skew_ratio_fp"),
+        ).select("key", "n_rows", "n_keys", "max_key_rows", "skew_ratio_fp")
+
+    out = None
+    for label, table, col in _SKEW_KEYS:
+        part = one(label, table, col)
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# Time series: Theil-Sen robust trend slope
+# ---------------------------------------------------------------------------
+
+_THEILSEN_SQL = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr('value')} AS x
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+        FROM daily
+    ), slopes AS (
+        SELECT a.event_type, (b.x - a.x) / (b.t - a.t) AS slope
+        FROM seq a JOIN seq b
+          ON a.event_type = b.event_type AND a.t < b.t
+    )
+    SELECT event_type, COUNT(*) AS n_pairs,
+           FLOOR(MEDIAN(slope) * 1e6 + 0.5) / 1e6 AS trend_per_day
+    FROM slopes GROUP BY event_type
+"""
+
+
+@query("ts_trend_theil_sen", oracle=_THEILSEN_SQL)
+def ts_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the median of all pairwise slopes of the
+    daily series — the estimator that shrugs off the outlier days that
+    wreck a least-squares slope (agg_linear_regression's regr_slope is
+    the fragile twin; this is its robust companion, ~29% breakdown
+    point).
+
+    Exactness: series values are decimal-contract doubles, each slope
+    is one identical IEEE division, and the median is Spark exact
+    `percentile` ≡ DuckDB MEDIAN (both interpolate), quantized half-up.
+
+    Scale: the pairwise self-join is quadratic in DAYS, not in events —
+    the series is a calendar-bounded grain (365 days → ~66k pairs per
+    key), which is the standard regime for exact Theil-Sen; beyond
+    that, the estimator's own literature switches to sampled pairs.
+    One shuffle to the grain, a grain-sized self-join, one aggregate."""
+    e = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value").alias("x"))
+        .localCheckpoint()
+    )
+    seq = daily.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .alias("t"),
+    )
+    a, b = seq.alias("a"), seq.alias("b")
+    slopes = a.join(
+        b, (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.t") < F.col("b.t"))
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.x") - F.col("a.x")) / (F.col("b.t") - F.col("a.t"))).alias("slope"),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.floor(F.percentile("slope", F.lit(0.5)) * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("trend_per_day"),
+    )
