@@ -843,7 +843,9 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cw"))
     )
     bc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
-    n = big.agg(F.count(F.lit(1)).alias("n"))
+    # total bigrams from the vocab²-bounded counts, not a fourth pass
+    # over the corpus-sized token stream
+    n = bc.agg(F.sum("cab").alias("n"))
     ua = uni.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
     ub = uni.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
     lift = (
@@ -929,16 +931,24 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = edges.select(F.col("u").alias("w"), F.col("v").alias("nb")).unionAll(
         edges.select(F.col("v").alias("w"), F.col("u").alias("nb"))
     )
-    a, b = adj.alias("a"), adj.alias("b")
-    wedge = a.join(
-        b, (F.col("a.w") == F.col("b.w")) & (F.col("a.nb") < F.col("b.nb"))
-    ).select(F.col("a.nb").alias("u"), F.col("b.nb").alias("v"), F.col("a.w").alias("w"))
+    # attach the center's fixed-point contribution to the EDGE-sized
+    # adjacency (2|E| rows), not to the wedge output (sum of C(deg,2)
+    # rows) — the wedge join then carries a ready-made addend
+    adj_w = adj.join(
+        F.broadcast(deg.withColumnRenamed("node", "w")), "w"
+    ).withColumn("contrib", F.expr(f"{_RA_FP} div d"))
+    a, b = adj_w.alias("a"), adj_w.alias("b")
     scored = (
-        wedge.join(F.broadcast(deg.withColumnRenamed("node", "w")), "w")
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.nb") < F.col("b.nb")))
+        .select(
+            F.col("a.nb").alias("u"),
+            F.col("b.nb").alias("v"),
+            F.col("a.contrib").alias("contrib"),
+        )
         .groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
-            F.sum(F.expr(f"{_RA_FP} div d")).cast("bigint").alias("ra_score_fp"),
+            F.sum("contrib").cast("bigint").alias("ra_score_fp"),
         )
     )
     return (

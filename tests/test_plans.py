@@ -250,6 +250,10 @@ def test_flagship_shuffle_budgets(spark, sf_dir):
         "ml_weighted_sample": 0,    # map-only keys + TakeOrdered heap
         "agg_minmax_by": 1,         # one partial+final agg on the group key
         "ts_autocorrelation": 2,    # daily grain checkpointed; type window + final agg
+        "join_asof_forward": 1,     # union + desc window, single shuffle, no join node
+        "window_loo_deviation": 1,  # both window aggs share one suppkey exchange
+        "ts_trend_theil_sen": 2,    # checkpointed grain: seq window + slope agg
+        "ml_dataset_card": 2,       # rollup expand + distinct-agg second phase
     }
     for name, budget in budgets.items():
         audit = plan_audit(REGISTRY[name].fn(spark, sf_dir))
