@@ -1181,3 +1181,59 @@ def ts_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.percentile("slope", F.lit(0.5)) * 1e6 + F.lit(0.5)) / 1e6
         ).alias("trend_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct state
+# ---------------------------------------------------------------------------
+
+_STREAM_KMV_SQL = f"""
+    WITH hashes AS (
+        SELECT DISTINCT event_type, {_accept_hash_sql('user_id')} AS h
+        FROM events
+    ), ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS nh
+        FROM hashes
+    )
+    SELECT event_type,
+           CASE WHEN ANY_VALUE(nh) < {_KMV_K} THEN CAST(ANY_VALUE(nh) AS DOUBLE)
+                ELSE FLOOR(({_KMV_K} - 1) * {_MIX_P} * 1.0
+                           / MAX(CASE WHEN rn = {_KMV_K} THEN h END) * 1e4 + 0.5) / 1e4
+           END AS kmv_est
+    FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+"""
+
+
+@query("stream_kmv_distinct", oracle=_STREAM_KMV_SQL)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV distinct sketch (agg_kmv_distinct) maintained BY THE
+    STREAMING ENGINE in arbitrary state: per event type, the k smallest
+    distinct portable hashes live in GroupState (<= k longs per key,
+    forever — micro-batch merge is set-union + re-truncate, the
+    mergeability that makes KMV streaming-legal), and the replayed
+    final estimate must match the batch sketch — and therefore the SQL
+    oracle — bit-for-bit. Completes the streaming sketch-state pair:
+    bitmap state for exact distinct over dense ids
+    (stream_bitmap_distinct), KMV state for approximate distinct over
+    arbitrary domains at fixed memory."""
+    from pyspark.sql import Window as W2
+
+    from es_analytics_spark.streaming.ingest import replay_stream, stream_events
+    from es_analytics_spark.streaming.stateful import running_kmv_distinct
+
+    ev = stream_events(spark, sf_dir)
+    hashes = ev.select("event_type", _accept_hash(F.col("user_id")).alias("h"))
+    out = replay_stream(
+        spark,
+        running_kmv_distinct(hashes, _MIX_P),
+        name="stream_kmv_distinct",
+        output_mode="append",
+    )
+    w = W2.partitionBy("event_type").orderBy(F.col("n_rows").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "kmv_est")
+    )

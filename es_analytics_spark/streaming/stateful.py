@@ -118,3 +118,76 @@ def running_user_profiles_tws(events: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch state: bounded mergeable distinct-count state
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("kmv_est", T.DoubleType()),
+    ]
+)
+KMV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("kmins", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def kmv_estimate(kmins: list, mix_p: int, k: int = KMV_K) -> float:
+    """The KMV estimator over a k-smallest-distinct-hash state, spelled
+    to match the batch/oracle SQL bit-for-bit: exact integers into one
+    IEEE double division, half-up quantized at 1e4 (Python floats ARE
+    IEEE doubles, so this is the same arithmetic the JVM and DuckDB
+    run)."""
+    import math as _math
+
+    if len(kmins) < k:
+        return float(len(kmins))
+    return _math.floor((k - 1) * mix_p * 1.0 / kmins[k - 1] * 1e4 + 0.5) / 1e4
+
+
+def running_kmv_distinct(hashes: DataFrame, mix_p: int) -> DataFrame:
+    """Distinct-count KMV sketch maintained in streaming state: per
+    key, the k smallest DISTINCT hash values — merging a micro-batch is
+    set-union + re-truncate, the same merge a partial/final batch
+    aggregate or a cross-stream sketch union performs (KMV state is
+    mergeable by construction, which is what makes it streaming-legal).
+    State per key is <= k longs FOREVER — the streaming
+    dropDuplicates alternative keys state by every distinct value.
+
+    Emits the cumulative estimate per epoch; on a bounded replay the
+    max-n_rows row per key must equal the batch KMV estimate exactly
+    (same hashes, same truncation, same arithmetic)."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n_rows, kmins = state.get if state.exists else (0, [])
+        s = set(kmins)
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            s.update(int(h) for h in pdf["h"])
+        kmins = sorted(s)[:KMV_K]
+        state.update((n_rows, kmins))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_rows": [n_rows],
+                "kmv_est": [kmv_estimate(kmins, mix_p)],
+            }
+        )
+
+    return hashes.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
