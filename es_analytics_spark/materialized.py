@@ -209,21 +209,34 @@ def read_rollup(
 # reader may see. A crash after writing parts but before the manifest
 # rename leaves orphan directories that no reader ever observes and the
 # next refresh re-derives (then reaps); nothing can double-count and
-# nothing is lost. This is the minimal manifest-gated-visibility step
-# toward a transactional log (see BASELINE.md's table-format decision
-# for where Delta/Iceberg would take over: multi-writer commits,
-# snapshots, compaction of the log itself).
+# nothing is lost. Each published refresh also writes an immutable
+# numbered snapshot manifest, so readers get time travel
+# (read_enriched_view(version=N) / view_history) for free — sound
+# because parts are append-only, making every snapshot's part set a
+# subset of the current manifest (vacuum-safe). This is the minimal
+# manifest-gated-visibility step toward a transactional log (see
+# BASELINE.md's table-format decision for where Delta/Iceberg would
+# take over: multi-writer commits, log compaction, OPTIMIZE rewrites —
+# a rewrite would break the append-only property snapshots rely on).
 
 
-def _view_manifest_path(view_path: str) -> str:
-    return fs_join(view_path, "_manifest.json")
+def _view_manifest_path(view_path: str, version: int | None = None) -> str:
+    if version is None:
+        return fs_join(view_path, "_manifest.json")
+    return fs_join(view_path, f"_manifest.v{version:06d}.json")
 
 
-def _read_view_manifest(fs, view_path: str) -> dict:
-    p = _view_manifest_path(view_path)
+def _read_view_manifest(fs, view_path: str, version: int | None = None) -> dict:
+    p = _view_manifest_path(view_path, version)
     if not fs.exists(p):
-        return {"sources": [], "parts": []}
-    return json.loads(fs.read_bytes(p).decode("utf-8"))
+        if version is not None:
+            raise FileNotFoundError(
+                f"no snapshot v{version} under {view_path} (see view_history)"
+            )
+        return {"version": 0, "sources": [], "parts": []}
+    m = json.loads(fs.read_bytes(p).decode("utf-8"))
+    m.setdefault("version", 0)
+    return m
 
 
 def _write_view_manifest(fs, view_path: str, manifest: dict) -> None:
@@ -272,25 +285,62 @@ def refresh_enriched_view(
         }
     part = fs_join(view_path, "parts", str(_uuid.uuid4()))
     enrich(spark.read.parquet(*new_files)).write.mode("overwrite").parquet(part)
+    manifest["version"] = manifest["version"] + 1
     manifest["sources"] = sorted(seen | set(new_files))
     manifest["parts"] = sorted(set(manifest["parts"]) | {part})
+    # snapshot manifest first, then publish "current". A crash between
+    # the two leaves a snapshot (and part) no pointer names — invisible
+    # to readers, identical to the orphan-part story. The next refresh
+    # re-derives version N from the still-old current manifest and
+    # OVERWRITES the stale unpublished snapshot: a snapshot becomes
+    # immutable only once the current pointer has named it, because
+    # from then on version numbers advance past it (single-writer
+    # contract).
+    snap = _view_manifest_path(view_path, manifest["version"])
+    fs.delete(snap)
+    fs.put_bytes(snap, json.dumps(manifest, indent=0).encode("utf-8"))
     _write_view_manifest(fs, view_path, manifest)
     return {
         "new_files": len(new_files),
         "total_files": len(manifest["sources"]),
         "parts": len(manifest["parts"]),
+        "version": manifest["version"],
     }
 
 
-def read_enriched_view(spark: SparkSession, view_path: str) -> DataFrame:
+def read_enriched_view(
+    spark: SparkSession, view_path: str, version: int | None = None
+) -> DataFrame:
     """Read ONLY the parts the manifest publishes — orphan part
     directories from interrupted refreshes are invisible by
-    construction."""
+    construction.
+
+    ``version=N`` is a snapshot (time-travel) read: the view exactly as
+    refresh N published it. Sound because parts are immutable and
+    append-only — every published version's part set is a subset of the
+    current manifest, so vacuum (which keeps everything the current
+    manifest references) can never reap under a live snapshot."""
     fs = lake_fs(spark, view_path)
-    manifest = _read_view_manifest(fs, view_path)
+    manifest = _read_view_manifest(fs, view_path, version)
     if not manifest["parts"]:
         raise FileNotFoundError(f"no published parts under {view_path}")
     return spark.read.parquet(*manifest["parts"])
+
+
+def view_history(spark: SparkSession, view_path: str) -> list[dict]:
+    """Published snapshots, oldest first: [{version, parts, sources}].
+    Only versions the current pointer has advanced past (or currently
+    names) are listed — an unpublished crash-debris snapshot never has
+    version <= current and is excluded."""
+    fs = lake_fs(spark, view_path)
+    current = _read_view_manifest(fs, view_path)
+    out = []
+    for v in range(1, current["version"] + 1):
+        m = _read_view_manifest(fs, view_path, v)
+        out.append(
+            {"version": v, "parts": len(m["parts"]), "sources": len(m["sources"])}
+        )
+    return out
 
 
 def vacuum_enriched_view(spark: SparkSession, view_path: str) -> list[str]:

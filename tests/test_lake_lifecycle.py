@@ -634,6 +634,56 @@ def test_enriched_view_incremental_and_crash_invisible(spark, sf_dir, tmp_path):
     assert r3["new_files"] == 0, "no-op refresh must read nothing"
 
 
+def test_enriched_view_time_travel(spark, sf_dir, tmp_path):
+    """Snapshot reads: version=N returns the view exactly as refresh N
+    published it; history lists published versions only; vacuum after
+    later refreshes never reaps under an old snapshot (parts are
+    append-only, so the current manifest supersets every snapshot)."""
+    import pytest as _pytest
+
+    from es_analytics_spark.materialized import (
+        read_enriched_view,
+        refresh_enriched_view,
+        vacuum_enriched_view,
+        view_history,
+    )
+    from es_analytics_spark.sources.lake import read_table
+
+    src = str(tmp_path / "fact")
+    view = str(tmp_path / "view")
+    ev = read_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/a")
+
+    def enrich(df):
+        return df.select("event_id", "user_id", "value")
+
+    glob_pat = f"{src}/*/*.parquet"
+    r1 = refresh_enriched_view(spark, glob_pat, view, enrich)
+    assert r1["version"] == 1
+    v1_count = read_enriched_view(spark, view).count()
+
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/b")
+    r2 = refresh_enriched_view(spark, glob_pat, view, enrich)
+    assert r2["version"] == 2
+
+    # snapshot read returns the old state; current read the new one
+    assert read_enriched_view(spark, view, version=1).count() == v1_count
+    assert read_enriched_view(spark, view).count() == ev.count()
+    assert read_enriched_view(spark, view, version=2).count() == ev.count()
+
+    hist = view_history(spark, view)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["parts"] == 1 and hist[1]["parts"] == 2
+
+    # vacuum keeps everything the current manifest references — and
+    # that supersets v1, so the snapshot survives
+    assert vacuum_enriched_view(spark, view) == []
+    assert read_enriched_view(spark, view, version=1).count() == v1_count
+
+    with _pytest.raises(FileNotFoundError, match="no snapshot v9"):
+        read_enriched_view(spark, view, version=9)
+
+
 def test_streaming_lake_feeds_enriched_view(spark, sf_dir, tmp_path):
     """Streaming twin for the manifest-gated view: a checkpointed
     availableNow stream drains new files into the lake, the view
