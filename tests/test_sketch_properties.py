@@ -190,3 +190,34 @@ def test_decimal_regression_agrees_with_native_regr(spark, sf_dir):
         assert abs(s - ns) < 1e-6 and abs(i - ni) < 1e-6 and abs(r - nr) < 1e-6, (
             et, got[et], native[et]
         )
+
+
+@given(
+    n_distinct=st.integers(min_value=1, max_value=4000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_kmv_estimate_error_bound(n_distinct, seed):
+    """Pure-python referee for the KMV estimator the engine runs in
+    batch (agg_kmv_distinct) and in streaming state
+    (stream_kmv_distinct): under-k regimes are EXACT, and above k the
+    relative error over random id sets stays within ~5 standard errors
+    of the 1/sqrt(k-2) KMV bound (a hard-fail ceiling, not a
+    distributional assertion — hypothesis explores adversarial id
+    sets, and linear-congruential hashes on structured ids are exactly
+    where a bad estimator would blow up)."""
+    import random
+
+    from es_analytics_spark.functions.portable import MIX_P, MIX_A, MIX_B
+    from es_analytics_spark.streaming.stateful import KMV_K, kmv_estimate
+
+    rng = random.Random(seed)
+    ids = rng.sample(range(10_000_000), n_distinct)
+    hashes = sorted({(i * MIX_A + MIX_B) % MIX_P for i in ids})
+    est = kmv_estimate(hashes[:KMV_K], MIX_P)
+    n_h = len(hashes)  # collisions make the sketch see n_h <= n_distinct
+    if n_h < KMV_K:
+        assert est == float(n_h)
+    else:
+        rel = abs(est - n_h) / n_h
+        assert rel < 5.0 / (KMV_K - 2) ** 0.5, (n_distinct, est, rel)
