@@ -1237,3 +1237,79 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("event_type", "kmv_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_MTA_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+_MTA_SQL = f"""
+    WITH touches AS (
+        SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+               EPOCH_US(ts) AS t_us
+        FROM events WHERE event_type IN ('view', 'click')
+    ), purchases AS (
+        SELECT user_id, event_id AS purchase_id, value, EPOCH_US(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+        SELECT p.purchase_id, p.value, t.touch_type,
+               COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+        FROM purchases p JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.t_us < p.p_us
+         AND t.t_us >= p.p_us - {_MTA_LOOKBACK_US}
+    )
+    SELECT touch_type,
+           COUNT(*) AS n_credited_touches,
+           COUNT(DISTINCT purchase_id) AS n_purchases,
+           {dsum_expr('value / n_touches')} AS attributed_value
+    FROM pairs GROUP BY touch_type
+"""
+
+
+@query("attr_linear_multi_touch", oracle=_MTA_SQL)
+def attr_linear_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution: every view/click
+    in the 7-day window strictly before a purchase shares the purchase
+    value equally — the fairness-spread companion to attr_last_touch's
+    winner-takes-all. Purchases with no in-window touch drop out (no
+    credit to assign), matching the industry definition.
+
+    Exactness: each touch's credit value/n is one identical IEEE
+    division (n from an exact window count over the pair set); credit
+    sums re-enter the decimal contract.
+
+    Scale: touch-purchase pairs come from an EQUI join on user_id with
+    the time-range as a post-join filter — one shuffle per side on the
+    user key, pair count bounded by per-user activity (multi-touch's
+    intrinsic output), never a cartesian. A pathologically hot user is
+    the known hazard; the fix is the bucketed interval rewrite
+    (operators.joins.interval_join_bucketed) keyed on (user, week
+    bucket), same as join_interval_bucketed."""
+    e = _t(spark, sf_dir, "events")["events"]
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "value",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    pairs = purchases.join(touches, "user_id").filter(
+        (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - _MTA_LOOKBACK_US)
+    )
+    n = F.count(F.lit(1)).over(W.partitionBy("purchase_id"))
+    credited = pairs.select(
+        "purchase_id", "touch_type", (F.col("value") / n).alias("credit")
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_credited_touches"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        dsum("credit").alias("attributed_value"),
+    )
