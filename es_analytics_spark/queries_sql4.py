@@ -1313,3 +1313,89 @@ def attr_linear_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("purchase_id").alias("n_purchases"),
         dsum("credit").alias("attributed_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage (OOV-rate analysis)
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+_VOCAB_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, source, UNNEST(
+            LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z]+'),
+                        x -> LENGTH(x) >= 2)) AS term
+        FROM documents
+    ), vocab AS (
+        SELECT term FROM (
+            SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term ASC) AS rn
+            FROM tok GROUP BY term) WHERE rn <= {_VOCAB_K}
+    ), per_doc AS (
+        SELECT t.doc_id, ANY_VALUE(t.source) AS source,
+               COUNT(*) AS n_tok,
+               CAST(COUNT(*) FILTER (WHERE v.term IS NULL) AS DOUBLE) / COUNT(*)
+                   AS oov_rate
+        FROM tok t LEFT JOIN vocab v ON v.term = t.term
+        GROUP BY t.doc_id
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           {dsum_expr('oov_rate')} / COUNT(*) AS mean_oov_rate
+    FROM per_doc GROUP BY source
+"""
+
+
+@query("ml_vocab_coverage", oracle=_VOCAB_SQL)
+def ml_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary coverage: build the top-{_VOCAB_K} corpus
+    vocabulary, then measure each source's mean out-of-vocabulary token
+    rate — the diagnostic that decides whether a tokenizer's vocab
+    budget fits a new data source before training on it (high OOV =
+    fragmentation = wasted sequence length).
+
+    Determinism: vocabulary selection totals are exact integers with
+    (count DESC, term ASC) tie-break; each doc's OOV rate is one IEEE
+    division; per-source means go through the decimal contract.
+
+    Scale: tokens explode map-side; the vocabulary is K-bounded
+    (rank-then-filter) and BROADCAST into the membership join, so the
+    corpus-sized token stream shuffles only for the per-doc aggregate
+    (doc-keyed) and the per-source rollup (source-keyed, tiny)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: F.length(x) >= 2,
+            )
+        ).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.col("n").desc(), F.col("term").asc())
+            ),
+        )
+        .filter(F.col("rn") <= _VOCAB_K)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("source")).alias("source"),
+            F.count(F.lit(1)).alias("n_tok"),
+            (
+                F.count_if(F.col("in_vocab").isNull()).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (dsum("oov_rate") / F.count(F.lit(1))).alias("mean_oov_rate"),
+    )
