@@ -1,16 +1,26 @@
 """Round-3 surface, continued: ordered-arg / boolean aggregates,
-autocorrelation and exact rolling medians under the decimal contract,
-degree-ordered triangle counting, exactly-k weighted reservoir
-sampling (A-ES), and a single-sweep lake constraint audit.
+autocorrelation, exact rolling medians and Theil-Sen robust trends
+under the decimal contract, degree-ordered triangle counting and
+RA-index link prediction over a shared checkpointed co-supply graph,
+exactly-k weighted reservoir sampling (A-ES), KMV distinct sketches
+(batch + streaming state), frame-exclusion (EXCLUDE CURRENT ROW)
+windows, forward as-of joins, word-bigram collocation lift,
+inverted-index builds, tokenizer vocab-coverage OOV analysis, linear
+multi-touch attribution, dataset cards, and the lake constraint-audit
+/ join-key skew diagnostics pair.
 
 Same contract as the rest of the catalog (see queries.py): every entry
 pairs a Spark-first implementation with a DuckDB oracle, is
 deterministic as a set of rows, and keeps float math bit-identical
 across engines via the DECIMAL-sum / explicit half-up-rounding
-contract in functions.exact.
+contract in functions.exact (or pure integer / fixed-point arithmetic
+where the statistic allows — RA scores, bigram lift, skew ratios).
 
 Scale notes live on each docstring; none of these shapes collect
-unbounded data to the driver, and every top-k is a TakeOrdered heap.
+unbounded data to the driver, every top-k is a TakeOrdered heap, and
+every aggregation state that could grow with data frequency (posting
+lists, KMV samples, rolling frames) is K-bounded by rank-then-filter
+before collection.
 """
 
 from __future__ import annotations
@@ -692,7 +702,7 @@ _INVIDX_SQL = f"""
 @query("text_inverted_index", oracle=_INVIDX_SQL)
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build an inverted index: term -> document frequency + the first
-    {_INVIDX_K} doc_ids as a bounded posting-list head — the retrieval-
+    _INVIDX_K doc_ids as a bounded posting-list head — the retrieval-
     side artifact next to text_tfidf_topk's scoring side.
 
     Scale: the tempting spelling — slice(sort_array(collect_list(...)))
@@ -1347,7 +1357,7 @@ _VOCAB_SQL = f"""
 
 @query("ml_vocab_coverage", oracle=_VOCAB_SQL)
 def ml_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer vocabulary coverage: build the top-{_VOCAB_K} corpus
+    """Tokenizer vocabulary coverage: build the top-_VOCAB_K corpus
     vocabulary, then measure each source's mean out-of-vocabulary token
     rate — the diagnostic that decides whether a tokenizer's vocab
     budget fits a new data source before training on it (high OOV =
