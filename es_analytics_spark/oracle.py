@@ -171,7 +171,7 @@ if __name__ == "__main__":
     spark = get_spark("oracle_check")
     # fixture-scale check harness: tiny inputs under 32-task shuffles pay
     # far more in scheduling than compute — 8 post-AQE partitions keeps
-    # the full 190-query sweep fast without touching any query's shape
+    # the full-catalog sweep fast without touching any query's shape
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     workers = int(os.environ.get("ORACLE_WORKERS", "6"))
     results = run_all(spark, sf_dir, names, workers=workers)
