@@ -1409,3 +1409,167 @@ def ml_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (dsum("oov_rate") / F.count(F.lit(1))).alias("mean_oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+# Industry-standard 40/20/40: first and last touch get 0.4 each, the
+# middle touches share 0.2. Degenerate journeys: a single touch takes
+# 1.0; a two-touch journey splits 0.5/0.5. Weights are exact dyadic /
+# small-rational doubles, so per-touch credit = value * w / m is the
+# same IEEE arithmetic in both engines.
+_UMTA_SQL = f"""
+    WITH touches AS (
+        SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+               EPOCH_US(ts) AS t_us
+        FROM events WHERE event_type IN ('view', 'click')
+    ), purchases AS (
+        SELECT user_id, event_id AS purchase_id, value, EPOCH_US(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+        SELECT p.purchase_id, p.value, t.touch_type,
+               ROW_NUMBER() OVER w AS pos,
+               COUNT(*) OVER (PARTITION BY p.purchase_id) AS n
+        FROM purchases p JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.t_us < p.p_us
+         AND t.t_us >= p.p_us - {_MTA_LOOKBACK_US}
+        WINDOW w AS (PARTITION BY p.purchase_id ORDER BY t.t_us, t.touch_id)
+    ), credited AS (
+        SELECT touch_type, purchase_id,
+               value * (CASE
+                   WHEN n = 1 THEN 1.0
+                   WHEN n = 2 THEN 0.5
+                   WHEN pos = 1 OR pos = n THEN 0.4
+                   ELSE 0.2 / (n - 2)
+               END) AS credit
+        FROM pairs
+    )
+    SELECT touch_type, COUNT(*) AS n_credited_touches,
+           {dsum_expr('credit')} AS attributed_value
+    FROM credited GROUP BY touch_type
+"""
+
+
+@query("attr_u_shaped", oracle=_UMTA_SQL)
+def attr_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) attribution — completes the
+    attribution trio: attr_last_touch (winner-takes-all),
+    attr_linear_multi_touch (equal split), and this positional split
+    that rewards discovery and closing touches. Touch order within a
+    journey is (timestamp, touch_id) — total, so positions are
+    deterministic.
+
+    Scale: identical pair generation to the linear form (user-keyed
+    equi join, range as a post-join filter); one extra window pair
+    (position + count) over purchase-keyed partitions bounded by
+    per-journey touch counts; credit weights are exact rationals and
+    the sums re-enter the decimal contract."""
+    e = _t(spark, sf_dir, "events")["events"]
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "value",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    pairs = purchases.join(touches, "user_id").filter(
+        (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - _MTA_LOOKBACK_US)
+    )
+    wp = W.partitionBy("purchase_id")
+    pos = F.row_number().over(wp.orderBy("t_us", "touch_id"))
+    n = F.count(F.lit(1)).over(wp)
+    w_credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((pos == 1) | (pos == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    credited = pairs.select(
+        "touch_type", (F.col("value") * w_credit).alias("credit")
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_credited_touches"),
+        dsum("credit").alias("attributed_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median absolute deviation (MAD)
+# ---------------------------------------------------------------------------
+
+_MAD_CUT = 3.0
+
+_MAD_SQL = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr('value')} AS x
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, MEDIAN(x) AS m FROM daily GROUP BY event_type
+    ), mad AS (
+        SELECT d.event_type, ANY_VALUE(m.m) AS m,
+               MEDIAN(ABS(d.x - m.m)) AS mad
+        FROM daily d JOIN med m USING (event_type) GROUP BY d.event_type
+    )
+    SELECT d.event_type, d.day, d.x,
+           FLOOR(ABS(d.x - a.m) / a.mad * 1e6 + 0.5) / 1e6 AS mad_score
+    FROM daily d JOIN mad a USING (event_type)
+    WHERE ABS(d.x - a.m) > {_MAD_CUT} * a.mad
+"""
+
+
+@query("ts_mad_outliers", oracle=_MAD_SQL)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier days: |x - median| > 3 * MAD —
+    the robust-statistics anomaly detector next to ts_anomaly_zscore's
+    mean/stddev frames (one genuinely extreme day inflates a stddev and
+    hides itself; it cannot move a median). Completes the robust shelf:
+    median (ts_rolling_median), winsorizing (agg_winsorize), Theil-Sen
+    trend, MAD outliers.
+
+    Exactness: daily values are decimal-contract doubles; both medians
+    are exact interpolating percentiles (identical in both engines on
+    identical inputs); |x-m| and the cut compare are identical IEEE
+    ops; the reported score is quantized half-up.
+
+    Scale: two grain-sized aggregates (the grain is calendar-bounded)
+    plus broadcast-sized joins back to the grain — the event-scale
+    table is touched once."""
+    e = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value").alias("x"))
+        .localCheckpoint()
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("x", F.lit(0.5)).alias("m")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value(F.col("m")).alias("m"),
+            F.percentile(F.abs(F.col("x") - F.col("m")), F.lit(0.5)).alias("mad"),
+        )
+    )
+    scored = daily.join(F.broadcast(mad), "event_type")
+    return scored.filter(
+        F.abs(F.col("x") - F.col("m")) > _MAD_CUT * F.col("mad")
+    ).select(
+        "event_type",
+        "day",
+        "x",
+        (
+            F.floor(F.abs(F.col("x") - F.col("m")) / F.col("mad") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("mad_score"),
+    )
