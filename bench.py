@@ -77,6 +77,9 @@ HEADLINE = [
     "join_asof_forward",
     "window_loo_deviation",
     "text_inverted_index",
+    "attr_linear_multi_touch",
+    "ts_mad_outliers",
+    "ml_vocab_coverage",
 ]
 
 
