@@ -1573,3 +1573,173 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("mad_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth analytics: cumulative distinct users by day
+# ---------------------------------------------------------------------------
+
+_CUMUSERS_SQL = """
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)) AS day
+        FROM events GROUP BY user_id
+    ), per_day AS (
+        SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM per_day
+"""
+
+
+@query("ts_cumulative_users", oracle=_CUMUSERS_SQL)
+def ts_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve every
+    product dashboard opens with. The naive spelling (per day, count
+    distinct users with any event <= day) is O(days x users) and
+    re-counts the whole history per day; the scalable identity is
+    first-seen attribution: cumulative distinct THROUGH day d = sum of
+    per-day first-appearance counts — one aggregate per user, one per
+    day, and a running sum over the calendar-bounded grain.
+
+    All-integer arithmetic. The running-sum window is over the day
+    grain (calendar-bounded single partition — exempt from the
+    data-sized single-partition guard by being bounded, the same
+    argument as the bench's offset tables)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-moment statistics under the decimal contract
+# ---------------------------------------------------------------------------
+
+# Spark's skewness/kurtosis are population (g1, g2-3) statistics while
+# DuckDB's carry sample-bias correction — the built-ins can never
+# hash-match. The moment sums themselves CAN: deviations from the
+# decimal-contract mean are identical doubles, their 2nd/3rd/4th powers
+# are identical products, and the order-dependent sums go through
+# DECIMAL(38,6) (power-summed doubles reach ~1e13 at the fixture's
+# value range; scale 6 keeps 38 digits of headroom at 100x data).
+_MOMENTS_SQL = f"""
+    WITH stats AS (
+        SELECT event_type, {davg_expr('value')} AS mu
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, (e.value - s.mu) AS d
+        FROM events e JOIN stats s USING (event_type)
+    ), moments AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(d * d AS DECIMAL(38,6))), 4) AS DOUBLE) AS m2,
+               CAST(ROUND(SUM(CAST(d * d * d AS DECIMAL(38,6))), 4) AS DOUBLE) AS m3,
+               CAST(ROUND(SUM(CAST(d * d * d * d AS DECIMAL(38,6))), 4) AS DOUBLE) AS m4
+        FROM dev GROUP BY event_type
+    )
+    SELECT event_type, n,
+           FLOOR(SQRT(CAST(n AS DOUBLE)) * m3 / POWER(m2, 1.5) * 1e6 + 0.5) / 1e6
+               AS skewness_g1,
+           FLOOR((CAST(n AS DOUBLE) * m4 / (m2 * m2) - 3.0) * 1e6 + 0.5) / 1e6
+               AS excess_kurtosis_g2
+    FROM moments
+"""
+
+
+@query("agg_higher_moments", oracle=_MOMENTS_SQL)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis (population g1/g2) per event type,
+    from explicit decimal central-moment sums — the distribution-shape
+    companions to agg_variance. Built-in skewness/kurtosis are
+    deliberately NOT used: Spark's are population statistics, DuckDB's
+    are sample-corrected, so only the from-moments spelling can sit
+    under the exact gate (the same reason agg_linear_regression spells
+    out regr components).
+
+    Scale: one broadcast-sized mean join, then a single partial+final
+    aggregate carrying three decimal sums — map-side combine applies,
+    per-group state is four numbers."""
+    e = _t(spark, sf_dir, "events")["events"]
+    mu = e.groupBy("event_type").agg(davg("value").alias("mu"))
+    dev = e.join(F.broadcast(mu), "event_type").withColumn(
+        "d", F.col("value") - F.col("mu")
+    )
+
+    def msum(expr: Column) -> Column:
+        return F.round(F.sum(expr.cast("decimal(38,6)")), 4).cast("double")
+
+    d = F.col("d")
+    moments = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        msum(d * d).alias("m2"),
+        msum(d * d * d).alias("m3"),
+        msum(d * d * d * d).alias("m4"),
+    )
+    nd = F.col("n").cast("double")
+    skew = F.sqrt(nd) * F.col("m3") / F.pow(F.col("m2"), 1.5)
+    kurt = nd * F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0
+    return moments.select(
+        "event_type",
+        "n",
+        (F.floor(skew * 1e6 + F.lit(0.5)) / 1e6).alias("skewness_g1"),
+        (F.floor(kurt * 1e6 + F.lit(0.5)) / 1e6).alias("excess_kurtosis_g2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed percentiles
+# ---------------------------------------------------------------------------
+
+_STREAM_PCTL_SQL = """
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS window_start,
+           ROUND(QUANTILE_CONT(value, 0.5), 4) AS p50,
+           ROUND(QUANTILE_CONT(value, 0.9), 4) AS p90,
+           COUNT(*) AS n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+"""
+
+
+@query("stream_windowed_percentile", oracle=_STREAM_PCTL_SQL)
+def stream_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 of purchase values per tumbling day window,
+    computed BY THE STREAMING ENGINE: percentile is a non-algebraic
+    (buffering) aggregate, and this entry pins that the streaming
+    window state machinery carries it correctly — the replayed result
+    must equal batch QUANTILE_CONT exactly. The latency-SLO dashboard
+    shape (daily pXX) as a stream.
+
+    Scale: state per open window is that window's value buffer — exact
+    windowed percentiles are inherently buffer-until-close; at 100 TB
+    the approximate twin (percentile_approx, bounded state) takes over
+    once windows stop fitting, the same exact/approx pairing as
+    agg_percentile vs agg_approx_percentile."""
+    from es_analytics_spark.streaming.ingest import replay_stream, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    out = replay_stream(
+        spark, agg, name="stream_windowed_percentile", output_mode="complete"
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"), "p50", "p90", "n"
+    )
