@@ -152,6 +152,9 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         "ml_quality_bucket_sample",
         # rank over the pre-aggregated |groups| frame (~5 rows)
         "window_percent_of_total",
+        # running sum over the per-day first-seen grain — one row per
+        # calendar day, bounded by the calendar, not the event count
+        "ts_cumulative_users",
     }
     # dedup_clusters runs its iterative loop eagerly at build time
     skip_eager = {"dedup_clusters"}
