@@ -1743,3 +1743,164 @@ def stream_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w.start").alias("window_start"), "p50", "p90", "n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-parent hierarchy reporting
+# ---------------------------------------------------------------------------
+
+_SHARE_PARENT_SQL = f"""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               {dsum_expr('c.c_acctbal')} AS nation_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, nation_bal,
+           FLOOR(nation_bal /
+                 CAST(ROUND(SUM(CAST(nation_bal AS DECIMAL(38,10)))
+                            OVER (PARTITION BY region), 4) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS share_of_region,
+           FLOOR(nation_bal /
+                 CAST(ROUND(SUM(CAST(nation_bal AS DECIMAL(38,10)))
+                            OVER (), 4) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS share_of_total
+    FROM rev
+"""
+
+
+@query("agg_share_of_parent", oracle=_SHARE_PARENT_SQL)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent at two hierarchy levels (nation within region,
+    nation within world) — the drill-down ratio every reporting layer
+    needs beside plain ROLLUP subtotals (window_percent_of_total is
+    the single-level form).
+
+    Exactness: the leaf grain comes out of decimal sums, but the
+    PARENT sums aggregate those doubles again — and even a 5-row
+    double window SUM is visit-order-dependent — so both window sums
+    run over decimal-cast leaf values with the identical round-4
+    spelling in both engines (the window twin of
+    functions.exact.dsum), and each share is one IEEE division
+    quantized half-up.
+
+    Scale: one aggregate to the |region|x|nation| grain (broadcast dim
+    joins), then window math over a bounded frame."""
+    t = _t(spark, sf_dir, "customer", "nation", "region")
+    c, n, r = t["customer"], t["nation"], t["region"]
+    rev = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum("c_acctbal").alias("nation_bal"))
+    )
+    leaf_dec = F.col("nation_bal").cast("decimal(38,10)")
+    region_sum = F.round(F.sum(leaf_dec).over(W.partitionBy("region")), 4).cast("double")
+    total_sum = F.round(
+        F.sum(leaf_dec).over(W.partitionBy(F.lit(1))), 4
+    ).cast("double")
+    return rev.select(
+        "region",
+        "nation",
+        "nation_bal",
+        (F.floor(F.col("nation_bal") / region_sum * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "share_of_region"
+        ),
+        (F.floor(F.col("nation_bal") / total_sum * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "share_of_total"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Proportional-allocation stratified sample (largest-remainder method)
+# ---------------------------------------------------------------------------
+
+_PA_BUDGET = 100
+
+_PA_SQL = f"""
+    WITH sizes AS (
+        SELECT lang, COUNT(*) AS n_g,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_total
+        FROM documents GROUP BY lang
+    ), quota AS (
+        SELECT lang, n_g,
+               base + CASE WHEN rn <= {_PA_BUDGET} - base_sum THEN 1 ELSE 0 END
+                   AS quota
+        FROM (
+            SELECT lang, n_g,
+                   {_PA_BUDGET} * n_g // n_total AS base,
+                   CAST(SUM({_PA_BUDGET} * n_g // n_total) OVER () AS BIGINT)
+                       AS base_sum,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {_PA_BUDGET} * n_g % n_total DESC, lang ASC
+                   ) AS rn
+            FROM sizes)
+    ), ranked AS (
+        SELECT d.doc_id, d.lang, q.quota,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY {_accept_hash_sql('d.doc_id')} ASC, d.doc_id ASC
+               ) AS rn
+        FROM documents d JOIN quota q USING (lang)
+    )
+    SELECT doc_id, lang, quota FROM ranked WHERE rn <= quota
+"""
+
+
+@query("sample_proportional_allocation", oracle=_PA_SQL)
+def sample_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample with proportional allocation: a fixed total
+    budget split across language strata by the largest-remainder
+    (Hamilton) method — quotas sum to EXACTLY the budget, unlike
+    per-stratum rates (sample_stratified) or fixed per-group quotas
+    (sample_exact_k_per_group), and the within-stratum pick is the
+    deterministic portable-hash order. The corpus-rebalancing
+    primitive for "give me exactly 100 docs, language-proportional".
+
+    All arithmetic is exact integers (floor quotas + remainder-ranked
+    top-ups); determinism comes from the (remainder, lang) and
+    (hash, doc_id) total orders.
+
+    Scale: stratum sizes are a groups-sized aggregate (window math
+    over a bounded frame); the per-stratum rank is one shuffle on
+    lang; quota filters happen before any row leaves its partition
+    beyond that shuffle."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_g"))
+    sizes = sizes.withColumn(
+        "n_total", F.sum("n_g").over(W.partitionBy(F.lit(1))).cast("bigint")
+    )
+    base = F.expr(f"{_PA_BUDGET} * n_g div n_total")
+    rem = F.expr(f"{_PA_BUDGET} * n_g % n_total")
+    quota = (
+        sizes.select("lang", "n_g", base.alias("base"), rem.alias("rem"))
+        .withColumn(
+            "base_sum", F.sum("base").over(W.partitionBy(F.lit(1))).cast("bigint")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.col("rem").desc(), F.col("lang").asc())),
+        )
+        .select(
+            "lang",
+            "n_g",
+            (
+                F.col("base")
+                + F.when(F.col("rn") <= _PA_BUDGET - F.col("base_sum"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+    )
+    ranked = d.join(F.broadcast(quota), "lang").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(
+                _accept_hash(F.col("doc_id")).asc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") <= F.col("quota")).select(
+        "doc_id", "lang", "quota"
+    )

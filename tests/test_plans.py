@@ -155,6 +155,10 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         # running sum over the per-day first-seen grain — one row per
         # calendar day, bounded by the calendar, not the event count
         "ts_cumulative_users",
+        # quota arithmetic over the |strata| frame (~20 language rows)
+        "sample_proportional_allocation",
+        # parent-share windows over the |region|x|nation| grain (25 rows)
+        "agg_share_of_parent",
     }
     # dedup_clusters runs its iterative loop eagerly at build time
     skip_eager = {"dedup_clusters"}
