@@ -308,16 +308,22 @@ _TRIANGLE_SQL = f"""
         ) GROUP BY node
     ), oriented AS (
         -- orient each edge from the (degree, id)-smaller endpoint: every
-        -- node's out-degree is O(sqrt(|E|)), which bounds the wedge join
+        -- node's out-degree is O(sqrt(|E|)), which bounds the wedge join.
+        -- dst_deg travels with the edge because the WEDGE pair below must
+        -- be ordered by the SAME (degree, id) total order — ordering by
+        -- raw id drops every triangle whose closing edge is oriented
+        -- against id order (caught by the brute-force property test)
         SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
-               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dst_deg
         FROM edges e
         JOIN deg du ON du.node = e.u
         JOIN deg dv ON dv.node = e.v
     ), tri AS (
         SELECT COUNT(*) AS n_triangles
         FROM oriented e1
-        JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN oriented e2 ON e1.src = e2.src
+         AND (e1.dst_deg, e1.dst) < (e2.dst_deg, e2.dst)
         JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
     ), wedge AS (
         SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
@@ -352,7 +358,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking bound; degrees are node-sized (broadcast); the wedge join
     shuffles oriented edges once on src and the closing check once on
     (src, dst). No driver-side state at all — output is one row."""
-    edges = _co_supply_edges(spark, sf_dir)
+    return triangle_stats(_co_supply_edges(spark, sf_dir))
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Degree-ordered triangle counting over an undirected (u < v)
+    edge DataFrame — factored out of graph_triangle_count so the
+    brute-force property test can drive it on arbitrary graphs."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -367,13 +379,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # dst_deg travels with each oriented edge: the wedge pair below must
+    # be ordered by the SAME (degree, id) total order the orientation
+    # uses — ordering by raw id drops every triangle whose closing edge
+    # is oriented against id order (caught by the brute-force test)
     oriented = e.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
     ).localCheckpoint()
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    pair_lt = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
+        (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
     tri = (
-        e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dst") < F.col("e2.dst")))
+        e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & pair_lt)
         .join(e3, (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

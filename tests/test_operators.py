@@ -683,3 +683,32 @@ def test_misra_gries_superset_guarantee(spark, sf_dir):
         .collect()
     }
     assert got == truth
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    """Degree-ordered triangle enumeration vs an itertools brute force
+    on random graphs — pins that orientation counts each triangle
+    exactly once (the miscount failure modes — double-counted
+    triangles on degree ties, dropped triangles when orientation
+    breaks transitivity — are invisible on one fixture graph)."""
+    import itertools
+    import random
+
+    from es_analytics_spark.queries_sql4 import triangle_stats
+
+    for seed, n, p in [(1, 8, 0.5), (2, 12, 0.3), (3, 10, 0.8)]:
+        rng = random.Random(seed)
+        edges = [
+            (u, v)
+            for u, v in itertools.combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        want = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if ((a, b) in edges and (a, c) in edges and (b, c) in edges)
+        )
+        df = spark.createDataFrame(edges, ["u", "v"])
+        row = triangle_stats(df).collect()[0]
+        assert row.n_triangles == want, (seed, row.n_triangles, want)
+        assert row.n_edges == len(edges)
