@@ -712,3 +712,70 @@ def test_triangle_stats_matches_bruteforce(spark):
         row = triangle_stats(df).collect()[0]
         assert row.n_triangles == want, (seed, row.n_triangles, want)
         assert row.n_edges == len(edges)
+
+
+def test_link_predict_scoring_matches_bruteforce(spark):
+    """RA-index wedge scoring vs an adjacency-set brute force on random
+    graphs — the mirrored-logic referee (the triangle test above caught
+    exactly this class of bug: both engines agreeing on the same wrong
+    algorithm, invisible to the cross-engine gate)."""
+    import itertools
+    import random
+
+    RA_FP = 10_000_000_000
+
+    for seed, n, p in [(1, 8, 0.5), (2, 12, 0.3), (3, 10, 0.8)]:
+        rng = random.Random(seed)
+        edges = [
+            (u, v)
+            for u, v in itertools.combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        eset = set(edges)
+        adj = {i: set() for i in range(n)}
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        want = {}
+        for u, v in itertools.combinations(range(n), 2):
+            if (u, v) in eset:
+                continue
+            common = adj[u] & adj[v]
+            if common:
+                want[(u, v)] = (
+                    len(common),
+                    sum(RA_FP // len(adj[w]) for w in common),
+                )
+
+        edf = spark.createDataFrame(edges, ["u", "v"]).localCheckpoint()
+        deg = (
+            edf.select(F.col("u").alias("node"))
+            .unionAll(edf.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        adjdf = edf.select(F.col("u").alias("w"), F.col("v").alias("nb")).unionAll(
+            edf.select(F.col("v").alias("w"), F.col("u").alias("nb"))
+        )
+        adj_w = adjdf.join(
+            F.broadcast(deg.withColumnRenamed("node", "w")), "w"
+        ).withColumn("contrib", F.expr(f"{RA_FP} div d"))
+        a, b = adj_w.alias("a"), adj_w.alias("b")
+        scored = (
+            a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.nb") < F.col("b.nb")))
+            .select(
+                F.col("a.nb").alias("u"),
+                F.col("b.nb").alias("v"),
+                F.col("a.contrib").alias("contrib"),
+            )
+            .groupBy("u", "v")
+            .agg(
+                F.count(F.lit(1)).alias("cn"),
+                F.sum("contrib").cast("bigint").alias("score"),
+            )
+        )
+        got = {
+            (r.u, r.v): (r.cn, r.score)
+            for r in scored.join(edf, ["u", "v"], "left_anti").collect()
+        }
+        assert got == want, (seed, len(got), len(want))
