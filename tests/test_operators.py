@@ -779,3 +779,35 @@ def test_link_predict_scoring_matches_bruteforce(spark):
             for r in scored.join(edf, ["u", "v"], "left_anti").collect()
         }
         assert got == want, (seed, len(got), len(want))
+
+
+def test_proportional_allocation_quotas_match_referee(spark, sf_dir):
+    """Hamilton largest-remainder referee computed independently in
+    Python from the stratum sizes: quotas must sum to exactly the
+    budget and match the registered query's per-stratum quotas."""
+    from es_analytics_spark.queries import REGISTRY
+    from es_analytics_spark.sources.lake import read_table
+
+    BUDGET = 100
+    docs = read_table(spark, sf_dir, "documents")
+    sizes = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(sizes.values())
+    base = {g: BUDGET * n // total for g, n in sizes.items()}
+    rem = sorted(
+        sizes, key=lambda g: (-(BUDGET * sizes[g] % total), g)
+    )
+    want = dict(base)
+    for g in rem[: BUDGET - sum(base.values())]:
+        want[g] += 1
+    assert sum(want.values()) == BUDGET
+
+    out = REGISTRY["sample_proportional_allocation"].fn(spark, sf_dir).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.lang, set()).add(r.doc_id)
+        assert r.quota == want[r.lang], (r.lang, r.quota, want[r.lang])
+    assert sum(len(v) for v in got.values()) == BUDGET
+    for g, picks in got.items():
+        assert len(picks) == want[g], (g, len(picks), want[g])
