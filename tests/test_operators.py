@@ -811,3 +811,56 @@ def test_proportional_allocation_quotas_match_referee(spark, sf_dir):
     assert sum(len(v) for v in got.values()) == BUDGET
     for g, picks in got.items():
         assert len(picks) == want[g], (g, len(picks), want[g])
+
+
+def test_pagerank_matches_python_power_iteration(spark, sf_dir):
+    """Independent referee for the mirrored 3-iteration PageRank: a
+    pure-Python power iteration over the same bidirected graph must
+    reproduce the registered query's top-20 ranks (1e-9 tolerance —
+    the decimal contract rounds at scale 12). Pins damping placement,
+    share division, and frontier join semantics against a second
+    implementation that shares no code with either engine."""
+    from collections import defaultdict
+
+    from es_analytics_spark.queries import REGISTRY
+    from es_analytics_spark.sources.lake import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (2 * F.col("o_custkey")).alias("c"), (2 * F.col("l_suppkey") + 1).alias("s")
+        )
+        .distinct()
+        .collect()
+    )
+    edges = set()
+    for r in pairs:
+        edges.add((r.c, r.s))
+        edges.add((r.s, r.c))
+    out = defaultdict(list)
+    for u, v in edges:
+        out[u].append(v)
+    n = len(out)
+    rank = {u: 1.0 / n for u in out}
+    for _ in range(3):
+        contrib = defaultdict(list)
+        for u, targets in out.items():
+            share = rank[u] / len(targets)
+            for v in targets:
+                contrib[v].append(share)
+        # mirror the decimal contract: order-independent sum, round 12
+        rank = {
+            v: 0.15 / n + 0.85 * round(math.fsum(sorted(shares)), 12)
+            for v, shares in contrib.items()
+        }
+    want = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = [
+        (r.node, r.rank)
+        for r in REGISTRY["graph_pagerank"].fn(spark, sf_dir).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want], (got[:5], want[:5])
+    for (gn, gr), (wn, wr) in zip(got, want):
+        assert abs(gr - wr) < 1e-8, (gn, gr, wr)
