@@ -864,3 +864,56 @@ def test_pagerank_matches_python_power_iteration(spark, sf_dir):
     assert [g[0] for g in got] == [w[0] for w in want], (got[:5], want[:5])
     for (gn, gr), (wn, wr) in zip(got, want):
         assert abs(gr - wr) < 1e-8, (gn, gr, wr)
+
+
+def test_cusum_changepoint_matches_python_referee(spark, sf_dir):
+    """Independent referee for the mirrored CUSUM walk: recompute
+    argmax_t |prefix_t - t*mu| in pure Python from the collected daily
+    grain (sf0.001, bounded) and require the registered query's
+    changepoint day and magnitude to match exactly."""
+    import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from es_analytics_spark.queries import REGISTRY
+    from es_analytics_spark.sources.lake import read_table
+
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")), 4)
+            .cast("double")
+            .alias("v")
+        )
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.user_id, []).append((r.day, r.v))
+    want = {}
+    for uid, pts in series.items():
+        pts.sort()
+        # mirror dsum over the daily doubles for mu
+        total = float(
+            Decimal(
+                sum(Decimal(repr(v)).quantize(Decimal("1e-10")) for _, v in pts)
+            ).quantize(Decimal("1e-4"), rounding=ROUND_HALF_UP)
+        )
+        mu = total / len(pts)
+        best = None
+        prefix = Decimal(0)
+        for t, (day, v) in enumerate(pts, start=1):
+            prefix += Decimal(repr(v)).quantize(Decimal("1e-10"))
+            pref_d = float(prefix.quantize(Decimal("1e-4"), rounding=ROUND_HALF_UP))
+            c = _math.floor(abs(pref_d - t * mu) * 1e4 + 0.5) / 1e4
+            if best is None or c > best[0]:
+                best = (c, day)
+        want[uid] = best
+
+    got = {
+        r.user_id: (r.c_mag, r.cp_day)
+        for r in REGISTRY["ts_cusum_changepoint"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid] == want[uid], (uid, got[uid], want[uid])
