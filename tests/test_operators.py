@@ -917,3 +917,44 @@ def test_cusum_changepoint_matches_python_referee(spark, sf_dir):
     assert set(got) == set(want)
     for uid in want:
         assert got[uid] == want[uid], (uid, got[uid], want[uid])
+
+
+def test_winnow_fingerprints_match_python_referee(spark):
+    """Exact-set referee for the mirrored winnowing pipeline: a pure-
+    Python MOSS winnow (same normalize, same md5 grams, same
+    window-min + start-position rule) must produce the identical
+    fingerprint SET per document — the substring-guarantee test above
+    only checks intersection non-emptiness."""
+    import hashlib
+    import re
+
+    def norm(s):
+        s = re.sub(r"[^a-z0-9\s]", "", s.lower())
+        return re.sub(r"\s+", " ", s).strip()
+
+    def winnow(s, k=8, window=4):
+        t = norm(s)
+        n_g = max(len(t) - k + 1, 1)
+        grams = [
+            hashlib.md5(t[i : i + k].encode()).hexdigest() for i in range(n_g)
+        ]
+        out = set()
+        last_start = max(n_g - window, 0)
+        for i in range(last_start + 1):
+            out.add(min(grams[i : i + window]))
+        return out
+
+    from es_analytics_spark.operators.dedup import winnow_fingerprints
+
+    rows = [
+        Row(doc_id=1, text="The quick brown fox jumps over the lazy dog!"),
+        Row(doc_id=2, text="Pack my box with five dozen liquor jugs, said the fox."),
+        Row(doc_id=3, text="tiny"),  # shorter than one gram window
+        Row(doc_id=4, text="The quick brown fox jumps over the lazy dog!"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=8, window=4).collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    for r in rows:
+        assert got.get(r.doc_id) == winnow(r.text), r.doc_id
