@@ -110,6 +110,21 @@ def main() -> None:
         ).orderBy("split").show()
         print("per-language after rebalance:")
         back.groupBy("lang_pred").count().orderBy("lang_pred").show()
+
+        # -- 7. dataset card: the summary published beside every shipped
+        #       corpus snapshot (per-language rows + ALL rollup in one
+        #       scan; see the ml_dataset_card catalog entry)
+        print("dataset card:")
+        back.rollup("lang_pred").agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 1).alias("mean_tokens"),
+            (F.count("*") - F.countDistinct("text")).alias("dup_docs"),
+        ).select(
+            F.coalesce("lang_pred", F.lit("ALL")).alias("lang"),
+            "n_docs", "n_packs", "total_tokens", "mean_tokens", "dup_docs",
+        ).orderBy("lang").show()
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
