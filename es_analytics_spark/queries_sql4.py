@@ -1925,3 +1925,155 @@ def sample_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFram
     return ranked.filter(F.col("rn") <= F.col("quota")).select(
         "doc_id", "lang", "quota"
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (items bought together, support + lift)
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 2
+
+_BASKET_SQL = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n_orders AS (
+        SELECT COUNT(DISTINCT o) AS n FROM op
+    ), item AS (
+        SELECT p, COUNT(*) AS n_p FROM op GROUP BY p
+    ), pair AS (
+        SELECT a.p AS p1, b.p AS p2, COUNT(*) AS support
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    )
+    SELECT p1, p2, support,
+           FLOOR(CAST(support * n.n AS DOUBLE) / (i1.n_p * i2.n_p) * 1e6 + 0.5)
+               / 1e6 AS lift
+    FROM pair, n_orders n
+    JOIN item i1 ON i1.p = pair.p1
+    JOIN item i2 ON i2.p = pair.p2
+    WHERE support >= {_BASKET_MIN_SUPPORT}
+    ORDER BY support DESC, lift DESC, p1 ASC, p2 ASC LIMIT 20
+"""
+
+
+@query("rec_item_cooccurrence", oracle=_BASKET_SQL)
+def rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together,
+    with support and observed/expected lift — the "customers who bought
+    X also bought Y" recommender primitive (Apriori's first level; the
+    item-item half of collaborative filtering).
+
+    Scale: pair generation is a within-basket self-join — each basket of
+    s distinct items emits C(s,2) pairs, bounded by the basket-size cap
+    natural to order data (fixture max 13); support counts shuffle once
+    on the pair; item frequencies are item-count-sized and broadcast
+    into the lift join; total basket count is one broadcast row derived
+    from the aggregated counts, and the top-20 is TakeOrdered. Counts
+    are exact integers; lift is one half-up-quantized division."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    n_orders = op.agg(F.countDistinct("o").alias("n"))
+    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    i1 = item.select(F.col("p").alias("p1"), F.col("n_p").alias("n_p1"))
+    i2 = item.select(F.col("p").alias("p2"), F.col("n_p").alias("n_p2"))
+    lift = (
+        F.floor(
+            (F.col("support") * F.col("n")).cast("double")
+            / (F.col("n_p1") * F.col("n_p2"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return (
+        pair.crossJoin(F.broadcast(n_orders))
+        .join(F.broadcast(i1), "p1")
+        .join(F.broadcast(i2), "p2")
+        .select("p1", "p2", "support", lift.alias("lift"))
+        .orderBy(
+            F.col("support").desc(),
+            F.col("lift").desc(),
+            F.col("p1").asc(),
+            F.col("p2").asc(),
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               COUNT(*) AS frequency,
+               {dsum_expr('value')} AS monetary,
+               MAX(ts) AS last_ts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), anchored AS (
+        SELECT user_id, frequency, monetary,
+               DATE_DIFF('day', CAST(last_ts AS DATE),
+                         CAST(MAX(last_ts) OVER () AS DATE)) AS recency_days
+        FROM per_user
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           NTILE(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS r,
+           NTILE(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f,
+           NTILE(5) OVER (ORDER BY monetary DESC, user_id ASC) AS m
+    FROM anchored
+"""
+
+
+@query("rec_rfm_segments", oracle=_RFM_SQL)
+def rec_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintiles per
+    purchasing user (1 = best in each dimension) — the classic
+    customer-value grid marketing teams cut campaigns by, and the
+    direct consumer of the attribution family's outputs.
+
+    Determinism: every NTILE ordering carries a user_id tie-break
+    (total order), frequencies are exact integers, monetary is a
+    decimal-contract sum, and recency anchors to the data's own
+    max-date (no wall clock — reruns are identical).
+
+    Scale: one aggregate to the |users| grain; the three NTILEs run
+    over that user-sized frame — at the scale where even the user
+    grain dwarfs a window partition, NTILE distributes via the
+    range-partition + offset-table recipe (ml_quality_bucket_sample's
+    documented shape)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("value").alias("monetary"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    anchored = per_user.select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.datediff(
+            F.max(F.col("last_ts")).over(W.partitionBy(F.lit(1))).cast("date"),
+            F.col("last_ts").cast("date"),
+        ).alias("recency_days"),
+    )
+    return anchored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(W.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())).alias("r"),
+        F.ntile(5).over(W.orderBy(F.col("frequency").desc(), F.col("user_id").asc())).alias("f"),
+        F.ntile(5).over(W.orderBy(F.col("monetary").desc(), F.col("user_id").asc())).alias("m"),
+    )

@@ -157,6 +157,10 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         "ts_cumulative_users",
         # quota arithmetic over the |strata| frame (~20 language rows)
         "sample_proportional_allocation",
+        # NTILE/anchor windows over the purchasing-user grain; at the
+        # scale where even that grain is data-sized, NTILE distributes
+        # via the range-partition + offset-table recipe (docstring)
+        "rec_rfm_segments",
         # parent-share windows over the |region|x|nation| grain (25 rows)
         "agg_share_of_parent",
     }
