@@ -2077,3 +2077,64 @@ def rec_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(W.orderBy(F.col("frequency").desc(), F.col("user_id").asc())).alias("f"),
         F.ntile(5).over(W.orderBy(F.col("monetary").desc(), F.col("user_id").asc())).alias("m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: seasonal-naive baseline + MAPE
+# ---------------------------------------------------------------------------
+
+_SNAIVE_SQL = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr('value')} AS x
+        FROM events GROUP BY 1, 2
+    ), paired AS (
+        SELECT a.event_type, a.day, a.x, b.x AS xhat,
+               ABS(a.x - b.x) / a.x AS ape
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type
+         AND b.day = a.day - INTERVAL 7 DAY
+    )
+    SELECT event_type, COUNT(*) AS n_evaluated,
+           FLOOR({dsum_expr('ape')} / COUNT(*) * 1e6 + 0.5) / 1e6 AS mape
+    FROM paired GROUP BY event_type
+"""
+
+
+@query("ts_forecast_snaive", oracle=_SNAIVE_SQL)
+def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue
+    with the same weekday one week earlier and report per-type MAPE —
+    the baseline every real forecasting model must beat, and the
+    evaluation harness shape (point forecasts joined to actuals,
+    scored, aggregated) that any model would plug into.
+
+    The seven-day lag is a calendar JOIN (day = day - 7), not lag(7)
+    over rows — a row-offset silently misaligns whenever the series
+    has gaps. Per-day absolute percentage errors are identical IEEE
+    divisions (daily values are decimal-contract doubles, always
+    positive); the mean goes back through the decimal contract.
+
+    Scale: grain aggregate + a grain-sized self-join on (type, day) +
+    one final aggregate; the event-scale scan happens once."""
+    e = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value").alias("x"))
+        .localCheckpoint()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day") == F.col("a.day") - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.abs(F.col("a.x") - F.col("b.x")) / F.col("a.x")).alias("ape"),
+    )
+    return paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_evaluated"),
+        (F.floor(dsum("ape") / F.count(F.lit(1)) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "mape"
+        ),
+    )
