@@ -2138,3 +2138,89 @@ def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mape"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: total-variation distance between periods
+# ---------------------------------------------------------------------------
+
+# Fixed value bins (the fixture's value range is 0..500): a drift
+# monitor's bins must be FROZEN, not data-derived, or the comparison
+# itself drifts. The statistic is total-variation distance, not PSI:
+# TV = 0.5 * sum_i |p_i - q_i| is a pure rational of integer counts —
+# scaled by the common denominator n1*n2 it is exactly
+# sum_i |c_i*n2 - d_i*n1| / (2*n1*n2), integer arithmetic end to end —
+# while PSI's log-ratio would reintroduce cross-engine transcendentals.
+_DRIFT_BIN = 50.0
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+_DRIFT_SQL = f"""
+    WITH binned AS (
+        SELECT event_type,
+               CAST(FLOOR(value / {_DRIFT_BIN}) AS BIGINT) AS bin,
+               CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT}' THEN 0 ELSE 1 END AS half
+        FROM events
+    ), counts AS (
+        SELECT event_type, bin,
+               CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS d
+        FROM binned GROUP BY event_type, bin
+    ), totals AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS n1, CAST(SUM(d) AS BIGINT) AS n2
+        FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type, t.n1, t.n2,
+           FLOOR(CAST(SUM(ABS(c.c * t.n2 - c.d * t.n1)) AS DOUBLE)
+                 / (2.0 * t.n1 * t.n2) * 1e6 + 0.5) / 1e6 AS tv_distance
+    FROM counts c JOIN totals t USING (event_type)
+    GROUP BY c.event_type, t.n1, t.n2
+"""
+
+
+@query("ts_distribution_drift", oracle=_DRIFT_SQL)
+def ts_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the first and second half of the
+    observation window: total-variation distance between each event
+    type's binned value distributions — the monitor that catches a
+    metric's SHAPE changing while its mean stays put (and the
+    train-vs-serve skew check every ML feature pipeline runs). TV
+    rather than PSI: the statistic is a pure rational of integer
+    counts (see the module comment), so it sits under the exact gate
+    with a single final division.
+
+    Scale: one conditional-count aggregate to the (type, bin) grain —
+    both periods counted in ONE scan via FILTER, not a scan per
+    period — then grain-sized arithmetic. Bins are frozen constants;
+    a data-derived binning would make the monitor drift with the data
+    it monitors."""
+    e = _t(spark, sf_dir, "events")["events"]
+    binned = e.select(
+        "event_type",
+        F.floor(F.col("value") / _DRIFT_BIN).cast("bigint").alias("bin"),
+        F.when(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count_if(F.col("half") == 0).alias("c"),
+        F.count_if(F.col("half") == 1).alias("d"),
+    )
+    totals = counts.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n1"), F.sum("d").cast("bigint").alias("n2")
+    )
+    tv = (
+        F.floor(
+            F.sum(F.abs(F.col("c") * F.col("n2") - F.col("d") * F.col("n1")))
+            .cast("double")
+            / (2.0 * F.col("n1") * F.col("n2"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return (
+        counts.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type", "n1", "n2")
+        .agg(tv.alias("tv_distance"))
+    )
