@@ -80,6 +80,8 @@ HEADLINE = [
     "attr_linear_multi_touch",
     "ts_mad_outliers",
     "ml_vocab_coverage",
+    "rec_item_cooccurrence",
+    "ts_distribution_drift",
 ]
 
 
