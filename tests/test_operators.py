@@ -958,3 +958,48 @@ def test_winnow_fingerprints_match_python_referee(spark):
         got.setdefault(r.doc_id, set()).add(r.fingerprint)
     for r in rows:
         assert got.get(r.doc_id) == winnow(r.text), r.doc_id
+
+
+def test_item_cooccurrence_matches_python_referee(spark, sf_dir):
+    """Brute-force referee for market-basket support/lift: recompute
+    from collected (order, part) pairs at sf0.001 and require the
+    registered query's top-20 to match exactly."""
+    import itertools
+    import math as _math
+
+    from es_analytics_spark.queries import REGISTRY
+    from es_analytics_spark.sources.lake import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    op = {
+        (r.l_orderkey, r.l_partkey)
+        for r in li.select("l_orderkey", "l_partkey").distinct().collect()
+    }
+    baskets = {}
+    for o, p in op:
+        baskets.setdefault(o, set()).add(p)
+    n_orders = len(baskets)
+    item = {}
+    for ps in baskets.values():
+        for p in ps:
+            item[p] = item.get(p, 0) + 1
+    support = {}
+    for ps in baskets.values():
+        for p1, p2 in itertools.combinations(sorted(ps), 2):
+            support[(p1, p2)] = support.get((p1, p2), 0) + 1
+    rows = []
+    for (p1, p2), s in support.items():
+        if s < 2:
+            continue
+        lift = _math.floor(s * n_orders / (item[p1] * item[p2]) * 1e6 + 0.5) / 1e6
+        rows.append((s, lift, p1, p2))
+    want = [
+        (p1, p2, s, lift)
+        for s, lift, p1, p2 in sorted(rows, key=lambda t: (-t[0], -t[1], t[2], t[3]))
+    ][:20]
+
+    got = [
+        (r.p1, r.p2, r.support, r.lift)
+        for r in REGISTRY["rec_item_cooccurrence"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want
