@@ -2224,3 +2224,87 @@ def ts_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "n1", "n2")
         .agg(tv.alias("tv_distance"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (directional confidence)
+# ---------------------------------------------------------------------------
+
+_RULES_SQL = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), item AS (
+        SELECT p, COUNT(*) AS n_p FROM op GROUP BY p
+    ), pair AS (
+        SELECT a.p AS p1, b.p AS p2, COUNT(*) AS support
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ), rules AS (
+        SELECT p1 AS antecedent, p2 AS consequent, support, i.n_p AS n_ante,
+               FLOOR(CAST(support AS DOUBLE) / i.n_p * 1e6 + 0.5) / 1e6
+                   AS confidence
+        FROM pair JOIN item i ON i.p = pair.p1
+        UNION ALL
+        SELECT p2, p1, support, i.n_p,
+               FLOOR(CAST(support AS DOUBLE) / i.n_p * 1e6 + 0.5) / 1e6
+        FROM pair JOIN item i ON i.p = pair.p2
+    )
+    SELECT antecedent, consequent, support, n_ante, confidence
+    FROM rules WHERE support >= {_BASKET_MIN_SUPPORT}
+    ORDER BY confidence DESC, support DESC, antecedent ASC, consequent ASC
+    LIMIT 20
+"""
+
+
+@query("rec_association_rules", oracle=_RULES_SQL)
+def rec_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules X -> Y with confidence
+    support(X,Y)/count(X) — completing the Apriori triple beside
+    rec_item_cooccurrence's symmetric support/lift (a rule and its
+    reverse have the SAME lift but different confidence, which is why
+    recommenders rank by this number).
+
+    Scale: reuses the within-basket pair shape (basket-size-bounded
+    self-join, one shuffle on the pair); each undirected pair expands
+    into exactly two directional rules map-side; antecedent counts are
+    item-sized broadcasts; confidence is one half-up division of exact
+    integers and the top-20 is TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    item = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = op.alias("a"), op.alias("b")
+    pair = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _BASKET_MIN_SUPPORT)
+    )
+    fwd = pair.select(
+        F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"), "support"
+    )
+    rev = pair.select(
+        F.col("p2").alias("antecedent"), F.col("p1").alias("consequent"), "support"
+    )
+    rules = (
+        fwd.unionAll(rev)
+        .join(
+            F.broadcast(item.select(F.col("p").alias("antecedent"), F.col("n_p").alias("n_ante"))),
+            "antecedent",
+        )
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            "n_ante",
+            (
+                F.floor(F.col("support").cast("double") / F.col("n_ante") * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("confidence"),
+        )
+    )
+    return rules.orderBy(
+        F.col("confidence").desc(),
+        F.col("support").desc(),
+        F.col("antecedent").asc(),
+        F.col("consequent").asc(),
+    ).limit(20)
