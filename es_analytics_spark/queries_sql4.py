@@ -2308,3 +2308,66 @@ def rec_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("antecedent").asc(),
         F.col("consequent").asc(),
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period: week-over-week revenue growth
+# ---------------------------------------------------------------------------
+
+_WOW_SQL = f"""
+    WITH weekly AS (
+        SELECT event_type, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS week,
+               {dsum_expr('value')} AS revenue
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.week, a.revenue,
+           b.revenue AS prev_revenue,
+           CASE WHEN b.revenue IS NULL THEN NULL
+                ELSE FLOOR((a.revenue - b.revenue) / b.revenue * 1e6 + 0.5) / 1e6
+           END AS wow_growth
+    FROM weekly a LEFT JOIN weekly b
+      ON a.event_type = b.event_type
+     AND b.week = a.week - INTERVAL 7 DAY
+"""
+
+
+@query("ts_week_over_week", oracle=_WOW_SQL)
+def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per event type — the
+    period-over-period delta every business review opens with. The
+    previous period comes from a calendar join (week = week - 7 days),
+    the same gap-safe spelling as ts_forecast_snaive: a row-offset
+    lag silently pairs non-adjacent weeks when a series skips one.
+    First weeks have no predecessor and carry NULL growth (left join),
+    matching the reporting convention.
+
+    Exactness: weekly grains are decimal-contract sums; growth is one
+    IEEE division quantized half-up. Scale: one event-scale aggregate
+    to the |types| x |weeks| grain, then grain-sized join + math."""
+    e = _t(spark, sf_dir, "events")["events"]
+    weekly = (
+        e.groupBy("event_type", F.date_trunc("week", "ts").alias("week"))
+        .agg(dsum("value").alias("revenue"))
+        .localCheckpoint()
+    )
+    a, b = weekly.alias("a"), weekly.alias("b")
+    growth = F.when(
+        F.col("b.revenue").isNotNull(),
+        F.floor(
+            (F.col("a.revenue") - F.col("b.revenue")) / F.col("b.revenue") * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6,
+    )
+    return a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.week") == F.col("a.week") - F.expr("INTERVAL 7 DAY")),
+        "left",
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.week").alias("week"),
+        F.col("a.revenue").alias("revenue"),
+        F.col("b.revenue").alias("prev_revenue"),
+        growth.alias("wow_growth"),
+    )
