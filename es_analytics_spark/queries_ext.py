@@ -981,19 +981,12 @@ def ml_split_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = ranged.withColumn(
         "lr", F.row_number().over(W.partitionBy("pid").orderBy("sk", "doc_id"))
     )
-    # Offset table: one row per shuffle partition — bounded by partition
-    # count, not data size, so the unpartitioned window here is safe.
-    offsets = (
-        ranged.groupBy("pid")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("cnt").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)),
-                F.lit(0),
-            ),
-        )
-    )
+    # Offset table: one row per shuffle partition, prefix-summed with
+    # the window-free broadcast triangle join (functions/ranks.py) so
+    # the plan carries no single-partition window at all.
+    from es_analytics_spark.functions.ranks import cumulative_offsets
+
+    offsets = cumulative_offsets(ranged.groupBy("pid").agg(F.count("*").alias("cnt")))
     return local.join(F.broadcast(offsets.select("pid", "off")), "pid").select(
         "doc_id", "split", (F.col("lr") + F.col("off")).cast("bigint").alias("shuffle_rank")
     )

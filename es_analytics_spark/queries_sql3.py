@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum, dsum_expr
+from es_analytics_spark.functions.ranks import cumulative_offsets
 from es_analytics_spark.queries import _t, query
 
 
@@ -492,18 +493,9 @@ def ml_quality_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy("pid").orderBy(F.desc("n_chars"), F.asc("doc_id"))
         ),
     )
-    offsets = (
-        ranged.groupBy("pid")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("cnt").over(W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)),
-                F.lit(0),
-            ),
-        )
-    )
-    total = offsets.agg(F.sum("cnt").alias("n"))
+    cnts = ranged.groupBy("pid").agg(F.count("*").alias("cnt"))
+    offsets = cumulative_offsets(cnts)
+    total = cnts.agg(F.sum("cnt").alias("n"))
     ranked = (
         local.join(F.broadcast(offsets.select("pid", "off")), "pid")
         .withColumn("rank", F.col("lr") + F.col("off"))

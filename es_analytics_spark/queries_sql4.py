@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
+from es_analytics_spark.functions.ranks import cumulative_offsets
 from es_analytics_spark.functions.portable import MIX_P as _MIX_P, accept_hash as _accept_hash, accept_hash_sql as _accept_hash_sql
 from es_analytics_spark.queries import _t, query
 
@@ -2032,6 +2033,45 @@ _RFM_SQL = f"""
 """
 
 
+def _dist_quintile(anchored: DataFrame, total: DataFrame, sort_cols, out_name: str) -> DataFrame:
+    """Distributed NTILE(5) over the given total order: the
+    range-partition + per-partition row_number + broadcast offset-table
+    recipe from ml_quality_bucket_sample (queries_sql3.py), followed by
+    the closed-form NTILE bucket arithmetic. Unlike the original
+    recipe, the per-partition offset table is built with a broadcast
+    triangle self-join over the |partitions|-row count table instead
+    of an unpartitioned cumsum window, so NO window or sort anywhere
+    in the plan sees Exchange SinglePartition — this entry needs no
+    guard allowlist. The only broadcasts are the |partitions|-row
+    offset table and the 1-row total.
+
+    The ranged frame is localCheckpoint'ed for the same reason as in
+    ml_quality_bucket_sample: RangePartitioner samples its boundaries
+    nondeterministically, and the two consumers (local ranks, offsets)
+    must agree on pid."""
+    from es_analytics_spark.queries_sql3 import ntile_closed_form
+
+    spark = anchored.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        anchored.repartitionByRange(n_parts, *sort_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local = ranged.withColumn(
+        "lr", F.row_number().over(W.partitionBy("pid").orderBy(*sort_cols))
+    )
+    offsets = cumulative_offsets(ranged.groupBy("pid").agg(F.count("*").alias("cnt")))
+    return (
+        local.join(F.broadcast(offsets.select("pid", "off")), "pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            ntile_closed_form(F.col("lr") + F.col("off"), F.col("n"), 5).alias(out_name),
+        )
+    )
+
+
 @query("rec_rfm_segments", oracle=_RFM_SQL)
 def rec_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency / frequency / monetary quintiles per
@@ -2039,16 +2079,20 @@ def rec_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-value grid marketing teams cut campaigns by, and the
     direct consumer of the attribution family's outputs.
 
-    Determinism: every NTILE ordering carries a user_id tie-break
+    Determinism: every quintile ordering carries a user_id tie-break
     (total order), frequencies are exact integers, monetary is a
     decimal-contract sum, and recency anchors to the data's own
     max-date (no wall clock — reruns are identical).
 
-    Scale: one aggregate to the |users| grain; the three NTILEs run
-    over that user-sized frame — at the scale where even the user
-    grain dwarfs a window partition, NTILE distributes via the
-    range-partition + offset-table recipe (ml_quality_bucket_sample's
-    documented shape)."""
+    Scale: one aggregate to the |users| grain, then each of the three
+    quintile dimensions is ranked DISTRIBUTIVELY via the
+    range-partition + offset-table recipe (_dist_quintile; the
+    ml_quality_bucket_sample shape) instead of a global NTILE window —
+    no Exchange SinglePartition anywhere, so the plan survives a user
+    grain that dwarfs one task. The recency anchor is a 1-row
+    broadcast aggregate, not a partitionBy(lit(1)) window. The three
+    rank frames re-join the anchored frame on user_id (hash joins at
+    the user grain)."""
     e = _t(spark, sf_dir, "events")["events"]
     per_user = (
         e.filter(F.col("event_type") == "purchase")
@@ -2059,23 +2103,34 @@ def rec_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
-    anchored = per_user.select(
-        "user_id",
-        "frequency",
-        "monetary",
-        F.datediff(
-            F.max(F.col("last_ts")).over(W.partitionBy(F.lit(1))).cast("date"),
-            F.col("last_ts").cast("date"),
-        ).alias("recency_days"),
+    anchor = per_user.agg(F.max("last_ts").alias("anchor_ts"))
+    anchored = (
+        per_user.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            "frequency",
+            "monetary",
+            F.datediff(F.col("anchor_ts").cast("date"), F.col("last_ts").cast("date")).alias(
+                "recency_days"
+            ),
+        )
+        .localCheckpoint()
     )
-    return anchored.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(W.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())).alias("r"),
-        F.ntile(5).over(W.orderBy(F.col("frequency").desc(), F.col("user_id").asc())).alias("f"),
-        F.ntile(5).over(W.orderBy(F.col("monetary").desc(), F.col("user_id").asc())).alias("m"),
+    total = anchored.agg(F.count("*").alias("n"))
+    r = _dist_quintile(
+        anchored, total, [F.col("recency_days").asc(), F.col("user_id").asc()], "r"
+    )
+    f = _dist_quintile(
+        anchored, total, [F.col("frequency").desc(), F.col("user_id").asc()], "f"
+    )
+    m = _dist_quintile(
+        anchored, total, [F.col("monetary").desc(), F.col("user_id").asc()], "m"
+    )
+    return (
+        anchored.join(r, "user_id")
+        .join(f, "user_id")
+        .join(m, "user_id")
+        .select("user_id", "recency_days", "frequency", "monetary", "r", "f", "m")
     )
 
 

@@ -145,11 +145,6 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
     from es_analytics_spark.plans.inspect import single_partition_hotspots
 
     allow_bounded = {
-        # offset cumsum over exactly one row per shuffle partition (the
-        # distributed-rank recipe; pinned by the dedicated test below)
-        "ml_split_shuffle",
-        # same offset-table recipe for the distributed NTILE decile
-        "ml_quality_bucket_sample",
         # rank over the pre-aggregated |groups| frame (~5 rows)
         "window_percent_of_total",
         # running sum over the per-day first-seen grain — one row per
@@ -157,10 +152,6 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         "ts_cumulative_users",
         # quota arithmetic over the |strata| frame (~20 language rows)
         "sample_proportional_allocation",
-        # NTILE/anchor windows over the purchasing-user grain; at the
-        # scale where even that grain is data-sized, NTILE distributes
-        # via the range-partition + offset-table recipe (docstring)
-        "rec_rfm_segments",
         # parent-share windows over the |region|x|nation| grain (25 rows)
         "agg_share_of_parent",
     }
