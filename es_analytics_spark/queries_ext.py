@@ -904,17 +904,32 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAX_STRATA = 4096  # sampleBy fractions ship to every task; keep the dict bounded
+
+
 @query("sample_stratified", oracle=None)  # sample membership is engine-specific
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling (per-language quotas — the
     training-data mixing primitive): Bernoulli per stratum with fixed
     seed, deterministic given a fixed source layout so pipeline reruns
     select identical rows. Rate conformance and reproducibility pinned
-    by tests/test_operators.py::test_stratified_sample."""
+    by tests/test_operators.py::test_stratified_sample.
+
+    The stratum-key collect is LIMIT-guarded like every other driver
+    fetch in the catalog (similarity.py's max_query_rows contract):
+    language codes are bounded by construction, and if a caller points
+    this at an unbounded key the query raises instead of silently
+    shipping a data-sized fraction dict to the driver."""
     d = _t(spark, sf_dir, "documents")["documents"]
     fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
-    frac = {lang: fractions.get(lang, 0.1) for lang in
-            [r.lang for r in d.select("lang").distinct().collect()]}
+    langs = d.select("lang").distinct().limit(_MAX_STRATA + 1).collect()
+    if len(langs) > _MAX_STRATA:
+        raise ValueError(
+            f"sample_stratified: stratum key cardinality exceeds {_MAX_STRATA}; "
+            "the fraction dict is driver-built by contract — use hash-acceptance "
+            "sampling (sample_domain_mix) for unbounded keys"
+        )
+    frac = {r.lang: fractions.get(r.lang, 0.1) for r in langs}
     return d.sampleBy("lang", frac, seed=42).select("doc_id", "lang", "source")
 
 

@@ -314,3 +314,73 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_every_driver_fetch_is_limit_guarded_or_audited():
+    """Catalog-wide driver-fetch rule (r2 verdict): no source file in
+    the package may call .collect()/.toPandas() unless the receiver
+    chain carries an explicit .limit(...) bound, or the enclosing
+    function is in the audited allowlist below — each entry documents
+    why its fetch is bounded by construction. New unguarded collects
+    fail here before they fail at 100 TB."""
+    import ast
+    import pathlib
+
+    import es_analytics_spark
+
+    pkg = pathlib.Path(es_analytics_spark.__file__).parent
+    audited = {
+        # similarity.py: bounded centroid/codebook/query-matrix ships —
+        # LIMIT+raise guards or k x partitions pre-reduction (VERDICT r3
+        # anti-pattern sweep signed off each one)
+        ("operators/similarity.py", "cosine_pairs_above_np"),  # max_query_rows guard
+        ("operators/similarity.py", "ivf_topk"),  # k centroids + query matrix
+        ("operators/similarity.py", "kmeans_centroids"),  # k x partitions partials
+        ("operators/similarity.py", "pq_train_codebooks"),  # m x 256 codebook
+        ("operators/similarity.py", "pq_topk"),  # codebook + query matrix
+        # result-sized rollup/view materialization before tempdir delete
+        ("queries_sql2.py", "agg_rollup_incremental"),
+        ("queries_sql3.py", "join_view_incremental"),
+        # dev/test harness materializing query results for comparison —
+        # not a registered query path
+        ("oracle.py", "compare_query"),
+    }
+
+    def chain_has_limit(node: ast.AST) -> bool:
+        while isinstance(node, (ast.Call, ast.Attribute)):
+            if isinstance(node, ast.Call):
+                f = node.func
+                if isinstance(f, ast.Attribute) and f.attr == "limit":
+                    return True
+                node = f
+            else:
+                node = node.value
+        return False
+
+    violations = []
+    for path in sorted(pkg.rglob("*.py")):
+        rel = path.relative_to(pkg).as_posix()
+        tree = ast.parse(path.read_text())
+        funcs = [
+            (n.name, n.lineno, n.end_lineno)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in ("collect", "toPandas")
+            ):
+                continue
+            if chain_has_limit(node.func.value):
+                continue
+            enclosing = [
+                name
+                for name, s, e in funcs
+                if s <= node.lineno <= e
+            ]
+            if any((rel, name) in audited for name in enclosing):
+                continue
+            violations.append(f"{rel}:{node.lineno} .{node.func.attr}() unguarded")
+    assert not violations, violations
