@@ -227,6 +227,19 @@ def _view_manifest_path(view_path: str, version: int | None = None) -> str:
 
 
 def _read_view_manifest(fs, view_path: str, version: int | None = None) -> dict:
+    if version is not None:
+        # Validate against the CURRENT pointer: a snapshot file can
+        # exist at current+1 as debris from a refresh that crashed
+        # before publishing the pointer — view_history excludes it, and
+        # direct versioned reads must too (its orphan part is fair game
+        # for vacuum, so reading it would return parquet-not-found or
+        # stale data).
+        current = _read_view_manifest(fs, view_path)
+        if version > current["version"]:
+            raise FileNotFoundError(
+                f"no snapshot v{version} under {view_path} published yet "
+                f"(current is v{current['version']}; see view_history)"
+            )
     p = _view_manifest_path(view_path, version)
     if not fs.exists(p):
         if version is not None:
@@ -239,16 +252,25 @@ def _read_view_manifest(fs, view_path: str, version: int | None = None) -> dict:
     return m
 
 
-def _write_view_manifest(fs, view_path: str, manifest: dict) -> None:
-    """Publish the manifest atomically: write to a temp name, rename
-    over the final name (rename replaces on POSIX; on object stores
-    this is the exact seam a transactional log replaces)."""
-    tmp = fs_join(view_path, "._manifest.json.tmp")
+def _put_json_atomic(fs, dir_path: str, target: str, payload: dict) -> None:
+    """Write JSON via temp-name + atomic replace so no reader (or
+    crash) ever observes a torn OR MISSING file. The earlier
+    delete-then-rename spelling had a crash window — target deleted,
+    rename never ran, readers see an empty view — caught by the
+    refresh crash-consistency sweep; ``replace_file`` renames over the
+    existing file in one atomic step (os.replace locally,
+    FileContext.rename(OVERWRITE) on Hadoop stores; on object stores
+    without atomic replace this is the exact seam a transactional log
+    replaces)."""
+    tmp = fs_join(dir_path, f".{target.rsplit('/', 1)[-1]}.tmp")
     fs.delete(tmp)
-    fs.put_bytes(tmp, json.dumps(manifest, indent=0).encode("utf-8"))
-    final = _view_manifest_path(view_path)
-    fs.delete(final)
-    fs.rename(tmp, final)
+    fs.put_bytes(tmp, json.dumps(payload, indent=0).encode("utf-8"))
+    fs.replace_file(tmp, target)
+
+
+def _write_view_manifest(fs, view_path: str, manifest: dict) -> None:
+    """Publish the current-pointer manifest atomically."""
+    _put_json_atomic(fs, view_path, _view_manifest_path(view_path), manifest)
 
 
 def refresh_enriched_view(
@@ -282,6 +304,7 @@ def refresh_enriched_view(
             "new_files": 0,
             "total_files": len(seen),
             "parts": len(manifest["parts"]),
+            "version": manifest["version"],
         }
     part = fs_join(view_path, "parts", str(_uuid.uuid4()))
     enrich(spark.read.parquet(*new_files)).write.mode("overwrite").parquet(part)
@@ -296,9 +319,9 @@ def refresh_enriched_view(
     # immutable only once the current pointer has named it, because
     # from then on version numbers advance past it (single-writer
     # contract).
-    snap = _view_manifest_path(view_path, manifest["version"])
-    fs.delete(snap)
-    fs.put_bytes(snap, json.dumps(manifest, indent=0).encode("utf-8"))
+    _put_json_atomic(
+        fs, view_path, _view_manifest_path(view_path, manifest["version"]), manifest
+    )
     _write_view_manifest(fs, view_path, manifest)
     return {
         "new_files": len(new_files),

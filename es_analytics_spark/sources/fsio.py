@@ -55,6 +55,13 @@ class LocalFS:
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
 
+    def replace_file(self, src: str, dst: str) -> None:
+        """Atomically rename ``src`` over an existing FILE ``dst`` —
+        POSIX rename semantics, so no crash point leaves dst absent
+        (the delete-then-rename window the manifest-publish crash
+        sweep caught)."""
+        os.replace(src, dst)
+
     def delete(self, path: str) -> None:
         if os.path.isdir(path):
             shutil.rmtree(path)
@@ -96,6 +103,7 @@ class HadoopFS:
     def __init__(self, spark: SparkSession, path: str):
         jvm = spark._jvm
         self._jvm = jvm
+        self._gateway = spark.sparkContext._gateway
         self._jpath = jvm.org.apache.hadoop.fs.Path
         uri = jvm.java.net.URI.create(path)
         self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(
@@ -111,6 +119,19 @@ class HadoopFS:
     def rename(self, src: str, dst: str) -> None:
         if not self._fs.rename(self._jpath(src), self._jpath(dst)):
             raise OSError(f"rename failed: {src} -> {dst}")
+
+    def replace_file(self, src: str, dst: str) -> None:
+        """Rename ``src`` over ``dst`` atomically where the store
+        supports it: FileContext.rename(OVERWRITE) is atomic on HDFS
+        and posix-like stores. On stores without atomic replace (raw
+        S3), callers needing multi-writer safety must layer a
+        transactional table format — the module docstring's contract."""
+        ctx = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._fs.getUri(), self._fs.getConf()
+        )
+        opts = self._gateway.new_array(self._jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        ctx.rename(self._jpath(src), self._jpath(dst), opts)
 
     def delete(self, path: str) -> None:
         self._fs.delete(self._jpath(path), True)

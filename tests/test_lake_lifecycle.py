@@ -740,3 +740,176 @@ def test_streaming_lake_feeds_enriched_view(spark, sf_dir, tmp_path):
     want = enrich(spark.read.parquet(glob))
     assert got.count() == events.count()
     assert got.exceptAll(want).union(want.exceptAll(got)).count() == 0
+
+
+class _CrashFS:
+    """lake_fs wrapper that raises after the k-th MUTATING filesystem
+    operation (put_bytes/rename/delete/mkdirs) — the fault-injection
+    seam for the refresh crash-consistency sweeps below. Reads pass
+    through untouched."""
+
+    MUTATORS = ("put_bytes", "rename", "replace_file", "delete", "mkdirs")
+
+    def __init__(self, inner, crash_after: int):
+        self._inner = inner
+        self._left = crash_after
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if name not in self.MUTATORS:
+            return attr
+
+        def wrapped(*a, **kw):
+            if self._left <= 0:
+                raise RuntimeError("injected crash")
+            self._left -= 1
+            return attr(*a, **kw)
+
+        return wrapped
+
+
+def _rollup_state(spark, roll, measures):
+    from es_analytics_spark.materialized import read_rollup
+
+    return {
+        r["grp"]: (r["n"], r["total"])
+        for r in read_rollup(spark, roll, measures).collect()
+    }
+
+
+def test_rollup_refresh_crash_consistency_sweep(spark, tmp_path, monkeypatch):
+    """Kill the refresh after every possible mutating filesystem step
+    (stage-delete, staged-manifest write, backup dance, final rename)
+    and assert the single-writer crash contract at EACH point: a reader
+    arriving after the crash sees exactly the old state or exactly the
+    new state — never a torn manifest, a double-count, or a lost
+    rollup — and one clean re-refresh converges to the full answer.
+    Reading after every mutation step is equivalent to a concurrent
+    reader under any interleaving, because each fs mutation is atomic
+    and there is one writer."""
+    import shutil
+
+    import es_analytics_spark.materialized as mat
+    from es_analytics_spark.sources.fsio import lake_fs as real_lake_fs
+
+    measures = {"n": ("count", None), "total": ("sum", "amount")}
+    src = str(tmp_path / "facts")
+    template = str(tmp_path / "rollup_template")
+    spark.range(0, 600).selectExpr(
+        "id % 3 as grp", "cast(id as double) as amount"
+    ).coalesce(1).write.mode("append").parquet(src)
+    mat.refresh_rollup(spark, f"{src}/*.parquet", template, ["grp"], measures)
+    state_a = _rollup_state(spark, template, measures)
+    spark.range(600, 1200).selectExpr(
+        "id % 3 as grp", "cast(id as double) as amount"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    k = 1
+    while True:
+        roll = str(tmp_path / f"rollup_k{k}")
+        shutil.copytree(template, roll)
+        crasher = _CrashFS.__new__(_CrashFS)
+
+        def fake_lake_fs(spark_, path_, _c=crasher):
+            return _c
+
+        crasher.__init__(real_lake_fs(spark, roll), k)
+        monkeypatch.setattr(mat, "lake_fs", lambda s, p, _c=crasher: (
+            _c if str(p).startswith(roll) else real_lake_fs(s, p)
+        ))
+        crashed = False
+        try:
+            mat.refresh_rollup(spark, f"{src}/*.parquet", roll, ["grp"], measures)
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+            crashed = True
+        monkeypatch.setattr(mat, "lake_fs", real_lake_fs)
+
+        # invariant 1: a post-crash reader sees old-or-new, never torn
+        observed = _rollup_state(spark, roll, measures)
+        final = mat.refresh_rollup(spark, f"{src}/*.parquet", roll, ["grp"], measures)
+        state_ab = _rollup_state(spark, roll, measures)
+        assert observed in (state_a, state_ab), f"torn state at k={k}: {observed}"
+        # invariant 2: clean re-refresh converges with no double-count
+        want = {
+            r["grp"]: (r["n"], r["total"])
+            for r in spark.read.parquet(src)
+            .groupBy("grp")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.col("amount").cast("decimal(38,10)")), 4)
+                .cast("double")
+                .alias("total"),
+            )
+            .collect()
+        }
+        assert state_ab == want, f"k={k} diverged after heal"
+        assert final["new_files"] in (0, 1)
+        if not crashed:
+            break  # k exceeded the refresh's total mutation count
+        k += 1
+    assert k >= 4, "sweep never reached the interesting crash points"
+
+
+def test_enriched_view_refresh_crash_consistency_sweep(spark, tmp_path, monkeypatch):
+    """Same kill-sweep for the manifest-gated enriched view: after a
+    crash at any mutating step, readers see exactly the published
+    version (old or new, never partial), every version view_history
+    lists is readable, an unpublished snapshot is NOT directly readable
+    (the version-validation fix), and a clean re-refresh converges."""
+    import shutil
+
+    import es_analytics_spark.materialized as mat
+    from es_analytics_spark.sources.fsio import lake_fs as real_lake_fs
+
+    src = str(tmp_path / "fact")
+    template = str(tmp_path / "view_template")
+    spark.range(0, 400).selectExpr(
+        "id as event_id", "id % 7 as user_id", "cast(id as double) as value"
+    ).coalesce(1).write.parquet(f"{src}/a")
+
+    def enrich(df):
+        return df.select("event_id", "user_id", "value")
+
+    glob_pat = f"{src}/*/*.parquet"
+    mat.refresh_enriched_view(spark, glob_pat, template, enrich)
+    spark.range(400, 700).selectExpr(
+        "id as event_id", "id % 7 as user_id", "cast(id as double) as value"
+    ).coalesce(1).write.parquet(f"{src}/b")
+
+    k = 1
+    while True:
+        view = str(tmp_path / f"view_k{k}")
+        shutil.copytree(template, view)
+        crasher = _CrashFS(real_lake_fs(spark, view), k)
+        monkeypatch.setattr(mat, "lake_fs", lambda s, p, _c=crasher: (
+            _c if str(p).startswith(view) else real_lake_fs(s, p)
+        ))
+        crashed = False
+        try:
+            mat.refresh_enriched_view(spark, glob_pat, view, enrich)
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+            crashed = True
+        monkeypatch.setattr(mat, "lake_fs", real_lake_fs)
+
+        observed = mat.read_enriched_view(spark, view).count()
+        assert observed in (400, 700), f"partial read at k={k}: {observed}"
+        # every listed version is readable; nothing beyond current is
+        hist = mat.view_history(spark, view)
+        for h in hist:
+            mat.read_enriched_view(spark, view, version=h["version"])
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            mat.read_enriched_view(spark, view, version=hist[-1]["version"] + 1)
+
+        r_heal = mat.refresh_enriched_view(spark, glob_pat, view, enrich)
+        assert "version" in r_heal  # no-op and refresh returns share a contract
+        assert mat.read_enriched_view(spark, view).count() == 700, f"k={k} diverged"
+        mat.vacuum_enriched_view(spark, view)
+        assert mat.read_enriched_view(spark, view).count() == 700
+        if not crashed:
+            break
+        k += 1
+    assert k >= 3, "sweep never reached the interesting crash points"
