@@ -384,3 +384,18 @@ def test_every_driver_fetch_is_limit_guarded_or_audited():
                 continue
             violations.append(f"{rel}:{node.lineno} .{node.func.attr}() unguarded")
     assert not violations, violations
+
+
+def test_count_min_topk_window_prunes_via_limit_pushdown(spark, sf_dir):
+    """agg_count_min's top-20 global row_number must keep its
+    rank-limit pushdown (r3 verdict ask): Catalyst rewrites the
+    unpartitioned row_number + rn<=20 filter into Limit 20 over the
+    sort, which plans as TakeOrderedAndProject — a per-partition heap
+    of 20 plus a 20-row merge, so no task ever materializes the
+    vocabulary-sized frame. If a refactor breaks the rewrite (an
+    expression LimitPushDownThroughWindow can't see through), the plan
+    degrades to a vocabulary-sized single-partition Window — caught
+    here as the missing TakeOrdered node AND by the catalog-wide
+    single-partition guard."""
+    plan = physical_plan(REGISTRY["agg_count_min"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:4000]
