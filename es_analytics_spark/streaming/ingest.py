@@ -130,3 +130,115 @@ def replay_stream(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# -- Kafka source seam --------------------------------------------------
+#
+# SURVEY §2.B declares "file/Kafka/rate source". The sandbox has no
+# broker and no spark-sql-kafka connector jar (offline, no pip), so the
+# live path is untestable here; this seam fixes the full option and
+# schema contract so a deployment only adds the connector package. The
+# value-parsing half is plain DataFrame code, tested against a batch
+# frame with Kafka's exact wire schema.
+
+#: Kafka's fixed wire schema — every record the connector emits has
+#: exactly these columns (Structured Streaming + Kafka Integration
+#: Guide). parse_kafka_events consumes this shape, so its contract is
+#: testable without a broker.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_reader_options(
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 200_000,
+    fail_on_data_loss: bool = True,
+) -> dict[str, str]:
+    """The engine's Kafka option contract, mirroring the file source's
+    conventions: ``maxOffsetsPerTrigger`` is the per-micro-batch bound
+    (≙ the reference batchRecordLimit, Collector.ts:178, same role
+    maxFilesPerTrigger plays for the file source); ``failOnDataLoss``
+    stays true so retention-expired offsets surface as errors instead
+    of silent gaps (flip explicitly for backfill-after-outage)."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true" if fail_on_data_loss else "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def parse_kafka_events(raw: DataFrame, value_schema=None) -> DataFrame:
+    """Decode Kafka wire records into the events schema: JSON value →
+    typed columns (ts as ISO-8601, matching the collector's Date→ISO
+    preprocessing), event-time watermark on ts for the downstream
+    windowed operators. Works identically on a streaming frame from
+    the connector and a batch frame with KAFKA_WIRE_SCHEMA (how the
+    contract is tested offline)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = value_schema or StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    parsed = raw.select(
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.from_json(F.col("value").cast("string"), schema).alias("e"),
+    ).select("topic", "partition", "offset", "e.*")
+    if parsed.isStreaming:
+        parsed = parsed.withWatermark("ts", "10 minutes")
+    return parsed
+
+
+def stream_events_kafka(
+    spark: SparkSession,
+    brokers: str,
+    topic: str = "events",
+    **option_overrides,
+) -> DataFrame:
+    """events as an unbounded Kafka stream: readStream.format("kafka")
+    with the engine's option contract, decoded by parse_kafka_events.
+    Exactly-once end to end follows from Kafka offsets living in the
+    query checkpoint (same replay contract the file source's
+    checkpointed-drain test pins).
+
+    Raises a clear RuntimeError when the spark-sql-kafka connector is
+    not on the classpath (this sandbox) — the seam's logic is still
+    fully covered offline via parse_kafka_events + the option-contract
+    test."""
+    apply_runtime_confs(spark)
+    opts = kafka_reader_options(brokers, topic)
+    opts.update({k: str(v) for k, v in option_overrides.items()})
+    try:
+        raw = spark.readStream.format("kafka").options(**opts).load()
+    except Exception as e:  # connector jar absent
+        if "Failed to find data source: kafka" in str(e):
+            raise RuntimeError(
+                "Kafka connector not on the classpath — deploy with the "
+                "spark-sql-kafka-0-10 package (offline sandbox: file "
+                "source carries the streaming semantics; see "
+                "BASELINE.md table-format/connector notes)"
+            ) from e
+        raise
+    return parse_kafka_events(raw)

@@ -246,3 +246,65 @@ def test_tws_profiles_match_batch_aggregate(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_kafka_seam_option_contract_and_wire_decode(spark, sf_dir):
+    """Kafka source seam (no broker in the sandbox): (a) the reader
+    option contract is exactly the documented set — offset bound per
+    micro-batch, no silent data loss; (b) decoding a batch frame with
+    Kafka's wire schema through parse_kafka_events yields the events
+    schema with correct values — the same code path a live stream
+    runs; (c) without the connector jar the reader raises the
+    documented error, not an opaque ClassNotFound."""
+    import json
+
+    import pytest
+
+    from es_analytics_spark.streaming.ingest import (
+        KAFKA_WIRE_SCHEMA,
+        kafka_reader_options,
+        parse_kafka_events,
+        stream_events_kafka,
+    )
+
+    opts = kafka_reader_options("b1:9092,b2:9092", "events")
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "events",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+        "maxOffsetsPerTrigger": "200000",
+    }
+
+    payload = {
+        "event_id": 7,
+        "user_id": 3,
+        "event_type": "purchase",
+        "ts": "2024-01-01T10:30:00",
+        "value": 9.5,
+    }
+    wire = spark.createDataFrame(
+        [
+            (
+                None,
+                json.dumps(payload).encode(),
+                "events",
+                0,
+                42,
+                __import__("datetime").datetime(2024, 1, 1, 10, 30, 1),
+                0,
+            )
+        ],
+        KAFKA_WIRE_SCHEMA,
+    )
+    row = parse_kafka_events(wire).collect()[0]
+    assert (row.event_id, row.user_id, row.event_type, row.value) == (7, 3, "purchase", 9.5)
+    assert row.ts.isoformat() == "2024-01-01T10:30:00"
+    assert (row.topic, row.partition, row.offset) == ("events", 0, 42)
+
+    try:
+        df = stream_events_kafka(spark, "localhost:9092")
+    except RuntimeError as e:
+        assert "spark-sql-kafka" in str(e)
+    else:  # connector present (real deployment): plan must be streaming
+        assert df.isStreaming and "ts" in df.columns
