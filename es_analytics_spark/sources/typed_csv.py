@@ -71,21 +71,30 @@ def encode_typed_csv(rows: list[dict], cols: dict[str, DataType]) -> bytes:
     return buf.getvalue().encode("utf-8")
 
 
-def _head_lines(spark: SparkSession, path: str, n: int = 2) -> list[str]:
-    """First n text lines of a (possibly gzipped) lake object, fetched
+def _head_text(spark: SparkSession, path: str) -> str:
+    """Decoded text of a (possibly gzipped) lake object, fetched
     through the store seam so URI lake roots (s3a:// etc.) work."""
     data = fsio.lake_fs(spark, path).read_bytes(path)
     if path.endswith(".gz"):
         data = gzip.decompress(data)
-    return data.decode("utf-8").splitlines()[:n]
+    return data.decode("utf-8")
 
 
-def schema_from_typed_header(lines: list[str]) -> T.StructType:
-    """StructType from the '#types' line + RFC-4180 header row."""
-    if not lines or not lines[0].startswith("#"):
+def schema_from_typed_header(text: str) -> T.StructType:
+    """StructType from the '#types' line + RFC-4180 header row.
+
+    The header ROW is parsed with csv.reader over the post-types text,
+    not splitlines() — a quoted column name containing an embedded
+    newline is one RFC-4180 record spanning several physical lines, and
+    line-splitting would shear it (the same class of bug the ADVICE r3
+    fix removed from row parsing). The '#types' line itself is safe to
+    line-split: its tokens are fixed enum names, never quoted."""
+    nl = text.find("\n")
+    first = text[: nl if nl >= 0 else len(text)].rstrip("\r")
+    if not first.startswith("#"):
         raise ValueError("missing typed header line")
-    types = [DataType(tok) for tok in lines[0][1:].split(",")]
-    header = next(_csv.reader([lines[1]]))
+    types = [DataType(tok) for tok in first[1:].split(",")]
+    header = next(_csv.reader(io.StringIO(text[nl + 1 :], newline="")))
     return T.StructType(
         [T.StructField(name, SPARK_TYPE[t], True) for name, t in zip(header, types)]
     )
@@ -101,7 +110,7 @@ def read_typed_csv(spark: SparkSession, pattern: str) -> DataFrame:
     paths = fsio.lake_fs(spark, pattern).glob(pattern)
     if not paths:
         raise FileNotFoundError(pattern)
-    schema = schema_from_typed_header(_head_lines(spark, paths[0]))
+    schema = schema_from_typed_header(_head_text(spark, paths[0]))
     return (
         spark.read.option("header", True)
         .option("comment", "#")

@@ -354,3 +354,32 @@ def test_typed_csv_datasource_write_roundtrip(spark, tmp_path):
 
     with pytest.raises(Exception, match="append-only"):
         df.write.format("typed_csv").mode("overwrite").option("path", out).save()
+
+
+def test_typed_csv_quoted_newline_in_column_name(spark, tmp_path):
+    """Golden write→read roundtrip for the last splitlines() seam (r3
+    verdict nit): a quoted COLUMN NAME containing an embedded newline
+    is one RFC-4180 header record spanning physical lines; schema
+    derivation and both readers must return it intact, not shear the
+    header."""
+    from es_analytics_spark.collector import DataType
+    from es_analytics_spark.sources.typed_csv import (
+        encode_typed_csv,
+        read_typed_csv,
+        schema_from_typed_header,
+    )
+
+    weird = "amount\n(usd)"
+    cols = {"k": DataType.Integer, weird: DataType.Float}
+    payload = encode_typed_csv([{"k": 1, weird: 2.5}, {"k": 2, weird: -0.5}], cols)
+    obj = tmp_path / "t" / "part-0.csv"
+    obj.parent.mkdir(parents=True)
+    obj.write_bytes(payload)
+
+    schema = schema_from_typed_header(payload.decode("utf-8"))
+    assert [f.name for f in schema.fields] == ["k", weird]
+
+    df = read_typed_csv(spark, str(obj))
+    assert df.columns == ["k", weird]
+    got = {r["k"]: r[weird] for r in df.collect()}
+    assert got == {1: 2.5, 2: -0.5}
