@@ -1,0 +1,576 @@
+"""Round-4 surface: product-analytics sequences (windowed multi-step
+funnel, weekly cohort retention triangle, growth accounting), the
+nearest-direction as-of join completing the backward/forward pair,
+Tukey boxplot outlier fences, and user-based collaborative filtering
+over the purchase graph.
+
+Same contract as the rest of the catalog (see queries.py): every
+entry pairs a Spark-first implementation with a DuckDB oracle, is
+deterministic as a set of rows, and keeps float math cross-engine
+stable via the decimal-sum contract or explicit fixed-point
+quantization. Scale notes live on each docstring; no entry collects
+unbounded data to the driver, and the one pair-explosion shape
+(user-CF co-purchase pairs) is popularity-capped the way the
+winnowing index caps template fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from es_analytics_spark.functions.exact import dsum, dsum_expr
+from es_analytics_spark.queries import _t, query
+
+
+_US_7D = 7 * 86400 * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Windowed multi-step funnel (view -> click -> purchase within 7 days)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = f"""
+    WITH b AS (
+        SELECT user_id, event_type, EPOCH_US(ts) AS tus FROM events
+    ), s1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN tus END)
+                      OVER (PARTITION BY user_id) AS t1
+        FROM b
+    ), s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click'
+                            AND tus > t1 AND tus <= t1 + {_US_7D}
+                           THEN tus END) OVER (PARTITION BY user_id) AS t2
+        FROM s1
+    ), s3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                            AND tus > t2 AND tus <= t1 + {_US_7D}
+                           THEN tus END) OVER (PARTITION BY user_id) AS t3
+        FROM s2
+    ), per_user AS (
+        SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY 1
+"""
+
+
+@query("ts_funnel_windowed", oracle=_FUNNEL_SQL)
+def ts_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed multi-step funnel (the windowFunnel shape): per user,
+    the furthest strictly-ordered step reached in view -> click ->
+    purchase where every later step must land within 7 days of the
+    FIRST view — then user counts per furthest level. The 2-step
+    funnel (funnel_view_to_purchase) pairs individual conversions;
+    this is the per-user journey summary dashboards bucket on.
+
+    Step anchors chain through same-partition windows: t1 = earliest
+    view, t2 = earliest qualifying click (needs t1), t3 = earliest
+    qualifying purchase (needs t2) — three sequential window selects
+    over the SAME partitionBy(user_id), which Catalyst plans as one
+    shuffle with stacked Window nodes, no re-exchange. All times are
+    integer microseconds; levels are exact.
+
+    Scale: one shuffle on user_id; window state is O(1) per row; the
+    level histogram is a 4-group aggregate."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    tus = F.unix_micros(F.col("ts"))
+    wu = W.partitionBy("user_id")
+    s1 = ev.select("user_id", "event_type", tus.alias("tus")).withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("tus"))).over(wu)
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("tus") > F.col("t1"))
+                & (F.col("tus") <= F.col("t1") + _US_7D),
+                F.col("tus"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("tus") > F.col("t2"))
+                & (F.col("tus") <= F.col("t1") + _US_7D),
+                F.col("tus"),
+            )
+        ).over(wu),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    level = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return per_user.groupBy(level.alias("funnel_level")).agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention triangle
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+    WITH weekly AS (
+        SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS wk
+        FROM events
+    ), firsts AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM weekly GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort_week
+    ), grid AS (
+        SELECT f.cohort_week,
+               CAST(DATE_DIFF('day', f.cohort_week, w.wk) / 7 AS INT) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM weekly w JOIN firsts f ON w.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT g.cohort_week, g.week_offset, g.n_active, s.cohort_size,
+           FLOOR(g.n_active * 1e6 / s.cohort_size) / 1e6 AS retention
+    FROM grid g JOIN sizes s USING (cohort_week)
+"""
+
+
+@query("ts_cohort_retention", oracle=_COHORT_SQL)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-active
+    week (Monday-truncated in both engines), then for every later
+    active week the cohort's surviving count and retention rate — the
+    classic cohort grid. retention_next_day is the per-DAY primitive;
+    this is the cohort-week matrix product teams actually chart.
+
+    Retention is integer-exact until the final division, which is
+    floor-quantized to 6 dp (n_active and cohort_size are exact
+    BIGINTs in both engines).
+
+    Scale: the (user, week) grain collapses the event table first
+    (distinct — one shuffle); first-week is a user-grain aggregate;
+    the grid join is user-grain on user_id and the final join is on
+    the |weeks|-sized cohort dimension (broadcast)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    firsts = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    grid = (
+        weekly.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("wk").cast("date"), F.col("cohort_week").cast("date"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+    return grid.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.floor(F.col("n_active") * 1e6 / F.col("cohort_size")) / 1e6).alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+
+_GROWTH_SQL = """
+    WITH weekly AS (
+        SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS wk
+        FROM events
+    ), seq AS (
+        SELECT user_id, wk,
+               LAG(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+               LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        FROM weekly
+    ), status AS (
+        SELECT wk,
+               CAST(COUNT(*) FILTER (WHERE prev_wk IS NULL) AS BIGINT) AS n_new,
+               CAST(COUNT(*) FILTER (WHERE prev_wk = wk - INTERVAL 7 DAY) AS BIGINT)
+                   AS n_retained,
+               CAST(COUNT(*) FILTER (
+                   WHERE prev_wk IS NOT NULL AND prev_wk < wk - INTERVAL 7 DAY
+               ) AS BIGINT) AS n_resurrected
+        FROM seq GROUP BY wk
+    ), churn AS (
+        SELECT wk + INTERVAL 7 DAY AS wk, CAST(COUNT(*) AS BIGINT) AS n_churned
+        FROM seq
+        WHERE (next_wk IS NULL OR next_wk > wk + INTERVAL 7 DAY)
+          AND wk + INTERVAL 7 DAY <= (SELECT MAX(wk) FROM weekly)
+        GROUP BY 1
+    )
+    SELECT s.wk AS week, s.n_new, s.n_retained, s.n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned
+    FROM status s LEFT JOIN churn c ON s.wk = c.wk
+"""
+
+
+@query("ts_growth_accounting", oracle=_GROWTH_SQL)
+def ts_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user-week classified as
+    new (first week), retained (active the prior week) or resurrected
+    (returning after a gap), plus the churned count — users active the
+    prior week who did not return — attributed to the week they went
+    missing. The standard MAU-accounting identity (active_t =
+    new + retained + resurrected; active_{t-1} - retained = churned_t)
+    falls out of the columns.
+
+    Churn weeks beyond the data's last observed week are excluded
+    (whether a user churns in the final week is unknowable from the
+    data) — the max-week bound is a 1-row broadcast aggregate.
+
+    Scale: the (user, week) grain collapses events first; lag/lead run
+    in one user-partitioned window shuffle; the weekly counts are
+    |weeks|-sized aggregates and the final join is week-grain."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    wu = W.partitionBy("user_id").orderBy("wk")
+    seq = weekly.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(wu).alias("prev_wk"),
+        F.lead("wk").over(wu).alias("next_wk"),
+    ).localCheckpoint()
+    week_plus = F.col("wk") + F.expr("INTERVAL 7 DAY")
+    prev_expected = F.col("wk") - F.expr("INTERVAL 7 DAY")
+    status = seq.groupBy(F.col("wk").alias("week")).agg(
+        F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("prev_wk") == prev_expected, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_wk").isNotNull() & (F.col("prev_wk") < prev_expected), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    max_wk = weekly.agg(F.max("wk").alias("max_wk"))
+    churn = (
+        seq.filter(F.col("next_wk").isNull() | (F.col("next_wk") > week_plus))
+        .crossJoin(F.broadcast(max_wk))
+        .filter(week_plus <= F.col("max_wk"))
+        .groupBy(week_plus.alias("week"))
+        .agg(F.count("*").cast("bigint").alias("n_churned"))
+    )
+    return (
+        status.join(churn, "week", "left")
+        .select(
+            "week",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0).cast("bigint")).alias("n_churned"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (backward/forward pair completed)
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_SQL = """
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+               ABS(DATE_DIFF('day', o.o_orderdate, CAST(e.ts AS DATE))) AS day_gap,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY ABS(DATE_DIFF('day', o.o_orderdate, CAST(e.ts AS DATE))),
+                            CASE WHEN o.o_orderdate <= CAST(e.ts AS DATE)
+                                 THEN 0 ELSE 1 END,
+                            o.o_orderkey DESC
+               ) AS rn
+        FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id
+    )
+    SELECT event_id, user_id, o_orderkey AS nearest_orderkey,
+           o_orderdate AS nearest_orderdate, CAST(day_gap AS BIGINT) AS day_gap
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("join_asof_nearest", oracle=_ASOF_NEAREST_SQL)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: the order whose date is CLOSEST to each event in
+    days, either direction — completing the backward (join_asof) /
+    forward (join_asof_forward) pair. Ties between equally-near
+    directions resolve backward (the at-or-before order), date ties to
+    the largest orderkey — asof_join's documented tie rule, mirrored
+    in the oracle's ORDER BY.
+
+    Composition, not a new algorithm: one backward and one forward
+    union+window pass over the same key (each a single shuffle, no
+    join node, no per-event probe), then a column-level argmin over
+    the two candidates. The oracle spells it as the all-pairs rank —
+    the distributed form must reproduce it exactly.
+
+    Scale: two shuffles on the join key total; never an all-pairs
+    product (the oracle's LEFT JOIN shape is the 100 TB anti-pattern
+    this rewrite exists to avoid)."""
+    from es_analytics_spark.operators.joins import asof_join
+
+    t = _t(spark, sf_dir, "events", "orders")
+    ev = t["events"].select(
+        "event_id", F.col("user_id").alias("k"), F.col("ts").cast("date").alias("ev_day")
+    )
+    od = t["orders"].select(
+        F.col("o_custkey").alias("k"), "o_orderdate", "o_orderkey"
+    )
+    back = asof_join(
+        ev,
+        od,
+        on="k",
+        left_ts="ev_day",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tie_break="o_orderkey",
+        direction="backward",
+    ).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_date"),
+        "ev_day",
+    )
+    fwd = asof_join(
+        ev,
+        od,
+        on="k",
+        left_ts="ev_day",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tie_break="o_orderkey",
+        direction="forward",
+    ).select(
+        "event_id",
+        F.col("o_orderkey").alias("f_key"),
+        F.col("o_orderdate").alias("f_date"),
+    )
+    both = back.join(fwd, "event_id")
+    b_gap = F.datediff(F.col("ev_day"), F.col("b_date"))
+    f_gap = F.datediff(F.col("f_date"), F.col("ev_day"))
+    take_back = F.col("b_date").isNotNull() & (
+        F.col("f_date").isNull() | (b_gap <= f_gap)
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        F.when(take_back, F.col("b_key")).otherwise(F.col("f_key")).alias("nearest_orderkey"),
+        F.when(take_back, F.col("b_date")).otherwise(F.col("f_date")).alias("nearest_orderdate"),
+        F.when(take_back, b_gap).otherwise(f_gap).cast("bigint").alias("day_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tukey boxplot fences + outliers per group
+# ---------------------------------------------------------------------------
+
+_BOXPLOT_SQL = """
+    WITH q AS (
+        SELECT l_returnflag,
+               FLOOR(QUANTILE_CONT(l_extendedprice, 0.25) * 100 + 0.5) / 100 AS q1,
+               FLOOR(QUANTILE_CONT(l_extendedprice, 0.75) * 100 + 0.5) / 100 AS q3
+        FROM lineitem GROUP BY l_returnflag
+    ), f AS (
+        SELECT l_returnflag, q1, q3,
+               q1 - 1.5 * (q3 - q1) AS lo_fence,
+               q3 + 1.5 * (q3 - q1) AS hi_fence
+        FROM q
+    )
+    SELECT l.l_returnflag, f.q1, f.q3,
+           CAST(COUNT(*) FILTER (
+               WHERE l.l_extendedprice < f.lo_fence
+                  OR l.l_extendedprice > f.hi_fence) AS BIGINT) AS n_outliers,
+           MIN(l.l_extendedprice) FILTER (WHERE l.l_extendedprice >= f.lo_fence)
+               AS whisker_lo,
+           MAX(l.l_extendedprice) FILTER (WHERE l.l_extendedprice <= f.hi_fence)
+               AS whisker_hi
+    FROM lineitem l JOIN f USING (l_returnflag)
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("agg_boxplot_iqr", oracle=_BOXPLOT_SQL)
+def agg_boxplot_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot per group: exact interpolated quartiles, 1.5-IQR
+    fences, outlier counts, and the whisker bounds (extreme values
+    still inside the fences) — the robust-spread complement to
+    ts_mad_outliers' median-absolute-deviation screen.
+
+    Cross-engine exactness: interpolated quartiles are quantized to
+    cents (prices are 2-decimal by construction) BEFORE the fence
+    arithmetic, so both engines compare rows against bit-identical
+    fence doubles; counts and min/max are then exact.
+
+    Scale: two passes over the fact — a per-group quartile aggregate
+    (|groups| rows, broadcast back) and one filtered count/min/max
+    aggregate; no sort, no window."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
+    q = li.groupBy("l_returnflag").agg(
+        cents(F.expr("percentile(l_extendedprice, 0.25)")).alias("q1"),
+        cents(F.expr("percentile(l_extendedprice, 0.75)")).alias("q3"),
+    )
+    f = q.select(
+        "l_returnflag",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo_fence"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi_fence"),
+    )
+    price = F.col("l_extendedprice")
+    return (
+        li.join(F.broadcast(f), "l_returnflag")
+        .groupBy("l_returnflag", "q1", "q3")
+        .agg(
+            F.sum(
+                F.when((price < F.col("lo_fence")) | (price > F.col("hi_fence")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.min(F.when(price >= F.col("lo_fence"), price)).alias("whisker_lo"),
+            F.max(F.when(price <= F.col("hi_fence"), price)).alias("whisker_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# User-based collaborative filtering (co-purchase cosine, top-k neighbors)
+# ---------------------------------------------------------------------------
+
+_CF_POP_CAP = 100  # drop hub items co-purchased by more customers than this
+_CF_K = 5
+
+_USER_CF_SQL = f"""
+    WITH r AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), pop AS (
+        SELECT p FROM r GROUP BY p HAVING COUNT(*) <= {_CF_POP_CAP}
+    ), rr AS (
+        SELECT c, r.p FROM r JOIN pop USING (p)
+    ), deg AS (
+        SELECT c, COUNT(*) AS d FROM rr GROUP BY c
+    ), pairs AS (
+        SELECT a.c AS c1, b.c AS c2, COUNT(*) AS common
+        FROM rr a JOIN rr b ON a.p = b.p AND a.c < b.c
+        GROUP BY a.c, b.c
+    ), scored AS (
+        SELECT c1, c2, common,
+               CAST(FLOOR(common * 1e6 / SQRT(d1.d * d2.d)) AS BIGINT) AS cos_fp
+        FROM pairs JOIN deg d1 ON d1.c = pairs.c1
+                   JOIN deg d2 ON d2.c = pairs.c2
+    ), sym AS (
+        SELECT c1 AS c, c2 AS nb, common, cos_fp FROM scored
+        UNION ALL
+        SELECT c2 AS c, c1 AS nb, common, cos_fp FROM scored
+    ), ranked AS (
+        SELECT c, nb, common, cos_fp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c
+                   ORDER BY cos_fp DESC, common DESC, nb ASC
+               ) AS rank
+        FROM sym
+    )
+    SELECT c AS custkey, nb AS neighbor, CAST(common AS BIGINT) AS n_common,
+           cos_fp, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_CF_K}
+"""
+
+
+@query("rec_user_cf_topk", oracle=_USER_CF_SQL)
+def rec_user_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-based collaborative filtering: top-5 most similar
+    customers per customer by cosine over their purchased-part sets —
+    the user-user half of the recommendation pair whose item-item half
+    is rec_item_cooccurrence. Similarity is |common| / sqrt(|A||B|),
+    floor-quantized to 1e-6 fixed point BEFORE ranking so both engines
+    rank identical integers (double-precision cosine ties would
+    otherwise order differently); remaining ties break on common count
+    then neighbor id.
+
+    Pair generation is the inverted-index self-join on the ITEM with a
+    popularity cap (items bought by > {_CF_POP_CAP} customers are
+    dropped — the winnowing df-cap trade): candidate pairs are bounded
+    by sum over items of pop^2 with pop <= cap, never |users|^2. The
+    per-user top-k is a partitioned rank window (one shuffle).
+
+    Scale: grain collapses to distinct (customer, part) first; every
+    join key is an item or customer id; the hub cap is what keeps the
+    self-join shuffle-bounded at catalog scale — exactly the published
+    trade in neighborhood CF systems."""
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    r = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pop = r.groupBy("p").agg(F.count("*").alias("np")).filter(F.col("np") <= _CF_POP_CAP)
+    rr = r.join(pop.select("p"), "p").localCheckpoint()
+    deg = rr.groupBy("c").agg(F.count("*").alias("d"))
+    a = rr.select(F.col("p"), F.col("c").alias("c1"))
+    b = rr.select(F.col("p"), F.col("c").alias("c2"))
+    pairs = (
+        a.join(b, ["p"])
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count("*").alias("common"))
+    )
+    scored = (
+        pairs.join(deg.select(F.col("c").alias("c1"), F.col("d").alias("d1")), "c1")
+        .join(deg.select(F.col("c").alias("c2"), F.col("d").alias("d2")), "c2")
+        .select(
+            "c1",
+            "c2",
+            "common",
+            F.floor(F.col("common") * 1e6 / F.sqrt(F.col("d1") * F.col("d2")))
+            .cast("bigint")
+            .alias("cos_fp"),
+        )
+    )
+    sym = scored.select(
+        F.col("c1").alias("c"), F.col("c2").alias("nb"), "common", "cos_fp"
+    ).unionByName(
+        scored.select(F.col("c2").alias("c"), F.col("c1").alias("nb"), "common", "cos_fp")
+    )
+    wr = W.partitionBy("c").orderBy(
+        F.desc("cos_fp"), F.desc("common"), F.asc("nb")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _CF_K)
+        .select(
+            F.col("c").alias("custkey"),
+            F.col("nb").alias("neighbor"),
+            F.col("common").cast("bigint").alias("n_common"),
+            "cos_fp",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
