@@ -574,3 +574,349 @@ def rec_user_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type Markov transition matrix
+# ---------------------------------------------------------------------------
+
+_MARKOV_SQL = """
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id
+               ) AS dst
+        FROM events
+    ), cnt AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           CAST(FLOOR(n * 1e6 / SUM(n) OVER (PARTITION BY src)) AS BIGINT) AS p_fp
+    FROM cnt
+"""
+
+
+@query("ts_markov_transitions", oracle=_MARKOV_SQL)
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current type), the navigation-flow
+    summary behind sankey/path dashboards and the generative model the
+    funnel entries score against. Counts are exact; probabilities are
+    1e-6 fixed-point integers (floor of an exact integer division).
+
+    Scale: one lead() window per user (single shuffle on user_id), a
+    |types|^2-sized count aggregate, and the per-source normalization
+    runs over that tiny grain — the row-normalizing window partitions
+    by src (~5 groups of ~5 rows), never by data."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    wu = W.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")), "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wu).alias("dst"),
+    )
+    cnt = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return cnt.select(
+        "src",
+        "dst",
+        "n",
+        F.floor(F.col("n") * 1e6 / F.sum("n").over(W.partitionBy("src")))
+        .cast("bigint")
+        .alias("p_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survival curve: fraction of cohorts still active t weeks after first seen
+# ---------------------------------------------------------------------------
+
+_SURVIVAL_SQL = """
+    WITH weekly AS (
+        SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS wk
+        FROM events
+    ), span AS (
+        SELECT user_id, MIN(wk) AS fw, MAX(wk) AS lw FROM weekly GROUP BY user_id
+    ), bounds AS (
+        SELECT MAX(wk) AS max_wk,
+               CAST(DATE_DIFF('day', MIN(wk), MAX(wk)) / 7 AS INT) AS max_t
+        FROM weekly
+    ), spine AS (
+        SELECT UNNEST(GENERATE_SERIES(0, (SELECT max_t FROM bounds))) AS t
+    )
+    SELECT t,
+           CAST(COUNT(*) FILTER (
+               WHERE s.fw <= b.max_wk - TO_DAYS(CAST(t * 7 AS INT))
+           ) AS BIGINT) AS n_observable,
+           CAST(COUNT(*) FILTER (
+               WHERE s.fw <= b.max_wk - TO_DAYS(CAST(t * 7 AS INT))
+                 AND DATE_DIFF('day', s.fw, s.lw) / 7 >= t
+           ) AS BIGINT) AS n_surviving,
+           FLOOR(COUNT(*) FILTER (
+               WHERE s.fw <= b.max_wk - TO_DAYS(CAST(t * 7 AS INT))
+                 AND DATE_DIFF('day', s.fw, s.lw) / 7 >= t
+           ) * 1e6 / COUNT(*) FILTER (
+               WHERE s.fw <= b.max_wk - TO_DAYS(CAST(t * 7 AS INT))
+           )) / 1e6 AS survival
+    FROM span s CROSS JOIN bounds b CROSS JOIN spine
+    GROUP BY t
+"""
+
+
+@query("ts_survival_churn", oracle=_SURVIVAL_SQL)
+def ts_survival_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve: for each week offset t, the share
+    of users still active >= t weeks after their first week, computed
+    ONLY over users observable for t weeks (first seen at least t
+    weeks before the data's end) — the censoring-aware denominator
+    that makes late cohorts not drag the curve down. Complements the
+    cohort retention grid with the lifetime-distribution view.
+
+    All quantities are exact integer week arithmetic; the rate is
+    floor-quantized. The t-spine and data bounds are 1-row broadcast
+    aggregates.
+
+    Scale: events collapse to the (user, week) grain, then to one
+    (first, last) row per user; the user-grain frame crosses a
+    |weeks|-sized broadcast spine — at most a ~52x row multiplication
+    of the USER grain per year of data, never event-sized."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    span = weekly.groupBy("user_id").agg(
+        F.min("wk").alias("fw"), F.max("wk").alias("lw")
+    )
+    bounds = weekly.agg(
+        F.max("wk").alias("max_wk"),
+        (F.datediff(F.max("wk").cast("date"), F.min("wk").cast("date")) / 7)
+        .cast("int")
+        .alias("max_t"),
+    )
+    spine = bounds.select(
+        "max_wk", F.explode(F.sequence(F.lit(0), F.col("max_t"))).alias("t")
+    )
+    lifetime_w = (F.datediff(F.col("lw").cast("date"), F.col("fw").cast("date")) / 7).cast("int")
+    observable = F.col("fw").cast("date") <= F.date_sub(
+        F.col("max_wk").cast("date"), F.col("t") * 7
+    )
+    surviving = observable & (lifetime_w >= F.col("t"))
+    return (
+        span.crossJoin(F.broadcast(spine))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(observable, 1).otherwise(0)).cast("bigint").alias("n_observable"),
+            F.sum(F.when(surviving, 1).otherwise(0)).cast("bigint").alias("n_surviving"),
+            (
+                F.floor(
+                    F.sum(F.when(surviving, 1).otherwise(0))
+                    * 1e6
+                    / F.sum(F.when(observable, 1).otherwise(0))
+                )
+                / 1e6
+            ).alias("survival"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-layout advisor (lake ops)
+# ---------------------------------------------------------------------------
+
+_ADVISOR_MIN_KEYS = 8
+_ADVISOR_MIN_ROWS_PER_KEY = 1000
+_ADVISOR_MAX_SKEW_FP = 10 * 10_000  # max/mean > 10x
+
+_ADVISOR_CASE = f"""
+    CASE WHEN n_keys < {_ADVISOR_MIN_KEYS} THEN 'too-few-keys'
+         WHEN rows_per_key < {_ADVISOR_MIN_ROWS_PER_KEY} THEN 'small-files'
+         WHEN skew_fp > {_ADVISOR_MAX_SKEW_FP} THEN 'skewed'
+         ELSE 'good' END
+"""
+
+_ADVISOR_SQL = f"""
+    WITH per AS (
+        SELECT 'events.event_type' AS candidate, event_type AS k FROM events
+        UNION ALL
+        SELECT 'events.day(ts)', CAST(CAST(ts AS DATE) AS VARCHAR) FROM events
+        UNION ALL
+        SELECT 'events.user_id', CAST(user_id AS VARCHAR) FROM events
+        UNION ALL
+        SELECT 'orders.month(o_orderdate)',
+               STRFTIME(o_orderdate, '%Y-%m') FROM orders
+    ), stats AS (
+        SELECT candidate,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) // COUNT(*) AS BIGINT) AS rows_per_key,
+               CAST(MAX(c) AS BIGINT) AS max_key_rows,
+               CAST(MAX(c) * COUNT(*) * 10000 // SUM(c) AS BIGINT) AS skew_fp
+        FROM (
+            SELECT candidate, k, COUNT(*) AS c FROM per GROUP BY candidate, k
+        ) GROUP BY candidate
+    )
+    SELECT candidate, n_keys, rows_per_key, max_key_rows, skew_fp,
+           {_ADVISOR_CASE} AS verdict
+    FROM stats ORDER BY candidate
+"""
+
+
+@query("lake_partition_advisor", oracle=_ADVISOR_SQL)
+def lake_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout advisor: for each candidate partition key,
+    key-count, average rows per key, hottest key, and a fixed-point
+    skew ratio, reduced to a deterministic verdict by the standard
+    layout rules — too few keys can't parallelize writes, too few rows
+    per key shreds the table into small files, a hot key turns one
+    partition directory into the whole table. lake_skew_report
+    diagnoses JOIN keys; this one scores PARTITION candidates and says
+    which to pick.
+
+    Every statistic is exact integer arithmetic (fixed-point ratios
+    via integer division), so the verdict string is bit-stable across
+    engines.
+
+    Scale: one per-key count aggregate per candidate (map-side
+    combined) then a 1-row reduction each — the union is |candidates|
+    scans of pruned single columns, never a wide read."""
+    t = _t(spark, sf_dir, "events", "orders")
+    ev, od = t["events"], t["orders"]
+    per = (
+        ev.select(F.lit("events.event_type").alias("candidate"), F.col("event_type").alias("k"))
+        .unionByName(
+            ev.select(
+                F.lit("events.day(ts)").alias("candidate"),
+                F.col("ts").cast("date").cast("string").alias("k"),
+            )
+        )
+        .unionByName(
+            ev.select(
+                F.lit("events.user_id").alias("candidate"),
+                F.col("user_id").cast("string").alias("k"),
+            )
+        )
+        .unionByName(
+            od.select(
+                F.lit("orders.month(o_orderdate)").alias("candidate"),
+                F.date_format("o_orderdate", "yyyy-MM").alias("k"),
+            )
+        )
+    )
+    per_key = per.groupBy("candidate", "k").agg(F.count("*").alias("c"))
+    stats = per_key.groupBy("candidate").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.expr("sum(c) div count(*)").cast("bigint").alias("rows_per_key"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        F.expr("(max(c) * count(*) * 10000) div sum(c)").cast("bigint").alias("skew_fp"),
+    )
+    verdict = (
+        F.when(F.col("n_keys") < _ADVISOR_MIN_KEYS, "too-few-keys")
+        .when(F.col("rows_per_key") < _ADVISOR_MIN_ROWS_PER_KEY, "small-files")
+        .when(F.col("skew_fp") > _ADVISOR_MAX_SKEW_FP, "skewed")
+        .otherwise("good")
+    )
+    return stats.select(
+        "candidate", "n_keys", "rows_per_key", "max_key_rows", "skew_fp",
+        verdict.alias("verdict"),
+    ).orderBy("candidate")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-k peeling) on the co-supply graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+def _kcore_peel_sql() -> str:
+    """Unrolled peeling CTEs (the graph_pagerank fixed-iteration trade:
+    recursive CTEs cannot aggregate per round, so rounds unroll; the
+    pytest referee proves the round count reaches the true fixpoint on
+    the fixtures)."""
+    from es_analytics_spark.queries_sql4 import _TRI_CAP, _TRI_STRIDE
+
+    parts = [
+        f"""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        FROM lineitem WHERE l_partkey % {_TRI_STRIDE} = 0
+    ), keep AS (
+        SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= {_TRI_CAP}
+    ), e0 AS MATERIALIZED (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        JOIN keep k ON a.p = k.p
+    )"""
+    ]
+    for i in range(_KCORE_ROUNDS):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}
+        ) GROUP BY node
+    ), k{i} AS (
+        SELECT node FROM d{i} WHERE d >= {_KCORE_K}
+    ), e{i + 1} AS MATERIALIZED (
+        SELECT u, v FROM e{i}
+        JOIN k{i} ku ON ku.node = e{i}.u
+        JOIN k{i} kv ON kv.node = e{i}.v
+    )"""
+        )
+    n = _KCORE_ROUNDS
+    parts.append(
+        f"""
+    SELECT node, CAST(d AS BIGINT) AS core_degree FROM (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e{n} UNION ALL SELECT v FROM e{n}
+        ) GROUP BY node
+    )"""
+    )
+    return "".join(parts)
+
+
+@query("graph_kcore", oracle=_kcore_peel_sql())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (k=3) of the supplier co-supply graph:
+    iteratively delete nodes with degree < k until only the cohesive
+    core remains — the community-density screen that pagerank/triangle
+    scores are usually read against. Output: each core node with its
+    within-core degree.
+
+    Fixed {rounds} peeling rounds in BOTH engines (the unrolled-CTE
+    trade graph_pagerank documents — SQL cannot aggregate inside a
+    recursive CTE), so the contract is "{rounds} rounds", not
+    "fixpoint"; tests/test_operators.py's referee computes the true
+    fixpoint in Python and pins that {rounds} rounds reach it on the
+    fixtures (peeling converges geometrically on sparse graphs).
+
+    Scale: each round is one degree aggregate over the current edge
+    list plus two semi-join filters — edge-list-sized work throughout,
+    localCheckpoint'd per round so round r+1 reads r's result, not the
+    whole lineage (the dedup_clusters loop pattern). Never
+    node-quadratic; the graph build reuses the capped co-supply
+    edges.""".format(rounds=_KCORE_ROUNDS)
+    from es_analytics_spark.queries_sql4 import _co_supply_edges
+
+    edges = _co_supply_edges(spark, sf_dir)
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )

@@ -1003,3 +1003,37 @@ def test_item_cooccurrence_matches_python_referee(spark, sf_dir):
         for r in REGISTRY["rec_item_cooccurrence"].fn(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_kcore_fixed_rounds_reach_fixpoint(spark, sf_dir):
+    """graph_kcore's contract is a FIXED 4 peeling rounds (unrolled in
+    both engines); this referee computes the true k-core fixpoint in
+    pure Python from the same edge list and pins that 4 rounds reach
+    it on the fixture — the mirrored-logic rule from SCALE.md: an
+    exact cross-engine match of identical unrolled logic cannot catch
+    a wrong round count, an independent algorithm can."""
+    from es_analytics_spark.queries import REGISTRY
+    from es_analytics_spark.queries_sql4 import _co_supply_edges
+    from es_analytics_spark.queries_sql5 import _KCORE_K
+
+    edges = [(r.u, r.v) for r in _co_supply_edges(spark, sf_dir).collect()]
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    # true fixpoint peel
+    changed = True
+    while changed:
+        doomed = [n for n, nb in adj.items() if len(nb) < _KCORE_K]
+        changed = bool(doomed)
+        for n in doomed:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    want = {n: len(nb) for n, nb in adj.items()}
+
+    got = {
+        r.node: r.core_degree
+        for r in REGISTRY["graph_kcore"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
