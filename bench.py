@@ -82,6 +82,15 @@ HEADLINE = [
     "ml_vocab_coverage",
     "rec_item_cooccurrence",
     "ts_distribution_drift",
+    # r4: distributed-rank RFM, product-analytics sequences, CF, k-core
+    "rec_rfm_segments",
+    "ts_funnel_windowed",
+    "ts_cohort_retention",
+    "ts_growth_accounting",
+    "join_asof_nearest",
+    "rec_user_cf_topk",
+    "graph_kcore",
+    "ts_markov_transitions",
 ]
 
 
