@@ -920,3 +920,162 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed funnel (stateful twin of ts_funnel_windowed)
+# ---------------------------------------------------------------------------
+
+
+@query("stream_funnel_windowed", oracle=_FUNNEL_SQL)
+def stream_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_funnel_windowed's per-user furthest-step levels maintained by
+    the STREAMING engine (applyInPandasWithState; see
+    streaming.stateful.running_funnel_levels for the bounded-state
+    contract), replayed to exhaustion and reduced to the same level
+    histogram — pinned against the identical SQL oracle as the batch
+    query, the batch/stream parity bar every stateful operator in this
+    engine meets. Late arrivals that lower the first-view anchor
+    re-qualify earlier clicks because the state keeps the cap-earliest
+    step times, not just the current winners.
+
+    Scale: state is <= 2+2*cap longs per user sharded by user_id; each
+    epoch's work is the micro-batch plus a per-key re-derivation."""
+    from pyspark.sql import Window as W2
+
+    from es_analytics_spark.streaming.ingest import replay_stream, stream_events
+    from es_analytics_spark.streaming.stateful import running_funnel_levels
+
+    ev = stream_events(spark, sf_dir)
+    src = ev.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("tus")
+    )
+    out = replay_stream(
+        spark,
+        running_funnel_levels(src, _US_7D),
+        name="stream_funnel_windowed",
+        output_mode="append",
+    )
+    w = W2.partitionBy("user_id").orderBy(F.col("n_rows").desc())
+    final = (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "funnel_level")
+    )
+    return final.groupBy("funnel_level").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-path distances on the co-supply graph
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 6
+
+
+def _bfs_sql() -> str:
+    from es_analytics_spark.queries_sql4 import _TRI_CAP, _TRI_STRIDE
+
+    return f"""
+    WITH RECURSIVE ps AS MATERIALIZED (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        FROM lineitem WHERE l_partkey % {_TRI_STRIDE} = 0
+    ), keep AS (
+        SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= {_TRI_CAP}
+    ), e0 AS MATERIALIZED (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        JOIN keep k ON a.p = k.p
+    ), und AS MATERIALIZED (
+        SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ), src AS (
+        SELECT MIN(u) AS s FROM und
+    ), walk(node, d) AS (
+        SELECT s, 0 FROM src
+        UNION
+        SELECT und.v, walk.d + 1
+        FROM walk JOIN und ON und.u = walk.node
+        WHERE walk.d < {_BFS_ROUNDS}
+    )
+    SELECT node, CAST(MIN(d) AS INT) AS dist FROM walk GROUP BY node
+"""
+
+
+@query("graph_bfs_distance", oracle=_bfs_sql())
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path distances from a deterministic source (the
+    smallest node id) on the co-supply graph, depth-capped at
+    {rounds} — reachability rings for "how far is every supplier from
+    this one". The depth cap is the CONTRACT in both engines (the
+    oracle's recursive CTE carries the same d < {rounds} guard), so
+    fixed iterations compare exactly, same trade as graph_kcore /
+    graph_pagerank.
+
+    Spark runs frontier BFS: each round expands only the newly-settled
+    ring (frontier join edges, anti-join visited), unioning exact
+    min-distances — O(|E|) work per round, localCheckpoint between
+    rounds so round r reads r-1's result, not the full lineage.
+
+    Scale: frontier/visited frames are node-sized; edges shuffle once
+    per round on the expansion key; no node-quadratic term
+    anywhere.""".format(rounds=_BFS_ROUNDS)
+    from es_analytics_spark.queries_sql4 import _co_supply_edges
+
+    e = _co_supply_edges(spark, sf_dir)
+    und = (
+        e.select(F.col("u"), F.col("v"))
+        .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint()
+    )
+    seed = und.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("int").alias("dist")
+    )
+    visited = seed.localCheckpoint()
+    frontier = visited
+    for r in range(1, _BFS_ROUNDS + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(r).cast("int").alias("dist"))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.localCheckpoint()
+    return visited.select("node", "dist")
+
+
+# ---------------------------------------------------------------------------
+# Bitwise function surface
+# ---------------------------------------------------------------------------
+
+_BITWISE_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & 255 AS BIGINT)        AS and_mask,
+           CAST(l_orderkey | 4096 AS BIGINT)       AS or_flag,
+           CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS xor_keys,
+           CAST(l_linenumber << 3 AS BIGINT)       AS shl3,
+           CAST(l_orderkey >> 2 AS BIGINT)         AS shr2,
+           CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS INT) AS popcount
+    FROM lineitem WHERE l_orderkey < 200
+"""
+
+
+@query("fn_bitwise", oracle=_BITWISE_SQL)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface: AND/OR/XOR masks, shifts, and
+    population count — the flag-field and bitmap-index arithmetic the
+    bitmap aggregate family builds on, declared as scalar functions.
+    All integer-exact; both engines operate on 64-bit values."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.filter(F.col("l_orderkey") < 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey & 255").cast("bigint").alias("and_mask"),
+        F.expr("l_orderkey | 4096").cast("bigint").alias("or_flag"),
+        F.expr("l_orderkey ^ l_partkey").cast("bigint").alias("xor_keys"),
+        F.expr("shiftleft(l_linenumber, 3)").cast("bigint").alias("shl3"),
+        F.expr("shiftright(l_orderkey, 2)").cast("bigint").alias("shr2"),
+        F.bit_count(F.col("l_orderkey").cast("bigint")).cast("int").alias("popcount"),
+    )

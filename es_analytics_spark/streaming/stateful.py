@@ -191,3 +191,85 @@ def running_kmv_distinct(hashes: DataFrame, mix_p: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming windowed funnel ------------------------------------------
+
+FUNNEL_STEP_CAP = 32  # earliest step-times kept per user per step type
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("funnel_level", T.IntegerType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("t1", T.LongType()),
+        T.StructField("clicks", T.ArrayType(T.LongType())),
+        T.StructField("purchases", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def running_funnel_levels(events: DataFrame, window_us: int) -> DataFrame:
+    """The windowed funnel (ts_funnel_windowed semantics) maintained BY
+    THE STREAMING ENGINE in arbitrary state: per user, the earliest
+    view time plus the FUNNEL_STEP_CAP earliest click/purchase times
+    live in GroupState, and every epoch re-derives the furthest level
+    from those anchors — so late or out-of-order arrivals that lower
+    t1 retroactively re-qualify earlier clicks, exactly as the batch
+    window spelling would.
+
+    State per user is <= 2 + 2*cap longs FOREVER. The level is exact
+    whenever each qualifying step is among its user's cap earliest of
+    that type (a user needs > cap clicks strictly before their first
+    view to break it — the KMV-style bounded-state trade, and the
+    replayed result is pinned equal to the batch/SQL funnel on the
+    fixtures)."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, t1, clicks, purchases = (
+            state.get if state.exists else (0, None, [], [])
+        )
+        clicks, purchases = list(clicks), list(purchases)
+        for pdf in pdfs:
+            n += len(pdf)
+            for et, tus in zip(pdf["event_type"], pdf["tus"]):
+                tus = int(tus)
+                if et == "view":
+                    t1 = tus if t1 is None else min(t1, tus)
+                elif et == "click":
+                    clicks.append(tus)
+                elif et == "purchase":
+                    purchases.append(tus)
+        clicks = sorted(set(clicks))[:FUNNEL_STEP_CAP]
+        purchases = sorted(set(purchases))[:FUNNEL_STEP_CAP]
+        state.update((n, t1, clicks, purchases))
+        t2 = (
+            min((c for c in clicks if t1 < c <= t1 + window_us), default=None)
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min((p for p in purchases if t2 < p <= t1 + window_us), default=None)
+            if t2 is not None
+            else None
+        )
+        level = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_rows": [n], "funnel_level": [level]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
