@@ -1079,3 +1079,276 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(l_orderkey, 2)").cast("bigint").alias("shr2"),
         F.bit_count(F.col("l_orderkey").cast("bigint")).cast("int").alias("popcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka two-stage ANN (prefix-dim shortlist + full-dim rerank)
+# ---------------------------------------------------------------------------
+
+_MRL_PREFIX = 16
+_MRL_SHORTLIST = 20
+_MRL_K = 5
+
+_MRL_PRE_SQL = f"""
+    ROUND(
+      LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.embedding[1:{_MRL_PREFIX}], c.embedding[1:{_MRL_PREFIX}]),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding[1:{_MRL_PREFIX}], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding[1:{_MRL_PREFIX}], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      6)
+"""
+
+_MRL_FULL_SQL = """
+    ROUND(
+      LIST_SUM(LIST_TRANSFORM(LIST_ZIP(q.embedding, c.embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      6)
+"""
+
+_MRL_SQL = f"""
+    WITH pre AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_MRL_PRE_SQL} AS pre_cos, {_MRL_FULL_SQL} AS full_cos
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    ), short AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY pre_cos DESC, neighbor_id) AS pre_rank
+        FROM pre
+    ), reranked AS (
+        SELECT query_id, neighbor_id, full_cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY full_cos DESC, neighbor_id) AS rank
+        FROM short WHERE pre_rank <= {_MRL_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, full_cos AS cosine, CAST(rank AS INT) AS rank
+    FROM reranked WHERE rank <= {_MRL_K}
+"""
+
+
+@query("sim_matryoshka_topk", oracle=_MRL_SQL)
+def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval (MRL-style nested embeddings):
+    shortlist by cosine over the first {pre} dimensions — the cheap
+    prefix every matryoshka-trained model packs its coarse signal
+    into — then exact full-dimension rerank of the {short}-candidate
+    shortlist down to top-{k}. The deterministic two-stage contract
+    (rounded prefix cosine + id tie-break defines the shortlist,
+    rounded full cosine the final rank) is spelled identically in the
+    oracle, so the whole funnel is hash-exact, unlike the recall-bound
+    ANN entries.
+
+    Scale: stage-1 scoring touches {pre}/64ths of every vector's bytes
+    (the whole point of MRL at serving time — column-pruned prefix
+    scans), stage 2 only |queries| x {short} full vectors; queries
+    broadcast, no corpus shuffle.""".format(
+        pre=_MRL_PREFIX, short=_MRL_SHORTLIST, k=_MRL_K
+    )
+    from pyspark.sql import Window as W2
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+
+    def cos(a, b, n):
+        pa, pb = F.slice(a, 1, n), F.slice(b, 1, n)
+        dot = F.aggregate(
+            F.zip_with(pa, pb, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        nrm = lambda v: F.sqrt(  # noqa: E731
+            F.aggregate(
+                v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        )
+        return F.round(dot / (nrm(pa) * nrm(pb)), 6)
+
+    pairs = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos(F.col("qv"), F.col("cv"), _MRL_PREFIX).alias("pre_cos"),
+            cos(F.col("qv"), F.col("cv"), 64).alias("full_cos"),
+        )
+    )
+    w_pre = W2.partitionBy("query_id").orderBy(F.desc("pre_cos"), F.asc("neighbor_id"))
+    short = pairs.withColumn("pre_rank", F.row_number().over(w_pre)).filter(
+        F.col("pre_rank") <= _MRL_SHORTLIST
+    )
+    w_full = W2.partitionBy("query_id").orderBy(F.desc("full_cos"), F.asc("neighbor_id"))
+    return (
+        short.withColumn("rank", F.row_number().over(w_full))
+        .filter(F.col("rank") <= _MRL_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("full_cos").alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Experimentation: variant report with Wilson CIs + z-test / SRM summary
+# ---------------------------------------------------------------------------
+
+_AB_Z = 1.96  # 95% two-sided
+_AB_CHI2_95 = 3.841459  # chi-square 95% at 1 df
+
+_AB_REPORT_SQL = f"""
+    WITH assign AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0 THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ), agg AS (
+        SELECT variant,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM assign GROUP BY variant
+    )
+    SELECT variant, n_users, n_converted,
+           FLOOR(n_converted * 1e6 / n_users) / 1e6 AS cvr,
+           FLOOR((
+               (n_converted * 1.0 / n_users + {_AB_Z} * {_AB_Z} / (2 * n_users)
+                - {_AB_Z} * SQRT((n_converted * 1.0 / n_users) * (1 - n_converted * 1.0 / n_users) / n_users
+                                 + {_AB_Z} * {_AB_Z} / (4.0 * n_users * n_users)))
+               / (1 + {_AB_Z} * {_AB_Z} / n_users)) * 1e6) / 1e6 AS wilson_lo,
+           FLOOR((
+               (n_converted * 1.0 / n_users + {_AB_Z} * {_AB_Z} / (2 * n_users)
+                + {_AB_Z} * SQRT((n_converted * 1.0 / n_users) * (1 - n_converted * 1.0 / n_users) / n_users
+                                 + {_AB_Z} * {_AB_Z} / (4.0 * n_users * n_users)))
+               / (1 + {_AB_Z} * {_AB_Z} / n_users)) * 1e6) / 1e6 AS wilson_hi
+    FROM agg
+"""
+
+
+@query("ab_experiment_report", oracle=_AB_REPORT_SQL)
+def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment variant report: per deterministic variant assignment
+    (user_id parity — the hash-bucket assignment every experimentation
+    platform uses, engine-independent), user counts, converters
+    (>= 1 purchase), conversion rate, and the Wilson 95% score
+    interval — the CI that stays inside [0,1] and behaves at small n,
+    which is why experimentation platforms report it instead of the
+    Wald interval.
+
+    Exactness: counts are exact integers; the Wilson endpoints are one
+    fixed expression tree over those integers evaluated in IEEE double
+    identically in both engines, then floor-quantized to 1e-6.
+
+    Scale: one user-grain aggregate (map-side combinable MAX) then a
+    2-row reduction; CI math runs on the 2-row frame."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 100.0), 1).otherwise(0)
+        ).alias("converted")
+    )
+    agg = assign.groupBy((F.col("user_id") % 2).cast("int").alias("variant")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    n, x, z = F.col("n_users"), F.col("n_converted"), F.lit(_AB_Z)
+    p = x * 1.0 / n
+    center = p + z * z / (2 * n)
+    margin = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    q6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return agg.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        q6(x * 1e6 / n / 1e6).alias("cvr"),
+        q6((center - margin) / denom).alias("wilson_lo"),
+        q6((center + margin) / denom).alias("wilson_hi"),
+    )
+
+
+_AB_ZTEST_SQL = f"""
+    WITH assign AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0 THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ), agg AS (
+        SELECT variant, COUNT(*) AS n, SUM(converted) AS x
+        FROM assign GROUP BY variant
+    ), wide AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+               MAX(CASE WHEN variant = 0 THEN x END) AS x0,
+               MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+               MAX(CASE WHEN variant = 1 THEN x END) AS x1
+        FROM agg
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0,
+           CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+           CASE WHEN x0 + x1 = 0 OR x0 + x1 = n0 + n1 THEN 0.0
+                ELSE FLOOR((x0 * 1.0 / n0 - x1 * 1.0 / n1)
+                 / SQRT(((x0 + x1) * 1.0 / (n0 + n1)) * (1 - (x0 + x1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)) * 1e6) / 1e6 END AS z_score,
+           CASE WHEN x0 + x1 = 0 OR x0 + x1 = n0 + n1 THEN FALSE
+                ELSE ABS((x0 * 1.0 / n0 - x1 * 1.0 / n1)
+               / SQRT(((x0 + x1) * 1.0 / (n0 + n1)) * (1 - (x0 + x1) * 1.0 / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1))) > {_AB_Z} END AS significant,
+           FLOOR((n0 - n1) * (n0 - n1) * 1e6 / (n0 + n1)) / 1e6 AS srm_chi2,
+           (n0 - n1) * (n0 - n1) * 1.0 / (n0 + n1) > {_AB_CHI2_95} AS srm_flag
+    FROM wide
+"""
+
+
+@query("ab_ztest_srm", oracle=_AB_ZTEST_SQL)
+def ab_ztest_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment decision summary: the pooled two-proportion z-test
+    between the two variants (significance at 95%) plus the
+    sample-ratio-mismatch chi-square against the designed 50/50 split
+    — the guardrail that invalidates a 'significant' readout when
+    assignment itself is broken. The SRM statistic is an exact integer
+    rational ((n0-n1)^2 / (n0+n1)); the z-score is one fixed double
+    expression over exact counts, floor-quantized.
+
+    Scale: user-grain aggregate, then all statistics on a 1-row
+    frame."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") >= 100.0), 1).otherwise(0)
+        ).alias("converted")
+    )
+    agg = assign.groupBy((F.col("user_id") % 2).cast("int").alias("variant")).agg(
+        F.count("*").alias("n"), F.sum("converted").alias("x")
+    )
+    wide = agg.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x1"),
+    )
+    n0, x0, n1, x1 = F.col("n0"), F.col("x0"), F.col("n1"), F.col("x1")
+    p0, p1 = x0 * 1.0 / n0, x1 * 1.0 / n1
+    pp = (x0 + x1) * 1.0 / (n0 + n1)
+    # all-convert / none-convert pools have zero variance: z is 0/0 —
+    # defined to 0 / not-significant in BOTH engines (guard mirrored in
+    # the oracle CASE)
+    degenerate = (x0 + x1 == 0) | (x0 + x1 == n0 + n1)
+    z = (p0 - p1) / F.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+    chi2 = (n0 - n1) * (n0 - n1) * 1.0 / (n0 + n1)
+    return wide.select(
+        n0.cast("bigint").alias("n0"),
+        x0.cast("bigint").alias("x0"),
+        n1.cast("bigint").alias("n1"),
+        x1.cast("bigint").alias("x1"),
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(F.floor(z * 1e6) / 1e6)
+        .alias("z_score"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(F.abs(z) > _AB_Z)
+        .alias("significant"),
+        (F.floor((n0 - n1) * (n0 - n1) * 1e6 / (n0 + n1)) / 1e6).alias("srm_chi2"),
+        (chi2 > _AB_CHI2_95).alias("srm_flag"),
+    )
