@@ -308,3 +308,46 @@ def test_kafka_seam_option_contract_and_wire_decode(spark, sf_dir):
         assert "spark-sql-kafka" in str(e)
     else:  # connector present (real deployment): plan must be streaming
         assert df.isStreaming and "ts" in df.columns
+
+
+def test_funnel_state_requalifies_on_out_of_order_view(spark, tmp_path):
+    """The streaming funnel's bounded state must handle cross-batch
+    disorder: batch 1 delivers a click at t=100 and a view at t=50
+    (level 2); batch 2 delivers a LATE view at t=10 — the first-view
+    anchor drops to 10, the same click still qualifies, and a purchase
+    at t=200 completes level 3. A state that only kept the current
+    winners (not the cap-earliest step times) would lose the click's
+    qualification when t1 moves."""
+    import pandas as pd
+
+    from es_analytics_spark.streaming.ingest import replay_stream
+    from es_analytics_spark.streaming.stateful import running_funnel_levels
+
+    d = tmp_path / "src"
+    d.mkdir()
+    schema = "user_id bigint, event_type string, tus bigint"
+    b1 = pd.DataFrame(
+        {"user_id": [1, 1], "event_type": ["click", "view"], "tus": [100, 50]}
+    )
+    b2 = pd.DataFrame(
+        {"user_id": [1, 1], "event_type": ["view", "purchase"], "tus": [10, 200]}
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(d / "b2"))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    out = replay_stream(
+        spark,
+        running_funnel_levels(src, window_us=1000),
+        name="funnel_ooo",
+        output_mode="append",
+    ).toPandas()
+    final = out.sort_values("n_rows").groupby("user_id").last()
+    assert int(final.loc[1, "funnel_level"]) == 3
+    # and the intermediate epoch (if emitted separately) was level 2
+    if len(out) > 1:
+        assert int(out.sort_values("n_rows").iloc[0]["funnel_level"]) == 2
