@@ -1352,3 +1352,165 @@ def ab_ztest_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor((n0 - n1) * (n0 - n1) * 1e6 / (n0 + n1)) / 1e6).alias("srm_chi2"),
         (chi2 > _AB_CHI2_95).alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tolerance-bounded as-of join (completes the as-of surface)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_DAYS = 30
+
+_ASOF_TOL_SQL = f"""
+    WITH ranked AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM events e LEFT JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND o.o_orderdate <= CAST(e.ts AS DATE)
+         AND o.o_orderdate >= CAST(e.ts AS DATE) - INTERVAL {_ASOF_TOL_DAYS} DAY
+    )
+    SELECT event_id, user_id, o_orderkey AS last_orderkey,
+           o_orderdate AS last_orderdate
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("join_asof_tolerance", oracle=_ASOF_TOL_SQL)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded backward as-of: the latest order at-or-before
+    each event, but only within {d} days — stale state beyond the
+    horizon becomes NULL instead of silently matching (pandas
+    merge_asof's `tolerance`; the shape risk models need so a
+    years-old record never leaks into a feature). Same union+window
+    single-shuffle rewrite as join_asof; the tolerance is a post-match
+    null-out, not a join-condition change, so the plan is
+    identical.""".format(d=_ASOF_TOL_DAYS)
+    from es_analytics_spark.operators.joins import asof_join
+
+    t = _t(spark, sf_dir, "events", "orders")
+    ev = t["events"].select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("date").cast("timestamp").alias("ev_day"),
+    )
+    od = t["orders"].select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("od_ts"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    out = asof_join(
+        ev,
+        od,
+        on="k",
+        left_ts="ev_day",
+        right_ts="od_ts",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tie_break="o_orderkey",
+        tolerance=F.expr(f"INTERVAL {_ASOF_TOL_DAYS} DAY"),
+    )
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (fixed synchronous rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_sql() -> str:
+    from es_analytics_spark.queries_sql4 import _TRI_CAP, _TRI_STRIDE
+
+    parts = [
+        f"""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        FROM lineitem WHERE l_partkey % {_TRI_STRIDE} = 0
+    ), keep AS (
+        SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= {_TRI_CAP}
+    ), e0 AS MATERIALIZED (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        JOIN keep k ON a.p = k.p
+    ), und AS MATERIALIZED (
+        SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ), l0 AS MATERIALIZED (
+        SELECT DISTINCT u AS node, u AS lbl FROM und
+    )"""
+    ]
+    for i in range(_LPA_ROUNDS):
+        parts.append(
+            f""", v{i} AS MATERIALIZED (
+        SELECT e.v AS node, l.lbl AS nlbl, COUNT(*) AS c
+        FROM und e JOIN l{i} l ON l.node = e.u
+        GROUP BY e.v, l.lbl
+    ), l{i + 1} AS MATERIALIZED (
+        SELECT node, nlbl AS lbl FROM (
+            SELECT node, nlbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, nlbl ASC) AS rn
+            FROM v{i}
+        ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(lbl AS BIGINT) AS community FROM l{_LPA_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+@query("graph_community_lpa", oracle=_lpa_sql())
+def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection on the co-supply graph:
+    every node starts as its own label, and each synchronous round
+    adopts the most frequent neighbor label (ties to the smallest
+    label — the determinism LPA is notorious for lacking, pinned here
+    so both engines and any rerun agree). Completes the graph family:
+    pagerank ranks, triangles measure cohesion, k-core screens
+    density, connected components find reachability, LPA finds
+    communities.
+
+    Fixed {rounds} synchronous rounds in both engines (the unrolled-CTE
+    trade; oracle CTEs MATERIALIZED against exponential re-inlining).
+
+    Scale: each round is one |E|-shuffle join of labels onto edges and
+    a per-node vote rank (window partitioned BY NODE — node-sized
+    partitions, never single-partition); labels localCheckpoint per
+    round so lineage stays flat.""".format(rounds=_LPA_ROUNDS)
+    from pyspark.sql import Window as W2
+
+    from es_analytics_spark.queries_sql4 import _co_supply_edges
+
+    e = _co_supply_edges(spark, sf_dir)
+    und = (
+        e.select("u", "v")
+        .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint()
+    w = W2.partitionBy("node").orderBy(F.desc("c"), F.asc("nlbl"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"), F.col("lbl").alias("nlbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nlbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").cast("bigint").alias("community"))
