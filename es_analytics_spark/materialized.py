@@ -380,3 +380,31 @@ def vacuum_enriched_view(spark: SparkSession, view_path: str) -> list[str]:
     for p in victims:
         fs.delete(p)
     return victims
+
+
+def read_view_changes(
+    spark: SparkSession, view_path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change feed between two published view versions: the rows added
+    by refreshes (from_version, to_version] — exact because parts are
+    immutable and append-only, so the version delta IS the inserted
+    rows (the minimal CDC-read a transactional log would expose as
+    table_changes / CDF). from_version=0 reads everything up to
+    to_version. Raises on unpublished versions via the validated
+    snapshot read path.
+
+    Incremental consumers (downstream rollups, exports) read each new
+    version's delta instead of re-scanning the view — refresh-sized
+    work, never view-sized."""
+    fs = lake_fs(spark, view_path)
+    to_manifest = _read_view_manifest(
+        fs, view_path, None if to_version is None else to_version
+    )
+    if from_version == 0:
+        old_parts: set[str] = set()
+    else:
+        old_parts = set(_read_view_manifest(fs, view_path, from_version)["parts"])
+    new_parts = [p for p in to_manifest["parts"] if p not in old_parts]
+    if not new_parts:
+        return spark.read.parquet(*to_manifest["parts"]).limit(0)
+    return spark.read.parquet(*new_parts)

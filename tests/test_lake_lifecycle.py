@@ -913,3 +913,32 @@ def test_enriched_view_refresh_crash_consistency_sweep(spark, tmp_path, monkeypa
             break
         k += 1
     assert k >= 3, "sweep never reached the interesting crash points"
+
+
+def test_view_change_feed_between_versions(spark, tmp_path):
+    """read_view_changes returns exactly the rows each refresh added
+    (append-only parts make the version delta the insert feed), the
+    full history from version 0, an empty frame for a no-op range, and
+    rejects unpublished versions."""
+    import pytest as _pytest
+
+    from es_analytics_spark.materialized import (
+        read_view_changes,
+        refresh_enriched_view,
+    )
+
+    src = str(tmp_path / "fact")
+    view = str(tmp_path / "view")
+    spark.range(0, 100).selectExpr("id as event_id").coalesce(1).write.parquet(f"{src}/a")
+    refresh_enriched_view(spark, f"{src}/*/*.parquet", view, lambda df: df)
+    spark.range(100, 150).selectExpr("id as event_id").coalesce(1).write.parquet(f"{src}/b")
+    refresh_enriched_view(spark, f"{src}/*/*.parquet", view, lambda df: df)
+
+    delta = read_view_changes(spark, view, 1, 2)
+    ids = sorted(r.event_id for r in delta.collect())
+    assert ids == list(range(100, 150))
+    assert read_view_changes(spark, view, 0, 2).count() == 150
+    assert read_view_changes(spark, view, 0, 1).count() == 100
+    assert read_view_changes(spark, view, 2, 2).count() == 0
+    with _pytest.raises(FileNotFoundError):
+        read_view_changes(spark, view, 1, 9)

@@ -221,3 +221,26 @@ def test_kmv_estimate_error_bound(n_distinct, seed):
     else:
         rel = abs(est - n_h) / n_h
         assert rel < 5.0 / (KMV_K - 2) ** 0.5, (n_distinct, est, rel)
+
+
+def test_cumulative_offsets_matches_python_prefix_sum(spark):
+    """functions/ranks.cumulative_offsets (the window-free triangle
+    join) must equal the exclusive prefix sum for arbitrary count
+    tables, including missing pids and a single partition."""
+    from es_analytics_spark.functions.ranks import cumulative_offsets
+
+    cases = [
+        [(0, 5), (1, 3), (2, 7)],
+        [(2, 4), (5, 1), (9, 6), (10, 2)],  # gaps in pid space
+        [(0, 1)],
+        [(3, 10), (0, 2)],  # unsorted input
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "pid int, cnt long")
+        got = {r.pid: r.off for r in cumulative_offsets(df).collect()}
+        ordered = sorted(rows)
+        want, acc = {}, 0
+        for pid, cnt in ordered:
+            want[pid] = acc
+            acc += cnt
+        assert got == want, (rows, got, want)
