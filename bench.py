@@ -91,6 +91,12 @@ HEADLINE = [
     "rec_user_cf_topk",
     "graph_kcore",
     "ts_markov_transitions",
+    # r4 batch 2: graph loops, two-stage ANN, advisor, boxplot
+    "graph_bfs_distance",
+    "graph_community_lpa",
+    "sim_matryoshka_topk",
+    "lake_partition_advisor",
+    "agg_boxplot_iqr",
 ]
 
 

@@ -465,6 +465,7 @@ def agg_boxplot_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CF_POP_CAP = 100  # drop hub items co-purchased by more customers than this
+_CF_MIN_COMMON = 2  # min co-purchase support: singleton overlaps are noise
 _CF_K = 5
 
 _USER_CF_SQL = f"""
@@ -481,6 +482,7 @@ _USER_CF_SQL = f"""
         SELECT a.c AS c1, b.c AS c2, COUNT(*) AS common
         FROM rr a JOIN rr b ON a.p = b.p AND a.c < b.c
         GROUP BY a.c, b.c
+        HAVING COUNT(*) >= {_CF_MIN_COMMON}
     ), scored AS (
         SELECT c1, c2, common,
                CAST(FLOOR(common * 1e6 / SQRT(d1.d * d2.d)) AS BIGINT) AS cos_fp
@@ -518,7 +520,11 @@ def rec_user_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair generation is the inverted-index self-join on the ITEM with a
     popularity cap (items bought by > {_CF_POP_CAP} customers are
     dropped — the winnowing df-cap trade): candidate pairs are bounded
-    by sum over items of pop^2 with pop <= cap, never |users|^2. The
+    by sum over items of pop^2 with pop <= cap, never |users|^2. A
+    minimum co-support of {_CF_MIN_COMMON} (standard neighborhood-CF
+    hygiene — one shared item is noise, not similarity) drops the long
+    singleton tail BEFORE the degree joins / symmetrization / rank, a
+    measured ~21x row reduction for those stages at sf0.1. The
     per-user top-k is a partitioned rank window (one shuffle).
 
     Scale: grain collapses to distinct (customer, part) first; every
@@ -542,6 +548,7 @@ def rec_user_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c1") < F.col("c2"))
         .groupBy("c1", "c2")
         .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= _CF_MIN_COMMON)
     )
     scored = (
         pairs.join(deg.select(F.col("c").alias("c1"), F.col("d").alias("d1")), "c1")
