@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum, dsum_expr
+from es_analytics_spark.functions.ranks import cumulative_offsets
 from es_analytics_spark.queries import _t, query
 
 
@@ -1521,3 +1522,298 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").cast("bigint").alias("community"))
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration: Gini coefficient + top-decile share
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+    WITH rev AS (
+        SELECT o_custkey AS c,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS r
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT c, r, ROW_NUMBER() OVER (ORDER BY r ASC, c ASC) AS i,
+               COUNT(*) OVER () AS n, SUM(r) OVER () AS s
+        FROM rev
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           FLOOR(MAX(s) * 1e4 + 0.5) / 1e4 AS total_revenue,
+           FLOOR((2.0 * SUM(i * r) / (MAX(n) * MAX(s)) - (MAX(n) + 1.0) / MAX(n)) * 1e6) / 1e6
+               AS gini,
+           FLOOR(SUM(CASE WHEN i >= n - (n + 9) // 10 + 1 THEN r ELSE 0 END)
+                 * 1e6 / MAX(s)) / 1e6 AS top_decile_share
+    FROM ranked
+"""
+
+
+@query("agg_revenue_concentration", oracle=_GINI_SQL)
+def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Gini coefficient over per-customer
+    revenue (the rank-weighted identity G = 2*sum(i*x_i)/(n*S) -
+    (n+1)/n on the (revenue, custkey) total order) and the share held
+    by the top decile of customers — the whale-dependence numbers
+    every monetization review opens with.
+
+    The global rank is computed DISTRIBUTIVELY with the window-free
+    range-partition + triangle-join offset recipe
+    (functions/ranks.cumulative_offsets — no single-partition window;
+    the oracle spells it as a plain ROW_NUMBER). Revenue enters
+    through the decimal contract; ranks and counts are exact integers;
+    each statistic does exactly one quantized double division.
+
+    Scale: one customer-grain aggregate, one range shuffle for the
+    rank, 1-row reduction. MAX(n)/MAX(s) come broadcast."""
+    t = _t(spark, sf_dir, "orders")
+    rev = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(dsum("o_totalprice").alias("r"))
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        rev.repartitionByRange(n_parts, F.asc("r"), F.asc("c"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local = ranged.withColumn(
+        "lr", F.row_number().over(W.partitionBy("pid").orderBy(F.asc("r"), F.asc("c")))
+    )
+    offsets = cumulative_offsets(ranged.groupBy("pid").agg(F.count("*").alias("cnt")))
+    totals = ranged.agg(
+        F.count("*").alias("n"), F.sum("r").alias("s")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("i", F.col("lr") + F.col("off"))
+        .crossJoin(F.broadcast(totals))
+    )
+    top_cut = F.col("n") - F.expr("(n + 9) div 10") + 1
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        (F.floor(F.max("s") * 1e4 + F.lit(0.5)) / 1e4).alias("total_revenue"),
+        (
+            F.floor(
+                (
+                    2.0 * F.sum(F.col("i") * F.col("r")) / (F.max("n") * F.max("s"))
+                    - (F.max("n") + 1.0) / F.max("n")
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("gini"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("i") >= top_cut, F.col("r")).otherwise(0.0))
+                * 1e6
+                / F.max("s")
+            )
+            / 1e6
+        ).alias("top_decile_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Community quality: modularity of the LPA partition
+# ---------------------------------------------------------------------------
+
+
+def _modularity_sql() -> str:
+    # reuse the LPA unrolled prefix, then score the partition
+    base = _lpa_sql()
+    tail = f"""
+    SELECT node, CAST(lbl AS BIGINT) AS community FROM l{_LPA_ROUNDS}"""
+    assert base.endswith(tail)
+    return (
+        base[: -len(tail)]
+        + f""", labels AS MATERIALIZED (
+        SELECT node, lbl FROM l{_LPA_ROUNDS}
+    ), m AS (
+        SELECT COUNT(*) AS m FROM e0
+    ), deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+        ) GROUP BY node
+    ), comm AS (
+        SELECT l.lbl AS community,
+               COUNT(*) AS n_nodes,
+               SUM(d.d) AS d_sum
+        FROM labels l JOIN deg d ON d.node = l.node
+        GROUP BY l.lbl
+    ), internal AS (
+        SELECT lu.lbl AS community, COUNT(*) AS e_in
+        FROM e0
+        JOIN labels lu ON lu.node = e0.u
+        JOIN labels lv ON lv.node = e0.v
+        WHERE lu.lbl = lv.lbl
+        GROUP BY lu.lbl
+    )
+    SELECT CAST((SELECT COUNT(*) FROM comm) AS BIGINT) AS n_communities,
+           CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+           FLOOR((4.0 * (SELECT m FROM m) * (SELECT COALESCE(SUM(e_in), 0) FROM internal)
+                  - (SELECT SUM(d_sum * d_sum) FROM comm))
+                 * 1e6 / (4.0 * (SELECT m FROM m) * (SELECT m FROM m))) / 1e6
+               AS modularity
+"""
+    )
+
+
+@query("graph_modularity", oracle=_modularity_sql())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the LPA community partition — the standard
+    "are these communities real" score (fraction of edges inside
+    communities minus the degree-preserving random expectation),
+    computed from exact integers: Q = (4m*Σe_c - ΣD_c²) / 4m², one
+    quantized division at the end. Scoring the partition the engine
+    itself produced closes the community-detection loop:
+    graph_community_lpa finds it, this evaluates it.
+
+    Scale: label join onto the edge list (|E|-shuffle), degree and
+    community aggregates at node/community grain, 1-row reduction."""
+    from es_analytics_spark.queries_sql4 import _co_supply_edges
+
+    e0 = _co_supply_edges(spark, sf_dir)
+    labels = graph_community_lpa(spark, sf_dir).select(
+        F.col("node"), F.col("community").alias("lbl")
+    ).localCheckpoint()
+    m = e0.count()
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("d_sum"))
+        .localCheckpoint()
+    )
+    internal = (
+        e0.join(labels.withColumnRenamed("node", "u").withColumnRenamed("lbl", "lu"), "u")
+        .join(labels.withColumnRenamed("node", "v").withColumnRenamed("lbl", "lv"), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .agg(F.count(F.lit(1)).alias("e_in_total"))
+    )
+    sums = comm.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(F.col("d_sum") * F.col("d_sum")).alias("dsq"),
+    )
+    return (
+        sums.crossJoin(F.broadcast(internal))
+        .select(
+            F.col("n_communities").cast("bigint").alias("n_communities"),
+            F.lit(m).cast("bigint").alias("n_edges"),
+            (
+                F.floor(
+                    (4.0 * m * F.coalesce(F.col("e_in_total"), F.lit(0)) - F.col("dsq"))
+                    * 1e6
+                    / (4.0 * m * m)
+                )
+                / 1e6
+            ).alias("modularity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Experiment power analysis (sample-size planning)
+# ---------------------------------------------------------------------------
+
+_PWR_MDE = 0.02  # minimum detectable effect, absolute
+_PWR_Z_BETA = 0.8416212335729143  # 80% power
+
+
+@query(
+    "ab_power_analysis",
+    oracle=f"""
+    WITH conv AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(c) AS BIGINT) AS n_conv
+        FROM (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0
+                            THEN 1 ELSE 0 END) AS c
+            FROM events GROUP BY user_id
+        )
+    )
+    SELECT n_users, n_conv,
+           FLOOR(n_conv * 1e6 / n_users) / 1e6 AS p_base,
+           CAST(CEIL(2.0 * ({_AB_Z} + {_PWR_Z_BETA}) * ({_AB_Z} + {_PWR_Z_BETA})
+                * (n_conv * 1.0 / n_users) * (1 - n_conv * 1.0 / n_users)
+                / ({_PWR_MDE} * {_PWR_MDE})) AS BIGINT) AS n_per_arm
+    FROM conv
+""",
+)
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-size planning from the observed base rate: users per arm
+    to detect a {mde} absolute lift at 95% confidence / 80% power
+    (n = 2(z_a+z_b)^2 p(1-p)/mde^2) — the pre-registration number the
+    z-test entry's readout is meaningless without. Exact counts in,
+    one fixed double formula out (ceil is integer-exact in both
+    engines).
+
+    Scale: user-grain aggregate then a 1-row formula.""".format(mde=_PWR_MDE)
+    ev = _t(spark, sf_dir, "events")["events"]
+    conv = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 100.0), 1
+                ).otherwise(0)
+            ).alias("c")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("c").cast("bigint").alias("n_conv"),
+        )
+    )
+    p = F.col("n_conv") * 1.0 / F.col("n_users")
+    zsum = _AB_Z + _PWR_Z_BETA
+    return conv.select(
+        "n_users",
+        "n_conv",
+        (F.floor(F.col("n_conv") * 1e6 / F.col("n_users")) / 1e6).alias("p_base"),
+        F.ceil(2.0 * zsum * zsum * p * (1 - p) / (_PWR_MDE * _PWR_MDE))
+        .cast("bigint")
+        .alias("n_per_arm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balance training weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_class_weights",
+    oracle="""
+    WITH per AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_c FROM embeddings GROUP BY label
+    ), tot AS (
+        SELECT SUM(n_c) AS n, COUNT(*) AS k FROM per
+    )
+    SELECT label, n_c,
+           CAST(FLOOR(t.n * 1e6 / (t.k * n_c)) AS BIGINT) AS weight_fp
+    FROM per CROSS JOIN tot t
+""",
+)
+def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (sklearn's 'balanced'
+    heuristic, n/(k*n_c)) over the embedding labels — the loss-weight
+    table an imbalanced classifier head trains with. Fixed-point exact
+    (integer counts, one floored integer-scaled division).
+
+    Scale: one label-grain aggregate; totals are a 1-row broadcast."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    per = e.groupBy("label").agg(F.count("*").cast("bigint").alias("n_c"))
+    tot = per.agg(F.sum("n_c").alias("n"), F.count("*").alias("k"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n_c",
+        F.floor(F.col("n") * 1e6 / (F.col("k") * F.col("n_c")))
+        .cast("bigint")
+        .alias("weight_fp"),
+    )
