@@ -256,6 +256,13 @@ def test_flagship_shuffle_budgets(spark, sf_dir):
         "window_loo_deviation": 1,  # both window aggs share one suppkey exchange
         "ts_trend_theil_sen": 2,    # checkpointed grain: seq window + slope agg
         "ml_dataset_card": 2,       # rollup expand + distinct-agg second phase
+        # round-4 shapes
+        "ts_funnel_windowed": 2,    # one user shuffle (3 stacked windows + agg reuse it) + level histogram
+        "ts_markov_transitions": 3, # lead window + transition agg + |types|-grain normalize
+        "join_asof_nearest": 2,     # backward + forward union/window passes, one shuffle each
+        "agg_revenue_concentration": 5,  # customer agg + range rank + offsets + 1-row reductions
+        "rec_rfm_segments": 15,     # 3x (range rank + offset agg + join) at user grain — all user-sized
+        "rec_user_cf_topk": 15,     # ratings distinct + pop cap + pair agg + deg joins + rank
     }
     for name, budget in budgets.items():
         audit = plan_audit(REGISTRY[name].fn(spark, sf_dir))
