@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum, dsum_expr
+from es_analytics_spark.functions.portable import (
+    MIX_P as _MIX_P,
+    accept_hash as _accept_hash,
+    accept_hash_sql as _accept_hash_sql,
+)
 from es_analytics_spark.functions.ranks import cumulative_offsets
 from es_analytics_spark.queries import _t, query
 
@@ -1816,4 +1821,187 @@ def ml_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n") * 1e6 / (F.col("k") * F.col("n_c")))
         .cast("bigint")
         .alias("weight_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming bottom-k uniform sample (deterministic reservoir)
+# ---------------------------------------------------------------------------
+
+_BOTTOMK_K = 16
+
+_BOTTOMK_SQL = f"""
+    WITH ranked AS (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY {_accept_hash_sql('event_id')} ASC, event_id ASC
+               ) AS rn
+        FROM events
+    )
+    SELECT event_type, event_id
+    FROM ranked WHERE rn <= {_BOTTOMK_K}
+"""
+
+
+@query("stream_bottomk_sample", oracle=_BOTTOMK_SQL)
+def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform per-key k-sample maintained BY THE STREAMING ENGINE:
+    the k rows with the smallest portable hash per event type live in
+    GroupState (bottom-k — the deterministic replacement for reservoir
+    sampling: hash order is uniformly random but identical across
+    engines, replays, and restarts, so the replayed sample equals the
+    batch bottom-k and the SQL oracle EXACTLY, row for row). Completes
+    the streaming-state family: profiles, bitmap/KMV distinct,
+    windowed percentiles, funnel levels, and now uniform samples.
+
+    Scale: state is <= k (hash, id) pairs per key forever; micro-batch
+    merge is union + re-truncate (the KMV mergeability argument with
+    row ids carried)."""
+    from es_analytics_spark.streaming.ingest import replay_stream, stream_events
+    from es_analytics_spark.streaming.stateful import running_bottomk_sample
+
+    ev = stream_events(spark, sf_dir)
+    hashed = ev.select(
+        "event_type", "event_id", _accept_hash(F.col("event_id")).alias("h")
+    )
+    out = replay_stream(
+        spark,
+        running_bottomk_sample(hashed, _BOTTOMK_K),
+        name="stream_bottomk_sample",
+        output_mode="append",
+    )
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("event_type").orderBy(F.col("n_rows").desc())
+    final = (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", F.explode("sample_ids").alias("event_id"))
+    )
+    return final
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit deviation (data-quality / fraud screen)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) as shared literals so both engines compare against
+# bit-identical expectations
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+) + " END"
+
+_BENFORD_SQL = f"""
+    WITH digits AS (
+        SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM orders
+    ), counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(COUNT(*)) OVER () AS total
+        FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           FLOOR(n * 1e6 / total) / 1e6 AS share,
+           FLOOR({_BENFORD_CASE} * 1e6) / 1e6 AS benford_expected,
+           FLOOR(ABS(n * 1.0 / total - {_BENFORD_CASE}) * 1e6) / 1e6 AS abs_deviation
+    FROM counts
+"""
+
+
+@query("agg_benford_deviation", oracle=_BENFORD_SQL)
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals: observed
+    leading-digit shares against log10(1+1/d) — the fraud/data-entry
+    anomaly check auditors run on financial columns. Leading digits
+    come from exact integer cents via string arithmetic (NOT
+    floor(log10): log10 at powers of ten is off-by-ulp and flips the
+    digit); the expected probabilities are shared double literals, so
+    both engines compare bit-identical values.
+
+    Scale: map-side digit extraction, a 9-group aggregate, and the
+    share normalization over that 9-row frame."""
+    od = _t(spark, sf_dir, "orders")["orders"]
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = od.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    # total as a 1-row broadcast, not an unpartitioned window — keeps
+    # the catalog-wide single-partition guard allowlist-free
+    totals = counts.agg(F.sum("n").alias("total"))
+    total = F.col("total")
+    expected = F.create_map(
+        *[x for d, p in _BENFORD.items() for x in (F.lit(d), F.lit(p))]
+    )[F.col("digit")]
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "digit",
+        "n",
+        (F.floor(F.col("n") * 1e6 / total) / 1e6).alias("share"),
+        (F.floor(expected * 1e6) / 1e6).alias("benford_expected"),
+        (F.floor(F.abs(F.col("n") * 1.0 / total - expected) * 1e6) / 1e6).alias(
+            "abs_deviation"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested learning-curve samples
+# ---------------------------------------------------------------------------
+
+_CURVE_PCTS = [1, 2, 5, 10, 25, 100]
+
+_CURVE_SQL = f"""
+    WITH pcts AS (
+        SELECT UNNEST(ARRAY{_CURVE_PCTS}) AS pct
+    )
+    SELECT pct,
+           CAST(COUNT(CASE WHEN {_accept_hash_sql('doc_id')} * 100 < pct * {_MIX_P}
+                           THEN 1 END) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {_accept_hash_sql('doc_id')} * 100 < pct * {_MIX_P}
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS n_chars
+    FROM documents CROSS JOIN pcts
+    GROUP BY pct
+"""
+
+
+@query("ml_learning_curve_sample", oracle=_CURVE_SQL)
+def ml_learning_curve_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested learning-curve subsamples: deterministic hash-acceptance
+    slices at 1/2/5/10/25/100% where every smaller slice is a strict
+    subset of every larger one (same hash, higher threshold — the
+    nestedness scaling-law experiments require so curve points differ
+    only by data quantity, never by which data). Reports docs and
+    chars per slice; the membership predicate is the same portable
+    hash the domain-mix and split entries use, so slices are
+    consistent ACROSS those operators too.
+
+    Scale: one scan, |pcts| conditional aggregates fused into a single
+    map-side-combined pass (the spine is a 6-row broadcast)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    pcts = spark.createDataFrame([(p,) for p in _CURVE_PCTS], "pct int")
+    member = _accept_hash(F.col("doc_id")) * 100 < F.col("pct") * _MIX_P
+    return (
+        d.crossJoin(F.broadcast(pcts))
+        .groupBy("pct")
+        .agg(
+            F.sum(F.when(member, 1).otherwise(0)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(member, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("n_chars"),
+        )
     )

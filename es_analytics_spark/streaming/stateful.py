@@ -273,3 +273,63 @@ def running_funnel_levels(events: DataFrame, window_us: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming bottom-k uniform sample ----------------------------------
+
+BOTTOMK_K = 16
+
+BOTTOMK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("sample_ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+BOTTOMK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("hs", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def running_bottomk_sample(hashed: DataFrame, k: int = BOTTOMK_K) -> DataFrame:
+    """Uniform k-sample per key maintained in streaming state: keep the
+    rows whose portable hash is among the k smallest seen — the
+    deterministic bottom-k sample (hash order is a uniform random
+    order, but reproducible across engines, replays, and reruns,
+    unlike reservoir sampling's RNG). Merge per micro-batch is
+    union + re-truncate, the same mergeability argument as the KMV
+    sketch — in fact bottom-k IS the KMV state carrying its row ids.
+
+    State per key is <= k (hash, id) pairs forever; the replayed final
+    sample must equal the batch bottom-k (and therefore the SQL
+    oracle) exactly."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, hs, ids = state.get if state.exists else (0, [], [])
+        pairs = dict(zip(ids, hs))
+        for pdf in pdfs:
+            n += len(pdf)
+            for h, i in zip(pdf["h"], pdf["event_id"]):
+                pairs[int(i)] = int(h)
+        best = sorted(((h, i) for i, h in pairs.items()))[:k]
+        hs = [h for h, _ in best]
+        ids = [i for _, i in best]
+        state.update((n, hs, ids))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_rows": [n], "sample_ids": [ids]}
+        )
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=BOTTOMK_OUTPUT_SCHEMA,
+        stateStructType=BOTTOMK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
