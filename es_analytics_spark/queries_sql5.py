@@ -2005,3 +2005,181 @@ def ml_learning_curve_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Top user journeys (bounded path strings)
+# ---------------------------------------------------------------------------
+
+_PATH_CAP = 8  # first K events define the journey prefix
+
+_TOP_PATHS_SQL = f"""
+    WITH seq AS (
+        SELECT user_id, SUBSTR(event_type, 1, 1) AS c,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY EPOCH_US(ts), event_id) AS rn
+        FROM events
+    ), paths AS (
+        SELECT user_id, STRING_AGG(c, '' ORDER BY rn) AS path
+        FROM seq WHERE rn <= {_PATH_CAP} GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path ASC LIMIT 10
+"""
+
+
+@query("ts_top_paths", oracle=_TOP_PATHS_SQL)
+def ts_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common user journey prefixes (first {cap} events as
+    an event-initial string) — the entry-path sankey's data. The
+    prefix cap is the scale contract: full journeys grow with the
+    fact table, prefixes are <= {cap} chars per user regardless of
+    event volume (the path-state bound any journey analytics needs at
+    100 TB).
+
+    Scale: one user shuffle for the order window, map-side prefix
+    filter BEFORE the string agg, a path-grain count, TakeOrdered
+    top-10.""".format(cap=_PATH_CAP)
+    ev = _t(spark, sf_dir, "events")["events"]
+    wu = W.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")), "event_id")
+    seq = ev.select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("c"),
+        F.row_number().over(wu).alias("rn"),
+    ).filter(F.col("rn") <= _PATH_CAP)
+    paths = seq.groupBy("user_id").agg(
+        F.concat_ws("", F.array_sort(F.collect_list(F.struct("rn", "c"))).getField("c")).alias(
+            "path"
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest daily-activity streak per user
+# ---------------------------------------------------------------------------
+
+_STREAK_SQL = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), isl AS (
+        SELECT user_id,
+               day - TO_DAYS(CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INT)) AS grp
+        FROM days
+    ), streaks AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+        FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id, MAX(len) AS longest_streak_days
+    FROM streaks GROUP BY user_id
+    ORDER BY longest_streak_days DESC, user_id ASC LIMIT 20
+"""
+
+
+@query("ts_longest_streak", oracle=_STREAK_SQL)
+def ts_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, top-20 — the
+    engagement-streak leaderboard (duolingo-style). Classic
+    gaps-and-islands on the CALENDAR: day minus per-user day-rank is
+    constant exactly within a consecutive run. window_gaps_islands
+    finds value runs inside the event stream; this finds calendar
+    runs at the (user, day) grain.
+
+    Scale: events collapse to distinct (user, day) first; one user
+    shuffle for the rank; streak and max aggregates at user grain;
+    TakeOrdered top-20."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    wu = W.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(wu)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count("*").cast("bigint").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(F.max("len").alias("longest_streak_days"))
+        .orderBy(F.desc("longest_streak_days"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (quantile-bucketed)
+# ---------------------------------------------------------------------------
+
+_EQD_BUCKETS = 10
+
+_EQD_SQL = """
+    WITH cuts AS (
+        SELECT UNNEST(LIST_TRANSFORM(
+                   QUANTILE_CONT(l_extendedprice, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                   q -> FLOOR(q * 100 + 0.5) / 100)) AS cut
+        FROM lineitem
+    ), assigned AS (
+        SELECT l.l_extendedprice AS x,
+               CAST(1 + COALESCE(SUM(CASE WHEN l.l_extendedprice > c.cut THEN 1 ELSE 0 END), 0)
+                    AS INT) AS bucket
+        FROM lineitem l CROSS JOIN cuts c
+        GROUP BY l.l_orderkey, l.l_linenumber, l.l_extendedprice
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS lo, MAX(x) AS hi
+    FROM assigned GROUP BY bucket
+"""
+
+
+@query("agg_histogram_equidepth", oracle=_EQD_SQL)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram of extended price:
+    {b} buckets holding ~equal row counts, with each bucket's actual
+    range — the histogram query optimizers and drift monitors use
+    when fixed-width bins (agg_histogram) would put 90% of rows in one
+    bar. Cut points are exact interpolated percentiles quantized to
+    cents, so bucket assignment compares bit-identical doubles in
+    both engines.
+
+    Scale: one percentile aggregate (|cuts| rows, broadcast back),
+    then one pass assigning each row by counting crossed cuts — a
+    9-row broadcast product, map-side, followed by a {b}-group
+    aggregate.""".format(b=_EQD_BUCKETS)
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    pcts = [b / _EQD_BUCKETS for b in range(1, _EQD_BUCKETS)]
+    cuts = li.agg(
+        F.expr(
+            f"percentile(l_extendedprice, array({', '.join(str(p) for p in pcts)}))"
+        ).alias("cs")
+    ).select(
+        F.transform(
+            F.col("cs"), lambda c: F.floor(c * 100 + F.lit(0.5)) / 100
+        ).alias("cs")
+    )
+    assigned = (
+        li.select(F.col("l_extendedprice").alias("x"))
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "x",
+            (
+                1
+                + F.aggregate(
+                    F.col("cs"),
+                    F.lit(0),
+                    lambda acc, c: acc + F.when(F.col("x") > c, 1).otherwise(0),
+                )
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    )
