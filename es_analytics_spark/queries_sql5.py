@@ -2183,3 +2183,115 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("lo"),
         F.max("x").alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median per group
+# ---------------------------------------------------------------------------
+
+_WMED_SQL = """
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS x,
+               CAST(l_quantity AS BIGINT) AS wt,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tw
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN cw * 2 >= tw THEN x END) AS weighted_median
+    FROM w GROUP BY l_returnflag
+"""
+
+
+@query("agg_weighted_median", oracle=_WMED_SQL)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group: the smallest price whose
+    cumulative quantity weight reaches half the group's total — the
+    "median unit price by volume" no unweighted percentile can answer
+    (a 1-unit line and a 50-unit line count the same to MEDIAN).
+    Deterministic: the cumulative order carries (price, orderkey,
+    linenumber), weights are exact integers, and the chosen value is
+    an existing data point (lower weighted median — no interpolation,
+    no float synthesis).
+
+    Scale: one group shuffle; both window sums and the total reuse the
+    same partition; the final aggregate is |groups|-sized."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(wcum).alias("cw"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(wall).alias("tw"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.max("tw").cast("bigint").alias("total_weight"),
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("x"))).alias("weighted_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward / backward fill per group
+# ---------------------------------------------------------------------------
+
+_FFILL_SQL = """
+    WITH src AS (
+        SELECT user_id, event_id, EPOCH_US(ts) AS tus,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events WHERE user_id < 20
+    )
+    SELECT user_id, event_id, v,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+           FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+    FROM src
+"""
+
+
+@query("fn_fill_forward", oracle=_FFILL_SQL)
+def fn_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward- and backward-fill of missing measurements per user
+    (error events carry no value): last/first non-null over the
+    event-time order — pandas ffill/bfill as pure window expressions.
+    ts_interpolate_linear fills BETWEEN points; this carries the
+    last/next OBSERVED value, the sensor/price-stickiness semantics.
+
+    Scale: both directions share one user shuffle (same partition
+    spec, ascending + descending frames); no state beyond the window
+    frame."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    src = ev.filter(F.col("user_id") < 20).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("tus"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    bwd = (
+        W.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return src.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.last("v", ignorenulls=True).over(fwd).alias("ffill"),
+        F.first("v", ignorenulls=True).over(bwd).alias("bfill"),
+    )
