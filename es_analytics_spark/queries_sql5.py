@@ -2295,3 +2295,133 @@ def fn_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(fwd).alias("ffill"),
         F.first("v", ignorenulls=True).over(bwd).alias("bfill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix + per-class recall
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_sql() -> str:
+    from es_analytics_spark.queries import _HITS_SQL
+
+    return f"""
+    WITH hits AS (
+        SELECT doc_id, lang AS lang_true, {_HITS_SQL}
+        FROM documents
+    ), pred AS (
+        SELECT lang_true,
+               CASE WHEN GREATEST(hits_en, hits_de, hits_fr, hits_es, hits_zh) = 0 THEN 'und'
+                    WHEN hits_en >= GREATEST(hits_de, hits_fr, hits_es, hits_zh) THEN 'en'
+                    WHEN hits_de >= GREATEST(hits_fr, hits_es, hits_zh) THEN 'de'
+                    WHEN hits_fr >= GREATEST(hits_es, hits_zh) THEN 'fr'
+                    WHEN hits_es >= hits_zh THEN 'es'
+                    ELSE 'zh' END AS lang_pred
+        FROM hits
+    ), cm AS (
+        SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang_true, lang_pred
+    )
+    SELECT lang_true, lang_pred, n,
+           CAST(FLOOR(n * 1e6 / SUM(n) OVER (PARTITION BY lang_true)) AS BIGINT)
+               AS class_share_fp
+    FROM cm
+"""
+
+
+@query("ml_langid_confusion", oracle=_langid_confusion_sql())
+def ml_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the engine's own language-ID heuristic:
+    confusion matrix against the labeled lang column with per-class
+    share (the diagonal is per-class recall) — the model-eval shape
+    (predict → join truth → confusion → per-class metrics) every
+    classifier audit runs, here closing the loop on
+    text_language_id's predictions. Fixed-point shares over exact
+    counts; the normalizing window partitions by true class
+    (|langs|-sized, never data-sized).
+
+    Scale: map-side prediction (same codegen'd stopword-overlap
+    expressions as text_language_id), one |langs|^2 aggregate."""
+    pred = text_language_id_pred(spark, sf_dir)
+    cm = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return cm.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.floor(F.col("n") * 1e6 / F.sum("n").over(W.partitionBy("lang_true")))
+        .cast("bigint")
+        .alias("class_share_fp"),
+    )
+
+
+def text_language_id_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang_true, lang_pred) per doc — text_language_id's projection,
+    shared so the confusion-matrix entry scores the identical
+    predictions."""
+    from es_analytics_spark.queries import REGISTRY
+
+    return REGISTRY["text_language_id"].fn(spark, sf_dir).select("lang_true", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness
+# ---------------------------------------------------------------------------
+
+_STICKY_SQL = """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM ud
+    ), coverage AS (
+        SELECT ud.user_id, d2.day
+        FROM ud
+        JOIN days d2 ON d2.day >= ud.day AND d2.day <= ud.day + INTERVAL 6 DAY
+        GROUP BY ud.user_id, d2.day
+    ), wau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM coverage GROUP BY day
+    ), dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau,
+           FLOOR(d.dau * 1e6 / w.wau) / 1e6 AS stickiness
+    FROM dau d JOIN wau w USING (day)
+"""
+
+
+@query("ts_dau_wau_stickiness", oracle=_STICKY_SQL)
+def ts_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-WAU stickiness per day — the engagement
+    ratio ("what share of this week's users showed up today") product
+    teams track beside retention. WAU is exact: each (user, day)
+    activity covers the next 7 calendar days, so trailing distinct
+    membership is a bounded 7x expansion of the user-day grain joined
+    to the observed-day spine, then one count per day — never a
+    sliding count-distinct window.
+
+    Scale: events collapse to (user, day) first; the expansion joins
+    user-day against the |days| spine (broadcast) with a 7-day band;
+    all counts are exact integers, stickiness floor-quantized."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    coverage = (
+        ud.join(
+            F.broadcast(days.withColumnRenamed("day", "d2")),
+            (F.col("d2") >= F.col("day")) & (F.col("d2") <= F.date_add(F.col("day"), 6)),
+        )
+        .select("user_id", F.col("d2").alias("day"))
+        .distinct()
+    )
+    wau = coverage.groupBy("day").agg(F.count("*").cast("bigint").alias("wau"))
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            (F.floor(F.col("dau") * 1e6 / F.col("wau")) / 1e6).alias("stickiness"),
+        )
+    )
