@@ -474,7 +474,7 @@ _CF_POP_CAP = 100  # drop hub items co-purchased by more customers than this
 _CF_MIN_COMMON = 2  # min co-purchase support: singleton overlaps are noise
 _CF_K = 5
 
-_USER_CF_SQL = f"""
+_USER_CF_CTE = f"""
     WITH r AS (
         SELECT DISTINCT o_custkey AS c, l_partkey AS p
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -506,10 +506,16 @@ _USER_CF_SQL = f"""
                ) AS rank
         FROM sym
     )
+"""
+
+_USER_CF_SQL = (
+    _USER_CF_CTE
+    + f"""
     SELECT c AS custkey, nb AS neighbor, CAST(common AS BIGINT) AS n_common,
            cos_fp, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= {_CF_K}
 """
+)
 
 
 @query("rec_user_cf_topk", oracle=_USER_CF_SQL)
@@ -2423,5 +2429,88 @@ def ts_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dau",
             "wau",
             (F.floor(F.col("dau") * 1e6 / F.col("wau")) / 1e6).alias("stickiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Final-mile recommendations: neighbor-vote items per user
+# ---------------------------------------------------------------------------
+
+_REC_K_ITEMS = 5
+
+_ITEM_RECS_SQL = (
+    _USER_CF_CTE
+    + f"""
+    , neighbors AS (
+        SELECT c, nb, cos_fp FROM ranked WHERE rank <= {_CF_K}
+    ), votes AS (
+        SELECT n.c, rr.p, CAST(SUM(n.cos_fp) AS BIGINT) AS score_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_voters
+        FROM neighbors n JOIN rr ON rr.c = n.nb
+        GROUP BY n.c, rr.p
+    ), novel AS (
+        SELECT v.c, v.p, v.score_fp, v.n_voters
+        FROM votes v LEFT JOIN rr own ON own.c = v.c AND own.p = v.p
+        WHERE own.c IS NULL
+    ), topn AS (
+        SELECT c, p, score_fp, n_voters,
+               ROW_NUMBER() OVER (PARTITION BY c
+                                  ORDER BY score_fp DESC, n_voters DESC, p ASC) AS rank
+        FROM novel
+    )
+    SELECT c AS custkey, p AS partkey, score_fp, n_voters, CAST(rank AS INT) AS rank
+    FROM topn WHERE rank <= {_REC_K_ITEMS}
+"""
+)
+
+
+@query("rec_item_recommendations", oracle=_ITEM_RECS_SQL)
+def rec_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final-mile recommender: top-{k} parts per customer by
+    neighbor vote — each of the user's top-{n} CF neighbors
+    (rec_user_cf_topk's exact output) votes its own purchases with its
+    fixed-point cosine as the weight; the user's already-purchased
+    items are anti-joined out (recommend NOVEL items, the serving
+    contract). Scores are sums of fixed-point integers, so ranking is
+    exact; remaining ties break on voter count then part id.
+
+    Scale: the neighbor table is |users| x {n}; the vote join expands
+    it by neighbor basket size (bounded by the ratings grain); the
+    anti-join and rank run at the candidate grain (never
+    |users| x |items|).""".format(k=_REC_K_ITEMS, n=_CF_K)
+    from pyspark.sql import Window as W2
+
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    r = (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pop = r.groupBy("p").agg(F.count("*").alias("np")).filter(F.col("np") <= _CF_POP_CAP)
+    rr = r.join(pop.select("p"), "p").localCheckpoint()
+    neighbors = rec_user_cf_topk(spark, sf_dir).select(
+        F.col("custkey").alias("c"), F.col("neighbor").alias("nb"), "cos_fp"
+    )
+    votes = (
+        neighbors.join(rr.select(F.col("c").alias("nb"), "p"), "nb")
+        .groupBy("c", "p")
+        .agg(
+            F.sum("cos_fp").cast("bigint").alias("score_fp"),
+            F.count("*").cast("bigint").alias("n_voters"),
+        )
+    )
+    novel = votes.join(rr, ["c", "p"], "left_anti")
+    w = W2.partitionBy("c").orderBy(F.desc("score_fp"), F.desc("n_voters"), F.asc("p"))
+    return (
+        novel.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _REC_K_ITEMS)
+        .select(
+            F.col("c").alias("custkey"),
+            F.col("p").alias("partkey"),
+            "score_fp",
+            "n_voters",
+            F.col("rank").cast("int").alias("rank"),
         )
     )
