@@ -2514,3 +2514,177 @@ def rec_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves (cumulative revenue per cohort week offset)
+# ---------------------------------------------------------------------------
+
+_LTV_SQL = f"""
+    WITH weekly AS (
+        SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS wk
+        FROM events
+    ), firsts AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM weekly GROUP BY user_id
+    ), sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort_week
+    ), rev AS (
+        SELECT f.cohort_week,
+               CAST(DATE_DIFF('day', f.cohort_week,
+                              CAST(DATE_TRUNC('week', e.ts) AS TIMESTAMP)) / 7 AS INT)
+                   AS week_offset,
+               {dsum_expr('e.value')} AS revenue
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.week_offset, r.revenue,
+           CAST(ROUND(SUM(CAST(r.revenue AS DECIMAL(38,10))) OVER (
+                    PARTITION BY r.cohort_week ORDER BY r.week_offset
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+               AS cum_revenue,
+           FLOOR(CAST(ROUND(SUM(CAST(r.revenue AS DECIMAL(38,10))) OVER (
+                    PARTITION BY r.cohort_week ORDER BY r.week_offset
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+                 * 1e4 / s.cohort_size) / 1e4 AS ltv_per_user
+    FROM rev r JOIN sizes s USING (cohort_week)
+"""
+
+
+@query("ts_cohort_ltv", oracle=_LTV_SQL)
+def ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase revenue per first-active
+    week cohort at each week offset, absolute and per cohort user —
+    the payback-period chart acquisition spend is judged against, and
+    the revenue companion to ts_cohort_retention's count grid.
+
+    Revenue flows through the decimal contract end to end (the
+    cumulative window sums DECIMAL, rounding once at read-out);
+    per-user LTV floor-quantizes after an exact BIGINT division
+    denominator.
+
+    Scale: one purchase-grain aggregate to (cohort, offset), then the
+    cumulative window partitions BY COHORT over |offsets| rows —
+    cohort-count partitions of weeks-sized frames, never
+    data-sized."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    firsts = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(dsum("value").alias("revenue"))
+    )
+    wc = (
+        W.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.round(F.sum(F.col("revenue").cast("decimal(38,10)")).over(wc), 4).cast(
+        "double"
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "revenue",
+            cum.alias("cum_revenue"),
+            (F.floor(cum * 1e4 / F.col("cohort_size")) / 1e4).alias("ltv_per_user"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding distribution drift (centroid cosine between slices)
+# ---------------------------------------------------------------------------
+
+_EMB_DRIFT_SQL = """
+    WITH halves AS (
+        SELECT CAST(vec_id % 2 AS INT) AS half, t.i AS dim,
+               CAST(embedding[t.i] AS DOUBLE) AS v
+        FROM embeddings,
+             UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS t(i)
+    ), means AS (
+        SELECT half, dim, AVG(v) AS m
+        FROM halves GROUP BY half, dim
+    ), joined AS (
+        SELECT a.dim, a.m AS m0, b.m AS m1
+        FROM means a JOIN means b ON a.dim = b.dim AND a.half = 0 AND b.half = 1
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_dims,
+           FLOOR(SUM(m0 * m1) / (SQRT(SUM(m0 * m0)) * SQRT(SUM(m1 * m1))) * 1e6) / 1e6
+               AS centroid_cosine,
+           FLOOR((SQRT(SUM(m0 * m0)) - SQRT(SUM(m1 * m1))) * 1e6) / 1e6
+               AS norm_gap
+    FROM joined
+"""
+
+
+@query("sim_embedding_drift", oracle=_EMB_DRIFT_SQL)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: cosine between the
+    centroid vectors of two deterministic corpus slices (vec_id
+    parity stands in for the before/after snapshots a production
+    monitor compares) plus the centroid-norm gap — the cheap first
+    alarm that an embedding model or upstream corpus shifted,
+    before any ANN-recall regression shows.
+
+    Per-dimension means are exact aggregate order-independent doubles
+    (AVG over the same float32 inputs widened to double in both
+    engines); the two summary statistics quantize once at the end.
+
+    Scale: posexplode to (slice, dim, value) is a map-side 64x
+    row expansion feeding one (slice, dim)-grain aggregate; the
+    summary runs over 64 rows."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    halves = e.select(
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode("embedding").alias("dim0", "v"),
+    ).select("half", (F.col("dim0") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    means = halves.groupBy("half", "dim").agg(F.avg("v").alias("m"))
+    m0 = means.filter(F.col("half") == 0).select("dim", F.col("m").alias("m0"))
+    m1 = means.filter(F.col("half") == 1).select("dim", F.col("m").alias("m1"))
+    joined = m0.join(m1, "dim")
+    return joined.agg(
+        F.count("*").cast("int").alias("n_dims"),
+        (
+            F.floor(
+                F.sum(F.col("m0") * F.col("m1"))
+                / (
+                    F.sqrt(F.sum(F.col("m0") * F.col("m0")))
+                    * F.sqrt(F.sum(F.col("m1") * F.col("m1")))
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("centroid_cosine"),
+        (
+            F.floor(
+                (
+                    F.sqrt(F.sum(F.col("m0") * F.col("m0")))
+                    - F.sqrt(F.sum(F.col("m1") * F.col("m1")))
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("norm_gap"),
+    )
