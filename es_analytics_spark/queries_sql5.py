@@ -2688,3 +2688,125 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("norm_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning revenue split per week
+# ---------------------------------------------------------------------------
+
+_NEWRET_SQL = f"""
+    WITH weekly AS (
+        SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS wk
+        FROM events
+    ), firsts AS (
+        SELECT user_id, MIN(wk) AS first_wk FROM weekly GROUP BY user_id
+    )
+    SELECT CAST(DATE_TRUNC('week', e.ts) AS TIMESTAMP) AS week,
+           CAST(COUNT(DISTINCT CASE WHEN CAST(DATE_TRUNC('week', e.ts) AS TIMESTAMP) = f.first_wk
+                                    THEN e.user_id END) AS BIGINT) AS new_buyers,
+           CAST(COUNT(DISTINCT CASE WHEN CAST(DATE_TRUNC('week', e.ts) AS TIMESTAMP) <> f.first_wk
+                                    THEN e.user_id END) AS BIGINT) AS returning_buyers,
+           {dsum_expr("CASE WHEN CAST(DATE_TRUNC('week', e.ts) AS TIMESTAMP) = f.first_wk THEN e.value ELSE 0 END")}
+               AS new_revenue,
+           {dsum_expr("CASE WHEN CAST(DATE_TRUNC('week', e.ts) AS TIMESTAMP) <> f.first_wk THEN e.value ELSE 0 END")}
+               AS returning_revenue
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1
+"""
+
+
+@query("ts_new_vs_returning_revenue", oracle=_NEWRET_SQL)
+def ts_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue split by new vs returning purchasers (new =
+    purchasing in their first-ever active week) — the acquisition-vs-
+    retention revenue mix that tells a team which engine is carrying
+    growth. Buyer counts are exact distincts; both revenue streams go
+    through the decimal contract in one fused FILTER-style aggregate
+    (single scan, no per-segment re-read).
+
+    Scale: (user, week) grain first, user-grain first-week join onto
+    the purchase stream (hash join at user grain), one weekly
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    firsts = weekly.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    purch = ev.filter(F.col("event_type") == "purchase").join(firsts, "user_id")
+    wk = F.date_trunc("week", F.col("ts"))
+    is_new = wk == F.col("first_wk")
+    return purch.groupBy(wk.alias("week")).agg(
+        F.countDistinct(F.when(is_new, F.col("user_id"))).cast("bigint").alias("new_buyers"),
+        F.countDistinct(F.when(~is_new, F.col("user_id")))
+        .cast("bigint")
+        .alias("returning_buyers"),
+        dsum(F.when(is_new, F.col("value")).otherwise(0.0)).alias("new_revenue"),
+        dsum(F.when(~is_new, F.col("value")).otherwise(0.0)).alias("returning_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activation latency: signup -> first purchase percentiles
+# ---------------------------------------------------------------------------
+
+_TTC_SQL = """
+    WITH s AS (
+        SELECT user_id, MIN(EPOCH_US(ts)) AS signup_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, MIN(EPOCH_US(e.ts)) AS first_purchase_us
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND EPOCH_US(e.ts) > s.signup_us
+        GROUP BY e.user_id
+    ), lat AS (
+        SELECT s.user_id,
+               (p.first_purchase_us - s.signup_us) / 3600000000.0 AS hours
+        FROM s JOIN p ON p.user_id = s.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           FLOOR(QUANTILE_CONT(hours, 0.50) * 1e4 + 0.5) / 1e4 AS p50_hours,
+           FLOOR(QUANTILE_CONT(hours, 0.90) * 1e4 + 0.5) / 1e4 AS p90_hours,
+           FLOOR(QUANTILE_CONT(hours, 0.99) * 1e4 + 0.5) / 1e4 AS p99_hours
+    FROM lat
+"""
+
+
+@query("ts_time_to_convert", oracle=_TTC_SQL)
+def ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation latency: exact p50/p90/p99 hours from each user's
+    first signup to their first STRICTLY LATER purchase — the
+    time-to-value distribution activation teams move. Latencies are
+    exact integer microsecond differences divided once by a constant
+    (identical IEEE op per row); percentiles are exact interpolated
+    and half-up quantized.
+
+    Scale: two user-grain min-aggregates, one user-grain join, and a
+    percentile aggregate over the converted-user grain."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    tus = F.unix_micros(F.col("ts"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(tus).alias("signup_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", tus.alias("pus"))
+        .join(s, "user_id")
+        .filter(F.col("pus") > F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("pus").alias("first_purchase_us"))
+    )
+    lat = s.join(p, "user_id").select(
+        ((F.col("first_purchase_us") - F.col("signup_us")) / 3600000000.0).alias("hours")
+    )
+    q = lambda frac: (  # noqa: E731
+        F.floor(F.expr(f"percentile(hours, {frac})") * 1e4 + F.lit(0.5)) / 1e4
+    )
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        q(0.50).alias("p50_hours"),
+        q(0.90).alias("p90_hours"),
+        q(0.99).alias("p99_hours"),
+    )
