@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from es_analytics_spark.functions.exact import dsum, dsum_expr
+from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
 from es_analytics_spark.functions.portable import (
     MIX_P as _MIX_P,
     accept_hash as _accept_hash,
@@ -2809,4 +2809,583 @@ def ts_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.50).alias("p50_hours"),
         q(0.90).alias("p90_hours"),
         q(0.99).alias("p99_hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout
+# ---------------------------------------------------------------------------
+
+_CUPED_SQL = f"""
+    WITH b AS (
+        SELECT (MIN(EPOCH_US(ts)) + MAX(EPOCH_US(ts))) // 2 AS cutoff FROM events
+    ), pu AS (
+        SELECT user_id,
+               {dsum_expr("CASE WHEN event_type = 'purchase' AND EPOCH_US(ts) <= cutoff THEN value ELSE 0 END")} AS x,
+               {dsum_expr("CASE WHEN event_type = 'purchase' AND EPOCH_US(ts) > cutoff THEN value ELSE 0 END")} AS y
+        FROM events, b GROUP BY user_id, cutoff
+    ), g AS (
+        SELECT COUNT(*) AS n, {dsum_expr('x')} AS sx, {dsum_expr('y')} AS sy,
+               {dsum_expr('x * x')} AS sxx, {dsum_expr('x * y')} AS sxy
+        FROM pu
+    ), th AS (
+        SELECT sx / n AS xbar,
+               CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                    ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS theta
+        FROM g
+    ), v AS (
+        SELECT CAST(user_id % 2 AS INT) AS variant, COUNT(*) AS n_users,
+               {dsum_expr('x')} AS sx, {dsum_expr('y')} AS sy,
+               {dsum_expr('x * x')} AS sxx, {dsum_expr('x * y')} AS sxy,
+               {dsum_expr('y * y')} AS syy
+        FROM pu GROUP BY 1
+    )
+    SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+           FLOOR(th.theta * 1e6 + 0.5) / 1e6 AS theta,
+           FLOOR(sy / n_users * 1e6 + 0.5) / 1e6 AS mean_metric,
+           FLOOR((sy / n_users - th.theta * (sx / n_users - th.xbar)) * 1e6 + 0.5) / 1e6
+               AS mean_cuped,
+           CASE WHEN syy / n_users - (sy / n_users) * (sy / n_users) = 0 THEN 0.0
+                ELSE FLOOR(100 * (1 - (
+                         (syy / n_users - (sy / n_users) * (sy / n_users))
+                         - 2 * th.theta * (sxy / n_users - (sx / n_users) * (sy / n_users))
+                         + th.theta * th.theta * (sxx / n_users - (sx / n_users) * (sx / n_users))
+                     ) / (syy / n_users - (sy / n_users) * (sy / n_users))) * 1e6 + 0.5) / 1e6
+           END AS var_reduction_pct
+    FROM v, th
+"""
+
+
+@query("ab_cuped_readout", oracle=_CUPED_SQL)
+def ab_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) readout:
+    per hash-bucket variant, the raw metric mean (experiment-half
+    purchase revenue per user) and the variance-reduced CUPED mean
+    Y - theta * (X - mean(X)), where X is the same user's
+    pre-period revenue and theta = cov(X,Y)/var(X) pooled over all
+    users — the adjustment every modern experimentation platform
+    applies to shrink CIs without touching the point estimate's
+    expectation. Also reports the per-variant variance-reduction
+    percentage, the number CUPED advocates quote (typically 30-60%
+    when pre-period behavior predicts in-period behavior).
+
+    Exactness: the pre/post cutoff is the integer midpoint of the
+    event-time span (pure BIGINT microsecond arithmetic); per-user x/y
+    and every moment (sx, sxx, sxy, ...) go through the decimal-sum
+    contract, so theta and all reported statistics are single fixed
+    IEEE expression trees over exact scalars, half-up quantized at
+    1e-6 identically in both engines.
+
+    Scale: one user-grain aggregate over the fact stream, a 1-row
+    bounds broadcast, a 1-row theta broadcast, and a 2-row variant
+    reduction — no data-sized windows, joins, or collects."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx")).select(
+        F.expr("(mn + mx) div 2").alias("cutoff")
+    )
+    is_p = F.col("event_type") == "purchase"
+    pu = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "cutoff")
+        .agg(
+            dsum(F.when(is_p & (us <= F.col("cutoff")), F.col("value")).otherwise(0.0)).alias(
+                "x"
+            ),
+            dsum(F.when(is_p & (us > F.col("cutoff")), F.col("value")).otherwise(0.0)).alias(
+                "y"
+            ),
+        )
+        .drop("cutoff")
+        # pu feeds both the pooled-theta reduction and the per-variant
+        # readout; checkpoint the |users|-row frame so the fact stream
+        # is scanned once for it, not once per consumer
+        .localCheckpoint()
+    )
+    g = pu.agg(
+        F.count("*").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    th = g.select(
+        (sx / n).alias("xbar"),
+        F.when(n * sxx - sx * sx == 0, F.lit(0.0))
+        .otherwise((n * sxy - sx * sy) / (n * sxx - sx * sx))
+        .alias("theta"),
+    )
+    v = pu.groupBy((F.col("user_id") % 2).cast("int").alias("variant")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    j = v.crossJoin(F.broadcast(th))
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    nv = F.col("n_users")
+    my, mx_ = F.col("sy") / nv, F.col("sx") / nv
+    vy = F.col("syy") / nv - my * my
+    cv = F.col("sxy") / nv - mx_ * my
+    vx = F.col("sxx") / nv - mx_ * mx_
+    t = F.col("theta")
+    vc = vy - 2 * t * cv + t * t * vx
+    return j.select(
+        "variant",
+        "n_users",
+        q6(t).alias("theta"),
+        q6(my).alias("mean_metric"),
+        q6(my - t * (mx_ - F.col("xbar"))).alias("mean_cuped"),
+        F.when(vy == 0, F.lit(0.0))
+        .otherwise(q6(100 * (1 - vc / vy)))
+        .alias("var_reduction_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 100
+# floor(CDF_Poisson(1)(k) * 1000003) for k = 0..4 — shared integer
+# thresholds so the per-(row, resample) weight is pure BIGINT in both
+# engines (no double comparison anywhere in the hot path)
+_BOOT_T = (367880, 735761, 919701, 981014, 996343)
+
+_BOOT_SQL = f"""
+    WITH p AS (
+        SELECT event_id, value FROM events WHERE event_type = 'purchase'
+    ), rs AS (
+        SELECT p.value, bs.b,
+               ((p.event_id + bs.b * 31) * 9973 + 7919) % 1000003 AS h
+        FROM p CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_BOOT_B - 1})) AS b) bs
+    ), wtd AS (
+        SELECT b, value,
+               CASE WHEN h < {_BOOT_T[0]} THEN 0 WHEN h < {_BOOT_T[1]} THEN 1
+                    WHEN h < {_BOOT_T[2]} THEN 2 WHEN h < {_BOOT_T[3]} THEN 3
+                    WHEN h < {_BOOT_T[4]} THEN 4 ELSE 5 END AS w
+        FROM rs
+    ), means AS (
+        SELECT b, {dsum_expr('w * value')} / SUM(w) AS m
+        FROM wtd GROUP BY b
+    ), obs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               {davg_expr('value')} AS om
+        FROM p
+    )
+    SELECT obs.n_purchases,
+           FLOOR(obs.om * 1e6 + 0.5) / 1e6 AS obs_mean,
+           FLOOR(QUANTILE_CONT(m, 0.025) * 1e6 + 0.5) / 1e6 AS boot_lo,
+           FLOOR(QUANTILE_CONT(m, 0.975) * 1e6 + 0.5) / 1e6 AS boot_hi
+    FROM means, obs GROUP BY obs.n_purchases, obs.om
+"""
+
+
+@query("stat_bootstrap_ci", oracle=_BOOT_SQL)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for mean purchase value:
+    each of the 100 resamples weights every row by a
+    Poisson(1)-distributed count derived from a portable integer hash
+    of (event_id, resample) — the online-bootstrap construction (Owen &
+    Eckles, "Bootstrapping data arrays of arbitrary order") that makes
+    resampling a single scan instead of B shuffled copies, and the
+    standard way to bootstrap at terabyte scale. The CI is the exact
+    interpolated 2.5/97.5 percentile of the resample means.
+
+    Exactness: weights are pure BIGINT hash-threshold arithmetic
+    (identical in both engines); each resample mean is a decimal-exact
+    weighted sum over an exact integer weight total; the percentile is
+    the shared R-7 linear interpolation over 100 deterministic
+    doubles, half-up quantized.
+
+    Scale: the resample axis is a generator (explode of a 100-int
+    sequence), not a join — one scan, one map-side-combinable groupBy
+    on the resample id (100 groups), then a 100-row
+    reduction. No shuffled data copies, no driver state."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "value")
+    rs = p.select(
+        "event_id", "value", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    )
+    h = ((F.col("event_id") + F.col("b") * 31) * 9973 + 7919) % 1000003
+    w = (
+        F.when(h < _BOOT_T[0], 0)
+        .when(h < _BOOT_T[1], 1)
+        .when(h < _BOOT_T[2], 2)
+        .when(h < _BOOT_T[3], 3)
+        .when(h < _BOOT_T[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        rs.select("b", "value", w.alias("w"))
+        .groupBy("b")
+        .agg((dsum(F.col("w") * F.col("value")) / F.sum("w")).alias("m"))
+    )
+    obs = p.agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        davg("value").alias("om"),
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ci = means.agg(
+        q6(F.expr("percentile(m, 0.025D)")).alias("boot_lo"),
+        q6(F.expr("percentile(m, 0.975D)")).alias("boot_hi"),
+    )
+    return ci.crossJoin(F.broadcast(obs)).select(
+        "n_purchases", q6(F.col("om")).alias("obs_mean"), "boot_lo", "boot_hi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend exponential smoothing (level + trend forecast)
+# ---------------------------------------------------------------------------
+
+_HOLT_SQL = f"""
+    WITH RECURSIVE daily AS (
+        SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr('value')} AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), ord AS (
+        SELECT user_id, day, v,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM daily
+    ), nn AS (
+        SELECT user_id, MAX(rn) AS n, MAX(day) AS last_day FROM ord GROUP BY user_id
+    ), rec AS (
+        SELECT user_id, rn, v AS l, CAST(0.0 AS DOUBLE) AS b FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn,
+               FLOOR((0.5 * o.v + 0.5 * (r.l + r.b)) * 1e6 + 0.5) / 1e6 AS l,
+               FLOOR((0.3 * ((FLOOR((0.5 * o.v + 0.5 * (r.l + r.b)) * 1e6 + 0.5) / 1e6) - r.l)
+                      + 0.7 * r.b) * 1e6 + 0.5) / 1e6 AS b
+        FROM rec r JOIN ord o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT r.user_id, CAST(nn.n AS BIGINT) AS n_days, nn.last_day,
+           r.l AS level, r.b AS trend,
+           FLOOR((r.l + 7 * r.b) * 1e6 + 0.5) / 1e6 AS forecast_7d
+    FROM rec r JOIN nn ON nn.user_id = r.user_id AND r.rn = nn.n
+"""
+
+_HOLT_L = "floor((0.5 * x.v + 0.5 * (s.l + s.b)) * 1e6 + 0.5) / 1e6"
+_HOLT_B = (
+    f"floor((0.3 * (({_HOLT_L}) - s.l) + 0.7 * s.b) * 1e6 + 0.5) / 1e6"
+)
+
+
+@query("ts_holt_linear", oracle=_HOLT_SQL)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend exponential smoothing (alpha=0.5, beta=0.3)
+    over each user's daily purchase-revenue series: final smoothed
+    level + trend state and the 7-step-ahead linear forecast
+    level + 7*trend — the trend-aware complement to ts_ewma (no trend
+    state) and ts_forecast_snaive (no smoothing). Initialized at
+    l_1 = y_1, b_1 = 0, the standard short-series-safe start.
+
+    Exactness: daily sums go through the decimal contract; each
+    recursion step quantizes level and trend half-up at 1e-6 so the
+    walk is the identical double sequence in both engines (the oracle
+    is the same recurrence as a WITH RECURSIVE walk).
+
+    Scale: the recursion is a per-series fold over the collected daily
+    array (series length is bounded by the calendar — days, not
+    events), keyed and shuffled once on the series id; there are no
+    per-step joins, no driver state, and no single-partition windows.
+    For very long series this is the applyInPandas-shaped pattern the
+    streaming module carries state for."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum(F.col("value")).alias("v"))
+    )
+    arr = daily.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("vals"),
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max("day").alias("last_day"),
+    )
+    fold = F.expr(
+        "aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)), "
+        "named_struct('l', vals[0].v, 'b', cast(0 as double)), "
+        f"(s, x) -> named_struct('l', {_HOLT_L}, 'b', {_HOLT_B}))"
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return arr.select(
+        "user_id",
+        "n_days",
+        "last_day",
+        fold.alias("st"),
+    ).select(
+        "user_id",
+        "n_days",
+        "last_day",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        q6(F.col("st.l") + 7 * F.col("st.b")).alias("forecast_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delete-one-bucket jackknife CI for a ratio metric
+# ---------------------------------------------------------------------------
+
+_JK_G = 50  # jackknife buckets (delete-one-bucket over user hash buckets)
+
+_JK_SQL = f"""
+    WITH pu AS (
+        SELECT user_id,
+               {dsum_expr("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS rev,
+               COUNT(*) AS ev
+        FROM events GROUP BY user_id
+    ), bkt AS (
+        SELECT (user_id * 9973 + 7919) % 1000003 % {_JK_G} AS g,
+               {dsum_expr('rev')} AS sy, SUM(ev) AS sn
+        FROM pu GROUP BY 1
+    ), tot AS (
+        SELECT {dsum_expr('sy')} AS ty, SUM(sn) AS tn, COUNT(*) AS ng FROM bkt
+    ), loo AS (
+        SELECT bkt.g, (tot.ty - bkt.sy) / (tot.tn - bkt.sn) AS rg, tot.ty, tot.tn, tot.ng
+        FROM bkt, tot
+    ), jk AS (
+        SELECT ng, ty, tn, {dsum_expr('rg')} / ng AS rbar FROM loo
+        GROUP BY ng, ty, tn
+    )
+    SELECT CAST(jk.ng AS BIGINT) AS n_buckets,
+           FLOOR(jk.ty / jk.tn * 1e6 + 0.5) / 1e6 AS ratio,
+           FLOOR(SQRT((jk.ng - 1.0) / jk.ng *
+                      {dsum_expr('(loo.rg - jk.rbar) * (loo.rg - jk.rbar)')})
+                 * 1e6 + 0.5) / 1e6 AS se,
+           FLOOR((jk.ty / jk.tn - 1.959963984540054 *
+                  SQRT((jk.ng - 1.0) / jk.ng *
+                       {dsum_expr('(loo.rg - jk.rbar) * (loo.rg - jk.rbar)')}))
+                 * 1e6 + 0.5) / 1e6 AS ci_lo,
+           FLOOR((jk.ty / jk.tn + 1.959963984540054 *
+                  SQRT((jk.ng - 1.0) / jk.ng *
+                       {dsum_expr('(loo.rg - jk.rbar) * (loo.rg - jk.rbar)')}))
+                 * 1e6 + 0.5) / 1e6 AS ci_hi
+    FROM loo JOIN jk ON loo.ng = jk.ng
+    GROUP BY jk.ng, jk.ty, jk.tn, jk.rbar
+"""
+
+
+@query("stat_jackknife_ratio_ci", oracle=_JK_SQL)
+def stat_jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife 95% CI for a ratio-of-sums metric
+    (revenue per event): users are hashed into 50 buckets with the
+    portable mix, the ratio is re-computed leaving each bucket out, and
+    the jackknife variance (G-1)/G * sum (R_g - Rbar)^2 yields the
+    standard error — the estimator experimentation platforms use for
+    ratio metrics where user-level CLT doesn't apply directly (the
+    denominator is random too). Delete-one-BUCKET (not delete-one-user)
+    is what makes the jackknife O(G) instead of O(n) — the standard
+    scale trade.
+
+    Exactness: bucket assignment is pure BIGINT hash arithmetic;
+    bucket/total sums and the squared-deviation sum all go through the
+    decimal contract, so every reported statistic is one fixed IEEE
+    expression over exact scalars, half-up quantized at 1e-6.
+
+    Scale: one user-grain aggregate, one 50-row bucket aggregate, a
+    1-row totals broadcast, and a 50-row reduction — no data-sized
+    windows or collects."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    pu = ev.groupBy("user_id").agg(
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("rev"),
+        F.count("*").alias("ev"),
+    )
+    bkt = (
+        pu.groupBy(((F.col("user_id") * 9973 + 7919) % 1000003 % _JK_G).alias("g"))
+        .agg(dsum("rev").alias("sy"), F.sum("ev").alias("sn"))
+        # the 50-row bucket frame feeds totals, leave-one-out ratios,
+        # AND the deviation sum — checkpoint it so the fact stream is
+        # scanned once, not once per consumer
+        .localCheckpoint()
+    )
+    tot = bkt.agg(
+        dsum("sy").alias("ty"), F.sum("sn").alias("tn"), F.count("*").alias("ng")
+    )
+    loo = bkt.crossJoin(F.broadcast(tot)).select(
+        "g",
+        ((F.col("ty") - F.col("sy")) / (F.col("tn") - F.col("sn"))).alias("rg"),
+        "ty",
+        "tn",
+        "ng",
+    )
+    jk = (
+        loo.groupBy("ng", "ty", "tn")
+        .agg((dsum("rg") / F.col("ng")).alias("rbar"))
+        .select("rbar")
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    dev2 = (F.col("rg") - F.col("rbar")) * (F.col("rg") - F.col("rbar"))
+    agg = (
+        loo.crossJoin(F.broadcast(jk))
+        .groupBy("ng", "ty", "tn", "rbar")
+        .agg(dsum(dev2).alias("ss"))
+    )
+    z95 = 1.959963984540054
+    se = F.sqrt((F.col("ng") - 1.0) / F.col("ng") * F.col("ss"))
+    ratio = F.col("ty") / F.col("tn")
+    return agg.select(
+        F.col("ng").cast("bigint").alias("n_buckets"),
+        q6(ratio).alias("ratio"),
+        q6(se).alias("se"),
+        q6(ratio - z95 * se).alias("ci_lo"),
+        q6(ratio + z95 * se).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forecast-accuracy backtest: naive vs seasonal-naive vs drift
+# ---------------------------------------------------------------------------
+
+_FCA_SQL = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr('value')} AS x
+        FROM events GROUP BY 1, 2
+    ), d3 AS (
+        SELECT event_type, day, x,
+               ROW_NUMBER() OVER w AS rn,
+               LAG(x, 1) OVER w AS lag1,
+               LAG(x, 7) OVER w AS lag7,
+               LAG(x, 14) OVER w AS lag14,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), stats AS (
+        SELECT event_type, n,
+               MIN(CASE WHEN rn = 1 THEN x END) AS first_x,
+               MIN(CASE WHEN rn = n - 14 THEN x END) AS last_x,
+               {dsum_expr('CASE WHEN rn >= 2 THEN ABS(x - lag1) ELSE 0 END')} / (n - 15)
+                   AS mae_in
+        FROM d3 WHERE rn <= n - 14 GROUP BY event_type, n
+    ), test AS (
+        SELECT d3.event_type, d3.x, s.mae_in,
+               s.last_x AS f_naive,
+               CASE WHEN d3.rn - (d3.n - 14) <= 7 THEN d3.lag7 ELSE d3.lag14 END AS f_snaive,
+               s.last_x + (d3.rn - (d3.n - 14)) * (s.last_x - s.first_x) / (d3.n - 15)
+                   AS f_drift
+        FROM d3 JOIN stats s ON s.event_type = d3.event_type
+        WHERE d3.rn - (d3.n - 14) >= 1
+    ), unp AS (
+        SELECT event_type, x, mae_in, 'naive' AS method, f_naive AS f FROM test
+        UNION ALL
+        SELECT event_type, x, mae_in, 'snaive' AS method, f_snaive AS f FROM test
+        UNION ALL
+        SELECT event_type, x, mae_in, 'drift' AS method, f_drift AS f FROM test
+    ), met AS (
+        SELECT event_type, method, COUNT(*) AS n_test,
+               {dsum_expr('ABS(x - f)')} / COUNT(*) AS mae,
+               {dsum_expr("CASE WHEN ABS(x) + ABS(f) = 0 THEN 0 ELSE 2 * ABS(x - f) / (ABS(x) + ABS(f)) END")}
+                   / COUNT(*) AS sm,
+               MAX(mae_in) AS mi
+        FROM unp GROUP BY 1, 2
+    )
+    SELECT event_type, method, CAST(n_test AS BIGINT) AS n_test,
+           FLOOR(mae * 1e6 + 0.5) / 1e6 AS mae,
+           FLOOR(100 * sm * 1e6 + 0.5) / 1e6 AS smape,
+           CASE WHEN mi = 0 THEN 0.0
+                ELSE FLOOR(mae / mi * 1e6 + 0.5) / 1e6 END AS mase
+    FROM met
+"""
+
+
+@query("ts_forecast_accuracy", oracle=_FCA_SQL)
+def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy backtest: hold out the last 14 days of each
+    per-event-type daily revenue series and score three classical
+    baselines — naive (last train value), seasonal-naive (value one or
+    two weeks back, never reading held-out actuals), and drift (linear
+    extrapolation through the train endpoints) — with the three
+    standard accuracy metrics: MAE, sMAPE, and MASE (MAE scaled by the
+    in-sample one-step naive MAE, Hyndman's scale-free standard). The
+    model-evaluation layer that turns ts_forecast_snaive /
+    ts_holt_linear from forecasters into a measured choice.
+
+    Exactness: daily sums, error sums, and the in-sample scaling term
+    go through the decimal contract; lag frames are exact; every
+    reported metric is a fixed IEEE expression half-up quantized at
+    1e-6, with the two zero-denominator cases (flat series sMAPE term,
+    zero in-sample MAE) defined identically in both engines.
+
+    Scale: windows partition by series id (event_type) over the
+    day-grain aggregate — calendar-bounded rows per partition, no
+    single-partition exchange; the per-series stats frame (5 rows) is
+    broadcast back; the method axis is a 3-way stack of the 14-row
+    test frame."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        dsum(F.col("value")).alias("x")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    d3 = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.lag("x", 1).over(w).alias("lag1"),
+        F.lag("x", 7).over(w).alias("lag7"),
+        F.lag("x", 14).over(w).alias("lag14"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    rn, n, x = F.col("rn"), F.col("n"), F.col("x")
+    stats = (
+        d3.filter(rn <= n - 14)
+        .groupBy("event_type", "n")
+        .agg(
+            F.min(F.when(rn == 1, x)).alias("first_x"),
+            F.min(F.when(rn == n - 14, x)).alias("last_x"),
+            (
+                dsum(F.when(rn >= 2, F.abs(x - F.col("lag1"))).otherwise(0.0))
+                / (F.col("n") - 15)
+            ).alias("mae_in"),
+        )
+        .drop("n")
+    )
+    h = rn - (n - 14)
+    test = (
+        d3.filter(h >= 1)
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "x",
+            "mae_in",
+            F.col("last_x").alias("f_naive"),
+            F.when(h <= 7, F.col("lag7")).otherwise(F.col("lag14")).alias("f_snaive"),
+            (
+                F.col("last_x")
+                + h * (F.col("last_x") - F.col("first_x")) / (n - 15)
+            ).alias("f_drift"),
+        )
+    )
+    unp = test.selectExpr(
+        "event_type",
+        "x",
+        "mae_in",
+        "stack(3, 'naive', f_naive, 'snaive', f_snaive, 'drift', f_drift) AS (method, f)",
+    )
+    f = F.col("f")
+    sm_term = F.when(F.abs(x) + F.abs(f) == 0, 0.0).otherwise(
+        2 * F.abs(x - f) / (F.abs(x) + F.abs(f))
+    )
+    met = unp.groupBy("event_type", "method").agg(
+        F.count("*").alias("n_test"),
+        (dsum(F.abs(x - f)) / F.count("*")).alias("mae"),
+        (dsum(sm_term) / F.count("*")).alias("sm"),
+        F.max("mae_in").alias("mi"),
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return met.select(
+        "event_type",
+        "method",
+        F.col("n_test").cast("bigint").alias("n_test"),
+        q6(F.col("mae")).alias("mae"),
+        q6(100 * F.col("sm")).alias("smape"),
+        F.when(F.col("mi") == 0, F.lit(0.0))
+        .otherwise(q6(F.col("mae") / F.col("mi")))
+        .alias("mase"),
     )
