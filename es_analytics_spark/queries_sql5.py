@@ -3389,3 +3389,332 @@ def ts_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(q6(F.col("mae") / F.col("mi")))
         .alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (fixed 2-iteration, L1-normalized)
+# ---------------------------------------------------------------------------
+
+
+def _hits_dsum12_sql(expr: str) -> str:
+    return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(38,15))), 12) AS DOUBLE)"
+
+
+_HITS_SQL = f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), h0 AS (
+        SELECT DISTINCT cust, CAST(1.0 AS DOUBLE) AS h FROM edges
+    ), a1r AS (
+        SELECT e.supp, {_hits_dsum12_sql('h.h')} AS ar
+        FROM edges e JOIN h0 h ON e.cust = h.cust GROUP BY e.supp
+    ), a1t AS (
+        SELECT {_hits_dsum12_sql('ar')} AS t FROM a1r
+    ), a1 AS (
+        SELECT supp, ar / t AS a FROM a1r, a1t
+    ), h1r AS (
+        SELECT e.cust, {_hits_dsum12_sql('a.a')} AS hr
+        FROM edges e JOIN a1 a ON e.supp = a.supp GROUP BY e.cust
+    ), h1t AS (
+        SELECT {_hits_dsum12_sql('hr')} AS t FROM h1r
+    ), h1 AS (
+        SELECT cust, hr / t AS h FROM h1r, h1t
+    ), a2r AS (
+        SELECT e.supp, {_hits_dsum12_sql('h.h')} AS ar
+        FROM edges e JOIN h1 h ON e.cust = h.cust GROUP BY e.supp
+    ), a2t AS (
+        SELECT {_hits_dsum12_sql('ar')} AS t FROM a2r
+    ), a2 AS (
+        SELECT supp, ar / t AS a FROM a2r, a2t
+    ), h2r AS (
+        SELECT e.cust, {_hits_dsum12_sql('a.a')} AS hr
+        FROM edges e JOIN a2 a ON e.supp = a.supp GROUP BY e.cust
+    ), h2t AS (
+        SELECT {_hits_dsum12_sql('hr')} AS t FROM h2r
+    ), h2 AS (
+        SELECT cust, hr / t AS h FROM h2r, h2t
+    )
+    SELECT * FROM (
+        SELECT 'authority' AS role, supp AS node, ROUND(a, 9) AS score
+        FROM a2 ORDER BY a DESC, supp ASC LIMIT 10
+    )
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'hub' AS role, cust AS node, ROUND(h, 9) AS score
+        FROM h2 ORDER BY h DESC, cust ASC LIMIT 10
+    )
+"""
+
+
+@query("graph_hits", oracle=_HITS_SQL)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) over the bipartite
+    customer→supplier purchase graph: two mutual-reinforcement
+    iterations — authority(s) = sum of hub scores pointing at s,
+    hub(c) = sum of authority scores c points at — L1-normalized each
+    half-step so scores stay a distribution. Top-10 authorities
+    (suppliers everyone important buys from) and top-10 hubs
+    (customers whose baskets span important suppliers). Complements
+    graph_pagerank: HITS separates pointing-well from being-pointed-at,
+    which a bipartite commerce graph expresses naturally.
+
+    Exactness: every propagation sum uses the scale-12 decimal
+    contract (scores <= 1 after L1 normalization, so unscaled values
+    stay < 2^53 — same rule as PageRank); normalization divides two
+    exact doubles, one IEEE op identical in both engines; the oracle
+    is the identical recurrence unrolled as CTEs.
+
+    Scale: the edge list is checkpointed once and pays exactly two
+    equi-joins per iteration (frontier on cust, then on supp); scores
+    and totals are node-sized / 1-row broadcasts; fixed iteration
+    count is driver-side control flow, no collects."""
+    o, li = (
+        _t(spark, sf_dir, "orders", "lineitem")[t] for t in ("orders", "lineitem")
+    )
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .localCheckpoint()
+    )
+    d12 = lambda c: F.round(  # noqa: E731
+        F.sum(c.cast("decimal(38,15)")), 12
+    ).cast("double")
+    h = edges.select("cust").distinct().withColumn("h", F.lit(1.0))
+    a = None
+    for it in range(2):
+        # each raw-score frame is node-sized and feeds BOTH its L1
+        # total and the normalized frame — checkpoint it so the
+        # iterative lineage stays linear (without this the dual
+        # consumption doubles the recomputed chain per half-step).
+        # Iteration 0 starts from h = 1.0, so the first authority
+        # half-step is exactly the in-degree — one aggregate, no join
+        # (decimal sum of ones == COUNT, bit-identical to the oracle's
+        # join form); later half-steps force shuffle_hash like
+        # graph_pagerank so the edge partitions aren't re-sorted per
+        # join.
+        if it == 0:
+            ar = (
+                edges.groupBy("supp")
+                .agg(F.count("*").cast("double").alias("ar"))
+                .localCheckpoint()
+            )
+        else:
+            ar = (
+                edges.hint("shuffle_hash")
+                .join(h, "cust")
+                .groupBy("supp")
+                .agg(d12(F.col("h")).alias("ar"))
+                .localCheckpoint()
+            )
+        at = ar.agg(d12(F.col("ar")).alias("t"))
+        a = ar.crossJoin(F.broadcast(at)).select(
+            "supp", (F.col("ar") / F.col("t")).alias("a")
+        )
+        hr = (
+            edges.hint("shuffle_hash")
+            .join(a, "supp")
+            .groupBy("cust")
+            .agg(d12(F.col("a")).alias("hr"))
+            .localCheckpoint()
+        )
+        ht = hr.agg(d12(F.col("hr")).alias("t"))
+        h = hr.crossJoin(F.broadcast(ht)).select(
+            "cust", (F.col("hr") / F.col("t")).alias("h")
+        )
+    auth = (
+        a.orderBy(F.desc("a"), F.asc("supp"))
+        .limit(10)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("supp").alias("node"),
+            F.round("a", 9).alias("score"),
+        )
+    )
+    hubs = (
+        h.orderBy(F.desc("h"), F.asc("cust"))
+        .limit(10)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("cust").alias("node"),
+            F.round("h", 9).alias("score"),
+        )
+    )
+    return auth.unionAll(hubs)
+
+
+# ---------------------------------------------------------------------------
+# Funnel step latency percentiles
+# ---------------------------------------------------------------------------
+
+_FSL_SQL = """
+    WITH v AS (
+        SELECT user_id, MIN(EPOCH_US(ts)) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(EPOCH_US(e.ts)) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND EPOCH_US(e.ts) > v.t1
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(EPOCH_US(e.ts)) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND EPOCH_US(e.ts) > c.t2
+        GROUP BY e.user_id
+    ), lat AS (
+        SELECT 'view->click' AS transition,
+               (c.t2 - v.t1) / 3600000000.0 AS hours
+        FROM v JOIN c ON c.user_id = v.user_id
+        UNION ALL
+        SELECT 'click->purchase' AS transition,
+               (p.t3 - c.t2) / 3600000000.0 AS hours
+        FROM c JOIN p ON p.user_id = c.user_id
+    )
+    SELECT transition, CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR(QUANTILE_CONT(hours, 0.50) * 1e4 + 0.5) / 1e4 AS p50_hours,
+           FLOOR(QUANTILE_CONT(hours, 0.90) * 1e4 + 0.5) / 1e4 AS p90_hours
+    FROM lat GROUP BY transition
+"""
+
+
+@query("seq_funnel_step_latency", oracle=_FSL_SQL)
+def seq_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step-latency distribution: for the strictly-ordered
+    view → click → purchase funnel (each step's first occurrence after
+    the previous step), the exact p50/p90 hours spent in each
+    transition — the where-do-users-stall readout that turns
+    ts_funnel_windowed's conversion counts into actionable dwell
+    times. Latencies are exact integer microsecond differences divided
+    once by a constant; percentiles are exact interpolated, half-up
+    quantized at 1e-4.
+
+    Scale: three user-grain min-aggregates chained by user-keyed hash
+    joins (each stage shrinks the frame), then one aggregate over the
+    2-transition grain. No windows, no collects."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    tus = F.unix_micros(F.col("ts"))
+
+    def first_after(etype: str, prev: DataFrame, prev_col: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id", tus.alias("t"))
+            .join(prev, "user_id")
+            .filter(F.col("t") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("t").alias(out))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(tus).alias("t1"))
+    )
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    lat = (
+        v.join(c, "user_id")
+        .select(
+            F.lit("view->click").alias("transition"),
+            ((F.col("t2") - F.col("t1")) / 3600000000.0).alias("hours"),
+        )
+        .unionAll(
+            c.join(p, "user_id").select(
+                F.lit("click->purchase").alias("transition"),
+                ((F.col("t3") - F.col("t2")) / 3600000000.0).alias("hours"),
+            )
+        )
+    )
+    q4 = lambda c_: F.floor(c_ * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return lat.groupBy("transition").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        q4(F.expr("percentile(hours, 0.50D)")).alias("p50_hours"),
+        q4(F.expr("percentile(hours, 0.90D)")).alias("p90_hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects between experiment variants
+# ---------------------------------------------------------------------------
+
+_QTE_SQL = f"""
+    WITH pu AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               {dsum_expr("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS rev
+        FROM events GROUP BY user_id
+    ), wide AS (
+        SELECT QUANTILE_CONT(CASE WHEN variant = 0 THEN rev END, 0.25) AS q0_25,
+               QUANTILE_CONT(CASE WHEN variant = 0 THEN rev END, 0.50) AS q0_50,
+               QUANTILE_CONT(CASE WHEN variant = 0 THEN rev END, 0.75) AS q0_75,
+               QUANTILE_CONT(CASE WHEN variant = 0 THEN rev END, 0.90) AS q0_90,
+               QUANTILE_CONT(CASE WHEN variant = 1 THEN rev END, 0.25) AS q1_25,
+               QUANTILE_CONT(CASE WHEN variant = 1 THEN rev END, 0.50) AS q1_50,
+               QUANTILE_CONT(CASE WHEN variant = 1 THEN rev END, 0.75) AS q1_75,
+               QUANTILE_CONT(CASE WHEN variant = 1 THEN rev END, 0.90) AS q1_90
+        FROM pu
+    )
+    SELECT 'p25' AS quantile, FLOOR(q0_25 * 1e6 + 0.5) / 1e6 AS control,
+           FLOOR(q1_25 * 1e6 + 0.5) / 1e6 AS treatment,
+           FLOOR((q1_25 - q0_25) * 1e6 + 0.5) / 1e6 AS qte FROM wide
+    UNION ALL
+    SELECT 'p50', FLOOR(q0_50 * 1e6 + 0.5) / 1e6,
+           FLOOR(q1_50 * 1e6 + 0.5) / 1e6,
+           FLOOR((q1_50 - q0_50) * 1e6 + 0.5) / 1e6 FROM wide
+    UNION ALL
+    SELECT 'p75', FLOOR(q0_75 * 1e6 + 0.5) / 1e6,
+           FLOOR(q1_75 * 1e6 + 0.5) / 1e6,
+           FLOOR((q1_75 - q0_75) * 1e6 + 0.5) / 1e6 FROM wide
+    UNION ALL
+    SELECT 'p90', FLOOR(q0_90 * 1e6 + 0.5) / 1e6,
+           FLOOR(q1_90 * 1e6 + 0.5) / 1e6,
+           FLOOR((q1_90 - q0_90) * 1e6 + 0.5) / 1e6 FROM wide
+"""
+
+
+@query("ab_quantile_lift", oracle=_QTE_SQL)
+def ab_quantile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the per-quantile difference between
+    the treatment and control distributions of per-user purchase
+    revenue (p25/p50/p75/p90) — the readout that shows WHERE in the
+    distribution an experiment moves spend (a mean lift hiding in the
+    top decile vs a broad shift), which the ab_ztest_srm mean
+    comparison cannot distinguish.
+
+    Exactness: per-user revenue goes through the decimal contract;
+    each quantile is the shared R-7 interpolation over exact doubles
+    filtered per variant (NULL-skipping CASE mirrors Spark's
+    null-ignoring percentile); differences and outputs are half-up
+    quantized at 1e-6.
+
+    Scale: one user-grain aggregate, then a single global percentile
+    reduction (8 scalars in one pass) and a 4-row stack."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    pu = ev.groupBy("user_id").agg(
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("rev"),
+    ).select((F.col("user_id") % 2).cast("int").alias("variant"), "rev")
+    wide = pu.agg(
+        *[
+            F.expr(f"percentile(if(variant = {v}, rev, null), {q}D)").alias(
+                f"q{v}_{int(q * 100)}"
+            )
+            for v in (0, 1)
+            for q in (0.25, 0.50, 0.75, 0.90)
+        ]
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    rows = []
+    for q in (25, 50, 75, 90):
+        rows.append(
+            wide.select(
+                F.lit(f"p{q}").alias("quantile"),
+                q6(F.col(f"q0_{q}")).alias("control"),
+                q6(F.col(f"q1_{q}")).alias("treatment"),
+                q6(F.col(f"q1_{q}") - F.col(f"q0_{q}")).alias("qte"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

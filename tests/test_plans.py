@@ -263,6 +263,15 @@ def test_flagship_shuffle_budgets(spark, sf_dir):
         "agg_revenue_concentration": 5,  # customer agg + range rank + offsets + 1-row reductions
         "rec_rfm_segments": 15,     # 3x (range rank + offset agg + join) at user grain — all user-sized
         "rec_user_cf_topk": 15,     # ratings distinct + pop cap + pair agg + deg joins + rank
+        # round-4 late-batch shapes (post-checkpoint plans: the budget
+        # also pins that the iterative/multi-consumer frames STAY
+        # checkpointed — graph_hits without its checkpoints audits at
+        # 134 shuffles from exponential lineage recomputation)
+        "ab_cuped_readout": 3,      # checkpointed user grain + variant agg + 1-row reductions
+        "stat_jackknife_ratio_ci": 5,  # user agg + checkpointed 50-bucket grain + reductions
+        "stat_bootstrap_ci": 4,     # resample-id agg + percentile reduction + obs agg
+        "graph_hits": 3,            # post-checkpoint: top-k orderings + final union
+        "ts_forecast_accuracy": 5,  # daily agg + per-type windows + stats + method agg
     }
     for name, budget in budgets.items():
         audit = plan_audit(REGISTRY[name].fn(spark, sf_dir))
