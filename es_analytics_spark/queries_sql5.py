@@ -3718,3 +3718,266 @@ def ab_quantile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences readout
+# ---------------------------------------------------------------------------
+
+_DID_SQL = f"""
+    WITH b AS (
+        SELECT (MIN(EPOCH_US(ts)) + MAX(EPOCH_US(ts))) // 2 AS cutoff FROM events
+    ), pu AS (
+        SELECT user_id,
+               {dsum_expr("CASE WHEN event_type = 'purchase' AND EPOCH_US(ts) <= cutoff THEN value ELSE 0 END")} AS x,
+               {dsum_expr("CASE WHEN event_type = 'purchase' AND EPOCH_US(ts) > cutoff THEN value ELSE 0 END")} AS y
+        FROM events, b GROUP BY user_id, cutoff
+    ), v AS (
+        SELECT CAST(user_id % 2 AS INT) AS variant, COUNT(*) AS n,
+               {dsum_expr('x')} AS sx, {dsum_expr('y')} AS sy
+        FROM pu GROUP BY 1
+    ), w AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN sx / n END) AS c_pre,
+               MAX(CASE WHEN variant = 0 THEN sy / n END) AS c_post,
+               MAX(CASE WHEN variant = 1 THEN sx / n END) AS t_pre,
+               MAX(CASE WHEN variant = 1 THEN sy / n END) AS t_post
+        FROM v
+    )
+    SELECT FLOOR(c_pre * 1e6 + 0.5) / 1e6 AS control_pre,
+           FLOOR(c_post * 1e6 + 0.5) / 1e6 AS control_post,
+           FLOOR(t_pre * 1e6 + 0.5) / 1e6 AS treat_pre,
+           FLOOR(t_post * 1e6 + 0.5) / 1e6 AS treat_post,
+           FLOOR(((t_post - t_pre) - (c_post - c_pre)) * 1e6 + 0.5) / 1e6 AS did
+    FROM w
+"""
+
+
+@query("ab_diff_in_diff", oracle=_DID_SQL)
+def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: per-user purchase revenue means for
+    the four (variant × pre/post) cells around the event-time
+    midpoint, and the DiD estimate (treatment post-minus-pre) minus
+    (control post-minus-pre) — the causal readout that nets out both
+    the level difference between groups and the common time trend,
+    the standard design when assignment isn't randomized cleanly.
+    Complements ab_cuped_readout (same cells, different estimand).
+
+    Exactness: same integer-microsecond midpoint and decimal user
+    sums as ab_cuped_readout; cell means and the DiD contrast are one
+    fixed IEEE expression tree, half-up quantized at 1e-6.
+
+    Scale: one user-grain aggregate, a 2-row variant reduction, and a
+    1-row pivot — nothing data-sized past the first shuffle."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    us = F.unix_micros(F.col("ts"))
+    bounds = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx")).select(
+        F.expr("(mn + mx) div 2").alias("cutoff")
+    )
+    is_p = F.col("event_type") == "purchase"
+    pu = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "cutoff")
+        .agg(
+            dsum(F.when(is_p & (us <= F.col("cutoff")), F.col("value")).otherwise(0.0)).alias(
+                "x"
+            ),
+            dsum(F.when(is_p & (us > F.col("cutoff")), F.col("value")).otherwise(0.0)).alias(
+                "y"
+            ),
+        )
+    )
+    v = pu.groupBy((F.col("user_id") % 2).cast("int").alias("variant")).agg(
+        F.count("*").alias("n"), dsum("x").alias("sx"), dsum("y").alias("sy")
+    )
+    cell = lambda vv, c: F.max(  # noqa: E731
+        F.when(F.col("variant") == vv, F.col(c) / F.col("n"))
+    )
+    w = v.agg(
+        cell(0, "sx").alias("c_pre"),
+        cell(0, "sy").alias("c_post"),
+        cell(1, "sx").alias("t_pre"),
+        cell(1, "sy").alias("t_post"),
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return w.select(
+        q6(F.col("c_pre")).alias("control_pre"),
+        q6(F.col("c_post")).alias("control_post"),
+        q6(F.col("t_pre")).alias("treat_pre"),
+        q6(F.col("t_post")).alias("treat_post"),
+        q6(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter ablation matrix
+# ---------------------------------------------------------------------------
+
+_ABLATION_SQL = """
+    WITH f AS (
+        SELECT doc_id,
+               n_chars < 200 AS f_short,
+               LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'))) * 1.0
+                   / LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) < 0.4
+                   AS f_repetitive,
+               n_chars * 1.0 / LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) > 5.7
+                   AS f_longword
+        FROM documents WHERE n_chars > 0
+    ), m AS (
+        SELECT f_short, f_repetitive, f_longword, COUNT(*) AS n_docs
+        FROM f GROUP BY 1, 2, 3
+    ), t AS (
+        SELECT SUM(n_docs) AS total FROM m
+    )
+    SELECT m.f_short, m.f_repetitive, m.f_longword,
+           CAST(m.n_docs AS BIGINT) AS n_docs,
+           FLOOR(m.n_docs * 1.0 / t.total * 1e6 + 0.5) / 1e6 AS pct
+    FROM m, t
+"""
+
+
+@query("text_filter_ablation", oracle=_ABLATION_SQL)
+def text_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation matrix: every combination of three
+    document quality filters (too-short, repetitive low-token-diversity, long-word) with the count and share of the corpus it captures — the
+    overlap audit a pipeline owner reads before turning filters on
+    (a filter that only removes docs another filter already removes
+    adds risk, not signal). The all-false row is the surviving
+    fraction.
+
+    Exactness: filter predicates are integer/ratio comparisons using
+    the same LENGTH/regexp/token-count spellings the text_quality
+    family already oracles; counts are exact; shares are one division,
+    half-up quantized.
+
+    Scale: single corpus scan into an 8-row-max mask aggregate
+    (map-side combinable), 1-row total broadcast."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    c = F.col("text")
+    n_chars = F.col("n_chars")
+    toks_l = F.split(F.trim(F.lower(c)), r"\s+")
+    n_tokens = F.size(F.split(F.trim(c), r"\s+"))
+    tdr = F.size(F.array_distinct(toks_l)) * 1.0 / F.size(toks_l)
+    f = d.filter(n_chars > 0).select(
+        (n_chars < 200).alias("f_short"),
+        (tdr < 0.4).alias("f_repetitive"),
+        (n_chars * 1.0 / n_tokens > 5.7).alias("f_longword"),
+    )
+    m = f.groupBy("f_short", "f_repetitive", "f_longword").agg(F.count("*").alias("n_docs"))
+    t = m.agg(F.sum("n_docs").alias("total"))
+    q6 = lambda cc: F.floor(cc * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return m.crossJoin(F.broadcast(t)).select(
+        "f_short",
+        "f_repetitive",
+        "f_longword",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        q6(F.col("n_docs") * 1.0 / F.col("total")).alias("pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact report (composition shift + total-variation distance)
+# ---------------------------------------------------------------------------
+
+_NORM5_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_DEDUP_IMPACT_SQL = f"""
+    WITH keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5({_NORM5_SQL})
+    ), bef AS (
+        SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang
+    ), aft AS (
+        SELECT d.lang, COUNT(*) AS n_after
+        FROM documents d JOIN keep k ON d.doc_id = k.doc_id GROUP BY d.lang
+    ), tb AS (
+        SELECT SUM(n_before) AS t FROM bef
+    ), ta AS (
+        SELECT SUM(n_after) AS t FROM aft
+    ), j AS (
+        SELECT b.lang, b.n_before, COALESCE(a.n_after, 0) AS n_after,
+               b.n_before * 1.0 / tb.t AS pct_before,
+               COALESCE(a.n_after, 0) * 1.0 / ta.t AS pct_after
+        FROM bef b LEFT JOIN aft a ON a.lang = b.lang, tb, ta
+    ), tv AS (
+        SELECT FLOOR(0.5 * {dsum_expr('ABS(pct_before - pct_after)')} * 1e6 + 0.5) / 1e6
+            AS tv_distance
+        FROM j
+    )
+    SELECT j.lang, CAST(j.n_before AS BIGINT) AS n_before,
+           FLOOR(j.pct_before * 1e6 + 0.5) / 1e6 AS pct_before,
+           CAST(j.n_after AS BIGINT) AS n_after,
+           FLOOR(j.pct_after * 1e6 + 0.5) / 1e6 AS pct_after,
+           tv.tv_distance
+    FROM j, tv
+"""
+
+
+@query("dedup_impact_report", oracle=_DEDUP_IMPACT_SQL)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship-bias audit: per-language corpus composition
+    before vs after normalized-fingerprint exact dedup (deterministic
+    min-doc_id keeper), plus the total-variation distance between the
+    two language distributions — the check that deduplication didn't
+    silently reshape the training mixture (boilerplate concentrates in
+    some languages/sources, so dedup rarely removes uniformly).
+
+    Exactness: the fingerprint and keeper rule are the
+    text_fingerprint_dedup spellings; counts are exact; shares are one
+    division each; the TV distance runs the |langs| absolute gaps
+    through the decimal contract before halving, half-up quantized.
+
+    Scale: one fingerprint aggregate (|docs| grain), a doc_id-keyed
+    semi-join-shaped keeper join, two |langs|-row aggregates, 1-row
+    total broadcasts; the |langs| comparison frame is checkpointed so
+    the fingerprint pass runs once for both the rows and the TV
+    reduction."""
+    from es_analytics_spark.operators.dedup import document_fingerprint
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    keep = (
+        document_fingerprint(d, "text")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    bef = d.groupBy("lang").agg(F.count("*").alias("n_before"))
+    aft = (
+        d.join(keep, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_after"))
+    )
+    tb = bef.agg(F.sum("n_before").alias("tb"))
+    ta = aft.agg(F.sum("n_after").alias("ta"))
+    j = (
+        bef.join(aft, "lang", "left")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0)).alias("n_after"),
+            (F.col("n_before") * 1.0 / F.col("tb")).alias("pct_before"),
+            (
+                F.coalesce(F.col("n_after"), F.lit(0)) * 1.0 / F.col("ta")
+            ).alias("pct_after"),
+        )
+        .localCheckpoint()
+    )
+    q6 = lambda cc: F.floor(cc * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    tv = j.agg(
+        q6(0.5 * dsum(F.abs(F.col("pct_before") - F.col("pct_after")))).alias(
+            "tv_distance"
+        )
+    )
+    return j.crossJoin(F.broadcast(tv)).select(
+        "lang",
+        F.col("n_before").cast("bigint").alias("n_before"),
+        q6(F.col("pct_before")).alias("pct_before"),
+        F.col("n_after").cast("bigint").alias("n_after"),
+        q6(F.col("pct_after")).alias("pct_after"),
+        "tv_distance",
+    )
