@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from es_analytics_spark.sources.fsio import join, lake_fs
+from es_analytics_spark.sources.fsio import is_uri, join, lake_fs
 
 
 def table_stats(spark: SparkSession, path: str) -> dict:
@@ -279,3 +279,125 @@ def vacuum(
         if not dry_run:
             fs.delete(path)
     return victims
+
+
+def erase_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    values: list,
+) -> dict:
+    """Right-to-be-forgotten erasure: physically remove every row whose
+    ``key_col`` is in ``values`` from the parquet table at ``path``,
+    rewriting ONLY the files that contain matching rows (file-level
+    pruning — the property that makes erasure tractable on a 100 TB
+    table: after ``cluster_by(key_col)`` an erasure request touches a
+    handful of files, and untouched files keep their bytes, stats, and
+    cache residency). Returns an auditable receipt.
+
+    Mechanics: one scan tags rows with ``input_file_name`` and counts
+    per-file matches (file-count-bounded driver state, same class as
+    ``table_stats``); each affected file is rewritten without the
+    matching rows and atomically swapped in via ``replace_file`` (a
+    file whose rows ALL match is deleted outright); a verification
+    re-read proves zero survivors before the receipt is returned.
+    Per-file replacement is idempotent — a crash mid-loop leaves some
+    files already erased and a re-run completes the rest; no file is
+    ever visible in a half-written state. The per-file loop is
+    driver-sequenced; a cluster deployment fans the independent file
+    rewrites out as parallel jobs.
+
+    ``key_col`` must be a data column. Erasing on a *partition* column
+    is a directory delete, not a rewrite — raises with that guidance.
+
+    ``values`` is the erasure request batch (subject identifiers) —
+    driver-sized by nature. Erasure sets big enough to need an
+    anti-join belong to ``upsert``-style whole-table rewrites.
+    """
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if key_col not in df.columns:
+        raise ValueError(f"erase_keys: {key_col!r} absent from {path}")
+
+    fs = lake_fs(spark, path)
+
+    def _local(file_uri: str) -> str:
+        if is_uri(path):
+            return file_uri
+        p = urlparse(file_uri)
+        return unquote(p.path) if p.scheme else file_uri
+
+    pred = F.col(key_col).isin(values)
+    per_file = (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(
+            F.count(F.when(pred, F.lit(1))).alias("hits"),
+            F.count("*").alias("total"),
+        )
+        .filter(F.col("hits") > 0)
+        .collect()
+    )
+    if not per_file:
+        return {
+            "rows_erased": 0,
+            "files_rewritten": 0,
+            "files_deleted": 0,
+            "verified": True,
+        }
+
+    # partition-column erasure would scan fine (the value comes from the
+    # directory) but the per-file rewrite below cannot express it: the
+    # column is not IN the file
+    sample_file = _local(per_file[0]["__file"])
+    if key_col not in spark.read.parquet(sample_file).columns:
+        raise ValueError(
+            f"erase_keys: {key_col!r} is a partition column of {path}; "
+            "delete the matching partition directories instead of rewriting files"
+        )
+
+    staging = path.rstrip("/") + ".__erase__"
+    fs.delete(staging)
+    rewritten = deleted = 0
+
+    def _drop_crc(fpath: str) -> None:
+        # Hadoop's checksummed local FS keeps a .<name>.crc sidecar;
+        # after replacing the parquet bytes the stale checksum would
+        # fail every future read. No-op where no sidecar exists (URI
+        # object stores).
+        d, _, b = fpath.rpartition("/")
+        fs.delete(f"{d}/.{b}.crc")
+
+    try:
+        for i, row in enumerate(per_file):
+            f = _local(row["__file"])
+            if row["hits"] == row["total"]:
+                fs.delete(f)
+                _drop_crc(f)
+                deleted += 1
+                continue
+            slot = join(staging, f"f{i:05d}")
+            (
+                spark.read.parquet(f)
+                .filter(~pred)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(slot)
+            )
+            part = [p for p in fs.glob(join(slot, "part-*.parquet"))][0]
+            fs.replace_file(part, f)
+            _drop_crc(f)
+            rewritten += 1
+    finally:
+        fs.delete(staging)
+
+    survivors = spark.read.parquet(path).filter(pred).limit(1).count()
+    return {
+        "rows_erased": int(sum(r["hits"] for r in per_file)),
+        "files_rewritten": rewritten,
+        "files_deleted": deleted,
+        "verified": survivors == 0,
+    }

@@ -231,6 +231,13 @@ def test_lake_ops_work_over_uri_store(spark, tmp_path):
     assert out.count() == 1001
     assert {r.name for r in out.filter(F.col("id").isin(2, 1001)).collect()} == {"b2", "c"}
 
+    # erasure through the same seam (URI paths flow into replace_file)
+    from es_analytics_spark.maintenance import erase_keys
+
+    receipt = erase_keys(spark, path, "id", [2, 7, 1001])
+    assert receipt["verified"] is True and receipt["rows_erased"] == 3
+    assert spark.read.parquet(path).count() == 998
+
 
 def test_stream_upsert_cdc_latest_wins(spark, sf_dir, tmp_path):
     """Streaming MERGE sink: replaying the events stream with per-user
@@ -942,3 +949,69 @@ def test_view_change_feed_between_versions(spark, tmp_path):
     assert read_view_changes(spark, view, 2, 2).count() == 0
     with _pytest.raises(FileNotFoundError):
         read_view_changes(spark, view, 1, 9)
+
+
+def test_erase_keys_prunes_files_and_verifies(spark, sf_dir, tmp_path):
+    """GDPR erasure: only files containing matching rows are rewritten
+    (file-level pruning), survivors are byte-identical, the receipt is
+    verified, and a second call is a no-op."""
+    import os
+
+    from es_analytics_spark.maintenance import erase_keys
+
+    path = str(tmp_path / "users_tbl")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # range-cluster on the key so the erasure set concentrates in few files
+    ev.repartitionByRange(4, "user_id").write.parquet(path)
+
+    victims = [r["user_id"] for r in ev.select("user_id").distinct().orderBy("user_id").limit(3).collect()]
+    before = ev.filter(~F.col("user_id").isin(victims)).orderBy("event_id").collect()
+    files_before = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+
+    receipt = erase_keys(spark, path, "user_id", victims)
+    assert receipt["verified"] is True
+    assert receipt["rows_erased"] > 0
+    assert 1 <= receipt["files_rewritten"] + receipt["files_deleted"] < len(files_before), (
+        "erasure should touch some but not all files on a range-clustered table",
+        receipt,
+    )
+
+    after = spark.read.parquet(path).orderBy("event_id").collect()
+    assert after == before  # survivors bit-identical, victims gone
+
+    untouched = set(files_before) - {
+        f for f in files_before if not os.path.exists(os.path.join(path, f))
+    }
+    same_mtime = [
+        f
+        for f in untouched
+        if os.path.getmtime(os.path.join(path, f)) == files_before[f]
+    ]
+    assert len(same_mtime) >= len(files_before) - receipt["files_rewritten"] - receipt["files_deleted"], (
+        "untouched files must not be rewritten"
+    )
+
+    again = erase_keys(spark, path, "user_id", victims)
+    assert again == {
+        "rows_erased": 0,
+        "files_rewritten": 0,
+        "files_deleted": 0,
+        "verified": True,
+    }
+
+
+def test_erase_keys_rejects_partition_column(spark, sf_dir, tmp_path):
+    import pytest
+
+    from es_analytics_spark.maintenance import erase_keys
+
+    path = str(tmp_path / "parted_tbl")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.partitionBy(
+        "event_type"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="partition column"):
+        erase_keys(spark, path, "event_type", ["purchase"])
