@@ -97,6 +97,13 @@ HEADLINE = [
     "sim_matryoshka_topk",
     "lake_partition_advisor",
     "agg_boxplot_iqr",
+    # r4 late batch: experiment CIs, single-scan bootstrap, HITS,
+    # forecast backtest, dedup audit
+    "ab_cuped_readout",
+    "stat_bootstrap_ci",
+    "graph_hits",
+    "ts_forecast_accuracy",
+    "dedup_impact_report",
 ]
 
 

@@ -3981,3 +3981,424 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.col("pct_after")).alias("pct_after"),
         "tv_distance",
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test (distributed exact ECDF)
+# ---------------------------------------------------------------------------
+
+_KS_CRIT_95 = 1.3581015157406195  # c(alpha) for alpha = 0.05
+
+_KS_SQL = f"""
+    WITH pu AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               {dsum_expr("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS rev
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT rev,
+               SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS c0,
+               SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS c1
+        FROM pu GROUP BY rev
+    ), cum AS (
+        SELECT rev,
+               SUM(c0) OVER (ORDER BY rev) AS k0,
+               SUM(c1) OVER (ORDER BY rev) AS k1
+        FROM g
+    ), tot AS (
+        SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM g
+    ), d AS (
+        SELECT MAX(ABS(k0 * tot.n1 - k1 * tot.n0)) AS dnum,
+               MAX(tot.n0) AS n0, MAX(tot.n1) AS n1
+        FROM cum, tot
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           FLOOR(dnum * 1.0 / (n0 * n1) * 1e6 + 0.5) / 1e6 AS ks_d,
+           FLOOR({_KS_CRIT_95} * SQRT((n0 + n1) * 1.0 / (n0 * n1)) * 1e6 + 0.5) / 1e6
+               AS ks_crit,
+           dnum * 1.0 / (n0 * n1) > {_KS_CRIT_95} * SQRT((n0 + n1) * 1.0 / (n0 * n1))
+               AS significant
+    FROM d
+"""
+
+
+@query("stat_ks_test", oracle=_KS_SQL)
+def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the control and
+    treatment distributions of per-user purchase revenue: the supremum
+    ECDF gap D, the alpha=0.05 critical value
+    c(alpha) * sqrt((n0+n1)/(n0*n1)), and the verdict — the
+    distribution-level companion to ab_quantile_lift (QTE shows WHERE
+    the shift is; KS says whether ANY distributional shift is
+    significant), and the same statistic drift monitors run between
+    data snapshots.
+
+    Exactness: the ECDF comparison is pure integer arithmetic — the
+    gap numerator |k0*n1 - k1*n0| is an exact BIGINT per distinct
+    value, so the max is exact and only the final normalization
+    divides. The global cumulative counts are computed with the
+    window-free range-partition + triangle-offset recipe
+    (functions/ranks.cumulative_offsets, run per variant column); the
+    oracle spells them as plain window cumsums.
+
+    Scale: one user-grain aggregate, one value-grain aggregate, one
+    range shuffle; per-partition windows only (the plan guard passes
+    without an allowlist entry)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    pu = ev.groupBy("user_id").agg(
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("rev"),
+    ).select((F.col("user_id") % 2).cast("int").alias("variant"), "rev")
+    g = pu.groupBy("rev").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        g.repartitionByRange(n_parts, F.asc("rev"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = W.partitionBy("pid").orderBy(F.asc("rev")).rowsBetween(W.unboundedPreceding, 0)
+    local = ranged.select(
+        "rev",
+        "pid",
+        F.sum("c0").over(w).alias("l0"),
+        F.sum("c1").over(w).alias("l1"),
+    )
+    cnts = ranged.groupBy("pid").agg(
+        F.sum("c0").alias("c0"), F.sum("c1").alias("c1")
+    )
+    off0 = cumulative_offsets(cnts.select("pid", "c0"), cnt="c0").withColumnRenamed(
+        "off", "o0"
+    )
+    off1 = cumulative_offsets(cnts.select("pid", "c1"), cnt="c1").withColumnRenamed(
+        "off", "o1"
+    )
+    tot = cnts.agg(F.sum("c0").alias("n0"), F.sum("c1").alias("n1"))
+    cum = (
+        local.join(F.broadcast(off0), "pid")
+        .join(F.broadcast(off1), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            ((F.col("l0") + F.col("o0")) * F.col("n1")
+             - (F.col("l1") + F.col("o1")) * F.col("n0")).alias("gap"),
+            "n0",
+            "n1",
+        )
+    )
+    d = cum.agg(
+        F.max(F.abs(F.col("gap"))).alias("dnum"),
+        F.max("n0").alias("n0"),
+        F.max("n1").alias("n1"),
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    n0, n1, dnum = F.col("n0"), F.col("n1"), F.col("dnum")
+    ks_d = dnum * 1.0 / (n0 * n1)
+    crit = _KS_CRIT_95 * F.sqrt((n0 + n1) * 1.0 / (n0 * n1))
+    return d.select(
+        n0.cast("bigint").alias("n0"),
+        n1.cast("bigint").alias("n1"),
+        q6(ks_d).alias("ks_d"),
+        q6(crit).alias("ks_crit"),
+        (ks_d > crit).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (contingency table)
+# ---------------------------------------------------------------------------
+
+_CHI2_SQL = f"""
+    WITH cells AS (
+        SELECT event_type, CAST(user_id % 2 AS INT) AS variant, COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ), rows_m AS (
+        SELECT event_type, SUM(o) AS rc FROM cells GROUP BY event_type
+    ), cols_m AS (
+        SELECT variant, SUM(o) AS cc FROM cells GROUP BY variant
+    ), tot AS (
+        SELECT SUM(o) AS n,
+               COUNT(DISTINCT event_type) AS r,
+               COUNT(DISTINCT variant) AS c
+        FROM cells
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST((tot.r - 1) * (tot.c - 1) AS BIGINT) AS dof,
+           FLOOR({dsum_expr("(cells.o - rows_m.rc * cols_m.cc * 1.0 / tot.n) * (cells.o - rows_m.rc * cols_m.cc * 1.0 / tot.n) / (rows_m.rc * cols_m.cc * 1.0 / tot.n)")}
+                 * 1e6 + 0.5) / 1e6 AS chi2,
+           FLOOR(SQRT({dsum_expr("(cells.o - rows_m.rc * cols_m.cc * 1.0 / tot.n) * (cells.o - rows_m.rc * cols_m.cc * 1.0 / tot.n) / (rows_m.rc * cols_m.cc * 1.0 / tot.n)")}
+                      / (tot.n * (CASE WHEN tot.r - 1 < tot.c - 1 THEN tot.r - 1 ELSE tot.c - 1 END)))
+                 * 1e6 + 0.5) / 1e6 AS cramers_v
+    FROM cells
+    JOIN rows_m ON rows_m.event_type = cells.event_type
+    JOIN cols_m ON cols_m.variant = cells.variant
+    CROSS JOIN tot
+    GROUP BY tot.n, tot.r, tot.c
+"""
+
+
+@query("stat_chi2_independence", oracle=_CHI2_SQL)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence over the event_type × variant
+    contingency table: the chi² statistic sum((O-E)²/E) with expected
+    counts from the marginals, degrees of freedom, and Cramér's V
+    effect size sqrt(chi²/(N·min(r-1,c-1))) — the categorical
+    association test behind guardrail checks like "did the experiment
+    change the MIX of actions users take" (the multi-category
+    generalization of ab_ztest_srm's 2-cell SRM check).
+
+    Exactness: observed and marginal counts are exact integers; each
+    cell's (O-E)²/E is one fixed IEEE tree over those integers and the
+    per-cell terms go through the decimal contract before summing, so
+    the statistic is bit-identical in both engines; half-up quantized.
+
+    Scale: one contingency aggregate (|types|×|variants| cells),
+    marginals and totals are cell-grain reductions broadcast back —
+    nothing data-sized past the first shuffle."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    cells = (
+        ev.groupBy("event_type", (F.col("user_id") % 2).cast("int").alias("variant"))
+        .agg(F.count("*").alias("o"))
+        # the |types|x|variants| table feeds both marginals, the totals,
+        # and the scored join — checkpoint so the fact scan runs once
+        .localCheckpoint()
+    )
+    rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("rc"))
+    cols_m = cells.groupBy("variant").agg(F.sum("o").alias("cc"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("variant").alias("c"),
+    )
+    j = (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "variant")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("rc") * F.col("cc") * 1.0 / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    mindim = F.when(
+        F.col("r") - 1 < F.col("c") - 1, F.col("r") - 1
+    ).otherwise(F.col("c") - 1)
+    agg2 = j.groupBy("n", "r", "c").agg(dsum(term).alias("chi2_raw"))
+    return agg2.select(
+        F.col("n").cast("bigint").alias("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        q6(F.col("chi2_raw")).alias("chi2"),
+        q6(F.sqrt(F.col("chi2_raw") / (F.col("n") * mindim))).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U test (exact tie-corrected rank sums)
+# ---------------------------------------------------------------------------
+
+_MWU_SQL = f"""
+    WITH pu AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               {dsum_expr("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS rev
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT rev,
+               SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS c0,
+               SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS c1
+        FROM pu GROUP BY rev
+    ), cum AS (
+        SELECT rev, c0, c1,
+               SUM(c0 + c1) OVER (ORDER BY rev) - (c0 + c1) AS kprev
+        FROM g
+    ), agg AS (
+        SELECT SUM(c0) AS n0, SUM(c1) AS n1,
+               SUM(c1 * (2 * kprev + c0 + c1 + 1)) AS r1x2,
+               SUM((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1)) AS tie3
+        FROM cum
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           FLOOR((r1x2 / 2.0 - n1 * (n1 + 1) / 2.0) * 1e4 + 0.5) / 1e4 AS u1,
+           FLOOR((r1x2 / 2.0 - n1 * (n1 + 1) / 2.0 - n0 * n1 / 2.0)
+                 / SQRT(n0 * n1 / 12.0 * ((n0 + n1 + 1)
+                        - tie3 * 1.0 / ((n0 + n1) * (n0 + n1 - 1))))
+                 * 1e6 + 0.5) / 1e6 AS z_score,
+           ABS((r1x2 / 2.0 - n1 * (n1 + 1) / 2.0 - n0 * n1 / 2.0)
+               / SQRT(n0 * n1 / 12.0 * ((n0 + n1 + 1)
+                      - tie3 * 1.0 / ((n0 + n1) * (n0 + n1 - 1))))) > 1.959963984540054
+               AS significant
+    FROM agg
+"""
+
+
+@query("stat_mann_whitney", oracle=_MWU_SQL)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between control and
+    treatment per-user purchase revenue: the rank-based location test
+    that needs no normality assumption — the robust companion to
+    ab_ztest_srm's parametric z-test (heavy-tailed revenue is exactly
+    where rank tests earn their keep). Uses midranks for ties with the
+    standard tie-corrected normal approximation.
+
+    Exactness: doubled rank sums are pure BIGINT arithmetic over the
+    value-grain contingency counts (2*R1 = sum c1*(2*kprev+c0+c1+1)
+    keeps midranks integral), as is the tie-correction term
+    sum(t^3 - t); the z-score is one fixed IEEE tree over those
+    integers, half-up quantized. The oracle recomputes the identical
+    integers with a window cumsum.
+
+    Scale: the global cumulative count reuses the window-free
+    range-partition + triangle-offset recipe (per-partition windows
+    only); everything after the value-grain aggregate is a reduction."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    pu = ev.groupBy("user_id").agg(
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("rev"),
+    ).select((F.col("user_id") % 2).cast("int").alias("variant"), "rev")
+    g = pu.groupBy("rev").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        g.repartitionByRange(n_parts, F.asc("rev"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = W.partitionBy("pid").orderBy(F.asc("rev")).rowsBetween(W.unboundedPreceding, 0)
+    t = F.col("c0") + F.col("c1")
+    local = ranged.select(
+        "rev",
+        "pid",
+        "c0",
+        "c1",
+        (F.sum(t).over(w) - t).alias("lprev"),
+    )
+    cnts = ranged.groupBy("pid").agg(F.sum(t).alias("ct"))
+    offs = cumulative_offsets(cnts, cnt="ct")
+    cum = local.join(F.broadcast(offs), "pid").select(
+        "c0", "c1", (F.col("lprev") + F.col("off")).alias("kprev")
+    )
+    agg = cum.agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.sum(
+            F.col("c1") * (2 * F.col("kprev") + F.col("c0") + F.col("c1") + 1)
+        ).alias("r1x2"),
+        F.sum(t * t * t - t).alias("tie3"),
+    )
+    n0, n1, r1x2, tie3 = (F.col(c) for c in ("n0", "n1", "r1x2", "tie3"))
+    u1 = r1x2 / 2.0 - n1 * (n1 + 1) / 2.0
+    z = (u1 - n0 * n1 / 2.0) / F.sqrt(
+        n0 * n1 / 12.0
+        * ((n0 + n1 + 1) - tie3 * 1.0 / ((n0 + n1) * (n0 + n1 - 1)))
+    )
+    return agg.select(
+        n0.cast("bigint").alias("n0"),
+        n1.cast("bigint").alias("n1"),
+        (F.floor(u1 * 1e4 + F.lit(0.5)) / 1e4).alias("u1"),
+        (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("z_score"),
+        (F.abs(z) > 1.959963984540054).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic randomization (relabeling) test
+# ---------------------------------------------------------------------------
+
+_RAND_B = 200
+
+_RAND_SQL = f"""
+    WITH pu AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               {dsum_expr("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS rev
+        FROM events GROUP BY user_id
+    ), obs AS (
+        SELECT {dsum_expr('CASE WHEN variant = 1 THEN rev ELSE 0 END')}
+                   / SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+               - {dsum_expr('CASE WHEN variant = 0 THEN rev ELSE 0 END')}
+                   / SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS d_obs
+        FROM pu
+    ), rs AS (
+        SELECT pu.rev, bs.b,
+               CAST(((pu.user_id + bs.b * 131) * 9973 + 7919) % 1000003 % 2 AS INT) AS rv
+        FROM pu CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_RAND_B - 1})) AS b) bs
+    ), perm AS (
+        SELECT b,
+               {dsum_expr('CASE WHEN rv = 1 THEN rev ELSE 0 END')}
+                   / SUM(CASE WHEN rv = 1 THEN 1 ELSE 0 END)
+               - {dsum_expr('CASE WHEN rv = 0 THEN rev ELSE 0 END')}
+                   / SUM(CASE WHEN rv = 0 THEN 1 ELSE 0 END) AS d
+        FROM rs GROUP BY b
+    )
+    SELECT FLOOR(obs.d_obs * 1e6 + 0.5) / 1e6 AS observed_diff,
+           CAST(COUNT(*) AS BIGINT) AS n_resamples,
+           CAST(SUM(CASE WHEN ABS(perm.d) >= ABS(obs.d_obs) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_as_extreme,
+           FLOOR((SUM(CASE WHEN ABS(perm.d) >= ABS(obs.d_obs) THEN 1 ELSE 0 END) + 1) * 1.0
+                 / (COUNT(*) + 1) * 1e6 + 0.5) / 1e6 AS p_value
+    FROM perm, obs GROUP BY obs.d_obs
+"""
+
+
+@query("stat_randomization_test", oracle=_RAND_SQL)
+def stat_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic randomization test for the treatment-control mean
+    difference: 200 pseudo-random relabelings of users (portable
+    integer hash of (user_id, resample) — the random-reassignment
+    null), the observed difference's rank among them, and the
+    add-one-smoothed p-value (b+1)/(B+1) — the assumption-free
+    significance test that works for ANY statistic, at the cost the
+    bootstrap already paid: one scan, an exploded resample axis, no
+    shuffled data copies.
+
+    Exactness: relabels are BIGINT hash arithmetic; per-resample group
+    sums go through the decimal contract; each difference is one fixed
+    IEEE tree; the comparison against |d_obs| is the same double
+    compare in both engines, and the p-value is integer-ratio exact.
+
+    Scale: user-grain aggregate, 200-way explode (generator, not a
+    join), one (resample)-keyed aggregate with map-side combine, then
+    a 200-row reduction against a 1-row broadcast."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            dsum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+            ).alias("rev"),
+        )
+        # feeds the observed difference AND the 200-way relabel explode
+        .localCheckpoint()
+    )
+    variant = (F.col("user_id") % 2).cast("int")
+    mean_of = lambda cond: dsum(  # noqa: E731
+        F.when(cond, F.col("rev")).otherwise(0.0)
+    ) / F.sum(F.when(cond, 1).otherwise(0))
+    obs = pu.select("user_id", "rev", variant.alias("variant")).agg(
+        (mean_of(F.col("variant") == 1) - mean_of(F.col("variant") == 0)).alias(
+            "d_obs"
+        )
+    )
+    rs = pu.select(
+        "user_id", "rev", F.explode(F.sequence(F.lit(0), F.lit(_RAND_B - 1))).alias("b")
+    ).select(
+        "rev",
+        "b",
+        (((F.col("user_id") + F.col("b") * 131) * 9973 + 7919) % 1000003 % 2)
+        .cast("int")
+        .alias("rv"),
+    )
+    perm = rs.groupBy("b").agg(
+        (mean_of(F.col("rv") == 1) - mean_of(F.col("rv") == 0)).alias("d")
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    joined = perm.crossJoin(F.broadcast(obs))
+    extreme = F.sum(
+        F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+    )
+    return joined.groupBy("d_obs").agg(
+        q6(F.col("d_obs")).alias("observed_diff"),
+        F.count("*").cast("bigint").alias("n_resamples"),
+        extreme.cast("bigint").alias("n_as_extreme"),
+        q6((extreme + 1) * 1.0 / (F.count("*") + 1)).alias("p_value"),
+    ).drop("d_obs")
