@@ -4402,3 +4402,130 @@ def stat_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         extreme.cast("bigint").alias("n_as_extreme"),
         q6((extreme + 1) * 1.0 / (F.count("*") + 1)).alias("p_value"),
     ).drop("d_obs")
+
+
+# ---------------------------------------------------------------------------
+# Always-valid sequential test (mixture SPRT over daily looks)
+# ---------------------------------------------------------------------------
+
+_MSPRT_TAU2 = 100.0  # mixture variance (tau = 10, the plausible-effect scale)
+_MSPRT_LN20 = 2.995732273553991  # ln(1/alpha) at alpha = 0.05
+
+_MSPRT_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr("CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END")} AS y0,
+               {dsum_expr("CASE WHEN user_id % 2 = 1 THEN value ELSE 0 END")} AS y1
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), walk AS (
+        SELECT day,
+               ROW_NUMBER() OVER w AS t,
+               CAST(ROUND(SUM(CAST(y0 AS DECIMAL(38,10))) OVER w, 4) AS DOUBLE) AS s0,
+               CAST(ROUND(SUM(CAST(y0 * y0 AS DECIMAL(38,10))) OVER w, 4) AS DOUBLE) AS q0,
+               CAST(ROUND(SUM(CAST(y1 AS DECIMAL(38,10))) OVER w, 4) AS DOUBLE) AS s1,
+               CAST(ROUND(SUM(CAST(y1 * y1 AS DECIMAL(38,10))) OVER w, 4) AS DOUBLE) AS q1
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), looks AS (
+        SELECT day, t,
+               s1 / t - s0 / t AS delta,
+               (q0 / t - (s0 / t) * (s0 / t)) / t
+               + (q1 / t - (s1 / t) * (s1 / t)) / t AS v
+        FROM walk WHERE t >= 2
+    ), scored AS (
+        SELECT day, t, delta, v,
+               0.5 * LN(v / (v + {_MSPRT_TAU2}))
+               + delta * delta * {_MSPRT_TAU2} / (2 * v * (v + {_MSPRT_TAU2}))
+                   AS ll
+        FROM looks WHERE v > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_looks,
+           FLOOR(MAX_BY(delta, t) * 1e6 + 0.5) / 1e6 AS final_delta,
+           FLOOR(MAX(ll) * 1e6 + 0.5) / 1e6 AS max_log_lambda,
+           FLOOR(LEAST(1.0, EXP(-MAX(ll))) * 1e6 + 0.5) / 1e6 AS always_valid_p,
+           MAX(ll) > {_MSPRT_LN20} AS significant,
+           MIN(CASE WHEN ll > {_MSPRT_LN20} THEN day END) AS first_significant_day
+    FROM scored
+"""
+
+
+@query("ab_sequential_msprt", oracle=_MSPRT_SQL)
+def ab_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential test (mixture SPRT, Johari et al.): at
+    every daily look, the cumulative treatment-control difference of
+    daily purchase revenue is scored with the normal-mixture likelihood
+    ratio log Λ_t = ½ln(V/(V+τ²)) + δ²τ²/(2V(V+τ²)); the always-valid
+    p-value is min_t 1/Λ_t = exp(-max_t log Λ) — the test a platform
+    can PEEK at every day without inflating false positives, which the
+    fixed-horizon ab_ztest_srm readout never permits. Reports the
+    final effect, the strongest look, the always-valid p, and the
+    first day the α=0.05 boundary was crossed.
+
+    Exactness: cumulative sums and sums-of-squares are ordered decimal
+    prefix sums rounded at 4dp before double arithmetic (the
+    ts_cusum_changepoint walk contract); LN/EXP follow the catalog's
+    quantize-at-6 transcendental precedent (fn_math, TF-IDF, entropy);
+    degenerate looks (t<2 or zero variance) are filtered identically
+    in both engines.
+
+    Scale: the look walk runs on the DAY grain — one row per calendar
+    day, bounded by time, not data (the ts_cumulative_users argument;
+    allowlisted single-partition window with that documented bound).
+    Everything upstream is one partial+final daily aggregate; the
+    final row is a 1-pass reduction over looks."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            dsum(
+                F.when(F.col("user_id") % 2 == 0, F.col("value")).otherwise(0.0)
+            ).alias("y0"),
+            dsum(
+                F.when(F.col("user_id") % 2 == 1, F.col("value")).otherwise(0.0)
+            ).alias("y1"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    dprefix = lambda c: F.round(  # noqa: E731
+        F.sum(c.cast("decimal(38,10)")).over(w), 4
+    ).cast("double")
+    walk = daily.select(
+        "day",
+        F.row_number().over(W.orderBy("day")).alias("t"),
+        dprefix(F.col("y0")).alias("s0"),
+        dprefix(F.col("y0") * F.col("y0")).alias("q0"),
+        dprefix(F.col("y1")).alias("s1"),
+        dprefix(F.col("y1") * F.col("y1")).alias("q1"),
+    )
+    t, s0, q0, s1, q1 = (F.col(c) for c in ("t", "s0", "q0", "s1", "q1"))
+    looks = walk.filter(t >= 2).select(
+        "day",
+        "t",
+        (s1 / t - s0 / t).alias("delta"),
+        (
+            (q0 / t - (s0 / t) * (s0 / t)) / t
+            + (q1 / t - (s1 / t) * (s1 / t)) / t
+        ).alias("v"),
+    )
+    v, delta = F.col("v"), F.col("delta")
+    tau2 = _MSPRT_TAU2
+    scored = looks.filter(v > 0).select(
+        "day",
+        "t",
+        "delta",
+        (
+            0.5 * F.log(v / (v + tau2))
+            + delta * delta * tau2 / (2 * v * (v + tau2))
+        ).alias("ll"),
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ll = F.col("ll")
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_looks"),
+        q6(F.max_by("delta", "t")).alias("final_delta"),
+        q6(F.max(ll)).alias("max_log_lambda"),
+        q6(F.least(F.lit(1.0), F.exp(-F.max(ll)))).alias("always_valid_p"),
+        (F.max(ll) > _MSPRT_LN20).alias("significant"),
+        F.min(F.when(ll > _MSPRT_LN20, F.col("day"))).alias("first_significant_day"),
+    )

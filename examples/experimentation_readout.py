@@ -12,7 +12,9 @@ query (deterministic hash-bucket variants, decimal-exact statistics):
                      Poisson-bootstrap CI (single-scan resampling),
                      delete-one-bucket jackknife for the ratio metric
   4. heterogeneity   quantile treatment effects (where the lift lives)
-  5. causal check    difference-in-differences around the midpoint
+  5. robustness      nonparametric KS / Mann-Whitney / randomization
+  6. monitoring      always-valid sequential test (peek daily)
+  7. causal check    difference-in-differences around the midpoint
 
 Everything is lazy until the final shows; at 100 TB the same script
 runs unchanged against a cluster master URL — each stage is one
@@ -36,6 +38,11 @@ STAGES = [
     ("Poisson-bootstrap 95% CI for mean purchase value", "stat_bootstrap_ci"),
     ("Jackknife CI for revenue-per-event (ratio metric)", "stat_jackknife_ratio_ci"),
     ("Quantile treatment effects (p25-p90)", "ab_quantile_lift"),
+    ("Kolmogorov-Smirnov distribution test", "stat_ks_test"),
+    ("Mann-Whitney rank test (tie-corrected)", "stat_mann_whitney"),
+    ("Randomization test (200 hash relabelings)", "stat_randomization_test"),
+    ("Action-mix guard: chi-square independence", "stat_chi2_independence"),
+    ("Always-valid sequential monitor (mSPRT)", "ab_sequential_msprt"),
     ("Difference-in-differences around the midpoint", "ab_diff_in_diff"),
     ("Power analysis for the next experiment", "ab_power_analysis"),
 ]

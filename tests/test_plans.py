@@ -154,6 +154,9 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         "sample_proportional_allocation",
         # parent-share windows over the |region|x|nation| grain (25 rows)
         "agg_share_of_parent",
+        # cumulative daily looks — one row per calendar day, bounded by
+        # time, not data (same bound as ts_cumulative_users)
+        "ab_sequential_msprt",
     }
     # dedup_clusters runs its iterative loop eagerly at build time
     skip_eager = {"dedup_clusters"}
@@ -360,6 +363,10 @@ def test_every_driver_fetch_is_limit_guarded_or_audited():
         # dev/test harness materializing query results for comparison —
         # not a registered query path
         ("oracle.py", "compare_query"),
+        # GDPR erasure: one row per data FILE containing matches —
+        # bounded by table layout (same class as table_stats' file
+        # listing), and a single-writer maintenance op, not a query
+        ("maintenance.py", "erase_keys"),
     }
 
     def chain_has_limit(node: ast.AST) -> bool:
