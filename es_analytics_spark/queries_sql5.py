@@ -4529,3 +4529,111 @@ def ab_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max(ll) > _MSPRT_LN20).alias("significant"),
         F.min(F.when(ll > _MSPRT_LN20, F.col("day"))).alias("first_significant_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AUC of a behavioral score (exact midrank formulation)
+# ---------------------------------------------------------------------------
+
+_AUC_SQL = """
+    WITH pu AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS score,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT score,
+               SUM(1 - label) AS c0,
+               SUM(label) AS c1
+        FROM pu GROUP BY score
+    ), cum AS (
+        SELECT score, c0, c1,
+               SUM(c0 + c1) OVER (ORDER BY score) - (c0 + c1) AS kprev
+        FROM g
+    ), agg AS (
+        SELECT SUM(c0) AS n0, SUM(c1) AS n1,
+               SUM(c1 * (2 * kprev + c0 + c1 + 1)) AS r1x2
+        FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           CASE WHEN n0 * n1 = 0 THEN 0.5
+                ELSE FLOOR((r1x2 - n1 * (n1 + 1)) * 1.0 / (2 * n0 * n1) * 1e6 + 0.5)
+                     / 1e6 END AS auc,
+           CASE WHEN n0 * n1 = 0 THEN 0.0
+                ELSE FLOOR(((r1x2 - n1 * (n1 + 1)) * 1.0 / (n0 * n1) - 1) * 1e6 + 0.5)
+                     / 1e6 END AS gini_coef
+    FROM agg
+"""
+
+
+@query("ml_auc_score", oracle=_AUC_SQL)
+def ml_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC of a behavioral score: how well a user's click count
+    ranks high-value purchasers (the ab_experiment_report conversion
+    definition) above everyone else, via the exact midrank
+    identity AUC = (R1 - n1(n1+1)/2) / (n0*n1) — ties get half credit,
+    which IS the trapezoidal ROC area. Plus the Gini coefficient
+    2*AUC - 1. The model-evaluation shape for ANY score column
+    (propensity models, quality classifiers, rankers) — swap the score
+    expression and the machinery holds.
+
+    Exactness: the doubled positive-rank sum is pure BIGINT over the
+    score-grain contingency counts (the stat_mann_whitney identity),
+    so AUC is an exact integer ratio with one final division, half-up
+    quantized at 1e-6.
+
+    Scale: user-grain aggregate, score-grain aggregate (distinct
+    integer click counts — tiny), then the window-free range-partition
+    + triangle-offset cumulative recipe and a 1-row reduction."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 100.0), 1
+            ).otherwise(0)
+        ).alias("label"),
+    )
+    g = pu.groupBy("score").agg(
+        F.sum(1 - F.col("label")).alias("c0"),
+        F.sum("label").alias("c1"),
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        g.repartitionByRange(n_parts, F.asc("score"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = W.partitionBy("pid").orderBy(F.asc("score")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    t = F.col("c0") + F.col("c1")
+    local = ranged.select(
+        "score", "pid", "c0", "c1", (F.sum(t).over(w) - t).alias("lprev")
+    )
+    cnts = ranged.groupBy("pid").agg(F.sum(t).alias("ct"))
+    offs = cumulative_offsets(cnts, cnt="ct")
+    cum = local.join(F.broadcast(offs), "pid").select(
+        "c0", "c1", (F.col("lprev") + F.col("off")).alias("kprev")
+    )
+    agg = cum.agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.sum(
+            F.col("c1") * (2 * F.col("kprev") + F.col("c0") + F.col("c1") + 1)
+        ).alias("r1x2"),
+    )
+    n0, n1, r1x2 = (F.col(c) for c in ("n0", "n1", "r1x2"))
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    degenerate = n0 * n1 == 0
+    return agg.select(
+        n1.cast("bigint").alias("n_pos"),
+        n0.cast("bigint").alias("n_neg"),
+        F.when(degenerate, F.lit(0.5))
+        .otherwise(q6((r1x2 - n1 * (n1 + 1)) * 1.0 / (2 * n0 * n1)))
+        .alias("auc"),
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(q6((r1x2 - n1 * (n1 + 1)) * 1.0 / (n0 * n1) - 1))
+        .alias("gini_coef"),
+    )
