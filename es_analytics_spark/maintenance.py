@@ -43,6 +43,11 @@ def _swap(spark: SparkSession, path: str, staging: str) -> None:
     fs.rename(path, backup)
     fs.rename(staging, path)
     fs.delete(backup)
+    # the swap is an external rename Spark's shared FileStatusCache
+    # cannot observe — without this, a later read of ``path`` in the
+    # same session can list the pre-swap file generation and fail with
+    # FILE_NOT_EXIST at execution
+    spark.catalog.refreshByPath(path)
 
 
 def compact(
@@ -364,10 +369,13 @@ def erase_keys(
     rewritten = deleted = 0
 
     def _drop_crc(fpath: str) -> None:
-        # Hadoop's checksummed local FS keeps a .<name>.crc sidecar;
-        # after replacing the parquet bytes the stale checksum would
-        # fail every future read. No-op where no sidecar exists (URI
-        # object stores).
+        # Hadoop's checksummed local FS keeps a .<name>.crc sidecar; a
+        # stale one would fail every read of the replaced bytes. It is
+        # dropped BEFORE the file mutation: a crash between the two
+        # leaves the old file without its sidecar (readable — Hadoop
+        # skips verification when no .crc exists), never new bytes
+        # under an old checksum (unreadable). No-op where no sidecar
+        # exists (URI object stores).
         d, _, b = fpath.rpartition("/")
         fs.delete(f"{d}/.{b}.crc")
 
@@ -375,8 +383,8 @@ def erase_keys(
         for i, row in enumerate(per_file):
             f = _local(row["__file"])
             if row["hits"] == row["total"]:
-                fs.delete(f)
                 _drop_crc(f)
+                fs.delete(f)
                 deleted += 1
                 continue
             slot = join(staging, f"f{i:05d}")
@@ -388,12 +396,15 @@ def erase_keys(
                 .parquet(slot)
             )
             part = [p for p in fs.glob(join(slot, "part-*.parquet"))][0]
-            fs.replace_file(part, f)
             _drop_crc(f)
+            fs.replace_file(part, f)
             rewritten += 1
     finally:
         fs.delete(staging)
 
+    # per-file replaces bypass Spark's committers — invalidate the
+    # cached listing before the verification read (see _swap)
+    spark.catalog.refreshByPath(path)
     survivors = spark.read.parquet(path).filter(pred).limit(1).count()
     return {
         "rows_erased": int(sum(r["hits"] for r in per_file)),
@@ -401,3 +412,89 @@ def erase_keys(
         "files_deleted": deleted,
         "verified": survivors == 0,
     }
+
+
+def table_diff(
+    spark: SparkSession,
+    path_a: str,
+    path_b: str,
+    keys: list[str],
+) -> dict:
+    """Row-level diff between two parquet table snapshots, keyed by
+    ``keys``: how many key tuples were added (only in B), removed
+    (only in A), changed (present in both, any non-key column
+    differs), and unchanged — the validation a migration, compaction,
+    backfill, or erasure run is signed off against (compact must diff
+    empty; an erasure must diff exactly the victim keys).
+
+    Comparison is distributed end-to-end: one full-outer join on the
+    keys with a hash over the non-key columns on each side (xxhash64 —
+    arbitrary width, no driver state), then a 4-way conditional count.
+    At 100 TB both sides shuffle once on the key; with pre-bucketed
+    snapshots the join is exchange-free.
+    """
+    from pyspark.sql import functions as F
+
+    # snapshots are routinely produced by out-of-band copies/swaps the
+    # session's file-index cache hasn't observed
+    spark.catalog.refreshByPath(path_a)
+    spark.catalog.refreshByPath(path_b)
+    a = spark.read.parquet(path_a)
+    b = spark.read.parquet(path_b)
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            f"table_diff: column sets differ: {sorted(set(a.columns) ^ set(b.columns))}"
+        )
+    missing = [k for k in keys if k not in a.columns]
+    if missing:
+        raise ValueError(f"table_diff: keys {missing} absent")
+    others = sorted(c for c in a.columns if c not in keys)
+
+    def sig(df):
+        # order-independent multiset signature per key: COUNT plus the
+        # DECIMAL sum of per-row xxhash64 (decimal: a long sum of
+        # full-range hashes overflows, which ANSI mode turns into a
+        # runtime error)
+        h = (
+            F.xxhash64(
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00"))
+                    for c in others
+                ]
+            )
+            if others
+            else F.lit(0)
+        )
+        return df.groupBy(*keys).agg(
+            F.count("*").alias("__n"),
+            F.sum(h.cast("decimal(38,0)")).alias("__h"),
+        )
+
+    ja = sig(a).withColumnRenamed("__n", "__na").withColumnRenamed("__h", "__ha")
+    jb = sig(b).withColumnRenamed("__n", "__nb").withColumnRenamed("__h", "__hb")
+    j = ja.join(jb, keys, "full_outer")
+    counts = j.agg(
+        F.sum(F.when(F.col("__na").isNull(), 1).otherwise(0)).alias("added"),
+        F.sum(F.when(F.col("__nb").isNull(), 1).otherwise(0)).alias("removed"),
+        F.sum(
+            F.when(
+                F.col("__na").isNotNull()
+                & F.col("__nb").isNotNull()
+                & (
+                    (F.col("__na") != F.col("__nb"))
+                    | (F.col("__ha") != F.col("__hb"))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("changed"),
+        F.sum(
+            F.when(
+                (F.col("__na") == F.col("__nb")) & (F.col("__ha") == F.col("__hb")), 1
+            ).otherwise(0)
+        ).alias("unchanged"),
+    ).first()
+    out = {k: int(counts[k] or 0) for k in ("added", "removed", "changed", "unchanged")}
+    out["identical"] = (
+        out["added"] == 0 and out["removed"] == 0 and out["changed"] == 0
+    )
+    return out

@@ -4637,3 +4637,114 @@ def ml_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(q6((r1x2 - n1 * (n1 + 1)) * 1.0 / (n0 * n1) - 1))
         .alias("gini_coef"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test
+# ---------------------------------------------------------------------------
+
+_WELCH_SQL = f"""
+    WITH pu AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               {dsum_expr("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS rev
+        FROM events GROUP BY user_id
+    ), v AS (
+        SELECT variant, COUNT(*) AS n,
+               {dsum_expr('rev')} AS s, {dsum_expr('rev * rev')} AS q
+        FROM pu GROUP BY variant
+    ), w AS (
+        SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+               MAX(CASE WHEN variant = 0 THEN s END) AS s0,
+               MAX(CASE WHEN variant = 0 THEN q END) AS q0,
+               MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+               MAX(CASE WHEN variant = 1 THEN s END) AS s1,
+               MAX(CASE WHEN variant = 1 THEN q END) AS q1
+        FROM v
+    ), st AS (
+        SELECT n0, n1,
+               s1 / n1 - s0 / n0 AS diff,
+               (q0 / n0 - (s0 / n0) * (s0 / n0)) * n0 / (n0 - 1) / n0 AS se0sq,
+               (q1 / n1 - (s1 / n1) * (s1 / n1)) * n1 / (n1 - 1) / n1 AS se1sq
+        FROM w
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           FLOOR(diff * 1e6 + 0.5) / 1e6 AS mean_diff,
+           CASE WHEN se0sq + se1sq = 0 THEN 0.0
+                ELSE FLOOR(diff / SQRT(se0sq + se1sq) * 1e6 + 0.5) / 1e6 END AS t_stat,
+           CASE WHEN se0sq + se1sq = 0 THEN 0.0
+                ELSE FLOOR((se0sq + se1sq) * (se0sq + se1sq)
+                           / (se0sq * se0sq / (n0 - 1) + se1sq * se1sq / (n1 - 1))
+                           * 1e4 + 0.5) / 1e4 END AS welch_df,
+           CASE WHEN se0sq + se1sq = 0 THEN FALSE
+                ELSE ABS(diff / SQRT(se0sq + se1sq)) > 1.959963984540054 END
+               AS significant
+    FROM st
+"""
+
+
+@query("ab_welch_ttest", oracle=_WELCH_SQL)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on per-user purchase revenue
+    between variants: the mean difference, the t statistic with
+    separate per-variant variance estimates, and the
+    Welch-Satterthwaite effective degrees of freedom — the test to
+    reach for when treatment changes the VARIANCE too (equal-variance
+    pooled tests understate error exactly then). Large-sample normal
+    cutoff at 1.96 (dof in the thousands at any real scale).
+
+    Exactness: per-variant moments (n, sum, sum-of-squares) go
+    through the decimal contract; sample variances use the n/(n-1)
+    Bessel spelling identically; t and dof are fixed IEEE trees over
+    exact scalars, half-up quantized; the zero-variance degenerate is
+    defined identically in both engines.
+
+    Scale: one user-grain aggregate, a 2-row variant reduction, and a
+    1-row pivot — the ab_ztest_srm shape with second moments."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    pu = ev.groupBy("user_id").agg(
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("rev"),
+    ).select((F.col("user_id") % 2).cast("int").alias("variant"), "rev")
+    v = pu.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        dsum("rev").alias("s"),
+        dsum(F.col("rev") * F.col("rev")).alias("q"),
+    )
+    cell = lambda vv, c: F.max(F.when(F.col("variant") == vv, F.col(c)))  # noqa: E731
+    w = v.agg(
+        cell(0, "n").alias("n0"),
+        cell(0, "s").alias("s0"),
+        cell(0, "q").alias("q0"),
+        cell(1, "n").alias("n1"),
+        cell(1, "s").alias("s1"),
+        cell(1, "q").alias("q1"),
+    )
+    n0, s0, q0 = F.col("n0"), F.col("s0"), F.col("q0")
+    n1, s1, q1 = F.col("n1"), F.col("s1"), F.col("q1")
+    st = w.select(
+        "n0",
+        "n1",
+        (s1 / n1 - s0 / n0).alias("diff"),
+        ((q0 / n0 - (s0 / n0) * (s0 / n0)) * n0 / (n0 - 1) / n0).alias("se0sq"),
+        ((q1 / n1 - (s1 / n1) * (s1 / n1)) * n1 / (n1 - 1) / n1).alias("se1sq"),
+    )
+    diff, a, b = F.col("diff"), F.col("se0sq"), F.col("se1sq")
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    degenerate = a + b == 0
+    t = diff / F.sqrt(a + b)
+    df = (a + b) * (a + b) / (
+        a * a / (F.col("n0") - 1) + b * b / (F.col("n1") - 1)
+    )
+    return st.select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        q6(diff).alias("mean_diff"),
+        F.when(degenerate, F.lit(0.0)).otherwise(q6(t)).alias("t_stat"),
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(F.floor(df * 1e4 + F.lit(0.5)) / 1e4)
+        .alias("welch_df"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(F.abs(t) > 1.959963984540054)
+        .alias("significant"),
+    )

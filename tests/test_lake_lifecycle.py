@@ -1015,3 +1015,134 @@ def test_erase_keys_rejects_partition_column(spark, sf_dir, tmp_path):
     ).parquet(path)
     with pytest.raises(ValueError, match="partition column"):
         erase_keys(spark, path, "event_type", ["purchase"])
+
+
+def test_erase_keys_crash_consistency_sweep(spark, sf_dir, tmp_path, monkeypatch):
+    """Kill the erasure after every possible mutating filesystem step
+    (crc drop, file delete, staged write, atomic replace, staging
+    cleanup) and assert the per-file replacement contract at EACH
+    point: a post-crash reader can always read the table (no torn
+    parquet, no stale checksum), sees the original rows minus some
+    SUBSET of the victim rows (never a corrupted or duplicated
+    survivor), and one clean re-run converges to the fully-erased
+    state with a verified receipt."""
+    import shutil
+
+    import es_analytics_spark.maintenance as maint
+    from es_analytics_spark.maintenance import erase_keys
+    from es_analytics_spark.sources.fsio import lake_fs as real_lake_fs
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    template = str(tmp_path / "erase_template")
+    src.repartitionByRange(4, "user_id").write.parquet(template)
+    victims = [
+        r["user_id"]
+        for r in src.select("user_id").distinct().orderBy("user_id").limit(3).collect()
+    ]
+    all_rows = {tuple(r) for r in src.collect()}
+    victim_rows = {t for t in all_rows if t[2] in victims}  # user_id is col 3
+    assert victim_rows, "fixture must contain victim rows"
+    want = all_rows - victim_rows
+
+    k = 1
+    while k < 60:
+        path = str(tmp_path / f"t{k}")
+        shutil.copytree(template, path)
+        crasher = _CrashFS(real_lake_fs(spark, path), k)
+        monkeypatch.setattr(
+            maint,
+            "lake_fs",
+            lambda s, p, _c=crasher: _c
+            if str(p).startswith(str(tmp_path))
+            else real_lake_fs(s, p),
+        )
+        crashed = False
+        try:
+            erase_keys(spark, path, "user_id", victims)
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+            crashed = True
+        monkeypatch.setattr(maint, "lake_fs", real_lake_fs)
+
+        # invariant 1: readable, and exactly original-minus-a-subset-of-victims
+        observed = {tuple(r) for r in spark.read.parquet(path).collect()}
+        assert want <= observed <= all_rows, f"torn rows at k={k}"
+
+        # invariant 2: clean re-run converges with a verified receipt
+        receipt = erase_keys(spark, path, "user_id", victims)
+        assert receipt["verified"] is True
+        final = {tuple(r) for r in spark.read.parquet(path).collect()}
+        assert final == want, f"k={k} diverged after heal"
+        shutil.rmtree(path)
+        if not crashed:
+            break
+        k += 1
+    assert not crashed, "sweep never reached a crash-free run"
+
+
+def test_table_diff_signs_off_maintenance_ops(spark, sf_dir, tmp_path):
+    """table_diff is the maintenance sign-off: compaction must diff
+    IDENTICAL (same rows, different files), an upsert must diff exactly
+    its changed+inserted keys, and an erasure must diff exactly the
+    victim keys as removed."""
+    from es_analytics_spark.maintenance import (
+        compact,
+        erase_keys,
+        table_diff,
+        upsert,
+    )
+
+    base = str(tmp_path / "base")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(6).write.parquet(base)
+
+    # snapshot, then compact the working copy: rows identical, files differ
+    import shutil
+
+    snap = str(tmp_path / "snap")
+    shutil.copytree(base, snap)
+    compact(spark, base, target_file_bytes=1 << 22)
+    d = table_diff(spark, snap, base, keys=["event_id"])
+    assert d["identical"] is True and d["changed"] == 0
+
+    # upsert: 1 changed + 1 added
+    ev = spark.read.parquet(base)
+    one = ev.orderBy("event_id").limit(1).collect()[0]
+    updates = spark.createDataFrame(
+        [
+            (one["event_id"], one["ts"], one["user_id"], "mutated", 1.5, one["props"]),
+            (10_000_000, one["ts"], one["user_id"], "new", 2.5, one["props"]),
+        ],
+        ev.schema,
+    )
+    upsert(spark, base, updates, keys=["event_id"])
+    d2 = table_diff(spark, snap, base, keys=["event_id"])
+    assert (d2["added"], d2["removed"], d2["changed"]) == (1, 0, 1)
+
+    # erasure: exactly the victims' rows removed (plus the still-changed
+    # row). Victims come from the immutable snapshot — `ev`'s lineage
+    # points at the pre-upsert file generation the swap deleted.
+    victims = [
+        r["user_id"]
+        for r in spark.read.parquet(snap)
+        .select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(2)
+        .collect()
+    ]
+    # removed == snapshot rows owned by victims (erasure may also take
+    # the upserted/mutated rows, but those key tuples count as removed
+    # only if they existed in the snapshot)
+    n_snap_victim_rows = spark.read.parquet(snap).filter(
+        F.col("user_id").isin(victims)
+    ).count()
+    erase_keys(spark, base, "user_id", victims)
+    d3 = table_diff(spark, snap, base, keys=["event_id"])
+    assert d3["removed"] == n_snap_victim_rows
+    assert d3["added"] <= 1  # the upserted key may survive erasure
+
+    # schema guard
+    import pytest
+
+    with pytest.raises(ValueError, match="column sets differ"):
+        table_diff(spark, base, f"{sf_dir}/orders.parquet", keys=["event_id"])
