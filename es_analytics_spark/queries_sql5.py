@@ -4748,3 +4748,325 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(t) > 1.959963984540054)
         .alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention decay rate and half-life (log-linear fit)
+# ---------------------------------------------------------------------------
+
+_RHL_WK_US = 7 * 86400 * 1000000  # one week in microseconds
+_RHL_K = 3  # fit over offsets 1..3, cohorts observable that long
+
+_RHL_SQL = f"""
+    WITH weekly AS (
+        SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS wk
+        FROM events
+    ), firsts AS (
+        SELECT user_id, MIN(wk) AS first_wk FROM weekly GROUP BY user_id
+    ), mx AS (
+        SELECT MAX(wk) AS maxw FROM weekly
+    ), elig AS (
+        SELECT f.user_id, f.first_wk
+        FROM firsts f, mx
+        WHERE (EPOCH_US(mx.maxw) - EPOCH_US(f.first_wk)) // {_RHL_WK_US} >= {_RHL_K}
+    ), n AS (
+        SELECT COUNT(*) AS n_users FROM elig
+    ), ret AS (
+        SELECT (EPOCH_US(w.wk) - EPOCH_US(e.first_wk)) // {_RHL_WK_US} AS k,
+               COUNT(DISTINCT w.user_id) AS retained
+        FROM weekly w JOIN elig e ON e.user_id = w.user_id
+        WHERE (EPOCH_US(w.wk) - EPOCH_US(e.first_wk)) // {_RHL_WK_US}
+              BETWEEN 1 AND {_RHL_K}
+        GROUP BY 1
+    ), pts AS (
+        SELECT k, retained, LN(retained * 1.0 / n.n_users) AS y, n.n_users
+        FROM ret, n WHERE retained > 0
+    ), fit AS (
+        SELECT MAX(n_users) AS n_users, COUNT(*) AS npts,
+               SUM(k) AS sx, SUM(k * k) AS sxx,
+               {dsum_expr('y')} AS sy, {dsum_expr('k * y')} AS sxy
+        FROM pts
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users, CAST(npts AS BIGINT) AS n_offsets,
+           FLOOR((npts * sxy - sx * sy) / (npts * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+               AS weekly_decay_rate,
+           CASE WHEN (npts * sxy - sx * sy) / (npts * sxx - sx * sx) >= 0 THEN 0.0
+                ELSE FLOOR(-0.6931471805599453
+                           / ((npts * sxy - sx * sy) / (npts * sxx - sx * sx))
+                           * 1e4 + 0.5) / 1e4 END AS half_life_weeks
+    FROM fit
+"""
+
+
+@query("ts_retention_half_life", oracle=_RHL_SQL)
+def ts_retention_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: fit ln(retention_k) = a + b·k over weekly
+    offsets 1..3 (pooled across cohorts old enough to observe all
+    three — the censoring-safe window; widen with the fixture span) and report the weekly decay rate b and
+    the half-life -ln2/b — the single number that compresses
+    ts_cohort_retention's triangle into "how many weeks until half the
+    users are gone", and the input LTV projections discount by.
+    Non-decaying fits (b >= 0) report half-life 0 by contract.
+
+    Exactness: retained counts and the k regressors are exact
+    integers; each ln(ratio) is one fixed transcendental op (the
+    catalog's quantize-at-6 LN precedent); the regression moment sums
+    go through the decimal contract; slope and half-life are fixed
+    IEEE trees, half-up quantized.
+
+    Scale: (user, week) grain distinct, user-grain firsts, a 1-row max
+    broadcast, one offset-grain aggregate (6 rows) and a 1-row fit —
+    the heavy lifting is a single distinct over the activity grain."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    firsts = weekly.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    mx = weekly.agg(F.max("wk").alias("maxw"))
+    wk_us = F.lit(_RHL_WK_US)
+    elig = (
+        firsts.crossJoin(F.broadcast(mx))
+        .filter(
+            F.expr(f"(unix_micros(maxw) - unix_micros(first_wk)) div {_RHL_WK_US}")
+            >= _RHL_K
+        )
+        .select("user_id", "first_wk")
+    )
+    n = elig.agg(F.count("*").alias("n_users"))
+    k = F.expr(f"(unix_micros(wk) - unix_micros(first_wk)) div {_RHL_WK_US}")
+    ret = (
+        weekly.join(elig, "user_id")
+        .select(k.alias("k"), "user_id")
+        .filter((F.col("k") >= 1) & (F.col("k") <= _RHL_K))
+        .groupBy("k")
+        .agg(F.countDistinct("user_id").alias("retained"))
+    )
+    pts = (
+        ret.crossJoin(F.broadcast(n))
+        .filter(F.col("retained") > 0)
+        .select(
+            "k",
+            "n_users",
+            F.log(F.col("retained") * 1.0 / F.col("n_users")).alias("y"),
+        )
+    )
+    fit = pts.agg(
+        F.max("n_users").alias("n_users"),
+        F.count("*").alias("npts"),
+        F.sum("k").alias("sx"),
+        F.sum(F.col("k") * F.col("k")).alias("sxx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("k") * F.col("y")).alias("sxy"),
+    )
+    npts, sx, sxx, sy, sxy = (F.col(c) for c in ("npts", "sx", "sxx", "sy", "sxy"))
+    slope = (npts * sxy - sx * sy) / (npts * sxx - sx * sx)
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return fit.select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        npts.cast("bigint").alias("n_offsets"),
+        q6(slope).alias("weekly_decay_rate"),
+        F.when(slope >= 0, F.lit(0.0))
+        .otherwise(F.floor(-0.6931471805599453 / slope * 1e4 + F.lit(0.5)) / 1e4)
+        .alias("half_life_weeks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information feature screening
+# ---------------------------------------------------------------------------
+
+_MI_SQL = f"""
+    WITH pu AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ), feat AS (
+        SELECT e.user_id, 'event_mix' AS feature, e.event_type AS bucket, pu.label
+        FROM events e JOIN pu ON pu.user_id = e.user_id
+        UNION ALL
+        SELECT e.user_id, 'hour_band' AS feature,
+               CASE WHEN EXTRACT(HOUR FROM e.ts) < 6 THEN 'night'
+                    WHEN EXTRACT(HOUR FROM e.ts) < 12 THEN 'morning'
+                    WHEN EXTRACT(HOUR FROM e.ts) < 18 THEN 'afternoon'
+                    ELSE 'evening' END AS bucket, pu.label
+        FROM events e JOIN pu ON pu.user_id = e.user_id
+    ), cells AS (
+        SELECT feature, bucket, label, COUNT(*) AS o
+        FROM feat GROUP BY 1, 2, 3
+    ), bm AS (
+        SELECT feature, bucket, SUM(o) AS ob FROM cells GROUP BY 1, 2
+    ), lm AS (
+        SELECT feature, label, SUM(o) AS ol FROM cells GROUP BY 1, 2
+    ), tot AS (
+        SELECT feature, SUM(o) AS n FROM cells GROUP BY 1
+    )
+    SELECT c.feature,
+           FLOOR({dsum_expr("c.o * 1.0 / t.n * LN(c.o * 1.0 * t.n / (b.ob * 1.0 * l.ol))")}
+                 * 1e6 + 0.5) / 1e6 AS mutual_info_nats,
+           CAST(MAX(t.n) AS BIGINT) AS n_rows
+    FROM cells c
+    JOIN bm b ON b.feature = c.feature AND b.bucket = c.bucket
+    JOIN lm l ON l.feature = c.feature AND l.label = c.label
+    JOIN tot t ON t.feature = c.feature
+    GROUP BY c.feature
+"""
+
+
+@query("ml_mutual_information", oracle=_MI_SQL)
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information feature screening: I(feature; label) in nats
+    for two candidate event features (the event-type mix and the
+    time-of-day band) against the high-value-purchaser label — the
+    model-free feature-selection statistic that catches nonlinear
+    dependence corr() misses, computed from exact contingency counts
+    via I = sum p(x,y)·ln(p(x,y)/(p(x)p(y))). Zero-count cells
+    contribute nothing by construction (they never appear in the cell
+    table).
+
+    Exactness: all cell/marginal/total counts are exact integers; each
+    cell term is one fixed tree with a single LN (the catalog's
+    quantize-at-6 transcendental precedent) and the per-feature term
+    sum goes through the decimal contract.
+
+    Scale: one label aggregate at user grain, one fact-stream pass per
+    feature (stacked in a single union), then cell-grain joins —
+    |buckets|×2 cells per feature, marginals broadcast."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    pu = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 100.0), 1
+            ).otherwise(0)
+        ).alias("label")
+    )
+    j = ev.join(pu, "user_id")
+    hour = F.hour(F.col("ts"))
+    band = (
+        F.when(hour < 6, "night")
+        .when(hour < 12, "morning")
+        .when(hour < 18, "afternoon")
+        .otherwise("evening")
+    )
+    feat = j.select(
+        F.lit("event_mix").alias("feature"),
+        F.col("event_type").alias("bucket"),
+        "label",
+    ).unionAll(j.select(F.lit("hour_band").alias("feature"), band.alias("bucket"), "label"))
+    cells = (
+        feat.groupBy("feature", "bucket", "label")
+        .agg(F.count("*").alias("o"))
+        # feeds three marginal reductions and the scored join
+        .localCheckpoint()
+    )
+    bm = cells.groupBy("feature", "bucket").agg(F.sum("o").alias("ob"))
+    lm = cells.groupBy("feature", "label").agg(F.sum("o").alias("ol"))
+    tot = cells.groupBy("feature").agg(F.sum("o").alias("n"))
+    scored = (
+        cells.join(bm, ["feature", "bucket"])
+        .join(lm, ["feature", "label"])
+        .join(F.broadcast(tot), "feature")
+    )
+    term = (
+        F.col("o")
+        * 1.0
+        / F.col("n")
+        * F.log(F.col("o") * 1.0 * F.col("n") / (F.col("ob") * 1.0 * F.col("ol")))
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return scored.groupBy("feature").agg(
+        q6(dsum(term)).alias("mutual_info_nats"),
+        F.max("n").cast("bigint").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf exponent of the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPR = 200  # fit over the top-R ranks (the power-law regime)
+
+def _zipf_sql_fixed() -> str:
+    # correlation needs the y second moment too — regenerate the SQL
+    # with it included (kept out of the f-string above for clarity)
+    return f"""
+    WITH words AS (
+        SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS w
+        FROM documents WHERE n_chars > 0
+    ), vocab AS (
+        SELECT w, COUNT(*) AS f FROM words WHERE w <> '' GROUP BY w
+    ), ranked AS (
+        SELECT f, w, ROW_NUMBER() OVER (ORDER BY f DESC, w ASC) AS r
+        FROM vocab
+    ), pts AS (
+        SELECT LN(r * 1.0) AS x, LN(f * 1.0) AS y
+        FROM ranked WHERE r <= {_ZIPF_TOPR}
+    ), fit AS (
+        SELECT COUNT(*) AS npts,
+               {dsum_expr('x')} AS sx, {dsum_expr('x * x')} AS sxx,
+               {dsum_expr('y')} AS sy, {dsum_expr('x * y')} AS sxy,
+               {dsum_expr('y * y')} AS syy
+        FROM pts
+    )
+    SELECT CAST(npts AS BIGINT) AS n_ranks,
+           FLOOR(-((npts * sxy - sx * sy) / (npts * sxx - sx * sx)) * 1e6 + 0.5) / 1e6
+               AS zipf_exponent,
+           FLOOR((npts * sxy - sx * sy)
+                 / SQRT((npts * sxx - sx * sx) * (npts * syy - sy * sy))
+                 * 1e6 + 0.5) / 1e6 AS fit_corr
+    FROM fit
+"""
+
+
+@query("text_zipf_exponent", oracle=_zipf_sql_fixed())
+def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus vocabulary: the log-log slope of
+    term frequency vs frequency rank over the top-200 ranks, with the
+    fit correlation — natural-language corpora sit near exponent 1
+    with |corr| ≈ 1, so a drifting exponent or a broken fit is a fast
+    corpus-health screen (template spam flattens the curve; truncated
+    vocabularies steepen it).
+
+    Exactness: term frequencies are exact; the global frequency rank
+    uses a (f desc, w asc) total order; each log point is one LN op
+    (quantize-at-6 precedent); regression moments go through the
+    decimal contract; slope and correlation are fixed IEEE trees.
+
+    Scale: one token explode + vocab aggregate; the top-R rank is a
+    TakeOrdered (R = 200 rows to one task, bounded by the constant,
+    not the vocabulary); the fit is a 200-row reduction."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    words = (
+        d.filter(F.col("n_chars") > 0)
+        .select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("f"))
+    top = vocab.orderBy(F.desc("f"), F.asc("w")).limit(_ZIPF_TOPR)
+    # rank within the bounded top-R slice (constant-size single task)
+    wr = W.orderBy(F.desc("f"), F.asc("w"))
+    pts = top.select(
+        F.log(F.row_number().over(wr) * 1.0).alias("x"),
+        F.log(F.col("f") * 1.0).alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").alias("npts"),
+        dsum("x").alias("sx"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    npts, sx, sxx, sy, sxy, syy = (
+        F.col(c) for c in ("npts", "sx", "sxx", "sy", "sxy", "syy")
+    )
+    slope = (npts * sxy - sx * sy) / (npts * sxx - sx * sx)
+    corr = (npts * sxy - sx * sy) / F.sqrt(
+        (npts * sxx - sx * sx) * (npts * syy - sy * sy)
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return fit.select(
+        npts.cast("bigint").alias("n_ranks"),
+        q6(-slope).alias("zipf_exponent"),
+        q6(corr).alias("fit_corr"),
+    )
