@@ -5070,3 +5070,178 @@ def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(-slope).alias("zipf_exponent"),
         q6(corr).alias("fit_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-supply graph
+# ---------------------------------------------------------------------------
+
+
+def _assort_sql() -> str:
+    from es_analytics_spark.queries_sql4 import _TRI_CAP, _TRI_STRIDE
+
+    return f"""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        WHERE l_partkey % {_TRI_STRIDE} = 0
+    ), keep AS (
+        SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= {_TRI_CAP}
+    ), edges AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        JOIN keep k ON a.p = k.p
+    ), deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ), pairs AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+        UNION ALL
+        SELECT dv.d AS x, du.d AS y
+        FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), m AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM pairs
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                ELSE FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                           * 1e6 + 0.5) / 1e6 END AS assortativity
+    FROM m
+"""
+
+
+@query("graph_assortativity", oracle=_assort_sql())
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier co-supply graph: the
+    Pearson correlation of the degrees at the two ends of every edge
+    (symmetrized, so x- and y-marginals coincide and
+    r = (n·Sxy - Sx²)/(n·Sxx - Sx²)) — positive means hubs link to
+    hubs (social-network-like), negative means hubs link to leaves
+    (infrastructure-like); the one-number topology screen read next to
+    graph_triangle_count's clustering coefficient.
+
+    Exactness: degrees and all moment sums are exact BIGINTs over the
+    doubled edge-endpoint list; r is one fixed double expression with
+    the zero-variance degenerate defined identically; half-up
+    quantized at 1e-6.
+
+    Scale: reuses the checkpointed capped co-supply edge list; degrees
+    are node-sized; the pair frame is two edge-keyed hash joins and
+    one 1-row moment reduction."""
+    from es_analytics_spark.queries_sql4 import _co_supply_edges
+
+    edges = _co_supply_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        # consumed by both endpoint joins — node-sized
+        .localCheckpoint()
+    )
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("d", "dx")
+    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dy")
+    ed = edges.join(du, "u").join(dv, "v")
+    # symmetrized moments in ONE pass over the edge-degree join: the
+    # doubled pair list {(x,y)}∪{(y,x)} has n = 2m, Sx = Σ(dx+dy),
+    # Sxx = Σ(dx²+dy²), Sxy = 2Σ(dx·dy) — identical integers to the
+    # oracle's UNION ALL, without running the joins twice
+    dx, dy = F.col("dx"), F.col("dy")
+    m = ed.agg(
+        (2 * F.count("*")).alias("n"),
+        F.sum(dx + dy).alias("sx"),
+        F.sum(dx * dx + dy * dy).alias("sxx"),
+        (2 * F.sum(dx * dy)).alias("sxy"),
+    )
+    n, sx, sxx, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sxy"))
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    r = (n.cast("double") * sxy - sx.cast("double") * sx) / (
+        n.cast("double") * sxx - sx.cast("double") * sx
+    )
+    return m.select(
+        F.expr("n div 2").cast("bigint").alias("n_edges"),
+        F.when(n * sxx - sx * sx == 0, F.lit(0.0)).otherwise(q6(r)).alias(
+            "assortativity"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral burstiness of inter-event times
+# ---------------------------------------------------------------------------
+
+_BURST_SQL = f"""
+    WITH seq AS (
+        SELECT user_id, EPOCH_US(ts) AS t,
+               LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pt
+        FROM events
+    ), gaps AS (
+        SELECT user_id, (t - pt) / 1000000.0 AS g
+        FROM seq WHERE pt IS NOT NULL
+    ), per_user AS (
+        SELECT user_id, COUNT(*) AS k,
+               {dsum_expr('g')} AS sg, {dsum_expr('g * g')} AS sgg
+        FROM gaps GROUP BY user_id HAVING COUNT(*) >= 3
+    ), scored AS (
+        SELECT user_id,
+               (SQRT(sgg / k - (sg / k) * (sg / k)) - sg / k)
+               / (SQRT(sgg / k - (sg / k) * (sg / k)) + sg / k) AS b
+        FROM per_user
+        WHERE SQRT(sgg / k - (sg / k) * (sg / k)) + sg / k > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           FLOOR({dsum_expr('b')} / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_burstiness,
+           FLOOR(QUANTILE_CONT(b, 0.50) * 1e6 + 0.5) / 1e6 AS p50_burstiness
+    FROM scored
+"""
+
+
+@query("ts_burstiness", oracle=_BURST_SQL)
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of user activity (Goh-Barabási B = (σ-μ)/(σ+μ) over
+    each user's inter-event gaps, users with ≥3 gaps): B → +1 for
+    bursty humans, 0 for a Poisson process, → -1 for periodic bots —
+    the behavioral-signature screen that separates organic activity
+    from scripted traffic, reported as the mean and median over users.
+
+    Exactness: gaps are exact integer microsecond differences divided
+    once by a constant; per-user moment sums go through the decimal
+    contract; each B is a fixed IEEE tree; the mean goes through the
+    decimal contract again and the median is the shared R-7
+    interpolation.
+
+    Scale: one user-partitioned lag window, one user-grain moment
+    aggregate, one global reduction — no global windows, no
+    collects."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    seq = ev.select("user_id", t.alias("t"), F.lag(t).over(w).alias("pt"))
+    gaps = seq.filter(F.col("pt").isNotNull()).select(
+        "user_id", ((F.col("t") - F.col("pt")) / 1000000.0).alias("g")
+    )
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("k"),
+            dsum("g").alias("sg"),
+            dsum(F.col("g") * F.col("g")).alias("sgg"),
+        )
+        .filter(F.col("k") >= 3)
+    )
+    k, sg, sgg = F.col("k"), F.col("sg"), F.col("sgg")
+    mu = sg / k
+    sigma = F.sqrt(sgg / k - mu * mu)
+    scored = per_user.filter(sigma + mu > 0).select(
+        ((sigma - mu) / (sigma + mu)).alias("b")
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        q6(dsum("b") / F.count("*")).alias("mean_burstiness"),
+        q6(F.expr("percentile(b, 0.50D)")).alias("p50_burstiness"),
+    )
