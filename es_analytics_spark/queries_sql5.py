@@ -5245,3 +5245,203 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(dsum("b") / F.count("*")).alias("mean_burstiness"),
         q6(F.expr("percentile(b, 0.50D)")).alias("p50_burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Novelty-effect decay: treatment-effect trend across weeks
+# ---------------------------------------------------------------------------
+
+_NOVEL_SQL = f"""
+    WITH wk AS (
+        SELECT CAST(user_id % 2 AS INT) AS variant,
+               CAST(DATE_TRUNC('week', ts) AS TIMESTAMP) AS week,
+               user_id, {dsum_expr("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS rev
+        FROM events GROUP BY 1, 2, 3
+    ), cell AS (
+        SELECT week, variant, COUNT(*) AS n, {dsum_expr('rev')} AS s
+        FROM wk GROUP BY 1, 2
+    ), wide AS (
+        SELECT week,
+               MAX(CASE WHEN variant = 1 THEN s END) / MAX(CASE WHEN variant = 1 THEN n END)
+               - MAX(CASE WHEN variant = 0 THEN s END) / MAX(CASE WHEN variant = 0 THEN n END)
+                   AS delta
+        FROM cell GROUP BY week
+        HAVING MAX(CASE WHEN variant = 0 THEN n END) IS NOT NULL
+           AND MAX(CASE WHEN variant = 1 THEN n END) IS NOT NULL
+    ), idx AS (
+        SELECT delta, ROW_NUMBER() OVER (ORDER BY week) AS t FROM wide
+    ), fit AS (
+        SELECT COUNT(*) AS npts, SUM(t) AS sx, SUM(t * t) AS sxx,
+               {dsum_expr('delta')} AS sy, {dsum_expr('t * delta')} AS sxy
+        FROM idx
+    )
+    SELECT CAST(npts AS BIGINT) AS n_weeks,
+           FLOOR(sy / npts * 1e6 + 0.5) / 1e6 AS mean_weekly_effect,
+           CASE WHEN npts * sxx - sx * sx = 0 THEN 0.0
+                ELSE FLOOR((npts * sxy - sx * sy)
+                           / (npts * sxx - sx * sx) * 1e6 + 0.5) / 1e6 END
+               AS effect_trend_per_week,
+           CASE WHEN npts * sxx - sx * sx = 0 THEN FALSE
+                ELSE (npts * sxy - sx * sy) / (npts * sxx - sx * sx)
+                     < -0.05 * ABS(sy / npts) END AS novelty_decay_flag
+    FROM fit
+"""
+
+
+@query("ab_novelty_decay", oracle=_NOVEL_SQL)
+def ab_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty-effect detector: the weekly treatment-control difference
+    of per-user purchase revenue, and the linear trend of that effect
+    across experiment weeks — a significantly negative trend relative
+    to the mean effect flags a NOVELTY effect (users react to newness,
+    not value), the classic reason a 'winning' experiment decays after
+    ship. Flag threshold: trend < -5% of |mean effect| per week.
+
+    Exactness: (user, week) revenue and the weekly cell sums go
+    through the decimal contract; the week index regressor is an exact
+    integer ROW_NUMBER over the week order; slope and flag are fixed
+    IEEE trees, half-up quantized.
+
+    Scale: one (user, week) grain aggregate, a |weeks|×2 cell
+    reduction, and a |weeks|-row fit — the week-index window runs on
+    the calendar-bounded weekly frame (the ts_cumulative_users
+    bound)."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    wk = ev.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        "user_id",
+    ).agg(
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("rev")
+    )
+    cell = wk.groupBy("week", "variant").agg(
+        F.count("*").alias("n"), dsum("rev").alias("s")
+    )
+    c = lambda vv, col: F.max(F.when(F.col("variant") == vv, F.col(col)))  # noqa: E731
+    wide = (
+        cell.groupBy("week")
+        .agg(
+            (c(1, "s") / c(1, "n") - c(0, "s") / c(0, "n")).alias("delta"),
+            c(0, "n").alias("n0"),
+            c(1, "n").alias("n1"),
+        )
+        .filter(F.col("n0").isNotNull() & F.col("n1").isNotNull())
+        .select("week", "delta")
+    )
+    idx = wide.select("delta", F.row_number().over(W.orderBy("week")).alias("t"))
+    fit = idx.agg(
+        F.count("*").alias("npts"),
+        F.sum("t").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+        dsum("delta").alias("sy"),
+        dsum(F.col("t") * F.col("delta")).alias("sxy"),
+    )
+    npts, sx, sxx, sy, sxy = (F.col(c_) for c_ in ("npts", "sx", "sxx", "sy", "sxy"))
+    slope = (npts * sxy - sx * sy) / (npts * sxx - sx * sx)
+    q6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    degenerate = npts * sxx - sx * sx == 0
+    return fit.select(
+        npts.cast("bigint").alias("n_weeks"),
+        q6(sy / npts).alias("mean_weekly_effect"),
+        F.when(degenerate, F.lit(0.0)).otherwise(q6(slope)).alias(
+            "effect_trend_per_week"
+        ),
+        F.when(degenerate, F.lit(False))
+        .otherwise(slope < -0.05 * F.abs(sy / npts))
+        .alias("novelty_decay_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional entropy (corpus predictability)
+# ---------------------------------------------------------------------------
+
+_CENT_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, w, o FROM (
+            SELECT doc_id,
+                   UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS w,
+                   UNNEST(GENERATE_SERIES(1,
+                       LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')))) AS o
+            FROM documents WHERE n_chars > 0
+        ) WHERE w <> ''
+    ), bi AS (
+        SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.o = a.o + 1
+        GROUP BY 1, 2
+    ), uni AS (
+        SELECT w1, SUM(c) AS cu FROM bi GROUP BY w1
+    ), tot AS (
+        SELECT SUM(c) AS n FROM bi
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_bigrams,
+           FLOOR({dsum_expr("-(bi.c * 1.0 / tot.n) * LN(bi.c * 1.0 / tot.n)")}
+                 * 1e6 + 0.5) / 1e6 AS h_bigram_nats,
+           FLOOR({dsum_expr("-(bi.c * 1.0 / tot.n) * LN(bi.c * 1.0 / uni.cu)")}
+                 * 1e6 + 0.5) / 1e6 AS h_conditional_nats
+    FROM bi
+    JOIN uni ON uni.w1 = bi.w1
+    CROSS JOIN tot
+    GROUP BY tot.n
+"""
+
+
+@query("text_conditional_entropy", oracle=_CENT_SQL)
+def text_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus predictability: the bigram entropy H(W1,W2) and the
+    conditional entropy H(W2|W1) = -sum p(w1,w2)·ln p(w2|w1) over
+    within-document adjacent word pairs — the information-theoretic
+    repetitiveness gauge (natural prose sits well above template spam;
+    a collapsing H(W2|W1) means the corpus is becoming
+    auto-completable, the signal LM-loss-based quality filters proxy).
+    Complements agg_entropy (unigram, single column) with sequence
+    structure.
+
+    Exactness: bigram and left-marginal counts are exact integers;
+    each entropy term is one fixed tree with a single LN
+    (quantize-at-6 precedent) and term sums go through the decimal
+    contract.
+
+    Scale: tokenization explodes once with positions (posexplode);
+    the bigram join is (doc, position)-keyed — adjacent pairs only,
+    never token-quadratic; marginals are vocabulary-sized
+    aggregates."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = (
+        d.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "p", "w"
+            ),
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("p") + 1).alias("o"), "w")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    bi = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.o") == F.col("a.o") + 1),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").alias("c"))
+        # feeds the left marginal, the total, and the scored join
+        .localCheckpoint()
+    )
+    uni = bi.groupBy("w1").agg(F.sum("c").alias("cu"))
+    tot = bi.agg(F.sum("c").alias("n"))
+    j = bi.join(uni, "w1").crossJoin(F.broadcast(tot))
+    p_joint = F.col("c") * 1.0 / F.col("n")
+    term_joint = -p_joint * F.log(p_joint)
+    term_cond = -p_joint * F.log(F.col("c") * 1.0 / F.col("cu"))
+    q6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return j.groupBy("n").agg(
+        F.col("n").cast("bigint").alias("n_bigrams"),
+        q6(dsum(term_joint)).alias("h_bigram_nats"),
+        q6(dsum(term_cond)).alias("h_conditional_nats"),
+    ).drop("n")

@@ -157,6 +157,8 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         # cumulative daily looks — one row per calendar day, bounded by
         # time, not data (same bound as ts_cumulative_users)
         "ab_sequential_msprt",
+        # week-index regressor over the |weeks| frame — calendar-bounded
+        "ab_novelty_decay",
     }
     # dedup_clusters runs its iterative loop eagerly at build time
     skip_eager = {"dedup_clusters"}
