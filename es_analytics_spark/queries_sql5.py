@@ -5445,3 +5445,318 @@ def text_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(dsum(term_joint)).alias("h_bigram_nats"),
         q6(dsum(term_cond)).alias("h_conditional_nats"),
     ).drop("n")
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index drift monitor
+# ---------------------------------------------------------------------------
+
+_PSI_SQL = f"""
+    WITH b AS (
+        SELECT (MIN(EPOCH_US(ts)) + MAX(EPOCH_US(ts))) // 2 AS cutoff FROM events
+    ), p AS (
+        SELECT value, EPOCH_US(ts) <= b.cutoff AS is_ref
+        FROM events, b WHERE event_type = 'purchase'
+    ), edges AS (
+        SELECT QUANTILE_CONT(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+        FROM p WHERE is_ref
+    ), binned AS (
+        SELECT CAST(is_ref AS INT) AS is_ref,
+               1 + CAST(value > e[1] AS INT) + CAST(value > e[2] AS INT)
+                 + CAST(value > e[3] AS INT) + CAST(value > e[4] AS INT)
+                 + CAST(value > e[5] AS INT) + CAST(value > e[6] AS INT)
+                 + CAST(value > e[7] AS INT) + CAST(value > e[8] AS INT)
+                 + CAST(value > e[9] AS INT) AS bin
+        FROM p, edges
+    ), spine AS (
+        SELECT UNNEST(GENERATE_SERIES(1, 10)) AS bin
+    ), cnt AS (
+        SELECT s.bin,
+               COALESCE(SUM(CASE WHEN b2.is_ref = 1 THEN 1 END), 0) AS cr,
+               COALESCE(SUM(CASE WHEN b2.is_ref = 0 THEN 1 END), 0) AS cc
+        FROM spine s LEFT JOIN binned b2 ON b2.bin = s.bin
+        GROUP BY s.bin
+    ), tot AS (
+        SELECT SUM(cr) AS nr, SUM(cc) AS nc FROM cnt
+    )
+    SELECT CAST(tot.nr AS BIGINT) AS n_reference, CAST(tot.nc AS BIGINT) AS n_current,
+           FLOOR({dsum_expr("((cnt.cc + 1.0) / (tot.nc + 10) - (cnt.cr + 1.0) / (tot.nr + 10)) * LN(((cnt.cc + 1.0) / (tot.nc + 10)) / ((cnt.cr + 1.0) / (tot.nr + 10)))")}
+                 * 1e6 + 0.5) / 1e6 AS psi,
+           {dsum_expr("((cnt.cc + 1.0) / (tot.nc + 10) - (cnt.cr + 1.0) / (tot.nr + 10)) * LN(((cnt.cc + 1.0) / (tot.nc + 10)) / ((cnt.cr + 1.0) / (tot.nr + 10)))")}
+               > 0.25 AS drift_flag
+    FROM cnt, tot GROUP BY tot.nr, tot.nc
+"""
+
+
+@query("ml_psi_drift", oracle=_PSI_SQL)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the purchase-value stream: decile bins from the reference half,
+    add-one-smoothed shares on both sides, PSI =
+    sum (q-p)·ln(q/p), flagged at the industry 0.25
+    retrain-your-model threshold — the model-monitoring standard that
+    complements ts_distribution_drift's total-variation distance
+    (PSI weights tail moves logarithmically; TV treats all mass
+    equally). Smoothing makes empty current-side bins well-defined
+    without epsilon hacks, identically in both engines.
+
+    Exactness: the time cutoff is integer microseconds; decile edges
+    are the shared R-7 interpolation over the reference half (one
+    1-row broadcast); bin assignment is 9 comparisons against those
+    edges; counts are exact; each PSI term is one fixed tree with a
+    single LN and the term sum goes through the decimal contract.
+
+    Scale: one scan bins both halves (the edge row broadcasts); the
+    10-bin spine closes missing bins; everything after is a 10-row
+    reduction."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    us = F.unix_micros(F.col("ts"))
+    b = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx")).select(
+        F.expr("(mn + mx) div 2").alias("cutoff")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(b))
+        .select("value", (us <= F.col("cutoff")).alias("is_ref"))
+        .localCheckpoint()
+    )
+    edges = p.filter("is_ref").agg(
+        F.expr(
+            "percentile(value, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("e")
+    )
+    bin_col = F.lit(1)
+    for i in range(1, 10):
+        bin_col = bin_col + (F.col("value") > F.expr(f"element_at(e, {i})")).cast("int")
+    binned = p.crossJoin(F.broadcast(edges)).select(
+        F.col("is_ref").cast("int").alias("is_ref"), bin_col.alias("bin")
+    )
+    spine = spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))
+    cnt = (
+        spine.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_ref") == 1, 1)), F.lit(0)
+            ).alias("cr"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_ref") == 0, 1)), F.lit(0)
+            ).alias("cc"),
+        )
+    )
+    tot = cnt.agg(F.sum("cr").alias("nr"), F.sum("cc").alias("nc"))
+    j = cnt.crossJoin(F.broadcast(tot))
+    q_ = (F.col("cc") + 1.0) / (F.col("nc") + 10)
+    p_ = (F.col("cr") + 1.0) / (F.col("nr") + 10)
+    term = (q_ - p_) * F.log(q_ / p_)
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return j.groupBy("nr", "nc").agg(
+        F.col("nr").cast("bigint").alias("n_reference"),
+        F.col("nc").cast("bigint").alias("n_current"),
+        q6(dsum(term)).alias("psi"),
+        (dsum(term) > 0.25).alias("drift_flag"),
+    ).select("n_reference", "n_current", "psi", "drift_flag")
+
+
+# ---------------------------------------------------------------------------
+# Calibration curve + Brier score of a behavioral score
+# ---------------------------------------------------------------------------
+
+_CAL_SQL = """
+    WITH pu AS (
+        SELECT user_id,
+               CAST(LEAST(GREATEST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                                   - 8, 0) // 2, 6) AS BIGINT) AS bin,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0
+                        THEN 1 ELSE 0 END) AS label,
+               user_id % 3 = 0 AS is_test
+        FROM events GROUP BY user_id
+    ), train AS (
+        SELECT bin, COUNT(*) AS n_train, SUM(label) AS x_train
+        FROM pu WHERE NOT is_test GROUP BY bin
+    ), test AS (
+        SELECT bin, COUNT(*) AS n_test, SUM(label) AS x_test
+        FROM pu WHERE is_test GROUP BY bin
+    ), joined AS (
+        SELECT t.bin, t.n_train, t.x_train,
+               COALESCE(s.n_test, 0) AS n_test, COALESCE(s.x_test, 0) AS x_test,
+               t.x_train * 1.0 / t.n_train AS pred
+        FROM train t LEFT JOIN test s ON s.bin = t.bin
+    ), brier AS (
+        SELECT CAST(ROUND(SUM(CAST(
+                   (x_test * (1 - pred) * (1 - pred)
+                    + (n_test - x_test) * pred * pred) AS DECIMAL(38,10))), 4)
+                    AS DOUBLE) / SUM(n_test) AS bs
+        FROM joined
+    )
+    SELECT j.bin AS score_bin,
+           CAST(j.n_train AS BIGINT) AS n_train,
+           FLOOR(j.pred * 1e6 + 0.5) / 1e6 AS predicted_rate,
+           CAST(j.n_test AS BIGINT) AS n_test,
+           CASE WHEN j.n_test = 0 THEN 0.0
+                ELSE FLOOR(j.x_test * 1.0 / j.n_test * 1e6 + 0.5) / 1e6 END
+               AS observed_rate,
+           FLOOR(brier.bs * 1e6 + 0.5) / 1e6 AS brier_score
+    FROM joined j, brier
+"""
+
+
+@query("ml_calibration_brier", oracle=_CAL_SQL)
+def ml_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve + Brier score of the behavioral score
+    ml_auc_score ranks: click-count bins (2-click-wide, clamped to the
+    observed 8-20 range) get a
+    predicted conversion rate from the train users (2/3 hash split)
+    and are scored on the held-out third — per-bin predicted vs
+    observed is the reliability diagram, and the Brier score
+    mean((pred-label)²) is the proper scoring rule that AUC (pure
+    ranking) cannot see miscalibration with.
+
+    Exactness: bins, labels, and the deterministic user split are
+    integer arithmetic; predicted/observed rates are single divisions
+    of exact counts; the Brier numerator uses the closed form
+    x·(1-p)² + (n-x)·p² per bin summed through the decimal contract.
+
+    Scale: one user-grain aggregate; train/test are bin-grain
+    (≤6 rows) reductions; the Brier reduction is 1-row."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    pu = ev.groupBy("user_id").agg(
+        F.least(
+            F.expr(
+                "greatest(sum(case when event_type = 'click' then 1 else 0 end)"
+                " - 8, 0) div 2"
+            ),
+            F.lit(6),
+        ).cast("bigint").alias("bin"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 100.0), 1
+            ).otherwise(0)
+        ).alias("label"),
+    ).select("bin", "label", (F.col("user_id") % 3 == 0).alias("is_test"))
+    train = (
+        pu.filter(~F.col("is_test"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_train"), F.sum("label").alias("x_train"))
+    )
+    test = (
+        pu.filter("is_test")
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_test"), F.sum("label").alias("x_test"))
+    )
+    joined = (
+        train.join(test, "bin", "left")
+        .select(
+            "bin",
+            "n_train",
+            "x_train",
+            F.coalesce(F.col("n_test"), F.lit(0)).alias("n_test"),
+            F.coalesce(F.col("x_test"), F.lit(0)).alias("x_test"),
+            (F.col("x_train") * 1.0 / F.col("n_train")).alias("pred"),
+        )
+        .localCheckpoint()
+    )
+    pr = F.col("pred")
+    num = F.col("x_test") * (1 - pr) * (1 - pr) + (
+        F.col("n_test") - F.col("x_test")
+    ) * pr * pr
+    brier = joined.agg(
+        (
+            F.round(F.sum(num.cast("decimal(38,10)")), 4).cast("double")
+            / F.sum("n_test")
+        ).alias("bs")
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return joined.crossJoin(F.broadcast(brier)).select(
+        F.col("bin").alias("score_bin"),
+        F.col("n_train").cast("bigint").alias("n_train"),
+        q6(pr).alias("predicted_rate"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.when(F.col("n_test") == 0, F.lit(0.0))
+        .otherwise(q6(F.col("x_test") * 1.0 / F.col("n_test")))
+        .alias("observed_rate"),
+        q6(F.col("bs")).alias("brier_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality strength of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_SEASTR_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               DAYOFWEEK(DATE_TRUNC('day', ts)) + 1 AS dow,
+               {dsum_expr('value')} AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), prof AS (
+        SELECT dow, {dsum_expr('x')} / COUNT(*) AS m FROM daily GROUP BY dow
+    ), tot AS (
+        SELECT COUNT(*) AS n, {dsum_expr('x')} AS s, {dsum_expr('x * x')} AS q
+        FROM daily
+    ), resid AS (
+        SELECT {dsum_expr('(d.x - p.m) * (d.x - p.m)')} AS rss
+        FROM daily d JOIN prof p ON p.dow = d.dow
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_days,
+           CASE WHEN tot.q - tot.s * tot.s / tot.n = 0 THEN 0.0
+                ELSE FLOOR((1 - resid.rss / (tot.q - tot.s * tot.s / tot.n))
+                           * 1e6 + 0.5) / 1e6 END AS seasonality_strength,
+           (SELECT MAX_BY(dow, m) FROM prof) AS peak_dow,
+           (SELECT MIN_BY(dow, m) FROM prof) AS trough_dow
+    FROM tot, resid
+"""
+
+
+@query("ts_seasonality_strength", oracle=_SEASTR_SQL)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength of daily purchase revenue: the fraction of
+    daily variance explained by the day-of-week profile,
+    1 - SS_resid/SS_total (the eta-squared of the weekly pattern, the
+    STL-style strength statistic) — near 1 means scheduling/capacity
+    should follow the weekly cycle, near 0 means the weekly profile in
+    ts_seasonal_profile is noise. Also reports the peak and trough
+    days.
+
+    Exactness: daily sums, profile means, and both sums of squares go
+    through the decimal contract; the ratio is one fixed tree with the
+    zero-variance degenerate defined identically; peak/trough use the
+    exact MAX_BY/MIN_BY pair on the 7-row profile.
+
+    Scale: day-grain aggregate, 7-row profile broadcast back, two
+    1-row reductions."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.dayofweek(F.date_trunc("day", "ts")).alias("dow"),
+        )
+        .agg(dsum(F.col("value")).alias("x"))
+        # feeds profile, totals, and residuals
+        .localCheckpoint()
+    )
+    prof = daily.groupBy("dow").agg((dsum("x") / F.count("*")).alias("m"))
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        dsum("x").alias("s"),
+        dsum(F.col("x") * F.col("x")).alias("q"),
+    )
+    resid = daily.join(F.broadcast(prof), "dow").agg(
+        dsum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias("rss")
+    )
+    extremes = prof.agg(
+        F.max_by("dow", "m").alias("peak_dow"), F.min_by("dow", "m").alias("trough_dow")
+    )
+    j = tot.crossJoin(F.broadcast(resid)).crossJoin(F.broadcast(extremes))
+    n, s, q, rss = (F.col(c) for c in ("n", "s", "q", "rss"))
+    ss_tot = q - s * s / n
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return j.select(
+        n.cast("bigint").alias("n_days"),
+        F.when(ss_tot == 0, F.lit(0.0))
+        .otherwise(q6(1 - rss / ss_tot))
+        .alias("seasonality_strength"),
+        "peak_dow",
+        "trough_dow",
+    )
