@@ -32,6 +32,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 STAGES = [
     ("Column profile", "agg_profile_columns"),
     ("Zipf-exponent corpus health screen", "text_zipf_exponent"),
+    ("Bigram conditional entropy (predictability)", "text_conditional_entropy"),
     ("Duplicated-ngram boilerplate fraction", "text_dup_ngram_fraction"),
     ("Quality-filter ablation matrix", "text_filter_ablation"),
     ("Exact fingerprint dedup groups", "text_fingerprint_dedup"),

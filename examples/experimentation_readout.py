@@ -43,6 +43,8 @@ STAGES = [
     ("Randomization test (200 hash relabelings)", "stat_randomization_test"),
     ("Action-mix guard: chi-square independence", "stat_chi2_independence"),
     ("Always-valid sequential monitor (mSPRT)", "ab_sequential_msprt"),
+    ("Welch unequal-variance t-test", "ab_welch_ttest"),
+    ("Novelty-effect decay detector", "ab_novelty_decay"),
     ("Difference-in-differences around the midpoint", "ab_diff_in_diff"),
     ("Power analysis for the next experiment", "ab_power_analysis"),
 ]
