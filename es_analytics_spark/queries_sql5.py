@@ -5760,3 +5760,98 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_dow",
         "trough_dow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold-sweep curve
+# ---------------------------------------------------------------------------
+
+_SWEEP_TS = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+_SWEEP_SQL = f"""
+    WITH words AS (
+      SELECT doc_id, source, STRING_SPLIT({_NORM5_SQL}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             LIST_DISTINCT(CASE WHEN LEN(w) >= 3
+               THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [ARRAY_TO_STRING(w, ' ')] END) AS g
+      FROM words),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(a.g || b.g)) AS jaccard
+      FROM grams a JOIN grams b ON b.doc_id > a.doc_id AND a.source = b.source
+      WHERE CAST(LEN(LIST_INTERSECT(a.g, b.g)) AS DOUBLE)
+               / LEN(LIST_DISTINCT(a.g || b.g)) >= {_SWEEP_TS[0]}
+    ), ts AS (
+      SELECT UNNEST([{", ".join(str(t) for t in _SWEEP_TS)}]) AS t
+    ), pc AS (
+      SELECT ts.t, COUNT(*) AS n_pairs
+      FROM ts LEFT JOIN pairs ON pairs.jaccard >= ts.t
+      GROUP BY ts.t
+    ), dc AS (
+      SELECT t, COUNT(DISTINCT d) AS n_docs FROM (
+        SELECT ts.t, pairs.id_a AS d FROM ts JOIN pairs ON pairs.jaccard >= ts.t
+        UNION ALL
+        SELECT ts.t, pairs.id_b AS d FROM ts JOIN pairs ON pairs.jaccard >= ts.t
+      ) GROUP BY t
+    )
+    SELECT pc.t AS threshold,
+           CAST(CASE WHEN dc.t IS NULL THEN 0 ELSE pc.n_pairs END AS BIGINT)
+               AS n_pairs,
+           CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs_involved
+    FROM pc LEFT JOIN dc ON dc.t = pc.t
+"""
+
+
+@query("dedup_threshold_sweep", oracle=_SWEEP_SQL)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-selection curve: for each candidate Jaccard
+    threshold 0.2..0.9, how many blocked near-dup pairs and distinct
+    documents the threshold would implicate — the one-pass sweep a
+    pipeline owner reads to pick the dedup_ngram_jaccard /
+    dedup_minhash_lsh operating point (too low melts the corpus, too
+    high leaves boilerplate; the knee of this curve is the decision).
+
+    Exactness: pair similarities are exact integer ratios from the
+    same blocked 3-gram machinery dedup_ngram_jaccard oracles;
+    threshold comparisons are identical double compares; counts are
+    exact (a LEFT JOIN spine keeps zero-pair thresholds present).
+
+    Scale: ONE blocked pair computation at the lowest threshold feeds
+    all 8 thresholds (the sweep is a broadcast spine join over the
+    pair list, not 8 re-computations); doc involvement is an explode +
+    distinct at pair grain."""
+    from es_analytics_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    pairs = (
+        ngram_jaccard_pairs(
+            d, "doc_id", "text", ngram=3, block_col="source", threshold=_SWEEP_TS[0]
+        )
+        .filter(F.col("jaccard") >= _SWEEP_TS[0])
+        .select("id_a", "id_b", "jaccard")
+        # one pair computation feeds every threshold
+        .localCheckpoint()
+    )
+    ts = spark.createDataFrame([(t,) for t in _SWEEP_TS], "t double")
+    hit = pairs.crossJoin(F.broadcast(ts)).filter(F.col("jaccard") >= F.col("t"))
+    pc = ts.join(hit.groupBy("t").agg(F.count("*").alias("n_pairs")), "t", "left")
+    dc = (
+        hit.select("t", F.col("id_a").alias("d"))
+        .unionAll(hit.select("t", F.col("id_b").alias("d")))
+        .groupBy("t")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return (
+        pc.join(dc, "t", "left")
+        .select(
+            F.col("t").alias("threshold"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias(
+                "n_docs_involved"
+            ),
+        )
+    )
