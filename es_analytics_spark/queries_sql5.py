@@ -5855,3 +5855,145 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tail risk: VaR and CVaR (expected shortfall) of purchase values
+# ---------------------------------------------------------------------------
+
+_CVAR_SQL = f"""
+    WITH p AS (
+        SELECT value FROM events WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT QUANTILE_CONT(value, 0.95) AS var95 FROM p
+    ), tail AS (
+        SELECT COUNT(*) AS n_tail, {dsum_expr('p.value')} AS s_tail
+        FROM p, v WHERE p.value >= v.var95
+    )
+    SELECT CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n,
+           FLOOR(v.var95 * 1e6 + 0.5) / 1e6 AS var_95,
+           CAST(tail.n_tail AS BIGINT) AS n_tail,
+           FLOOR(tail.s_tail / tail.n_tail * 1e6 + 0.5) / 1e6 AS cvar_95
+    FROM v, tail
+"""
+
+
+@query("stat_tail_cvar", oracle=_CVAR_SQL)
+def stat_tail_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail risk of the purchase-value distribution: the 95% VaR (the
+    exact interpolated p95) and the CVaR / expected shortfall (mean of
+    everything at or beyond it) — the coherent tail statistic risk and
+    capacity teams plan against, because a p95 alone says nothing
+    about HOW BAD the tail is. The at-or-above convention makes the
+    tail set a deterministic predicate on the broadcast threshold.
+
+    Exactness: VaR is the shared R-7 interpolation; the tail set is a
+    single compare against the broadcast threshold; the tail mean is a
+    decimal sum over exact doubles divided by an exact count.
+
+    Scale: one percentile aggregate, a 1-row threshold broadcast, and
+    one filtered aggregate — two scans of the purchase stream, no
+    sorts, no collects."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select("value").localCheckpoint()
+    v = p.agg(F.expr("percentile(value, 0.95D)").alias("var95"))
+    tail = p.crossJoin(F.broadcast(v)).filter(F.col("value") >= F.col("var95"))
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    n = p.agg(F.count("*").alias("n"))
+    agg = tail.groupBy("var95").agg(
+        F.count("*").alias("n_tail"), dsum("value").alias("s_tail")
+    )
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            q6(F.col("var95")).alias("var_95"),
+            F.col("n_tail").cast("bigint").alias("n_tail"),
+            q6(F.col("s_tail") / F.col("n_tail")).alias("cvar_95"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of cumulative daily net revenue
+# ---------------------------------------------------------------------------
+
+_MDD_SQL = f"""
+    WITH daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr("CASE WHEN event_type = 'purchase' THEN value ELSE -value END")} AS x
+        FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1
+    ), walk AS (
+        SELECT day,
+               CAST(ROUND(SUM(CAST(x AS DECIMAL(38,10))) OVER w, 4) AS DOUBLE)
+                   AS equity
+        FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+    ), dd AS (
+        SELECT day, equity,
+               MAX(equity) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - equity AS drawdown
+        FROM walk
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           FLOOR(MAX(drawdown) * 1e6 + 0.5) / 1e6 AS max_drawdown,
+           MIN(CASE WHEN drawdown = (SELECT MAX(drawdown) FROM dd) THEN day END)
+               AS trough_day
+    FROM dd
+"""
+
+
+@query("ts_max_drawdown", oracle=_MDD_SQL)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily net-revenue curve
+    (purchases credit, error-event values debit — a net 'equity'
+    curve): the largest peak-to-trough fall and the day it bottomed —
+    the path-dependent risk statistic a plain variance cannot see
+    (two series with equal variance can have wildly different worst
+    runs). Classic in finance; equally useful for revenue-run
+    monitoring.
+
+    Exactness: the equity curve is an ordered decimal prefix sum
+    rounded at 4dp (the ts_cusum_changepoint walk contract); the
+    running max and the drawdown max are exact comparisons of those
+    quantized doubles; the trough day takes the earliest argmax.
+
+    Scale: day-grain aggregate, then two windows over the
+    calendar-bounded daily frame (the ts_cumulative_users
+    single-partition bound, allowlisted) and a 1-row reduction."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            dsum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    -F.col("value")
+                )
+            ).alias("x")
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    walk = daily.select(
+        "day",
+        F.round(F.sum(F.col("x").cast("decimal(38,10)")).over(w), 4)
+        .cast("double")
+        .alias("equity"),
+    )
+    dd = walk.select(
+        "day",
+        "equity",
+        (F.max("equity").over(w) - F.col("equity")).alias("drawdown"),
+    ).localCheckpoint()
+    mx = dd.agg(F.max("drawdown").alias("mdd"))
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        dd.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            q6(F.max("drawdown")).alias("max_drawdown"),
+            F.min(
+                F.when(F.col("drawdown") == F.col("mdd"), F.col("day"))
+            ).alias("trough_day"),
+        )
+    )

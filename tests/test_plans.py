@@ -159,6 +159,8 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         "ab_sequential_msprt",
         # week-index regressor over the |weeks| frame — calendar-bounded
         "ab_novelty_decay",
+        # equity-curve walk over the |days| frame — calendar-bounded
+        "ts_max_drawdown",
     }
     # dedup_clusters runs its iterative loop eagerly at build time
     skip_eager = {"dedup_clusters"}
