@@ -273,11 +273,25 @@ def _write_view_manifest(fs, view_path: str, manifest: dict) -> None:
     _put_json_atomic(fs, view_path, _view_manifest_path(view_path), manifest)
 
 
+def _json_scalar(v):
+    """JSON-storable form of a part-stat bound. Datetimes go to ISO
+    strings (ISO-8601 UTC compares lexicographically, so pruning works
+    on the stored form); numerics and strings pass through."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
 def refresh_enriched_view(
     spark: SparkSession,
     source_glob: str,
     view_path: str,
     enrich,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Create or incrementally refresh a fact-sized materialized view:
     every source file not yet in the manifest is read, transformed by
@@ -311,6 +325,22 @@ def refresh_enriched_view(
     manifest["version"] = manifest["version"] + 1
     manifest["sources"] = sorted(seen | set(new_files))
     manifest["parts"] = sorted(set(manifest["parts"]) | {part})
+    if stats_cols:
+        # manifest zone maps: one increment-sized aggregate per refresh
+        # records each new part's [min, max] per declared column, so
+        # point/range reads can skip whole parts without opening them
+        # (the Iceberg/Delta data-skipping idea on this manifest format)
+        from pyspark.sql import functions as F
+
+        pdf = spark.read.parquet(part)
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        row = pdf.agg(*aggs).first()
+        manifest.setdefault("stats", {})[part] = {
+            c: [_json_scalar(row[f"__mn_{c}"]), _json_scalar(row[f"__mx_{c}"])]
+            for c in stats_cols
+        }
     # snapshot manifest first, then publish "current". A crash between
     # the two leaves a snapshot (and part) no pointer names — invisible
     # to readers, identical to the orphan-part story. The next refresh
@@ -332,7 +362,10 @@ def refresh_enriched_view(
 
 
 def read_enriched_view(
-    spark: SparkSession, view_path: str, version: int | None = None
+    spark: SparkSession,
+    view_path: str,
+    version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Read ONLY the parts the manifest publishes — orphan part
     directories from interrupted refreshes are invisible by
@@ -342,12 +375,40 @@ def read_enriched_view(
     refresh N published it. Sound because parts are immutable and
     append-only — every published version's part set is a subset of the
     current manifest, so vacuum (which keeps everything the current
-    manifest references) can never reap under a live snapshot."""
+    manifest references) can never reap under a live snapshot.
+
+    ``prune=(col, lo, hi)`` is a zone-map read: parts whose recorded
+    [min, max] for ``col`` (see ``refresh_enriched_view`` stats_cols)
+    is disjoint from [lo, hi] are skipped WITHOUT being opened, and
+    the residual ``lo <= col <= hi`` filter is applied to the
+    survivors — manifest-level data skipping, correct because stats
+    are computed from the immutable part at publish time. Parts with
+    no recorded stats for ``col`` are conservatively read. Datetime
+    bounds compare via their ISO form (the stored form)."""
+    from pyspark.sql import functions as F
+
     fs = lake_fs(spark, view_path)
     manifest = _read_view_manifest(fs, view_path, version)
     if not manifest["parts"]:
         raise FileNotFoundError(f"no published parts under {view_path}")
-    return spark.read.parquet(*manifest["parts"])
+    parts = manifest["parts"]
+    if prune is not None:
+        col, lo, hi = prune
+        lo_c, hi_c = _json_scalar(lo), _json_scalar(hi)
+        stats = manifest.get("stats", {})
+        kept = []
+        for p in parts:
+            s = stats.get(p, {}).get(col)
+            if s is None or s[0] is None or s[1] is None:
+                kept.append(p)  # no stats — must read
+            elif not (s[1] < lo_c or s[0] > hi_c):
+                kept.append(p)
+        if not kept:
+            # schema-stable empty frame without opening any data part
+            return spark.read.parquet(parts[0]).filter(F.lit(False))
+        df = spark.read.parquet(*kept)
+        return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+    return spark.read.parquet(*parts)
 
 
 def view_history(spark: SparkSession, view_path: str) -> list[dict]:

@@ -1146,3 +1146,60 @@ def test_table_diff_signs_off_maintenance_ops(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="column sets differ"):
         table_diff(spark, base, f"{sf_dir}/orders.parquet", keys=["event_id"])
+
+
+def test_enriched_view_zone_map_pruning(spark, tmp_path):
+    """Manifest zone maps: each refresh records per-part [min,max]
+    stats; a prune=(col, lo, hi) read skips disjoint parts WITHOUT
+    opening them (asserted via inputFiles), matches the full-scan
+    filter exactly, conservatively reads stat-less parts, and returns
+    a schema-stable empty frame when every part is skipped."""
+    from es_analytics_spark.materialized import (
+        read_enriched_view,
+        refresh_enriched_view,
+    )
+
+    src = str(tmp_path / "facts")
+    view = str(tmp_path / "view")
+    bands = [(0, 100), (1000, 1100), (2000, 2100)]
+    for lo, hi in bands:
+        spark.range(lo, hi).selectExpr(
+            "id", "cast(id * 2 as double) as amount"
+        ).coalesce(1).write.mode("append").parquet(src)
+        refresh_enriched_view(
+            spark,
+            f"{src}/*.parquet",
+            view,
+            lambda df: df.withColumn("doubled", df.amount * 2),
+            stats_cols=["id"],
+        )
+
+    full = read_enriched_view(spark, view)
+    assert full.count() == 300
+    all_files = set(full.inputFiles())
+
+    pruned = read_enriched_view(spark, view, prune=("id", 1000, 1099))
+    assert set(pruned.inputFiles()) < all_files, "pruned read must skip parts"
+    got = sorted(r.id for r in pruned.collect())
+    assert got == list(range(1000, 1100))
+
+    # range straddling two bands reads exactly those two parts' files
+    two = read_enriched_view(spark, view, prune=("id", 50, 1050))
+    assert two.count() == 50 + 51
+    assert len(set(two.inputFiles())) < len(all_files)
+
+    # empty intersection: zero rows, no failure, schema preserved
+    none = read_enriched_view(spark, view, prune=("id", 5000, 6000))
+    assert none.count() == 0 and set(none.columns) == set(full.columns)
+
+    # stat-less parts are conservatively read: a refresh WITHOUT
+    # stats_cols adds a part that every pruned read must include
+    spark.range(9000, 9010).selectExpr(
+        "id", "cast(id * 2 as double) as amount"
+    ).coalesce(1).write.mode("append").parquet(src)
+    refresh_enriched_view(
+        spark, f"{src}/*.parquet", view,
+        lambda df: df.withColumn("doubled", df.amount * 2),
+    )
+    after = read_enriched_view(spark, view, prune=("id", 1000, 1099))
+    assert sorted(r.id for r in after.collect()) == list(range(1000, 1100))
