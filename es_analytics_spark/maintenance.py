@@ -498,3 +498,147 @@ def table_diff(
         out["added"] == 0 and out["removed"] == 0 and out["changed"] == 0
     )
     return out
+
+
+def scd2_merge(
+    spark: SparkSession,
+    path: str,
+    updates,
+    key_cols: list[str],
+    ts_col: str,
+) -> dict:
+    """Type-2 slowly-changing-dimension merge: maintain full attribute
+    history for each key instead of overwriting. The table at ``path``
+    carries three system columns — ``__valid_from``, ``__valid_to``
+    (NULL while open) and ``__is_current`` — and each incoming
+    (key, attrs, ts) row either:
+
+    - opens the key's first version (no current row exists),
+    - closes the current version at ``ts`` and opens a new one (any
+      non-key attribute differs), or
+    - is a no-op (attributes identical to the current version).
+
+    Multiple updates for one key in a single call collapse to the
+    LATEST by (ts, then attribute order) — deterministic latest-wins,
+    documented difference from ``upsert``'s duplicate rejection
+    (dimension feeds routinely batch several days of changes).
+
+    The rewrite is history ∪ closed-currents ∪ new-versions to a
+    staging dir + the standard atomic swap. At scale the anti/equi
+    joins key on ``key_cols`` (broadcast when the update batch is
+    small) and the rewrite restricts to touched partitions; the
+    fixture-size implementation rewrites the whole table. Point-in-time
+    reads are ``__valid_from <= t AND (t < __valid_to OR __valid_to IS
+    NULL)`` — the SCD2 as-of predicate.
+
+    First call may target an empty/nonexistent path (initial load).
+    Returns {"opened", "closed", "unchanged", "rows"}.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    fs = lake_fs(spark, path)
+    attr_cols = sorted(c for c in updates.columns if c not in key_cols + [ts_col])
+    latest = (
+        updates.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*key_cols).orderBy(
+                    F.col(ts_col).desc(), *[F.col(c).desc_nulls_last() for c in attr_cols]
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    def attr_sig(df):
+        return F.xxhash64(
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00")) for c in attr_cols]
+        )
+
+    if fs.exists(path):
+        spark.catalog.refreshByPath(path)
+        target = spark.read.parquet(path)
+        current = target.filter(F.col("__is_current"))
+        history = target.filter(~F.col("__is_current"))
+    else:
+        target = None
+        current = history = None
+
+    if current is not None:
+        cur_keyed = current.withColumn("__sig", attr_sig(current))
+        upd_keyed = latest.withColumn("__sig_new", attr_sig(latest))
+        j = cur_keyed.alias("c").join(
+            upd_keyed.alias("u"), key_cols, "full_outer"
+        )
+        # classify: update-only keys open; matching keys with differing
+        # sigs close+open; identical sigs no-op; target-only keys pass
+        changed = j.filter(
+            F.col("c.__sig").isNotNull()
+            & F.col("u.__sig_new").isNotNull()
+            & (F.col("c.__sig") != F.col("u.__sig_new"))
+        )
+        n_changed = changed.count()
+        brand_new = j.filter(F.col("c.__sig").isNull())
+        n_new = brand_new.count()
+        unchanged_keys = j.filter(
+            F.col("c.__sig").isNotNull()
+            & F.col("u.__sig_new").isNotNull()
+            & (F.col("c.__sig") == F.col("u.__sig_new"))
+        ).count()
+
+        changed_key_rows = changed.select(*[F.col(f"u.{k}") for k in key_cols])
+        closers = (
+            current.join(changed_key_rows, key_cols, "left_semi")
+            .join(
+                latest.select(*key_cols, F.col(ts_col).alias("__close_at")),
+                key_cols,
+            )
+            .withColumn("__valid_to", F.col("__close_at"))
+            .withColumn("__is_current", F.lit(False))
+            .drop("__close_at")
+        )
+        keep_current = current.join(changed_key_rows, key_cols, "left_anti")
+        openers_src = latest.join(
+            current.select(*key_cols), key_cols, "left_semi"
+        ).join(changed_key_rows, key_cols, "left_semi").unionByName(
+            latest.join(current.select(*key_cols), key_cols, "left_anti")
+        )
+        openers = (
+            openers_src.withColumn("__valid_from", F.col(ts_col))
+            .withColumn("__valid_to", F.lit(None).cast("timestamp"))
+            .withColumn("__is_current", F.lit(True))
+            .drop(ts_col)
+        )
+        out = (
+            history.unionByName(keep_current)
+            .unionByName(closers)
+            .unionByName(openers)
+        )
+        opened = n_changed + n_new
+        closed = n_changed
+    else:
+        out = (
+            latest.withColumn("__valid_from", F.col(ts_col))
+            .withColumn("__valid_to", F.lit(None).cast("timestamp"))
+            .withColumn("__is_current", F.lit(True))
+            .drop(ts_col)
+        )
+        opened = latest.count()
+        closed = unchanged_keys = 0
+
+    staging = path.rstrip("/") + ".__scd2__"
+    out.write.mode("overwrite").parquet(staging)
+    if fs.exists(path):
+        _swap(spark, path, staging)
+    else:
+        fs.rename(staging, path)
+        spark.catalog.refreshByPath(path)
+    n_rows = spark.read.parquet(path).count()
+    return {
+        "opened": int(opened),
+        "closed": int(closed),
+        "unchanged": int(unchanged_keys),
+        "rows": int(n_rows),
+    }

@@ -1203,3 +1203,80 @@ def test_enriched_view_zone_map_pruning(spark, tmp_path):
     )
     after = read_enriched_view(spark, view, prune=("id", 1000, 1099))
     assert sorted(r.id for r in after.collect()) == list(range(1000, 1100))
+
+
+def test_scd2_merge_maintains_dimension_history(spark, tmp_path):
+    """Type-2 SCD merge: changed attributes close the current version
+    and open a new one, identical attributes are no-ops, new keys open
+    their first version, duplicate updates collapse latest-wins, and
+    the as-of predicate reconstructs any past state."""
+    import datetime as dtt
+
+    from es_analytics_spark.maintenance import scd2_merge
+
+    path = str(tmp_path / "dim_customer")
+    t0 = dtt.datetime(2026, 1, 1)
+    t1 = dtt.datetime(2026, 2, 1)
+    t2 = dtt.datetime(2026, 3, 1)
+
+    load = spark.createDataFrame(
+        [(1, "alice", "gold", t0), (2, "bob", "silver", t0), (3, "carol", "bronze", t0)],
+        ["cust_id", "name", "tier", "updated_at"],
+    )
+    r0 = scd2_merge(spark, path, load, ["cust_id"], "updated_at")
+    assert (r0["opened"], r0["closed"], r0["rows"]) == (3, 0, 3)
+
+    # 1 changed (alice->platinum), 1 identical (bob), 1 new key (dave),
+    # plus a duplicate older alice row that latest-wins must discard
+    upd = spark.createDataFrame(
+        [
+            (1, "alice", "platinum", t1),
+            (1, "alice", "ignored-older", dtt.datetime(2026, 1, 15)),
+            (2, "bob", "silver", t1),
+            (4, "dave", "gold", t1),
+        ],
+        ["cust_id", "name", "tier", "updated_at"],
+    )
+    r1 = scd2_merge(spark, path, upd, ["cust_id"], "updated_at")
+    assert (r1["opened"], r1["closed"], r1["unchanged"]) == (2, 1, 1)
+    assert r1["rows"] == 5  # 3 originals (1 closed) + new alice + dave
+
+    full = spark.read.parquet(path)
+    alice = {
+        (r["tier"], r["__is_current"], r["__valid_to"]) for r in
+        full.filter(F.col("cust_id") == 1).collect()
+    }
+    assert alice == {("gold", False, t1), ("platinum", True, None)}
+    assert full.filter(F.col("__is_current")).count() == 4
+
+    # a third change chains validity: platinum closed at t2
+    r2 = scd2_merge(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "alice", "diamond", t2)], ["cust_id", "name", "tier", "updated_at"]
+        ),
+        ["cust_id"],
+        "updated_at",
+    )
+    assert (r2["opened"], r2["closed"]) == (1, 1)
+
+    # as-of reconstruction at each epoch
+    def as_of(t):
+        return {
+            r["cust_id"]: r["tier"]
+            for r in spark.read.parquet(path)
+            .filter(
+                (F.col("__valid_from") <= t)
+                & (F.col("__valid_to").isNull() | (F.col("__valid_to") > t))
+            )
+            .collect()
+        }
+
+    assert as_of(dtt.datetime(2026, 1, 20)) == {1: "gold", 2: "silver", 3: "bronze"}
+    assert as_of(dtt.datetime(2026, 2, 15)) == {
+        1: "platinum", 2: "silver", 3: "bronze", 4: "gold"
+    }
+    assert as_of(dtt.datetime(2026, 3, 15)) == {
+        1: "diamond", 2: "silver", 3: "bronze", 4: "gold"
+    }
