@@ -5997,3 +5997,116 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trough_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval + empirical coverage
+# ---------------------------------------------------------------------------
+
+_CONF_SQL = f"""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(LEAST(GREATEST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                                   - 8, 0) // 2, 6) AS BIGINT) AS bin,
+               {dsum_expr("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS y,
+               CAST(user_id % 3 AS INT) AS fold
+        FROM events GROUP BY user_id
+    ), model AS (
+        SELECT bin, {dsum_expr('y')} / COUNT(*) AS pred
+        FROM pu WHERE fold = 1 GROUP BY bin
+    ), cal AS (
+        SELECT ABS(pu.y - m.pred) AS r
+        FROM pu JOIN model m ON m.bin = pu.bin WHERE pu.fold = 2
+    ), q AS (
+        SELECT QUANTILE_CONT(r, 0.9) AS q90, COUNT(*) AS n_cal FROM cal
+    ), test AS (
+        SELECT COUNT(*) AS n_test,
+               SUM(CASE WHEN ABS(pu.y - m.pred) <= q.q90 THEN 1 ELSE 0 END)
+                   AS covered
+        FROM pu JOIN model m ON m.bin = pu.bin CROSS JOIN q
+        WHERE pu.fold = 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pu WHERE fold = 1) AS BIGINT) AS n_train,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(test.n_test AS BIGINT) AS n_test,
+           FLOOR(2 * q.q90 * 1e6 + 0.5) / 1e6 AS interval_width,
+           FLOOR(test.covered * 1.0 / test.n_test * 1e6 + 0.5) / 1e6
+               AS empirical_coverage
+    FROM q, test
+"""
+
+
+@query("ml_conformal_interval", oracle=_CONF_SQL)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% prediction interval for per-user purchase
+    revenue predicted from the click-count bin model: fold 1 fits the
+    bin means, fold 2's absolute residuals give the conformal quantile
+    q90, and fold 0 measures EMPIRICAL COVERAGE — the
+    distribution-free guarantee check (coverage ≈ 0.9 regardless of
+    the model being right) that turns any point predictor into a
+    calibrated interval. Complements ml_calibration_brier (probability
+    calibration) with regression-interval calibration.
+
+    Exactness: bins, folds, and counts are integer arithmetic;
+    predictions and per-user revenue go through the decimal contract;
+    the conformal quantile is the shared R-7 interpolation; the
+    coverage comparison is the same double compare in both engines.
+
+    Scale: one user-grain aggregate feeds all three folds; the model
+    is a ≤7-row broadcast; the quantile and coverage are single
+    reductions."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.least(
+                F.expr(
+                    "greatest(sum(case when event_type = 'click' then 1 else 0 end)"
+                    " - 8, 0) div 2"
+                ),
+                F.lit(6),
+            ).cast("bigint").alias("bin"),
+            dsum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+            ).alias("y"),
+        )
+        .select("bin", "y", (F.col("user_id") % 3).cast("int").alias("fold"))
+        .localCheckpoint()
+    )
+    model = (
+        pu.filter(F.col("fold") == 1)
+        .groupBy("bin")
+        .agg((dsum("y") / F.count("*")).alias("pred"))
+    )
+    cal = (
+        pu.filter(F.col("fold") == 2)
+        .join(F.broadcast(model), "bin")
+        .select(F.abs(F.col("y") - F.col("pred")).alias("r"))
+    )
+    qn = cal.agg(
+        F.expr("percentile(r, 0.9D)").alias("q90"), F.count("*").alias("n_cal")
+    )
+    test = (
+        pu.filter(F.col("fold") == 0)
+        .join(F.broadcast(model), "bin")
+        .crossJoin(F.broadcast(qn))
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(F.abs(F.col("y") - F.col("pred")) <= F.col("q90"), 1).otherwise(
+                    0
+                )
+            ).alias("covered"),
+            F.max("q90").alias("q90"),
+            F.max("n_cal").alias("n_cal"),
+        )
+    )
+    ntr = pu.filter(F.col("fold") == 1).agg(F.count("*").alias("n_train"))
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return test.crossJoin(F.broadcast(ntr)).select(
+        F.col("n_train").cast("bigint").alias("n_train"),
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        q6(2 * F.col("q90")).alias("interval_width"),
+        q6(F.col("covered") * 1.0 / F.col("n_test")).alias("empirical_coverage"),
+    )
