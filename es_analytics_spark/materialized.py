@@ -469,3 +469,76 @@ def read_view_changes(
     if not new_parts:
         return spark.read.parquet(*to_manifest["parts"]).limit(0)
     return spark.read.parquet(*new_parts)
+
+
+def erase_from_view(
+    spark: SparkSession, view_path: str, key_col: str, values: list
+) -> dict:
+    """Right-to-be-forgotten erasure over an enriched view: rewrite
+    every published part that contains matching rows, IN PLACE at the
+    same part path, then publish a new manifest version.
+
+    This deliberately pierces the append-only/snapshot-immutability
+    contract: GDPR erasure must be RETROACTIVE, so time-travel reads
+    of any earlier version — which reference the same (now rewritten)
+    part paths — also stop returning the subject's rows. That is the
+    legally-required behavior, not a bug; the new manifest version
+    records that an erasure event happened. (Transactional formats
+    face the same tension: Delta requires VACUUMing old versions after
+    a GDPR delete for exactly this reason.)
+
+    Part zone-map stats are left as recorded: the old [min, max] is a
+    superset of the rewritten part's range, so pruned reads stay
+    CORRECT (they may merely under-prune) without re-aggregating.
+
+    Per-part replacement is the compact-style dir swap (crash window
+    documented there); a crash mid-loop leaves some parts erased and a
+    re-run completes the rest — idempotent. A verification re-read of
+    the current view proves zero survivors before returning."""
+    from pyspark.sql import functions as F
+
+    fs = lake_fs(spark, view_path)
+    manifest = _read_view_manifest(fs, view_path)
+    if not manifest["parts"]:
+        return {"rows_erased": 0, "parts_rewritten": 0, "verified": True}
+    pred = F.col(key_col).isin(values)
+    rewritten = 0
+    rows_erased = 0
+    for part in manifest["parts"]:
+        df = spark.read.parquet(part)
+        if key_col not in df.columns:
+            raise ValueError(f"erase_from_view: {key_col!r} absent from {part}")
+        hits = df.filter(pred).count()
+        if hits == 0:
+            continue
+        staging = part + ".__erase__"
+        df.filter(~pred).write.mode("overwrite").parquet(staging)
+        backup = part + ".__old__"
+        fs.delete(backup)
+        fs.rename(part, backup)
+        fs.rename(staging, part)
+        fs.delete(backup)
+        spark.catalog.refreshByPath(part)
+        rewritten += 1
+        rows_erased += hits
+    if rewritten:
+        # publish the erasure as a manifest version so consumers see a
+        # change event (the change feed between the two versions is
+        # empty — erasure removes, never adds — which is itself the
+        # auditable signature of an erasure-only version)
+        manifest["version"] = manifest["version"] + 1
+        _put_json_atomic(
+            fs,
+            view_path,
+            _view_manifest_path(view_path, manifest["version"]),
+            manifest,
+        )
+        _write_view_manifest(fs, view_path, manifest)
+    survivors = (
+        read_enriched_view(spark, view_path).filter(pred).limit(1).count()
+    )
+    return {
+        "rows_erased": int(rows_erased),
+        "parts_rewritten": int(rewritten),
+        "verified": survivors == 0,
+    }

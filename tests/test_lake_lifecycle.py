@@ -1280,3 +1280,59 @@ def test_scd2_merge_maintains_dimension_history(spark, tmp_path):
     assert as_of(dtt.datetime(2026, 3, 15)) == {
         1: "diamond", 2: "silver", 3: "bronze", 4: "gold"
     }
+
+
+def test_erase_from_view_is_retroactive_across_snapshots(spark, tmp_path):
+    """GDPR erasure on a manifest-gated view: current reads AND
+    time-travel reads of earlier versions stop returning the subject
+    (retroactive by design — erasure pierces snapshot immutability),
+    the erasure publishes a new manifest version whose change feed is
+    empty (the auditable erasure signature), zone-map pruned reads
+    stay correct on the stale-superset stats, and a re-run is a
+    no-op."""
+    from es_analytics_spark.materialized import (
+        erase_from_view,
+        read_enriched_view,
+        read_view_changes,
+        refresh_enriched_view,
+    )
+
+    src = str(tmp_path / "facts")
+    view = str(tmp_path / "view")
+    for lo, hi in [(0, 100), (1000, 1100)]:
+        spark.range(lo, hi).selectExpr(
+            "id", "id % 7 as subject", "cast(id as double) as amount"
+        ).coalesce(1).write.mode("append").parquet(src)
+        refresh_enriched_view(
+            spark, f"{src}/*.parquet", view,
+            lambda df: df.withColumn("doubled", df.amount * 2),
+            stats_cols=["id"],
+        )
+
+    before_v = 2
+    receipt = erase_from_view(spark, view, "subject", [3])
+    assert receipt["verified"] is True
+    assert receipt["parts_rewritten"] == 2
+    assert receipt["rows_erased"] == 28  # 14 ids ≡ 3 (mod 7) per band
+
+    # current AND snapshot reads are clean — retroactive erasure
+    assert read_enriched_view(spark, view).filter(F.col("subject") == 3).count() == 0
+    for v in range(1, before_v + 1):
+        assert (
+            read_enriched_view(spark, view, version=v)
+            .filter(F.col("subject") == 3)
+            .count()
+            == 0
+        ), f"snapshot v{v} resurrected an erased subject"
+
+    # the erasure version's change feed is empty (removal-only event)
+    assert read_view_changes(spark, view, before_v, before_v + 1).count() == 0
+
+    # zone-map pruned read still correct on stale-superset stats
+    pruned = read_enriched_view(spark, view, prune=("id", 1000, 1099))
+    assert pruned.count() == 100 - 14  # band minus its erased subjects
+    assert pruned.filter(F.col("subject") == 3).count() == 0
+
+    # idempotent re-run
+    again = erase_from_view(spark, view, "subject", [3])
+    assert again == {"rows_erased": 0, "parts_rewritten": 0, "verified": True}
