@@ -377,14 +377,15 @@ def read_enriched_view(
     current manifest, so vacuum (which keeps everything the current
     manifest references) can never reap under a live snapshot.
 
-    ``prune=(col, lo, hi)`` is a zone-map read: parts whose recorded
-    [min, max] for ``col`` (see ``refresh_enriched_view`` stats_cols)
-    is disjoint from [lo, hi] are skipped WITHOUT being opened, and
-    the residual ``lo <= col <= hi`` filter is applied to the
-    survivors — manifest-level data skipping, correct because stats
-    are computed from the immutable part at publish time. Parts with
-    no recorded stats for ``col`` are conservatively read. Datetime
-    bounds compare via their ISO form (the stored form)."""
+    ``prune=(col, lo, hi)`` — or a LIST of such triples, ANDed — is a
+    zone-map read: parts whose recorded [min, max] for ``col`` (see
+    ``refresh_enriched_view`` stats_cols) is disjoint from [lo, hi]
+    on ANY predicate are skipped WITHOUT being opened, and the
+    residual range filters are applied to the survivors —
+    manifest-level data skipping, correct because stats are computed
+    from the immutable part at publish time. Parts with no recorded
+    stats for a column are conservatively read. Datetime bounds
+    compare via their ISO form (the stored form)."""
     from pyspark.sql import functions as F
 
     fs = lake_fs(spark, view_path)
@@ -393,21 +394,28 @@ def read_enriched_view(
         raise FileNotFoundError(f"no published parts under {view_path}")
     parts = manifest["parts"]
     if prune is not None:
-        col, lo, hi = prune
-        lo_c, hi_c = _json_scalar(lo), _json_scalar(hi)
+        preds = [prune] if isinstance(prune, tuple) else list(prune)
         stats = manifest.get("stats", {})
         kept = []
         for p in parts:
-            s = stats.get(p, {}).get(col)
-            if s is None or s[0] is None or s[1] is None:
-                kept.append(p)  # no stats — must read
-            elif not (s[1] < lo_c or s[0] > hi_c):
+            keep = True
+            for col, lo, hi in preds:
+                s = stats.get(p, {}).get(col)
+                if s is None or s[0] is None or s[1] is None:
+                    continue  # no stats for this column — can't skip
+                lo_c, hi_c = _json_scalar(lo), _json_scalar(hi)
+                if s[1] < lo_c or s[0] > hi_c:
+                    keep = False
+                    break
+            if keep:
                 kept.append(p)
         if not kept:
             # schema-stable empty frame without opening any data part
             return spark.read.parquet(parts[0]).filter(F.lit(False))
         df = spark.read.parquet(*kept)
-        return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        for col, lo, hi in preds:
+            df = df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        return df
     return spark.read.parquet(*parts)
 
 

@@ -1192,6 +1192,13 @@ def test_enriched_view_zone_map_pruning(spark, tmp_path):
     none = read_enriched_view(spark, view, prune=("id", 5000, 6000))
     assert none.count() == 0 and set(none.columns) == set(full.columns)
 
+    # multi-predicate prune (AND of ranges): doubled is monotone in id,
+    # so a second range tightens the part set the same way
+    multi = read_enriched_view(
+        spark, view, prune=[("id", 0, 1050), ("amount", 1000.0 * 2, 1e9)]
+    )
+    assert sorted(r.id for r in multi.collect()) == list(range(1000, 1051))
+
     # stat-less parts are conservatively read: a refresh WITHOUT
     # stats_cols adds a part that every pruned read must include
     spark.range(9000, 9010).selectExpr(
