@@ -6110,3 +6110,120 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(2 * F.col("q90")).alias("interval_width"),
         q6(F.col("covered") * 1.0 / F.col("n_test")).alias("empirical_coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Causal-impact-lite: pre-period drift forecast vs post-period actuals
+# ---------------------------------------------------------------------------
+
+_CIL_SQL = f"""
+    WITH b AS (
+        SELECT CAST(DATE_TRUNC('day',
+                    MAKE_TIMESTAMP((MIN(EPOCH_US(ts)) + MAX(EPOCH_US(ts))) // 2))
+                    AS TIMESTAMP) AS cutday
+        FROM events
+    ), daily AS (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS x
+        FROM events GROUP BY 1
+    ), pre AS (
+        SELECT COUNT(*) AS n_pre,
+               MIN_BY(d.x, d.day) AS first_val, MIN(d.day) AS first_day,
+               MAX_BY(d.x, d.day) AS last_val, MAX(d.day) AS last_day
+        FROM daily d, b WHERE d.day <= b.cutday
+    ), post AS (
+        SELECT d.day, d.x,
+               DATEDIFF('day', pre.last_day, d.day) AS h,
+               pre.last_val
+               + DATEDIFF('day', pre.last_day, d.day)
+                 * (pre.last_val - pre.first_val)
+                 / DATEDIFF('day', pre.first_day, pre.last_day) AS f
+        FROM daily d, b, pre WHERE d.day > b.cutday
+    )
+    SELECT CAST(pre.n_pre AS BIGINT) AS n_pre_days,
+           CAST(COUNT(*) AS BIGINT) AS n_post,
+           FLOOR({dsum_expr('post.x')} * 1e4 + 0.5) / 1e4 AS cum_actual,
+           FLOOR({dsum_expr('post.f')} * 1e4 + 0.5) / 1e4 AS cum_forecast,
+           FLOOR(({dsum_expr('post.x')} - {dsum_expr('post.f')}) * 1e4 + 0.5) / 1e4
+               AS abs_impact,
+           CASE WHEN {dsum_expr('post.f')} = 0 THEN 0.0
+                ELSE FLOOR(({dsum_expr('post.x')} - {dsum_expr('post.f')}) * 100
+                           / {dsum_expr('post.f')} * 1e4 + 0.5) / 1e4 END
+               AS rel_impact_pct
+    FROM post, pre GROUP BY pre.n_pre
+"""
+
+
+@query("ts_causal_impact_lite", oracle=_CIL_SQL)
+def ts_causal_impact_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal-impact-lite: treat the event-time midpoint as the
+    intervention day, fit the drift baseline (line through the first
+    and last pre-period daily revenue) on the pre-period, project it
+    over the post-period calendar, and report cumulative actual vs
+    counterfactual with absolute and relative impact — the
+    launch-impact readout when there IS no control group (the
+    CausalImpact idea with the classical drift forecaster standing in
+    for the Bayesian structural model; significance via the
+    randomization machinery if needed).
+
+    Exactness: the cutover day and forecast horizons are pure calendar
+    arithmetic (no row indexing, no windows); daily sums and all
+    cumulative terms go through the decimal contract; the baseline is
+    one fixed tree over MIN_BY/MAX_BY-selected exact endpoints.
+
+    Scale: one day-grain aggregate, two 1-row broadcasts (cutover +
+    pre-period endpoints), one filtered reduction over post days — no
+    data-sized windows or collects anywhere."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    us = F.unix_micros(F.col("ts"))
+    b = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx")).select(
+        F.date_trunc("day", F.expr("timestamp_micros((mn + mx) div 2)")).alias(
+            "cutday"
+        )
+    )
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            dsum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+            ).alias("x")
+        )
+        .localCheckpoint()
+    )
+    pre = (
+        daily.crossJoin(F.broadcast(b))
+        .filter(F.col("day") <= F.col("cutday"))
+        .agg(
+            F.count("*").alias("n_pre"),
+            F.min_by("x", "day").alias("first_val"),
+            F.min("day").alias("first_day"),
+            F.max_by("x", "day").alias("last_val"),
+            F.max("day").alias("last_day"),
+        )
+    )
+    post = (
+        daily.crossJoin(F.broadcast(b))
+        .filter(F.col("day") > F.col("cutday"))
+        .crossJoin(F.broadcast(pre))
+        .select(
+            "n_pre",
+            "x",
+            (
+                F.col("last_val")
+                + F.datediff(F.col("day"), F.col("last_day"))
+                * (F.col("last_val") - F.col("first_val"))
+                / F.datediff(F.col("last_day"), F.col("first_day"))
+            ).alias("f"),
+        )
+    )
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return post.groupBy("n_pre").agg(
+        F.col("n_pre").cast("bigint").alias("n_pre_days"),
+        F.count("*").cast("bigint").alias("n_post"),
+        q4(dsum("x")).alias("cum_actual"),
+        q4(dsum("f")).alias("cum_forecast"),
+        q4(dsum("x") - dsum("f")).alias("abs_impact"),
+        F.when(dsum("f") == 0, F.lit(0.0))
+        .otherwise(q4((dsum("x") - dsum("f")) * 100 / dsum("f")))
+        .alias("rel_impact_pct"),
+    ).drop("n_pre")
