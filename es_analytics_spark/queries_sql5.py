@@ -6227,3 +6227,123 @@ def ts_causal_impact_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(q4((dsum("x") - dsum("f")) * 100 / dsum("f")))
         .alias("rel_impact_pct"),
     ).drop("n_pre")
+
+
+# ---------------------------------------------------------------------------
+# Ensemble anomaly consensus (z-score + MAD + Tukey votes)
+# ---------------------------------------------------------------------------
+
+_CONSENSUS_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ), st AS (
+        SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS q,
+               QUANTILE_CONT(c, 0.5) AS med,
+               QUANTILE_CONT(c, 0.25) AS q1, QUANTILE_CONT(c, 0.75) AS q3
+        FROM daily GROUP BY 1
+    ), md AS (
+        SELECT d.event_type, QUANTILE_CONT(ABS(d.c - st.med), 0.5) AS mad
+        FROM daily d JOIN st ON st.event_type = d.event_type GROUP BY 1
+    ), scored AS (
+        SELECT d.event_type, d.day, d.c,
+               CAST(ABS(d.c - st.s * 1.0 / st.n)
+                    > 2 * SQRT(st.q * 1.0 / st.n
+                               - (st.s * 1.0 / st.n) * (st.s * 1.0 / st.n))
+                    AS INT) AS v_z,
+               CAST(md.mad > 0 AND ABS(d.c - st.med) > 3 * 1.4826 * md.mad AS INT)
+                   AS v_mad,
+               CAST(d.c < st.q1 - 1.5 * (st.q3 - st.q1)
+                    OR d.c > st.q3 + 1.5 * (st.q3 - st.q1) AS INT) AS v_tukey
+        FROM daily d
+        JOIN st ON st.event_type = d.event_type
+        JOIN md ON md.event_type = d.event_type
+    )
+    SELECT event_type, day, CAST(c AS BIGINT) AS n_events,
+           CAST(v_z + v_mad + v_tukey AS BIGINT) AS votes,
+           v_z = 1 AS flag_z, v_mad = 1 AS flag_mad, v_tukey = 1 AS flag_tukey,
+           v_z + v_mad + v_tukey >= 2 AS consensus
+    FROM scored WHERE v_z + v_mad + v_tukey >= 1
+"""
+
+
+@query("ts_anomaly_consensus", oracle=_CONSENSUS_SQL)
+def ts_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble anomaly consensus over per-event-type daily counts:
+    three
+    independent outlier rules — 2σ z-score (parametric), 3-scaled-MAD
+    (robust to the outliers themselves), and 1.5-IQR Tukey fences
+    (quartile-based) — vote per (series, day); every
+    single-rule fire surfaces with its votes and the consensus flag
+    marks days at least two rules agree on. The consensus is what production alerting
+    converges on: each rule alone has a known failure mode (z is
+    masked by its own outliers, MAD degenerates on discrete data,
+    Tukey over-fires on skew); requiring agreement cuts alert fatigue
+    without losing real incidents.
+
+    Exactness: daily counts and the per-series moment sums are exact
+    integers; median/quartiles/MAD are shared R-7 interpolations; each
+    vote is one fixed-tree comparison; the zero-MAD degenerate
+    (constant series) disables that vote identically in both engines.
+
+    Scale: one (series, day) aggregate, |series|-row stat frames
+    broadcast back, one scored pass over the calendar-bounded daily
+    frame — everything keys on the series id."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    st = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+        F.expr("percentile(c, 0.5D)").alias("med"),
+        F.expr("percentile(c, 0.25D)").alias("q1"),
+        F.expr("percentile(c, 0.75D)").alias("q3"),
+    )
+    md = (
+        daily.join(F.broadcast(st), "event_type")
+        .select("event_type", F.abs(F.col("c") - F.col("med")).alias("dev"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(dev, 0.5D)").alias("mad"))
+    )
+    n, sm, q = F.col("n"), F.col("s"), F.col("q")
+    mean = sm * 1.0 / n
+    sd = F.sqrt(q * 1.0 / n - mean * mean)
+    iqr = F.col("q3") - F.col("q1")
+    scored = (
+        daily.join(F.broadcast(st), "event_type")
+        .join(F.broadcast(md), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "c",
+            (F.abs(F.col("c") - mean) > 2 * sd).cast("int").alias("v_z"),
+            (
+                (F.col("mad") > 0)
+                & (F.abs(F.col("c") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+            )
+            .cast("int")
+            .alias("v_mad"),
+            (
+                (F.col("c") < F.col("q1") - 1.5 * iqr)
+                | (F.col("c") > F.col("q3") + 1.5 * iqr)
+            )
+            .cast("int")
+            .alias("v_tukey"),
+        )
+    )
+    votes = F.col("v_z") + F.col("v_mad") + F.col("v_tukey")
+    return scored.filter(votes >= 1).select(
+        "event_type",
+        "day",
+        F.col("c").cast("bigint").alias("n_events"),
+        votes.cast("bigint").alias("votes"),
+        (F.col("v_z") == 1).alias("flag_z"),
+        (F.col("v_mad") == 1).alias("flag_mad"),
+        (F.col("v_tukey") == 1).alias("flag_tukey"),
+        (votes >= 2).alias("consensus"),
+    )
