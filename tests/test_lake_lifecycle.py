@@ -1343,3 +1343,86 @@ def test_erase_from_view_is_retroactive_across_snapshots(spark, tmp_path):
     # idempotent re-run
     again = erase_from_view(spark, view, "subject", [3])
     assert again == {"rows_erased": 0, "parts_rewritten": 0, "verified": True}
+
+
+def test_scd2_merge_crash_consistency_sweep(spark, tmp_path, monkeypatch):
+    """Kill scd2_merge after every mutating filesystem step and assert
+    the single-writer no-loss contract at EACH point: a post-crash
+    reader sees the pre-merge table, the post-merge table, or — inside
+    the documented two-rename window — a missing table whose backup
+    still holds the complete pre-merge state (manual restore, then a
+    clean re-run converges). No crash point loses or duplicates
+    history."""
+    import datetime as dtt
+    import shutil
+
+    import es_analytics_spark.maintenance as maint
+    from es_analytics_spark.maintenance import scd2_merge
+    from es_analytics_spark.sources.fsio import lake_fs as real_lake_fs
+
+    t0, t1 = dtt.datetime(2026, 1, 1), dtt.datetime(2026, 2, 1)
+    template = str(tmp_path / "dim_template")
+    scd2_merge(
+        spark,
+        template,
+        spark.createDataFrame(
+            [(1, "gold", t0), (2, "silver", t0)], ["k", "tier", "updated_at"]
+        ),
+        ["k"],
+        "updated_at",
+    )
+    pre_state = {tuple(r) for r in spark.read.parquet(template).collect()}
+    upd = spark.createDataFrame([(1, "platinum", t1), (3, "bronze", t1)],
+                                ["k", "tier", "updated_at"])
+
+    def read_state(path):
+        spark.catalog.refreshByPath(path)
+        return {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    k = 1
+    while k < 40:
+        path = str(tmp_path / f"d{k}")
+        shutil.copytree(template, path)
+        crasher = _CrashFS(real_lake_fs(spark, path), k)
+        monkeypatch.setattr(
+            maint,
+            "lake_fs",
+            lambda s, p, _c=crasher: _c
+            if str(p).startswith(str(tmp_path))
+            else real_lake_fs(s, p),
+        )
+        crashed = False
+        try:
+            scd2_merge(spark, path, upd, ["k"], "updated_at")
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+            crashed = True
+        monkeypatch.setattr(maint, "lake_fs", real_lake_fs)
+
+        fs = real_lake_fs(spark, path)
+        backup = path + ".__old__"
+        if not fs.exists(path):
+            # the documented two-rename window: backup must hold the
+            # complete pre-merge state — restore and continue
+            assert fs.exists(backup), f"k={k}: table AND backup missing"
+            fs.rename(backup, path)
+            assert read_state(path) == pre_state, f"k={k}: backup torn"
+        else:
+            observed = read_state(path)
+            n_cur = sum(1 for r in observed if r[-1])
+            assert n_cur in (2, 3), f"k={k}: current-row set torn: {observed}"
+
+        final = scd2_merge(spark, path, upd, ["k"], "updated_at")
+        got = read_state(path)
+        tiers = {
+            (r[0], r[-1]): r[1] for r in got
+        }  # (key, is_current) -> tier
+        assert tiers[(1, True)] == "platinum" and tiers[(1, False)] == "gold"
+        assert tiers[(2, True)] == "silver" and tiers[(3, True)] == "bronze"
+        assert len(got) == 4, f"k={k}: lost or duplicated history: {got}"
+        assert final["unchanged"] >= 0
+        shutil.rmtree(path)
+        if not crashed:
+            break
+        k += 1
+    assert not crashed, "sweep never reached a crash-free run"
