@@ -238,6 +238,29 @@ def test_lake_ops_work_over_uri_store(spark, tmp_path):
     assert receipt["verified"] is True and receipt["rows_erased"] == 3
     assert spark.read.parquet(path).count() == 998
 
+    # SCD2 through the same seam (initial-load rename + swap path)
+    import datetime as dtt
+
+    from es_analytics_spark.maintenance import scd2_merge
+
+    dim = f"{uri}/dim"
+    t0, t1 = dtt.datetime(2026, 1, 1), dtt.datetime(2026, 2, 1)
+    scd2_merge(
+        spark,
+        dim,
+        spark.createDataFrame([(1, "a", t0)], ["k", "v", "ts"]),
+        ["k"],
+        "ts",
+    )
+    r = scd2_merge(
+        spark,
+        dim,
+        spark.createDataFrame([(1, "b", t1)], ["k", "v", "ts"]),
+        ["k"],
+        "ts",
+    )
+    assert (r["opened"], r["closed"], r["rows"]) == (1, 1, 2)
+
 
 def test_stream_upsert_cdc_latest_wins(spark, sf_dir, tmp_path):
     """Streaming MERGE sink: replaying the events stream with per-user
