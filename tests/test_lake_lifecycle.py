@@ -1449,3 +1449,72 @@ def test_scd2_merge_crash_consistency_sweep(spark, tmp_path, monkeypatch):
             break
         k += 1
     assert not crashed, "sweep never reached a crash-free run"
+
+
+def test_swap_ops_crash_consistency_sweep(spark, tmp_path, monkeypatch):
+    """Every remaining _swap-based rewrite (upsert, compact) under the
+    kill-after-every-mutation sweep: each crash point leaves the old
+    table, the new table, or the documented missing-table window with
+    a complete backup — never loss or duplication — and a
+    restore+re-run converges to the correct final state."""
+    import shutil
+
+    import es_analytics_spark.maintenance as maint
+    from es_analytics_spark.maintenance import compact, upsert
+    from es_analytics_spark.sources.fsio import lake_fs as real_lake_fs
+
+    template = str(tmp_path / "t_template")
+    spark.range(0, 500).selectExpr("id", "cast(id as double) as v").repartition(
+        4
+    ).write.parquet(template)
+    pre = {tuple(r) for r in spark.read.parquet(template).collect()}
+    upd = spark.createDataFrame([(1, 999.0), (500, 1.0)], ["id", "v"])
+    want_after_upsert = (pre - {(1, 1.0)}) | {(1, 999.0), (500, 1.0)}
+
+    def sweep(op, want, max_k=40):
+        k, crashed = 1, True
+        while k < max_k:
+            path = str(tmp_path / f"{op.__name__}{k}")
+            shutil.copytree(template, path)
+            crasher = _CrashFS(real_lake_fs(spark, path), k)
+            monkeypatch.setattr(
+                maint,
+                "lake_fs",
+                lambda s, p, _c=crasher: _c
+                if str(p).startswith(str(tmp_path))
+                else real_lake_fs(s, p),
+            )
+            crashed = False
+            try:
+                op(path)
+            except RuntimeError as e:
+                assert "injected crash" in str(e)
+                crashed = True
+            monkeypatch.setattr(maint, "lake_fs", real_lake_fs)
+
+            fs = real_lake_fs(spark, path)
+            if not fs.exists(path):
+                backup = path + ".__old__"
+                assert fs.exists(backup), f"{op.__name__} k={k}: no backup"
+                fs.rename(backup, path)
+                spark.catalog.refreshByPath(path)
+                got = {tuple(r) for r in spark.read.parquet(path).collect()}
+                assert got == pre, f"{op.__name__} k={k}: backup torn"
+            op(path)  # heal / converge
+            spark.catalog.refreshByPath(path)
+            final = {tuple(r) for r in spark.read.parquet(path).collect()}
+            assert final == want, f"{op.__name__} k={k}: diverged"
+            shutil.rmtree(path)
+            if not crashed:
+                return
+            k += 1
+        raise AssertionError(f"{op.__name__}: sweep never finished clean")
+
+    def do_upsert(path):
+        upsert(spark, path, upd, keys=["id"])
+
+    def do_compact(path):
+        compact(spark, path, target_file_bytes=1 << 22)
+
+    sweep(do_upsert, want_after_upsert)
+    sweep(do_compact, pre)
