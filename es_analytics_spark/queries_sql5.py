@@ -6347,3 +6347,75 @@ def ts_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v_tukey") == 1).alias("flag_tukey"),
         (votes >= 2).alias("consensus"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured property discovery (props JSON schema profile)
+# ---------------------------------------------------------------------------
+
+_PROPS_SQL = """
+    WITH tot AS (
+        SELECT COUNT(*) AS n FROM events
+    ), kv AS (
+        SELECT k, JSON_EXTRACT_STRING(props, '$.' || k) AS v
+        FROM (SELECT props, UNNEST(JSON_KEYS(props)) AS k FROM events)
+    )
+    SELECT kv.k AS prop_key,
+           CAST(COUNT(*) AS BIGINT) AS n_present,
+           FLOOR(COUNT(*) * 1.0 / tot.n * 1e6 + 0.5) / 1e6 AS present_pct,
+           CAST(COUNT(DISTINCT kv.v) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN TRY_CAST(kv.v AS DOUBLE) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+           MIN(TRY_CAST(kv.v AS DOUBLE)) AS num_min,
+           MAX(TRY_CAST(kv.v AS DOUBLE)) AS num_max
+    FROM kv, tot GROUP BY kv.k, tot.n
+"""
+
+
+@query("fn_props_profile", oracle=_PROPS_SQL)
+def fn_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property discovery over the events ``props``
+    JSON: every key that occurs anywhere, how often it is present,
+    its distinct-value cardinality, and (for values that parse as
+    numbers) the numeric range — the schema-on-read property explorer
+    product-analytics tools put in front of untyped event payloads,
+    and the audit that decides which props graduate to typed columns.
+
+    Exactness: keys come from json_object_keys; values are extracted
+    as strings (identical JSON-path semantics both engines); numeric
+    classification is TRY_CAST (error-safe, null on non-numeric) so
+    counts and min/max are exact.
+
+    Scale: one scan explodes only the key LIST per row (props-sized,
+    not corpus-sized state), then a |keys|-grain aggregate with a
+    1-row total broadcast."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    tot = ev.agg(F.count("*").alias("n"))
+    kv = ev.select(
+        "props", F.explode(F.json_object_keys(F.col("props"))).alias("k")
+    ).select("k", F.expr("get_json_object(props, concat('$.', k))").alias("v"))
+    numv = F.expr("try_cast(v as double)")
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        kv.crossJoin(F.broadcast(tot))
+        .groupBy("k", "n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_present"),
+            q6(F.count("*") * 1.0 / F.col("n")).alias("present_pct"),
+            F.countDistinct("v").cast("bigint").alias("n_distinct"),
+            F.sum(F.when(numv.isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_numeric"),
+            F.min(numv).alias("num_min"),
+            F.max(numv).alias("num_max"),
+        )
+        .select(
+            F.col("k").alias("prop_key"),
+            "n_present",
+            "present_pct",
+            "n_distinct",
+            "n_numeric",
+            "num_min",
+            "num_max",
+        )
+    )
