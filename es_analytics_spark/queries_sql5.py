@@ -6268,34 +6268,11 @@ _CONSENSUS_SQL = """
 """
 
 
-@query("ts_anomaly_consensus", oracle=_CONSENSUS_SQL)
-def ts_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ensemble anomaly consensus over per-event-type daily counts:
-    three
-    independent outlier rules — 2σ z-score (parametric), 3-scaled-MAD
-    (robust to the outliers themselves), and 1.5-IQR Tukey fences
-    (quartile-based) — vote per (series, day); every
-    single-rule fire surfaces with its votes and the consensus flag
-    marks days at least two rules agree on. The consensus is what production alerting
-    converges on: each rule alone has a known failure mode (z is
-    masked by its own outliers, MAD degenerates on discrete data,
-    Tukey over-fires on skew); requiring agreement cuts alert fatigue
-    without losing real incidents.
-
-    Exactness: daily counts and the per-series moment sums are exact
-    integers; median/quartiles/MAD are shared R-7 interpolations; each
-    vote is one fixed-tree comparison; the zero-MAD degenerate
-    (constant series) disables that vote identically in both engines.
-
-    Scale: one (series, day) aggregate, |series|-row stat frames
-    broadcast back, one scored pass over the calendar-bounded daily
-    frame — everything keys on the series id."""
-    ev = _t(spark, sf_dir, "events")["events"]
-    daily = (
-        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint()
-    )
+def _score_consensus(daily: DataFrame) -> DataFrame:
+    """Shared scoring for the anomaly-consensus pair: per-series
+    moments + robust stats broadcast back, three votes, consensus
+    flag. ``daily`` is the (event_type, day, c) frame (checkpointed by
+    the caller)."""
     st = daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("s"),
@@ -6347,6 +6324,37 @@ def ts_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v_tukey") == 1).alias("flag_tukey"),
         (votes >= 2).alias("consensus"),
     )
+
+
+@query("ts_anomaly_consensus", oracle=_CONSENSUS_SQL)
+def ts_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble anomaly consensus over per-event-type daily counts:
+    three
+    independent outlier rules — 2σ z-score (parametric), 3-scaled-MAD
+    (robust to the outliers themselves), and 1.5-IQR Tukey fences
+    (quartile-based) — vote per (series, day); every
+    single-rule fire surfaces with its votes and the consensus flag
+    marks days at least two rules agree on. The consensus is what production alerting
+    converges on: each rule alone has a known failure mode (z is
+    masked by its own outliers, MAD degenerates on discrete data,
+    Tukey over-fires on skew); requiring agreement cuts alert fatigue
+    without losing real incidents.
+
+    Exactness: daily counts and the per-series moment sums are exact
+    integers; median/quartiles/MAD are shared R-7 interpolations; each
+    vote is one fixed-tree comparison; the zero-MAD degenerate
+    (constant series) disables that vote identically in both engines.
+
+    Scale: one (series, day) aggregate, |series|-row stat frames
+    broadcast back, one scored pass over the calendar-bounded daily
+    frame — everything keys on the series id."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    return _score_consensus(daily)
 
 
 # ---------------------------------------------------------------------------
@@ -6419,3 +6427,37 @@ def fn_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "num_max",
         )
     )
+
+
+@query("stream_anomaly_consensus", oracle=_CONSENSUS_SQL)
+def stream_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_anomaly_consensus's per-series daily counts maintained BY THE
+    STREAMING ENGINE (file source → watermark → 1-day tumbling window
+    counts, availableNow replay), then scored with the identical
+    shared z/MAD/Tukey consensus logic and pinned against the same SQL
+    oracle — the streaming anomaly monitor every ops team actually
+    deploys, meeting the batch/stream parity bar of this engine's
+    stateful operators.
+
+    Scale: the streaming state is one count per open (series, day)
+    window under a 1-day watermark (bounded by series × lateness, not
+    data); the scoring pass reads the drained day-grain result —
+    result-sized, never event-sized."""
+    from es_analytics_spark.streaming.ingest import replay_stream, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    daily_stream = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("c"))
+    )
+    out = replay_stream(
+        spark,
+        daily_stream,
+        name="stream_anomaly_consensus",
+        output_mode="complete",
+    )
+    daily = out.select(
+        "event_type", F.col("w.start").alias("day"), "c"
+    ).localCheckpoint()
+    return _score_consensus(daily)
