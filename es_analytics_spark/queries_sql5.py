@@ -6461,3 +6461,130 @@ def stream_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("w.start").alias("day"), "c"
     ).localCheckpoint()
     return _score_consensus(daily)
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift curve by score decile
+# ---------------------------------------------------------------------------
+
+_LIFT_SQL = """
+    WITH pu AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS score,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0
+                        THEN 1 ELSE 0 END) AS label
+        FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT label,
+               ROW_NUMBER() OVER (ORDER BY score DESC, user_id ASC) AS r,
+               COUNT(*) OVER () AS n
+        FROM pu
+    ), dec AS (
+        SELECT (r * 10 + n - 1) // n AS decile,
+               COUNT(*) AS n_users, SUM(label) AS n_pos, MAX(n) AS n
+        FROM ranked GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n_pos) AS total_pos FROM dec
+    ), cum AS (
+        SELECT d.decile, d.n_users, d.n_pos,
+               SUM(d2.n_pos) AS cum_pos, SUM(d2.n_users) AS cum_users
+        FROM dec d JOIN dec d2 ON d2.decile <= d.decile
+        GROUP BY d.decile, d.n_users, d.n_pos
+    )
+    SELECT CAST(cum.decile AS BIGINT) AS decile,
+           CAST(cum.n_users AS BIGINT) AS n_users,
+           CAST(cum.n_pos AS BIGINT) AS n_pos,
+           FLOOR(cum.cum_pos * 1.0 / tot.total_pos * 1e6 + 0.5) / 1e6
+               AS cum_capture_pct,
+           FLOOR((cum.cum_pos * 1.0 / tot.total_pos)
+                 / (cum.cum_users * 1.0 / (SELECT MAX(n) FROM dec))
+                 * 1e6 + 0.5) / 1e6 AS cum_lift
+    FROM cum, tot
+"""
+
+
+@query("ml_lift_curve", oracle=_LIFT_SQL)
+def ml_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift curve: rank users by the behavioral
+    score (click count, deterministic user_id tie-break), cut into
+    exact deciles, and report each decile's cumulative share of all
+    high-value purchasers plus the lift over random targeting — the
+    chart marketing/scoring teams read before spending a campaign
+    budget ("the top 2 deciles capture X% of converters"). Completes
+    the scoring-eval trio: AUC (ranking), calibration (probabilities),
+    lift (business targeting).
+
+    Exactness: the global rank is computed with the window-free
+    range-partition + triangle-offset recipe (oracle spells it as a
+    plain ROW_NUMBER); decile assignment is the pure-integer
+    ceil(10r/n) = (10r + n - 1) // n; capture and lift are single
+    divisions of exact integers, half-up quantized.
+
+    Scale: one user-grain aggregate, one range shuffle for the rank,
+    a 10-row decile frame with a broadcast triangle cumsum — the
+    agg_revenue_concentration shape applied to model targeting."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 100.0), 1
+            ).otherwise(0)
+        ).alias("label"),
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        pu.repartitionByRange(n_parts, F.desc("score"), F.asc("user_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local = ranged.withColumn(
+        "lr",
+        F.row_number().over(
+            W.partitionBy("pid").orderBy(F.desc("score"), F.asc("user_id"))
+        ),
+    )
+    offs = cumulative_offsets(ranged.groupBy("pid").agg(F.count("*").alias("cnt")))
+    tot_n = ranged.agg(F.count("*").alias("n"))
+    ranked = (
+        local.join(F.broadcast(offs), "pid")
+        .crossJoin(F.broadcast(tot_n))
+        .select(
+            "label",
+            (F.col("lr") + F.col("off")).alias("r"),
+            "n",
+        )
+    )
+    dec = (
+        ranked.groupBy(F.expr("(r * 10 + n - 1) div n").alias("decile"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("label").alias("n_pos"),
+            F.max("n").alias("n"),
+        )
+        # 10-row frame feeds totals, the triangle cumsum, and the
+        # scored join — checkpoint so the rank chain runs once
+        .localCheckpoint()
+    )
+    tot = dec.agg(F.sum("n_pos").alias("total_pos"), F.max("n").alias("nn"))
+    d2 = dec.select(
+        F.col("decile").alias("d2"),
+        F.col("n_pos").alias("p2"),
+        F.col("n_users").alias("u2"),
+    )
+    cum = (
+        dec.join(F.broadcast(d2), F.col("d2") <= F.col("decile"))
+        .groupBy("decile", "n_users", "n_pos")
+        .agg(F.sum("p2").alias("cum_pos"), F.sum("u2").alias("cum_users"))
+    )
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        q6(F.col("cum_pos") * 1.0 / F.col("total_pos")).alias("cum_capture_pct"),
+        q6(
+            (F.col("cum_pos") * 1.0 / F.col("total_pos"))
+            / (F.col("cum_users") * 1.0 / F.col("nn"))
+        ).alias("cum_lift"),
+    )
