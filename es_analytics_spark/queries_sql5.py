@@ -6588,3 +6588,126 @@ def ml_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("cum_users") * 1.0 / F.col("nn"))
         ).alias("cum_lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox check: stratified vs pooled effect direction
+# ---------------------------------------------------------------------------
+
+_SIMPSON_SQL = """
+    WITH pu AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0
+                        THEN 1 ELSE 0 END) AS label,
+               MIN_BY(CASE WHEN EXTRACT(HOUR FROM ts) < 6 THEN 'night'
+                           WHEN EXTRACT(HOUR FROM ts) < 12 THEN 'morning'
+                           WHEN EXTRACT(HOUR FROM ts) < 18 THEN 'afternoon'
+                           ELSE 'evening' END, ts) AS stratum
+        FROM events GROUP BY user_id
+    ), cell AS (
+        SELECT stratum, variant, COUNT(*) AS n, SUM(label) AS x
+        FROM pu GROUP BY 1, 2
+        UNION ALL
+        SELECT 'pooled' AS stratum, variant, COUNT(*) AS n, SUM(label) AS x
+        FROM pu GROUP BY 2
+    ), wide AS (
+        SELECT stratum,
+               MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+               MAX(CASE WHEN variant = 0 THEN x END) AS x0,
+               MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+               MAX(CASE WHEN variant = 1 THEN x END) AS x1
+        FROM cell GROUP BY stratum
+    ), scored AS (
+        SELECT stratum, n0, x0, n1, x1,
+               x1 * 1.0 / n1 - x0 * 1.0 / n0 AS diff
+        FROM wide WHERE n0 IS NOT NULL AND n1 IS NOT NULL
+    ), pooled AS (
+        SELECT diff AS pdiff FROM scored WHERE stratum = 'pooled'
+    )
+    SELECT s.stratum, CAST(s.n0 + s.n1 AS BIGINT) AS n_users,
+           FLOOR(s.x0 * 1.0 / s.n0 * 1e6 + 0.5) / 1e6 AS cvr_control,
+           FLOOR(s.x1 * 1.0 / s.n1 * 1e6 + 0.5) / 1e6 AS cvr_treatment,
+           FLOOR(s.diff * 1e6 + 0.5) / 1e6 AS effect,
+           s.stratum <> 'pooled' AND s.diff * p.pdiff < 0 AS sign_reversal
+    FROM scored s, pooled p
+"""
+
+
+@query("ab_simpson_check", oracle=_SIMPSON_SQL)
+def ab_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox guard: the treatment-control conversion
+    difference computed pooled AND within each behavioral stratum
+    (time-of-day band of the user's first event), with a flag on any
+    stratum whose effect direction OPPOSES the pooled effect — the
+    aggregation-reversal check that catches confounded readouts before
+    anyone ships a conclusion drawn at the wrong grain. A reversal
+    means the pooled number is a composition artifact and the
+    stratified numbers (or ab_cuped_readout / ab_diff_in_diff) are the
+    ones to trust.
+
+    Exactness: the stratum is the MIN_BY-first-event band
+    (deterministic ts tie-break at user grain); all cell counts are
+    exact integers; rates, effects, and the sign test are fixed IEEE
+    trees, half-up quantized.
+
+    Scale: one user-grain aggregate, a (|strata|+1)×2 cell reduction,
+    and a 1-row pooled broadcast."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    hour = F.hour(F.col("ts"))
+    band = (
+        F.when(hour < 6, "night")
+        .when(hour < 12, "morning")
+        .when(hour < 18, "afternoon")
+        .otherwise("evening")
+    )
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 100.0), 1
+                ).otherwise(0)
+            ).alias("label"),
+            F.min_by(band, F.col("ts")).alias("stratum"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"), "label", "stratum"
+        )
+        # feeds the stratum cells and the pooled cells
+        .localCheckpoint()
+    )
+    cell = pu.groupBy("stratum", "variant").agg(
+        F.count("*").alias("n"), F.sum("label").alias("x")
+    ).unionAll(
+        pu.groupBy("variant")
+        .agg(F.count("*").alias("n"), F.sum("label").alias("x"))
+        .select(F.lit("pooled").alias("stratum"), "variant", "n", "x")
+    )
+    c = lambda vv, col: F.max(F.when(F.col("variant") == vv, F.col(col)))  # noqa: E731
+    wide = cell.groupBy("stratum").agg(
+        c(0, "n").alias("n0"),
+        c(0, "x").alias("x0"),
+        c(1, "n").alias("n1"),
+        c(1, "x").alias("x1"),
+    )
+    scored = (
+        wide.filter(F.col("n0").isNotNull() & F.col("n1").isNotNull())
+        .withColumn(
+            "diff", F.col("x1") * 1.0 / F.col("n1") - F.col("x0") * 1.0 / F.col("n0")
+        )
+        .localCheckpoint()
+    )
+    pooled = scored.filter(F.col("stratum") == "pooled").select(
+        F.col("diff").alias("pdiff")
+    )
+    q6 = lambda cc: F.floor(cc * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return scored.crossJoin(F.broadcast(pooled)).select(
+        "stratum",
+        (F.col("n0") + F.col("n1")).cast("bigint").alias("n_users"),
+        q6(F.col("x0") * 1.0 / F.col("n0")).alias("cvr_control"),
+        q6(F.col("x1") * 1.0 / F.col("n1")).alias("cvr_treatment"),
+        q6(F.col("diff")).alias("effect"),
+        (
+            (F.col("stratum") != "pooled") & (F.col("diff") * F.col("pdiff") < 0)
+        ).alias("sign_reversal"),
+    )
