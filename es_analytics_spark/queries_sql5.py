@@ -6711,3 +6711,70 @@ def ab_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("stratum") != "pooled") & (F.col("diff") * F.col("pdiff") < 0)
         ).alias("sign_reversal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio mismatch by segment
+# ---------------------------------------------------------------------------
+
+_SRM_SEG_SQL = f"""
+    WITH pu AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               MIN_BY(CASE WHEN EXTRACT(HOUR FROM ts) < 6 THEN 'night'
+                           WHEN EXTRACT(HOUR FROM ts) < 12 THEN 'morning'
+                           WHEN EXTRACT(HOUR FROM ts) < 18 THEN 'afternoon'
+                           ELSE 'evening' END, ts) AS segment
+        FROM events GROUP BY user_id
+    ), wide AS (
+        SELECT segment,
+               SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+               SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1
+        FROM pu GROUP BY segment
+    )
+    SELECT segment, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           FLOOR((n0 - n1) * (n0 - n1) * 1e6 / (n0 + n1)) / 1e6 AS srm_chi2,
+           (n0 - n1) * (n0 - n1) * 1.0 / (n0 + n1) > {_AB_CHI2_95} AS srm_flag
+    FROM wide
+"""
+
+
+@query("ab_srm_by_segment", oracle=_SRM_SEG_SQL)
+def ab_srm_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch PER SEGMENT: the 50/50 chi-square guard of
+    ab_ztest_srm run within each behavioral segment (first-event
+    time-of-day band) — the localization step after (or even without)
+    a global SRM alarm, because biased exposure logging usually lives
+    in ONE surface/segment and the global test dilutes it. A flagged
+    segment means that slice's data is untrustworthy regardless of the
+    overall readout.
+
+    Exactness: segment assignment is the deterministic MIN_BY
+    first-event band; counts are exact integers; the chi-square
+    statistic is the exact integer rational (n0-n1)²/(n0+n1) with the
+    same spelling and 95% critical constant as ab_ztest_srm.
+
+    Scale: one user-grain aggregate and a |segments|-row reduction."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    hour = F.hour(F.col("ts"))
+    band = (
+        F.when(hour < 6, "night")
+        .when(hour < 12, "morning")
+        .when(hour < 18, "afternoon")
+        .otherwise("evening")
+    )
+    pu = ev.groupBy("user_id").agg(F.min_by(band, F.col("ts")).alias("segment")).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "segment"
+    )
+    wide = pu.groupBy("segment").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    chi2 = (n0 - n1) * (n0 - n1) * 1.0 / (n0 + n1)
+    return wide.select(
+        "segment",
+        n0.cast("bigint").alias("n0"),
+        n1.cast("bigint").alias("n1"),
+        (F.floor((n0 - n1) * (n0 - n1) * 1e6 / (n0 + n1)) / 1e6).alias("srm_chi2"),
+        (chi2 > _AB_CHI2_95).alias("srm_flag"),
+    )
