@@ -6778,3 +6778,112 @@ def ab_srm_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor((n0 - n1) * (n0 - n1) * 1e6 / (n0 + n1)) / 1e6).alias("srm_chi2"),
         (chi2 > _AB_CHI2_95).alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-law fit of the degree distribution
+# ---------------------------------------------------------------------------
+
+
+def _powerlaw_sql() -> str:
+    from es_analytics_spark.queries_sql4 import _TRI_CAP, _TRI_STRIDE
+
+    return f"""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        WHERE l_partkey % {_TRI_STRIDE} = 0
+    ), keep AS (
+        SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= {_TRI_CAP}
+    ), edges AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        JOIN keep k ON a.p = k.p
+    ), deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ), hist AS (
+        SELECT d, COUNT(*) AS nd FROM deg GROUP BY d
+    ), pts AS (
+        SELECT LN(d * 1.0) AS x, LN(nd * 1.0) AS y FROM hist WHERE d >= 2
+    ), fit AS (
+        SELECT COUNT(*) AS npts,
+               {dsum_expr('x')} AS sx, {dsum_expr('x * x')} AS sxx,
+               {dsum_expr('y')} AS sy, {dsum_expr('x * y')} AS sxy,
+               {dsum_expr('y * y')} AS syy
+        FROM pts
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(npts AS BIGINT) AS n_degree_levels,
+           CASE WHEN npts * sxx - sx * sx = 0 THEN 0.0
+                ELSE FLOOR(-((npts * sxy - sx * sy) / (npts * sxx - sx * sx))
+                           * 1e6 + 0.5) / 1e6 END AS powerlaw_alpha,
+           CASE WHEN (npts * sxx - sx * sx) * (npts * syy - sy * sy) <= 0 THEN 0.0
+                ELSE FLOOR((npts * sxy - sx * sy)
+                           / SQRT((npts * sxx - sx * sx) * (npts * syy - sy * sy))
+                           * 1e6 + 0.5) / 1e6 END AS fit_corr
+    FROM fit
+"""
+
+
+@query("graph_powerlaw_fit", oracle=_powerlaw_sql())
+def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the co-supply graph's degree distribution:
+    the log-log slope of (degree, #nodes-with-degree) over degrees ≥ 2
+    with the fit correlation — scale-free networks sit near alpha 2-3
+    with |corr| ≈ 1; a flat or broken fit means the graph is random or
+    truncated, which changes which algorithms (PageRank vs k-core vs
+    community) are even meaningful. The graph-health screen read
+    before the graph family's results.
+
+    Exactness: degrees and histogram counts are exact integers; each
+    log point is one LN op (quantize-at-6 precedent); regression
+    moments go through the decimal contract; slope/correlation are
+    fixed IEEE trees with degenerate cases defined identically.
+
+    Scale: reuses the checkpointed capped edge list; the degree
+    histogram is two node-grain aggregates; the fit is a
+    |degree-levels|-row reduction."""
+    from es_analytics_spark.queries_sql4 import _co_supply_edges
+
+    edges = _co_supply_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        # feeds the node count and the histogram
+        .localCheckpoint()
+    )
+    hist = deg.groupBy("d").agg(F.count("*").alias("nd"))
+    pts = hist.filter(F.col("d") >= 2).select(
+        F.log(F.col("d") * 1.0).alias("x"), F.log(F.col("nd") * 1.0).alias("y")
+    )
+    fit = pts.agg(
+        F.count("*").alias("npts"),
+        dsum("x").alias("sx"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    npts, sx, sxx, sy, sxy, syy = (
+        F.col(c) for c in ("npts", "sx", "sxx", "sy", "sxy", "syy")
+    )
+    slope_den = npts * sxx - sx * sx
+    slope = (npts * sxy - sx * sy) / slope_den
+    corr_den2 = (npts * sxx - sx * sx) * (npts * syy - sy * sy)
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return fit.crossJoin(F.broadcast(nn)).select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        npts.cast("bigint").alias("n_degree_levels"),
+        F.when(slope_den == 0, F.lit(0.0)).otherwise(q6(-slope)).alias(
+            "powerlaw_alpha"
+        ),
+        F.when(corr_den2 <= 0, F.lit(0.0))
+        .otherwise(
+            q6((npts * sxy - sx * sy) / F.sqrt(corr_den2))
+        )
+        .alias("fit_corr"),
+    )
