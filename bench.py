@@ -202,13 +202,15 @@ def main() -> None:
     # queries execute on the shared scheduler — exactly how a warm
     # cluster's concurrent sessions amortize compile latency, and it
     # keeps the driver's per-round wall-clock from scaling with catalog
-    # size. cold_total_sec is the cold PHASE wall-clock. The one
-    # session-conf-mutating entry (streaming replay swaps shuffle
-    # partitions) runs serially after the pool. Hot passes stay
-    # sequential so per-query numbers are uncontended.
+    # size. cold_total_sec is the cold PHASE wall-clock. Session-conf-
+    # mutating entries (the streaming replay harness swaps shuffle
+    # partitions) run serially after the pool — keyed on the registry's
+    # mutates_conf flag, not a name prefix, so any future conf-mutating
+    # entry is serialized by construction. Hot passes stay sequential
+    # so per-query numbers are uncontended.
     from concurrent.futures import ThreadPoolExecutor
 
-    serial_cold = [n for n in names if n.startswith("stream_")]
+    serial_cold = [n for n in names if REGISTRY[n].mutates_conf]
     pooled_cold = [n for n in names if n not in serial_cold]
     t_cold = time.perf_counter()
     with ThreadPoolExecutor(max_workers=8) as pool:
@@ -223,30 +225,40 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cold_total_sec": cold_wall,
-                "cold_mode": "wall-clock, 8-way concurrent submission",
-                # same convention as the query timings: best of two
-                # passes = steady-state throughput (the first timed
-                # pass still absorbs residual JVM warm-up even after
-                # the untimed write-path warm; measured 52k vs 84k ev/s
-                # back-to-back on an otherwise idle session)
-                "ingest_events_per_sec": max(
-                    ingest_events_per_sec(spark), ingest_events_per_sec(spark)
-                ),
-                "ingest_bulk_events_per_sec": max(
-                    ingest_bulk_events_per_sec(spark), ingest_bulk_events_per_sec(spark)
-                ),
-            }
-        )
+    # same convention as the query timings: best of two passes =
+    # steady-state throughput (the first timed pass still absorbs
+    # residual JVM warm-up even after the untimed write-path warm;
+    # measured 52k vs 84k ev/s back-to-back on an otherwise idle
+    # session)
+    ingest = max(ingest_events_per_sec(spark), ingest_events_per_sec(spark))
+    ingest_bulk = max(
+        ingest_bulk_events_per_sec(spark), ingest_bulk_events_per_sec(spark)
     )
+    compact = {
+        "metric": "headline_query_wall_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "cold_total_sec": cold_wall,
+        "cold_mode": "wall-clock, 8-way concurrent submission",
+        "ingest_events_per_sec": ingest,
+        "ingest_bulk_events_per_sec": ingest_bulk,
+        "per_query_file": "BENCH_local.json",
+    }
+    full = dict(compact, queries=timings)
+    # The per-query map (~75 entries) makes the full line several KB —
+    # round 4's driver tail-capture truncated it to "parsed": null. The
+    # full record is committed in-repo instead, and stdout ends with a
+    # COMPACT line (totals + cold + ingest only) so the LAST line the
+    # driver tails is always complete JSON. The full line still prints
+    # first for humans running bench.py by hand.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_local.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(full))
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

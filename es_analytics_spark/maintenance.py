@@ -286,6 +286,24 @@ def vacuum(
     return victims
 
 
+def erasure_predicates(key_col: str, values: list):
+    """(match, keep) predicate pair shared by every erasure path.
+
+    ``keep`` must be null-safe: ``~col.isin(values)`` evaluates to NULL
+    (not TRUE) for NULL-key rows, and a ``.filter`` on it would silently
+    drop every NULL-key row from each rewritten file — data loss beyond
+    the erasure request that the survivor check (``filter(match)``)
+    cannot detect, since NULL never matches. NULL identifies no subject,
+    so NULL-key rows are never erasure targets: ``keep`` ORs in
+    ``isNull()`` explicitly.
+    """
+    from pyspark.sql import functions as F
+
+    match = F.col(key_col).isin(values)
+    keep = ~match | F.col(key_col).isNull()
+    return match, keep
+
+
 def erase_keys(
     spark: SparkSession,
     path: str,
@@ -335,7 +353,7 @@ def erase_keys(
         p = urlparse(file_uri)
         return unquote(p.path) if p.scheme else file_uri
 
-    pred = F.col(key_col).isin(values)
+    pred, keep = erasure_predicates(key_col, values)
     per_file = (
         df.withColumn("__file", F.input_file_name())
         .groupBy("__file")
@@ -390,7 +408,7 @@ def erase_keys(
             slot = join(staging, f"f{i:05d}")
             (
                 spark.read.parquet(f)
-                .filter(~pred)
+                .filter(keep)
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(slot)

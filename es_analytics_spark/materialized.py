@@ -503,13 +503,13 @@ def erase_from_view(
     documented there); a crash mid-loop leaves some parts erased and a
     re-run completes the rest — idempotent. A verification re-read of
     the current view proves zero survivors before returning."""
-    from pyspark.sql import functions as F
+    from es_analytics_spark.maintenance import erasure_predicates
 
     fs = lake_fs(spark, view_path)
     manifest = _read_view_manifest(fs, view_path)
     if not manifest["parts"]:
         return {"rows_erased": 0, "parts_rewritten": 0, "verified": True}
-    pred = F.col(key_col).isin(values)
+    pred, keep = erasure_predicates(key_col, values)
     rewritten = 0
     rows_erased = 0
     for part in manifest["parts"]:
@@ -520,7 +520,7 @@ def erase_from_view(
         if hits == 0:
             continue
         staging = part + ".__erase__"
-        df.filter(~pred).write.mode("overwrite").parquet(staging)
+        df.filter(keep).write.mode("overwrite").parquet(staging)
         backup = part + ".__old__"
         fs.delete(backup)
         fs.rename(part, backup)

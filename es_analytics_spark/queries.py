@@ -30,12 +30,19 @@ from es_analytics_spark.sources.lake import load_tables
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # None → non-SQL-expressible, rows-only check
+    # True → the entry mutates session conf while running (e.g. the
+    # streaming replay harness swaps spark.sql.shuffle.partitions), so
+    # concurrent harnesses (bench's pooled cold pass) must run it
+    # serially — keyed on behavior, not on a name prefix, so a future
+    # non-"stream_*" replay caller can't race the pool unnoticed
+    # (tests/test_plans.py AST-enforces the flag on replay_stream use).
+    mutates_conf: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | None = None, mutates_conf: bool = False):
     def deco(fn):
         if name in REGISTRY:
             # a duplicate silently SHADOWS the earlier query in every
@@ -44,7 +51,7 @@ def query(name: str, oracle: str | None = None):
                 f"catalog name {name!r} registered twice "
                 f"(existing: {REGISTRY[name].fn.__module__}, new: {fn.__module__})"
             )
-        REGISTRY[name] = QuerySpec(fn, oracle)
+        REGISTRY[name] = QuerySpec(fn, oracle, mutates_conf)
         return fn
 
     return deco
@@ -1308,6 +1315,7 @@ def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_windowed_counts",
+    mutates_conf=True,
     oracle=f"""
     SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
@@ -1334,6 +1342,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_session_windows",
+    mutates_conf=True,
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
@@ -1371,6 +1380,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_dedup_watermark",
+    mutates_conf=True,
     oracle="""
     SELECT user_id, event_type, DATE_TRUNC('minute', ts) AS ts_minute,
            MIN(event_id) AS event_id
@@ -1975,6 +1985,7 @@ def udf_token_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_stateful_profiles",
+    mutates_conf=True,
     oracle=f"""
     SELECT user_id, COUNT(*) AS n_events,
            ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4)::DOUBLE AS total_value,

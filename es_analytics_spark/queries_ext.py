@@ -672,6 +672,7 @@ def text_winnow_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_static_enrich",
+    mutates_conf=True,
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_events,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_value
@@ -703,6 +704,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_stream_funnel",
+    mutates_conf=True,
     oracle="""
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
            CAST(EPOCH(p.ts) - EPOCH(c.ts) AS DOUBLE) AS latency_s
@@ -781,6 +783,7 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_sliding_counts",
+    mutates_conf=True,
     oracle=f"""
     SELECT MAKE_TIMESTAMP(CAST((FLOOR(EPOCH(ts) / 900) * 900 - k * 900) * 1000000 AS BIGINT))
              AS window_start,

@@ -1842,6 +1842,7 @@ def mm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_windowed_topk",
+    mutates_conf=True,
     oracle="""
     WITH counts AS (
         SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
@@ -2034,7 +2035,9 @@ def stream_tws_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 if _tws_available():
-    query("stream_tws_profiles", oracle=_TWS_ORACLE)(stream_tws_profiles)
+    query("stream_tws_profiles", oracle=_TWS_ORACLE, mutates_conf=True)(
+        stream_tws_profiles
+    )
 
 
 @query(

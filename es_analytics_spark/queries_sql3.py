@@ -634,7 +634,7 @@ _STREAM_BITMAP_SQL = """
 """
 
 
-@query("stream_bitmap_distinct", oracle=_STREAM_BITMAP_SQL)
+@query("stream_bitmap_distinct", mutates_conf=True, oracle=_STREAM_BITMAP_SQL)
 def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distinct users per event type computed BY THE STREAMING
     ENGINE with bitmap state: the per-(type, 32k-id bucket) streaming

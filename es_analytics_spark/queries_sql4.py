@@ -1238,7 +1238,7 @@ _STREAM_KMV_SQL = f"""
 """
 
 
-@query("stream_kmv_distinct", oracle=_STREAM_KMV_SQL)
+@query("stream_kmv_distinct", mutates_conf=True, oracle=_STREAM_KMV_SQL)
 def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KMV distinct sketch (agg_kmv_distinct) maintained BY THE
     STREAMING ENGINE in arbitrary state: per event type, the k smallest
@@ -1733,7 +1733,7 @@ _STREAM_PCTL_SQL = """
 """
 
 
-@query("stream_windowed_percentile", oracle=_STREAM_PCTL_SQL)
+@query("stream_windowed_percentile", mutates_conf=True, oracle=_STREAM_PCTL_SQL)
 def stream_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90 of purchase values per tumbling day window,
     computed BY THE STREAMING ENGINE: percentile is a non-algebraic

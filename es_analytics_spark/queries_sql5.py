@@ -946,7 +946,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("stream_funnel_windowed", oracle=_FUNNEL_SQL)
+@query("stream_funnel_windowed", mutates_conf=True, oracle=_FUNNEL_SQL)
 def stream_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ts_funnel_windowed's per-user furthest-step levels maintained by
     the STREAMING engine (applyInPandasWithState; see
@@ -1850,7 +1850,7 @@ _BOTTOMK_SQL = f"""
 """
 
 
-@query("stream_bottomk_sample", oracle=_BOTTOMK_SQL)
+@query("stream_bottomk_sample", mutates_conf=True, oracle=_BOTTOMK_SQL)
 def stream_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform per-key k-sample maintained BY THE STREAMING ENGINE:
     the k rows with the smallest portable hash per event type live in
@@ -6429,7 +6429,7 @@ def fn_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_anomaly_consensus", oracle=_CONSENSUS_SQL)
+@query("stream_anomaly_consensus", mutates_conf=True, oracle=_CONSENSUS_SQL)
 def stream_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ts_anomaly_consensus's per-series daily counts maintained BY THE
     STREAMING ENGINE (file source → watermark → 1-day tumbling window

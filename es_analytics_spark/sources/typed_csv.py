@@ -94,6 +94,10 @@ def schema_from_typed_header(text: str) -> T.StructType:
     if not first.startswith("#"):
         raise ValueError("missing typed header line")
     types = [DataType(tok) for tok in first[1:].split(",")]
+    if nl < 0:
+        # no newline: slicing text[nl + 1:] would re-parse the '#types'
+        # line as the header row, yielding type tokens as field names
+        raise ValueError("missing header row after '#types' line")
     header = next(_csv.reader(io.StringIO(text[nl + 1 :], newline="")))
     return T.StructType(
         [T.StructField(name, SPARK_TYPE[t], True) for name, t in zip(header, types)]

@@ -383,3 +383,15 @@ def test_typed_csv_quoted_newline_in_column_name(spark, tmp_path):
     assert df.columns == ["k", weird]
     got = {r["k"]: r[weird] for r in df.collect()}
     assert got == {1: 2.5, 2: -0.5}
+
+
+def test_typed_header_without_header_row_raises():
+    """ADVICE r4 (low): a '#types'-only payload (no newline) used to
+    re-parse the types line as the header row, yielding a schema whose
+    field names were the type tokens; it must raise instead."""
+    import pytest
+
+    from es_analytics_spark.sources.typed_csv import schema_from_typed_header
+
+    with pytest.raises(ValueError, match="missing header row"):
+        schema_from_typed_header("#INTEGER,FLOAT")

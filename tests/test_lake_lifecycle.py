@@ -1518,3 +1518,70 @@ def test_swap_ops_crash_consistency_sweep(spark, tmp_path, monkeypatch):
 
     sweep(do_upsert, want_after_upsert)
     sweep(do_compact, pre)
+
+
+def test_erase_keys_preserves_null_key_rows(spark, tmp_path):
+    """ADVICE r4 (high): ``~col.isin(values)`` is NULL for NULL-key
+    rows, so a bare ``.filter(~pred)`` silently dropped every NULL-key
+    row from each rewritten file — data loss beyond the erasure
+    request that the survivor check can't see (NULL never matches).
+    NULL identifies no subject, so erasure must keep those rows."""
+    from es_analytics_spark.maintenance import erase_keys
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).selectExpr(
+        "id",
+        # every third row has a NULL subject key, interleaved so every
+        # file the erasure touches also contains NULL-key rows
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE id % 10 END AS subject",
+        "cast(id as double) AS amount",
+    )
+    df.repartition(4).write.parquet(path)
+    n_null = df.filter("subject IS NULL").count()
+    assert n_null > 0
+
+    receipt = erase_keys(spark, path, "subject", [1, 4])
+    assert receipt["verified"] is True
+    assert receipt["files_rewritten"] > 0
+
+    after = spark.read.parquet(path)
+    assert after.filter("subject IS NULL").count() == n_null, (
+        "NULL-key rows must survive erasure of other subjects"
+    )
+    assert after.filter(F.col("subject").isin([1, 4])).count() == 0
+    assert after.count() == 1000 - receipt["rows_erased"]
+
+
+def test_erase_from_view_preserves_null_key_rows(spark, tmp_path):
+    """ADVICE r4 (medium): erase_from_view had the identical NULL-key
+    drop; both erasure paths now share maintenance.erasure_predicates'
+    null-safe keep predicate."""
+    from es_analytics_spark.materialized import (
+        erase_from_view,
+        read_enriched_view,
+        refresh_enriched_view,
+    )
+
+    src = str(tmp_path / "facts")
+    view = str(tmp_path / "view")
+    spark.range(0, 300).selectExpr(
+        "id",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE id % 7 END AS subject",
+        "cast(id as double) AS amount",
+    ).coalesce(1).write.parquet(src)
+    refresh_enriched_view(
+        spark, f"{src}/*.parquet", view,
+        lambda df: df.withColumn("doubled", df.amount * 2),
+        stats_cols=["id"],
+    )
+    n_null = read_enriched_view(spark, view).filter("subject IS NULL").count()
+    assert n_null == 60
+
+    receipt = erase_from_view(spark, view, "subject", [3])
+    assert receipt["verified"] is True
+    assert receipt["parts_rewritten"] == 1
+
+    after = read_enriched_view(spark, view)
+    assert after.filter("subject IS NULL").count() == n_null
+    assert after.filter(F.col("subject") == 3).count() == 0
+    assert after.count() == 300 - receipt["rows_erased"]

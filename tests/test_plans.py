@@ -426,3 +426,39 @@ def test_count_min_topk_window_prunes_via_limit_pushdown(spark, sf_dir):
     single-partition guard."""
     plan = physical_plan(REGISTRY["agg_count_min"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan[:4000]
+
+
+def test_conf_mutating_queries_are_flagged():
+    """ADVICE r4 (low): bench's cold pass serializes conf-mutating
+    entries by the registry's mutates_conf flag, not a name prefix.
+    This sweep keeps the flag honest both ways: every registered query
+    whose body calls replay_stream (the harness that swaps
+    spark.sql.shuffle.partitions) must be flagged, and every flagged
+    entry must actually have a reason (calls replay_stream) so the
+    serial list can't silently bloat."""
+    import ast
+    import inspect
+    import textwrap
+
+    from es_analytics_spark.queries import REGISTRY
+
+    def calls_replay(fn) -> bool:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Call):
+                f = node.func
+                name = f.id if isinstance(f, ast.Name) else getattr(f, "attr", None)
+                if name == "replay_stream":
+                    return True
+        return False
+
+    unflagged = [
+        n for n, spec in REGISTRY.items()
+        if calls_replay(spec.fn) and not spec.mutates_conf
+    ]
+    overflagged = [
+        n for n, spec in REGISTRY.items()
+        if spec.mutates_conf and not calls_replay(spec.fn)
+    ]
+    assert not unflagged, f"conf-mutating queries missing mutates_conf: {unflagged}"
+    assert not overflagged, f"flagged but no conf mutation found: {overflagged}"
