@@ -18,6 +18,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from es_analytics_spark.functions.lineage import cut_lineage
+
+
 # deterministic multipliers/offsets for the minhash permutation family
 # h_i(x) = (a_i * x + b_i) mod p (Carter-Wegman; seeds fixed for
 # reproducibility). Sizes are chosen to stay inside signed-64 ANSI
@@ -489,13 +492,13 @@ def connected_components(
     # evaluate the whole upstream candidate-generation subtree twice.
     base_edges = edges.select(
         F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     sym = base_edges.union(
         base_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -509,7 +512,7 @@ def connected_components(
             F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
         )
         changed = updated.filter(F.col("comp") < F.col("old")).count()
-        labels = updated.select("id", "comp").localCheckpoint(eager=True)
+        labels = updated.select("id", "comp").transform(cut_lineage)
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("comp").alias("component"))

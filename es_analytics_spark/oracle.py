@@ -72,6 +72,10 @@ def compare_query(
     if spec.oracle is None:
         return CompareResult(name, len(sdf) >= 0, f"rows-only: {len(sdf)} rows")
     ddf = con.sql(spec.oracle).df()
+    return _compare_frames(name, sdf, ddf)
+
+
+def _compare_frames(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> CompareResult:
     if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, ddf.columns)):
         return CompareResult(
             name, False, f"column mismatch: spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"
@@ -109,6 +113,51 @@ def compare_query(
     if bad:
         return CompareResult(name, False, "; ".join(bad[:4]))
     return CompareResult(name, True, f"{len(a)} rows exact")
+
+
+def driver_record(
+    spark: SparkSession, con: duckdb.DuckDBPyConnection, sf_dir: str, name: str
+) -> dict:
+    """One per-query record in the DRIVER's exact CORRECTNESS schema
+    ({rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+    err}) so a committed full-catalog artifact is line-diffable against
+    the driver's sampled CORRECTNESS_r{N}.json. no-oracle entries get
+    the driver's weaker rows-only row (all None + err='no_oracle')."""
+    spec = REGISTRY[name]
+    try:
+        sdf = spec.fn(spark, sf_dir).toPandas()
+    except Exception as exc:
+        return {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None,
+            "err": f"{type(exc).__name__}: {exc}"[:300],
+        }
+    if spec.oracle is None:
+        return {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": int(len(sdf)), "oracle_rows": None, "err": "no_oracle",
+        }
+    try:
+        ddf = con.sql(spec.oracle).df()
+    except Exception as exc:
+        return {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": int(len(sdf)), "oracle_rows": None,
+            "err": f"oracle: {type(exc).__name__}: {exc}"[:300],
+        }
+    rows_match = len(sdf) == len(ddf)
+    schema_match = sorted(map(str.lower, sdf.columns)) == sorted(
+        map(str.lower, ddf.columns)
+    )
+    res = _compare_frames(name, sdf, ddf)
+    return {
+        "rows_match": bool(rows_match),
+        "schema_match": bool(schema_match),
+        "hash_match": bool(res.ok),
+        "spark_rows": int(len(sdf)),
+        "oracle_rows": int(len(ddf)),
+        "err": None if res.ok else res.detail[:300],
+    }
 
 
 def run_all(
@@ -166,14 +215,54 @@ if __name__ == "__main__":
 
     from es_analytics_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    names = argv[1].split(",") if len(argv) > 1 else None
     spark = get_spark("oracle_check")
     # fixture-scale check harness: tiny inputs under 32-task shuffles pay
     # far more in scheduling than compute — 8 post-AQE partitions keeps
     # the full-catalog sweep fast without touching any query's shape
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     workers = int(os.environ.get("ORACLE_WORKERS", "6"))
+    if json_out:
+        # full-catalog artifact in the driver's exact per-query schema —
+        # committed per round (CORRECTNESS_full_r{N}.json) so entries
+        # outside the driver's fixed 50-name sample still get a
+        # driver-diffable correctness row
+        import json as _json
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo = list(names or REGISTRY)
+
+        def rec(name: str) -> tuple[str, dict]:
+            con = duck_connection(sf_dir)
+            try:
+                return name, driver_record(spark, con, sf_dir, name)
+            finally:
+                con.close()
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            records = dict(pool.map(rec, todo))
+        with open(json_out, "w") as f:
+            _json.dump(records, f, indent=1, sort_keys=True)
+            f.write("\n")
+        n_pass = sum(1 for r in records.values() if r["hash_match"])
+        n_rows_only = sum(1 for r in records.values() if r["err"] == "no_oracle")
+        n_fail = sum(
+            1
+            for r in records.values()
+            if r["hash_match"] is False
+        )
+        print(
+            f"{json_out}: {len(records)} entries — {n_pass} hash-exact, "
+            f"{n_rows_only} rows-only (no_oracle), {n_fail} FAIL"
+        )
+        sys.exit(0 if n_fail == 0 else 1)
     results = run_all(spark, sf_dir, names, workers=workers)
     n_ok = sum(r.ok for r in results)
     for r in results:

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from es_analytics_spark.functions.lineage import cut_lineage
+
 from es_analytics_spark.queries import _t, query
 
 
@@ -1015,14 +1017,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize once: every iteration joins the edge list, and
         # without truncation the lineage re-derives it per iteration
         # (the standard persist-the-graph step of any iterative algo)
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     # node-sized; checkpointed so the three iteration joins read the
     # cached degrees instead of regrouping the edge list each time, and
     # the node count + uniform init frontier both derive from it (the
     # graph is bidirected, so every node appears as a src), replacing
     # two extra distinct aggregations over the edge list
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(cut_lineage)
     n = outdeg.count()
     r = outdeg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
     for _ in range(3):

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from es_analytics_spark.functions.lineage import cut_lineage
+
 from es_analytics_spark.functions.exact import dsum, dsum_expr
 from es_analytics_spark.functions.ranks import cumulative_offsets
 from es_analytics_spark.queries import _t, query
@@ -485,7 +487,7 @@ def ml_quality_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "n_chars")
         .repartitionByRange(n_parts, F.desc("n_chars"), F.asc("doc_id"))
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     local = ranged.withColumn(
         "lr",

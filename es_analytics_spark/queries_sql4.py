@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from es_analytics_spark.functions.lineage import cut_lineage
+
 from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
 from es_analytics_spark.functions.ranks import cumulative_offsets
 from es_analytics_spark.functions.portable import MIX_P as _MIX_P, accept_hash as _accept_hash, accept_hash_sql as _accept_hash_sql
@@ -141,7 +143,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(dsum("value").alias("x"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     mu = daily.groupBy("event_type").agg(
         davg("x").alias("m"), F.count(F.lit(1)).alias("n_days")
@@ -275,7 +277,7 @@ def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_partkey") % _TRI_STRIDE == 0)
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     keep = (
         ps.groupBy("p")
@@ -289,7 +291,7 @@ def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(keep), F.col("a.p") == F.col("keep_p"))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
 
 
@@ -371,7 +373,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     e = (
         edges.join(F.broadcast(deg).withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
@@ -388,7 +390,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     pair_lt = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
         (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
@@ -538,14 +540,14 @@ def lake_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each fused-count aggregate feeds multiple output rows; materialize
     # the 1-row results so each fact table is scanned once for its
     # map-side rules, not once per rule row
-    c_total = c.agg(F.count(F.lit(1)).alias("checked")).localCheckpoint()
+    c_total = c.agg(F.count(F.lit(1)).alias("checked")).transform(cut_lineage)
     o_counts = o.agg(
         F.count(F.lit(1)).alias("checked"),
         F.count_if(F.col("o_custkey").isNull()).alias("null_cust"),
         F.count_if(
             F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
         ).alias("neg_total"),
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     li_counts = li.agg(
         F.count(F.lit(1)).alias("checked"),
         F.count_if(
@@ -553,7 +555,7 @@ def lake_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("l_quantity") < 1)
             | (F.col("l_quantity") > 50)
         ).alias("bad_qty"),
-    ).localCheckpoint()
+    ).transform(cut_lineage)
 
     dup = (
         c.groupBy("c_custkey")
@@ -1191,7 +1193,7 @@ def ts_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(dsum("value").alias("x"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     seq = daily.select(
         "event_type",
@@ -1570,7 +1572,7 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(dsum("value").alias("x"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     med = daily.groupBy("event_type").agg(
         F.percentile("x", F.lit(0.5)).alias("m")
@@ -2056,7 +2058,7 @@ def _dist_quintile(anchored: DataFrame, total: DataFrame, sort_cols, out_name: s
     ranged = (
         anchored.repartitionByRange(n_parts, *sort_cols)
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     local = ranged.withColumn(
         "lr", F.row_number().over(W.partitionBy("pid").orderBy(*sort_cols))
@@ -2114,7 +2116,7 @@ def rec_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recency_days"
             ),
         )
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     total = anchored.agg(F.count("*").alias("n"))
     r = _dist_quintile(
@@ -2176,7 +2178,7 @@ def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(dsum("value").alias("x"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     a, b = daily.alias("a"), daily.alias("b")
     paired = a.join(
@@ -2403,7 +2405,7 @@ def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = (
         e.groupBy("event_type", F.date_trunc("week", "ts").alias("week"))
         .agg(dsum("value").alias("revenue"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     a, b = weekly.alias("a"), weekly.alias("b")
     growth = F.when(

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from es_analytics_spark.functions.lineage import cut_lineage
+
 from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
 from es_analytics_spark.functions.portable import (
     MIX_P as _MIX_P,
@@ -260,7 +262,7 @@ def ts_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wk",
         F.lag("wk").over(wu).alias("prev_wk"),
         F.lead("wk").over(wu).alias("next_wk"),
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     week_plus = F.col("wk") + F.expr("INTERVAL 7 DAY")
     prev_expected = F.col("wk") - F.expr("INTERVAL 7 DAY")
     status = seq.groupBy(F.col("wk").alias("week")).agg(
@@ -551,7 +553,7 @@ def rec_user_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pop = r.groupBy("p").agg(F.count("*").alias("np")).filter(F.col("np") <= _CF_POP_CAP)
-    rr = r.join(pop.select("p"), "p").localCheckpoint()
+    rr = r.join(pop.select("p"), "p").transform(cut_lineage)
     deg = rr.groupBy("c").agg(F.count("*").alias("d"))
     a = rr.select(F.col("p"), F.col("c").alias("c1"))
     b = rr.select(F.col("p"), F.col("c").alias("c2"))
@@ -931,7 +933,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
     return (
         edges.select(F.col("u").alias("node"))
@@ -1045,12 +1047,12 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         e.select(F.col("u"), F.col("v"))
         .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     seed = und.agg(F.min("u").alias("node")).select(
         "node", F.lit(0).cast("int").alias("dist")
     )
-    visited = seed.localCheckpoint()
+    visited = seed.transform(cut_lineage)
     frontier = visited
     for r in range(1, _BFS_ROUNDS + 1):
         nxt = (
@@ -1060,8 +1062,8 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited.select("node"), "node", "left_anti")
             .select("node", F.lit(r).cast("int").alias("dist"))
         )
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt.localCheckpoint()
+        visited = visited.unionByName(nxt).transform(cut_lineage)
+        frontier = nxt.transform(cut_lineage)
     return visited.select("node", "dist")
 
 
@@ -1514,11 +1516,11 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         e.select("u", "v")
         .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     w = W2.partitionBy("node").orderBy(F.desc("c"), F.asc("nlbl"))
     for _ in range(_LPA_ROUNDS):
         votes = (
@@ -1530,7 +1532,7 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", F.col("nlbl").alias("lbl"))
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
     return labels.select("node", F.col("lbl").cast("bigint").alias("community"))
 
@@ -1586,7 +1588,7 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = (
         rev.repartitionByRange(n_parts, F.asc("r"), F.asc("c"))
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     local = ranged.withColumn(
         "lr", F.row_number().over(W.partitionBy("pid").orderBy(F.asc("r"), F.asc("c")))
@@ -1687,7 +1689,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = _co_supply_edges(spark, sf_dir)
     labels = graph_community_lpa(spark, sf_dir).select(
         F.col("node"), F.col("community").alias("lbl")
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     m = e0.count()
     deg = (
         e0.select(F.col("u").alias("node"))
@@ -1699,7 +1701,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.join(deg, "node")
         .groupBy("lbl")
         .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("d_sum"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     internal = (
         e0.join(labels.withColumnRenamed("node", "u").withColumnRenamed("lbl", "lu"), "u")
@@ -2489,7 +2491,7 @@ def rec_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pop = r.groupBy("p").agg(F.count("*").alias("np")).filter(F.col("np") <= _CF_POP_CAP)
-    rr = r.join(pop.select("p"), "p").localCheckpoint()
+    rr = r.join(pop.select("p"), "p").transform(cut_lineage)
     neighbors = rec_user_cf_topk(spark, sf_dir).select(
         F.col("custkey").alias("c"), F.col("neighbor").alias("nb"), "cos_fp"
     )
@@ -2900,7 +2902,7 @@ def ab_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pu feeds both the pooled-theta reduction and the per-variant
         # readout; checkpoint the |users|-row frame so the fact stream
         # is scanned once for it, not once per consumer
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     g = pu.agg(
         F.count("*").alias("n"),
@@ -3202,7 +3204,7 @@ def stat_jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the 50-row bucket frame feeds totals, leave-one-out ratios,
         # AND the deviation sum — checkpoint it so the fact stream is
         # scanned once, not once per consumer
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     tot = bkt.agg(
         dsum("sy").alias("ty"), F.sum("sn").alias("tn"), F.count("*").alias("ng")
@@ -3476,7 +3478,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     d12 = lambda c: F.round(  # noqa: E731
         F.sum(c.cast("decimal(38,15)")), 12
@@ -3498,7 +3500,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ar = (
                 edges.groupBy("supp")
                 .agg(F.count("*").cast("double").alias("ar"))
-                .localCheckpoint()
+                .transform(cut_lineage)
             )
         else:
             ar = (
@@ -3506,7 +3508,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(h, "cust")
                 .groupBy("supp")
                 .agg(d12(F.col("h")).alias("ar"))
-                .localCheckpoint()
+                .transform(cut_lineage)
             )
         at = ar.agg(d12(F.col("ar")).alias("t"))
         a = ar.crossJoin(F.broadcast(at)).select(
@@ -3517,7 +3519,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(a, "supp")
             .groupBy("cust")
             .agg(d12(F.col("a")).alias("hr"))
-            .localCheckpoint()
+            .transform(cut_lineage)
         )
         ht = hr.agg(d12(F.col("hr")).alias("t"))
         h = hr.crossJoin(F.broadcast(ht)).select(
@@ -3965,7 +3967,7 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("n_after"), F.lit(0)) * 1.0 / F.col("ta")
             ).alias("pct_after"),
         )
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     q6 = lambda cc: F.floor(cc * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     tv = j.agg(
@@ -4057,7 +4059,7 @@ def stat_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = (
         g.repartitionByRange(n_parts, F.asc("rev"))
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     w = W.partitionBy("pid").orderBy(F.asc("rev")).rowsBetween(W.unboundedPreceding, 0)
     local = ranged.select(
@@ -4162,7 +4164,7 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("o"))
         # the |types|x|variants| table feeds both marginals, the totals,
         # and the scored join — checkpoint so the fact scan runs once
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     rows_m = cells.groupBy("event_type").agg(F.sum("o").alias("rc"))
     cols_m = cells.groupBy("variant").agg(F.sum("o").alias("cc"))
@@ -4262,7 +4264,7 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = (
         g.repartitionByRange(n_parts, F.asc("rev"))
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     w = W.partitionBy("pid").orderBy(F.asc("rev")).rowsBetween(W.unboundedPreceding, 0)
     t = F.col("c0") + F.col("c1")
@@ -4368,7 +4370,7 @@ def stat_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev"),
         )
         # feeds the observed difference AND the 200-way relabel explode
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     variant = (F.col("user_id") % 2).cast("int")
     mean_of = lambda cond: dsum(  # noqa: E731
@@ -4603,7 +4605,7 @@ def ml_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = (
         g.repartitionByRange(n_parts, F.asc("score"))
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     w = W.partitionBy("pid").orderBy(F.asc("score")).rowsBetween(
         W.unboundedPreceding, 0
@@ -4957,7 +4959,7 @@ def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         feat.groupBy("feature", "bucket", "label")
         .agg(F.count("*").alias("o"))
         # feeds three marginal reductions and the scored join
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     bm = cells.groupBy("feature", "bucket").agg(F.sum("o").alias("ob"))
     lm = cells.groupBy("feature", "label").agg(F.sum("o").alias("ol"))
@@ -5140,7 +5142,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("d"))
         # consumed by both endpoint joins — node-sized
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     du = deg.withColumnRenamed("node", "u").withColumnRenamed("d", "dx")
     dv = deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dy")
@@ -5431,7 +5433,7 @@ def text_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
         .agg(F.count("*").alias("c"))
         # feeds the left marginal, the total, and the scored join
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     uni = bi.groupBy("w1").agg(F.sum("c").alias("cu"))
     tot = bi.agg(F.sum("c").alias("n"))
@@ -5518,7 +5520,7 @@ def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase")
         .crossJoin(F.broadcast(b))
         .select("value", (us <= F.col("cutoff")).alias("is_ref"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     edges = p.filter("is_ref").agg(
         F.expr(
@@ -5654,7 +5656,7 @@ def ml_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("x_test"), F.lit(0)).alias("x_test"),
             (F.col("x_train") * 1.0 / F.col("n_train")).alias("pred"),
         )
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     pr = F.col("pred")
     num = F.col("x_test") * (1 - pr) * (1 - pr) + (
@@ -5734,7 +5736,7 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(F.col("value")).alias("x"))
         # feeds profile, totals, and residuals
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     prof = daily.groupBy("dow").agg((dsum("x") / F.count("*")).alias("m"))
     tot = daily.agg(
@@ -5834,7 +5836,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _SWEEP_TS[0])
         .select("id_a", "id_b", "jaccard")
         # one pair computation feeds every threshold
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     ts = spark.createDataFrame([(t,) for t in _SWEEP_TS], "t double")
     hit = pairs.crossJoin(F.broadcast(ts)).filter(F.col("jaccard") >= F.col("t"))
@@ -5895,7 +5897,7 @@ def stat_tail_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     one filtered aggregate — two scans of the purchase stream, no
     sorts, no collects."""
     ev = _t(spark, sf_dir, "events")["events"]
-    p = ev.filter(F.col("event_type") == "purchase").select("value").localCheckpoint()
+    p = ev.filter(F.col("event_type") == "purchase").select("value").transform(cut_lineage)
     v = p.agg(F.expr("percentile(value, 0.95D)").alias("var95"))
     tail = p.crossJoin(F.broadcast(v)).filter(F.col("value") >= F.col("var95"))
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
@@ -5984,7 +5986,7 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "equity",
         (F.max("equity").over(w) - F.col("equity")).alias("drawdown"),
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     mx = dd.agg(F.max("drawdown").alias("mdd"))
     q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return (
@@ -6071,7 +6073,7 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y"),
         )
         .select("bin", "y", (F.col("user_id") % 3).cast("int").alias("fold"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     model = (
         pu.filter(F.col("fold") == 1)
@@ -6188,7 +6190,7 @@ def ts_causal_impact_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
             ).alias("x")
         )
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     pre = (
         daily.crossJoin(F.broadcast(b))
@@ -6352,7 +6354,7 @@ def ts_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     return _score_consensus(daily)
 
@@ -6459,7 +6461,7 @@ def stream_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = out.select(
         "event_type", F.col("w.start").alias("day"), "c"
-    ).localCheckpoint()
+    ).transform(cut_lineage)
     return _score_consensus(daily)
 
 
@@ -6536,7 +6538,7 @@ def ml_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = (
         pu.repartitionByRange(n_parts, F.desc("score"), F.asc("user_id"))
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     local = ranged.withColumn(
         "lr",
@@ -6564,7 +6566,7 @@ def ml_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # 10-row frame feeds totals, the triangle cumsum, and the
         # scored join — checkpoint so the rank chain runs once
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     tot = dec.agg(F.sum("n_pos").alias("total_pos"), F.max("n").alias("nn"))
     d2 = dec.select(
@@ -6674,7 +6676,7 @@ def ab_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("user_id") % 2).cast("int").alias("variant"), "label", "stratum"
         )
         # feeds the stratum cells and the pooled cells
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     cell = pu.groupBy("stratum", "variant").agg(
         F.count("*").alias("n"), F.sum("label").alias("x")
@@ -6695,7 +6697,7 @@ def ab_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "diff", F.col("x1") * 1.0 / F.col("n1") - F.col("x0") * 1.0 / F.col("n0")
         )
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     pooled = scored.filter(F.col("stratum") == "pooled").select(
         F.col("diff").alias("pdiff")
@@ -6853,7 +6855,7 @@ def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("d"))
         # feeds the node count and the histogram
-        .localCheckpoint()
+        .transform(cut_lineage)
     )
     hist = deg.groupBy("d").agg(F.count("*").alias("nd"))
     pts = hist.filter(F.col("d") >= 2).select(

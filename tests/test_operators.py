@@ -1037,3 +1037,29 @@ def test_kcore_fixed_rounds_reach_fixpoint(spark, sf_dir):
         for r in REGISTRY["graph_kcore"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_checkpoint_modes_produce_identical_results(spark, sf_dir, tmp_path):
+    """Durability seam (r4 verdict ask 3): iterative queries cut
+    lineage via functions.lineage.cut_lineage, which flips between
+    localCheckpoint (fast, non-durable — executor loss kills the job)
+    and reliable checkpoint() into spark.es_analytics.checkpoint.dir
+    (survives executor loss; the 1000-executor default). Both modes
+    must produce bit-identical results on the iterative graph
+    queries."""
+    from es_analytics_spark.functions.lineage import CHECKPOINT_DIR_CONF
+    from es_analytics_spark.queries import REGISTRY
+
+    for q in ["graph_pagerank", "graph_community_lpa"]:
+        local = sorted(map(tuple, REGISTRY[q].fn(spark, sf_dir).collect()))
+        spark.conf.set(CHECKPOINT_DIR_CONF, str(tmp_path / "ckpt"))
+        try:
+            reliable = sorted(map(tuple, REGISTRY[q].fn(spark, sf_dir).collect()))
+        finally:
+            spark.conf.set(CHECKPOINT_DIR_CONF, "")
+        assert local == reliable, f"{q}: checkpoint modes disagree"
+        assert len(local) > 0
+    # the reliable run actually wrote checkpoint files
+    import os
+
+    assert any(os.scandir(tmp_path / "ckpt")), "no reliable checkpoint written"
