@@ -974,9 +974,12 @@ def _pagerank_oracle(iters: int = 3) -> str:
     )"""
         )
     parts.append(
-        f"""
-    SELECT node, ROUND(rank, 9) AS rank
-    FROM r{iters} ORDER BY rank DESC, node ASC LIMIT 20
+        f""", resid AS (
+        SELECT CAST(ROUND(MAX(ABS(a.rank - b.rank)), 9) AS DOUBLE) AS residual
+        FROM r{iters} a JOIN r{iters - 1} b ON a.node = b.node
+    )
+    SELECT node, ROUND(rank, 9) AS rank, residual
+    FROM r{iters} CROSS JOIN resid ORDER BY rank DESC, node ASC LIMIT 20
 """
     )
     return "".join(parts)
@@ -1027,6 +1030,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(cut_lineage)
     n = outdeg.count()
     r = outdeg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    r_prev = r
     for _ in range(3):
         # fold rank/deg node-side first (node-sized ⋈ node-sized), so
         # the edge list pays exactly ONE join per iteration instead of
@@ -1045,13 +1049,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("dst", F.col("share").alias("c"))
         )
         s = F.round(F.sum(F.col("c").cast("decimal(38,15)")), 12).cast("double")
+        r_prev = r
         r = contrib.groupBy("dst").agg(
             (F.lit(0.15) / n + F.lit(0.85) * s).alias("rank")
         ).select(F.col("dst").alias("node"), "rank")
+    # convergence telemetry (r4 verdict ask 7): max |Δrank| between the
+    # last two iterations, under the same decimal/round rules as the
+    # ranks themselves, broadcast onto every output row — a 100×-scale
+    # user reads it to size the iteration count (3 fixed iterations ≠
+    # converged). Both frames are node-sized and checkpointed so the
+    # second consumer reads blocks, not re-derived lineage.
+    r = r.transform(cut_lineage)
+    r_prev = r_prev.transform(cut_lineage)
+    resid = (
+        r.join(r_prev.withColumnRenamed("rank", "prev"), "node")
+        .agg(F.round(F.max(F.abs(F.col("rank") - F.col("prev"))), 9)
+             .cast("double").alias("residual"))
+    )
     return (
         r.orderBy(F.desc("rank"), F.asc("node"))
         .limit(20)
         .select("node", F.round("rank", 9).alias("rank"))
+        .crossJoin(F.broadcast(resid))
     )
 
 

@@ -1448,7 +1448,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ROUNDS = 3
 
 
-def _lpa_sql() -> str:
+def _lpa_sql(with_residual: bool = True) -> str:
     from es_analytics_spark.queries_sql4 import _TRI_CAP, _TRI_STRIDE
 
     parts = [
@@ -1483,10 +1483,21 @@ def _lpa_sql() -> str:
         ) WHERE rn = 1
     )"""
         )
-    parts.append(
-        f"""
-    SELECT node, CAST(lbl AS BIGINT) AS community FROM l{_LPA_ROUNDS}"""
+    if with_residual:
+        parts.append(
+            f""", resid AS MATERIALIZED (
+        SELECT CAST(COUNT(CASE WHEN a.lbl <> b.lbl THEN 1 END) AS BIGINT)
+               AS residual
+        FROM l{_LPA_ROUNDS} a JOIN l{_LPA_ROUNDS - 1} b ON a.node = b.node
     )
+    SELECT node, CAST(lbl AS BIGINT) AS community, residual
+    FROM l{_LPA_ROUNDS} CROSS JOIN resid"""
+        )
+    else:
+        parts.append(
+            f"""
+    SELECT node, CAST(lbl AS BIGINT) AS community FROM l{_LPA_ROUNDS}"""
+        )
     return "".join(parts)
 
 
@@ -1522,19 +1533,36 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("lbl")
     ).transform(cut_lineage)
     w = W2.partitionBy("node").orderBy(F.desc("c"), F.asc("nlbl"))
+    labels_prev = labels
     for _ in range(_LPA_ROUNDS):
         votes = (
             und.join(labels.withColumnRenamed("node", "u"), "u")
             .groupBy(F.col("v").alias("node"), F.col("lbl").alias("nlbl"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        labels_prev = labels
         labels = (
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", F.col("nlbl").alias("lbl"))
             .transform(cut_lineage)
         )
-    return labels.select("node", F.col("lbl").cast("bigint").alias("community"))
+    # convergence telemetry (r4 verdict ask 7): how many nodes changed
+    # label in the LAST round — 0 means the fixed round count reached a
+    # fixpoint, >0 tells a 100×-scale user to raise it. Exact integer,
+    # same recurrence in the oracle. Both label frames are node-sized
+    # and already checkpointed.
+    resid = (
+        labels.join(
+            labels_prev.withColumnRenamed("lbl", "prev"), "node"
+        ).agg(
+            F.count(F.when(F.col("lbl") != F.col("prev"), 1))
+            .cast("bigint").alias("residual")
+        )
+    )
+    return labels.select(
+        "node", F.col("lbl").cast("bigint").alias("community")
+    ).crossJoin(F.broadcast(resid))
 
 
 # ---------------------------------------------------------------------------
@@ -1634,7 +1662,7 @@ def agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _modularity_sql() -> str:
     # reuse the LPA unrolled prefix, then score the partition
-    base = _lpa_sql()
+    base = _lpa_sql(with_residual=False)
     tail = f"""
     SELECT node, CAST(lbl AS BIGINT) AS community FROM l{_LPA_ROUNDS}"""
     assert base.endswith(tail)
@@ -3437,14 +3465,18 @@ _HITS_SQL = f"""
     ), h2 AS (
         SELECT cust, hr / t AS h FROM h2r, h2t
     )
+    , resid AS (
+        SELECT CAST(ROUND(MAX(ABS(x.a - y.a)), 9) AS DOUBLE) AS residual
+        FROM a2 x JOIN a1 y ON x.supp = y.supp
+    )
     SELECT * FROM (
-        SELECT 'authority' AS role, supp AS node, ROUND(a, 9) AS score
-        FROM a2 ORDER BY a DESC, supp ASC LIMIT 10
+        SELECT 'authority' AS role, supp AS node, ROUND(a, 9) AS score, residual
+        FROM a2 CROSS JOIN resid ORDER BY a DESC, supp ASC LIMIT 10
     )
     UNION ALL
     SELECT * FROM (
-        SELECT 'hub' AS role, cust AS node, ROUND(h, 9) AS score
-        FROM h2 ORDER BY h DESC, cust ASC LIMIT 10
+        SELECT 'hub' AS role, cust AS node, ROUND(h, 9) AS score, residual
+        FROM h2 CROSS JOIN resid ORDER BY h DESC, cust ASC LIMIT 10
     )
 """
 
@@ -3484,7 +3516,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(c.cast("decimal(38,15)")), 12
     ).cast("double")
     h = edges.select("cust").distinct().withColumn("h", F.lit(1.0))
-    a = None
+    a = a_prev = None
     for it in range(2):
         # each raw-score frame is node-sized and feeds BOTH its L1
         # total and the normalized frame — checkpoint it so the
@@ -3511,6 +3543,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .transform(cut_lineage)
             )
         at = ar.agg(d12(F.col("ar")).alias("t"))
+        a_prev = a
         a = ar.crossJoin(F.broadcast(at)).select(
             "supp", (F.col("ar") / F.col("t")).alias("a")
         )
@@ -3525,6 +3558,18 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = hr.crossJoin(F.broadcast(ht)).select(
             "cust", (F.col("hr") / F.col("t")).alias("h")
         )
+    # convergence telemetry (r4 verdict ask 7): max |Δauthority|
+    # between the two iterations under the same decimal contract —
+    # lets a deployment size the iteration count from the output
+    # itself. Normalized frames are node-sized; checkpoint so the
+    # extra consumer reads blocks.
+    a = a.transform(cut_lineage)
+    a_prev = a_prev.transform(cut_lineage)
+    resid = (
+        a.join(a_prev.withColumnRenamed("a", "pa"), "supp")
+        .agg(F.round(F.max(F.abs(F.col("a") - F.col("pa"))), 9)
+             .cast("double").alias("residual"))
+    )
     auth = (
         a.orderBy(F.desc("a"), F.asc("supp"))
         .limit(10)
@@ -3543,7 +3588,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("h", 9).alias("score"),
         )
     )
-    return auth.unionAll(hubs)
+    # one broadcast onto the 20-row union, not one per arm
+    return auth.unionAll(hubs).crossJoin(F.broadcast(resid))
 
 
 # ---------------------------------------------------------------------------

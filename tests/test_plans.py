@@ -277,7 +277,9 @@ def test_flagship_shuffle_budgets(spark, sf_dir):
         "ab_cuped_readout": 3,      # checkpointed user grain + variant agg + 1-row reductions
         "stat_jackknife_ratio_ci": 5,  # user agg + checkpointed 50-bucket grain + reductions
         "stat_bootstrap_ci": 4,     # resample-id agg + percentile reduction + obs agg
-        "graph_hits": 3,            # post-checkpoint: top-k orderings + final union
+        "graph_hits": 4,            # post-checkpoint: top-k orderings + final union
+                                    # + the r5 residual join (node-sized a2 vs a1,
+                                    # both checkpointed, one 1-row broadcast out)
         "ts_forecast_accuracy": 5,  # daily agg + per-type windows + stats + method agg
     }
     for name, budget in budgets.items():
