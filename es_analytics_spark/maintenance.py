@@ -660,3 +660,72 @@ def scd2_merge(
         "unchanged": int(unchanged_keys),
         "rows": int(n_rows),
     }
+
+
+def analyze(
+    spark: SparkSession,
+    tables: dict[str, str] | list[str],
+    columns: dict[str, list[str]] | None = None,
+) -> dict[str, dict]:
+    """Cost-based-optimizer statistics: run ``ANALYZE TABLE … COMPUTE
+    STATISTICS [FOR COLUMNS …]`` over catalog tables so Catalyst's CBO
+    (``spark.sql.cbo.enabled``) can estimate post-filter/join
+    cardinalities from row counts and column NDV/min/max instead of raw
+    file sizes — the enablement that flips borderline join strategies
+    (a dim that is too big to broadcast on disk but tiny after a
+    selective filter becomes a BroadcastHashJoin once column stats let
+    the planner see the selectivity; ``tests/test_plans.py`` pins that
+    flip).
+
+    ``tables``: catalog table names, or ``{name: parquet_path}`` to
+    (idempotently) register unmanaged external tables over an existing
+    lake path first — registration is metadata-only, no data copy, so
+    the same parquet files serve both path-based reads and
+    stats-informed catalog reads. ``columns``: per-table column lists
+    for ``FOR COLUMNS`` (column-level NDV/min/max/null-count; table
+    row-count/size stats are always computed).
+
+    Returns per-table stats as recorded in the catalog
+    (``{name: {"sizeInBytes": int, "rowCount": int | None,
+    "columns": [analyzed cols]}}``) read back via
+    ``DESCRIBE TABLE EXTENDED``, proving the stats actually landed
+    rather than echoing the request.
+
+    Scale: ANALYZE is one distributed scan per table (plus one per
+    column set); on a 100 TB lake it is scheduled maintenance after
+    bulk loads, exactly like compaction. Stats staleness is the
+    documented trade — re-run after mutations big enough to change
+    plan choices.
+    """
+    if isinstance(tables, dict):
+        for name, path in tables.items():
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {name} USING parquet "
+                f"LOCATION '{path}'"
+            )
+        names = list(tables)
+    else:
+        names = list(tables)
+    out: dict[str, dict] = {}
+    for name in names:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        cols = (columns or {}).get(name)
+        if cols:
+            collist = ", ".join(cols)
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {collist}")
+        stats_row = [
+            r
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+            if r["col_name"] == "Statistics"
+        ]
+        size = rows = None
+        if stats_row:
+            text = stats_row[0]["data_type"]  # e.g. "12345 bytes, 678 rows"
+            for part in text.split(","):
+                part = part.strip()
+                if part.endswith("bytes"):
+                    size = int(part.split()[0])
+                elif part.endswith("rows"):
+                    rows = int(part.split()[0])
+        out[name] = {"sizeInBytes": size, "rowCount": rows, "columns": cols or []}
+    return out

@@ -43,6 +43,38 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def rate_events(spark: SparkSession, rows_per_second: int = 500) -> DataFrame:
+    """Live UNBOUNDED event stream from Spark's built-in ``rate``
+    source, shaped to the events schema — the one live-source class
+    exercisable without external jars or a broker (SURVEY §2.B
+    "file/Kafka/rate source"). Unlike :func:`stream_events` (a bounded
+    file replay), this stream never ends: micro-batches keep arriving
+    until the query is stopped, so it drives true processing-time
+    triggers, listener progress events, and graceful-stop paths the
+    replay harness can't.
+
+    The rate source emits (timestamp, value: monotonically increasing
+    bigint); the event fields are deterministic functions of ``value``
+    so any assertion over a captured prefix is reproducible.
+    """
+    apply_runtime_confs(spark)
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        (F.col("value") % 97).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 1000 / 10.0).alias("value"),
+    )
+
+
 # -- event-time transformations (work on batch AND streaming frames) ----
 
 

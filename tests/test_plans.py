@@ -464,3 +464,73 @@ def test_conf_mutating_queries_are_flagged():
     ]
     assert not unflagged, f"conf-mutating queries missing mutates_conf: {unflagged}"
     assert not overflagged, f"flagged but no conf mutation found: {overflagged}"
+
+
+def test_analyze_stats_flip_broadcast_decision(spark, tmp_path):
+    """CBO enablement (r4 verdict ask 8, SURVEY §4): maintenance.analyze
+    issues ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …]; the stats
+    must land in the catalog (row count + size read back via DESCRIBE
+    EXTENDED) and flip a join strategy — a dim too big to broadcast on
+    raw size becomes a BroadcastHashJoin once column NDV stats expose an
+    equality filter's selectivity. AQE is disabled for the static-plan
+    assertion (at runtime AQE can also flip it, but CBO flips it at
+    PLANNING time, before any stage runs — the distinction that matters
+    when the first stage is the expensive one)."""
+    from pyspark.sql import functions as F
+
+    from es_analytics_spark.maintenance import analyze
+
+    d = str(tmp_path)
+    spark.range(0, 200_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 1000).alias("cat"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    ).write.parquet(f"{d}/dim")
+    spark.range(0, 500_000).select(
+        (F.col("id") % 200_000).alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(f"{d}/fact")
+
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(1024 * 1024),
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for t in ("cbo_dim", "cbo_dim_nostats", "cbo_fact"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        stats = analyze(
+            spark,
+            {"cbo_dim": f"{d}/dim", "cbo_fact": f"{d}/fact"},
+            columns={"cbo_dim": ["cat"]},
+        )
+        # stats landed in the catalog
+        assert stats["cbo_dim"]["rowCount"] == 200_000
+        assert stats["cbo_dim"]["sizeInBytes"] > 1024 * 1024  # over threshold raw
+        assert stats["cbo_fact"]["rowCount"] == 500_000
+
+        q = (
+            "SELECT f.k, d.pad FROM cbo_fact f JOIN {dim} d ON f.k = d.k "
+            "WHERE d.cat = 7"
+        )
+        with_stats = (
+            spark.sql(q.format(dim="cbo_dim"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        spark.sql(
+            f"CREATE TABLE cbo_dim_nostats USING parquet LOCATION '{d}/dim'"
+        )
+        without = (
+            spark.sql(q.format(dim="cbo_dim_nostats"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in with_stats, with_stats
+        assert "SortMergeJoin" not in with_stats
+        assert "BroadcastHashJoin" not in without, without
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        for t in ("cbo_dim", "cbo_dim_nostats", "cbo_fact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
