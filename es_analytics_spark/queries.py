@@ -2205,3 +2205,4 @@ from es_analytics_spark import queries_sql2 as _queries_sql2  # noqa: E402,F401
 from es_analytics_spark import queries_sql3 as _queries_sql3  # noqa: E402,F401
 from es_analytics_spark import queries_sql4 as _queries_sql4  # noqa: E402,F401
 from es_analytics_spark import queries_sql5 as _queries_sql5  # noqa: E402,F401
+from es_analytics_spark import queries_sql6 as _queries_sql6  # noqa: E402,F401
