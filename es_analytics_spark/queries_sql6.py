@@ -521,3 +521,556 @@ def ml_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) / 1e6
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: small-quantity-order revenue (completes the TPC-H suite)
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+    WITH perpart AS (
+        SELECT l_partkey AS pk,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE)
+                 / COUNT(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 4) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small_orders
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN perpart ON pk = l_partkey
+    WHERE p_brand = 'Brand#2' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+@query("tpch_q17_small_quantity", oracle=_Q17_SQL)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted to the fixture
+    schema (p_brand filter; no p_container column): yearly revenue lost
+    if small orders — below 20% of the part's average quantity — were
+    no longer filled. Completes the TPC-H suite: the correlated AVG
+    subquery decorrelates into a per-part aggregate joined back to the
+    fact (the same decorrelation contract tpch_q2 pins for MIN).
+
+    Exactness: the per-part average uses the decimal-sum contract, so
+    the 0.2·avg threshold is a deterministic double in both engines and
+    the `<` comparison cannot flip; the revenue sum is decimal, the /7.0
+    one IEEE division.
+
+    Scale: lineitem shuffles once on l_partkey feeding BOTH the
+    per-part aggregate and the probe side; the brand-filtered part dim
+    broadcasts. No per-row subquery survives planning.
+    """
+    li, p = (_t(spark, sf_dir, "lineitem", "part")[t] for t in ("lineitem", "part"))
+    perpart = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.round(F.sum(F.col("l_quantity").cast("decimal(38,10)")), 4)
+            .cast("double") / F.count("l_quantity")
+        ).alias("avg_qty")
+    )
+    brand = p.filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), li["l_partkey"] == F.col("p_partkey"))
+        .join(perpart, li["l_partkey"] == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,10)")), 4)
+                .cast("double") / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-metric inference via the delta method
+# ---------------------------------------------------------------------------
+
+def _q6(expr: str) -> str:
+    return f"FLOOR(({expr}) * 1e6 + 0.5) / 1e6"
+
+
+_RATIO_DELTA_SQL = f"""
+    WITH per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                                        ELSE 0 END AS DECIMAL(38,10))), 4) AS DOUBLE)
+                 AS x,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) AS y
+        FROM events GROUP BY user_id
+    ), mom AS (
+        SELECT variant,
+               COUNT(*) AS n,
+               {dsum_expr('x')} AS sx,
+               {dsum_expr('y')} AS sy,
+               {dsum_expr('x * x')} AS sxx,
+               {dsum_expr('y * y')} AS syy,
+               {dsum_expr('x * y')} AS sxy
+        FROM per_user GROUP BY variant
+    )
+    SELECT variant,
+           CAST(n AS BIGINT) AS n_users,
+           {_q6('sx / sy')} AS ratio,
+           {_q6('''SQRT(GREATEST(
+                 (sxx - sx * sx / n)
+                 - 2 * (sx / sy) * (sxy - sx * sy / n)
+                 + (sx / sy) * (sx / sy) * (syy - sy * sy / n), 0)
+               / (n - 1)) / ((sy / n) * SQRT(CAST(n AS DOUBLE)))''')} AS se,
+           {_q6('''sx / sy - 1.959964 * SQRT(GREATEST(
+                 (sxx - sx * sx / n)
+                 - 2 * (sx / sy) * (sxy - sx * sy / n)
+                 + (sx / sy) * (sx / sy) * (syy - sy * sy / n), 0)
+               / (n - 1)) / ((sy / n) * SQRT(CAST(n AS DOUBLE)))''')} AS ci_lo,
+           {_q6('''sx / sy + 1.959964 * SQRT(GREATEST(
+                 (sxx - sx * sx / n)
+                 - 2 * (sx / sy) * (sxy - sx * sy / n)
+                 + (sx / sy) * (sx / sy) * (syy - sy * sy / n), 0)
+               / (n - 1)) / ((sy / n) * SQRT(CAST(n AS DOUBLE)))''')} AS ci_hi
+    FROM mom
+"""
+
+
+@query("ab_ratio_metric_delta", oracle=_RATIO_DELTA_SQL)
+def ab_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (purchase
+    value per click): the estimand is Σx/Σy, whose variance naive
+    per-user averaging gets wrong because users contribute unequal
+    denominators — THE standard experimentation subtlety (Deng et al.'s
+    ratio-metric delta method). Var(x̄/ȳ) ≈ (var_x − 2R·cov_xy +
+    R²·var_y) / (n·ȳ²), all moments from one pass of per-user sums.
+
+    Exactness: every moment (Σx, Σy, Σx², Σy², Σxy) goes through the
+    decimal contract, so the double-valued variance algebra starts from
+    identical inputs in both engines; outputs quantized at 1e-6.
+
+    Scale: one shuffle to the user grain, one |variants|-row moment
+    aggregate; the CI math is per-group scalar arithmetic.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0).cast("decimal(38,10)")
+            ), 4
+        ).cast("double").alias("x"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("double").alias("y"),
+    )
+    dd = lambda c: F.round(F.sum(c.cast("decimal(38,10)")), 4).cast("double")  # noqa: E731
+    mom = per_user.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dd(F.col("x")).alias("sx"),
+        dd(F.col("y")).alias("sy"),
+        dd(F.col("x") * F.col("x")).alias("sxx"),
+        dd(F.col("y") * F.col("y")).alias("syy"),
+        dd(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    r = F.col("sx") / F.col("sy")
+    var_num = F.greatest(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        - 2 * r * (F.col("sxy") - F.col("sx") * F.col("sy") / n)
+        + r * r * (F.col("syy") - F.col("sy") * F.col("sy") / n),
+        F.lit(0.0),
+    )
+    se = F.sqrt(var_num / (n - 1)) / ((F.col("sy") / n) * F.sqrt(n))
+    q6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    return mom.select(
+        "variant",
+        F.col("n").alias("n_users"),
+        q6(r).alias("ratio"),
+        q6(se).alias("se"),
+        q6(r - 1.959964 * se).alias("ci_lo"),
+        q6(r + 1.959964 * se).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampled-source harmonic closeness centrality
+# ---------------------------------------------------------------------------
+
+_CLOSE_ROUNDS = 3
+_CLOSE_SEED_MOD = 17
+
+
+def _closeness_sql() -> str:
+    from es_analytics_spark.queries_sql4 import _TRI_CAP, _TRI_STRIDE
+
+    parts = [
+        f"""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+        FROM lineitem WHERE l_partkey % {_TRI_STRIDE} = 0
+    ), keep AS (
+        SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= {_TRI_CAP}
+    ), e0 AS MATERIALIZED (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        JOIN keep k ON k.p = a.p
+    ), und AS MATERIALIZED (
+        SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+    ), seeds AS MATERIALIZED (
+        SELECT DISTINCT u AS node FROM und WHERE u % {_CLOSE_SEED_MOD} = 0
+    ), d0 AS MATERIALIZED (
+        SELECT node, node AS seed, 0 AS dist FROM seeds
+    )"""
+    ]
+    for i in range(1, _CLOSE_ROUNDS + 1):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+        SELECT node, seed, MIN(dist) AS dist FROM (
+            SELECT e.v AS node, d.seed, d.dist + 1 AS dist
+            FROM d{i - 1} d JOIN und e ON e.u = d.node
+            UNION ALL
+            SELECT node, seed, dist FROM d{i - 1}
+        ) GROUP BY node, seed
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node,
+           CAST(COUNT(*) AS BIGINT) AS n_seeds_reached,
+           CAST(SUM(CAST(FLOOR(1000000.0 / dist + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+               AS harmonic
+    FROM d{_CLOSE_ROUNDS} WHERE dist > 0
+    GROUP BY node
+    ORDER BY harmonic DESC, node ASC LIMIT 20
+"""
+    )
+    return "".join(parts)
+
+
+@query("graph_closeness_sampled", oracle=_closeness_sql())
+def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality estimated from SAMPLED sources:
+    multi-source BFS (3 rounds) from a deterministic seed subset (node
+    ≡ 0 mod {mod}) of the co-supply graph, harmonic score Σ 1/dist over
+    reached seeds — the estimator that makes closeness tractable at
+    scale (exact closeness is all-pairs; sampling k sources bounds
+    state at |nodes|·k and the Eppstein–Wang bound says k = O(log n/ε²)
+    sources suffice). Top-20 most central suppliers.
+
+    Exactness: distances are integers; 1/dist is summed as
+    FLOOR(1e6/dist + 0.5) micro-units — pure integer arithmetic, no
+    float divergence anywhere until the final /1e6 display division.
+
+    Scale: per BFS round one (frontier ⋈ edges) shuffle and one
+    (node, seed) min-aggregate; state is |nodes|·|seeds| (seed sampling
+    is the knob), checkpointed per round so lineage stays flat.
+    """.format(mod=_CLOSE_SEED_MOD)
+    from es_analytics_spark.queries_sql4 import _co_supply_edges
+
+    e = _co_supply_edges(spark, sf_dir)
+    und = (
+        e.select("u", "v")
+        .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .transform(cut_lineage)
+    )
+    seeds = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.col("node") % _CLOSE_SEED_MOD == 0)
+    )
+    d = seeds.select("node", F.col("node").alias("seed"), F.lit(0).alias("dist"))
+    for _ in range(_CLOSE_ROUNDS):
+        stepped = (
+            d.join(und, d["node"] == und["u"])
+            .select(F.col("v").alias("node"), "seed", (F.col("dist") + 1).alias("dist"))
+        )
+        d = (
+            stepped.unionByName(d)
+            .groupBy("node", "seed")
+            .agg(F.min("dist").alias("dist"))
+            .transform(cut_lineage)
+        )
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_seeds_reached"),
+            (
+                F.sum(F.floor(1000000.0 / F.col("dist") + 0.5).cast("bigint"))
+                .cast("double") / 1e6
+            ).alias("harmonic"),
+        )
+        .orderBy(F.desc("harmonic"), F.asc("node"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra: union / intersection estimates between user sets
+# ---------------------------------------------------------------------------
+
+_KMV6_K = 64
+
+
+def _kmv_setops_sql() -> str:
+    from es_analytics_spark.functions.portable import MIX_P, accept_hash_sql
+
+    est = (
+        f"CASE WHEN {{n}} < {_KMV6_K} THEN CAST({{n}} AS DOUBLE) "
+        f"ELSE FLOOR(({_KMV6_K} - 1) * {MIX_P} * 1.0 / {{hk}} * 1e4 + 0.5) / 1e4 END"
+    )
+    return f"""
+    WITH hashes AS MATERIALIZED (
+        SELECT DISTINCT event_type, user_id, {accept_hash_sql('user_id')} AS h
+        FROM events
+    ), kth AS (
+        SELECT event_type, COUNT(*) AS nh,
+               MAX(CASE WHEN rn = {_KMV6_K} THEN h END) AS hk
+        FROM (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM (SELECT DISTINCT event_type, h FROM hashes)
+        ) WHERE rn <= {_KMV6_K} GROUP BY event_type
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM kth a JOIN kth b ON a.event_type < b.event_type
+    ), ukth AS (
+        SELECT type_a, type_b, COUNT(*) AS nh,
+               MAX(CASE WHEN rn = {_KMV6_K} THEN h END) AS hk
+        FROM (
+            SELECT p.type_a, p.type_b, u.h,
+                   ROW_NUMBER() OVER (PARTITION BY p.type_a, p.type_b
+                                      ORDER BY u.h) AS rn
+            FROM pairs p JOIN (SELECT DISTINCT event_type, h FROM hashes) u
+              ON u.event_type IN (p.type_a, p.type_b)
+            GROUP BY p.type_a, p.type_b, u.h
+        ) WHERE rn <= {_KMV6_K} GROUP BY type_a, type_b
+    ), exact AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_exact_both
+        FROM (SELECT DISTINCT event_type, user_id FROM hashes) a
+        JOIN (SELECT DISTINCT event_type, user_id FROM hashes) b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b,
+           {est.format(n='ka.nh', hk='ka.hk')} AS est_a,
+           {est.format(n='kb.nh', hk='kb.hk')} AS est_b,
+           {est.format(n='uk.nh', hk='uk.hk')} AS est_union,
+           GREATEST({est.format(n='ka.nh', hk='ka.hk')}
+                    + {est.format(n='kb.nh', hk='kb.hk')}
+                    - {est.format(n='uk.nh', hk='uk.hk')}, 0) AS est_intersection,
+           CAST(COALESCE(e.n_exact_both, 0) AS BIGINT) AS exact_intersection
+    FROM pairs p
+    JOIN kth ka ON ka.event_type = p.type_a
+    JOIN kth kb ON kb.event_type = p.type_b
+    JOIN ukth uk ON uk.type_a = p.type_a AND uk.type_b = p.type_b
+    LEFT JOIN exact e ON e.type_a = p.type_a AND e.type_b = p.type_b
+"""
+
+
+@query("agg_kmv_setops", oracle=_kmv_setops_sql())
+def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA: for every pair of event types, the union
+    estimate comes from merging the two k-sample sketches (k smallest
+    of the union — the mergeability KMV is chosen for) and the
+    intersection via inclusion–exclusion, with the exact intersection
+    beside it so sketch error is visible in the judged result. This is
+    the audience-overlap query (users who both view and purchase)
+    answered at fixed memory per set — at 100 TB the sketches are a few
+    KB each while COUNT(DISTINCT) over the pair would shuffle the
+    world.
+
+    Exactness: both engines run the identical portable hash and the
+    identical (k−1)·P/h_k arithmetic quantized at 1e-4, so estimates —
+    not just exact counts — hash-match.
+
+    Scale: one distinct pass builds per-type sketches (rank-then-filter
+    to k rows per type before anything collects); the pair/union stage
+    works on |types|²-bounded frames (constant dims); the exact
+    intersection joins distinct (type,user) pairs — the one data-sized
+    join, present deliberately as the error reference.
+    """
+    from es_analytics_spark.functions.portable import MIX_P, accept_hash
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    hashes = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type", "user_id", accept_hash(F.col("user_id")).alias("h")
+        )
+        .transform(cut_lineage)
+    )
+    th = hashes.select("event_type", "h").distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    kth = (
+        th.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV6_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.max(F.when(F.col("rn") == _KMV6_K, F.col("h"))).alias("hk"),
+        )
+        .transform(cut_lineage)
+    )
+
+    def est(nh, hk):
+        return F.when(nh < _KMV6_K, nh.cast("double")).otherwise(
+            F.floor((_KMV6_K - 1) * MIX_P * 1.0 / hk * 1e4 + 0.5) / 1e4
+        )
+
+    pairs = (
+        kth.alias("a")
+        .join(kth.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.nh").alias("nh_a"), F.col("a.hk").alias("hk_a"),
+            F.col("b.nh").alias("nh_b"), F.col("b.hk").alias("hk_b"),
+        )
+    )
+    wu = W.partitionBy("type_a", "type_b").orderBy("h")
+    ukth = (
+        F.broadcast(pairs.select("type_a", "type_b"))
+        .join(
+            th,
+            (th["event_type"] == F.col("type_a"))
+            | (th["event_type"] == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= _KMV6_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("nh_u"),
+            F.max(F.when(F.col("rn") == _KMV6_K, F.col("h"))).alias("hk_u"),
+        )
+    )
+    tu = hashes.select("event_type", "user_id").distinct()
+    exact = (
+        tu.alias("a")
+        .join(
+            tu.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_exact_both"))
+    )
+    ea = est(F.col("nh_a"), F.col("hk_a"))
+    eb = est(F.col("nh_b"), F.col("hk_b"))
+    eu = est(F.col("nh_u"), F.col("hk_u"))
+    return (
+        pairs.join(ukth, ["type_a", "type_b"])
+        .join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b",
+            ea.alias("est_a"), eb.alias("est_b"), eu.alias("est_union"),
+            F.greatest(ea + eb - eu, F.lit(0.0)).alias("est_intersection"),
+            F.coalesce(F.col("n_exact_both"), F.lit(0)).alias("exact_intersection"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve: how much NEW content each slice of the corpus adds
+# ---------------------------------------------------------------------------
+
+_NOVELTY_SQL = f"""
+    WITH words AS (
+        SELECT doc_id, STRING_SPLIT({_NORM6_SQL}, ' ') AS w FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               UNNEST(LIST_DISTINCT(CASE WHEN LEN(w) >= 3
+                 THEN LIST_TRANSFORM(GENERATE_SERIES(1, LEN(w) - 2),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                 ELSE [ARRAY_TO_STRING(w, ' ')] END)) AS g
+        FROM words
+    ), first_seen AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    ), per_doc AS (
+        SELECT gr.doc_id,
+               COUNT(*) AS n_grams,
+               COUNT(CASE WHEN fs.first_doc = gr.doc_id THEN 1 END) AS n_novel
+        FROM grams gr JOIN first_seen fs ON fs.g = gr.g
+        GROUP BY gr.doc_id
+    )
+    SELECT doc_id // 100 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+           FLOOR(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_grams) * 1e6 + 0.5) / 1e6
+               AS novelty
+    FROM per_doc GROUP BY doc_id // 100
+"""
+
+
+@query("text_ngram_novelty", oracle=_NOVELTY_SQL)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per 100-doc slice (in doc_id order — the
+    ingestion order proxy), the fraction of its distinct word trigrams
+    never seen in any earlier document. The diminishing-returns signal
+    every corpus-growth decision reads — when novelty flattens, more of
+    the same source stops adding training value (the Baevski/Kaplan
+    data-scaling intuition made measurable).
+
+    First-seen attribution is MIN(doc_id) per gram — exact, order-
+    independent, and engine-agnostic; ratios are integer-ratio doubles
+    quantized at 1e-6.
+
+    Scale: explode to the (gram, doc) grain, one gram-keyed
+    min-aggregate (map-side combined), join back on gram (both sides
+    gram-keyed — co-partitioned), bucket rollup. Same shuffle family as
+    text_tfidf_topk; gram cardinality, not corpus bytes, drives the
+    exchange.
+    """
+    from es_analytics_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    # materialize the words array in its own projection FIRST: building
+    # trigrams straight off the split expression makes Catalyst
+    # re-inline the split into every element_at (3 per gram) — the
+    # 15-40× re-inline trap operators/dedup.py's _shingle_expr pins
+    words = d.select("doc_id", F.split(normalize_text(F.col("text")), " ").alias("w"))
+    w = F.col("w")
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i.cast("int")),
+                F.element_at(w, (i + 1).cast("int")),
+                F.element_at(w, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+    grams = words.select(
+        "doc_id", F.explode(F.array_distinct(tri)).alias("g")
+    ).transform(cut_lineage)
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias("n_novel"),
+        )
+    )
+    return per_doc.groupBy(
+        (F.col("doc_id") / 100).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("n_novel").alias("novel_grams"),
+        (
+            F.floor(
+                F.sum("n_novel").cast("double") / F.sum("n_grams") * 1e6 + 0.5
+            ) / 1e6
+        ).alias("novelty"),
+    )
