@@ -1,8 +1,11 @@
-"""Round-5 surface: training-data governance (cross-split leakage
-detection), time-decay attribution completing the attribution quartet,
-personalized PageRank with the round-5 residual-telemetry convention,
-Bollinger-band volatility envelopes, and tokenizer fertility
-diagnostics.
+"""Round-5 surface: training-data governance (cross-split leakage,
+n-gram novelty curve, quality-pruning curve, tokenizer fertility),
+time-decay attribution completing the attribution quartet, personalized
+PageRank and sampled harmonic closeness with the round-5
+residual/sampling conventions, TPC-H Q17 completing the suite,
+delta-method ratio-metric inference, Brown-Forsythe variance
+homogeneity, unordered funnels, Bollinger-band volatility envelopes,
+and KMV sketch set algebra.
 
 Same contract as the rest of the catalog (see queries.py): every entry
 pairs a Spark-first implementation with a DuckDB oracle, is
@@ -1073,4 +1076,242 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_novel").cast("double") / F.sum("n_grams") * 1e6 + 0.5
             ) / 1e6
         ).alias("novelty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown–Forsythe variance-homogeneity test (Levene with median centers)
+# ---------------------------------------------------------------------------
+
+# one SQL text, two engines: every construct here (PERCENTILE_DISC
+# WITHIN GROUP, FILTER-free aggregates, decimal casts) parses and
+# computes identically in Spark SQL and DuckDB — the agg_mode_median
+# pattern
+_LEVENE_SQL = """
+    WITH med AS (
+        SELECT event_type,
+               CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value)
+                    AS DOUBLE) AS med
+        FROM events GROUP BY event_type
+    ), dev AS (
+        SELECT e.event_type, ABS(e.value - m.med) AS z
+        FROM events e JOIN med m ON m.event_type = e.event_type
+    ), grp AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(z AS DECIMAL(38,10))), 4) AS DOUBLE) AS sz,
+               CAST(ROUND(SUM(CAST(z * z AS DECIMAL(38,10))), 4) AS DOUBLE) AS szz
+        FROM dev GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(ROUND(SUM(CAST(sz AS DECIMAL(38,10))), 4) AS DOUBLE) AS tz
+        FROM grp
+    ), parts AS (
+        SELECT t.k, t.nn,
+               CAST(ROUND(SUM(CAST(
+                   n * (sz / n - t.tz / t.nn) * (sz / n - t.tz / t.nn)
+                   AS DECIMAL(38,10))), 6) AS DOUBLE) AS ssb,
+               CAST(ROUND(SUM(CAST(szz - sz * sz / n AS DECIMAL(38,10))), 6)
+                    AS DOUBLE) AS ssw
+        FROM grp CROSS JOIN tot t GROUP BY t.k, t.nn
+    )
+    SELECT k AS n_groups, nn AS n_obs,
+           CAST(k - 1 AS BIGINT) AS df1, CAST(nn - k AS BIGINT) AS df2,
+           FLOOR((ssb / (k - 1)) / (ssw / (nn - k)) * 1e6 + 0.5) / 1e6 AS f_stat
+    FROM parts
+"""
+
+
+@query("stat_levene_bf", oracle=_LEVENE_SQL)
+def stat_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene with MEDIAN centers): are event-value
+    variances homogeneous across event types? One-way ANOVA F over
+    absolute deviations from each group's median — the robust
+    variance-equality gate run before pooled-variance t-tests
+    (ab_welch_ttest is the fallback when this rejects). Completes the
+    nonparametric shelf: KS (distribution), MWU (location), χ²
+    (independence), randomization (exactness), Brown–Forsythe (spread).
+
+    Exactness: PERCENTILE_DISC picks an actual data value (no
+    interpolation); every sum in the F assembly goes through the
+    decimal contract including the k-row combine (5 doubles summed in
+    engine order would already drift).
+
+    Scale: one |groups|-row median pass (full sort only within each
+    type's partition), one broadcast join of 5 medians back to events,
+    two bounded aggregates.
+    """
+    _views6(spark, sf_dir, "events")
+    return spark.sql(_LEVENE_SQL)
+
+
+def _views6(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for name, df in _t(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Unordered (any-order) funnel
+# ---------------------------------------------------------------------------
+
+_UF_US_7D = 7 * 86400 * 1_000_000
+
+_UNORDERED_FUNNEL_SQL = f"""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN EPOCH_US(ts) END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN EPOCH_US(ts) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN EPOCH_US(ts) END) AS t_buy
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                            AND t_buy IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_all_three,
+           CAST(COUNT(CASE WHEN GREATEST(t_view, t_click, t_buy)
+                             - LEAST(t_view, t_click, t_buy) <= {_UF_US_7D}
+                           THEN 1 END) AS BIGINT) AS n_all_three_within_7d,
+           CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                            AND t_buy IS NOT NULL
+                            AND NOT (t_view < t_click AND t_click < t_buy)
+                           THEN 1 END) AS BIGINT) AS n_out_of_order
+    FROM firsts
+"""
+
+
+@query("funnel_unordered", oracle=_UNORDERED_FUNNEL_SQL)
+def funnel_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-order funnel: users who did ALL of view/click/purchase,
+    regardless of sequence — with the within-7-days tightening and the
+    count of users who completed OUT of the canonical order. The
+    comparison against ts_funnel_windowed's ordered numbers is the
+    product question itself: how much conversion does an
+    order-enforcing funnel definition hide? (GREATEST/LEAST over the
+    three first-touch times is NULL if any leg is NULL, so the 7-day
+    predicate self-selects completers — no explicit NOT NULL needed,
+    mirrored in both engines' NULL semantics.)
+
+    Scale: one shuffle to the user grain (conditional MIN aggregate),
+    one 1-row reduction. No joins, no windows.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    tus = F.unix_micros(F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", tus)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", tus)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", tus)).alias("t_buy"),
+    )
+    all3 = (
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_buy").isNotNull()
+    )
+    spread = F.greatest("t_view", "t_click", "t_buy") - F.least(
+        "t_view", "t_click", "t_buy"
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(all3, 1)).alias("n_all_three"),
+        F.count(F.when(spread <= _UF_US_7D, 1)).alias("n_all_three_within_7d"),
+        F.count(
+            F.when(
+                all3
+                & ~(
+                    (F.col("t_view") < F.col("t_click"))
+                    & (F.col("t_click") < F.col("t_buy"))
+                ),
+                1,
+            )
+        ).alias("n_out_of_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-pruning curve: cumulative token accounting down the quality axis
+# ---------------------------------------------------------------------------
+
+_PRUNE_BAND_CHARS = 50
+
+_PRUNE_SQL = f"""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               LENGTH(TRIM(text)) - LENGTH(REPLACE(REGEXP_REPLACE(TRIM(text),
+                     '\\s+', ' ', 'g'), ' ', '')) + 1 AS n_words,
+               n_chars // {_PRUNE_BAND_CHARS} AS band
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), bands AS (
+        SELECT band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens
+        FROM scored GROUP BY band
+    ), tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS all_tokens FROM bands
+    )
+    SELECT a.band,
+           a.n_docs, a.n_tokens,
+           CAST(SUM(b.n_docs) AS BIGINT) AS cum_docs,
+           CAST(SUM(b.n_tokens) AS BIGINT) AS cum_tokens,
+           FLOOR(CAST(SUM(b.n_tokens) AS DOUBLE) / MAX(t.all_tokens) * 1e6 + 0.5)
+               / 1e6 AS cum_token_share
+    FROM bands a
+    JOIN bands b ON b.band >= a.band
+    CROSS JOIN tot t
+    GROUP BY a.band, a.n_docs, a.n_tokens
+"""
+
+
+@query("ml_quality_pruning_curve", oracle=_PRUNE_SQL)
+def ml_quality_pruning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-pruning curve: band documents by the quality proxy
+    (n_chars, the ml_quality_bucket_sample signal, in {band}-char
+    bands) and report, for each band, the CUMULATIVE docs/tokens
+    retained if the corpus were pruned to that band and above — the
+    quality-vs-quantity tradeoff table a DataComp-style filtering
+    decision reads ("keeping only the top bands leaves X% of tokens").
+
+    The cumulative sums use the broadcast triangle self-join over the
+    |bands| frame (the cumulative_offsets recipe) instead of an
+    unpartitioned running window — bands are bounded by max doc length
+    / {band} (constant ~40), so the triangle is ≤ 1.6k rows and the
+    plan stays free of single-partition exchanges at any corpus size.
+
+    Scale: one scan → one |bands| aggregate; everything after is
+    constant-sized.
+    """.format(band=_PRUNE_BAND_CHARS)
+    d = _t(spark, sf_dir, "documents")["documents"]
+    t = F.trim(F.col("text"))
+    n_words = (
+        F.length(t)
+        - F.length(F.replace(F.regexp_replace(t, r"\s+", " "), F.lit(" "), F.lit("")))
+        + 1
+    )
+    scored = d.filter(F.length(t) > 0).select(
+        (F.col("n_chars") / _PRUNE_BAND_CHARS).cast("bigint").alias("band"),
+        n_words.alias("n_words"),
+    )
+    bands = scored.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+    )
+    tot = bands.agg(F.sum("n_tokens").alias("all_tokens"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("b.band") >= F.col("a.band"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("a.band").alias("band"),
+            F.col("a.n_docs").alias("n_docs"),
+            F.col("a.n_tokens").alias("n_tokens"),
+        )
+        .agg(
+            F.sum("b.n_docs").alias("cum_docs"),
+            F.sum("b.n_tokens").alias("cum_tokens"),
+            (
+                F.floor(
+                    F.sum("b.n_tokens").cast("double")
+                    / F.max("all_tokens") * 1e6 + 0.5
+                ) / 1e6
+            ).alias("cum_token_share"),
+        )
     )
