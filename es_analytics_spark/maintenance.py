@@ -337,14 +337,36 @@ def erase_keys(
     driver-sized by nature. Erasure sets big enough to need an
     anti-join belong to ``upsert``-style whole-table rewrites.
     """
-    from urllib.parse import unquote, urlparse
-
-    from pyspark.sql import functions as F
+    from pyspark.sql import functions as F  # noqa: F401
 
     df = spark.read.parquet(path)
     if key_col not in df.columns:
         raise ValueError(f"erase_keys: {key_col!r} absent from {path}")
 
+    pred, keep = erasure_predicates(key_col, values)
+    return _prune_rewrite(
+        spark, path, pred, keep, op="erase_keys", in_file_col=key_col
+    )
+
+
+def _prune_rewrite(
+    spark: SparkSession,
+    path: str,
+    pred,
+    keep,
+    op: str,
+    in_file_col: str | None = None,
+) -> dict:
+    """Shared file-pruned delete core (erase_keys / delete_where): scan
+    once tagging ``input_file_name``, rewrite only files with matching
+    rows (all-match files are deleted outright), atomic per-file
+    replace, verification re-read. ``keep`` must be the NULL-safe
+    complement of ``pred`` (see :func:`erasure_predicates`)."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
     fs = lake_fs(spark, path)
 
     def _local(file_uri: str) -> str:
@@ -353,7 +375,6 @@ def erase_keys(
         p = urlparse(file_uri)
         return unquote(p.path) if p.scheme else file_uri
 
-    pred, keep = erasure_predicates(key_col, values)
     per_file = (
         df.withColumn("__file", F.input_file_name())
         .groupBy("__file")
@@ -372,15 +393,16 @@ def erase_keys(
             "verified": True,
         }
 
-    # partition-column erasure would scan fine (the value comes from the
-    # directory) but the per-file rewrite below cannot express it: the
-    # column is not IN the file
-    sample_file = _local(per_file[0]["__file"])
-    if key_col not in spark.read.parquet(sample_file).columns:
-        raise ValueError(
-            f"erase_keys: {key_col!r} is a partition column of {path}; "
-            "delete the matching partition directories instead of rewriting files"
-        )
+    # partition-column predicates would scan fine (the value comes from
+    # the directory) but the per-file rewrite below cannot express them:
+    # the column is not IN the file
+    if in_file_col is not None:
+        sample_file = _local(per_file[0]["__file"])
+        if in_file_col not in spark.read.parquet(sample_file).columns:
+            raise ValueError(
+                f"{op}: {in_file_col!r} is a partition column of {path}; "
+                "delete the matching partition directories instead of rewriting files"
+            )
 
     staging = path.rstrip("/") + ".__erase__"
     fs.delete(staging)
@@ -429,6 +451,50 @@ def erase_keys(
         "files_rewritten": rewritten,
         "files_deleted": deleted,
         "verified": survivors == 0,
+    }
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+) -> dict:
+    """Predicate delete (``DELETE FROM t WHERE predicate`` without a
+    table format): physically remove every row matching ``predicate``
+    (a SQL string or Column) from the parquet table at ``path``, with
+    the same file-level pruning, atomic per-file replacement, crash
+    idempotence, and verification re-read as :func:`erase_keys` — the
+    retention/TTL primitive (``delete_where(t, "ts < now() - interval
+    90 days")``).
+
+    SQL DELETE semantics: only rows where the predicate is TRUE are
+    removed; FALSE and NULL rows are kept (the null-safe ``keep`` is
+    built here, not left to ``~pred``'s three-valued logic).
+
+    On a time-clustered table (``cluster_by(ts)`` or append-ordered
+    ingestion), a TTL predicate matches whole files, which this op
+    deletes outright without rewriting — O(expired files) metadata
+    work, the property that makes retention viable at 100 TB. The
+    predicate must be over data columns; partition-column retention is
+    a directory delete (raises with that guidance, same as
+    erase_keys).
+    """
+    from pyspark.sql import Column, functions as F
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    if not isinstance(pred, Column):
+        raise TypeError("delete_where: predicate must be a SQL string or Column")
+    keep = ~F.coalesce(pred, F.lit(False))
+    # a predicate over a partition column shows up as "column not in
+    # file"; detection happens in the shared core only for simple
+    # column references — for arbitrary expressions Spark's analyzer
+    # raises on the per-file read, which is the same guidance
+    receipt = _prune_rewrite(spark, path, pred, keep, op="delete_where")
+    return {
+        "rows_deleted": receipt["rows_erased"],
+        "files_rewritten": receipt["files_rewritten"],
+        "files_deleted": receipt["files_deleted"],
+        "verified": receipt["verified"],
     }
 
 

@@ -395,3 +395,42 @@ def test_typed_header_without_header_row_raises():
 
     with pytest.raises(ValueError, match="missing header row"):
         schema_from_typed_header("#INTEGER,FLOAT")
+
+
+def test_orc_sink_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC lake format (round 5): the collector's orc sink_format
+    writes a readable lake, values and schema round-trip, and an
+    equality predicate reaches the ORC scan as a pushed filter — the
+    same scan-efficiency contract the parquet path has."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from es_analytics_spark.collector import Collector, CollectorConfig
+
+    cfg = CollectorConfig(lake_dir=str(tmp_path), sink_format="orc")
+    col = Collector(spark, cfg)
+    base = dt.datetime(2024, 3, 1, 12, tzinfo=dt.timezone.utc)
+    col.track_many(
+        "orc_events",
+        [
+            {"uid": i, "ts": base, "kind": "a" if i % 2 else "b", "v": i * 0.5}
+            for i in range(500)
+        ],
+    )
+    col.stop()
+
+    files = [str(p) for p in (tmp_path).rglob("*") if p.is_file() and p.suffix != ".crc"]
+    assert files, "orc sink wrote nothing"
+    df = spark.read.format("orc").load(
+        [f for f in files if not f.endswith(".crc")]
+    )
+    assert df.count() == 500
+    got = {r["uid"]: (r["kind"], r["v"]) for r in df.collect()}
+    assert got[7] == ("a", 3.5) and got[8] == ("b", 4.0)
+
+    plan = (
+        df.filter(F.col("uid") == 7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "uid" in plan.split("PushedFilters", 1)[1][:200], plan

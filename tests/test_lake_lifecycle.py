@@ -1585,3 +1585,108 @@ def test_erase_from_view_preserves_null_key_rows(spark, tmp_path):
     assert after.filter("subject IS NULL").count() == n_null
     assert after.filter(F.col("subject") == 3).count() == 0
     assert after.count() == 300 - receipt["rows_erased"]
+
+
+def test_delete_where_ttl_and_null_semantics(spark, tmp_path):
+    """Retention delete (round 5): delete_where prunes whole expired
+    files on a time-clustered table (O(expired files) metadata work,
+    no rewrite), keeps FALSE- and NULL-predicate rows (SQL DELETE
+    three-valued semantics), verifies, and re-runs as a no-op."""
+    import os
+
+    from es_analytics_spark.maintenance import delete_where
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10_000).select(
+        "id",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 86_400_000_000
+        ).alias("ts"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id") % 5).alias("grp"),
+    )
+    df.repartitionByRange(5, "id").write.parquet(path)
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+    # TTL: range-clustered on id (∝ ts), so expired rows fill whole files
+    r = delete_where(spark, path, "id >= 6000")
+    assert r["verified"] is True
+    assert r["rows_deleted"] == 4000
+    assert r["files_deleted"] >= 1, "clustered TTL must drop whole files"
+    assert r["files_deleted"] + r["files_rewritten"] < n_files
+    out = spark.read.parquet(path)
+    assert out.count() == 6000
+    n_null = out.filter("grp IS NULL").count()
+    assert n_null > 0
+
+    # NULL semantics: DELETE WHERE grp = 2 keeps NULL-grp rows
+    r2 = delete_where(spark, path, F.col("grp") == 2)
+    assert r2["verified"] is True
+    out2 = spark.read.parquet(path)
+    assert out2.filter("grp = 2").count() == 0
+    assert out2.filter("grp IS NULL").count() == n_null
+    assert out2.count() == 6000 - r2["rows_deleted"]
+
+    # idempotent re-run
+    again = delete_where(spark, path, F.col("grp") == 2)
+    assert again == {
+        "rows_deleted": 0,
+        "files_rewritten": 0,
+        "files_deleted": 0,
+        "verified": True,
+    }
+
+
+def test_delete_where_crash_consistency_sweep(spark, tmp_path, monkeypatch):
+    """Kill delete_where after every mutating filesystem step and
+    assert the same per-file replacement contract as erase_keys: the
+    table stays readable, shows original-minus-a-subset-of-matching
+    rows, and one clean re-run converges verified (the shared
+    _prune_rewrite core under fault injection through its own seam)."""
+    import shutil
+
+    import es_analytics_spark.maintenance as maint
+    from es_analytics_spark.maintenance import delete_where
+    from es_analytics_spark.sources.fsio import lake_fs as real_lake_fs
+
+    src = spark.range(0, 4000).select(
+        "id", (F.col("id") % 11).alias("grp")
+    )
+    template = str(tmp_path / "template")
+    src.repartitionByRange(4, "id").write.parquet(template)
+    all_rows = {(r["id"], r["grp"]) for r in src.collect()}
+    want = {t for t in all_rows if not (t[1] in (3, 4) or t[0] >= 3500)}
+    predicate = "grp IN (3, 4) OR id >= 3500"
+
+    k = 1
+    crashed = True
+    while k < 60:
+        path = str(tmp_path / f"t{k}")
+        shutil.copytree(template, path)
+        crasher = _CrashFS(real_lake_fs(spark, path), k)
+        monkeypatch.setattr(
+            maint,
+            "lake_fs",
+            lambda s, p, _c=crasher: _c
+            if str(p).startswith(str(tmp_path))
+            else real_lake_fs(s, p),
+        )
+        crashed = False
+        try:
+            delete_where(spark, path, predicate)
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+            crashed = True
+        monkeypatch.setattr(maint, "lake_fs", real_lake_fs)
+
+        observed = {(r["id"], r["grp"]) for r in spark.read.parquet(path).collect()}
+        assert want <= observed <= all_rows, f"torn rows at k={k}"
+
+        receipt = delete_where(spark, path, predicate)
+        assert receipt["verified"] is True
+        final = {(r["id"], r["grp"]) for r in spark.read.parquet(path).collect()}
+        assert final == want, f"k={k} diverged after heal"
+        shutil.rmtree(path)
+        if not crashed:
+            break
+        k += 1
+    assert not crashed, "sweep never reached a crash-free run"

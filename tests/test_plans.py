@@ -369,6 +369,10 @@ def test_every_driver_fetch_is_limit_guarded_or_audited():
         # dev/test harness materializing query results for comparison —
         # not a registered query path
         ("oracle.py", "compare_query"),
+        ("oracle.py", "driver_record"),
+        # DESCRIBE TABLE EXTENDED output: rows bounded by the table's
+        # metadata field count (~30), never by data
+        ("maintenance.py", "analyze"),
         # GDPR erasure: one row per data FILE containing matches —
         # bounded by table layout (same class as table_stats' file
         # listing), and a single-writer maintenance op, not a query
