@@ -104,6 +104,16 @@ HEADLINE = [
     "graph_hits",
     "ts_forecast_accuracy",
     "dedup_impact_report",
+    # r5: training-data governance, seeded/sampled graph estimators,
+    # TPC-H completion, sketch set algebra, novelty curve
+    "ml_cross_split_leakage",
+    "attr_time_decay",
+    "graph_ppr_seeded",
+    "graph_closeness_sampled",
+    "tpch_q17_small_quantity",
+    "agg_kmv_setops",
+    "text_ngram_novelty",
+    "ab_ratio_metric_delta",
 ]
 
 
