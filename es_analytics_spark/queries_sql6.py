@@ -1315,3 +1315,161 @@ def ml_quality_pruning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_token_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shard assignment: greedy sequential packing by cumulative token count
+# ---------------------------------------------------------------------------
+
+_SHARD_TOKENS = 4096
+_SHARD_PARTS = 32
+
+_SHARD_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               LENGTH(TRIM(text)) - LENGTH(REPLACE(REGEXP_REPLACE(TRIM(text),
+                     '\\s+', ' ', 'g'), ' ', '')) + 1 AS n_tokens
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), cum AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS cum_before
+        FROM toks
+    )
+    SELECT CAST(cum_before // {_SHARD_TOKENS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM cum GROUP BY cum_before // {_SHARD_TOKENS}
+"""
+
+
+@query("ml_shard_assignment", oracle=_SHARD_SQL)
+def ml_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential shard planning for corpus export: docs in
+    doc_id order accumulate into ~{n}-token shards (a doc belongs to
+    the shard its cumulative START offset falls in) — the assignment a
+    shard writer materializes directly, with per-shard doc ranges so
+    each shard's input is a contiguous id slice (scan-pruned reads per
+    shard at write time).
+
+    The global running token sum is computed WITHOUT an unpartitioned
+    window: doc_ids bucket into {p} balanced ranges via max-id scaling
+    (one bounded scalar agg), the running sum runs inside each bucket's
+    ordered partition, and the broadcast cumulative-offset table
+    (functions/ranks.cumulative_offsets — |buckets|-row triangle) lifts
+    local sums to exact global offsets. The ml_split_shuffle recipe
+    applied to a weighted prefix sum.
+
+    Scale: one scan, one bucket-partitioned window, one constant-size
+    offset join; shard count = total tokens / {n}, output is
+    shard-grain.
+    """.format(n=_SHARD_TOKENS, p=_SHARD_PARTS)
+    from es_analytics_spark.functions.ranks import cumulative_offsets
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    t = F.trim(F.col("text"))
+    n_words = (
+        F.length(t)
+        - F.length(F.replace(F.regexp_replace(t, r"\s+", " "), F.lit(" "), F.lit("")))
+        + 1
+    )
+    toks = d.filter(F.length(t) > 0).select(
+        "doc_id", n_words.alias("n_tokens")
+    )
+    max_id = toks.agg(F.max("doc_id")).first()[0]
+    pid = (F.col("doc_id") * _SHARD_PARTS / (max_id + 1)).cast("int")
+    bucketed = toks.withColumn("pid", pid).transform(cut_lineage)
+    per_bucket = bucketed.groupBy("pid").agg(F.sum("n_tokens").alias("cnt"))
+    offs = cumulative_offsets(per_bucket, pid="pid", cnt="cnt")
+    w = W.partitionBy("pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        bucketed.join(F.broadcast(offs), "pid")
+        .withColumn(
+            "cum_before",
+            F.sum("n_tokens").over(w) - F.col("n_tokens") + F.col("off"),
+        )
+    )
+    return cum.groupBy(
+        (F.col("cum_before") / _SHARD_TOKENS).cast("bigint").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix over the lineitem measures
+# ---------------------------------------------------------------------------
+
+_CORR_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_sql() -> str:
+    moments = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for m in _CORR_MEASURES:
+        moments.append(f"{dsum_expr(m)} AS s_{m}")
+        moments.append(f"{dsum_expr(f'{m} * {m}')} AS ss_{m}")
+    pair_rows = []
+    for i, a in enumerate(_CORR_MEASURES):
+        for b in _CORR_MEASURES[i + 1 :]:
+            moments.append(f"{dsum_expr(f'{a} * {b}')} AS sp_{a}_{b}")
+            pair_rows.append(
+                f"SELECT '{a}' AS m_a, '{b}' AS m_b, "
+                f"FLOOR((n * sp_{a}_{b} - s_{a} * s_{b}) "
+                f"/ SQRT((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b})) "
+                f"* 1e6 + 0.5) / 1e6 AS corr FROM mom"
+            )
+    sql_moments = ",\n               ".join(moments)
+    sql_pairs = "\n    UNION ALL\n    ".join(pair_rows)
+    return f"""
+    WITH mom AS MATERIALIZED (
+        SELECT {sql_moments}
+        FROM lineitem
+    )
+    {sql_pairs}
+"""
+
+
+@query("agg_corr_matrix", oracle=_corr_matrix_sql())
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (long format) over the four
+    lineitem measures, all six pairs from ONE scan: a single aggregate
+    computes every first/second/cross moment through the decimal
+    contract, then constant-size projection assembles each correlation
+    — the feature-redundancy screen run before any modeling step, at
+    the cost of one pass regardless of how many pairs.
+
+    Scale: one partial+final aggregate (no shuffle beyond the 1-row
+    combine); the pair expansion is driver-side arithmetic over a
+    single broadcast row.
+    """
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    dd = lambda c: F.round(F.sum(c.cast("decimal(38,10)")), 4).cast("double")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for m in _CORR_MEASURES:
+        aggs.append(dd(F.col(m)).alias(f"s_{m}"))
+        aggs.append(dd(F.col(m) * F.col(m)).alias(f"ss_{m}"))
+    pairs = []
+    for i, a in enumerate(_CORR_MEASURES):
+        for b in _CORR_MEASURES[i + 1 :]:
+            aggs.append(dd(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+            pairs.append((a, b))
+    mom = li.agg(*aggs).transform(cut_lineage)
+    out = None
+    for a, b in pairs:
+        num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        row = mom.select(
+            F.lit(a).alias("m_a"),
+            F.lit(b).alias("m_b"),
+            (F.floor(num / den * 1e6 + 0.5) / 1e6).alias("corr"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
