@@ -373,10 +373,11 @@ def test_every_driver_fetch_is_limit_guarded_or_audited():
         # DESCRIBE TABLE EXTENDED output: rows bounded by the table's
         # metadata field count (~30), never by data
         ("maintenance.py", "analyze"),
-        # GDPR erasure: one row per data FILE containing matches —
-        # bounded by table layout (same class as table_stats' file
-        # listing), and a single-writer maintenance op, not a query
-        ("maintenance.py", "erase_keys"),
+        # GDPR erasure / retention delete shared core: one row per data
+        # FILE containing matches — bounded by table layout (same class
+        # as table_stats' file listing), and a single-writer
+        # maintenance op, not a query
+        ("maintenance.py", "_prune_rewrite"),
     }
 
     def chain_has_limit(node: ast.AST) -> bool:
