@@ -1473,3 +1473,64 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming experiment monitor: running ratio metric per variant
+# ---------------------------------------------------------------------------
+
+_STREAM_RATIO_SQL = """
+    SELECT CAST(user_id % 2 AS INT) AS variant,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+               AS n_clicks,
+           CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                                    ELSE 0 END AS DECIMAL(38,10))), 4) AS DOUBLE)
+               AS purchase_value,
+           FLOOR(CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                                          ELSE 0 END AS DECIMAL(38,10))), 4)
+                      AS DOUBLE)
+                 / COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                 * 1e6 + 0.5) / 1e6 AS value_per_click
+    FROM events GROUP BY CAST(user_id % 2 AS INT)
+"""
+
+
+@query("stream_ratio_metric", mutates_conf=True, oracle=_STREAM_RATIO_SQL)
+def stream_ratio_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment topline BY THE STREAMING ENGINE: per-variant
+    running value-per-click maintained as a streaming aggregate
+    (complete mode — per-variant state is two counters and a decimal
+    sum, fixed memory forever) and replayed to exhaustion; the final
+    epoch must equal the batch SQL oracle bit-for-bit, decimal sums
+    included. The live companion to ab_ratio_metric_delta: the
+    dashboard number updates per micro-batch, the delta-method CI runs
+    batch-side at readout time (its per-user moments need two
+    aggregation levels, which streaming forbids in one query — the
+    standard split).
+
+    Scale: streaming shuffle keyed by variant (2 groups); state is
+    O(variants), not O(events)."""
+    from es_analytics_spark.streaming.ingest import replay_stream, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy((F.col("user_id") % 2).cast("int").alias("variant"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                    .otherwise(0.0).cast("decimal(38,10)")
+                ), 4
+            ).cast("double").alias("purchase_value"),
+        )
+    )
+    out = replay_stream(
+        spark, agg, name="stream_ratio_metric", output_mode="complete"
+    )
+    return out.select(
+        "variant", "n_clicks", "purchase_value",
+        (
+            F.floor(F.col("purchase_value") / F.col("n_clicks") * 1e6 + 0.5) / 1e6
+        ).alias("value_per_click"),
+    )
