@@ -1050,17 +1050,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s = F.round(F.sum(F.col("c").cast("decimal(38,15)")), 12).cast("double")
         r_prev = r
+        # checkpoint each iteration's node-sized result: iteration i+1
+        # AND the residual both consume it, so cutting here keeps every
+        # consumer on cached blocks (post-loop checkpointing instead
+        # re-executed two iterations for the residual's r_prev — the
+        # multi-consumer lineage rule from SCALE.md)
         r = contrib.groupBy("dst").agg(
             (F.lit(0.15) / n + F.lit(0.85) * s).alias("rank")
-        ).select(F.col("dst").alias("node"), "rank")
+        ).select(F.col("dst").alias("node"), "rank").transform(cut_lineage)
     # convergence telemetry (r4 verdict ask 7): max |Δrank| between the
     # last two iterations, under the same decimal/round rules as the
     # ranks themselves, broadcast onto every output row — a 100×-scale
     # user reads it to size the iteration count (3 fixed iterations ≠
-    # converged). Both frames are node-sized and checkpointed so the
-    # second consumer reads blocks, not re-derived lineage.
-    r = r.transform(cut_lineage)
-    r_prev = r_prev.transform(cut_lineage)
+    # converged).
     resid = (
         r.join(r_prev.withColumnRenamed("rank", "prev"), "node")
         .agg(F.round(F.max(F.abs(F.col("rank") - F.col("prev"))), 9)

@@ -324,6 +324,8 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), "contrib")
         )
         r_prev = r
+        # per-iteration checkpoint: the next iteration and the residual
+        # both consume each frontier (see graph_pagerank's loop note)
         r = (
             contrib.join(bonus, "node", "full_outer")
             .select(
@@ -333,9 +335,8 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.coalesce(F.col("bonus"), F.lit(0.0))
                 ).alias("rank"),
             )
+            .transform(cut_lineage)
         )
-    r = r.transform(cut_lineage)
-    r_prev = r_prev.transform(cut_lineage)
     resid = (
         r.join(r_prev.withColumnRenamed("rank", "prev"), "node", "left")
         .agg(
