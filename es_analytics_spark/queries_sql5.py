@@ -887,12 +887,16 @@ def _kcore_peel_sql() -> str:
         )
     n = _KCORE_ROUNDS
     parts.append(
-        f"""
-    SELECT node, CAST(d AS BIGINT) AS core_degree FROM (
+        f""", f AS MATERIALIZED (
         SELECT node, COUNT(*) AS d FROM (
             SELECT u AS node FROM e{n} UNION ALL SELECT v FROM e{n}
         ) GROUP BY node
-    )"""
+    ), resid AS (
+        SELECT CAST((SELECT COUNT(*) FROM d{n - 1})
+                    - (SELECT COUNT(*) FROM f) AS BIGINT) AS residual
+    )
+    SELECT node, CAST(d AS BIGINT) AS core_degree, residual
+    FROM f CROSS JOIN resid"""
     )
     return "".join(parts)
 
@@ -929,18 +933,31 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
+        prev_nodes = deg
         edges = (
             edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
             .transform(cut_lineage)
         )
-    return (
+    core = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .transform(cut_lineage)
     )
+    # round-5 residual convention: nodes peeled in the LAST round — 0
+    # means the fixed round count reached the peeling fixpoint (the
+    # pytest referee proves it on fixtures; at 100× a user reads this
+    # instead). Both counts are 1-row aggregates over checkpointed
+    # frames.
+    resid = prev_nodes.agg(F.count(F.lit(1)).alias("n_prev")).crossJoin(
+        core.agg(F.count(F.lit(1)).alias("n_core"))
+    ).select(
+        (F.col("n_prev") - F.col("n_core")).cast("bigint").alias("residual")
+    )
+    return core.crossJoin(F.broadcast(resid))
 
 
 # ---------------------------------------------------------------------------

@@ -1535,3 +1535,183 @@ def stream_ratio_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("purchase_value") / F.col("n_clicks") * 1e6 + 0.5) / 1e6
         ).alias("value_per_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-effect meta-analysis: pooled treatment effect across segments
+# ---------------------------------------------------------------------------
+
+_META_SQL = f"""
+    WITH per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+               CAST(EXTRACT(HOUR FROM MIN(ts)) // 6 AS INT) AS segment,
+               CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                                        ELSE 0 END AS DECIMAL(38,10))), 4) AS DOUBLE)
+                   AS x
+        FROM events GROUP BY user_id
+    ), mom AS (
+        SELECT segment, variant, COUNT(*) AS n,
+               {dsum_expr('x')} AS sx, {dsum_expr('x * x')} AS sxx
+        FROM per_user GROUP BY segment, variant
+    ), seg AS (
+        SELECT a.segment,
+               a.sx / a.n - b.sx / b.n AS d,
+               GREATEST((a.sxx - a.sx * a.sx / a.n) / (a.n - 1) / a.n
+                        + (b.sxx - b.sx * b.sx / b.n) / (b.n - 1) / b.n,
+                        1e-12) AS var_d,
+               a.n + b.n AS n_users
+        FROM mom a JOIN mom b
+          ON a.segment = b.segment AND a.variant = 1 AND b.variant = 0
+        WHERE a.n >= 2 AND b.n >= 2
+    ), pooled AS (
+        SELECT CAST(ROUND(SUM(CAST(d / var_d AS DECIMAL(38,10))), 6) AS DOUBLE)
+                   AS swd,
+               CAST(ROUND(SUM(CAST(1.0 / var_d AS DECIMAL(38,10))), 6) AS DOUBLE)
+                   AS sw,
+               CAST(SUM(n_users) AS BIGINT) AS n_users
+        FROM seg
+    )
+    SELECT CAST(segment AS VARCHAR) AS segment,
+           CAST(n_users AS BIGINT) AS n_users,
+           FLOOR(d * 1e6 + 0.5) / 1e6 AS effect,
+           FLOOR(SQRT(var_d) * 1e6 + 0.5) / 1e6 AS se
+    FROM seg
+    UNION ALL
+    SELECT 'POOLED' AS segment, n_users,
+           FLOOR(swd / sw * 1e6 + 0.5) / 1e6 AS effect,
+           FLOOR(SQRT(1.0 / sw) * 1e6 + 0.5) / 1e6 AS se
+    FROM pooled
+"""
+
+
+@query("ab_fixed_effect_meta", oracle=_META_SQL)
+def ab_fixed_effect_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect (inverse-variance) meta-analysis: the per-segment
+    treatment effects (user revenue, variant 1 − 0, segments = first-
+    activity time-of-day band) pooled as Σw·d / Σw with w = 1/Var(d) —
+    how multiple experiment slices (or repeated experiments) combine
+    into one estimate with a principled SE, the companion to
+    ab_srm_by_segment's per-slice trust check and ab_simpson_check's
+    confounding guard (fixed-effect pooling weights by precision, so a
+    huge noisy segment cannot drown a clean one the way a raw pooled
+    mean does).
+
+    Exactness: per-cell moments through the decimal contract; the
+    |segments|-row combine of w·d and w is decimal-cast too (4 doubles
+    summed in engine order would already drift); variance floored at
+    1e-12 in both engines against degenerate cells.
+
+    Scale: one shuffle to the user grain, one (segment × variant)
+    aggregate, constant-size algebra after.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    per_user = ev.groupBy("user_id").agg(
+        (F.hour(F.min("ts")) / 6).cast("int").alias("segment"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0).cast("decimal(38,10)")
+            ), 4
+        ).cast("double").alias("x"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    dd = lambda c, s=4: F.round(F.sum(c.cast("decimal(38,10)")), s).cast("double")  # noqa: E731
+    mom = per_user.groupBy("segment", "variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        dd(F.col("x")).alias("sx"),
+        dd(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    a, b = mom.alias("a"), mom.alias("b")
+    # cells with n < 2 have no sample variance (ANSI division by n-1
+    # would throw); the oracle mirrors the same n >= 2 gate
+    seg = (
+        a.join(
+            b,
+            (F.col("a.segment") == F.col("b.segment"))
+            & (F.col("a.variant") == 1) & (F.col("b.variant") == 0),
+        )
+        .filter((F.col("a.n") >= 2) & (F.col("b.n") >= 2))
+        .select(
+            F.col("a.segment").alias("segment"),
+            (F.col("a.sx") / F.col("a.n") - F.col("b.sx") / F.col("b.n")).alias("d"),
+            F.greatest(
+                (F.col("a.sxx") - F.col("a.sx") * F.col("a.sx") / F.col("a.n"))
+                / (F.col("a.n") - 1) / F.col("a.n")
+                + (F.col("b.sxx") - F.col("b.sx") * F.col("b.sx") / F.col("b.n"))
+                / (F.col("b.n") - 1) / F.col("b.n"),
+                F.lit(1e-12),
+            ).alias("var_d"),
+            (F.col("a.n") + F.col("b.n")).alias("n_users"),
+        )
+        .transform(cut_lineage)
+    )
+    q6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    seg_rows = seg.select(
+        F.col("segment").cast("string").alias("segment"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        q6(F.col("d")).alias("effect"),
+        q6(F.sqrt(F.col("var_d"))).alias("se"),
+    )
+    pooled = seg.agg(
+        dd(F.col("d") / F.col("var_d"), 6).alias("swd"),
+        dd(F.lit(1.0) / F.col("var_d"), 6).alias("sw"),
+        F.sum("n_users").cast("bigint").alias("n_users"),
+    ).select(
+        F.lit("POOLED").alias("segment"),
+        "n_users",
+        q6(F.col("swd") / F.col("sw")).alias("effect"),
+        q6(F.sqrt(F.lit(1.0) / F.col("sw"))).alias("se"),
+    )
+    return seg_rows.unionAll(pooled)
+
+
+# ---------------------------------------------------------------------------
+# Metric momentum: velocity and acceleration of daily counts
+# ---------------------------------------------------------------------------
+
+_VELOCITY_SQL = """
+    WITH daily AS (
+        SELECT event_type, DATE_TRUNC('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY event_type, DATE_TRUNC('day', ts)
+    ), vel AS (
+        SELECT event_type, day, c,
+               c - LAG(c) OVER w AS v
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, c,
+           CAST(v AS BIGINT) AS velocity,
+           CAST(v - LAG(v) OVER w AS BIGINT) AS acceleration,
+           FLOOR(AVG(CAST(v AS DOUBLE)) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 * 1e6 + 0.5) / 1e6 AS velocity_7d
+    FROM vel WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+@query("ts_velocity_accel", oracle=_VELOCITY_SQL)
+def ts_velocity_accel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric momentum: day-over-day velocity (first difference),
+    acceleration (second difference), and 7-day smoothed velocity of
+    daily event counts per type — the "is growth growing" readout
+    behind every growth-accounting dashboard, as discrete derivatives
+    of an integer series (exact; NULL on the undefined leading rows in
+    both engines; the smoothed average skips NULLs identically).
+
+    Scale: one shuffle to the calendar-bounded (type, day) grain, then
+    per-type ordered windows over day-sized partitions.
+    """
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("event_type").orderBy("day")
+    wavg = w.rowsBetween(-6, 0)
+    vel = daily.withColumn("v", F.col("c") - F.lag("c").over(w))
+    return vel.select(
+        "event_type", "day", "c",
+        F.col("v").cast("bigint").alias("velocity"),
+        (F.col("v") - F.lag("v").over(w)).cast("bigint").alias("acceleration"),
+        (
+            F.floor(F.avg(F.col("v").cast("double")).over(wavg) * 1e6 + 0.5) / 1e6
+        ).alias("velocity_7d"),
+    )
