@@ -756,3 +756,738 @@ def seq_markov2(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump (one-split) feature importance screen
+# ---------------------------------------------------------------------------
+
+_STUMP_BAND = 100_000  # cents per acctbal band ($1000) — bounds that feature
+
+
+_STUMP_SQL = f"""
+    WITH base AS (
+        SELECT c_custkey,
+               c_mktsegment AS seg,
+               CAST(c_nationkey AS BIGINT) AS nat,
+               CAST(FLOOR(FLOOR(c_acctbal * 100 + 0.5) / {_STUMP_BAND}) AS BIGINT)
+                   AS bal_band,
+               CASE WHEN c_custkey IN (
+                   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+               ) THEN 1 ELSE 0 END AS label
+        FROM customer
+    ), parent AS (
+        SELECT COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS pos FROM base
+    ), pg AS (
+        SELECT n,
+               FLOOR((CAST(n * n - pos * pos - (n - pos) * (n - pos) AS DOUBLE)
+                      / CAST(n * n AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS gini_parent
+        FROM parent
+    ), splits AS (
+        SELECT 'mktsegment' AS feature, CAST(seg AS VARCHAR) AS v,
+               COUNT(*) AS nv, CAST(SUM(label) AS BIGINT) AS pv
+        FROM base GROUP BY seg
+        UNION ALL
+        SELECT 'nationkey', CAST(nat AS VARCHAR), COUNT(*), CAST(SUM(label) AS BIGINT)
+        FROM base GROUP BY nat
+        UNION ALL
+        SELECT 'acctbal_band', CAST(bal_band AS VARCHAR), COUNT(*),
+               CAST(SUM(label) AS BIGINT)
+        FROM base GROUP BY bal_band
+    ), terms AS (
+        SELECT s.feature,
+               CAST(FLOOR((CAST(s.nv * s.nv - s.pv * s.pv
+                                - (s.nv - s.pv) * (s.nv - s.pv) AS DOUBLE)
+                           / (CAST(s.nv AS DOUBLE) * CAST(p.n AS DOUBLE)))
+                          * 1e9 + 0.5) AS BIGINT) AS term_fp
+        FROM splits s CROSS JOIN parent p
+    ), agg AS (
+        SELECT feature, COUNT(*) AS n_values,
+               CAST(SUM(term_fp) AS BIGINT) AS gini_split_fp
+        FROM terms GROUP BY feature
+    )
+    SELECT a.feature, CAST(a.n_values AS BIGINT) AS n_values,
+           g.gini_parent,
+           a.gini_split_fp / 1e9 AS gini_split,
+           FLOOR((g.gini_parent - a.gini_split_fp / 1e9) * 1e9 + 0.5) / 1e9
+               AS importance
+    FROM agg a CROSS JOIN pg g
+"""
+
+
+@query("ml_stump_importance", oracle=_STUMP_SQL)
+def ml_stump_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump feature importance: for each candidate feature
+    (market segment, nation, $1000 account-balance band), the Gini
+    impurity reduction of a one-level multi-way split predicting
+    "customer has a finalized order" — the five-minute feature screen
+    that says which columns a model (or a targeting rule) should even
+    look at, the categorical companion to ml_mutual_information.
+
+    Exactness: parent and per-value Gini terms are single correctly
+    rounded divisions over exact BIGINT count squares ((n² - pos² -
+    neg²)/n²), each quantized at 1e-9 before summation — no float
+    accumulation anywhere.
+
+    Scale: three map-side-combinable groupBys over bounded value sets
+    (5 segments, 25 nations, ~11 bands) unioned into one frame, plus
+    a one-row broadcast parent. The label derivation is one semi-join
+    on the customer key.
+    """
+    c = _t(spark, sf_dir, "customer")["customer"]
+    o = _t(spark, sf_dir, "orders")["orders"]
+    fcust = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("is_pos", F.lit(1))
+    )
+    base = c.join(fcust, "c_custkey", "left").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").cast("long").alias("nat"),
+        F.floor(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)) / F.lit(_STUMP_BAND)
+        )
+        .cast("long")
+        .alias("bal_band"),
+        F.coalesce(F.col("is_pos"), F.lit(0)).alias("label"),
+    )
+    parent = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").cast("long").alias("pos")
+    )
+
+    def _split(colname: str, feature: str) -> DataFrame:
+        return base.groupBy(F.col(colname).cast("string").alias("v")).agg(
+            F.count(F.lit(1)).alias("nv"), F.sum("label").cast("long").alias("pv")
+        ).select(F.lit(feature).alias("feature"), "v", "nv", "pv")
+
+    splits = (
+        _split("seg", "mktsegment")
+        .unionAll(_split("nat", "nationkey"))
+        .unionAll(_split("bal_band", "acctbal_band"))
+    )
+    nv, pv, n = F.col("nv"), F.col("pv"), F.col("n")
+    terms = splits.crossJoin(F.broadcast(parent)).select(
+        "feature",
+        F.floor(
+            (nv * nv - pv * pv - (nv - pv) * (nv - pv)).cast("double")
+            / (nv.cast("double") * n.cast("double"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("term_fp"),
+    )
+    agg = terms.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("term_fp").cast("long").alias("gini_split_fp"),
+    )
+    pos = F.col("pos")
+    pg = parent.select(
+        "n",
+        (
+            F.floor(
+                (n * n - pos * pos - (n - pos) * (n - pos)).cast("double")
+                / (n * n).cast("double")
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / 1e9
+        ).alias("gini_parent"),
+    )
+    return agg.crossJoin(F.broadcast(pg)).select(
+        "feature",
+        "n_values",
+        "gini_parent",
+        (F.col("gini_split_fp") / F.lit(1e9)).alias("gini_split"),
+        (
+            F.floor(
+                (F.col("gini_parent") - F.col("gini_split_fp") / F.lit(1e9))
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            / 1e9
+        ).alias("importance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier concentration per nation
+# ---------------------------------------------------------------------------
+
+from es_analytics_spark.functions.exact import dsum_expr  # noqa: E402
+
+
+_HHI_SQL = f"""
+    WITH rev AS (
+        SELECT s_nationkey AS nat, l_suppkey AS sk,
+               {dsum_expr('l_extendedprice * (1 - l_discount)')} AS r
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey, l_suppkey
+    ), tot AS (
+        SELECT nat, {dsum_expr('r')} AS rt, COUNT(*) AS n_suppliers
+        FROM rev GROUP BY nat
+    ), shares AS (
+        SELECT r.nat,
+               CAST(FLOOR(r.r / t.rt * 1e6 + 0.5) AS BIGINT) AS share_fp
+        FROM rev r JOIN tot t ON r.nat = t.nat
+    )
+    SELECT CAST(s.nat AS BIGINT) AS nationkey,
+           CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+           FLOOR(CAST(MAX(s.share_fp) AS DOUBLE) / 1e2 + 0.5) / 1e4 AS top_share,
+           FLOOR(CAST(SUM(s.share_fp * s.share_fp) AS DOUBLE) / 1e8 * 1e4 + 0.5)
+               / 1e4 AS hhi,
+           CAST(SUM(s.share_fp * s.share_fp) AS DOUBLE) / 1e8 * 1e4 > 2500
+               AS concentrated
+    FROM shares s JOIN tot t ON s.nat = t.nat
+    GROUP BY s.nat, t.n_suppliers
+"""
+
+
+@query("agg_hhi_concentration", oracle=_HHI_SQL)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation:
+    Σ share² over each supplier's revenue share, on the DOJ's 0-10000
+    scale with the 2500 "highly concentrated" flag — the
+    single-number market-structure readout beside
+    agg_revenue_concentration's Gini/top-decile view (HHI weights the
+    head quadratically, which is what antitrust and vendor-risk care
+    about).
+
+    Exactness: revenues use the decimal-sum contract; each share is
+    one correctly rounded division quantized at 1e-6, and HHI sums
+    exact BIGINT squares before a single final scaling chain.
+
+    Scale: supplier-grain then nation-grain groupBys (both map-side
+    combinable, nation keys bounded); the shares join is co-keyed on
+    the nation aggregate.
+    """
+    from es_analytics_spark.functions.exact import dsum
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    s = _t(spark, sf_dir, "supplier")["supplier"]
+    rev = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nat"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "r"
+            )
+        )
+    )
+    tot = rev.groupBy("nat").agg(
+        dsum("r").alias("rt"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    shares = rev.join(tot, "nat").select(
+        "nat",
+        "n_suppliers",
+        F.floor(F.col("r") / F.col("rt") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("share_fp"),
+    )
+    hhi_raw = F.sum(F.col("share_fp") * F.col("share_fp")).cast("double") / F.lit(
+        1e8
+    ) * F.lit(1e4)
+    return shares.groupBy("nat", "n_suppliers").agg(
+        (
+            F.floor(F.max("share_fp").cast("double") / F.lit(1e2) + F.lit(0.5)) / 1e4
+        ).alias("top_share"),
+        (F.floor(hhi_raw + F.lit(0.5)) / 1e4).alias("hhi"),
+        (hhi_raw > 2500).alias("concentrated"),
+    ).select(
+        F.col("nat").cast("long").alias("nationkey"),
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        "top_share",
+        "hhi",
+        "concentrated",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index with within/between-nation decomposition
+# ---------------------------------------------------------------------------
+
+_THEIL_SQL = f"""
+    WITH x AS (
+        SELECT o_custkey AS ck, c_nationkey AS nat,
+               {dsum_expr('o_totalprice')} AS xv
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_custkey, c_nationkey
+    ), tot AS (
+        SELECT {dsum_expr('xv')} AS xs, COUNT(*) AS n FROM x
+    ), terms AS (
+        SELECT CAST(FLOOR((xv / t.xs)
+                          * LN((xv * t.n) / t.xs) * 1e9 + 0.5) AS BIGINT) AS tfp
+        FROM x CROSS JOIN tot AS t
+    ), g AS (
+        SELECT nat, {dsum_expr('xv')} AS xg, COUNT(*) AS ng FROM x GROUP BY nat
+    ), bterms AS (
+        SELECT CAST(FLOOR((g.xg / t.xs)
+                          * LN((g.xg / t.xs) / (CAST(g.ng AS DOUBLE) / t.n))
+                          * 1e9 + 0.5) AS BIGINT) AS tfp
+        FROM g CROSS JOIN tot AS t
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_customers,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_groups,
+           (SELECT FLOOR(CAST(SUM(tfp) AS DOUBLE) / 1e3 + 0.5) / 1e6
+            FROM terms) AS theil_total,
+           (SELECT FLOOR(CAST(SUM(tfp) AS DOUBLE) / 1e3 + 0.5) / 1e6
+            FROM bterms) AS theil_between,
+           (SELECT FLOOR(CAST(SUM(tfp) AS DOUBLE) / 1e3 + 0.5) / 1e6 FROM terms)
+               - (SELECT FLOOR(CAST(SUM(tfp) AS DOUBLE) / 1e3 + 0.5) / 1e6
+                  FROM bterms) AS theil_within
+    FROM tot t
+"""
+
+
+@query("agg_theil_index", oracle=_THEIL_SQL)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of per-customer order revenue with the
+    exact within/between-nation decomposition — the additive
+    inequality measure Gini lacks: T = T_between + T_within tells you
+    whether revenue concentration lives ACROSS markets or INSIDE them,
+    which decides whether to rebalance geos or hunt whales.
+
+    Exactness: revenues are decimal sums; each (x/X)·ln(nx/X) term
+    (and each group term) is a short pinned IEEE chain quantized to a
+    1e9 fixed-point integer before the exact sums; the within term is
+    the literal difference of the two quantized aggregates, so the
+    decomposition identity holds to the printed precision by
+    construction.
+
+    Scale: customer-grain then nation-grain groupBys, a one-row
+    broadcast total, per-row term arithmetic in codegen, two one-row
+    reductions. Nothing data-sized is ever windowed or broadcast.
+    """
+    from es_analytics_spark.functions.exact import dsum
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    c = _t(spark, sf_dir, "customer")["customer"]
+    x = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("c_nationkey").alias("nat"))
+        .agg(dsum("o_totalprice").alias("xv"))
+    )
+    tot = x.agg(dsum("xv").alias("xs"), F.count(F.lit(1)).alias("n"))
+    terms = x.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (F.col("xv") / F.col("xs"))
+            * F.log((F.col("xv") * F.col("n")) / F.col("xs"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tfp")
+    )
+    g = x.groupBy("nat").agg(dsum("xv").alias("xg"), F.count(F.lit(1)).alias("ng"))
+    bterms = g.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (F.col("xg") / F.col("xs"))
+            * F.log(
+                (F.col("xg") / F.col("xs"))
+                / (F.col("ng").cast("double") / F.col("n"))
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tfp")
+    )
+    t_total = terms.agg(
+        (F.floor(F.sum("tfp").cast("double") / F.lit(1e3) + F.lit(0.5)) / 1e6).alias(
+            "theil_total"
+        )
+    )
+    t_between = bterms.agg(
+        (F.floor(F.sum("tfp").cast("double") / F.lit(1e3) + F.lit(0.5)) / 1e6).alias(
+            "theil_between"
+        )
+    )
+    ngroups = g.agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+    return (
+        tot.select(F.col("n").cast("long").alias("n_customers"))
+        .crossJoin(F.broadcast(ngroups))
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(t_between))
+        .select(
+            "n_customers",
+            "n_groups",
+            "theil_total",
+            "theil_between",
+            (F.col("theil_total") - F.col("theil_between")).alias("theil_within"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise source vocabulary overlap (Jaccard matrix)
+# ---------------------------------------------------------------------------
+
+_SRC_OVERLAP_SQL = """
+    WITH words AS (
+        SELECT DISTINCT source,
+               UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS w
+        FROM documents WHERE n_chars > 0
+    ), clean AS (
+        SELECT source, w FROM words WHERE w <> ''
+    ), vocab AS (
+        SELECT source, COUNT(*) AS v FROM clean GROUP BY source
+    ), inter AS (
+        SELECT a.source AS s1, b.source AS s2, COUNT(*) AS i
+        FROM clean a JOIN clean b ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.s1, i.s2,
+           CAST(va.v AS BIGINT) AS vocab_1,
+           CAST(vb.v AS BIGINT) AS vocab_2,
+           CAST(i.i AS BIGINT) AS shared,
+           FLOOR(CAST(i.i AS DOUBLE) / CAST(va.v + vb.v - i.i AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS jaccard,
+           FLOOR(CAST(i.i AS DOUBLE) / CAST(LEAST(va.v, vb.v) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS containment
+    FROM inter i
+    JOIN vocab va ON va.source = i.s1
+    JOIN vocab vb ON vb.source = i.s2
+"""
+
+
+@query("text_source_overlap", oracle=_SRC_OVERLAP_SQL)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources: shared
+    types, Jaccard, and small-side containment for every source pair —
+    the corpus-composition audit that catches a "new" source that is
+    really a re-crawl of an existing one (high containment) before it
+    double-weights a training mix (dedup_* catches duplicate DOCS;
+    this catches duplicate DISTRIBUTIONS).
+
+    Counts are exact integers under the shared whitespace-tokenization
+    contract; Jaccard/containment are single fixed-pointed divisions.
+
+    Scale: the word-grain self-join is keyed on the word with sources
+    bounded (each word appears in ≤ |sources| rows), so the join
+    output is at most C(|sources|,2) per word — linear in vocabulary,
+    never quadratic in documents; groupBys are map-side combinable.
+    """
+    d = _t(spark, sf_dir, "documents")["documents"]
+    clean = (
+        d.filter(F.col("n_chars") > 0)
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    vocab = clean.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a, b = clean.alias("a"), clean.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    va = vocab.select(F.col("source").alias("s1"), F.col("v").alias("vocab_1"))
+    vb = vocab.select(F.col("source").alias("s2"), F.col("v").alias("vocab_2"))
+    i, v1, v2 = F.col("i"), F.col("vocab_1"), F.col("vocab_2")
+    return (
+        inter.join(F.broadcast(va), "s1")
+        .join(F.broadcast(vb), "s2")
+        .select(
+            "s1",
+            "s2",
+            v1.cast("long").alias("vocab_1"),
+            v2.cast("long").alias("vocab_2"),
+            i.cast("long").alias("shared"),
+            (
+                F.floor(
+                    i.cast("double") / (v1 + v2 - i).cast("double") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("jaccard"),
+            (
+                F.floor(
+                    i.cast("double") / F.least(v1, v2).cast("double") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Variance-ratio test for trending vs mean-reverting daily metrics
+# ---------------------------------------------------------------------------
+
+_VR_KS = (2, 4, 7)
+
+
+def _vr_sql() -> str:
+    branches = []
+    for k in _VR_KS:
+        branches.append(f"""
+        SELECT {k} AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(COUNT(*) * SUM(yk * yk) - SUM(yk) * SUM(yk) AS DOUBLE)
+                   / CAST(COUNT(*) * COUNT(*) AS DOUBLE) AS var_k
+        FROM (
+            SELECT CAST(SUM(r_fp) OVER (ORDER BY day
+                        ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS yk,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn
+            FROM rets
+        ) WHERE rn >= {k}
+        """)
+    union = " UNION ALL ".join(branches)
+    return f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, {dsum_expr('value')} AS dv
+        FROM events GROUP BY 1
+    ), rets AS (
+        SELECT day,
+               CAST(FLOOR((dv - LAG(dv) OVER (ORDER BY day)) * 1e4 + 0.5)
+                    AS BIGINT) AS r_fp
+        FROM daily
+        QUALIFY LAG(dv) OVER (ORDER BY day) IS NOT NULL
+    ), base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+               CAST(COUNT(*) * SUM(r_fp * r_fp) - SUM(r_fp) * SUM(r_fp) AS DOUBLE)
+                   / CAST(COUNT(*) * COUNT(*) AS DOUBLE) AS var_1
+        FROM rets
+    ), ks AS ({union})
+    SELECT CAST(ks.k AS BIGINT) AS k, ks.n_obs,
+           FLOOR(ks.var_k / (CAST(ks.k AS DOUBLE) * b.var_1) * 1e6 + 0.5) / 1e6
+               AS variance_ratio
+    FROM ks CROSS JOIN base b
+"""
+
+
+@query("ts_variance_ratio", oracle=_vr_sql())
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test on daily metric changes:
+    Var(k-day change) / (k · Var(1-day change)) for k = 2, 4, 7 — the
+    random-walk diagnostic: VR ≈ 1 means uncorrelated daily shocks,
+    VR > 1 trending/momentum, VR < 1 mean reversion. Tells a
+    forecaster whether ts_holt_linear's trend term is signal or noise.
+
+    Exactness: daily changes are 1e4 fixed-point BIGINTs, so every
+    k-day rolling sum and both population-variance moment forms
+    (n·Σy² − (Σy)²) are EXACT integer arithmetic; each VR is one
+    pinned three-op IEEE chain over those integers, quantized at 1e-6.
+
+    Scale: the windows run over the one-row-per-calendar-day frame —
+    bounded by time, not data (the ts_cumulative_users bound; plan
+    allowlist) — and everything upstream is one daily groupBy.
+    """
+    from es_analytics_spark.functions.exact import dsum
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(dsum("value").alias("dv"))
+    wday = W.orderBy("day")
+    rets = (
+        daily.select(
+            "day", (F.col("dv") - F.lag("dv").over(wday)).alias("r")
+        )
+        .filter(F.col("r").isNotNull())
+        .select(
+            "day",
+            F.floor(F.col("r") * F.lit(1e4) + F.lit(0.5)).cast("long").alias("r_fp"),
+        )
+    )
+    base = rets.agg(
+        F.count(F.lit(1)).alias("n1"),
+        (
+            (
+                F.count(F.lit(1)) * F.sum(F.col("r_fp") * F.col("r_fp"))
+                - F.sum("r_fp") * F.sum("r_fp")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.count(F.lit(1))).cast("double")
+        ).alias("var_1"),
+    )
+    outs = []
+    for k in _VR_KS:
+        wk = W.orderBy("day").rowsBetween(-(k - 1), 0)
+        wrn = W.orderBy("day")
+        yk = (
+            rets.select(
+                F.sum("r_fp").over(wk).cast("long").alias("yk"),
+                F.row_number().over(wrn).alias("rn"),
+            )
+            .filter(F.col("rn") >= k)
+        )
+        outs.append(
+            yk.agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count(F.lit(1)).cast("long").alias("n_obs"),
+                (
+                    (
+                        F.count(F.lit(1)) * F.sum(F.col("yk") * F.col("yk"))
+                        - F.sum("yk") * F.sum("yk")
+                    ).cast("double")
+                    / (F.count(F.lit(1)) * F.count(F.lit(1))).cast("double")
+                ).alias("var_k"),
+            )
+        )
+    ks = outs[0]
+    for o in outs[1:]:
+        ks = ks.unionAll(o)
+    return ks.crossJoin(F.broadcast(base)).select(
+        "k",
+        "n_obs",
+        (
+            F.floor(
+                F.col("var_k") / (F.col("k").cast("double") * F.col("var_1"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("variance_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor propensity-style matching with ATT readout
+# ---------------------------------------------------------------------------
+
+_MATCH_SQL = f"""
+    WITH outc AS (
+        SELECT o_custkey AS ck, {dsum_expr('o_totalprice')} AS rev
+        FROM orders GROUP BY o_custkey
+    ), pop AS (
+        SELECT c_custkey AS id, c_nationkey AS nat,
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+               c_custkey % 2 = 1 AS treated,
+               COALESCE(o.rev, 0.0) AS outcome
+        FROM customer LEFT JOIN outc o ON c_custkey = o.ck
+    ), fwdbwd AS (
+        SELECT id, nat, bal, treated, outcome,
+               LAST_VALUE(CASE WHEN NOT treated THEN bal END IGNORE NULLS)
+                   OVER (PARTITION BY nat ORDER BY bal ASC, treated ASC, id ASC
+                         ROWS UNBOUNDED PRECEDING) AS b_bal,
+               LAST_VALUE(CASE WHEN NOT treated THEN outcome END IGNORE NULLS)
+                   OVER (PARTITION BY nat ORDER BY bal ASC, treated ASC, id ASC
+                         ROWS UNBOUNDED PRECEDING) AS b_out,
+               LAST_VALUE(CASE WHEN NOT treated THEN bal END IGNORE NULLS)
+                   OVER (PARTITION BY nat ORDER BY bal DESC, treated ASC, id DESC
+                         ROWS UNBOUNDED PRECEDING) AS f_bal,
+               LAST_VALUE(CASE WHEN NOT treated THEN outcome END IGNORE NULLS)
+                   OVER (PARTITION BY nat ORDER BY bal DESC, treated ASC, id DESC
+                         ROWS UNBOUNDED PRECEDING) AS f_out
+        FROM pop
+    ), matched AS (
+        SELECT id, bal, outcome,
+               CASE WHEN b_bal IS NOT NULL
+                         AND (f_bal IS NULL OR bal - b_bal <= f_bal - bal)
+                    THEN b_bal ELSE f_bal END AS m_bal,
+               CASE WHEN b_bal IS NOT NULL
+                         AND (f_bal IS NULL OR bal - b_bal <= f_bal - bal)
+                    THEN b_out ELSE f_out END AS m_out
+        FROM fwdbwd WHERE treated
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+           CAST(COUNT(m_bal) AS BIGINT) AS n_matched,
+           FLOOR(CAST(SUM(CASE WHEN m_bal IS NOT NULL
+                          THEN CAST(FLOOR((outcome - m_out) * 1e4 + 0.5) AS BIGINT)
+                          END) AS DOUBLE)
+                 / CAST(COUNT(m_bal) AS DOUBLE) + 0.5) / 1e4 AS att,
+           CAST(FLOOR(CAST(SUM(CASE WHEN m_bal IS NOT NULL
+                          THEN ABS(bal - m_bal) END) AS DOUBLE)
+                 / CAST(COUNT(m_bal) AS DOUBLE) + 0.5) AS BIGINT)
+               AS mean_abs_gap_cents
+    FROM matched
+"""
+
+
+@query("ml_propensity_match", oracle=_MATCH_SQL)
+def ml_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:1 nearest-neighbor matching (with replacement) of treated to
+    control customers on the account-balance covariate within each
+    nation, then the average treatment effect on the treated over
+    order revenue — observational causal inference's workhorse when
+    randomization (ab_*) isn't available: compare each treated unit to
+    its most similar control, not to the population.
+
+    Match rule is fully deterministic: nearest control by balance
+    within the nation, backward-preferring on exact-distance ties,
+    with the window order (bal, treated, id) pinning which control
+    carries among equal balances. Matched-pair revenue diffs are 1e4
+    fixed-pointed before the exact sums; covariate gaps are integer
+    cents.
+
+    Scale: two sorted window passes PARTITIONED BY nation (hash
+    exchange, never single-partition) — the as-of-join recipe applied
+    to a covariate axis instead of time; no pairwise candidate
+    generation at all (contrast the O(pairs) alternative), so matching
+    n treated against m controls costs one sort, not n·m.
+    """
+    from es_analytics_spark.functions.exact import dsum
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    o = _t(spark, sf_dir, "orders")["orders"]
+    outc = o.groupBy(F.col("o_custkey").alias("id")).agg(
+        dsum("o_totalprice").alias("rev")
+    )
+    pop = (
+        c.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_nationkey").alias("nat"),
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal"),
+            (F.col("c_custkey") % 2 == 1).alias("treated"),
+        )
+        .join(outc, "id", "left")
+        .withColumn("outcome", F.coalesce(F.col("rev"), F.lit(0.0)))
+        .drop("rev")
+    )
+    ctl_bal = F.when(~F.col("treated"), F.col("bal"))
+    ctl_out = F.when(~F.col("treated"), F.col("outcome"))
+    wb = (
+        W.partitionBy("nat")
+        .orderBy(F.asc("bal"), F.asc("treated"), F.asc("id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy("nat")
+        .orderBy(F.desc("bal"), F.asc("treated"), F.desc("id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    fwdbwd = pop.select(
+        "id",
+        "bal",
+        "treated",
+        "outcome",
+        F.last(ctl_bal, ignorenulls=True).over(wb).alias("b_bal"),
+        F.last(ctl_out, ignorenulls=True).over(wb).alias("b_out"),
+        F.last(ctl_bal, ignorenulls=True).over(wf).alias("f_bal"),
+        F.last(ctl_out, ignorenulls=True).over(wf).alias("f_out"),
+    )
+    use_b = F.col("b_bal").isNotNull() & (
+        F.col("f_bal").isNull()
+        | ((F.col("bal") - F.col("b_bal")) <= (F.col("f_bal") - F.col("bal")))
+    )
+    matched = fwdbwd.filter(F.col("treated")).select(
+        "bal",
+        "outcome",
+        F.when(use_b, F.col("b_bal")).otherwise(F.col("f_bal")).alias("m_bal"),
+        F.when(use_b, F.col("b_out")).otherwise(F.col("f_out")).alias("m_out"),
+    )
+    diff_fp = F.when(
+        F.col("m_bal").isNotNull(),
+        F.floor((F.col("outcome") - F.col("m_out")) * F.lit(1e4) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    gap = F.when(F.col("m_bal").isNotNull(), F.abs(F.col("bal") - F.col("m_bal")))
+    return matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_treated"),
+        F.count("m_bal").cast("long").alias("n_matched"),
+        (
+            F.floor(
+                F.sum(diff_fp).cast("double") / F.count("m_bal").cast("double")
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("att"),
+        F.floor(
+            F.sum(gap).cast("double") / F.count("m_bal").cast("double") + F.lit(0.5)
+        ).cast("long").alias("mean_abs_gap_cents"),
+    )

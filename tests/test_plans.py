@@ -163,6 +163,8 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         "ts_max_drawdown",
         # lag/lead neighbor scan over the |days| frame — calendar-bounded
         "ts_peak_detection",
+        # rolling k-day sums over the |days| frame — calendar-bounded
+        "ts_variance_ratio",
     }
     # dedup_clusters runs its iterative loop eagerly at build time
     skip_eager = {"dedup_clusters"}
