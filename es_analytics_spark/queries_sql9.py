@@ -1,0 +1,899 @@
+"""Round-5 batch-9 surface: connected components (true-fixpoint oracle
+via a recursive CTE), an alert-debounce sequential operator
+(applyInPandas vs a recursive jump CTE — the canonical
+not-window-expressible shape), an in-engine trained naive-Bayes
+language classifier, leakage-free out-of-fold target encoding, partial
+autocorrelation (Durbin-Levinson), an aggregated-variance Hurst
+exponent, one-way ANOVA, and a Cramér's-V association screen.
+
+Same contract as the rest of the catalog (see queries.py): every entry
+pairs a Spark-first implementation with a DuckDB oracle, is
+deterministic as a set of rows, and keeps float math cross-engine
+stable via the decimal-sum contract, integer fixed-point
+intermediates, or single-op IEEE chains parenthesized identically in
+both engines. LN terms follow the catalog's quantize-at-1e-6
+precedent (text_zipf_exponent); SQRT is IEEE-correctly-rounded and
+safe unquantized on identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
+from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.queries import _t, query
+from es_analytics_spark.queries_sql4 import _TRI_CAP, _TRI_STRIDE
+
+
+_Q6 = "FLOOR({expr} * 1e6 + 0.5) / 1e6"
+
+
+def _q6(c):
+    """The catalog's 1e-6 half-up quantizer (explicit FLOOR spelling —
+    ROUND ties differ between engines)."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+# ---------------------------------------------------------------------------
+# Connected components of the (thinned) co-supply graph
+# ---------------------------------------------------------------------------
+
+# Co-supply cliques are dense enough to collapse to one giant component
+# at every SF; a deterministic integer edge hash keeps 1/_CC_MOD of the
+# edges so the fixture actually exercises multi-component structure
+# (36+/20+ components at sf>=0.01 — the vacuous-entry trap check).
+_CC_MOD = 101
+_CC_MAX_ROUNDS = 64
+
+_CC_SQL = f"""
+    WITH RECURSIVE ps AS MATERIALIZED (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        WHERE l_partkey % {_TRI_STRIDE} = 0
+    ), keep AS (
+        SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= {_TRI_CAP}
+    ), edges AS MATERIALIZED (
+        SELECT u, v FROM (
+            SELECT DISTINCT a.s AS u, b.s AS v
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+            JOIN keep k ON a.p = k.p
+        ) WHERE (u * 131 + v * 17) % {_CC_MOD} = 0
+    ), sym AS MATERIALIZED (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ), nodes AS (
+        SELECT DISTINCT u AS n FROM sym
+    ), reach(n, l) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT s.v AS n, r.l FROM reach r JOIN sym s ON s.u = r.n
+    ), comp AS (
+        SELECT n, MIN(l) AS c FROM reach GROUP BY n
+    ), sizes AS (
+        SELECT c, COUNT(*) AS sz FROM comp GROUP BY c
+    )
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY sz
+"""
+
+
+@query("graph_connected_components", oracle=_CC_SQL)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the thinned co-supply graph, reported as
+    a component-size histogram — the graph-health primitive behind
+    dedup_clusters (near-dup groups ARE components) and every
+    entity-resolution pipeline.
+
+    Spark side: min-label propagation iterated TO THE FIXPOINT (a
+    cheap node-frame convergence probe per round, capped at
+    _CC_MAX_ROUNDS = 64), so unlike the fixed-round kcore/LPA contracts
+    this entry's oracle is the true fixpoint — expressible exactly in
+    SQL because min-label reachability needs no aggregation inside the
+    recursion (MIN is applied after it closes). All labels are exact
+    integers; the output is exact counts.
+
+    Scale: each round is one edge-list join + one node-grain min
+    aggregate, checkpoint-linearized (the pagerank lineage rule);
+    rounds are bounded by component diameter (sparse real graphs:
+    ~10-20; the alternating large-star/small-star variant gets
+    O(log n) if diameter ever bites). The convergence probe is a
+    LIMIT-1 count on a node-sized anti-diff, not a data fetch. The
+    recursive-CTE oracle's state is sum of size^2 per component —
+    fixture-bounded; at 100x you run the Spark side, which is
+    node+edge linear per round."""
+    from es_analytics_spark.queries_sql4 import _co_supply_edges
+
+    e = _co_supply_edges(spark, sf_dir).filter(
+        (F.col("u") * 131 + F.col("v") * 17) % _CC_MOD == 0
+    )
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).transform(cut_lineage)
+    lbl = (
+        sym.select(F.col("u").alias("n"))
+        .distinct()
+        .withColumn("l", F.col("n"))
+        .transform(cut_lineage)
+    )
+    for _ in range(_CC_MAX_ROUNDS):
+        prop = sym.join(
+            lbl.withColumnRenamed("n", "u"), "u"
+        ).select(F.col("v").alias("n"), "l")
+        nxt = (
+            lbl.unionAll(prop)
+            .groupBy("n")
+            .agg(F.min("l").alias("l"))
+            .transform(cut_lineage)
+        )
+        moved = (
+            nxt.join(lbl.withColumnRenamed("l", "l0"), "n")
+            .filter(F.col("l") != F.col("l0"))
+            .limit(1)
+            .count()
+        )
+        lbl = nxt
+        if moved == 0:
+            break
+    else:  # pragma: no cover - diameter > cap means a pathological graph
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ROUNDS} rounds"
+        )
+    sizes = lbl.groupBy("l").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components")
+    ).select(F.col("sz").cast("bigint").alias("component_size"), "n_components")
+
+
+# ---------------------------------------------------------------------------
+# Alert debounce (cooldown suppression) — sequential per-key operator
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_VALUE = 50.0  # alert threshold on events.value
+_DEBOUNCE_HOURS = 72  # cooldown window
+
+_DEBOUNCE_SQL = f"""
+    WITH RECURSIVE al AS MATERIALIZED (
+        SELECT user_id, ts, event_id FROM events WHERE value >= {_DEBOUNCE_VALUE}
+    ), keep(user_id, ts, event_id) AS (
+        SELECT user_id, ts, event_id FROM al a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM al b WHERE b.user_id = a.user_id
+            AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id)))
+        UNION ALL
+        SELECT k.user_id, a.ts, a.event_id
+        FROM keep k JOIN al a ON a.user_id = k.user_id
+            AND a.ts >= k.ts + INTERVAL {_DEBOUNCE_HOURS} HOURS
+        WHERE NOT EXISTS (
+            SELECT 1 FROM al b WHERE b.user_id = k.user_id
+            AND b.ts >= k.ts + INTERVAL {_DEBOUNCE_HOURS} HOURS
+            AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id)))
+    ), peruser AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_alerts FROM al GROUP BY 1
+    )
+    SELECT k.user_id, p.n_alerts, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MIN(k.ts) AS first_kept, MAX(k.ts) AS last_kept
+    FROM keep k JOIN peruser p USING (user_id)
+    GROUP BY k.user_id, p.n_alerts
+"""
+
+
+@query("seq_alert_debounce", oracle=_DEBOUNCE_SQL)
+def seq_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debounce: keep a high-value event only if the last KEPT
+    alert for that user is at least the cooldown (_DEBOUNCE_HOURS =
+    72 h) older — the
+    paging/notification cooldown every alerting pipeline needs. This
+    is the canonical NOT-window-expressible sequential operator: which
+    alerts survive depends on which earlier alerts survived (a
+    data-dependent jump chain), so no frame/lag spelling exists.
+
+    Spark side: Arrow-batched applyInPandas per user with an explicit
+    (ts, event_id) in-group sort — the engine's grouped-map contract
+    (operators/udfs.py). The oracle spells the same chain as a
+    recursive "jump to the next qualifying alert" CTE, proving the
+    semantics in pure SQL. All outputs are exact counts/timestamps;
+    no float crosses the engine boundary.
+
+    Scale: state per key is one timestamp; work per key is one sorted
+    scan of that user's alerts (shuffle on user_id, Arrow batches,
+    zero driver involvement). Suppression is real on the fixture
+    (sf0.01: 3 665 alerts -> 1 085 kept)."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events")["events"]
+    al = e.filter(F.col("value") >= F.lit(_DEBOUNCE_VALUE)).select(
+        "user_id", "ts", "event_id"
+    )
+    cool = pd.Timedelta(hours=_DEBOUNCE_HOURS)
+
+    def _debounce(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        kept = []
+        last = None
+        for t in pdf["ts"]:
+            if last is None or t >= last + cool:
+                kept.append(t)
+                last = t
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_alerts": [len(pdf)],
+                "n_kept": [len(kept)],
+                "first_kept": [kept[0]],
+                "last_kept": [kept[-1]],
+            }
+        )
+
+    schema = (
+        "user_id long, n_alerts long, n_kept long, "
+        "first_kept timestamp, last_kept timestamp"
+    )
+    return al.groupBy("user_id").applyInPandas(_debounce, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes language ID — trained and evaluated in-engine
+# ---------------------------------------------------------------------------
+
+_NB_SQL = """
+    WITH train AS MATERIALIZED (
+        SELECT * FROM documents WHERE doc_id % 2 = 0
+    ), tok_tr AS (
+        SELECT lang, UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS w
+        FROM train
+    ), cnt AS MATERIALIZED (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok_tr
+        WHERE w <> '' GROUP BY 1, 2
+    ), nl AS MATERIALIZED (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS nl FROM cnt GROUP BY 1
+    ), vv AS (
+        SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM cnt
+    ), pri AS (
+        SELECT lang, CAST(FLOOR(LN(CAST(COUNT(*) AS DOUBLE)
+                     / CAST((SELECT COUNT(*) FROM train) AS DOUBLE))
+                     * 1e6 + 0.5) AS BIGINT) AS prior_u
+        FROM train GROUP BY 1
+    ), tok_te AS MATERIALIZED (
+        SELECT doc_id, lang AS true_lang,
+               UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS w
+        FROM documents WHERE doc_id % 2 = 1
+    ), scored AS (
+        SELECT t.doc_id, t.true_lang, l.lang AS m_lang,
+               CAST(FLOOR(LN(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                    / CAST(l.nl + (SELECT v FROM vv) AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS lp
+        FROM tok_te t CROSS JOIN nl l
+        LEFT JOIN cnt c ON c.lang = l.lang AND c.w = t.w
+        WHERE t.w <> ''
+    ), doc_lang AS (
+        SELECT doc_id, true_lang, m_lang, CAST(SUM(lp) AS BIGINT) AS s
+        FROM scored GROUP BY 1, 2, 3
+    ), ranked AS (
+        SELECT doc_id, true_lang, m_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY s + p.prior_u DESC, m_lang ASC) AS rn
+        FROM doc_lang JOIN pri p ON p.lang = m_lang
+    )
+    SELECT true_lang, m_lang AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+@query("ml_naive_bayes_langid", oracle=_NB_SQL)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained IN the engine (even doc_ids) and
+    evaluated on the held-out half (odd doc_ids), reported as a
+    confusion matrix — unlike text_language_id's fixed heuristic, the
+    model here is a DataFrame of add-one-smoothed token
+    log-likelihoods, i.e. actual distributed training, the pattern any
+    count-based model (NB, n-gram LM scorers) follows at 100 TB.
+
+    Exactness: token/class counts, vocabulary size and priors are
+    exact integers; every LN term (one LN over a ratio of exact-int
+    doubles, the quantize-at-1e-6 precedent) becomes an integer
+    micro-nat BEFORE summation, so per-(doc, lang) scores are exact
+    integer sums and the argmax (score desc, lang asc) is
+    deterministic in both engines. The confusion matrix is exact
+    counts — no float crosses the compare boundary.
+
+    Scale: the "model" (lang x term counts) never leaves the cluster —
+    scoring is a (term, lang)-key join against it; candidate langs
+    fan out via a broadcast of the |langs|-row class table; one
+    (doc, lang) aggregate and a per-doc top-1 window finish it."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    toks = lambda df: df.select(  # noqa: E731
+        *df.columns,
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    cnt = (
+        toks(train.select("lang", "text"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .transform(cut_lineage)
+    )
+    nl = cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("nl"))
+    vv = cnt.select("w").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("d_total"))
+    pri = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("d_lang"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            F.col("lang").alias("m_lang"),
+            F.floor(
+                F.log(
+                    F.col("d_lang").cast("double")
+                    / F.col("d_total").cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("prior_u"),
+        )
+    )
+    tok_te = toks(
+        test.select("doc_id", F.col("lang").alias("true_lang"), "text")
+    ).select("doc_id", "true_lang", "w")
+    scored = (
+        tok_te.crossJoin(F.broadcast(nl.withColumnRenamed("lang", "m_lang")))
+        .join(
+            cnt.withColumnRenamed("lang", "m_lang"),
+            ["m_lang", "w"],
+            "left",
+        )
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            "true_lang",
+            "m_lang",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nl") + F.col("v")).cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    doc_lang = scored.groupBy("doc_id", "true_lang", "m_lang").agg(
+        F.sum("lp").cast("bigint").alias("s")
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        (F.col("s") + F.col("prior_u")).desc(), F.asc("m_lang")
+    )
+    return (
+        doc_lang.join(F.broadcast(pri), "m_lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("m_lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding (leakage-free categorical features)
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+
+_TE_SQL = f"""
+    WITH cf AS (
+        SELECT event_type, user_id % {_TE_FOLDS} AS fold,
+               COUNT(*) AS n_cf, {dsum_expr('value')} AS s_cf
+        FROM events GROUP BY 1, 2
+    ), ct AS (
+        SELECT event_type, COUNT(*) AS n_c, {dsum_expr('value')} AS s_c
+        FROM events GROUP BY 1
+    )
+    SELECT cf.event_type, CAST(cf.fold AS BIGINT) AS fold,
+           CAST(cf.n_cf AS BIGINT) AS n_rows,
+           FLOOR((ct.s_c - cf.s_cf) / CAST(ct.n_c - cf.n_cf AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS oof_mean,
+           FLOOR(cf.s_cf / CAST(cf.n_cf AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS fold_mean
+    FROM cf JOIN ct USING (event_type)
+"""
+
+
+@query("ml_target_encode_oof", oracle=_TE_SQL)
+def ml_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding: for each (category, fold) the mean
+    target computed EXCLUDING that fold's rows — the leakage-free way
+    to turn a high-cardinality categorical into a numeric feature
+    (in-fold means memorize the target; ml_cross_split_leakage is the
+    audit, this is the fix). Folds key on user_id so a user's own
+    events never inform their encoded value.
+
+    Exactness: per-(cat, fold) and per-cat sums go through the decimal
+    contract; the OOF mean is one subtraction of two decimal-rounded
+    doubles over an exact integer count, quantized at 1e-6.
+
+    Scale: two map-side-combinable aggregates over one scan shape and
+    a |cats|-row broadcast join — the encode table stays distributed
+    and joins back to the feature frame by key at any scale."""
+    e = _t(spark, sf_dir, "events")["events"]
+    cf = e.groupBy(
+        "event_type", (F.col("user_id") % _TE_FOLDS).alias("fold")
+    ).agg(F.count(F.lit(1)).alias("n_cf"), dsum("value").alias("s_cf"))
+    ct = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_c"), dsum("value").alias("s_c")
+    )
+    return cf.join(F.broadcast(ct), "event_type").select(
+        "event_type",
+        F.col("fold").cast("bigint").alias("fold"),
+        F.col("n_cf").cast("bigint").alias("n_rows"),
+        _q6(
+            (F.col("s_c") - F.col("s_cf"))
+            / (F.col("n_c") - F.col("n_cf")).cast("double")
+        ).alias("oof_mean"),
+        _q6(F.col("s_cf") / F.col("n_cf").cast("double")).alias("fold_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson, lags 1-3)
+# ---------------------------------------------------------------------------
+
+_PACF_SQL = f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr('value')} AS x
+        FROM events GROUP BY 1
+    ), mu AS (
+        SELECT {davg_expr('x')} AS m, COUNT(*) AS n FROM daily
+    ), dev AS MATERIALIZED (
+        SELECT day, x - (SELECT m FROM mu) AS dv FROM daily
+    ), den AS (
+        SELECT {dsum_expr('dv * dv')} AS d0 FROM dev
+    ), s1 AS (
+        SELECT {dsum_expr('a.dv * b.dv')} AS s FROM dev a
+        JOIN dev b ON b.day = a.day + INTERVAL 1 DAY
+    ), s2 AS (
+        SELECT {dsum_expr('a.dv * b.dv')} AS s FROM dev a
+        JOIN dev b ON b.day = a.day + INTERVAL 2 DAY
+    ), s3 AS (
+        SELECT {dsum_expr('a.dv * b.dv')} AS s FROM dev a
+        JOIN dev b ON b.day = a.day + INTERVAL 3 DAY
+    ), rq AS (
+        SELECT (SELECT n FROM mu) AS n_days,
+               FLOOR(s1.s / den.d0 * 1e6 + 0.5) / 1e6 AS r1,
+               FLOOR(s2.s / den.d0 * 1e6 + 0.5) / 1e6 AS r2,
+               FLOOR(s3.s / den.d0 * 1e6 + 0.5) / 1e6 AS r3
+        FROM s1, s2, s3, den
+    ), dl AS (
+        SELECT n_days, r1, r2, r3,
+               (r2 - r1 * r1) / (1 - r1 * r1) AS phi22
+        FROM rq
+    ), dl2 AS (
+        SELECT n_days, r1, r2, r3, phi22, r1 - phi22 * r1 AS a21 FROM dl
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days, r1, r2, r3,
+           r1 AS pacf1,
+           FLOOR(phi22 * 1e6 + 0.5) / 1e6 AS pacf2,
+           FLOOR((r3 - a21 * r2 - phi22 * r1)
+                 / (1 - a21 * r1 - phi22 * r2) * 1e6 + 0.5) / 1e6 AS pacf3
+    FROM dl2
+"""
+
+
+@query("ts_pacf_durbin", oracle=_PACF_SQL)
+def ts_pacf_durbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the global daily-revenue series at
+    lags 1-3 via Durbin-Levinson — the AR-order-selection companion to
+    ts_autocorrelation (ACF says "correlated at lag k", PACF says
+    "correlated at lag k AFTER removing shorter lags", which is what
+    picks the AR order for ts_holt_linear-class forecasts).
+
+    Exactness: the daily series, mean and all lag products go through
+    the decimal contract; r1-r3 are quantized at 1e-6 and the
+    Durbin-Levinson recursion is then a fixed IEEE expression tree on
+    those quantized values, spelled token-identically in both engines
+    (phi22 and a21 materialized as named intermediates).
+
+    Scale: lag alignment is a self-JOIN on day+k (no single-partition
+    window — the calendar-grain frame is checkpointed once and reused
+    by the four branch aggregates); everything downstream of the
+    daily rollup is calendar-bounded."""
+    e = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value").alias("x"))
+        .transform(cut_lineage)
+    )
+    mu = daily.agg(davg("x").alias("m"), F.count(F.lit(1)).alias("n_days"))
+    dev = (
+        daily.crossJoin(F.broadcast(mu))
+        .select("day", "n_days", (F.col("x") - F.col("m")).alias("dv"))
+        .transform(cut_lineage)
+    )
+    den = dev.agg(dsum(F.col("dv") * F.col("dv")).alias("d0"))
+
+    def lag_sum(k: int) -> DataFrame:
+        b = dev.select(F.col("day").alias("day_b"), F.col("dv").alias("dvb"))
+        return (
+            dev.join(
+                b,
+                F.col("day_b")
+                == F.col("day") + F.expr(f"INTERVAL {k} DAY"),
+            )
+            .agg(dsum(F.col("dv") * F.col("dvb")).alias(f"s{k}"))
+        )
+
+    rq = (
+        lag_sum(1)
+        .crossJoin(F.broadcast(lag_sum(2)))
+        .crossJoin(F.broadcast(lag_sum(3)))
+        .crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(dev.agg(F.max("n_days").alias("n_days"))))
+        .select(
+            "n_days",
+            _q6(F.col("s1") / F.col("d0")).alias("r1"),
+            _q6(F.col("s2") / F.col("d0")).alias("r2"),
+            _q6(F.col("s3") / F.col("d0")).alias("r3"),
+        )
+    )
+    dl = rq.withColumn(
+        "phi22",
+        (F.col("r2") - F.col("r1") * F.col("r1"))
+        / (F.lit(1) - F.col("r1") * F.col("r1")),
+    )
+    dl2 = dl.withColumn("a21", F.col("r1") - F.col("phi22") * F.col("r1"))
+    return dl2.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        "r1",
+        "r2",
+        "r3",
+        F.col("r1").alias("pacf1"),
+        _q6(F.col("phi22")).alias("pacf2"),
+        _q6(
+            (
+                F.col("r3")
+                - F.col("a21") * F.col("r2")
+                - F.col("phi22") * F.col("r1")
+            )
+            / (
+                F.lit(1)
+                - F.col("a21") * F.col("r1")
+                - F.col("phi22") * F.col("r2")
+            )
+        ).alias("pacf3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent (aggregated-variance method)
+# ---------------------------------------------------------------------------
+
+_HURST_KS = (1, 2, 4, 8)
+
+_HURST_SQL = f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr('value')} AS x
+        FROM events GROUP BY 1
+    ), idx AS MATERIALIZED (
+        SELECT DATEDIFF('day', (SELECT MIN(day) FROM daily), day) AS i, x
+        FROM daily
+    ), ks AS (
+        SELECT UNNEST([{', '.join(str(k) for k in _HURST_KS)}]) AS k
+    ), blocks AS (
+        SELECT k, i // k AS b, COUNT(*) AS cnt, {dsum_expr('x')} AS s
+        FROM idx CROSS JOIN ks GROUP BY 1, 2
+    ), means AS (
+        SELECT k, s / CAST(k AS DOUBLE) AS m FROM blocks WHERE cnt = k
+    ), vars AS (
+        SELECT k, COUNT(*) AS bn, {dsum_expr('m')} AS sm,
+               {dsum_expr('m * m')} AS smm
+        FROM means GROUP BY 1 HAVING COUNT(*) >= 2
+    ), pts AS (
+        SELECT FLOOR(LN(CAST(k AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS px,
+               FLOOR(LN(smm / CAST(bn AS DOUBLE)
+                        - (sm / CAST(bn AS DOUBLE))
+                          * (sm / CAST(bn AS DOUBLE)))
+                     * 1e6 + 0.5) / 1e6 AS py
+        FROM vars
+    ), fit AS (
+        SELECT COUNT(*) AS nk, {dsum_expr('px')} AS sx, {dsum_expr('py')} AS sy,
+               {dsum_expr('px * px')} AS sxx, {dsum_expr('px * py')} AS sxy
+        FROM pts
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(nk AS BIGINT) AS n_scales,
+           FLOOR((nk * sxy - sx * sy) / (nk * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+               AS slope,
+           FLOOR((1 + (nk * sxy - sx * sy) / (nk * sxx - sx * sx) / 2)
+                 * 1e6 + 0.5) / 1e6 AS hurst_aggvar
+    FROM fit
+"""
+
+
+@query("ts_hurst_aggvar", oracle=_HURST_SQL)
+def ts_hurst_aggvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily-revenue series by the
+    aggregated-variance method: variance of k-day block means for
+    k in {ks}, log-log regression slope, H = 1 + slope/2 — the
+    long-range-dependence screen (H ~ 0.5 random walk, H > 0.5
+    trending/persistent) that complements ts_variance_ratio's
+    two-scale test with a multi-scale fit.
+
+    Exactness: block sums go through the decimal contract and block
+    means divide by the exact block length; per-k variance is a fixed
+    IEEE tree on decimal-rounded doubles; each LN point is quantized
+    at 1e-6 before the 4-point regression, whose moments are decimal
+    sums; slope and H are single quantized expressions.
+
+    Scale: the k fan-out is a broadcast of a {nk}-row literal frame;
+    block aggregation is one map-side-combinable groupBy on
+    (k, day-index div k); everything after the daily rollup is
+    calendar-bounded. Partial trailing blocks are dropped (cnt = k)
+    in both engines.""".format(ks=_HURST_KS, nk=len(_HURST_KS))
+    e = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value").alias("x"))
+        .transform(cut_lineage)
+    )
+    mins = daily.agg(
+        F.min("day").alias("day0"), F.count(F.lit(1)).alias("n_days")
+    )
+    idx = daily.crossJoin(F.broadcast(mins)).select(
+        F.datediff(F.col("day"), F.col("day0")).alias("i"), "x", "n_days"
+    )
+    ks = spark.createDataFrame([(k,) for k in _HURST_KS], "k int")
+    blocks = (
+        idx.crossJoin(F.broadcast(ks))
+        .groupBy("k", F.expr("i div k").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("x").alias("s"),
+            F.max("n_days").alias("n_days"),
+        )
+    )
+    means = blocks.filter(F.col("cnt") == F.col("k")).select(
+        "k", (F.col("s") / F.col("k").cast("double")).alias("m"), "n_days"
+    )
+    vars_ = (
+        means.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            dsum("m").alias("sm"),
+            dsum(F.col("m") * F.col("m")).alias("smm"),
+            F.max("n_days").alias("n_days"),
+        )
+        .filter(F.col("bn") >= 2)
+    )
+    pts = vars_.select(
+        _q6(F.log(F.col("k").cast("double"))).alias("px"),
+        _q6(
+            F.log(
+                F.col("smm") / F.col("bn").cast("double")
+                - (F.col("sm") / F.col("bn").cast("double"))
+                * (F.col("sm") / F.col("bn").cast("double"))
+            )
+        ).alias("py"),
+        "n_days",
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("nk"),
+        dsum("px").alias("sx"),
+        dsum("py").alias("sy"),
+        dsum(F.col("px") * F.col("px")).alias("sxx"),
+        dsum(F.col("px") * F.col("py")).alias("sxy"),
+        F.max("n_days").alias("n_days"),
+    )
+    slope = (F.col("nk") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("nk") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("nk").cast("bigint").alias("n_scales"),
+        _q6(slope).alias("slope"),
+        _q6(F.lit(1) + slope / 2).alias("hurst_aggvar"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (F statistic across event types)
+# ---------------------------------------------------------------------------
+
+_ANOVA_SQL = f"""
+    WITH g AS (
+        SELECT event_type, COUNT(*) AS ng, {dsum_expr('value')} AS s,
+               {dsum_expr('value * value')} AS ss
+        FROM events GROUP BY 1
+    ), o AS (
+        SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+               {dsum_expr('s * s / CAST(ng AS DOUBLE)')} AS sbsum,
+               {dsum_expr('ss - s * s / CAST(ng AS DOUBLE)')} AS sswv,
+               {dsum_expr('s')} AS gsum
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, n,
+           FLOOR((sbsum - gsum * gsum / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS ssb,
+           FLOOR(sswv * 1e6 + 0.5) / 1e6 AS ssw,
+           FLOOR(((sbsum - gsum * gsum / CAST(n AS DOUBLE))
+                  / CAST(k - 1 AS DOUBLE))
+                 / (sswv / CAST(n - k AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS f_stat
+    FROM o
+"""
+
+
+@query("stat_anova_oneway", oracle=_ANOVA_SQL)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types: between/within
+    sums of squares and the F statistic — the k-group generalization
+    of ab_welch_ttest's two-group comparison (screening "does ANY
+    variant differ" before pairwise tests inflate false positives).
+
+    Exactness: per-group n, sum(x) and sum(x^2) go through the decimal
+    contract (x*x is one identical IEEE multiply per row); the
+    per-group terms s^2/n are fixed IEEE trees decimal-summed across
+    the |groups| rows (the agg_corr_matrix / mutual-info precedent for
+    cross-group reductions); SSB, SSW and F are single quantized
+    expressions spelled token-identically in both engines.
+
+    Scale: one map-side-combinable scan aggregate to |groups| rows,
+    then a |groups|-row reduction — nothing downstream of the first
+    aggregate depends on data size."""
+    e = _t(spark, sf_dir, "events")["events"]
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        dsum("value").alias("s"),
+        dsum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    tb = F.col("s") * F.col("s") / F.col("ng").cast("double")
+    o = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        dsum(tb).alias("sbsum"),
+        dsum(F.col("ss") - tb).alias("sswv"),
+        dsum("s").alias("gsum"),
+    )
+    ssb = F.col("sbsum") - F.col("gsum") * F.col("gsum") / F.col("n").cast(
+        "double"
+    )
+    return o.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        "n",
+        _q6(ssb).alias("ssb"),
+        _q6(F.col("sswv")).alias("ssw"),
+        _q6(
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (F.col("sswv") / (F.col("n") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association screen over feature pairs
+# ---------------------------------------------------------------------------
+
+_CV_BAND = 50.0  # value band width for the banded feature
+
+# (pair label, DuckDB expr, duck b expr) — the Spark exprs mirror below
+_CV_ET = "event_type"
+_CV_DW = (
+    "CAST(DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS VARCHAR)"
+)
+_CV_VB = f"CAST(CAST(FLOOR(value / {_CV_BAND}) AS BIGINT) AS VARCHAR)"
+
+
+def _cv_block(pair: str, ax: str, bx: str) -> str:
+    term = (
+        "(CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+    return f"""
+    SELECT '{pair}' AS pair, nn.n, nn.r, nn.c,
+           FLOOR(chi.chi2 * 1e6 + 0.5) / 1e6 AS chi2,
+           FLOOR(SQRT(chi.chi2
+                      / CAST(nn.n * LEAST(nn.r - 1, nn.c - 1) AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS cramers_v
+    FROM (
+        SELECT {dsum_expr(term)} AS chi2
+        FROM (SELECT {ax} AS a, {bx} AS b, COUNT(*) AS o
+              FROM events GROUP BY 1, 2) cells
+        JOIN (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM
+              (SELECT {ax} AS a, {bx} AS b, COUNT(*) AS o
+               FROM events GROUP BY 1, 2) GROUP BY 1) rts USING (a)
+        JOIN (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM
+              (SELECT {ax} AS a, {bx} AS b, COUNT(*) AS o
+               FROM events GROUP BY 1, 2) GROUP BY 1) cts USING (b)
+        CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events) tot
+    ) chi
+    CROSS JOIN (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT {ax}) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT {bx}) AS BIGINT) AS c
+        FROM events
+    ) nn
+    """
+
+
+_CV_SQL = " UNION ALL ".join(
+    _cv_block(pair, ax, bx)
+    for pair, ax, bx in [
+        ("event_type_x_dow", _CV_ET, _CV_DW),
+        ("event_type_x_value_band", _CV_ET, _CV_VB),
+        ("dow_x_value_band", _CV_DW, _CV_VB),
+    ]
+)
+
+
+@query("stat_cramers_v", oracle=_CV_SQL)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association screen over three categorical feature
+    pairs (event type x day-of-week, event type x value band,
+    day-of-week x value band) — the normalized-to-[0,1] effect size
+    that makes stat_chi2_independence's raw statistic comparable
+    across tables of different shapes; feature-pair screens like this
+    order candidate interactions before model training.
+
+    Exactness: contingency cells and margins are exact integers;
+    day-of-week is epoch-day mod 7 (sidesteps the engine DAYOFWEEK
+    numbering split); each cell's chi-square term is a fixed IEEE
+    tree on exact-int doubles, decimal-summed over the bounded cell
+    grid; V is one correctly-rounded SQRT, quantized at 1e-6.
+
+    Scale: each pair is one map-side-combinable groupBy to a
+    |levels_a| x |levels_b| grid (data-independent constants here)
+    plus margin broadcasts — three bounded-output scans, unioned."""
+    e = _t(spark, sf_dir, "events")["events"]
+    et = F.col("event_type")
+    dw = (
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))) % 7
+    ).cast("string")
+    vb = F.floor(F.col("value") / F.lit(_CV_BAND)).cast("string")
+
+    def block(pair: str, a, b) -> DataFrame:
+        base = e.select(a.alias("a"), b.alias("b"))
+        cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
+        cells = cells.transform(cut_lineage)
+        rts = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("rt"))
+        cts = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("ct"))
+        nn = cells.agg(
+            F.sum("o").cast("bigint").alias("n"),
+            F.countDistinct("a").cast("bigint").alias("r"),
+            F.countDistinct("b").cast("bigint").alias("c"),
+        )
+        ex = F.col("rt") * F.col("ct")
+        ed = ex.cast("double") / F.col("n").cast("double")
+        diff = F.col("o").cast("double") - ed
+        chi = (
+            cells.join(F.broadcast(rts), "a")
+            .join(F.broadcast(cts), "b")
+            .crossJoin(F.broadcast(nn.select("n")))
+            .agg(dsum(diff * diff / ed).alias("chi2"))
+        )
+        return chi.crossJoin(F.broadcast(nn)).select(
+            F.lit(pair).alias("pair"),
+            "n",
+            "r",
+            "c",
+            _q6(F.col("chi2")).alias("chi2"),
+            _q6(
+                F.sqrt(
+                    F.col("chi2")
+                    / (
+                        F.col("n")
+                        * F.least(F.col("r") - 1, F.col("c") - 1)
+                    ).cast("double")
+                )
+            ).alias("cramers_v"),
+        )
+
+    return (
+        block("event_type_x_dow", et, dw)
+        .unionAll(block("event_type_x_value_band", et, vb))
+        .unionAll(block("dow_x_value_band", dw, vb))
+    )
