@@ -235,7 +235,12 @@ def seq_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Naive-Bayes language ID — trained and evaluated in-engine
 # ---------------------------------------------------------------------------
 
-_NB_SQL = """
+# Shared CTE prefix: train/test split, token-class counts, smoothing
+# constants, priors, and the per-(doc, lang) integer micro-nat score —
+# reused by ml_naive_bayes_langid (argmax confusion) and
+# ml_uncertainty_sampling (top-2 margin), so both entries grade the
+# SAME trained model.
+_NB_PREFIX = """
     WITH train AS MATERIALIZED (
         SELECT * FROM documents WHERE doc_id % 2 = 0
     ), tok_tr AS (
@@ -270,36 +275,28 @@ _NB_SQL = """
         FROM scored GROUP BY 1, 2, 3
     ), ranked AS (
         SELECT doc_id, true_lang, m_lang,
+               CAST(s + p.prior_u AS BIGINT) AS s_tot,
                ROW_NUMBER() OVER (PARTITION BY doc_id
                                   ORDER BY s + p.prior_u DESC, m_lang ASC) AS rn
         FROM doc_lang JOIN pri p ON p.lang = m_lang
     )
+"""
+
+_NB_SQL = (
+    _NB_PREFIX
+    + """
     SELECT true_lang, m_lang AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM ranked WHERE rn = 1 GROUP BY 1, 2
 """
+)
 
 
-@query("ml_naive_bayes_langid", oracle=_NB_SQL)
-def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial naive Bayes trained IN the engine (even doc_ids) and
-    evaluated on the held-out half (odd doc_ids), reported as a
-    confusion matrix — unlike text_language_id's fixed heuristic, the
-    model here is a DataFrame of add-one-smoothed token
-    log-likelihoods, i.e. actual distributed training, the pattern any
-    count-based model (NB, n-gram LM scorers) follows at 100 TB.
-
-    Exactness: token/class counts, vocabulary size and priors are
-    exact integers; every LN term (one LN over a ratio of exact-int
-    doubles, the quantize-at-1e-6 precedent) becomes an integer
-    micro-nat BEFORE summation, so per-(doc, lang) scores are exact
-    integer sums and the argmax (score desc, lang asc) is
-    deterministic in both engines. The confusion matrix is exact
-    counts — no float crosses the compare boundary.
-
-    Scale: the "model" (lang x term counts) never leaves the cluster —
-    scoring is a (term, lang)-key join against it; candidate langs
-    fan out via a broadcast of the |langs|-row class table; one
-    (doc, lang) aggregate and a per-doc top-1 window finish it."""
+def _nb_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared naive-Bayes scoring pipeline: per (test doc, candidate
+    lang) the exact integer micro-nat posterior score ``s_tot`` and its
+    per-doc rank ``rn`` (score desc, lang asc) — the Spark twin of the
+    _NB_PREFIX CTE chain, consumed by the confusion-matrix and
+    uncertainty-sampling entries."""
     d = _t(spark, sf_dir, "documents")["documents"]
     train = d.filter(F.col("doc_id") % 2 == 0)
     test = d.filter(F.col("doc_id") % 2 == 1)
@@ -371,7 +368,39 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         doc_lang.join(F.broadcast(pri), "m_lang")
-        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "true_lang",
+            "m_lang",
+            (F.col("s") + F.col("prior_u")).cast("bigint").alias("s_tot"),
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+
+
+@query("ml_naive_bayes_langid", oracle=_NB_SQL)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained IN the engine (even doc_ids) and
+    evaluated on the held-out half (odd doc_ids), reported as a
+    confusion matrix — unlike text_language_id's fixed heuristic, the
+    model here is a DataFrame of add-one-smoothed token
+    log-likelihoods, i.e. actual distributed training, the pattern any
+    count-based model (NB, n-gram LM scorers) follows at 100 TB.
+
+    Exactness: token/class counts, vocabulary size and priors are
+    exact integers; every LN term (one LN over a ratio of exact-int
+    doubles, the quantize-at-1e-6 precedent) becomes an integer
+    micro-nat BEFORE summation, so per-(doc, lang) scores are exact
+    integer sums and the argmax (score desc, lang asc) is
+    deterministic in both engines. The confusion matrix is exact
+    counts — no float crosses the compare boundary.
+
+    Scale: the "model" (lang x term counts) never leaves the cluster —
+    scoring is a (term, lang)-key join against it; candidate langs
+    fan out via a broadcast of the |langs|-row class table; one
+    (doc, lang) aggregate and a per-doc top-1 window finish it."""
+    return (
+        _nb_ranked(spark, sf_dir)
         .filter(F.col("rn") == 1)
         .groupBy("true_lang", F.col("m_lang").alias("pred_lang"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))

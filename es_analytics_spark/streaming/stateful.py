@@ -333,3 +333,82 @@ def running_bottomk_sample(hashed: DataFrame, k: int = BOTTOMK_K) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming alert debounce (cooldown suppression) ---------------------
+
+DEBOUNCE_STATE_CAP = 4096  # per-key alert cap (fixture max ~60)
+
+DEBOUNCE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_alerts", T.LongType()),
+        T.StructField("n_kept", T.LongType()),
+        T.StructField("first_kept_us", T.LongType()),
+        T.StructField("last_kept_us", T.LongType()),
+    ]
+)
+
+DEBOUNCE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("ts", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def running_debounce(alerts: DataFrame, cooldown_us: int) -> DataFrame:
+    """seq_alert_debounce's cooldown chain maintained by the STREAMING
+    engine: state per user is the (ts, event_id) alert set, and every
+    epoch RE-DERIVES the kept chain from the sorted set — so unlike a
+    naive "carry last_kept" design, late or out-of-order arrivals that
+    insert an earlier alert retroactively re-anchor the chain, exactly
+    as the batch recursive-CTE oracle would. This is the same
+    bounded-state re-derivation trade running_funnel_levels documents:
+    a key needs more than DEBOUNCE_STATE_CAP alerts to break exactness
+    (fixture max is ~60; a production cap pairs with an alert-volume
+    guard upstream).
+
+    Input must be pre-filtered to alert rows with columns
+    (user_id, tus, event_id); state is keyed by user and
+    partition-local, so the same code shards across executors."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, ts, ids = state.get if state.exists else (0, [], [])
+        pairs = set(zip(ts, ids))
+        for pdf in pdfs:
+            n += len(pdf)
+            for t, i in zip(pdf["tus"], pdf["event_id"]):
+                pairs.add((int(t), int(i)))
+        ordered = sorted(pairs)[:DEBOUNCE_STATE_CAP]
+        state.update(
+            (n, [t for t, _ in ordered], [i for _, i in ordered])
+        )
+        kept = []
+        last = None
+        for t, _ in ordered:
+            if last is None or t >= last + cooldown_us:
+                kept.append(t)
+                last = t
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_rows": [n],
+                "n_alerts": [len(ordered)],
+                "n_kept": [len(kept)],
+                "first_kept_us": [kept[0] if kept else None],
+                "last_kept_us": [kept[-1] if kept else None],
+            }
+        )
+
+    return alerts.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

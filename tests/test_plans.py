@@ -165,6 +165,9 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         "ts_peak_detection",
         # rolling k-day sums over the |days| frame — calendar-bounded
         "ts_variance_ratio",
+        # threshold scan + argmin over the |p_size value domain| grain
+        # (<= 50 rows, bounded by the feature's value domain, not rows)
+        "ml_boosted_stumps",
     }
     # dedup_clusters runs its iterative loop eagerly at build time
     skip_eager = {"dedup_clusters"}
