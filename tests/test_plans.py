@@ -168,6 +168,10 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         # threshold scan + argmin over the |p_size value domain| grain
         # (<= 50 rows, bounded by the feature's value domain, not rows)
         "ml_boosted_stumps",
+        # changepoint scan + argmin over the |days| frame — calendar-bounded
+        "ts_piecewise_trend",
+        # prefix sums over the constant 20-bin score grid
+        "ml_isotonic_calibration",
     }
     # dedup_clusters runs its iterative loop eagerly at build time
     skip_eager = {"dedup_clusters"}
