@@ -2211,3 +2211,4 @@ from es_analytics_spark import queries_sql8 as _queries_sql8  # noqa: E402,F401
 from es_analytics_spark import queries_sql9 as _queries_sql9  # noqa: E402,F401
 from es_analytics_spark import queries_sql10 as _queries_sql10  # noqa: E402,F401
 from es_analytics_spark import queries_sql11 as _queries_sql11  # noqa: E402,F401
+from es_analytics_spark import queries_sql12 as _queries_sql12  # noqa: E402,F401
