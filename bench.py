@@ -114,6 +114,14 @@ HEADLINE = [
     "agg_kmv_setops",
     "text_ngram_novelty",
     "ab_ratio_metric_delta",
+    # r5 batches 9-12: fixpoint components, sequential debounce, in-engine
+    # model training (NB + boosted stumps), rank fusion, held-out LM eval
+    "graph_connected_components",
+    "seq_alert_debounce",
+    "ml_naive_bayes_langid",
+    "ml_boosted_stumps",
+    "sim_rrf_fusion",
+    "text_lm_perplexity_heldout",
 ]
 
 
