@@ -1,0 +1,504 @@
+"""Round-5 batch-14 surface: BPE merge learning (three unrolled rounds
+of actual tokenizer training), top principal component by power
+iteration (distributed linear algebra with an unrolled SQL oracle), a
+fixed-frequency periodogram with literal twiddle factors, and the
+Hodges-Lehmann robust location estimator.
+
+Same contract as the rest of the catalog (see queries.py): every entry
+pairs a Spark-first implementation with a DuckDB oracle, is
+deterministic as a set of rows, and keeps float math cross-engine
+stable via the decimal-sum contract and fixed IEEE trees; the
+periodogram's cosine/sine factors are Python-precomputed double
+literals embedded identically in both engines (the ml_ndcg_at_k
+discount-literal precedent), so no transcendental is ever evaluated
+by either engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from es_analytics_spark.functions.exact import dsum, dsum_expr
+from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.queries import _t, query
+
+
+def _q6(c):
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+_DCUM_AGG = "CAST(ROUND(SUM(CAST(({e}) AS DECIMAL(38,10))), 4) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (three unrolled rounds)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_sql() -> str:
+    sql = r"""
+    WITH words AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\s+')) AS w
+            FROM documents) WHERE w <> '' GROUP BY 1
+    ), seqs0 AS MATERIALIZED (
+        SELECT TRIM(REGEXP_REPLACE(w, '(.)', '\1 ', 'g')) AS seq, c
+        FROM words
+    )"""
+    for r in range(1, _BPE_ROUNDS + 1):
+        prev = f"seqs{r - 1}"
+        sql += f""", pairs{r} AS MATERIALIZED (
+        SELECT s1 || ' ' || s2 AS pair, CAST(SUM(c) AS BIGINT) AS n FROM (
+            SELECT c, UNNEST(syms[1:LEN(syms) - 1]) AS s1,
+                   UNNEST(syms[2:LEN(syms)]) AS s2
+            FROM (SELECT STRING_SPLIT(seq, ' ') AS syms, c FROM {prev})
+        ) GROUP BY 1
+    ), best{r} AS MATERIALIZED (
+        SELECT pair, n FROM pairs{r}
+        QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) = 1
+    ), seqs{r} AS MATERIALIZED (
+        SELECT TRIM(REPLACE(' ' || s.seq || ' ',
+                            ' ' || b.pair || ' ',
+                            ' ' || REPLACE(b.pair, ' ', '') || ' ')) AS seq, c
+        FROM {prev} s CROSS JOIN best{r} b
+    )"""
+    sql += (
+        "\n    "
+        + "\n    UNION ALL ".join(
+            f"SELECT {r} AS round, pair AS merged_pair, n AS pair_count"
+            f" FROM best{r}"
+            for r in range(1, _BPE_ROUNDS + 1)
+        )
+    )
+    return sql
+
+
+@query("text_bpe_learn_merges", oracle=_bpe_sql())
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding MERGE LEARNING: three rounds of the actual
+    BPE training loop — count adjacent symbol pairs over the word
+    histogram, merge the most frequent pair corpus-wide, recount —
+    the step text_bpe_pair_counts only screens (it counts pairs once;
+    this one trains). Tokenizer training is a first-class 100 TB
+    pipeline job, and its inner loop is exactly this histogram
+    rewrite.
+
+    Semantics: symbol sequences are space-joined; the merge rewrites
+    ' p1 p2 ' -> ' p1p2 ' on space-padded sequences, which is the
+    standard leftmost non-overlapping BPE application (both engines'
+    literal REPLACE is leftmost non-overlapping), and padding keeps
+    multi-character symbols from matching across boundaries. Ties on
+    pair count break lexicographically — part of the contract, as in
+    real BPE implementations.
+
+    Exactness: everything is exact integer counts over deterministic
+    string rewrites; no floats at all.
+
+    Scale: the working set is the WORD HISTOGRAM (vocabulary-sized,
+    zipf-bounded), not the corpus — the same reduction every BPE
+    trainer uses; each round is one pair-explode aggregate + one
+    broadcast-rewrite map, checkpoint-linearized so round r+1 reads
+    round r's result, not the whole lineage."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    words = (
+        d.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    seqs = words.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("seq"), "c"
+    ).transform(cut_lineage)
+    outs = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        syms = F.split(F.col("seq"), " ")
+        zipped = F.arrays_zip(
+            F.slice(syms, 1, F.size(syms) - 1).alias("s1"),
+            F.slice(syms, 2, F.size(syms) - 1).alias("s2"),
+        )
+        pairs = (
+            seqs.select("c", F.explode(zipped).alias("z"))
+            .select(
+                F.concat_ws(" ", F.col("z.s1"), F.col("z.s2")).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").cast("bigint").alias("n"))
+        )
+        wtop = W.orderBy(F.desc("n"), F.asc("pair"))
+        best = (
+            pairs.withColumn("rk", F.row_number().over(wtop))
+            .filter(F.col("rk") == 1)
+            .select("pair", "n")
+            .transform(cut_lineage)
+        )
+        outs.append(
+            best.select(
+                F.lit(r).alias("round"),
+                F.col("pair").alias("merged_pair"),
+                F.col("n").alias("pair_count"),
+            )
+        )
+        seqs = (
+            seqs.crossJoin(F.broadcast(best))
+            .select(
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                        F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                        F.concat(
+                            F.lit(" "),
+                            F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                            F.lit(" "),
+                        ),
+                    )
+                ).alias("seq"),
+                "c",
+            )
+            .transform(cut_lineage)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Top principal component by power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 8
+
+
+def _pca_sql() -> str:
+    ds = lambda e: _DCUM_AGG.format(e=e)  # noqa: E731
+    sql = f"""
+    WITH dims AS MATERIALIZED (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ), mu AS MATERIALIZED (
+        SELECT dim, {ds('x')} / COUNT(x) AS m FROM dims GROUP BY 1
+    ), gram AS MATERIALIZED (
+        SELECT a.dim AS i, b.dim AS j,
+               {ds('(a.x - ma.m) * (b.x - mb.m)')}
+                   / (SELECT COUNT(DISTINCT vec_id) FROM dims) AS a_ij
+        FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+        JOIN mu ma ON ma.dim = a.dim JOIN mu mb ON mb.dim = b.dim
+        GROUP BY 1, 2
+    ), v0 AS MATERIALIZED (SELECT dim AS i, 0.125 AS v FROM mu)"""
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        sql += f""", w{k} AS MATERIALIZED (
+        SELECT g.i, {ds('g.a_ij * v.v')} AS w
+        FROM gram g JOIN {prev} v ON v.i = g.j GROUP BY 1
+    ), v{k} AS MATERIALIZED (
+        SELECT i, w / (SELECT SQRT({ds('w * w')}) FROM w{k}) AS v FROM w{k}
+    )"""
+        prev = f"v{k}"
+    n = _PCA_ITERS
+    sql += f"""
+    SELECT CAST(v.i AS BIGINT) AS dim,
+           FLOOR(v.v * 1e6 + 0.5) / 1e6 AS loading,
+           FLOOR((SELECT {ds('w.w * v2.v')} FROM w{n} w
+                  JOIN v{n} v2 ON v2.i = w.i) * 1e6 + 0.5) / 1e6
+               AS eigenvalue,
+           FLOOR((SELECT MAX(ABS(a.v - b.v)) FROM v{n} a
+                  JOIN v{n - 1} b ON b.i = a.i) * 1e6 + 0.5) / 1e6
+               AS residual
+    FROM v{n} v
+"""
+    return sql
+
+
+@query("ml_embedding_pca_power", oracle=_pca_sql())
+def ml_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by power
+    iteration ({it} fixed iterations on the exact covariance matrix) —
+    distributed linear algebra as relational algebra: the covariance
+    is one (vec-keyed) self-join aggregate in long (vec, dim) layout,
+    and each iteration is a dims^2-sized matrix-vector join. The PC1
+    loading vector is what embedding-drift monitors project onto, and
+    the eigenvalue/trace ratio is the anisotropy number behind
+    whitening decisions (ml_embedding_whitening_diag fixes per-dim
+    scale; PC1 finds the correlated direction).
+
+    Exactness: covariance entries, every matrix-vector product, the
+    norm, the Rayleigh eigenvalue, and the last-iteration residual
+    (the round-5 convergence-telemetry convention: max |v_k - v_k-1|)
+    all go through the decimal contract; normalization divides by one
+    correctly rounded SQRT. The fixed-iteration contract is the
+    graph_pagerank trade, with the residual column telling a 100x user
+    whether {it} iterations sufficed.
+
+    Scale: the gram build is the only data-sized step (vec-keyed
+    self-join on the 64-dim long layout = one shuffle, dims^2 output);
+    iterations run on the 64x64 grain. For dims where dims^2 no
+    longer fits an aggregate, you'd switch to blocked outer products —
+    the plan shape stays joins + aggregates.""".format(it=_PCA_ITERS)
+    em = _t(spark, sf_dir, "embeddings")["embeddings"]
+    dims = (
+        em.select("vec_id", F.posexplode("embedding").alias("dim0", "xf"))
+        .select(
+            "vec_id",
+            (F.col("dim0") + 1).alias("dim"),
+            F.col("xf").cast("double").alias("x"),
+        )
+        .transform(cut_lineage)
+    )
+    mu = dims.groupBy("dim").agg((dsum("x") / F.count("x")).alias("m"))
+    nvec = dims.agg(
+        F.countDistinct("vec_id").cast("bigint").alias("nv")
+    )
+    a = dims.join(F.broadcast(mu), "dim").select(
+        "vec_id", F.col("dim").alias("i"), (F.col("x") - F.col("m")).alias("xa")
+    )
+    b = dims.join(F.broadcast(mu), "dim").select(
+        "vec_id", F.col("dim").alias("j"), (F.col("x") - F.col("m")).alias("xb")
+    )
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(dsum(F.col("xa") * F.col("xb")).alias("s"))
+        .crossJoin(F.broadcast(nvec))
+        .select("i", "j", (F.col("s") / F.col("nv").cast("double")).alias("a_ij"))
+        .transform(cut_lineage)
+    )
+    v = mu.select(F.col("dim").alias("i"), F.lit(0.125).alias("v"))
+    v_prev = None
+    for _ in range(_PCA_ITERS):
+        w = (
+            gram.join(
+                v.select(F.col("i").alias("j"), "v"), "j"
+            )
+            .groupBy("i")
+            .agg(dsum(F.col("a_ij") * F.col("v")).alias("w"))
+            .transform(cut_lineage)
+        )
+        norm = w.agg(F.sqrt(dsum(F.col("w") * F.col("w"))).alias("nrm"))
+        v_prev = v
+        v = w.crossJoin(F.broadcast(norm)).select(
+            "i", (F.col("w") / F.col("nrm")).alias("v")
+        ).transform(cut_lineage)
+        w_last = w
+    eig = (
+        w_last.join(v.select(F.col("i"), F.col("v").alias("v2")), "i")
+        .agg(dsum(F.col("w") * F.col("v2")).alias("eig"))
+    )
+    resid = (
+        v.join(
+            v_prev.select(F.col("i"), F.col("v").alias("vp")), "i"
+        ).agg(F.max(F.abs(F.col("v") - F.col("vp"))).alias("res"))
+    )
+    return (
+        v.crossJoin(F.broadcast(eig))
+        .crossJoin(F.broadcast(resid))
+        .select(
+            F.col("i").cast("bigint").alias("dim"),
+            _q6(F.col("v")).alias("loading"),
+            _q6(F.col("eig")).alias("eigenvalue"),
+            _q6(F.col("res")).alias("residual"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-frequency periodogram with literal twiddle factors
+# ---------------------------------------------------------------------------
+
+_PG_PERIODS = (7, 14)
+
+
+def _pg_twiddles(period: int) -> list[tuple[int, float, float]]:
+    """(phase, cos, sin) literals for one period — computed ONCE here
+    in Python and embedded as identical double literals in the Spark
+    plan and the SQL oracle, so neither engine evaluates cos/sin."""
+    return [
+        (
+            t,
+            math.cos(2.0 * math.pi * t / period),
+            math.sin(2.0 * math.pi * t / period),
+        )
+        for t in range(period)
+    ]
+
+
+def _pg_sql() -> str:
+    blocks = []
+    for p in _PG_PERIODS:
+        tw = " UNION ALL ".join(
+            f"SELECT {t} AS ph, {c!r} AS cs, {s!r} AS sn"
+            for t, c, s in _pg_twiddles(p)
+        )
+        blocks.append(f"""
+    SELECT {p} AS period, n_days,
+           FLOOR((sc * sc + ss * ss) / CAST(n_days AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS power
+    FROM (
+        SELECT {dsum_expr('d.y * t.cs')} AS sc, {dsum_expr('d.y * t.sn')} AS ss,
+               CAST(MAX(d.n_days) AS BIGINT) AS n_days
+        FROM idx d JOIN ({tw}) t ON t.ph = d.i % {p}
+    )""")
+    return (
+        f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr('value')} AS y0
+        FROM events GROUP BY 1
+    ), mu AS (
+        SELECT {dsum_expr('y0')} / COUNT(y0) AS m, COUNT(*) AS n_days
+        FROM daily
+    ), idx AS MATERIALIZED (
+        SELECT CAST(DATEDIFF('day', (SELECT MIN(day) FROM daily), day)
+                    AS BIGINT) AS i,
+               y0 - (SELECT m FROM mu) AS y,
+               (SELECT n_days FROM mu) AS n_days
+        FROM daily
+    )
+"""
+        + " UNION ALL ".join(blocks)
+    )
+
+
+@query("ts_periodogram_fixed", oracle=_pg_sql())
+def ts_periodogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power of the mean-centered daily-revenue series at
+    fixed candidate periods (7 and 14 days): the Goertzel-style
+    single-bin DFT |sum y_t e^(-2 pi i t/P)|^2 / n — the spectral
+    companion to ts_seasonality_strength (that one assumes weekly;
+    this one SCORES candidate periods so you pick the right one).
+
+    Exactness: the cos/sin twiddle factors for each period are
+    Python-precomputed double literals embedded identically in the
+    Spark plan and the SQL oracle (the ml_ndcg_at_k discount-literal
+    precedent) — neither engine evaluates a transcendental; products
+    against decimal-contract deviations are identical IEEE values and
+    their sums go back through the decimal contract; power is one
+    quantized tree.
+
+    Scale: the twiddle table is a |period|-row broadcast joined on
+    day-index mod P; everything is calendar-bounded after the daily
+    rollup, and adding a candidate period adds one bounded branch."""
+    e = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value").alias("y0"))
+        .transform(cut_lineage)
+    )
+    mu = daily.agg(
+        (dsum("y0") / F.count("y0")).alias("m"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    mins = daily.agg(F.min("day").alias("day0"))
+    idx = (
+        daily.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(mins))
+        .select(
+            F.datediff(F.col("day"), F.col("day0"))
+            .cast("bigint")
+            .alias("i"),
+            (F.col("y0") - F.col("m")).alias("y"),
+            "n_days",
+        )
+        .transform(cut_lineage)
+    )
+    outs = []
+    for p in _PG_PERIODS:
+        tw = spark.createDataFrame(
+            _pg_twiddles(p), "ph long, cs double, sn double"
+        )
+        agg = (
+            idx.join(F.broadcast(tw), F.col("i") % p == F.col("ph"))
+            .agg(
+                dsum(F.col("y") * F.col("cs")).alias("sc"),
+                dsum(F.col("y") * F.col("sn")).alias("ss"),
+                F.max("n_days").cast("bigint").alias("n_days"),
+            )
+        )
+        outs.append(
+            agg.select(
+                F.lit(p).alias("period"),
+                "n_days",
+                _q6(
+                    (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+                    / F.col("n_days").cast("double")
+                ).alias("power"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hodges-Lehmann robust location estimator
+# ---------------------------------------------------------------------------
+
+_HL_SQL = f"""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               {dsum_expr('value')} AS y
+        FROM events GROUP BY 1, 2
+    ), walsh AS (
+        SELECT a.event_type, (a.y + b.y) / 2 AS wavg
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.day >= a.day
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_walsh,
+           FLOOR(MEDIAN(wavg) * 1e6 + 0.5) / 1e6 AS hodges_lehmann
+    FROM walsh GROUP BY event_type
+"""
+
+
+@query("stat_hodges_lehmann", oracle=_HL_SQL)
+def stat_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimate per event type: the median of
+    all Walsh averages (pairwise means, i <= j) of the daily-revenue
+    series — the robust "typical daily revenue" with 29% breakdown
+    AND high efficiency under normality, the estimator the
+    Mann-Whitney test (stat_mann_whitney) inverts to.
+
+    Exactness: Walsh averages are one identical IEEE op on
+    decimal-contract daily sums; the exact median sorts those
+    identical doubles (even-count interpolation (a+b)/2 is one more
+    identical op — the ts_rolling_median precedent), quantized at
+    1e-6.
+
+    Scale: the pair space is per-type calendar-bounded (|days|^2 on
+    30-365 rows, never on events); the median runs per type over
+    those bounded groups."""
+    e = _t(spark, sf_dir, "events")["events"]
+    daily = (
+        e.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value").alias("y"))
+        .transform(cut_lineage)
+    )
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(
+        "event_type", F.col("day").alias("db"), F.col("y").alias("yb")
+    )
+    walsh = a.join(F.broadcast(b), ["event_type"]).filter(
+        F.col("db") >= F.col("da")
+    ).select("event_type", ((F.col("ya") + F.col("yb")) / 2).alias("wavg"))
+    grp = walsh.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_walsh"),
+        F.sort_array(F.collect_list("wavg")).alias("vals"),
+    )
+    n = F.size("vals")
+    mid_hi = F.element_at("vals", F.expr("cast(size(vals) div 2 + 1 as int)"))
+    mid_lo = F.element_at(
+        "vals", F.expr("cast((size(vals) + 1) div 2 as int)")
+    )
+    med = F.when(n % 2 == 1, mid_lo).otherwise((mid_lo + mid_hi) / 2)
+    return grp.select(
+        "event_type", "n_walsh", _q6(med).alias("hodges_lehmann")
+    )
