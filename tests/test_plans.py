@@ -172,6 +172,12 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         "ts_piecewise_trend",
         # prefix sums over the constant 20-bin score grid
         "ml_isotonic_calibration",
+        # p-value ranking over the |types| x 7 hypothesis family —
+        # bounded by the schema (event-type domain), not the data
+        "stat_bh_fdr",
+        # centered 7-day MA + seasonal frame over the |days| grain —
+        # calendar-bounded (same bound as ts_max_drawdown)
+        "ts_decompose_classical",
     }
     # dedup_clusters runs its iterative loop eagerly at build time
     skip_eager = {"dedup_clusters"}
