@@ -2216,3 +2216,4 @@ from es_analytics_spark import queries_sql13 as _queries_sql13  # noqa: E402,F40
 from es_analytics_spark import queries_sql14 as _queries_sql14  # noqa: E402,F401
 from es_analytics_spark import queries_sql15 as _queries_sql15  # noqa: E402,F401
 from es_analytics_spark import queries_sql16 as _queries_sql16  # noqa: E402,F401
+from es_analytics_spark import queries_sql17 as _queries_sql17  # noqa: E402,F401
