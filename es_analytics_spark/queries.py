@@ -2217,3 +2217,4 @@ from es_analytics_spark import queries_sql14 as _queries_sql14  # noqa: E402,F40
 from es_analytics_spark import queries_sql15 as _queries_sql15  # noqa: E402,F401
 from es_analytics_spark import queries_sql16 as _queries_sql16  # noqa: E402,F401
 from es_analytics_spark import queries_sql17 as _queries_sql17  # noqa: E402,F401
+from es_analytics_spark import queries_sql18 as _queries_sql18  # noqa: E402,F401
