@@ -122,6 +122,15 @@ HEADLINE = [
     "ml_boosted_stumps",
     "sim_rrf_fusion",
     "text_lm_perplexity_heldout",
+    # r5 batches 16-18: spatial grid join, sequential forecaster,
+    # multiple-testing correction, embedding cluster quality,
+    # collocation mining, windowed-existence sequence
+    "geo_grid_nearest",
+    "ts_holt_winters_additive",
+    "stat_bh_fdr",
+    "ml_silhouette_by_label",
+    "text_collocations_llr",
+    "seq_cart_abandonment",
 ]
 
 
