@@ -178,6 +178,9 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         # centered 7-day MA + seasonal frame over the |days| grain —
         # calendar-bounded (same bound as ts_max_drawdown)
         "ts_decompose_classical",
+        # equity cumsum + runmax + islands over the |days| frame —
+        # calendar-bounded (same bound as ts_max_drawdown)
+        "ts_drawdown_spells",
     }
     # dedup_clusters runs its iterative loop eagerly at build time
     skip_eager = {"dedup_clusters"}
