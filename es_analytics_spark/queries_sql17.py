@@ -235,9 +235,9 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle to the daily grain, then O(days) sequential work
     per series — the intrinsic shape of exponential smoothing; 100 TB
     parallelism comes from the number of series, not days."""
-    import math
-
     import pandas as pd
+
+    from es_analytics_spark.functions.forecast import holt_winters_rows
 
     e = _t(spark, sf_dir, "events")["events"]
     daily = (
@@ -246,15 +246,12 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("g", F.lit(1))
     )
 
-    def q6(x: float) -> float:
-        return math.floor(x * 1e6 + 0.5) / 1e6
-
     def _hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("day")
         days = list(pdf["day"])
-        ys = [float(v) for v in pdf["y"]]
-        if len(ys) < 15:
-            empty = pd.DataFrame(
+        rows = holt_winters_rows([float(v) for v in pdf["y"]])
+        if not rows:
+            return pd.DataFrame(
                 {
                     "day": pd.Series(dtype="datetime64[ns]"),
                     "y": pd.Series(dtype="float64"),
@@ -265,33 +262,10 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "residual": pd.Series(dtype="float64"),
                 }
             )
-            return empty
-        l0 = sum(ys[0:7]) / 7
-        b0 = (sum(ys[7:14]) / 7 - sum(ys[0:7]) / 7) / 7
-        s = [y - l0 for y in ys[0:7]]
-        lev, tr = l0, b0
-        out = []
-        for t in range(7, len(ys)):
-            y = ys[t]
-            s7 = s[0]
-            fitted = lev + tr + s7
-            l_new = 0.5 * (y - s7) + 0.5 * (lev + tr)
-            b_new = 0.25 * (l_new - lev) + 0.75 * tr
-            s_new = 0.25 * (y - l_new) + 0.75 * s7
-            s = s[1:7] + [s_new]
-            lev, tr = l_new, b_new
-            out.append(
-                {
-                    "day": days[t],
-                    "y": y,
-                    "level": q6(l_new),
-                    "trend": q6(b_new),
-                    "seasonal": q6(s_new),
-                    "fitted": q6(fitted),
-                    "residual": q6(y - fitted),
-                }
-            )
-        return pd.DataFrame(out)
+        return pd.DataFrame(
+            [{**r, "day": days[r.pop("idx")]} for r in rows],
+            columns=["day", "y", "level", "trend", "seasonal", "fitted", "residual"],
+        )
 
     schema = (
         "day timestamp, y double, level double, trend double, "

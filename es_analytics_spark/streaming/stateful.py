@@ -412,3 +412,106 @@ def running_debounce(alerts: DataFrame, cooldown_us: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HW_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("g", T.IntegerType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("day_epoch", T.LongType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("seasonal", T.DoubleType()),
+        T.StructField("fitted", T.DoubleType()),
+        T.StructField("residual", T.DoubleType()),
+    ]
+)
+
+HW_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("days", T.ArrayType(T.LongType())),
+        T.StructField("sums10", T.ArrayType(T.LongType())),
+    ]
+)
+
+_US_PER_DAY = 86_400_000_000
+
+
+def running_holt_winters(series: DataFrame) -> DataFrame:
+    """ts_holt_winters_additive's recurrence maintained by the STREAMING
+    engine: per-series state is the day -> exact scale-10 integer value
+    sum (the dsum decimal contract carried as plain int arithmetic, so
+    late or out-of-order rows land in their day exactly as batch
+    aggregation would), and every epoch RE-DERIVES the whole forecast
+    from that calendar-bounded state via the SHARED recursion
+    (functions.forecast.holt_winters_rows) — the bounded-state
+    re-derivation trade running_debounce documents. Rows therefore
+    match the batch entry bit-for-bit once the stream drains.
+
+    Input columns: (g, tus, value) — g is the series key (the fixture
+    has one global series; a multi-tenant deployment keys by series id
+    and the state shards across executors). State stays exact while a
+    day's scale-10 sum fits int64 (~9e8 value-units per day — two
+    orders past the sf100 fixture day)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from es_analytics_spark.functions.forecast import holt_winters_rows
+
+    q10 = Decimal("1e-10")
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, days, sums = state.get if state.exists else (0, [], [])
+        acc = dict(zip(days, sums))
+        for pdf in pdfs:
+            n += len(pdf)
+            for tus, v in zip(pdf["tus"], pdf["value"]):
+                d = int(tus) // _US_PER_DAY
+                u = int(
+                    Decimal(float(v)).quantize(q10, rounding=ROUND_HALF_UP)
+                    .scaleb(10)
+                )
+                acc[d] = acc.get(d, 0) + u
+        ordered = sorted(acc)
+        state.update((n, ordered, [acc[d] for d in ordered]))
+        # dsum's output convention: round the scale-10 sum to scale 4
+        # HALF_UP (away from zero, sign-aware — Python // floors toward
+        # -inf), then one exact int -> double division
+
+        def r4(u: int) -> int:
+            return (
+                (u + 5 * 10**5) // 10**6
+                if u >= 0
+                else -((-u + 5 * 10**5) // 10**6)
+            )
+
+        ys = [r4(acc[d]) / 1e4 for d in ordered]
+        rows = holt_winters_rows(ys)
+        yield pd.DataFrame(
+            [
+                {
+                    "g": key[0],
+                    "n_rows": n,
+                    "day_epoch": ordered[r["idx"]],
+                    "y": r["y"],
+                    "level": r["level"],
+                    "trend": r["trend"],
+                    "seasonal": r["seasonal"],
+                    "fitted": r["fitted"],
+                    "residual": r["residual"],
+                }
+                for r in rows
+            ],
+            columns=[f.name for f in HW_OUTPUT_SCHEMA.fields],
+        )
+
+    return series.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=HW_OUTPUT_SCHEMA,
+        stateStructType=HW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
