@@ -181,6 +181,9 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         # equity cumsum + runmax + islands over the |days| frame —
         # calendar-bounded (same bound as ts_max_drawdown)
         "ts_drawdown_spells",
+        # five rolling 7-day moments over the |days| frame —
+        # calendar-bounded (same bound as ts_variance_ratio)
+        "window_moving_correlation",
     }
     # dedup_clusters runs its iterative loop eagerly at build time
     skip_eager = {"dedup_clusters"}
