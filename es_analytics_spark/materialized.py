@@ -423,16 +423,53 @@ def view_history(spark: SparkSession, view_path: str) -> list[dict]:
     """Published snapshots, oldest first: [{version, parts, sources}].
     Only versions the current pointer has advanced past (or currently
     names) are listed — an unpublished crash-debris snapshot never has
-    version <= current and is excluded."""
+    version <= current and is excluded, and snapshots removed by
+    expire_snapshots no longer appear (their manifests are gone)."""
     fs = lake_fs(spark, view_path)
     current = _read_view_manifest(fs, view_path)
     out = []
     for v in range(1, current["version"] + 1):
-        m = _read_view_manifest(fs, view_path, v)
+        try:
+            m = _read_view_manifest(fs, view_path, v)
+        except FileNotFoundError:  # expired by retention
+            continue
         out.append(
             {"version": v, "parts": len(m["parts"]), "sources": len(m["sources"])}
         )
     return out
+
+
+def expire_snapshots(
+    spark: SparkSession, view_path: str, keep_last: int = 7
+) -> list[int]:
+    """Retention policy on time travel: delete every numbered snapshot
+    manifest older than the newest ``keep_last`` versions and return
+    the expired version numbers. This is the metadata half of Delta's
+    VACUUM/RETAIN pair for this engine's manifest-gated views — it
+    bounds manifest growth and CLOSES the time-travel window (reading
+    an expired version raises the standard no-snapshot error;
+    view_history and read_view_changes skip/refuse it), while the
+    current pointer, the newest ``keep_last`` snapshots, and every data
+    part stay untouched (parts are shared across snapshots; erasure
+    already rewrites them in place, see erase_from_view).
+
+    Crash-safe and idempotent by construction: expiry is a sequence of
+    independent single-manifest deletes, each of which only ever
+    removes an already-expired-eligible file — a crash mid-loop leaves
+    a subset expired and a re-run completes the rest. Single-writer
+    contract (same as refresh)."""
+    if keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    fs = lake_fs(spark, view_path)
+    current = _read_view_manifest(fs, view_path)
+    cutoff = current["version"] - keep_last
+    expired = []
+    for v in range(1, cutoff + 1):
+        p = _view_manifest_path(view_path, v)
+        if fs.exists(p):
+            fs.delete(p)
+            expired.append(v)
+    return expired
 
 
 def vacuum_enriched_view(spark: SparkSession, view_path: str) -> list[str]:

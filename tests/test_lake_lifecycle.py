@@ -1690,3 +1690,64 @@ def test_delete_where_crash_consistency_sweep(spark, tmp_path, monkeypatch):
             break
         k += 1
     assert not crashed, "sweep never reached a crash-free run"
+
+
+def test_expire_snapshots_retention(spark, sf_dir, tmp_path):
+    """Retention on time travel: expire_snapshots deletes exactly the
+    manifests older than keep_last, history skips them, reading an
+    expired version raises the standard no-snapshot error, the current
+    read and every retained snapshot stay intact, and a re-run (or a
+    crash-interrupted partial run) is idempotent."""
+    import pytest as _pytest
+
+    from es_analytics_spark.materialized import (
+        _view_manifest_path,
+        expire_snapshots,
+        read_enriched_view,
+        refresh_enriched_view,
+        view_history,
+    )
+    from es_analytics_spark.sources.fsio import lake_fs
+    from es_analytics_spark.sources.lake import read_table
+
+    src = str(tmp_path / "fact")
+    view = str(tmp_path / "view")
+    ev = read_table(spark, sf_dir, "events")
+
+    def enrich(df):
+        return df.select("event_id", "user_id", "value")
+
+    glob_pat = f"{src}/*/*.parquet"
+    counts = {}
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.parquet(
+            f"{src}/p{i}"
+        )
+        r = refresh_enriched_view(spark, glob_pat, view, enrich)
+        counts[r["version"]] = read_enriched_view(spark, view).count()
+    assert [h["version"] for h in view_history(spark, view)] == [1, 2, 3, 4]
+
+    with _pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(spark, view, keep_last=0)
+
+    assert expire_snapshots(spark, view, keep_last=2) == [1, 2]
+    assert [h["version"] for h in view_history(spark, view)] == [3, 4]
+    # retained snapshots and the current pointer are untouched
+    assert read_enriched_view(spark, view, version=3).count() == counts[3]
+    assert read_enriched_view(spark, view).count() == counts[4]
+    for gone in (1, 2):
+        with _pytest.raises(FileNotFoundError, match=f"no snapshot v{gone}"):
+            read_enriched_view(spark, view, version=gone)
+    # idempotent re-run: nothing left to expire
+    assert expire_snapshots(spark, view, keep_last=2) == []
+
+    # crash-interrupted partial expiry (one manifest already deleted by
+    # a run that died mid-loop) completes on re-run
+    ev.filter(F.col("event_id") % 4 == 0).coalesce(1).write.parquet(
+        f"{src}/p5"
+    )
+    refresh_enriched_view(spark, glob_pat, view, enrich)  # v5
+    fs = lake_fs(spark, view)
+    fs.delete(_view_manifest_path(view, 3))  # simulate mid-loop crash
+    assert expire_snapshots(spark, view, keep_last=1) == [4]
+    assert [h["version"] for h in view_history(spark, view)] == [5]
