@@ -2224,3 +2224,4 @@ from es_analytics_spark import queries_sql21 as _queries_sql21  # noqa: E402,F40
 from es_analytics_spark import queries_sql22 as _queries_sql22  # noqa: E402,F401
 from es_analytics_spark import queries_sql23 as _queries_sql23  # noqa: E402,F401
 from es_analytics_spark import queries_sql24 as _queries_sql24  # noqa: E402,F401
+from es_analytics_spark import queries_sql25 as _queries_sql25  # noqa: E402,F401
