@@ -515,3 +515,77 @@ def running_holt_winters(series: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ABANDON_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_views", T.LongType()),
+        T.StructField("n_converted", T.LongType()),
+    ]
+)
+
+ABANDON_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("views", T.ArrayType(T.LongType())),
+        T.StructField("purchases", T.ArrayType(T.LongType())),
+    ]
+)
+
+ABANDON_STATE_CAP = 65_536
+
+
+def running_abandonment(events: DataFrame, window_us: int) -> DataFrame:
+    """seq_cart_abandonment's windowed-existence check maintained by
+    the STREAMING engine: state per user is the (view-ts, purchase-ts)
+    pair of sorted timestamp sets, and every epoch RE-DERIVES each
+    view's converted flag (any purchase strictly later and within
+    ``window_us``) from those sets — so late or out-of-order arrivals
+    (a purchase landing after its view's epoch) retroactively convert
+    the view, exactly as the batch correlated-EXISTS oracle would.
+    Same bounded-state re-derivation trade as running_debounce; a key
+    needs more than ABANDON_STATE_CAP events of one kind to break
+    exactness.
+
+    Input columns: (user_id, tus, kind) with kind 1 = view,
+    2 = purchase."""
+    from bisect import bisect_right, insort
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, views, purchases = state.get if state.exists else (0, [], [])
+        views, purchases = list(views), list(purchases)
+        for pdf in pdfs:
+            n += len(pdf)
+            for tus, kind in zip(pdf["tus"], pdf["kind"]):
+                if int(kind) == 1:
+                    insort(views, int(tus))
+                else:
+                    insort(purchases, int(tus))
+        views = views[:ABANDON_STATE_CAP]
+        purchases = purchases[:ABANDON_STATE_CAP]
+        state.update((n, views, purchases))
+        conv = 0
+        for v in views:
+            i = bisect_right(purchases, v)
+            if i < len(purchases) and purchases[i] <= v + window_us:
+                conv += 1
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_rows": [n],
+                "n_views": [len(views)],
+                "n_converted": [conv],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ABANDON_OUTPUT_SCHEMA,
+        stateStructType=ABANDON_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
