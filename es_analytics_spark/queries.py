@@ -2227,3 +2227,4 @@ from es_analytics_spark import queries_sql24 as _queries_sql24  # noqa: E402,F40
 from es_analytics_spark import queries_sql25 as _queries_sql25  # noqa: E402,F401
 from es_analytics_spark import queries_sql26 as _queries_sql26  # noqa: E402,F401
 from es_analytics_spark import queries_sql27 as _queries_sql27  # noqa: E402,F401
+from es_analytics_spark import queries_sql28 as _queries_sql28  # noqa: E402,F401
