@@ -152,6 +152,9 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         "ts_cumulative_users",
         # quota arithmetic over the |strata| frame (~20 language rows)
         "sample_proportional_allocation",
+        # Neyman quota arithmetic over the |event-type strata| frame
+        # (~5 rows, bounded by the schema — same bound as above)
+        "sample_neyman_allocation",
         # parent-share windows over the |region|x|nation| grain (25 rows)
         "agg_share_of_parent",
         # cumulative daily looks — one row per calendar day, bounded by
