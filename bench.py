@@ -131,6 +131,13 @@ HEADLINE = [
     "ml_silhouette_by_label",
     "text_collocations_llr",
     "seq_cart_abandonment",
+    # r5 batches 22-31: int-quantized mining, Pareto/variability classes,
+    # graph-centrality keyphrases, sliding sketch distinct, uplift
+    "ml_hard_negative_mining",
+    "agg_abc_classification",
+    "text_keyphrase_rank",
+    "ts_rolling_distinct_kmv",
+    "ml_uplift_by_bin",
 ]
 
 
