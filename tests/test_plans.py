@@ -187,6 +187,8 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         # five rolling 7-day moments over the |days| frame —
         # calendar-bounded (same bound as ts_variance_ratio)
         "window_moving_correlation",
+        # moving-range lag over the |days| frame — calendar-bounded
+        "ts_control_chart_imr",
     }
     # dedup_clusters runs its iterative loop eagerly at build time
     skip_eager = {"dedup_clusters"}
