@@ -189,6 +189,8 @@ def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
         "window_moving_correlation",
         # moving-range lag over the |days| frame — calendar-bounded
         "ts_control_chart_imr",
+        # residual lag over the |days| frame — calendar-bounded
+        "stat_durbin_watson",
     }
     # dedup_clusters runs its iterative loop eagerly at build time
     skip_eager = {"dedup_clusters"}
