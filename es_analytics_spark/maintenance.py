@@ -20,9 +20,61 @@ contract deliberately stops short of.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import SparkSession
 
 from es_analytics_spark.sources.fsio import is_uri, join, lake_fs
+
+# time-dependent SQL functions a retention predicate is allowed to use —
+# they get pinned to literals once up front (see _pin_time_functions);
+# bare current_date / current_timestamp (no parens) are valid ANSI SQL
+_TIME_FN_RE = re.compile(
+    r"\b(now|current_timestamp|localtimestamp|current_date)\b(\s*\(\s*\))?",
+    re.IGNORECASE,
+)
+# genuinely non-deterministic functions: never valid in a delete
+# predicate that is re-evaluated by scan, rewrite, and verification
+_NONDET_FN_RE = re.compile(
+    r"\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _pin_time_functions(spark: SparkSession, sql: str) -> str:
+    """Rewrite time-dependent functions in a predicate SQL string to
+    literals evaluated ONCE, so the three separate queries a pruned
+    delete runs (per-file hit scan, per-file rewrite filter,
+    verification re-read) all see the same cutoff. Without pinning, a
+    TTL predicate like ``ts < now() - interval 90 days`` drifts between
+    the scan and the verification: rows expiring in that window show up
+    as survivors and a correct delete reports ``verified=False``.
+
+    Genuinely non-deterministic functions (rand/uuid/...) raise — no
+    single evaluation point can make them consistent across queries.
+    """
+    if _NONDET_FN_RE.search(sql):
+        raise ValueError(
+            "delete_where: predicate uses a non-deterministic function "
+            "(rand/uuid/...); it would be re-evaluated differently by the "
+            "hit scan, the rewrites, and the verification read"
+        )
+    if not _TIME_FN_RE.search(sql):
+        return sql
+    row = spark.sql(
+        "SELECT current_timestamp() AS ts, localtimestamp() AS lts, "
+        "current_date() AS d"
+    ).first()
+
+    def _sub(m: re.Match) -> str:
+        fn = m.group(1).lower()
+        if fn in ("now", "current_timestamp"):
+            return f"TIMESTAMP '{row['ts'].strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        if fn == "localtimestamp":
+            return f"TIMESTAMP '{row['lts'].strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+        return f"DATE '{row['d'].isoformat()}'"
+
+    return _TIME_FN_RE.sub(_sub, sql)
 
 
 def table_stats(spark: SparkSession, path: str) -> dict:
@@ -375,16 +427,17 @@ def _prune_rewrite(
         p = urlparse(file_uri)
         return unquote(p.path) if p.scheme else file_uri
 
-    per_file = (
+    all_files = (
         df.withColumn("__file", F.input_file_name())
         .groupBy("__file")
         .agg(
             F.count(F.when(pred, F.lit(1))).alias("hits"),
             F.count("*").alias("total"),
         )
-        .filter(F.col("hits") > 0)
         .collect()
     )
+    n_files_total = len(all_files)
+    per_file = [r for r in all_files if r["hits"] > 0]
     if not per_file:
         return {
             "rows_erased": 0,
@@ -396,13 +449,29 @@ def _prune_rewrite(
     # partition-column predicates would scan fine (the value comes from
     # the directory) but the per-file rewrite below cannot express them:
     # the column is not IN the file
-    if in_file_col is not None:
-        sample_file = _local(per_file[0]["__file"])
-        if in_file_col not in spark.read.parquet(sample_file).columns:
-            raise ValueError(
-                f"{op}: {in_file_col!r} is a partition column of {path}; "
-                "delete the matching partition directories instead of rewriting files"
-            )
+    sample_file = _local(per_file[0]["__file"])
+    sample_cols = spark.read.parquet(sample_file).columns
+    if in_file_col is not None and in_file_col not in sample_cols:
+        raise ValueError(
+            f"{op}: {in_file_col!r} is a partition column of {path}; "
+            "delete the matching partition directories instead of rewriting files"
+        )
+    # general form of the same guard: a predicate MIXING partition and
+    # data columns (``part_col = 1 AND v > 5``) analyzes fine on the
+    # table but not on a bare file read — without this pre-check the
+    # AnalysisException would fire mid-loop AFTER some all-match files
+    # were already deleted, leaving a partially applied delete
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(sample_file).filter(keep).schema
+    except AnalysisException as e:
+        raise ValueError(
+            f"{op}: predicate references column(s) not present in the "
+            f"data files of {path} (partition columns live in the "
+            "directory name, not the file; delete matching partition "
+            f"directories instead): {e}"
+        ) from None
 
     staging = path.rstrip("/") + ".__erase__"
     fs.delete(staging)
@@ -445,7 +514,14 @@ def _prune_rewrite(
     # per-file replaces bypass Spark's committers — invalidate the
     # cached listing before the verification read (see _swap)
     spark.catalog.refreshByPath(path)
-    survivors = spark.read.parquet(path).filter(pred).limit(1).count()
+    if deleted == n_files_total:
+        # whole-table expiry: every file was all-match and deleted, no
+        # parquet parts remain — a re-read would raise "unable to infer
+        # schema" AFTER the delete already succeeded. Zero files means
+        # zero survivors by construction.
+        survivors = 0
+    else:
+        survivors = spark.read.parquet(path).filter(pred).limit(1).count()
     return {
         "rows_erased": int(sum(r["hits"] for r in per_file)),
         "files_rewritten": rewritten,
@@ -471,6 +547,14 @@ def delete_where(
     removed; FALSE and NULL rows are kept (the null-safe ``keep`` is
     built here, not left to ``~pred``'s three-valued logic).
 
+    Time-dependent predicates are supported ONLY as SQL strings:
+    ``now()`` / ``current_timestamp`` / ``current_date`` /
+    ``localtimestamp`` are pinned to literals evaluated once up front,
+    so the hit scan, the per-file rewrites, and the verification
+    re-read all agree on the cutoff. A ``Column`` predicate embedding
+    those functions (or any predicate using rand/uuid/...) raises —
+    pass the SQL string form, or compute the literal cutoff yourself.
+
     On a time-clustered table (``cluster_by(ts)`` or append-ordered
     ingestion), a TTL predicate matches whole files, which this op
     deletes outright without rewriting — O(expired files) metadata
@@ -481,9 +565,24 @@ def delete_where(
     """
     from pyspark.sql import Column, functions as F
 
-    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-    if not isinstance(pred, Column):
-        raise TypeError("delete_where: predicate must be a SQL string or Column")
+    if isinstance(predicate, str):
+        pred = F.expr(_pin_time_functions(spark, predicate))
+    else:
+        pred = predicate
+        if not isinstance(pred, Column):
+            raise TypeError(
+                "delete_where: predicate must be a SQL string or Column"
+            )
+        # a Column's expression tree isn't rewritable from Python —
+        # reject time-dependent/non-deterministic ones instead of
+        # silently evaluating them at three different wall-clock times
+        text = str(pred)
+        if _TIME_FN_RE.search(text) or _NONDET_FN_RE.search(text):
+            raise ValueError(
+                "delete_where: Column predicate uses a time-dependent or "
+                "non-deterministic function; pass the predicate as a SQL "
+                "string so the cutoff can be pinned to a literal once"
+            )
     keep = ~F.coalesce(pred, F.lit(False))
     # a predicate over a partition column shows up as "column not in
     # file"; detection happens in the shared core only for simple
@@ -763,12 +862,33 @@ def analyze(
     documented trade — re-run after mutations big enough to change
     plan choices.
     """
+    def _norm_loc(p: str) -> tuple[str, str]:
+        from urllib.parse import unquote, urlparse
+
+        u = urlparse(p)
+        return (u.netloc, (unquote(u.path) if u.scheme else p).rstrip("/"))
+
     if isinstance(tables, dict):
         for name, path in tables.items():
             spark.sql(
                 f"CREATE TABLE IF NOT EXISTS {name} USING parquet "
                 f"LOCATION '{path}'"
             )
+            # IF NOT EXISTS silently no-ops when a same-named table
+            # already points elsewhere — ANALYZE would then compute (and
+            # this function would report) stats for the WRONG data while
+            # appearing to succeed for the requested path
+            loc = [
+                r["data_type"]
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+                if r["col_name"] == "Location"
+            ]
+            if loc and _norm_loc(loc[0]) != _norm_loc(path):
+                raise ValueError(
+                    f"analyze: catalog table {name!r} already exists at "
+                    f"{loc[0]}, not the requested {path}; DROP TABLE it "
+                    "or register under a different name"
+                )
         names = list(tables)
     else:
         names = list(tables)

@@ -1751,3 +1751,118 @@ def test_expire_snapshots_retention(spark, sf_dir, tmp_path):
     fs.delete(_view_manifest_path(view, 3))  # simulate mid-loop crash
     assert expire_snapshots(spark, view, keep_last=1) == [4]
     assert [h["version"] for h in view_history(spark, view)] == [5]
+
+def test_delete_where_time_pinning_and_nondeterminism(spark, tmp_path):
+    """ADVICE r5 medium: a time-dependent SQL predicate (``ts < now()``)
+    is pinned to ONE literal cutoff before the hit scan, so the
+    verification re-read cannot race the clock and a correct TTL delete
+    always returns verified=True. Column predicates embedding time or
+    non-deterministic functions raise instead of silently drifting."""
+    import pytest
+
+    from es_analytics_spark.maintenance import _pin_time_functions, delete_where
+
+    path = str(tmp_path / "ttl")
+    # half the rows 1000 days in the past, half 1000 days in the future
+    df = spark.range(0, 2000).select(
+        "id",
+        F.when(
+            F.col("id") < 1000,
+            F.current_timestamp() - F.expr("INTERVAL 1000 DAYS"),
+        )
+        .otherwise(F.current_timestamp() + F.expr("INTERVAL 1000 DAYS"))
+        .alias("ts"),
+    )
+    df.repartitionByRange(4, "id").write.parquet(path)
+
+    r = delete_where(spark, path, "ts < now() - interval 90 days")
+    assert r["verified"] is True
+    assert r["rows_deleted"] == 1000
+    assert spark.read.parquet(path).count() == 1000
+
+    # the rewriter substitutes one literal per time function, parens or not
+    pinned = _pin_time_functions(
+        spark, "ts < current_timestamp AND d <= current_date()"
+    )
+    assert "current_timestamp" not in pinned.lower()
+    assert "current_date" not in pinned.lower()
+    assert "TIMESTAMP '" in pinned and "DATE '" in pinned
+
+    # Column predicates with time functions can't be pinned -> raise
+    with pytest.raises(ValueError, match="pinned"):
+        delete_where(spark, path, F.col("ts") < F.current_timestamp())
+    # genuinely non-deterministic predicates raise in any form
+    with pytest.raises(ValueError, match="non-deterministic"):
+        delete_where(spark, path, "id < rand() * 100")
+
+
+def test_delete_where_whole_table_expiry(spark, tmp_path):
+    """ADVICE r5 low: a predicate matching EVERY row deletes all files
+    outright; the receipt must come back verified instead of the
+    verification read raising 'unable to infer schema' on the
+    now-empty directory."""
+    import os
+
+    from es_analytics_spark.maintenance import delete_where
+
+    path = str(tmp_path / "all")
+    spark.range(0, 500).select("id").repartition(3).write.parquet(path)
+
+    r = delete_where(spark, path, "id >= 0")
+    assert r == {
+        "rows_deleted": 500,
+        "files_rewritten": 0,
+        "files_deleted": 3,
+        "verified": True,
+    }
+    assert not [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+
+def test_delete_where_mixed_partition_predicate_fails_closed(spark, tmp_path):
+    """ADVICE r5 low: a predicate mixing partition and data columns
+    (``p = 1 AND id > 5``) must fail BEFORE any file is mutated — the
+    per-file rewrite read can't see the partition column, and without
+    the up-front check the AnalysisException fires mid-loop after some
+    all-match files were already deleted."""
+    import pytest
+
+    from es_analytics_spark.maintenance import delete_where
+
+    path = str(tmp_path / "part")
+    (
+        spark.range(0, 400)
+        .select("id", (F.col("id") % 4).alias("p"))
+        .write.partitionBy("p")
+        .parquet(path)
+    )
+    before = spark.read.parquet(path).count()
+
+    with pytest.raises(ValueError, match="partition"):
+        delete_where(spark, path, "p = 1 AND id > 5")
+
+    spark.catalog.refreshByPath(path)
+    assert spark.read.parquet(path).count() == before, "mutated before raising"
+
+
+def test_analyze_rejects_location_mismatch(spark, tmp_path):
+    """ADVICE r5 low: CREATE TABLE IF NOT EXISTS silently no-ops when a
+    same-named catalog table already points elsewhere — analyze() must
+    detect the mismatch and raise instead of reporting stats computed
+    over the wrong data."""
+    import pytest
+
+    from es_analytics_spark.maintenance import analyze
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    spark.range(0, 10).write.parquet(a)
+    spark.range(0, 99).write.parquet(b)
+    try:
+        stats = analyze(spark, {"t_advice_loc_check": a})
+        assert stats["t_advice_loc_check"]["rowCount"] == 10
+        # same name, same path: idempotent re-register is fine
+        analyze(spark, {"t_advice_loc_check": a})
+        with pytest.raises(ValueError, match="already exists at"):
+            analyze(spark, {"t_advice_loc_check": b})
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_advice_loc_check")
