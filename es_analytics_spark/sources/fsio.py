@@ -73,6 +73,35 @@ class LocalFS:
         with open(path, "wb") as f:
             f.write(data)
 
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Write-once publish: atomically create ``path`` with ``data``
+        iff it does not already exist — the compare-and-swap primitive
+        multi-writer commit protocols are built on (the reference's
+        ``Store.put`` writes each batch under a fresh GUID key, i.e.
+        every object is write-once — lib/store/Store.ts:4-8; this is
+        that contract made explicit and contended).
+
+        Content is staged to a unique temp file first, then hard-linked
+        to the target: ``link(2)`` fails with EEXIST if the target
+        exists and succeeds atomically otherwise, so a loser NEVER
+        clobbers the winner and no reader ever observes torn content.
+        Returns True iff this caller won the name."""
+        import uuid
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
     def file_sizes(self, path: str, suffix: str = ".parquet") -> list[int]:
         sizes = []
         for root, _dirs, names in os.walk(path):
@@ -142,6 +171,32 @@ class HadoopFS:
             out.write(bytearray(data))
         finally:
             out.close()
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Write-once publish (see LocalFS.put_if_absent): stage to a
+        temp name, then ``FileContext.rename`` WITHOUT the OVERWRITE
+        option — atomic create-if-absent on HDFS and posix-like stores
+        (the same primitive Delta's HDFSLogStore commits through). On
+        raw S3 rename is copy+delete and NOT exclusive: multi-writer
+        commits there need an external coordinator (the documented
+        table-format boundary in the module docstring)."""
+        import uuid
+
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        self.put_bytes(tmp, data)
+        ctx = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._fs.getUri(), self._fs.getConf()
+        )
+        opts = self._gateway.new_array(self._jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = self._jvm.org.apache.hadoop.fs.Options.Rename.NONE
+        try:
+            ctx.rename(self._jpath(tmp), self._jpath(path), opts)
+            return True
+        except Exception as e:  # Py4JJavaError wrapping (File|Path)AlreadyExists
+            if "xists" in str(e):
+                self.delete(tmp)
+                return False
+            raise
 
     def file_sizes(self, path: str, suffix: str = ".parquet") -> list[int]:
         sizes = []
