@@ -15,6 +15,8 @@ built-ins genuinely cannot express the semantics.
 from es_analytics_spark.session import get_spark
 from es_analytics_spark.sources.lake import load_tables, TABLES
 from es_analytics_spark.collector import Collector, CollectorConfig, DataType, FlushInfo, FlushTrigger
+from es_analytics_spark import txlog
+from es_analytics_spark.txlog import CommitConflict
 
 __all__ = [
     "get_spark",
@@ -25,6 +27,8 @@ __all__ = [
     "DataType",
     "FlushInfo",
     "FlushTrigger",
+    "txlog",
+    "CommitConflict",
 ]
 
 __version__ = "0.1.0"

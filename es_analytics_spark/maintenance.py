@@ -28,9 +28,10 @@ from es_analytics_spark.sources.fsio import is_uri, join, lake_fs
 
 # time-dependent SQL functions a retention predicate is allowed to use —
 # they get pinned to literals once up front (see _pin_time_functions);
-# bare current_date / current_timestamp (no parens) are valid ANSI SQL
+# bare current_date / current_timestamp (no parens) are valid ANSI SQL,
+# but bare `now` is NOT a Spark function — only now() matches
 _TIME_FN_RE = re.compile(
-    r"\b(now|current_timestamp|localtimestamp|current_date)\b(\s*\(\s*\))?",
+    r"\b(now)\s*\(\s*\)|\b(current_timestamp|localtimestamp|current_date)\b(\s*\(\s*\))?",
     re.IGNORECASE,
 )
 # genuinely non-deterministic functions: never valid in a delete
@@ -39,6 +40,15 @@ _NONDET_FN_RE = re.compile(
     r"\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id)\s*\(",
     re.IGNORECASE,
 )
+# quoted regions a textual substitution must never touch: single-quoted
+# string literals ('' escapes) and backtick-quoted identifiers
+_QUOTED_RE = re.compile(r"'(?:[^']|'')*'|`(?:[^`]|``)*`")
+
+
+def _mask_quoted(sql: str) -> str:
+    """Same-length copy of ``sql`` with every quoted region blanked, so
+    regex offsets on the mask are valid offsets into the original."""
+    return _QUOTED_RE.sub(lambda m: " " * len(m.group(0)), sql)
 
 
 def _pin_time_functions(spark: SparkSession, sql: str) -> str:
@@ -52,29 +62,49 @@ def _pin_time_functions(spark: SparkSession, sql: str) -> str:
 
     Genuinely non-deterministic functions (rand/uuid/...) raise — no
     single evaluation point can make them consistent across queries.
+
+    Matching is done on a quoted-region mask of the SQL, so a string
+    literal like ``status = 'now()'`` or a backticked column named
+    ```current_date``` is never rewritten. The literals are rendered
+    JVM-SIDE (``CAST(current_timestamp() AS STRING)``) in the session
+    timezone: a driver-side ``.first()`` datetime would be formatted in
+    the driver OS timezone, and re-parsing it as a TIMESTAMP literal in
+    a differently-pinned ``spark.sql.session.timeZone`` would shift the
+    cutoff by the offset — a retention delete would silently remove
+    rows hours outside the intended window.
     """
-    if _NONDET_FN_RE.search(sql):
+    masked = _mask_quoted(sql)
+    if _NONDET_FN_RE.search(masked):
         raise ValueError(
             "delete_where: predicate uses a non-deterministic function "
             "(rand/uuid/...); it would be re-evaluated differently by the "
             "hit scan, the rewrites, and the verification read"
         )
-    if not _TIME_FN_RE.search(sql):
+    matches = list(_TIME_FN_RE.finditer(masked))
+    if not matches:
         return sql
     row = spark.sql(
-        "SELECT current_timestamp() AS ts, localtimestamp() AS lts, "
-        "current_date() AS d"
+        "SELECT CAST(current_timestamp() AS STRING) AS ts, "
+        "CAST(localtimestamp() AS STRING) AS lts, "
+        "CAST(current_date() AS STRING) AS d"
     ).first()
 
-    def _sub(m: re.Match) -> str:
-        fn = m.group(1).lower()
+    def _lit(m: re.Match) -> str:
+        fn = (m.group(1) or m.group(2)).lower()
         if fn in ("now", "current_timestamp"):
-            return f"TIMESTAMP '{row['ts'].strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+            return f"TIMESTAMP '{row['ts']}'"
         if fn == "localtimestamp":
-            return f"TIMESTAMP '{row['lts'].strftime('%Y-%m-%d %H:%M:%S.%f')}'"
-        return f"DATE '{row['d'].isoformat()}'"
+            # localtimestamp() is TIMESTAMP_NTZ — keep the type on the pin
+            return f"TIMESTAMP_NTZ '{row['lts']}'"
+        return f"DATE '{row['d']}'"
 
-    return _TIME_FN_RE.sub(_sub, sql)
+    out, last = [], 0
+    for m in matches:
+        out.append(sql[last: m.start()])
+        out.append(_lit(m))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def table_stats(spark: SparkSession, path: str) -> dict:

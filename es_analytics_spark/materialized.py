@@ -361,6 +361,70 @@ def refresh_enriched_view(
     }
 
 
+def refresh_enriched_view_tx(
+    spark: SparkSession,
+    source_glob: str,
+    view_path: str,
+    enrich,
+    max_attempts: int = 5,
+) -> dict:
+    """Multi-writer-safe enriched-view refresh: the txlog backend for
+    :func:`refresh_enriched_view`.
+
+    The single-manifest design above is single-writer by contract — two
+    concurrent refreshes would both read manifest version N, both
+    incorporate the same new source files, and whichever ``replace_file``
+    lands last would publish a view that either double-counts the
+    increment (both parts listed by the survivor) or orphans the other
+    writer's commit entirely. This variant routes the refresh through
+    ``txlog``: the incorporated-source set lives IN the commits
+    (``txlog.append(sources=...)``), so incorporation is exactly-once —
+    a racing writer loses the source-overlap conflict check, re-reads
+    :func:`txlog.table_sources`, finds nothing new, and no-ops. Read the
+    view (with time travel and partition pruning) via
+    :func:`txlog.read_table`.
+
+    Same incremental contract as the single-writer refresh: only files
+    absent from the incorporated set are read; refresh cost tracks the
+    increment, never the view size. Returns {"new_files", "total_files",
+    "version"}.
+    """
+    from es_analytics_spark import txlog
+
+    last_conflict: Exception | None = None
+    for _ in range(max_attempts):
+        v0 = txlog.current_version(spark, view_path)
+        seen = txlog.table_sources(spark, view_path, version=v0)
+        new_files = [
+            f for f in lake_fs(spark, source_glob).glob(source_glob) if f not in seen
+        ]
+        if not new_files:
+            return {"new_files": 0, "total_files": len(seen), "version": v0}
+        try:
+            res = txlog.append(
+                spark,
+                view_path,
+                enrich(spark.read.parquet(*new_files)),
+                sources=new_files,
+                since_version=v0,
+            )
+            return {
+                "new_files": len(new_files),
+                "total_files": len(seen) + len(new_files),
+                "version": res["version"],
+            }
+        except txlog.CommitConflict as exc:
+            # another refresh incorporated (some of) our files first; its
+            # commit is the source of truth — recompute the increment
+            # against the new snapshot (our orphan part is vacuum fodder)
+            last_conflict = exc
+            continue
+    raise txlog.CommitConflict(
+        f"refresh_enriched_view_tx under {view_path}: {max_attempts} attempts "
+        f"all conflicted; last: {last_conflict}"
+    )
+
+
 def read_enriched_view(
     spark: SparkSession,
     view_path: str,

@@ -192,11 +192,38 @@ class HadoopFS:
         try:
             ctx.rename(self._jpath(tmp), self._jpath(path), opts)
             return True
-        except Exception as e:  # Py4JJavaError wrapping (File|Path)AlreadyExists
-            if "xists" in str(e):
-                self.delete(tmp)
+        except Exception as e:
+            # A lost race surfaces as a Py4JJavaError wrapping
+            # (File|Path)AlreadyExistsException somewhere in the Java
+            # cause chain. Match the exception CLASS, not the message —
+            # an unrelated failure whose text merely contains "exists"
+            # must re-raise, not masquerade as a clean CAS loss.
+            if self._is_already_exists(e):
                 return False
             raise
+        finally:
+            # winner: tmp was renamed away (delete is a no-op);
+            # loser or genuine failure: reap the staged bytes so no
+            # error path leaks a tmp file next to the log
+            try:
+                self.delete(tmp)
+            except Exception:
+                pass
+
+    @staticmethod
+    def _is_already_exists(e: Exception) -> bool:
+        j = getattr(e, "java_exception", None)
+        while j is not None:
+            name = j.getClass().getName()
+            if name in (
+                "org.apache.hadoop.fs.FileAlreadyExistsException",
+                "org.apache.hadoop.fs.PathExistsException",
+                "java.nio.file.FileAlreadyExistsException",
+                "java.io.FileAlreadyExistsException",
+            ):
+                return True
+            j = j.getCause()
+        return False
 
     def file_sizes(self, path: str, suffix: str = ".parquet") -> list[int]:
         sizes = []

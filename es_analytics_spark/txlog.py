@@ -55,6 +55,7 @@ boundary in ``sources/fsio.py``.
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -198,8 +199,6 @@ def read_table(
 
 
 def _write_part(spark: SparkSession, path: str, df: DataFrame) -> str:
-    import uuid
-
     part = fs_join(_part_dir(path), uuid.uuid4().hex)
     df.write.mode("overwrite").parquet(part)
     return part
@@ -218,12 +217,27 @@ def append(
     df: DataFrame,
     partition: dict | None = None,
     max_retries: int = 50,
+    sources: list[str] | None = None,
+    since_version: int | None = None,
 ) -> dict:
     """Transactional append: write an immutable part, then CAS it into
     the log. Blind appends commute, so losing the CAS race costs one
     metadata retry — the part is NOT rewritten. Returns
-    {"version", "part"}."""
+    {"version", "part"}.
+
+    ``sources`` makes the append EXACTLY-ONCE per source file: the
+    commit records which upstream files it incorporated, and the commit
+    re-attaches only if no commit after ``since_version`` (the version
+    at which the caller computed its new-file set — required with
+    sources) shares a source. Two refreshes racing over the same new
+    files therefore serialize: one wins, the other raises
+    :class:`CommitConflict`, re-reads :func:`table_sources`, and finds
+    nothing left to incorporate. This is the incremental-view refresh
+    contract (``materialized.refresh_enriched_view_tx``)."""
     fs = lake_fs(spark, path)
+    if sources is not None and since_version is None:
+        raise ValueError("append: sources requires since_version (the snapshot "
+                         "version the new-file set was computed at)")
     part = _write_part(spark, path, df)
     payload = {
         "operation": "append",
@@ -231,13 +245,41 @@ def append(
         "removes": [],
         "scope_partition": partition,
     }
+    if sources is not None:
+        payload["sources"] = sorted(sources)
+    src_set = set(sources or [])
+    checked = since_version if sources is not None else None
     v = current_version(spark, path)
     for _ in range(max_retries):
-        v += 1
-        if _try_commit(fs, path, v, payload):
-            return {"version": v, "part": part}
-        v = max(v, current_version(spark, path))
+        if checked is not None and v > checked:
+            for c in _intervening(fs, path, checked, v):
+                overlap = src_set & set(c.get("sources", []))
+                if overlap:
+                    raise CommitConflict(
+                        f"append under {path}: v{c['version']} already "
+                        f"incorporated {len(overlap)} of this refresh's source "
+                        "files; re-read table_sources and re-run"
+                    )
+            checked = v
+        if _try_commit(fs, path, v + 1, payload):
+            return {"version": v + 1, "part": part}
+        v = max(v + 1, current_version(spark, path))
     raise CommitConflict(f"append lost the CAS {max_retries} times under {path}")
+
+
+def table_sources(spark: SparkSession, path: str, version: int | None = None) -> set[str]:
+    """Union of every source file incorporated by commits <= ``version``
+    (default: all) — the incremental-refresh "seen" set. Metadata-sized:
+    commit files are never deleted (checkpoints bound REPLAY, not
+    retention), so this always reads the full, exact history."""
+    fs = lake_fs(spark, path)
+    versions = _list_versions(fs, path)
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+    out: set[str] = set()
+    for v in versions:
+        out.update(_read_commit(fs, path, v).get("sources", []))
+    return out
 
 
 def _intervening(fs, path: str, since: int, until: int) -> list[dict]:
@@ -248,6 +290,7 @@ def compact(
     spark: SparkSession,
     path: str,
     max_retries: int = 10,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Transactional compaction: rewrite the snapshot's live parts into
     one part per partition tag, then commit {adds, removes=snapshot
@@ -256,7 +299,15 @@ def compact(
     APPENDS are safe — they stay live, simply not compacted by this
     run); otherwise :class:`CommitConflict` — the caller re-runs, and
     the orphaned rewrite is vacuum fodder. Returns {"version",
-    "parts_before", "parts_after"}."""
+    "parts_before", "parts_after"}.
+
+    Each partition group is rewritten with size-targeted bin-packing
+    (the ``maintenance.compact`` sizing contract): files approach
+    ``target_file_bytes`` via a bytes-per-row estimate from the group's
+    current on-disk size, written across ``ceil(bytes/target)`` tasks —
+    never a single-task ``coalesce(1)``, which at 100 TB would make a
+    hot partition a multi-GB single-thread write and a straggler/OOM
+    magnet."""
     fs = lake_fs(spark, path)
     v0, live = _snapshot(fs, path)
     if len(live) <= 1:
@@ -267,8 +318,20 @@ def compact(
         groups.setdefault(tuple(sorted(tag.items())), []).append(p)
     adds = []
     for key, parts in sorted(groups.items()):
-        merged = spark.read.parquet(*sorted(parts))
-        part = _write_part(spark, path, merged.coalesce(1))
+        parts = sorted(parts)
+        merged = spark.read.parquet(*parts)
+        group_bytes = sum(s for p in parts for s in fs.file_sizes(p, ".parquet"))
+        n_rows = merged.count()
+        bytes_per_row = max(group_bytes / max(n_rows, 1), 1.0)
+        rows_per_file = max(int(target_file_bytes / bytes_per_row), 1)
+        n_files = max(-(-group_bytes // max(target_file_bytes, 1)), 1)
+        sized = merged.repartition(int(n_files))
+        part = fs_join(_part_dir(path), uuid.uuid4().hex)
+        (
+            sized.write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_file)
+            .parquet(part)
+        )
         adds.append({"path": part, "partition": dict(key)})
     removes = sorted(live)
     payload = {
@@ -311,16 +374,19 @@ def overwrite_partition(
     merge — a CAS loss re-attaches iff every intervening commit left P
     untouched (no add or remove tagged P, and none of our removes
     gone); a concurrent writer in the SAME partition raises
-    :class:`CommitConflict`. Returns {"version", "removed_parts"}."""
+    :class:`CommitConflict`. Returns {"version", "removed_parts"}.
+
+    "Tagged exactly P" is tag-dict EQUALITY: a part tagged
+    ``{p:1, q:2}`` is NOT removed by ``partition={p:1}``, and untagged
+    parts (plain ``append`` default) are never removed. Hierarchical
+    overwrites must name the full tag they replace — this keeps the
+    remove set unambiguous under the conflict rules (a subset match
+    would let two "disjoint" overwrites race on the same part)."""
     fs = lake_fs(spark, path)
     if not isinstance(partition, dict) or not partition:
         raise ValueError("overwrite_partition: partition must be a non-empty dict")
     v0, live = _snapshot(fs, path)
-    removes = sorted(
-        p
-        for p, tag in live.items()
-        if all(tag.get(k) == pv for k, pv in partition.items()) and tag
-    )
+    removes = sorted(p for p, tag in live.items() if tag == partition)
     part = _write_part(spark, path, df)
     payload = {
         "operation": "overwrite_partition",
@@ -332,11 +398,8 @@ def overwrite_partition(
     def _touches_scope(c: dict) -> bool:
         if set(removes) & set(c.get("removes", [])):
             return True
-        for a in c.get("adds", []):
-            tag = a.get("partition", {})
-            if tag and all(tag.get(k) == pv for k, pv in partition.items()):
-                return True
-        return False
+        # exact tag equality, mirroring the remove rule above
+        return any(a.get("partition", {}) == partition for a in c.get("adds", []))
 
     v = v0
     for _ in range(max_retries):
@@ -379,14 +442,35 @@ def checkpoint(spark: SparkSession, path: str) -> dict:
     return {"version": v, "written": bool(won)}
 
 
-def vacuum(spark: SparkSession, path: str, keep_versions: int = 0) -> list[str]:
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 0,
+    retention_seconds: float = 24 * 3600,
+) -> list[str]:
     """Reap part directories that NO commit references — debris from
     transactions that wrote data but lost their conflict check or
     crashed before the CAS. Referenced-but-removed parts are kept (they
     back time travel); pass ``keep_versions=N`` to also drop parts
     whose last reference is older than the newest N versions AND that
     are not live (bounded time-travel retention, the expire_snapshots
-    analog)."""
+    analog).
+
+    **In-flight-writer safety (retention horizon).** Every transaction
+    writes its part BEFORE winning the CAS (``append`` → ``_write_part``
+    then ``_try_commit``), so at any instant an unreferenced part may
+    belong to a writer that is about to commit. Reaping it would let the
+    writer's CAS publish a dangling reference — permanent
+    ``PATH_NOT_FOUND`` corruption on every later read. Therefore an
+    unreferenced part is reaped only when its mtime is older than
+    ``retention_seconds`` (default 24 h — Delta's
+    ``deletedFileRetentionDuration`` idea): any sane commit completes
+    within the horizon, so a part older than it is genuinely dead.
+    ``retention_seconds=0`` is an explicit quiescent-table override —
+    the caller asserts no writer is in flight (test/teardown use only).
+    """
+    import time as _time
+
     fs = lake_fs(spark, path)
     latest, live = _snapshot(fs, path)
     referenced: dict[str, int] = {}
@@ -397,12 +481,22 @@ def vacuum(spark: SparkSession, path: str, keep_versions: int = 0) -> list[str]:
         for r in c.get("removes", []):
             referenced[r] = v
     cutoff = latest - keep_versions if keep_versions > 0 else 0
+    horizon = _time.time() - retention_seconds
     victims = []
     for p in fs.glob(fs_join(_part_dir(path), "*")):
         if p in live:
             continue
         last_ref = referenced.get(p)
-        if last_ref is None or (keep_versions > 0 and last_ref <= cutoff):
+        if last_ref is None:
+            # possibly in-flight: only reap past the retention horizon
+            try:
+                if fs.mtime(p) <= horizon:
+                    victims.append(p)
+            except (OSError, FileNotFoundError):
+                continue  # vanished concurrently — nothing to do
+        elif keep_versions > 0 and last_ref <= cutoff:
+            # referenced by a commit → it WAS committed, never in-flight;
+            # expiry is governed by the version retention alone
             victims.append(p)
     for p in victims:
         fs.delete(p)

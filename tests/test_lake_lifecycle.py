@@ -1796,6 +1796,50 @@ def test_delete_where_time_pinning_and_nondeterminism(spark, tmp_path):
         delete_where(spark, path, "id < rand() * 100")
 
 
+def test_pin_time_functions_skips_quoted_regions(spark):
+    """ADVICE r6 low: the time-pinning substitution is textual — it must
+    not rewrite matches inside string literals or backtick-quoted
+    identifiers, and bare ``now`` (no parens) is not a Spark function so
+    it must pass through (it can only be a column named now)."""
+    from es_analytics_spark.maintenance import _pin_time_functions
+
+    pinned = _pin_time_functions(
+        spark, "status = 'now()' AND `current_date` = 'x' AND ts < now()"
+    )
+    assert "'now()'" in pinned  # string literal untouched
+    assert "`current_date`" in pinned  # backticked identifier untouched
+    assert "TIMESTAMP '" in pinned and "now()" not in pinned.split("'now()'")[1]
+    # bare `now` is a column reference, never pinned
+    assert _pin_time_functions(spark, "now < 5") == "now < 5"
+    # non-determinism check also ignores quoted regions
+    assert _pin_time_functions(spark, "tag = 'rand()'") == "tag = 'rand()'"
+    # escaped quotes inside literals don't desync the mask
+    pinned2 = _pin_time_functions(spark, "s = 'it''s now()' AND d < current_date")
+    assert "it''s now()" in pinned2 and "DATE '" in pinned2
+
+
+def test_pin_time_functions_renders_in_session_timezone(spark):
+    """ADVICE r6 medium: the pinned literal must be rendered JVM-side in
+    the session timezone. A driver-side datetime formatted in the OS
+    timezone but re-parsed under a differently-pinned
+    spark.sql.session.timeZone would shift a retention cutoff by the
+    offset. Proof: under a non-UTC session tz, the pinned literal must
+    round-trip to within seconds of current_timestamp()."""
+    from es_analytics_spark.maintenance import _pin_time_functions
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")  # UTC+8:45
+        pinned = _pin_time_functions(spark, "ts < now()")
+        lit = pinned.split("ts < ")[1]
+        drift = spark.sql(
+            f"SELECT abs(unix_timestamp({lit}) - unix_timestamp(current_timestamp())) AS d"
+        ).first()["d"]
+        assert drift < 120, f"pinned literal drifted {drift}s from now()"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_delete_where_whole_table_expiry(spark, tmp_path):
     """ADVICE r5 low: a predicate matching EVERY row deletes all files
     outright; the receipt must come back verified instead of the

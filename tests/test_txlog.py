@@ -1,0 +1,632 @@
+"""Multi-writer transaction-log tests (the sweeps txlog.py promises).
+
+Covers the OCC commit protocol end to end: CAS contention with real
+concurrent writers, the conflict rules (append commutes, compact and
+overwrite_partition validate their removes/scope), crash sweeps at the
+part-write/CAS boundary, the vacuum-vs-in-flight-writer race that the
+round-6 review reproduced as permanent table corruption (now guarded by
+the retention horizon), checkpoint-bounded replay with time travel, and
+the txlog-backed materialized-view refresh that the single-manifest
+design cannot run with two writers.
+
+Reference contract being promoted to the commit path: write-once
+``Store.put`` — every object lands under a fresh key and is never
+mutated (/root/reference/lib/store/Store.ts:4-8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_analytics_spark import txlog
+from es_analytics_spark.txlog import (
+    CommitConflict,
+    _commit_path,
+    _part_dir,
+    _try_commit,
+    _write_part,
+    append,
+    checkpoint,
+    compact,
+    current_version,
+    history,
+    overwrite_partition,
+    read_table,
+    table_sources,
+    vacuum,
+)
+from es_analytics_spark.sources.fsio import LocalFS, join as fs_join, lake_fs
+
+
+def _ids(spark, lo, hi, **tags):
+    df = spark.range(lo, hi).select(F.col("id").cast("long"))
+    for k, v in tags.items():
+        df = df.withColumn(k, F.lit(v))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# core protocol
+# ---------------------------------------------------------------------------
+
+
+def test_append_read_history_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    r1 = append(spark, path, _ids(spark, 0, 10))
+    r2 = append(spark, path, _ids(spark, 10, 30))
+    assert (r1["version"], r2["version"]) == (1, 2)
+    assert current_version(spark, path) == 2
+    assert read_table(spark, path).count() == 30
+    # snapshot isolation: v1 still reads exactly the first part
+    assert sorted(r["id"] for r in read_table(spark, path, version=1).collect()) == list(range(10))
+    h = history(spark, path)
+    assert [x["version"] for x in h] == [1, 2]
+    assert all(x["operation"] == "append" for x in h)
+    with pytest.raises(FileNotFoundError, match="no commit v9"):
+        read_table(spark, path, version=9)
+
+
+def test_partition_pruning_reads_only_tagged_parts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 5, d="a"), partition={"d": "a"})
+    append(spark, path, _ids(spark, 5, 9, d="b"), partition={"d": "b"})
+    got = read_table(spark, path, partition_filter={"d": "b"})
+    assert sorted(r["id"] for r in got.collect()) == [5, 6, 7, 8]
+    # the pruned plan opens only the matching part directory
+    files = {
+        f.rsplit("/parts/", 1)[1].split("/")[0]
+        for f in got.inputFiles()
+    }
+    assert len(files) == 1
+
+
+def test_two_writer_append_stress_serializes_versions(spark, tmp_path):
+    """The docstring-promised two-writer stress: concurrent blind
+    appends from multiple threads must serialize into a gap-free
+    version sequence with every row exactly once — and the snapshot
+    replay itself validates the whole history (a violated conflict
+    rule raises during read)."""
+    path = str(tmp_path / "t")
+    n_writers, per_writer = 4, 3
+    errs: list[Exception] = []
+
+    def writer(w):
+        try:
+            for i in range(per_writer):
+                lo = (w * per_writer + i) * 100
+                append(spark, path, _ids(spark, lo, lo + 100))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    total = n_writers * per_writer
+    assert [h["version"] for h in history(spark, path)] == list(range(1, total + 1))
+    df = read_table(spark, path)
+    assert df.count() == total * 100
+    assert df.select("id").distinct().count() == total * 100
+    # every intermediate snapshot replays cleanly (validated removes)
+    for v in (1, total // 2, total):
+        assert read_table(spark, path, version=v).count() == v * 100
+
+
+def test_append_reattaches_after_cas_loss(spark, tmp_path, monkeypatch):
+    """Blind appends commute: when a competing commit steals our
+    version number, the append re-attaches at the next version without
+    rewriting its part."""
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+    orig = txlog._try_commit
+    state = {"stolen": False}
+
+    def hooked(fs, p, version, payload):
+        if not state["stolen"]:
+            state["stolen"] = True
+            competing = {
+                "operation": "append",
+                "adds": [],
+                "removes": [],
+                "scope_partition": None,
+            }
+            assert orig(fs, p, version, competing)
+        return orig(fs, p, version, payload)
+
+    monkeypatch.setattr(txlog, "_try_commit", hooked)
+    r = append(spark, path, _ids(spark, 10, 20))
+    assert r["version"] == 3  # competitor took v2
+    assert read_table(spark, path).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# compact
+# ---------------------------------------------------------------------------
+
+
+def test_compact_merges_per_partition_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(3):
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10, d="a"), partition={"d": "a"})
+    append(spark, path, _ids(spark, 100, 110, d="b"), partition={"d": "b"})
+    r = compact(spark, path)
+    assert r == {"version": 5, "parts_before": 4, "parts_after": 2}
+    assert read_table(spark, path).count() == 40
+    assert read_table(spark, path, partition_filter={"d": "a"}).count() == 30
+    # time travel across the compact boundary still works
+    assert read_table(spark, path, version=3).count() == 30
+
+
+def test_compact_bin_packs_instead_of_single_task(spark, tmp_path):
+    """Round-6 review: compact must NOT rewrite a partition group with
+    coalesce(1) — at scale that is a single-task multi-GB write. With a
+    small target_file_bytes, one group's rewrite must emit multiple
+    files sized by the bytes-per-row estimate."""
+    path = str(tmp_path / "t")
+    wide = spark.range(0, 20000).select(
+        "id", F.sha2(F.col("id").cast("string"), 256).alias("payload")
+    )
+    append(spark, path, wide)
+    append(spark, path, spark.range(20000, 20010).select(
+        "id", F.sha2(F.col("id").cast("string"), 256).alias("payload")))
+    before_bytes = sum(
+        s
+        for p in txlog._snapshot(lake_fs(spark, path), path)[1]
+        for s in LocalFS().file_sizes(p, ".parquet")
+    )
+    target = max(before_bytes // 4, 1)
+    compact(spark, path, target_file_bytes=int(target))
+    _, live = txlog._snapshot(lake_fs(spark, path), path)
+    assert len(live) == 1
+    (part,) = live
+    n_files = len(LocalFS().file_sizes(part, ".parquet"))
+    assert n_files >= 3, f"expected bin-packed multi-file rewrite, got {n_files}"
+    assert read_table(spark, path).count() == 20010
+
+
+def test_compact_conflict_when_concurrent_commit_removed_our_parts(
+    spark, tmp_path, monkeypatch
+):
+    """Conflict rule: compact re-attaches only if no intervening commit
+    removed a part from its snapshot. A competing commit that already
+    removed one must force CommitConflict (recording ours would corrupt
+    replay — validated by _snapshot)."""
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+    append(spark, path, _ids(spark, 10, 20))
+    orig = txlog._try_commit
+    state = {"stolen": False}
+
+    def hooked(fs, p, version, payload):
+        if payload.get("operation") == "compact" and not state["stolen"]:
+            state["stolen"] = True
+            competing = {
+                "operation": "compact",
+                "adds": [{"path": a["path"], "partition": {}} for a in payload["adds"]],
+                "removes": payload["removes"],
+                "scope_partition": None,
+            }
+            assert orig(fs, p, version, competing)
+        return orig(fs, p, version, payload)
+
+    monkeypatch.setattr(txlog, "_try_commit", hooked)
+    with pytest.raises(CommitConflict, match="already removed"):
+        compact(spark, path)
+    # table unharmed; replay still validates
+    assert read_table(spark, path).count() == 20
+
+
+def test_concurrent_compacts_leave_consistent_table(spark, tmp_path):
+    """Two real concurrent compacts: at most one wins; a loser either
+    re-attaches safely or raises CommitConflict — never a corrupt log."""
+    path = str(tmp_path / "t")
+    for i in range(4):
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10))
+    results: list = [None, None]
+
+    def run(i):
+        try:
+            results[i] = compact(spark, path)
+        except CommitConflict as e:
+            results[i] = e
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert any(isinstance(r, dict) for r in results)
+    assert read_table(spark, path).count() == 40
+    history(spark, path)  # replays clean
+
+
+# ---------------------------------------------------------------------------
+# overwrite_partition
+# ---------------------------------------------------------------------------
+
+
+def test_overwrite_partition_exact_tag_semantics(spark, tmp_path):
+    """Round-6 review: 'tagged exactly P' is tag-dict EQUALITY — a part
+    tagged {d:a, h:2} and an untagged append are NOT removed by
+    overwrite {d:a}."""
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 5, d="a"), partition={"d": "a"})
+    append(spark, path, _ids(spark, 5, 8, d="a", h=2), partition={"d": "a", "h": 2})
+    append(spark, path, _ids(spark, 8, 10))  # untagged
+    r = overwrite_partition(spark, path, _ids(spark, 100, 103, d="a"), {"d": "a"})
+    assert r["removed_parts"] == 1
+    got = sorted(x["id"] for x in read_table(spark, path).select("id").collect())
+    assert got == [5, 6, 7, 8, 9, 100, 101, 102]
+    with pytest.raises(ValueError, match="non-empty"):
+        overwrite_partition(spark, path, _ids(spark, 0, 1), {})
+
+
+def test_overwrite_conflicts_same_partition_merges_disjoint(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 5, d="a"), partition={"d": "a"})
+    append(spark, path, _ids(spark, 5, 9, d="b"), partition={"d": "b"})
+    orig = txlog._try_commit
+    state = {"mode": None, "stolen": False}
+
+    def hooked(fs, p, version, payload):
+        if payload.get("operation") == "overwrite_partition" and not state["stolen"]:
+            state["stolen"] = True
+            competing = {
+                "operation": "append",
+                "adds": [{"path": "unused", "partition": state["mode"]}],
+                "removes": [],
+                "scope_partition": state["mode"],
+            }
+            assert orig(fs, p, version, competing)
+        return orig(fs, p, version, payload)
+
+    monkeypatch.setattr(txlog, "_try_commit", hooked)
+    # competing add in a DISJOINT partition -> merges at a later version
+    state.update(mode={"d": "zzz"}, stolen=False)
+    r = overwrite_partition(spark, path, _ids(spark, 100, 102, d="b"), {"d": "b"})
+    assert r["removed_parts"] == 1
+    # competing add in the SAME partition -> CommitConflict
+    state.update(mode={"d": "a"}, stolen=False)
+    with pytest.raises(CommitConflict, match="touched"):
+        overwrite_partition(spark, path, _ids(spark, 200, 202, d="a"), {"d": "a"})
+
+
+# ---------------------------------------------------------------------------
+# crash + vacuum sweeps
+# ---------------------------------------------------------------------------
+
+
+def test_crash_between_part_write_and_cas_is_invisible(spark, tmp_path, monkeypatch):
+    """Kill sweep at the part-write/CAS boundary: the writer dies after
+    staging its part but before the CAS. No reader ever observes the
+    orphan; the log is untouched; a retention-respecting vacuum leaves
+    the fresh orphan alone (it is indistinguishable from an in-flight
+    writer) and a quiescent-table vacuum reaps it."""
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+
+    def crash(fs, p, version, payload):
+        raise RuntimeError("simulated crash before CAS")
+
+    monkeypatch.setattr(txlog, "_try_commit", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        append(spark, path, _ids(spark, 10, 20))
+    monkeypatch.undo()
+
+    assert current_version(spark, path) == 1
+    assert read_table(spark, path).count() == 10
+    orphans = [
+        p
+        for p in LocalFS().glob(fs_join(_part_dir(path), "*"))
+        if p not in txlog._snapshot(lake_fs(spark, path), path)[1]
+    ]
+    assert len(orphans) == 1
+    # default retention: the fresh orphan might be an in-flight writer
+    assert vacuum(spark, path) == []
+    assert os.path.exists(orphans[0])
+    # explicit quiescent override reaps it
+    assert vacuum(spark, path, retention_seconds=0) == orphans
+    assert not os.path.exists(orphans[0])
+    assert read_table(spark, path).count() == 10
+
+
+def test_vacuum_does_not_corrupt_in_flight_writer(spark, tmp_path):
+    """THE round-6 corruption repro, now fixed: writer A stages its part;
+    vacuum runs; A wins the CAS. With the retention horizon the staged
+    part survives vacuum, so A's commit references live data and every
+    later read succeeds (previously: PATH_NOT_FOUND forever)."""
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+    fs = lake_fs(spark, path)
+    # writer A: part staged, CAS not yet attempted
+    part = _write_part(spark, path, _ids(spark, 10, 25))
+    # concurrent maintenance vacuum (default retention)
+    assert vacuum(spark, path) == []
+    assert os.path.exists(part)
+    # writer A wins its CAS
+    payload = {
+        "operation": "append",
+        "adds": [{"path": part, "partition": {}}],
+        "removes": [],
+        "scope_partition": None,
+    }
+    assert _try_commit(fs, path, 2, payload)
+    assert read_table(spark, path).count() == 25
+    assert read_table(spark, path, version=2).count() == 25
+
+
+def test_vacuum_reaps_aged_orphans_and_respects_keep_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+    append(spark, path, _ids(spark, 10, 20))
+    compact(spark, path)  # v3: the two original parts become time-travel-only
+    # orphan from a crashed writer, backdated past the horizon
+    orphan = _write_part(spark, path, _ids(spark, 99, 100))
+    old = time.time() - 7 * 24 * 3600
+    os.utime(orphan, (old, old))
+    reaped = vacuum(spark, path, retention_seconds=3600)
+    assert reaped == [orphan]
+    # time travel still works: removed-but-referenced parts were kept
+    assert read_table(spark, path, version=2).count() == 20
+    # bounded retention: once the log advances past them, parts whose
+    # last reference is older than the newest keep_versions are dropped
+    append(spark, path, _ids(spark, 20, 30))  # v4
+    reaped2 = vacuum(spark, path, keep_versions=1, retention_seconds=3600)
+    assert len(reaped2) == 2
+    assert read_table(spark, path).count() == 30  # latest unaffected
+
+
+def test_torn_commit_staging_never_observed(spark, tmp_path):
+    """Kill sweep inside put_if_absent: a crash after staging the tmp
+    commit file but before the link leaves v*.json.tmp-* debris that the
+    version listing must ignore, and later commits proceed normally."""
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+    debris = _commit_path(path, 2) + ".tmp-deadbeef"
+    with open(debris, "w") as f:
+        f.write(json.dumps({"operation": "append", "adds": [], "removes": []}))
+    assert current_version(spark, path) == 1
+    r = append(spark, path, _ids(spark, 10, 20))
+    assert r["version"] == 2
+    assert read_table(spark, path).count() == 20
+
+
+def test_snapshot_detects_gap_and_invalid_remove(spark, tmp_path):
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+    append(spark, path, _ids(spark, 10, 20))
+    fs = lake_fs(spark, path)
+    # a commit removing a never-live part = violated conflict protocol
+    bad = {"operation": "compact", "adds": [], "removes": ["/nope"], "scope_partition": None}
+    assert _try_commit(fs, path, 3, bad)
+    with pytest.raises(RuntimeError, match="non-live part"):
+        read_table(spark, path)
+    # a gap in the version sequence = corrupt log, loudly
+    os.remove(_commit_path(path, 2))
+    with pytest.raises(RuntimeError, match="missing commits"):
+        read_table(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_bounds_replay_and_keeps_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(5):
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10))
+    ck = checkpoint(spark, path)
+    assert ck == {"version": 5, "written": True}
+    # idempotent race: second checkpoint at the same version is a no-op
+    assert checkpoint(spark, path) == {"version": 5, "written": False}
+    append(spark, path, _ids(spark, 50, 60))
+    assert read_table(spark, path).count() == 60
+    # pre-checkpoint time travel replays from v1 (commits never deleted)
+    assert read_table(spark, path, version=2).count() == 20
+    # post-checkpoint snapshot replays from the checkpoint
+    assert read_table(spark, path, version=5).count() == 50
+    assert checkpoint(spark, str(tmp_path / "empty")) == {"version": 0, "written": False}
+
+
+# ---------------------------------------------------------------------------
+# mixed-operation stress: serializable history under real contention
+# ---------------------------------------------------------------------------
+
+
+def test_mixed_two_writer_stress_history_replays_clean(spark, tmp_path):
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10, d="a"), partition={"d": "a"})
+    append(spark, path, _ids(spark, 10, 20, d="b"), partition={"d": "b"})
+    errs: list[Exception] = []
+
+    def appender():
+        try:
+            for i in range(3):
+                append(
+                    spark, path,
+                    _ids(spark, 1000 + i * 10, 1010 + i * 10, d="a"),
+                    partition={"d": "a"},
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def compactor():
+        for _ in range(3):
+            try:
+                compact(spark, path)
+            except CommitConflict:
+                pass  # legal outcome under contention; retryable
+
+    threads = [threading.Thread(target=appender), threading.Thread(target=compactor)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # full-history replay validates every commit's removes in order
+    latest = current_version(spark, path)
+    for v in range(1, latest + 1):
+        read_table(spark, path, version=v)
+    df = read_table(spark, path)
+    assert df.count() == 50
+    assert df.select("id").distinct().count() == 50
+
+
+# ---------------------------------------------------------------------------
+# put_if_absent primitive (both FS implementations)
+# ---------------------------------------------------------------------------
+
+
+def test_local_put_if_absent_single_winner_under_contention(tmp_path):
+    fs = LocalFS()
+    target = str(tmp_path / "x" / "v1.json")
+    wins: list[int] = []
+
+    def racer(i):
+        if fs.put_if_absent(target, f"writer-{i}".encode()):
+            wins.append(i)
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1
+    assert fs.read_bytes(target).decode() == f"writer-{wins[0]}"
+    # no staged tmp debris leaks
+    assert [p for p in os.listdir(tmp_path / "x") if ".tmp-" in p] == []
+
+
+def test_hadoop_put_if_absent_over_file_uri(spark, tmp_path):
+    """The JVM-side CAS (FileContext.rename without OVERWRITE) through a
+    real Hadoop FileSystem: winner/loser semantics, exception matched by
+    Java class (not message text), and no tmp leak on either path."""
+    from es_analytics_spark.sources.fsio import HadoopFS
+
+    uri = f"file://{tmp_path}/cas/v1.json"
+    fs = lake_fs(spark, uri)
+    assert isinstance(fs, HadoopFS)
+    assert fs.put_if_absent(uri, b"first") is True
+    assert fs.put_if_absent(uri, b"second") is False
+    assert fs.read_bytes(uri) == b"first"
+    assert [p for p in os.listdir(tmp_path / "cas") if ".tmp-" in p] == []
+    # _is_already_exists must not fire on arbitrary 'exists' message text
+    assert HadoopFS._is_already_exists(RuntimeError("path exists somewhere")) is False
+
+
+# ---------------------------------------------------------------------------
+# txlog-backed materialized view (the seam integration)
+# ---------------------------------------------------------------------------
+
+
+def _seed_sources(spark, src: str, n_files: int = 2, rows_per: int = 50) -> str:
+    for i in range(n_files):
+        spark.range(i * rows_per, (i + 1) * rows_per).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+    return f"{src}/f*/*.parquet"
+
+
+def test_refresh_enriched_view_tx_incremental(spark, tmp_path):
+    """The existing enriched-view lifecycle, re-run on the txlog
+    backend: first refresh = full build, second = increment only,
+    no-op refresh reads nothing, time travel via read_table versions."""
+    from es_analytics_spark.materialized import refresh_enriched_view_tx
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    glob_pat = _seed_sources(spark, src, n_files=2)
+
+    def enrich(df):
+        return df.withColumn("v3", F.col("v") * 3)
+
+    r1 = refresh_enriched_view_tx(spark, glob_pat, view, enrich)
+    assert (r1["new_files"], r1["total_files"], r1["version"]) == (2, 2, 1)
+    assert read_table(spark, view).count() == 100
+
+    spark.range(100, 130).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.parquet(f"{src}/f9")
+    r2 = refresh_enriched_view_tx(spark, glob_pat, view, enrich)
+    assert (r2["new_files"], r2["total_files"], r2["version"]) == (1, 3, 2)
+    assert read_table(spark, view).count() == 130
+    assert read_table(spark, view, version=1).count() == 100
+    # enrich actually applied
+    assert read_table(spark, view).filter(F.col("v3") != F.col("v") * 3).count() == 0
+
+    r3 = refresh_enriched_view_tx(spark, glob_pat, view, enrich)
+    assert r3 == {"new_files": 0, "total_files": 3, "version": 2}
+    assert table_sources(spark, view) == set(
+        lake_fs(spark, glob_pat).glob(glob_pat)
+    )
+
+
+def test_refresh_tx_two_writers_exactly_once(spark, tmp_path):
+    """The two-writer refresh the single-manifest design fails: both
+    writers see the same new source files; exactly one incorporates
+    them. The loser conflicts on source overlap, re-reads the seen set,
+    and no-ops — the view never double-counts an increment."""
+    from es_analytics_spark.materialized import refresh_enriched_view_tx
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    glob_pat = _seed_sources(spark, src, n_files=3)
+    barrier = threading.Barrier(2)
+    results: list = [None, None]
+    errs: list[Exception] = []
+
+    def refresher(i):
+        try:
+            barrier.wait()
+            results[i] = refresh_enriched_view_tx(
+                spark, glob_pat, view, lambda df: df
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=refresher, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # exactly-once: 150 rows total, never 300
+    assert read_table(spark, view).count() == 150
+    assert sorted(r["new_files"] for r in results) == [0, 3]
+    # every source incorporated by exactly one commit
+    srcs = [
+        s
+        for h in range(1, current_version(spark, view) + 1)
+        for s in txlog._read_commit(lake_fs(spark, view), view, h).get("sources", [])
+    ]
+    assert len(srcs) == len(set(srcs)) == 3
+
+
+def test_append_sources_requires_since_version(spark, tmp_path):
+    with pytest.raises(ValueError, match="since_version"):
+        append(spark, str(tmp_path / "t"), _ids(spark, 0, 1), sources=["a"])
+
+
+def test_append_source_overlap_conflicts(spark, tmp_path):
+    """Direct conflict-rule check: a commit that raced past us and
+    incorporated one of our source files forces CommitConflict even
+    though plain appends would commute."""
+    path = str(tmp_path / "t")
+    v0 = current_version(spark, path)
+    append(spark, path, _ids(spark, 0, 10), sources=["s1", "s2"], since_version=v0)
+    # a second writer whose snapshot predates that commit
+    with pytest.raises(CommitConflict, match="already incorporated"):
+        append(spark, path, _ids(spark, 10, 20), sources=["s2", "s3"], since_version=v0)
+    # disjoint sources from the same stale snapshot commute fine
+    r = append(spark, path, _ids(spark, 20, 30), sources=["s9"], since_version=v0)
+    assert r["version"] == 2
+    assert table_sources(spark, path) == {"s1", "s2", "s9"}
