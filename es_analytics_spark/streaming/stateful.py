@@ -589,3 +589,87 @@ def running_abandonment(events: DataFrame, window_us: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- per-user Markov transition counts ----------------------------------
+
+TRANSITION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("src_code", T.IntegerType()),
+        T.StructField("dst_code", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+TRANSITION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("tus", T.ArrayType(T.LongType())),
+        T.StructField("eid", T.ArrayType(T.LongType())),
+        T.StructField("code", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+TRANSITION_STATE_CAP = 65_536
+
+
+def running_transitions(events: DataFrame) -> DataFrame:
+    """ts_markov_transitions' per-user event sequence maintained by the
+    STREAMING engine: state per user is the (ts, event_id, type-code)
+    triple list kept sorted by the batch twin's exact total order
+    (EPOCH_US(ts), event_id), and every epoch RE-DERIVES the full
+    (src -> dst) transition multiset from that sequence — so an
+    out-of-order arrival that lands BETWEEN two already-seen events
+    retroactively splits their transition exactly as the batch lead()
+    window would. Same bounded-state re-derivation trade as
+    running_abandonment (a key needs more than TRANSITION_STATE_CAP
+    events to break exactness — orders of magnitude above any fixture
+    or per-user activity bound).
+
+    Input columns: (user_id, tus, eid, code). Emits one row per
+    (user, src, dst) per epoch plus n_rows for final-epoch selection.
+    """
+    from bisect import insort
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, tus, eid, code = state.get if state.exists else (0, [], [], [])
+        triples = sorted(zip(tus, eid, code))
+        for pdf in pdfs:
+            n += len(pdf)
+            for t, e, c in zip(pdf["tus"], pdf["eid"], pdf["code"]):
+                insort(triples, (int(t), int(e), int(c)))
+        triples = triples[:TRANSITION_STATE_CAP]
+        state.update(
+            (
+                n,
+                [t for t, _e, _c in triples],
+                [e for _t, e, _c in triples],
+                [c for _t, _e, c in triples],
+            )
+        )
+        counts: dict[tuple[int, int], int] = {}
+        for (_t1, _e1, c1), (_t2, _e2, c2) in zip(triples, triples[1:]):
+            counts[(c1, c2)] = counts.get((c1, c2), 0) + 1
+        if not counts:
+            counts[(-1, -1)] = 0  # keyed no-op row keeps n_rows visible
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(counts),
+                "n_rows": [n] * len(counts),
+                "src_code": [s for s, _d in counts],
+                "dst_code": [d for _s, d in counts],
+                "cnt": [counts[k] for k in counts],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
