@@ -419,6 +419,64 @@ def overwrite_partition(
     )
 
 
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change feed between two committed versions: the rows ADDED by
+    commits in (from_version, to_version] — the txlog analog of
+    ``materialized.read_view_changes`` (Delta's ``table_changes`` /
+    CDF for the insert-only case). Exact for append/refresh workloads
+    because parts are immutable; parts added-and-then-removed inside
+    the window (a compact's rewrites) are EXCLUDED along with their
+    removed sources — compaction rewrites content that was already
+    visible at some version, so surfacing it again would double-feed
+    an incremental consumer. ``from_version=0`` reads everything up to
+    ``to_version``.
+
+    ``overwrite_partition`` commits DO contribute their new part (the
+    replacement rows are new content; this is an insert-only feed, so
+    the replaced rows are not emitted as deletes — the documented
+    contract, same as the view change feed).
+
+    Incremental consumers (downstream rollups, exports) read each
+    version delta instead of re-scanning the table — commit-sized
+    work, never table-sized."""
+    fs = lake_fs(spark, path)
+    latest = current_version(spark, path)
+    if to_version is None:
+        to_version = latest
+    if to_version > latest or from_version > to_version:
+        raise FileNotFoundError(
+            f"table_changes({from_version}, {to_version}) under {path}: "
+            f"latest committed version is v{latest}"
+        )
+    added: dict[str, dict] = {}
+    removed: set[str] = set()
+    for v in range(from_version + 1, to_version + 1):
+        c = _read_commit(fs, path, v)
+        for r in c.get("removes", []):
+            removed.add(r)
+            added.pop(r, None)
+        for a in c.get("adds", []):
+            # a compact's adds REWRITE content visible before the
+            # window — not new rows; append/refresh/overwrite adds are
+            if c.get("operation") != "compact":
+                added[a["path"]] = a.get("partition", {})
+    parts = sorted(added)
+    if not parts:
+        # schema-stable empty frame from the snapshot
+        from pyspark.sql import functions as F
+
+        _v, live = _snapshot(fs, path, to_version)
+        if not live:
+            raise FileNotFoundError(f"no live parts under {path} at v{to_version}")
+        return spark.read.parquet(sorted(live)[0]).filter(F.lit(False))
+    return spark.read.parquet(*parts)
+
+
 def checkpoint(spark: SparkSession, path: str) -> dict:
     """Write a checkpoint of the current live set so replay cost stays
     bounded as the log grows (Delta's parquet-checkpoint idea, JSON

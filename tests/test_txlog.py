@@ -611,6 +611,33 @@ def test_refresh_tx_two_writers_exactly_once(spark, tmp_path):
     assert len(srcs) == len(set(srcs)) == 3
 
 
+def test_table_changes_insert_only_feed(spark, tmp_path):
+    """CDC read: (from, to] deltas are exactly the appended rows;
+    compaction rewrites are NOT re-fed; overwrite replacements ARE new
+    content; parts added-and-removed inside the window vanish."""
+    from es_analytics_spark.txlog import table_changes
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))  # v1
+    append(spark, path, _ids(spark, 10, 30))  # v2
+    got = sorted(r["id"] for r in table_changes(spark, path, 1, 2).collect())
+    assert got == list(range(10, 30))
+    assert table_changes(spark, path, 0).count() == 30
+
+    compact(spark, path)  # v3: pure rewrite — feeds nothing
+    assert table_changes(spark, path, 2).count() == 0
+    assert table_changes(spark, path, 2).columns == ["id"]  # schema-stable
+
+    append(spark, path, _ids(spark, 30, 35, d="a"), partition={"d": "a"})  # v4
+    overwrite_partition(spark, path, _ids(spark, 100, 103, d="a"), {"d": "a"})  # v5
+    # v4's part was added AND removed inside (3, 5] — only v5's
+    # replacement rows are new content
+    got = sorted(r["id"] for r in table_changes(spark, path, 3).collect())
+    assert got == [100, 101, 102]
+    with pytest.raises(FileNotFoundError, match="latest committed"):
+        table_changes(spark, path, 2, 99)
+
+
 def test_append_sources_requires_since_version(spark, tmp_path):
     with pytest.raises(ValueError, match="since_version"):
         append(spark, str(tmp_path / "t"), _ids(spark, 0, 1), sources=["a"])
