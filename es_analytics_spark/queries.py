@@ -2250,3 +2250,4 @@ from es_analytics_spark import queries_sql47 as _queries_sql47  # noqa: E402,F40
 from es_analytics_spark import queries_sql48 as _queries_sql48  # noqa: E402,F401
 from es_analytics_spark import queries_sql49 as _queries_sql49  # noqa: E402,F401
 from es_analytics_spark import queries_sql50 as _queries_sql50  # noqa: E402,F401
+from es_analytics_spark import queries_sql51 as _queries_sql51  # noqa: E402,F401
