@@ -157,13 +157,13 @@ _AIC_SQL = f"""
         SELECT COUNT(*) AS n,
                {dsum_expr('l_quantity')} AS s1,
                {dsum_expr('l_discount')} AS s2,
-               {dsum_expr('l_extendedprice')} AS sy,
+               {dsum_expr('l_extendedprice / 1000.0')} AS sy,
                {dsum_expr('l_quantity * l_quantity')} AS s11,
                {dsum_expr('l_discount * l_discount')} AS s22,
                {dsum_expr('l_quantity * l_discount')} AS s12,
-               {dsum_expr('l_quantity * l_extendedprice')} AS s1y,
-               {dsum_expr('l_discount * l_extendedprice')} AS s2y,
-               {dsum_expr('l_extendedprice * l_extendedprice')} AS syy
+               {dsum_expr('l_quantity * (l_extendedprice / 1000.0)')} AS s1y,
+               {dsum_expr('l_discount * (l_extendedprice / 1000.0)')} AS s2y,
+               {dsum_expr('(l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)')} AS syy
         FROM lineitem
     ), c AS (
         SELECT n,
@@ -221,7 +221,13 @@ def ml_aic_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined); all three fits and the ranking are 1-row/3-row
     arithmetic."""
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
-    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    # response in kilo-dollars: raw price moments (sum of price^2) cross
+    # the decimal->double safe conversion range (exact.py: unscaled
+    # int beyond 2^53 rounds differently across engines) at sf0.1+;
+    # the /1000 literal is the same IEEE op in both plans and shifts
+    # AIC by an n*ln(1e6) constant that cancels in the comparison
+    x1, x2 = F.col("l_quantity"), F.col("l_discount")
+    y = F.col("l_extendedprice") / 1000.0
     m = li.agg(
         F.count("*").alias("n"),
         dsum(x1).alias("s1"),
