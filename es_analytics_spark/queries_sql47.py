@@ -282,16 +282,23 @@ def ml_aic_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("bigint").alias("n_features"),
         "rss",
         q4(F.col("n") * ln_q6 + 2.0 * (F.col("k") + 1)).alias("aic"),
+    ).transform(cut_lineage)
+    # broadcast 1-row min + TakeOrdered(3): the 3-row frame must not
+    # plan a SinglePartition window/global sort (catalog-wide guard)
+    best = scored.agg(F.min("aic").alias("min_aic"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "model",
+            "n_features",
+            "rss",
+            "aic",
+            q4(F.col("aic") - F.col("min_aic")).alias("delta_aic"),
+            (F.col("aic") == F.col("min_aic")).alias("selected"),
+        )
+        .orderBy(F.col("aic").asc(), F.col("model").asc())
+        .limit(3)
     )
-    wall = W.partitionBy(F.lit(1))
-    return scored.select(
-        "model",
-        "n_features",
-        "rss",
-        "aic",
-        q4(F.col("aic") - F.min("aic").over(wall)).alias("delta_aic"),
-        (F.col("aic") == F.min("aic").over(wall)).alias("selected"),
-    ).orderBy(F.col("aic").asc(), F.col("model").asc())
 
 
 # ---------------------------------------------------------------------------
