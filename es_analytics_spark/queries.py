@@ -2254,3 +2254,4 @@ from es_analytics_spark import queries_sql51 as _queries_sql51  # noqa: E402,F40
 from es_analytics_spark import queries_sql52 as _queries_sql52  # noqa: E402,F401
 from es_analytics_spark import queries_sql53 as _queries_sql53  # noqa: E402,F401
 from es_analytics_spark import queries_sql54 as _queries_sql54  # noqa: E402,F401
+from es_analytics_spark import queries_sql55 as _queries_sql55  # noqa: E402,F401
