@@ -413,3 +413,53 @@ def test_rate_source_live_to_lake_with_listener(spark, tmp_path):
         | (F.col("value") != F.col("event_id") % 1000 / 10.0)
     ).count()
     assert bad == 0
+
+
+def test_transition_state_splits_on_out_of_order_arrival(spark, tmp_path):
+    """The streaming Markov-transition state must RE-DERIVE, not
+    accumulate: epoch 1 delivers view(t=10) and purchase(t=30) — the
+    observed transition is view->purchase; epoch 2 delivers a LATE
+    click(t=20), which must retroactively SPLIT that transition into
+    view->click and click->purchase. A carry-only-counters design
+    cannot retract the already-counted view->purchase — exactly the
+    failure the sequence re-derivation contract exists to prevent."""
+    import pandas as pd
+
+    from es_analytics_spark.streaming.ingest import replay_stream
+    from es_analytics_spark.streaming.stateful import running_transitions
+
+    d = tmp_path / "src"
+    d.mkdir()
+    schema = "user_id bigint, tus bigint, eid bigint, code int"
+    # codes: 0=view, 1=click, 2=purchase (test-local mapping)
+    b1 = pd.DataFrame({"user_id": [1, 1], "tus": [10, 30], "eid": [1, 2], "code": [0, 2]})
+    b2 = pd.DataFrame({"user_id": [1], "tus": [20], "eid": [3], "code": [1]})
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(d / "b2"))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    out = replay_stream(
+        spark,
+        running_transitions(src),
+        name="transitions_ooo",
+        output_mode="append",
+    ).toPandas()
+    final = out[out["n_rows"] == out["n_rows"].max()]
+    got = {
+        (int(r.src_code), int(r.dst_code)): int(r.cnt)
+        for r in final.itertuples()
+        if r.src_code >= 0
+    }
+    assert got == {(0, 1): 1, (1, 2): 1}, got  # view->click, click->purchase
+    # file-source epoch ordering is not guaranteed; only when the late
+    # click genuinely arrived second does an intermediate epoch exist
+    # with the unsplit view->purchase transition
+    early = out[out["n_rows"] == 2]
+    if len(early):
+        assert {(int(r.src_code), int(r.dst_code)) for r in early.itertuples()} == {
+            (0, 2)
+        }
