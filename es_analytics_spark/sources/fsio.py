@@ -222,6 +222,16 @@ class HadoopFS:
                 "java.io.FileAlreadyExistsException",
             ):
                 return True
+            # Narrow fallback for connectors that signal a taken rename
+            # destination as a plain IOException with an "exists" message
+            # (some object-store FileSystems do): still a benign CAS
+            # loss, not a failure. The class-chain match stays primary —
+            # a non-IOException whose text merely contains "exists"
+            # (e.g. a permission error naming a path) re-raises.
+            if name == "java.io.IOException":
+                msg = (j.getMessage() or "").lower()
+                if "already exists" in msg or "destination exists" in msg:
+                    return True
             j = j.getCause()
         return False
 
@@ -241,7 +251,31 @@ class HadoopFS:
         return sorted(str(s.getPath()) for s in statuses)
 
     def mtime(self, path: str) -> float:
-        return self._fs.getFileStatus(self._jpath(path)).getModificationTime() / 1000.0
+        """Modification time, with a missing path raised as the PYTHON
+        FileNotFoundError — same contract as LocalFS.mtime. Without the
+        translation, getFileStatus on a vanished path surfaces as a
+        Py4JJavaError, and vacuum's vanished-concurrently guard (which
+        catches OSError/FileNotFoundError) would crash the whole run on
+        URI stores instead of skipping the path."""
+        try:
+            return self._fs.getFileStatus(self._jpath(path)).getModificationTime() / 1000.0
+        except Exception as e:
+            if self._is_not_found(e):
+                raise FileNotFoundError(path) from e
+            raise
+
+    @staticmethod
+    def _is_not_found(e: Exception) -> bool:
+        j = getattr(e, "java_exception", None)
+        while j is not None:
+            if j.getClass().getName() in (
+                "java.io.FileNotFoundException",
+                "org.apache.hadoop.fs.PathNotFoundException",
+                "java.nio.file.NoSuchFileException",
+            ):
+                return True
+            j = j.getCause()
+        return False
 
     def read_bytes(self, path: str) -> bytes:
         stream = self._fs.open(self._jpath(path))

@@ -69,6 +69,23 @@ class CommitConflict(Exception):
     commit (or the CAS retry budget ran out); re-run it."""
 
 
+class SchemaMismatchError(Exception):
+    """A write's DataFrame schema is incompatible with the table's
+    committed schema (new columns without ``evolve=True``, or a type
+    change, which is never allowed). The table-schema contract lives in
+    the commit payload itself — see :func:`append`."""
+
+
+class VersionExpiredError(FileNotFoundError):
+    """A requested historical version (time travel or change feed)
+    needs part files that ``vacuum(keep_versions=...)`` already reaped.
+    Raised at PLAN time with the missing parts named — never a
+    mid-query executor PATH_NOT_FOUND. The retention coupling is the
+    same one Delta documents for time travel / CDF vs VACUUM: history
+    older than the retention window is gone by design; raise clearly
+    instead of failing lazily."""
+
+
 def _log_dir(path: str) -> str:
     return fs_join(path, "_txlog")
 
@@ -141,6 +158,103 @@ def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str,
     return version, live
 
 
+def _committed_schema(fs, path: str, version: int) -> dict | None:
+    """The table schema as-of ``version``: the ``schema`` recorded by
+    the newest commit <= version that carries one (every commit written
+    by this module does — the backward walk exists only for logs
+    written before schema-in-commit landed, where it returns None and
+    readers fall back to Spark's file-sampled inference)."""
+    for v in range(version, 0, -1):
+        c = _read_commit(fs, path, v)
+        if "schema" in c:
+            return c["schema"]
+    return None
+
+
+def table_schema(spark: SparkSession, path: str, version: int | None = None):
+    """Public accessor: the committed table schema (a ``StructType``)
+    as-of ``version`` (default latest), or None for pre-schema logs."""
+    from pyspark.sql import types as T
+
+    fs = lake_fs(spark, path)
+    if version is None:
+        version = current_version(spark, path)
+    sj = _committed_schema(fs, path, version)
+    return T.StructType.fromJson(sj) if sj is not None else None
+
+
+def _merge_schema(table_sj: dict | None, df, evolve: bool) -> dict:
+    """Validate a write's DataFrame schema against the committed table
+    schema and return the schema the new commit must record.
+
+    - table has no schema yet (first write / legacy log) → df's schema.
+    - exact field set with identical types (order-insensitive) → table
+      schema unchanged.
+    - ``evolve=True`` → additive evolution only: new columns append to
+      the table schema (forced nullable, so parts written before the
+      evolution read as null deterministically); columns the df omits
+      stay in the schema (this part reads them as null).
+    - a TYPE change for an existing column is never allowed — rewriting
+      history isn't evolution; at 100 TB it would silently reinterpret
+      every existing part.
+    """
+    new_fields = {f.name: f.dataType.jsonValue() for f in df.schema.fields}
+    if table_sj is None:
+        return df.schema.jsonValue()
+    table_fields = {f["name"]: f["type"] for f in table_sj["fields"]}
+    for name, typ in new_fields.items():
+        if name in table_fields and table_fields[name] != typ:
+            raise SchemaMismatchError(
+                f"column {name!r}: committed type {table_fields[name]} vs "
+                f"incoming {typ} — type changes are never allowed"
+            )
+    added = [n for n in new_fields if n not in table_fields]
+    missing = [n for n in table_fields if n not in new_fields]
+    if not evolve:
+        if added or missing:
+            raise SchemaMismatchError(
+                f"schema drift without evolve=True: new columns {added}, "
+                f"missing columns {missing}; pass evolve=True for additive "
+                "evolution (new nullable columns / null-filled omissions)"
+            )
+        return table_sj
+    if not added:
+        return table_sj
+    merged = dict(table_sj)
+    merged["fields"] = list(table_sj["fields"]) + [
+        dict(f.jsonValue(), nullable=True)
+        for f in df.schema.fields
+        if f.name in set(added)
+    ]
+    return merged
+
+
+def _read_parts(spark: SparkSession, parts: list[str], schema_json: dict | None) -> DataFrame:
+    """Read part files WITH the committed schema when one exists —
+    deterministic column set and types regardless of which file Spark
+    would sample (evolution-added columns are nullable, so pre-evolution
+    parts read them as null: explicit ``mergeSchema`` semantics pinned
+    by the log, not by file-sampling luck)."""
+    from pyspark.sql import types as T
+
+    if schema_json is None:
+        return spark.read.parquet(*parts)
+    return spark.read.schema(T.StructType.fromJson(schema_json)).parquet(*parts)
+
+
+def _empty_frame(spark: SparkSession, fs, path: str, version: int, live: dict) -> DataFrame:
+    """Schema-stable empty frame: built from the committed schema when
+    available (no file I/O), else from any historical live part."""
+    from pyspark.sql import functions as F, types as T
+
+    sj = _committed_schema(fs, path, version)
+    if sj is not None:
+        return spark.createDataFrame([], T.StructType.fromJson(sj))
+    if not live:
+        raise FileNotFoundError(f"no live parts under {path} at v{version}")
+    return spark.read.parquet(sorted(live)[0]).filter(F.lit(False))
+
+
 def current_version(spark: SparkSession, path: str) -> int:
     fs = lake_fs(spark, path)
     versions = _list_versions(fs, path)
@@ -167,6 +281,22 @@ def history(spark: SparkSession, path: str) -> list[dict]:
     return out
 
 
+def _require_parts_exist(fs, path: str, parts: list[str], what: str) -> None:
+    """Plan-time existence check for historical reads: any part already
+    reaped by ``vacuum(keep_versions=...)`` raises
+    :class:`VersionExpiredError` naming the gap, instead of an executor
+    PATH_NOT_FOUND mid-query. Only called on TIME-TRAVEL / change-feed
+    paths — latest-snapshot reads skip it because vacuum never reaps
+    live parts (metadata probes stay off the hot read path)."""
+    missing = [p for p in parts if not fs.exists(p)]
+    if missing:
+        raise VersionExpiredError(
+            f"{what} under {path} needs {len(missing)} part(s) already "
+            f"reaped by vacuum retention (e.g. {missing[0]}); history "
+            "older than keep_versions is expired by design"
+        )
+
+
 def read_table(
     spark: SparkSession,
     path: str,
@@ -178,10 +308,14 @@ def read_table(
     what this frame reads, because parts are immutable and commits only
     ever add/remove whole parts. ``partition_filter`` prunes parts by
     their commit-recorded partition tag WITHOUT opening them
-    (manifest-level partition pruning)."""
+    (manifest-level partition pruning). Time travel to a version whose
+    parts were reaped by ``vacuum(keep_versions=...)`` raises
+    :class:`VersionExpiredError` at plan time."""
     fs = lake_fs(spark, path)
     v, live = _snapshot(fs, path, version)
     parts = sorted(live)
+    if version is not None:
+        _require_parts_exist(fs, path, parts, f"read_table(version={version})")
     if partition_filter:
         parts = [
             p
@@ -190,12 +324,9 @@ def read_table(
         ]
     if not parts:
         if live:
-            # schema-stable empty frame from any historical live part
-            from pyspark.sql import functions as F
-
-            return spark.read.parquet(sorted(live)[0]).filter(F.lit(False))
+            return _empty_frame(spark, fs, path, v, live)
         raise FileNotFoundError(f"no live parts under {path} at v{v}")
-    return spark.read.parquet(*parts)
+    return _read_parts(spark, parts, _committed_schema(fs, path, v))
 
 
 def _write_part(spark: SparkSession, path: str, df: DataFrame) -> str:
@@ -219,11 +350,23 @@ def append(
     max_retries: int = 50,
     sources: list[str] | None = None,
     since_version: int | None = None,
+    evolve: bool = False,
 ) -> dict:
     """Transactional append: write an immutable part, then CAS it into
     the log. Blind appends commute, so losing the CAS race costs one
     metadata retry — the part is NOT rewritten. Returns
     {"version", "part"}.
+
+    **Schema-in-commit**: every commit records the table schema as-of
+    itself; the incoming frame is validated against the committed
+    schema BEFORE any data is written (see :func:`_merge_schema`) — a
+    drifted append is rejected unless ``evolve=True``, which permits
+    additive evolution only (new nullable columns; omitted columns read
+    as null). Readers apply the committed schema, so read semantics are
+    a log contract, not a which-file-did-Spark-sample accident. The
+    validation re-runs against the live schema on every CAS retry, so
+    a concurrent evolution can't be silently reverted by a racing
+    old-schema append's recorded schema.
 
     ``sources`` makes the append EXACTLY-ONCE per source file: the
     commit records which upstream files it incorporated, and the commit
@@ -238,19 +381,29 @@ def append(
     if sources is not None and since_version is None:
         raise ValueError("append: sources requires since_version (the snapshot "
                          "version the new-file set was computed at)")
+    v = current_version(spark, path)
+    schema_at = v
+    schema = _merge_schema(_committed_schema(fs, path, v), df, evolve)
     part = _write_part(spark, path, df)
     payload = {
         "operation": "append",
         "adds": [{"path": part, "partition": partition or {}}],
         "removes": [],
         "scope_partition": partition,
+        "schema": schema,
     }
     if sources is not None:
         payload["sources"] = sorted(sources)
     src_set = set(sources or [])
     checked = since_version if sources is not None else None
-    v = current_version(spark, path)
     for _ in range(max_retries):
+        if v != schema_at:
+            # a commit landed since validation — re-merge so a racing
+            # evolution is honored (never reverted) by our recorded schema
+            payload["schema"] = _merge_schema(
+                _committed_schema(fs, path, v), df, evolve
+            )
+            schema_at = v
         if checked is not None and v > checked:
             for c in _intervening(fs, path, checked, v):
                 overlap = src_set & set(c.get("sources", []))
@@ -313,13 +466,16 @@ def compact(
     if len(live) <= 1:
         return {"version": v0, "parts_before": len(live), "parts_after": len(live)}
 
+    schema = _committed_schema(fs, path, v0)
     groups: dict[tuple, list[str]] = {}
     for p, tag in live.items():
         groups.setdefault(tuple(sorted(tag.items())), []).append(p)
     adds = []
     for key, parts in sorted(groups.items()):
         parts = sorted(parts)
-        merged = spark.read.parquet(*parts)
+        # committed-schema read: the rewrite materializes evolution-added
+        # columns (as nulls) into pre-evolution parts, normalizing the table
+        merged = _read_parts(spark, parts, schema)
         group_bytes = sum(s for p in parts for s in fs.file_sizes(p, ".parquet"))
         n_rows = merged.count()
         bytes_per_row = max(group_bytes / max(n_rows, 1), 1.0)
@@ -340,6 +496,8 @@ def compact(
         "removes": removes,
         "scope_partition": None,
     }
+    if schema is not None:
+        payload["schema"] = schema
     our_removes = set(removes)
     v = v0
     for _ in range(max_retries):
@@ -357,6 +515,10 @@ def compact(
                     f"compact under {path}: v{c['version']} already removed "
                     "part(s) from this snapshot; re-run against the new state"
                 )
+            # compact doesn't change the schema: record the live one so a
+            # re-attach after an intervening evolution never reverts it
+            if c.get("schema") is not None:
+                payload["schema"] = c["schema"]
         v = max(v, latest)
     raise CommitConflict(f"compact lost the CAS {max_retries} times under {path}")
 
@@ -367,6 +529,7 @@ def overwrite_partition(
     df: DataFrame,
     partition: dict,
     max_retries: int = 10,
+    evolve: bool = False,
 ) -> dict:
     """Transactional partition overwrite (the upsert shape: replace
     partition P's content wholesale): removes every live part tagged
@@ -386,6 +549,7 @@ def overwrite_partition(
     if not isinstance(partition, dict) or not partition:
         raise ValueError("overwrite_partition: partition must be a non-empty dict")
     v0, live = _snapshot(fs, path)
+    schema = _merge_schema(_committed_schema(fs, path, v0), df, evolve)
     removes = sorted(p for p, tag in live.items() if tag == partition)
     part = _write_part(spark, path, df)
     payload = {
@@ -393,6 +557,7 @@ def overwrite_partition(
         "adds": [{"path": part, "partition": partition}],
         "removes": removes,
         "scope_partition": partition,
+        "schema": schema,
     }
 
     def _touches_scope(c: dict) -> bool:
@@ -413,6 +578,9 @@ def overwrite_partition(
                     f"overwrite_partition under {path}: v{c['version']} touched "
                     f"partition {partition}; re-run against the new state"
                 )
+        payload["schema"] = _merge_schema(
+            _committed_schema(fs, path, latest), df, evolve
+        )
         v = max(v, latest)
     raise CommitConflict(
         f"overwrite_partition lost the CAS {max_retries} times under {path}"
@@ -429,21 +597,35 @@ def table_changes(
     commits in (from_version, to_version] — the txlog analog of
     ``materialized.read_view_changes`` (Delta's ``table_changes`` /
     CDF for the insert-only case). Exact for append/refresh workloads
-    because parts are immutable; parts added-and-then-removed inside
-    the window (a compact's rewrites) are EXCLUDED along with their
-    removed sources — compaction rewrites content that was already
-    visible at some version, so surfacing it again would double-feed
-    an incremental consumer. ``from_version=0`` reads everything up to
-    ``to_version``.
+    because parts are immutable. ``from_version=0`` reads everything up
+    to ``to_version``.
+
+    **Compact commits are skipped ENTIRELY in the replay** — both their
+    adds (rewrites of content already counted, surfacing them would
+    double-feed) and their removes. This mirrors Delta CDF ignoring
+    ``dataChange=false`` actions: a compaction moves bytes, it changes
+    no content, so it must be invisible to the feed. The removes matter
+    as much as the adds: processing them used to pop IN-WINDOW appends
+    from the feed, so a consumer bootstrapping from ``from_version=0``
+    (or lagging across a compaction) silently lost every row appended
+    before the compact. The compacted-away part files stay readable —
+    they back time travel until ``vacuum(keep_versions=...)`` expiry;
+    a window needing an already-reaped part raises
+    :class:`VersionExpiredError` at plan time.
 
     ``overwrite_partition`` commits DO contribute their new part (the
     replacement rows are new content; this is an insert-only feed, so
     the replaced rows are not emitted as deletes — the documented
-    contract, same as the view change feed).
+    contract, same as the view change feed). An overwrite's removes ARE
+    processed: an in-window append that an in-window overwrite then
+    replaced never reaches the feed, matching the final visible state.
 
     Incremental consumers (downstream rollups, exports) read each
     version delta instead of re-scanning the table — commit-sized
-    work, never table-sized."""
+    work, never table-sized. Per-commit granularity (the operation and
+    scope a rollup maintainer needs to handle overwrites) is
+    :func:`iter_changes`; the durable-cursor wrapper is
+    :func:`changes_since`."""
     fs = lake_fs(spark, path)
     latest = current_version(spark, path)
     if to_version is None:
@@ -454,27 +636,86 @@ def table_changes(
             f"latest committed version is v{latest}"
         )
     added: dict[str, dict] = {}
-    removed: set[str] = set()
     for v in range(from_version + 1, to_version + 1):
         c = _read_commit(fs, path, v)
+        if c.get("operation") == "compact":
+            continue  # pure rewrite: no content change, invisible to CDC
         for r in c.get("removes", []):
-            removed.add(r)
             added.pop(r, None)
         for a in c.get("adds", []):
-            # a compact's adds REWRITE content visible before the
-            # window — not new rows; append/refresh/overwrite adds are
-            if c.get("operation") != "compact":
-                added[a["path"]] = a.get("partition", {})
+            added[a["path"]] = a.get("partition", {})
     parts = sorted(added)
+    _require_parts_exist(
+        fs, path, parts, f"table_changes({from_version}, {to_version})"
+    )
     if not parts:
-        # schema-stable empty frame from the snapshot
-        from pyspark.sql import functions as F
-
         _v, live = _snapshot(fs, path, to_version)
-        if not live:
-            raise FileNotFoundError(f"no live parts under {path} at v{to_version}")
-        return spark.read.parquet(sorted(live)[0]).filter(F.lit(False))
-    return spark.read.parquet(*parts)
+        return _empty_frame(spark, fs, path, to_version, live)
+    return _read_parts(spark, parts, _committed_schema(fs, path, to_version))
+
+
+def changes_since(
+    spark: SparkSession, path: str, cursor: int
+) -> tuple[DataFrame, int]:
+    """Incremental-consumer cursor API: returns ``(delta, new_cursor)``
+    where ``delta`` is the insert feed of everything committed after
+    ``cursor`` (see :func:`table_changes`) and ``new_cursor`` is the
+    version the delta is exact through. The consumer persists
+    ``new_cursor`` AFTER applying the delta and passes it back next
+    poll — at-least-once by construction (a crash between apply and
+    persist re-reads the same window; parts are immutable, so the
+    re-read is byte-identical and a transactional downstream can
+    dedupe on the cursor). A caught-up consumer gets a schema-stable
+    empty frame and an unchanged cursor.
+
+    The ``new_cursor`` is pinned BEFORE the frame is built, so commits
+    racing in while the consumer processes the delta are never silently
+    skipped — they land in the next poll's window."""
+    latest = current_version(spark, path)
+    if cursor > latest:
+        raise FileNotFoundError(
+            f"changes_since({cursor}) under {path}: cursor is ahead of "
+            f"latest committed version v{latest}"
+        )
+    return table_changes(spark, path, cursor, latest), latest
+
+
+def iter_changes(spark: SparkSession, path: str, cursor: int) -> list[dict]:
+    """Per-commit change feed for consumers that must distinguish
+    OPERATIONS, not just inserted rows — e.g. a downstream rollup that
+    merge-adds appends but REPLACES a partition's contribution on
+    ``overwrite_partition`` (``examples/multiwriter_transactions.py``
+    shows the maintenance loop). Returns one dict per non-compact
+    commit after ``cursor``, oldest first::
+
+        {"version": int, "operation": "append"|"overwrite_partition",
+         "scope_partition": dict | None,   # overwrite's replaced tag
+         "df": DataFrame}                  # that commit's added rows
+
+    Compact commits are skipped (no content change — same contract as
+    :func:`table_changes`); the caller's next cursor is the latest
+    committed version (``changes_since``'s pin), NOT the last emitted
+    entry's version, so trailing compacts still advance the cursor.
+    Commit-sized work per entry; a needed part already reaped by vacuum
+    raises :class:`VersionExpiredError` at plan time."""
+    fs = lake_fs(spark, path)
+    latest = current_version(spark, path)
+    out: list[dict] = []
+    for v in range(cursor + 1, latest + 1):
+        c = _read_commit(fs, path, v)
+        if c.get("operation") == "compact":
+            continue
+        parts = sorted(a["path"] for a in c.get("adds", []))
+        _require_parts_exist(fs, path, parts, f"iter_changes v{v}")
+        out.append(
+            {
+                "version": v,
+                "operation": c["operation"],
+                "scope_partition": c.get("scope_partition"),
+                "df": _read_parts(spark, parts, c.get("schema")) if parts else None,
+            }
+        )
+    return out
 
 
 def checkpoint(spark: SparkSession, path: str) -> dict:

@@ -18,7 +18,11 @@ lib/store/Store.ts:4-8 — promoted to the commit path):
                   partition wholesale; checkpoint to bound replay
   4. refresh      a materialized enriched view where two racing
                   refreshes incorporate each source file EXACTLY once
-  5. clean        vacuum with a retention horizon, so an in-flight
+  5. evolve       schema-in-commit: drifted appends are rejected, or
+                  evolve additively with deterministic null fill
+  6. consume      cursor-driven change feed (changes_since) that stays
+                  exact across compactions
+  7. clean        vacuum with a retention horizon, so an in-flight
                   writer's staged part is never reaped from under it
 """
 
@@ -58,7 +62,9 @@ def main() -> None:
     # 2. travel: immutable snapshots + partition pruning
     print("rows at v3:", txlog.read_table(spark, table, version=3).count())
     day0 = spark.range(0, 500).select(
-        "id", F.lit("etl").alias("writer"), F.lit(0).alias("day")
+        "id",
+        F.lit("etl").alias("writer"),
+        F.lit(0).cast("long").alias("day"),  # schema-in-commit: types must match
     )
     txlog.overwrite_partition(spark, table, day0, {"day": 0})
     pruned = txlog.read_table(spark, table, partition_filter={"day": 0})
@@ -86,7 +92,35 @@ def main() -> None:
     print("racing refreshes:", sorted(r["new_files"] for r in results))
     print("view rows (no double count):", txlog.read_table(spark, view).count())
 
-    # 5. clean: retention-horizon vacuum never reaps in-flight parts
+    # 5. evolve: schema-in-commit makes drift a deterministic contract
+    drifted = spark.range(0, 3).select(
+        "id",
+        F.lit("etl2").alias("writer"),
+        F.lit(9).cast("long").alias("day"),
+        F.lit("eu").alias("region"),  # new column
+    )
+    try:
+        txlog.append(spark, table, drifted)
+    except txlog.SchemaMismatchError:
+        print("drifted append: rejected without evolve=True")
+    txlog.append(spark, table, drifted, evolve=True)
+    print(
+        "evolved schema:",
+        [f.name for f in txlog.table_schema(spark, table).fields],
+    )
+    evolved = txlog.read_table(spark, table)
+    print("pre-evolution rows read region as null:",
+          evolved.filter(F.col("region").isNull()).count())
+
+    # 6. consume: cursor-driven change feed (compactions are invisible)
+    cursor, fed = 0, 0
+    delta, cursor = txlog.changes_since(spark, table, cursor)
+    fed += delta.count()
+    print("change feed from v0:", fed, "rows through cursor", cursor)
+    delta, cursor = txlog.changes_since(spark, table, cursor)  # caught up
+    print("caught-up poll:", delta.count(), "rows; cursor stays", cursor)
+
+    # 7. clean: retention-horizon vacuum never reaps in-flight parts
     print("vacuum (fresh debris kept):", len(txlog.vacuum(spark, table)))
     print(
         "vacuum quiescent + expire time travel:",
