@@ -1,0 +1,155 @@
+"""Exactly-once streaming writes INTO the transaction log.
+
+Bridges the engine's two strongest durability mechanisms, which round 7
+left unconnected:
+
+- Structured Streaming's checkpoint WAL makes epoch REPLAY exactly-once
+  per query (``stream_to_lake``, kill-sweep tested) — but its file sink
+  is single-writer and its output is not transactional.
+- ``txlog`` makes COMMITS exactly-once per *source name*
+  (``append(sources=..., since_version=...)``) under multi-writer
+  contention — but nothing fed it from a stream.
+
+``stream_to_txlog`` composes them: each micro-batch commits as one
+txlog append whose source name is ``{stream_id}/epoch-{batch_id}``.
+The WAL guarantees a replayed epoch carries the SAME batch_id over the
+SAME offset range (replayable sources re-read identical rows), and the
+txlog source-set guarantees a given source name commits at most once —
+so every crash window is covered:
+
+========================================  ==============================
+crash point                               restart outcome
+========================================  ==============================
+before the txlog CAS                      epoch replays, commits once
+after CAS, before the WAL commit          epoch replays, sink sees its
+                                          source already committed, no-op
+after the WAL commit                      epoch not replayed
+========================================  ==============================
+
+The sink's duplicate check is INCREMENTAL: it caches the seen-source
+set and folds in only commits newer than its last snapshot, so
+per-epoch overhead is O(new commits), not O(log length) — a stream
+committing millions of epochs never rescans its history. A concurrent
+batch writer (or a second stream with a different ``stream_id``) is
+just another txlog writer: blind appends commute, and the conflict
+rules serialize everything else.
+
+Downstream, the committed epochs are a CDC feed: ``txlog.changes_since``
+hands incremental consumers exactly the new epochs (compactions of the
+streamed table stay invisible to them — ``table_changes`` contract).
+
+Reference lifecycle parity: this is the ``flushBatch → storeBatch``
+hand-off (Collector.ts:310-350) upgraded from fire-and-forget puts to
+transactional exactly-once commits; the reference's write-once
+``Store.put`` key contract (lib/store/Store.ts:4-8) is what makes the
+part-then-CAS design sound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from es_analytics_spark import txlog
+from es_analytics_spark.sources.fsio import lake_fs
+
+
+def epoch_source(stream_id: str, batch_id: int) -> str:
+    """The txlog source name under which a stream's epoch commits.
+    Deterministic in (stream_id, batch_id) — restarts MUST derive the
+    identical name for the replay no-op to hold."""
+    return f"{stream_id}/epoch-{batch_id:012d}"
+
+
+class _EpochCommitter:
+    """foreachBatch callable: commit each epoch exactly once.
+
+    Keeps an incremental (version, seen-sources) snapshot so the
+    already-committed check reads only commits that landed since the
+    previous epoch. The snapshot is a pure cache — correctness never
+    depends on it, because ``txlog.append``'s source-overlap conflict
+    check re-validates against every commit past ``since_version``
+    before the CAS can win."""
+
+    def __init__(self, path: str, stream_id: str, partition: dict | None, evolve: bool):
+        self.path = path
+        self.stream_id = stream_id
+        self.partition = partition
+        self.evolve = evolve
+        self._seen_version = 0
+        self._seen: set[str] = set()
+
+    def _refresh_seen(self, spark, upto: int) -> None:
+        if upto <= self._seen_version:
+            return
+        fs = lake_fs(spark, self.path)
+        for c in txlog._intervening(fs, self.path, self._seen_version, upto):
+            self._seen.update(c.get("sources", []))
+        self._seen_version = upto
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return  # nothing to commit; replaying an empty epoch is a no-op
+        spark = batch.sparkSession
+        source = epoch_source(self.stream_id, batch_id)
+        v = txlog.current_version(spark, self.path)
+        self._refresh_seen(spark, v)
+        if source in self._seen:
+            # WAL replayed an epoch whose commit already won — the
+            # crashed-after-CAS window; exactly-once means no-op here
+            return
+        try:
+            txlog.append(
+                spark,
+                self.path,
+                batch,
+                partition=self.partition,
+                sources=[source],
+                since_version=v,
+                evolve=self.evolve,
+            )
+        except txlog.CommitConflict:
+            # a racing writer landed THIS source between our snapshot and
+            # the CAS (e.g. a zombie driver's last epoch): already durable
+            latest = txlog.current_version(spark, self.path)
+            self._refresh_seen(spark, latest)
+            if source in self._seen:
+                return
+            raise
+
+
+def stream_to_txlog(
+    df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    stream_id: str | None = None,
+    partition: dict | None = None,
+    evolve: bool = False,
+    available_now: bool = False,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Start a streaming query whose sink is a transactional txlog
+    table: every micro-batch becomes one exactly-once ``txlog.append``
+    (see module docstring for the crash matrix).
+
+    ``stream_id`` namespaces this query's epoch numbers in the txlog
+    source set; it MUST be stable across restarts of the same query
+    (default: the checkpoint directory, which already has exactly that
+    lifetime) and distinct between different queries writing the same
+    table. The table stays fully transactional while streamed into:
+    concurrent batch appends, ``compact``, ``overwrite_partition``,
+    snapshot reads, and ``changes_since`` consumers all operate on it
+    unmodified."""
+    committer = _EpochCommitter(
+        path, stream_id or checkpoint_dir, partition, evolve
+    )
+    writer = (
+        df.writeStream.foreachBatch(committer)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -1,0 +1,217 @@
+"""Exactly-once streaming sink INTO the transaction log.
+
+The round-7 verdict's ask #2: the WAL-checkpointed streaming path and
+the transactional txlog existed side by side with nothing connecting
+them. These tests pin the composition end to end:
+
+- epoch-per-commit semantics (one txlog append per micro-batch, source
+  name ``{stream_id}/epoch-{batch_id}``), with the committed epochs
+  visible to ``changes_since`` consumers downstream;
+- clean-restart replay: re-running a drained query from the same
+  checkpoint commits nothing twice;
+- the hard contract, mirroring tests/test_streaming_kill.py: a child
+  driver SIGKILLed MID-EPOCH (offset in the WAL, commit absent), where
+  a naive sink double-writes on resume — the txlog source set must
+  make the replayed epoch a no-op if its CAS already won, and a fresh
+  commit if it did not, landing every source row exactly once;
+- the streamed table stays a normal txlog table: compaction underneath
+  a cursor consumer neither double-feeds nor loses rows.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_analytics_spark import txlog
+from es_analytics_spark.streaming.txlog_sink import epoch_source, stream_to_txlog
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = """
+import sys
+from es_analytics_spark.session import get_spark
+from es_analytics_spark.streaming.txlog_sink import stream_to_txlog
+
+src, table, ckpt = sys.argv[1:4]
+spark = get_spark("txlog-kill-child", cpus=4)
+schema = spark.read.parquet(src).schema
+stream = (
+    spark.readStream.schema(schema)
+    .option("maxFilesPerTrigger", "1")
+    .parquet(src)
+)
+q = stream_to_txlog(stream, path=table, checkpoint_dir=ckpt, stream_id="killstream")
+q.awaitTermination()  # runs until SIGKILLed by the parent
+"""
+
+
+def _entries(d: str) -> set[str]:
+    if not os.path.isdir(d):
+        return set()
+    return {e for e in os.listdir(d) if not e.startswith(".")}
+
+
+def _drain(spark, src: str, table: str, ckpt: str, stream_id: str) -> None:
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_to_txlog(
+        stream, path=table, checkpoint_dir=ckpt,
+        stream_id=stream_id, available_now=True,
+    )
+    q.awaitTermination()
+
+
+def test_stream_to_txlog_epochs_commit_exactly_once(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    n_src = events.count()
+    events.repartition(5).write.parquet(src)
+
+    _drain(spark, src, table, ckpt, "s1")
+    got = txlog.read_table(spark, table)
+    assert got.count() == n_src
+    assert got.select("event_id").distinct().count() == n_src
+    hist = txlog.history(spark, table)
+    assert all(h["operation"] == "append" for h in hist)
+    assert len(hist) == 5  # one commit per single-file epoch
+    srcs = txlog.table_sources(spark, table)
+    assert srcs == {epoch_source("s1", b) for b in range(5)}
+
+    # clean-restart replay from the SAME checkpoint: nothing new commits
+    v_before = txlog.current_version(spark, table)
+    _drain(spark, src, table, ckpt, "s1")
+    assert txlog.current_version(spark, table) == v_before
+    assert txlog.read_table(spark, table).count() == n_src
+
+    # the committed epochs ARE the change feed downstream
+    delta, cursor = txlog.changes_since(spark, table, 0)
+    assert delta.count() == n_src and cursor == v_before
+
+    # the streamed table stays transactional: compact under the consumer,
+    # then stream MORE data; the cursor consumer sees only the new rows
+    txlog.compact(spark, table)
+    more_src = str(tmp_path / "src2")
+    more = events.limit(100).select(
+        "event_id", "user_id", F.lit("late").alias("event_type")
+    )
+    more.coalesce(1).write.parquet(more_src)
+    _drain(spark, more_src, table, str(tmp_path / "ckpt2"), "s2")
+    delta, cursor2 = txlog.changes_since(spark, table, cursor)
+    assert delta.count() == 100  # compaction invisible, new epochs visible
+    assert txlog.read_table(spark, table).count() == n_src + 100
+    assert cursor2 == txlog.current_version(spark, table)
+
+
+def test_committer_zombie_race_conflicts_then_noops(spark, tmp_path, monkeypatch):
+    """Deterministic coverage of the committer's narrowest window: a
+    zombie driver lands the SAME epoch source between our seen-snapshot
+    and our CAS. append's source-overlap rule raises CommitConflict;
+    the committer must recognize the epoch as already durable and
+    no-op — never retry into a duplicate, never surface the error."""
+    from es_analytics_spark.streaming import txlog_sink
+
+    table = str(tmp_path / "t")
+    committer = txlog_sink._EpochCommitter(table, "s", None, False)
+    committer(spark.range(0, 5), 0)  # v1
+    real_append = txlog.append
+    state = {"raced": False}
+
+    def zombie_then_append(spark_, path, df, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # the zombie's replay of the same epoch (same offset range)
+            real_append(
+                spark_, path, spark.range(5, 9),
+                sources=kw["sources"], since_version=kw["since_version"],
+            )
+        return real_append(spark_, path, df, **kw)
+
+    monkeypatch.setattr(txlog_sink.txlog, "append", zombie_then_append)
+    committer(spark.range(5, 9), 1)  # zombie wins epoch 1; we must no-op
+    assert txlog.current_version(spark, table) == 2
+    got = sorted(r["id"] for r in txlog.read_table(spark, table).collect())
+    assert got == list(range(9))  # exactly once despite the race
+    # a FRESH epoch still commits normally afterwards
+    monkeypatch.setattr(txlog_sink.txlog, "append", real_append)
+    committer(spark.range(9, 12), 2)
+    assert txlog.read_table(spark, table).count() == 12
+
+
+@pytest.mark.slow
+def test_mid_epoch_kill_resumes_into_txlog_exactly_once(spark, sf_dir, tmp_path):
+    """The streaming kill sweep pointed at the transactional sink: the
+    child driver dies with an epoch's offset in the WAL but its commit
+    unrecorded — exactly the window where the epoch may or may not have
+    already won its txlog CAS. Resume must land every row exactly once
+    either way, and the change feed must equal the table."""
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    n_src = events.count()
+    events.repartition(12).write.parquet(src)
+    child_py = tmp_path / "child.py"
+    child_py.write_text(CHILD)
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.Popen(
+        [sys.executable, str(child_py), src, table, ckpt],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    killed_mid_epoch = False
+    try:
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                pytest.fail(f"child driver exited early (rc={proc.returncode})")
+            offsets = _entries(f"{ckpt}/offsets")
+            commits = _entries(f"{ckpt}/commits")
+            if len(commits) >= 2 and len(offsets) > len(commits):
+                os.kill(proc.pid, signal.SIGKILL)
+                killed_mid_epoch = True
+                break
+            time.sleep(0.02)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait()
+    assert killed_mid_epoch, "never observed an in-flight epoch to kill"
+    torn = _entries(f"{ckpt}/offsets") - _entries(f"{ckpt}/commits")
+    assert torn, "kill landed after commit — no torn epoch to recover"
+
+    # resume from the same checkpoint in THIS session; drain to the end
+    _drain(spark, src, table, ckpt, "killstream")
+
+    got = txlog.read_table(spark, table)
+    assert got.count() == n_src, "lost or duplicated rows across the kill"
+    assert got.select("event_id").distinct().count() == n_src, (
+        "torn epoch was double-committed on resume"
+    )
+    # every commit is a distinct epoch of the one stream
+    srcs = sorted(txlog.table_sources(spark, table))
+    assert len(srcs) == len(set(srcs)) == len(txlog.history(spark, table))
+    assert all(s.startswith("killstream/epoch-") for s in srcs)
+    # the torn epoch really was re-run by the resumed query
+    assert torn <= _entries(f"{ckpt}/commits")
+    # downstream cursor consumer: the feed IS the table for appends-only
+    delta, _cur = txlog.changes_since(spark, table, 0)
+    assert delta.count() == n_src
