@@ -628,6 +628,15 @@ def running_transitions(events: DataFrame) -> DataFrame:
     events to break exactness — orders of magnitude above any fixture
     or per-user activity bound).
 
+    **Cap behavior is detectable, not silent**: past the cap the NEWEST
+    events are kept (a sliding sequence — output keeps evolving with
+    arrivals, instead of freezing on the earliest CAP events while
+    later epochs silently discard everything), and the epoch emits an
+    overflow marker row ``(src_code=-2, dst_code=-2, cnt=n_dropped)``
+    so consumers can see exactness was degraded and by how much.
+    Negative codes are reserved: -1 is the keyed no-op row, -2 the
+    overflow marker; real transitions filter ``src_code >= 0``.
+
     Input columns: (user_id, tus, eid, code). Emits one row per
     (user, src, dst) per epoch plus n_rows for final-epoch selection.
     """
@@ -642,7 +651,7 @@ def running_transitions(events: DataFrame) -> DataFrame:
             n += len(pdf)
             for t, e, c in zip(pdf["tus"], pdf["eid"], pdf["code"]):
                 insort(triples, (int(t), int(e), int(c)))
-        triples = triples[:TRANSITION_STATE_CAP]
+        triples = triples[-TRANSITION_STATE_CAP:]  # keep the NEWEST on overflow
         state.update(
             (
                 n,
@@ -654,6 +663,9 @@ def running_transitions(events: DataFrame) -> DataFrame:
         counts: dict[tuple[int, int], int] = {}
         for (_t1, _e1, c1), (_t2, _e2, c2) in zip(triples, triples[1:]):
             counts[(c1, c2)] = counts.get((c1, c2), 0) + 1
+        dropped = n - len(triples)
+        if dropped > 0:
+            counts[(-2, -2)] = dropped  # overflow marker: exactness degraded
         if not counts:
             counts[(-1, -1)] = 0  # keyed no-op row keeps n_rows visible
         yield pd.DataFrame(

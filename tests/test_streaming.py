@@ -463,3 +463,54 @@ def test_transition_state_splits_on_out_of_order_arrival(spark, tmp_path):
         assert {(int(r.src_code), int(r.dst_code)) for r in early.itertuples()} == {
             (0, 2)
         }
+
+
+def test_transition_state_cap_keeps_newest_and_marks_overflow(
+    spark, tmp_path, monkeypatch
+):
+    """Round-7 advice: past TRANSITION_STATE_CAP the old truncation kept
+    the EARLIEST events, so every later arrival sorted past the cap and
+    was discarded each epoch — output silently froze. Contract now: the
+    NEWEST events are kept (the sequence slides, output keeps evolving)
+    and an overflow marker row (src=-2, dst=-2, cnt=dropped) exposes
+    that exactness degraded."""
+    import pandas as pd
+
+    from es_analytics_spark.streaming import stateful
+    from es_analytics_spark.streaming.ingest import replay_stream
+
+    monkeypatch.setattr(stateful, "TRANSITION_STATE_CAP", 4)
+    d = tmp_path / "src"
+    d.mkdir()
+    schema = "user_id bigint, tus bigint, eid bigint, code int"
+    # epoch 1: six events (codes 0,1,0,1,0,1) — two over the cap of 4
+    b1 = pd.DataFrame(
+        {"user_id": [1] * 6, "tus": range(10, 70, 10), "eid": range(1, 7),
+         "code": [0, 1, 0, 1, 0, 1]}
+    )
+    # epoch 2: a NEWER event must still change the output (no freeze)
+    b2 = pd.DataFrame({"user_id": [1], "tus": [70], "eid": [7], "code": [2]})
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(d / "b2"))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    out = replay_stream(
+        spark,
+        stateful.running_transitions(src),
+        name="transitions_cap",
+        output_mode="append",
+    ).toPandas()
+    final = out[out["n_rows"] == out["n_rows"].max()]
+    got = {
+        (int(r.src_code), int(r.dst_code)): int(r.cnt) for r in final.itertuples()
+    }
+    # newest 4 of 7 events: codes (1,0,1) at tus 40,50,60 + (2) at 70
+    assert got[(1, 0)] == 1 and got[(0, 1)] == 1 and got[(1, 2)] == 1
+    # the late event was NOT discarded (the old bug) and the overflow
+    # marker reports exactly how many older events slid out of state
+    assert got[(-2, -2)] == 3
+    assert all(k in {(1, 0), (0, 1), (1, 2), (-2, -2)} for k in got)
