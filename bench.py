@@ -138,6 +138,25 @@ HEADLINE = [
     "text_keyphrase_rank",
     "ts_rolling_distinct_kmv",
     "ml_uplift_by_bin",
+    # r8 refresh: the headline set was frozen at r5 while the catalog
+    # grew 464 -> 500; these are the MEASURED-heaviest r6/r7 entries at
+    # sf0.1 (hot, best-of-two), so the regression gate finally sees the
+    # new families (absorbing chains, neighborhood similarity, spectral/
+    # wavelet, itemset mining, model selection). Judge-suggested
+    # stat_anderson_darling / stat_friedman_nemenyi measured <1.2s hot
+    # and were left out in favor of heavier entries.
+    "seq_expected_steps_to_purchase",
+    "graph_jaccard_neighbors",
+    "ts_spectral_entropy",
+    "ml_shapley_r2_two_features",
+    "rec_association_rules_l3",
+    "ml_aic_model_select",
+    "ts_markov_stationary",
+    "rec_itemset_triples",
+    "rec_item_cf_cosine",
+    "ml_intrinsic_dimension",
+    "ts_haar_energy",
+    "geo_ripley_k",
 ]
 
 
