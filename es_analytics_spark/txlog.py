@@ -34,6 +34,10 @@ append (adds only)        always — blind appends commute
 compact (removes R)       no intervening commit removed any r ∈ R
 overwrite partition P     no intervening commit added or removed a
                           part in P
+delete_where /            every intervening commit is a blind append
+merge_upsert              (WriteSerializable: the rewrite read its
+                          snapshot; concurrent appends are simply not
+                          subject to it)
 ========================  =========================================
 
 Anything else raises :class:`CommitConflict`; the caller re-runs the
@@ -488,7 +492,7 @@ def compact(
             .option("maxRecordsPerFile", rows_per_file)
             .parquet(part)
         )
-        adds.append({"path": part, "partition": dict(key)})
+        adds.append({"path": part, "partition": dict(key), "rewrite": True})
     removes = sorted(live)
     payload = {
         "operation": "compact",
@@ -587,6 +591,237 @@ def overwrite_partition(
     )
 
 
+_SCHEME_RE = None
+
+
+def _strip_scheme(p: str) -> str:
+    """Path component of a possibly-URI path, so input_file_name()
+    output (always a URI) can be matched against manifest part paths
+    (plain for LocalFS, URIs for Hadoop stores)."""
+    global _SCHEME_RE
+    if _SCHEME_RE is None:
+        import re
+
+        _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?(/.*)$")
+    m = _SCHEME_RE.match(p)
+    return m.group(2) if m else p
+
+
+def _owning_parts(parts: list[str], file_uris: list[str]) -> list[str]:
+    """Map data-file URIs back to the manifest part directories that
+    contain them."""
+    by_path = {_strip_scheme(p).rstrip("/"): p for p in parts}
+    out = set()
+    for f in file_uris:
+        fp = _strip_scheme(f)
+        d = fp.rsplit("/", 1)[0]
+        while d and d not in by_path:
+            d = d.rsplit("/", 1)[0] if "/" in d else ""
+        if d:
+            out.add(by_path[d])
+    return sorted(out)
+
+
+def _commute_past_appends_only(
+    fs, path: str, payload: dict, v0: int, max_retries: int, op: str
+) -> dict:
+    """CAS loop for row-level rewrites (delete/merge):
+    **WriteSerializable** re-attach rule — an intervening BLIND APPEND
+    commutes (Delta's default level: the rewrite read its snapshot, so
+    concurrently appended rows are simply not subject to it — they were
+    never in the snapshot), while any intervening remove-carrying or
+    scoped commit (compact, overwrite, another delete/merge) raises
+    :class:`CommitConflict`, because it may have touched the very parts
+    this transaction rewrote."""
+    v = v0
+    for _ in range(max_retries):
+        v += 1
+        if _try_commit(fs, path, v, payload):
+            return {"version": v}
+        latest = (_list_versions(fs, path) or [0])[-1]
+        for c in _intervening(fs, path, v - 1, latest):
+            if c.get("operation") != "append" or c.get("removes"):
+                raise CommitConflict(
+                    f"{op} under {path}: intervening v{c['version']} "
+                    f"({c.get('operation')}) may overlap this rewrite; "
+                    "re-run against the new state"
+                )
+            if c.get("schema") is not None:
+                payload["schema"] = c["schema"]
+        v = max(v, latest)
+    raise CommitConflict(f"{op} lost the CAS {max_retries} times under {path}")
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    max_retries: int = 10,
+) -> dict:
+    """Transactional row-level DELETE: rewrite exactly the live parts
+    that contain matching rows (one distributed pass over the snapshot
+    finds them via ``input_file_name`` — untouched parts are not read
+    again, let alone rewritten), commit {adds: survivors, removes:
+    touched} atomically. ``condition`` is a SQL expression string or a
+    Column. Returns {"version", "rows_deleted", "parts_rewritten"}.
+
+    **Change-data feed**: the deleted rows are written to a ``cdc`` part
+    recorded in the commit (Delta CDF's change files), so
+    :func:`table_changes_cdf` can emit exact row-level deletes. The
+    insert-only :func:`table_changes` feed does NOT reflect deletions
+    (documented contract); the rewritten survivor parts are flagged
+    ``rewrite`` so no feed ever double-counts them.
+
+    Isolation is WriteSerializable (see
+    :func:`_commute_past_appends_only`): blind appends land unexamined —
+    a row appended concurrently with a delete that matches its predicate
+    survives, exactly as in Delta's default level."""
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    fs = lake_fs(spark, path)
+    v0, live = _snapshot(fs, path)
+    if not live:
+        return {"version": v0, "rows_deleted": 0, "parts_rewritten": 0}
+    schema = _committed_schema(fs, path, v0)
+    parts = sorted(live)
+    matched = (
+        _read_parts(spark, parts, schema)
+        .filter(cond)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    touched = _owning_parts(parts, [r["f"] for r in matched])
+    if not touched:
+        return {"version": v0, "rows_deleted": 0, "parts_rewritten": 0}
+    cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
+    _read_parts(spark, touched, schema).filter(cond).write.mode(
+        "overwrite"
+    ).parquet(cdc_part)
+    # footer-only count of what was actually written — no recompute
+    rows_deleted = spark.read.parquet(cdc_part).count()
+    adds = []
+    for p in touched:
+        keep = _read_parts(spark, [p], schema).filter(~cond)
+        if keep.isEmpty():
+            continue  # the whole part matched: pure remove
+        np = fs_join(_part_dir(path), uuid.uuid4().hex)
+        keep.write.mode("overwrite").parquet(np)
+        adds.append({"path": np, "partition": live[p], "rewrite": True})
+    payload = {
+        "operation": "delete_where",
+        "adds": adds,
+        "removes": touched,
+        "scope_partition": None,
+        "cdc": [{"path": cdc_part, "change_type": "delete"}],
+    }
+    if schema is not None:
+        payload["schema"] = schema
+    res = _commute_past_appends_only(fs, path, payload, v0, max_retries, "delete_where")
+    return {
+        "version": res["version"],
+        "rows_deleted": rows_deleted,
+        "parts_rewritten": len(adds),
+    }
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    evolve: bool = False,
+    max_retries: int = 10,
+) -> dict:
+    """Transactional MERGE (upsert) in ONE atomic commit: rows in
+    ``updates`` replace live rows with equal key tuples, unmatched
+    update rows insert. ``updates`` must be key-unique (checked —
+    duplicate key tuples make "the" new row ambiguous). Returns
+    {"version", "rows_updated", "rows_inserted", "parts_rewritten"}.
+
+    Mechanics mirror :func:`delete_where`: one distributed semi-join
+    pass finds the touched parts, each is rewritten WITHOUT its matched
+    rows (anti-join), the updates land as one new part, and the old
+    versions of updated rows go to a ``cdc`` delete part — so
+    :func:`table_changes_cdf` shows an update as delete(old)+insert(new)
+    at one version, Delta-CDF style. The key-match join shuffles both
+    sides on the keys (never a broadcast assumption on ``updates`` —
+    at 100 TB the update set can itself be huge); untouched parts are
+    never rewritten. Same WriteSerializable re-attach rule as delete."""
+    from pyspark.sql import functions as F
+
+    if not keys:
+        raise ValueError("merge_upsert: keys must be non-empty")
+    dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+    if not dup.isEmpty():
+        raise ValueError(
+            "merge_upsert: updates contain duplicate key tuples "
+            f"(e.g. {dup.limit(3).collect()})"
+        )
+    fs = lake_fs(spark, path)
+    v0, live = _snapshot(fs, path)
+    schema = _merge_schema(_committed_schema(fs, path, v0), updates, evolve)
+    upd_keys = updates.select(*keys).distinct()
+    adds: list[dict] = []
+    removes: list[str] = []
+    cdc: list[dict] = []
+    rows_updated = 0
+    if live:
+        parts = sorted(live)
+        table_schema = _committed_schema(fs, path, v0)
+        tbl = _read_parts(spark, parts, table_schema)
+        matched = (
+            tbl.select(F.input_file_name().alias("__f"), *keys)
+            .join(upd_keys, keys, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        )
+        touched = _owning_parts(parts, [r["__f"] for r in matched])
+        if touched:
+            removes = touched
+            old_rows = _read_parts(spark, touched, table_schema).join(
+                upd_keys, keys, "left_semi"
+            )
+            cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
+            old_rows.write.mode("overwrite").parquet(cdc_part)
+            # distinct matched keys, not raw old rows: a key appended
+            # twice counts as ONE update (all its rows are replaced)
+            rows_updated = (
+                spark.read.parquet(cdc_part).select(*keys).distinct().count()
+            )
+            cdc = [{"path": cdc_part, "change_type": "delete"}]
+            for p in touched:
+                keep = _read_parts(spark, [p], table_schema).join(
+                    upd_keys, keys, "left_anti"
+                )
+                if keep.isEmpty():
+                    continue
+                np = fs_join(_part_dir(path), uuid.uuid4().hex)
+                keep.write.mode("overwrite").parquet(np)
+                adds.append({"path": np, "partition": live[p], "rewrite": True})
+    upd_part = _write_part(spark, path, updates)
+    adds.append({"path": upd_part, "partition": {}})
+    payload = {
+        "operation": "merge_upsert",
+        "adds": adds,
+        "removes": removes,
+        "scope_partition": None,
+        "schema": schema,
+    }
+    if cdc:
+        payload["cdc"] = cdc
+    res = _commute_past_appends_only(fs, path, payload, v0, max_retries, "merge_upsert")
+    n_updates = updates.count()
+    return {
+        "version": res["version"],
+        "rows_updated": rows_updated,
+        "rows_inserted": n_updates - rows_updated,
+        "parts_rewritten": len(adds) - 1,
+    }
+
+
 def table_changes(
     spark: SparkSession,
     path: str,
@@ -620,6 +855,15 @@ def table_changes(
     processed: an in-window append that an in-window overwrite then
     replaced never reaches the feed, matching the final visible state.
 
+    ``delete_where`` / ``merge_upsert`` commits contribute only their
+    genuinely-new content (a merge's updates part); their survivor
+    rewrites are flagged in the commit and skipped, and their removes
+    are NOT popped — an insert-only feed cannot express deletion, so
+    rows inserted in-window and later deleted in-window still appear.
+    Consumers that must see deletions use :func:`table_changes_cdf`,
+    which reads the commit-recorded change parts for exact row-level
+    delete events.
+
     Incremental consumers (downstream rollups, exports) read each
     version delta instead of re-scanning the table — commit-sized
     work, never table-sized. Per-commit granularity (the operation and
@@ -638,12 +882,22 @@ def table_changes(
     added: dict[str, dict] = {}
     for v in range(from_version + 1, to_version + 1):
         c = _read_commit(fs, path, v)
-        if c.get("operation") == "compact":
+        op = c.get("operation")
+        if op == "compact":
             continue  # pure rewrite: no content change, invisible to CDC
-        for r in c.get("removes", []):
-            added.pop(r, None)
+        if op == "overwrite_partition":
+            # true replacement whose replacement rows fully feed below —
+            # popping in-window adds matches the final visible state
+            for r in c.get("removes", []):
+                added.pop(r, None)
+        # delete_where / merge_upsert removes are NOT popped: their
+        # surviving rows are fed by the ORIGINAL in-window adds (the
+        # rewrites are flagged and skipped below), and deletions are
+        # not representable in an insert-only feed — consumers that
+        # need them use table_changes_cdf
         for a in c.get("adds", []):
-            added[a["path"]] = a.get("partition", {})
+            if not a.get("rewrite"):
+                added[a["path"]] = a.get("partition", {})
     parts = sorted(added)
     _require_parts_exist(
         fs, path, parts, f"table_changes({from_version}, {to_version})"
@@ -652,6 +906,79 @@ def table_changes(
         _v, live = _snapshot(fs, path, to_version)
         return _empty_frame(spark, fs, path, to_version, live)
     return _read_parts(spark, parts, _committed_schema(fs, path, to_version))
+
+
+def table_changes_cdf(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change-data feed (the full-CDF upgrade of the
+    insert-only :func:`table_changes`): every commit in (from_version,
+    to_version] contributes rows tagged ``_change_type``
+    (``insert`` | ``delete``) and ``_commit_version`` —
+
+    - ``append`` / ``overwrite_partition`` adds and a merge's updates
+      part → ``insert`` rows;
+    - ``delete_where`` / ``merge_upsert`` replaced rows → ``delete``
+      rows, read from the change part the commit recorded at write time
+      (Delta CDF's change-file design: the writer materializes the
+      deleted rows once, so the feed never has to diff part files);
+      an upsert therefore shows delete(old) + insert(new) at ONE
+      version;
+    - survivor rewrites and ``compact`` are invisible (no content
+      change);
+    - an ``overwrite_partition``'s REPLACED rows are NOT emitted as
+      deletes (the overwrite commit records no change part — consumers
+      tracking wholesale replacement react to the operation +
+      ``scope_partition`` via :func:`iter_changes`). This is the one
+      documented divergence from full Delta CDF semantics.
+
+    Mixed schemas across the window union by name with null fill
+    (additive evolution only, so this is lossless). Change parts are
+    retained like historical data parts: reaped only by
+    ``vacuum(keep_versions=...)``, after which the window raises
+    :class:`VersionExpiredError` at plan time."""
+    from pyspark.sql import functions as F
+
+    fs = lake_fs(spark, path)
+    latest = current_version(spark, path)
+    if to_version is None:
+        to_version = latest
+    if to_version > latest or from_version > to_version:
+        raise FileNotFoundError(
+            f"table_changes_cdf({from_version}, {to_version}) under {path}: "
+            f"latest committed version is v{latest}"
+        )
+    frames = []
+    for v in range(from_version + 1, to_version + 1):
+        c = _read_commit(fs, path, v)
+        if c.get("operation") == "compact":
+            continue
+        sj = c.get("schema")
+        ins = sorted(a["path"] for a in c.get("adds", []) if not a.get("rewrite"))
+        dels = sorted(e["path"] for e in c.get("cdc", []))
+        _require_parts_exist(fs, path, ins + dels, f"table_changes_cdf v{v}")
+        for kind, group in (("insert", ins), ("delete", dels)):
+            if group:
+                frames.append(
+                    _read_parts(spark, group, sj)
+                    .withColumn("_change_type", F.lit(kind))
+                    .withColumn("_commit_version", F.lit(v))
+                )
+    if not frames:
+        _v, live = _snapshot(fs, path, to_version)
+        return (
+            _empty_frame(spark, fs, path, to_version, live)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0))
+            .filter(F.lit(False))
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def changes_since(
@@ -705,7 +1032,11 @@ def iter_changes(spark: SparkSession, path: str, cursor: int) -> list[dict]:
         c = _read_commit(fs, path, v)
         if c.get("operation") == "compact":
             continue
-        parts = sorted(a["path"] for a in c.get("adds", []))
+        # rewrite-flagged adds (delete/merge survivors) are not new
+        # content; the entry's df is the commit's genuinely-new rows
+        parts = sorted(
+            a["path"] for a in c.get("adds", []) if not a.get("rewrite")
+        )
         _require_parts_exist(fs, path, parts, f"iter_changes v{v}")
         out.append(
             {
@@ -779,6 +1110,10 @@ def vacuum(
             referenced[a["path"]] = v
         for r in c.get("removes", []):
             referenced[r] = v
+        for e in c.get("cdc", []):
+            # change parts back table_changes_cdf the way removed parts
+            # back time travel: same keep_versions retention
+            referenced[e["path"]] = v
     cutoff = latest - keep_versions if keep_versions > 0 else 0
     horizon = _time.time() - retention_seconds
     victims = []

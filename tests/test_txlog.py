@@ -800,6 +800,181 @@ def test_changes_since_cursor_and_incremental_rollup(spark, tmp_path):
         changes_since(spark, path, 99)
 
 
+def test_delete_where_rewrites_only_touched_parts(spark, tmp_path):
+    """Row-level DELETE: one distributed pass finds the parts holding
+    matching rows; only those are rewritten — untouched parts keep
+    their original directories (at 100 TB a point delete must not
+    rewrite the table)."""
+    from es_analytics_spark.txlog import delete_where
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))   # part A
+    append(spark, path, _ids(spark, 10, 20))  # part B
+    append(spark, path, _ids(spark, 20, 30))  # part C
+    before = set(read_table(spark, path).inputFiles())
+
+    r = delete_where(spark, path, "id >= 25")  # touches only C
+    assert r["rows_deleted"] == 5 and r["parts_rewritten"] == 1
+    got = read_table(spark, path)
+    assert sorted(x["id"] for x in got.collect()) == list(range(25))
+    after = set(got.inputFiles())
+    # A and B files unchanged; C's files replaced
+    assert len(before & after) > 0 and before != after
+    h = history(spark, path)[-1]
+    assert h["operation"] == "delete_where" and h["n_removes"] == 1
+
+    # whole-part delete: pure remove, no survivor rewrite
+    r2 = delete_where(spark, path, F.col("id") < 10)
+    assert r2["rows_deleted"] == 10 and r2["parts_rewritten"] == 0
+    assert sorted(x["id"] for x in read_table(spark, path).collect()) == list(
+        range(10, 25)
+    )
+    # no-match delete commits NOTHING (no empty commit in the history)
+    v = current_version(spark, path)
+    r3 = delete_where(spark, path, "id > 10000")
+    assert r3["version"] == v and r3["rows_deleted"] == 0
+    assert current_version(spark, path) == v
+
+
+def test_merge_upsert_replaces_and_inserts_in_one_commit(spark, tmp_path):
+    from es_analytics_spark.txlog import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 10).select("id", (F.col("id") * 10).alias("val"))
+    append(spark, path, base)
+    v0 = current_version(spark, path)
+    updates = spark.range(5, 15).select("id", (F.col("id") * 1000).alias("val"))
+    r = merge_upsert(spark, path, updates, keys=["id"])
+    assert r["version"] == v0 + 1  # ONE atomic commit
+    assert r["rows_updated"] == 5 and r["rows_inserted"] == 5
+    got = {x["id"]: x["val"] for x in read_table(spark, path).collect()}
+    assert got == {i: (i * 10 if i < 5 else i * 1000) for i in range(15)}
+    # key-duplicate updates are ambiguous and rejected up front
+    dup = spark.range(0, 2).select(F.lit(7).cast("long").alias("id"), F.col("id").alias("val"))
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert(spark, path, dup, keys=["id"])
+    # a key appended TWICE collapses to the single update row
+    append(spark, path, spark.range(3, 4).select("id", F.lit(-1).cast("long").alias("val")))
+    upd2 = spark.range(3, 4).select("id", F.lit(999).cast("long").alias("val"))
+    r2 = merge_upsert(spark, path, upd2, keys=["id"])
+    assert r2["rows_updated"] == 1
+    rows = read_table(spark, path).filter(F.col("id") == 3).collect()
+    assert [x["val"] for x in rows] == [999]
+
+
+def test_table_changes_cdf_row_level_feed(spark, tmp_path):
+    """The full-CDF contract: deletes come from the commit-recorded
+    change parts, an upsert is delete(old)+insert(new) at one version,
+    survivor rewrites and compactions are invisible, and replaying the
+    feed reconstructs the table exactly."""
+    from es_analytics_spark.txlog import delete_where, merge_upsert, table_changes, table_changes_cdf
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 10).select("id", (F.col("id") * 10).alias("val"))
+    append(spark, path, base)                                     # v1: +10
+    delete_where(spark, path, "id < 3")                           # v2: -3
+    updates = spark.range(8, 12).select("id", F.lit(0).cast("long").alias("val"))
+    merge_upsert(spark, path, updates, keys=["id"])               # v3: -2 +4
+    compact(spark, path)                                          # v4: nothing
+
+    cdf = table_changes_cdf(spark, path, 0).collect()
+    by = {}
+    for x in cdf:
+        by.setdefault((x["_commit_version"], x["_change_type"]), []).append(x["id"])
+    assert sorted(by[(1, "insert")]) == list(range(10))
+    assert sorted(by[(2, "delete")]) == [0, 1, 2]
+    assert sorted(by[(3, "delete")]) == [8, 9]        # old versions
+    assert sorted(by[(3, "insert")]) == [8, 9, 10, 11]  # new versions
+    assert (4, "insert") not in by and (4, "delete") not in by
+
+    # replaying the feed version-by-version reconstructs the snapshot
+    state = {}
+    for x in sorted(cdf, key=lambda r: (r["_commit_version"], r["_change_type"] == "insert")):
+        if x["_change_type"] == "delete":
+            state.pop(x["id"], None)
+        else:
+            state[x["id"]] = x["val"]
+    truth = {x["id"]: x["val"] for x in read_table(spark, path).collect()}
+    assert state == truth
+
+    # the insert-only feed still shows every insert, no deletes applied
+    assert table_changes(spark, path, 0).count() == 14  # 10 + 4 upserts
+    # windowed read: only v3's changes
+    w = table_changes_cdf(spark, path, 2, 3)
+    assert w.groupBy("_change_type").count().rdd.isEmpty() is False
+    assert w.count() == 6
+
+
+def test_delete_merge_writeserializable_conflict_rules(spark, tmp_path, monkeypatch):
+    """Re-attach rule for row-level rewrites: intervening blind appends
+    commute (WriteSerializable); any remove-carrying or scoped commit
+    conflicts."""
+    from es_analytics_spark.txlog import delete_where
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+    orig = txlog._try_commit
+    # real part directories: later snapshots must stay readable
+    spare1 = _write_part(spark, path, _ids(spark, 100, 102))
+    spare2 = _write_part(spark, path, _ids(spark, 200, 202, d="z"))
+    state = {"mode": None, "stolen": False}
+
+    def hooked(fs, p, version, payload):
+        if payload.get("operation") == "delete_where" and not state["stolen"]:
+            state["stolen"] = True
+            if state["mode"] == "append":
+                competing = {
+                    "operation": "append",
+                    "adds": [{"path": spare1, "partition": {}}],
+                    "removes": [],
+                    "scope_partition": None,
+                }
+            else:  # a competing overwrite in some partition
+                competing = {
+                    "operation": "overwrite_partition",
+                    "adds": [{"path": spare2, "partition": {"d": "z"}}],
+                    "removes": [],
+                    "scope_partition": {"d": "z"},
+                }
+            assert orig(fs, p, version, competing)
+        return orig(fs, p, version, payload)
+
+    monkeypatch.setattr(txlog, "_try_commit", hooked)
+    # blind append steals the version -> delete re-attaches after it
+    state.update(mode="append", stolen=False)
+    r = delete_where(spark, path, "id >= 8")
+    assert r["rows_deleted"] == 2 and r["version"] == 3
+    # scoped commit steals the version -> CommitConflict
+    state.update(mode="overwrite", stolen=False)
+    with pytest.raises(CommitConflict, match="may overlap"):
+        delete_where(spark, path, "id < 2")
+
+
+def test_cdf_change_parts_respect_vacuum_retention(spark, tmp_path):
+    from es_analytics_spark.txlog import (
+        VersionExpiredError,
+        delete_where,
+        table_changes_cdf,
+    )
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))      # v1
+    delete_where(spark, path, "id < 4")          # v2 (+ cdc part)
+    assert table_changes_cdf(spark, path, 0).count() == 14
+    # fresh vacuum keeps every commit-referenced part, incl. the cdc part
+    assert vacuum(spark, path, retention_seconds=0) == []
+    assert table_changes_cdf(spark, path, 0).count() == 14
+    # age out history: cdc + pre-delete parts expire with their versions
+    append(spark, path, _ids(spark, 10, 12))     # v3
+    append(spark, path, _ids(spark, 12, 14))     # v4
+    reaped = vacuum(spark, path, keep_versions=1, retention_seconds=0)
+    assert reaped, "expected expired historical parts"
+    with pytest.raises(VersionExpiredError, match="expired"):
+        table_changes_cdf(spark, path, 0).count()
+    # recent windows (past the expired versions) still read fine
+    assert table_changes_cdf(spark, path, 2).count() == 4
+
+
 def test_append_sources_requires_since_version(spark, tmp_path):
     with pytest.raises(ValueError, match="since_version"):
         append(spark, str(tmp_path / "t"), _ids(spark, 0, 1), sources=["a"])
