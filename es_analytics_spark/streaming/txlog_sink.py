@@ -38,6 +38,15 @@ Downstream, the committed epochs are a CDC feed: ``txlog.changes_since``
 hands incremental consumers exactly the new epochs (compactions of the
 streamed table stay invisible to them — ``table_changes`` contract).
 
+Two sink shapes share the machinery:
+
+- :func:`stream_to_txlog` — append-only (event/fact streams): one
+  txlog ``append`` per epoch.
+- :func:`stream_merge_to_txlog` — CDC-shaped (keyed upserts): one
+  txlog ``merge_upsert`` per epoch, so the table converges to
+  latest-row-per-key with full snapshot isolation and a row-level
+  change feed.
+
 Reference lifecycle parity: this is the ``flushBatch → storeBatch``
 hand-off (Collector.ts:310-350) upgraded from fire-and-forget puts to
 transactional exactly-once commits; the reference's write-once
@@ -116,6 +125,104 @@ class _EpochCommitter:
             if source in self._seen:
                 return
             raise
+
+
+class _MergeEpochCommitter:
+    """foreachBatch callable for the CDC-shaped sink: each epoch MERGEs
+    into the txlog table (latest row per key wins within the epoch,
+    ordered by ``order_col`` with key order as tie-break). Exactly-once
+    has two layers: the source stamp skips a replayed epoch whose merge
+    already committed, and the merge itself is idempotent (same keys →
+    same replacement rows), so even a skipped stamp converges. A
+    CommitConflict (a concurrent compact/overwrite/merge landed mid-CAS)
+    re-runs the merge against the fresh snapshot — the orphaned rewrite
+    parts are vacuum fodder, the standard OCC retry."""
+
+    def __init__(self, path: str, stream_id: str, keys: list[str], order_col: str, evolve: bool):
+        self.path = path
+        self.stream_id = stream_id
+        self.keys = keys
+        self.order_col = order_col
+        self.evolve = evolve
+        self._seen_version = 0
+        self._seen: set[str] = set()
+
+    def _refresh_seen(self, spark, upto: int) -> None:
+        if upto <= self._seen_version:
+            return
+        fs = lake_fs(spark, self.path)
+        for c in txlog._intervening(fs, self.path, self._seen_version, upto):
+            self._seen.update(c.get("sources", []))
+        self._seen_version = upto
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W, functions as F
+
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        source = epoch_source(self.stream_id, batch_id)
+        self._refresh_seen(spark, txlog.current_version(spark, self.path))
+        if source in self._seen:
+            return
+        w = W.partitionBy(*self.keys).orderBy(
+            F.col(self.order_col).desc(), *[F.col(k) for k in self.keys]
+        )
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        for attempt in range(5):
+            try:
+                txlog.merge_upsert(
+                    spark, self.path, latest, self.keys,
+                    evolve=self.evolve, sources=[source],
+                )
+                return
+            except txlog.CommitConflict:
+                self._refresh_seen(spark, txlog.current_version(spark, self.path))
+                if source in self._seen:
+                    return  # a zombie's replay of this very epoch won
+                # else: an unrelated writer invalidated the snapshot —
+                # re-run the merge against the new state
+        raise txlog.CommitConflict(
+            f"epoch {source}: merge kept conflicting after 5 re-runs"
+        )
+
+
+def stream_merge_to_txlog(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    checkpoint_dir: str,
+    stream_id: str | None = None,
+    evolve: bool = False,
+    available_now: bool = False,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """CDC-shaped streaming sink: each micro-batch MERGEs into a
+    transactional txlog table — the upgrade of
+    ``collector_sink.stream_upsert_to_table`` (whose anti-join + swap
+    is single-writer and non-transactional) to multi-writer safety,
+    snapshot isolation, time travel, and an exact row-level change feed
+    (``table_changes_cdf`` shows each epoch's upsert as
+    delete(old)+insert(new) at one version). See
+    :class:`_MergeEpochCommitter` for the exactly-once story."""
+    committer = _MergeEpochCommitter(
+        path, stream_id or checkpoint_dir, keys, order_col, evolve
+    )
+    writer = (
+        df.writeStream.foreachBatch(committer)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
 
 
 def stream_to_txlog(

@@ -733,6 +733,7 @@ def merge_upsert(
     keys: list[str],
     evolve: bool = False,
     max_retries: int = 10,
+    sources: list[str] | None = None,
 ) -> dict:
     """Transactional MERGE (upsert) in ONE atomic commit: rows in
     ``updates`` replace live rows with equal key tuples, unmatched
@@ -748,7 +749,17 @@ def merge_upsert(
     at one version, Delta-CDF style. The key-match join shuffles both
     sides on the keys (never a broadcast assumption on ``updates`` —
     at 100 TB the update set can itself be huge); untouched parts are
-    never rewritten. Same WriteSerializable re-attach rule as delete."""
+    never rewritten. Same WriteSerializable re-attach rule as delete.
+
+    ``sources`` stamps the commit with the upstream names it
+    incorporated (the :func:`append` exactly-once idea) — a streaming
+    epoch committer checks :func:`table_sources` before re-merging a
+    replayed epoch. Unlike append there is no re-attach race to guard
+    (merge never re-attaches past anything but blind appends, which
+    cannot carry the same epoch), so no ``since_version`` is needed;
+    the merge itself is also idempotent (same keys → same replacement
+    rows), making the source stamp a fast-path, not a correctness
+    crutch."""
     from pyspark.sql import functions as F
 
     if not keys:
@@ -812,6 +823,8 @@ def merge_upsert(
     }
     if cdc:
         payload["cdc"] = cdc
+    if sources is not None:
+        payload["sources"] = sorted(sources)
     res = _commute_past_appends_only(fs, path, payload, v0, max_retries, "merge_upsert")
     n_updates = updates.count()
     return {

@@ -152,6 +152,68 @@ def test_committer_zombie_race_conflicts_then_noops(spark, tmp_path, monkeypatch
     assert txlog.read_table(spark, table).count() == 12
 
 
+def test_stream_merge_to_txlog_converges_to_latest_per_key(spark, tmp_path):
+    """CDC-shaped sink: epochs MERGE transactionally; the table
+    converges to latest-row-per-key, a replayed drain commits nothing,
+    and table_changes_cdf shows each epoch's delete(old)+insert(new)."""
+    from es_analytics_spark.streaming.txlog_sink import stream_merge_to_txlog
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k bigint, val string, seq bigint"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_merge_to_txlog(
+            stream, path=table, keys=["k"], order_col="seq",
+            checkpoint_dir=ckpt, stream_id="cdc", available_now=True,
+        )
+        q.awaitTermination()
+
+    # phase 1: initial snapshot, incl. a within-epoch duplicate key
+    # (k=5 twice in one file; seq 2 must win inside the epoch)
+    base = spark.createDataFrame(
+        [(k, "v1", 1) for k in range(30)] + [(5, "v1-late", 2)], schema
+    )
+    base.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = {r["k"]: r["val"] for r in txlog.read_table(spark, table).collect()}
+    assert len(got) == 30 and got[5] == "v1-late" and got[7] == "v1"
+
+    # replayed drain from the same checkpoint: nothing new commits
+    v = txlog.current_version(spark, table)
+    drain()
+    assert txlog.current_version(spark, table) == v
+
+    # phase 2: updates for 10 keys + 5 new keys arrive as a new file
+    upd = spark.createDataFrame(
+        [(k, "v2", 3) for k in range(10, 25, 1) if k < 20]
+        + [(k, "v2", 3) for k in range(30, 35)],
+        schema,
+    )
+    upd.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = {r["k"]: r["val"] for r in txlog.read_table(spark, table).collect()}
+    assert len(got) == 35
+    assert all(got[k] == "v2" for k in range(10, 20))
+    assert all(got[k] == "v1" for k in range(10) if k != 5)
+    assert got[5] == "v1-late"  # untouched keys keep their phase-1 rows
+    assert all(got[k] == "v2" for k in range(30, 35))
+
+    # the row-level feed shows the update epoch as delete+insert
+    cdf = txlog.table_changes_cdf(spark, table, v)
+    by = {
+        (r["_change_type"],): r["count"]
+        for r in cdf.groupBy("_change_type").count().collect()
+    }
+    assert by[("insert",)] == 15 and by[("delete",)] == 10
+
+
 @pytest.mark.slow
 def test_mid_epoch_kill_resumes_into_txlog_exactly_once(spark, sf_dir, tmp_path):
     """The streaming kill sweep pointed at the transactional sink: the
