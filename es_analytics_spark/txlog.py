@@ -121,7 +121,8 @@ def _read_commit(fs, path: str, version: int) -> dict:
 
 def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str, dict]]:
     """Replay the log up to ``version`` (default: latest): returns
-    ``(version, live)`` where live maps part path -> its partition tag.
+    ``(version, live)`` where live maps part path -> its manifest entry
+    ``{"partition": tag, "stats": {col: [min, max]} | absent}``.
     Replay STARTS from the newest checkpoint <= version and VALIDATES
     every remove against the live set — a commit removing a non-live
     part means the conflict protocol was violated, and raising here is
@@ -140,6 +141,12 @@ def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str,
         missing = sorted(set(range(1, latest + 1)) - set(versions))
         raise RuntimeError(f"txlog corrupt under {path}: missing commits {missing}")
 
+    def _entry(a: dict) -> dict:
+        e = {"partition": a.get("partition", {})}
+        if a.get("stats"):
+            e["stats"] = a["stats"]
+        return e
+
     live: dict[str, dict] = {}
     start = 1
     ckpts = [v for v in _list_versions(fs, path, prefix="checkpoint.v") if v <= version]
@@ -147,7 +154,7 @@ def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str,
         ck = json.loads(
             fs.read_bytes(_checkpoint_path(path, ckpts[-1])).decode("utf-8")
         )
-        live = {e["path"]: e.get("partition", {}) for e in ck["live"]}
+        live = {e["path"]: _entry(e) for e in ck["live"]}
         start = ck["version"] + 1
     for v in range(start, version + 1):
         c = _read_commit(fs, path, v)
@@ -158,7 +165,7 @@ def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str,
                 )
             del live[r]
         for a in c.get("adds", []):
-            live[a["path"]] = a.get("partition", {})
+            live[a["path"]] = _entry(a)
     return version, live
 
 
@@ -280,6 +287,7 @@ def history(spark: SparkSession, path: str) -> list[dict]:
                 "n_adds": len(c.get("adds", [])),
                 "n_removes": len(c.get("removes", [])),
                 "partition": c.get("scope_partition"),
+                "ts": c.get("ts"),
             }
         )
     return out
@@ -306,16 +314,36 @@ def read_table(
     path: str,
     version: int | None = None,
     partition_filter: dict | None = None,
+    timestamp: float | None = None,
+    range_filter: dict | None = None,
 ) -> DataFrame:
     """Snapshot read: exactly the parts live at ``version`` (default
     latest) — concurrent commits landing after the replay can't change
     what this frame reads, because parts are immutable and commits only
     ever add/remove whole parts. ``partition_filter`` prunes parts by
     their commit-recorded partition tag WITHOUT opening them
-    (manifest-level partition pruning). Time travel to a version whose
-    parts were reaped by ``vacuum(keep_versions=...)`` raises
-    :class:`VersionExpiredError` at plan time."""
+    (manifest-level partition pruning). ``timestamp`` (unix seconds)
+    time-travels by wall clock instead of version — the AS OF TIMESTAMP
+    shape, resolved by :func:`version_at_timestamp`. Time travel to a
+    version whose parts were reaped by ``vacuum(keep_versions=...)``
+    raises :class:`VersionExpiredError` at plan time.
+
+    ``range_filter={col: (lo, hi)}`` is manifest-level DATA SKIPPING
+    (Delta/Iceberg zone maps on the commit log): parts whose recorded
+    ``stats`` prove the column range disjoint from [lo, hi] are skipped
+    without being opened, and the row predicate ``col BETWEEN lo AND
+    hi`` is applied to the survivors — so the result is exact whether
+    or not any part recorded stats (stats-less parts are conservatively
+    read). Bounds may be None for half-open ranges. Stats are recorded
+    by ``append(..., stats_cols=[...])`` and survive compaction and
+    row-level rewrites."""
+    from pyspark.sql import functions as F
+
     fs = lake_fs(spark, path)
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("read_table: pass version OR timestamp, not both")
+        version = version_at_timestamp(spark, path, timestamp)
     v, live = _snapshot(fs, path, version)
     parts = sorted(live)
     if version is not None:
@@ -324,13 +352,30 @@ def read_table(
         parts = [
             p
             for p in parts
-            if all(live[p].get(k) == pv for k, pv in partition_filter.items())
+            if all(
+                live[p]["partition"].get(k) == pv
+                for k, pv in partition_filter.items()
+            )
+        ]
+    if range_filter:
+        parts = [
+            p
+            for p in parts
+            if not _stats_disjoint(live[p].get("stats"), range_filter)
         ]
     if not parts:
         if live:
-            return _empty_frame(spark, fs, path, v, live)
-        raise FileNotFoundError(f"no live parts under {path} at v{v}")
-    return _read_parts(spark, parts, _committed_schema(fs, path, v))
+            out = _empty_frame(spark, fs, path, v, live)
+        else:
+            raise FileNotFoundError(f"no live parts under {path} at v{v}")
+    else:
+        out = _read_parts(spark, parts, _committed_schema(fs, path, v))
+    for col, (lo, hi) in (range_filter or {}).items():
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
+    return out
 
 
 def _write_part(spark: SparkSession, path: str, df: DataFrame) -> str:
@@ -339,11 +384,94 @@ def _write_part(spark: SparkSession, path: str, df: DataFrame) -> str:
     return part
 
 
+def _json_stat(v):
+    """JSON-safe, order-preserving encoding of a min/max value. ISO-8601
+    strings compare lexicographically in timestamp order, so date/
+    datetime bounds stay prunable. Unsupported types return None →
+    the column records no stats (conservatively unprunable)."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
+
+
+def _column_stats(df: DataFrame, cols: list[str]) -> dict:
+    """One aggregate job over the part being written: {col: [min, max]}
+    for every requested column whose bounds encode JSON-safely."""
+    from pyspark.sql import functions as F
+
+    exprs = []
+    for i, c in enumerate(cols):
+        exprs += [F.min(c).alias(f"__mn{i}"), F.max(c).alias(f"__mx{i}")]
+    row = df.select(*exprs).first()
+    out = {}
+    for i, c in enumerate(cols):
+        mn, mx = _json_stat(row[f"__mn{i}"]), _json_stat(row[f"__mx{i}"])
+        if mn is not None and mx is not None:
+            out[c] = [mn, mx]
+    return out
+
+
+def _stats_disjoint(stats: dict | None, range_filter: dict) -> bool:
+    """True iff the part's recorded stats PROVE it holds no row in the
+    requested ranges. Missing stats (or a missing column) → False: the
+    part must be read. This asymmetry is what makes data skipping safe
+    to bolt onto a table where only some writers recorded stats."""
+    if not stats:
+        return False
+    for col, (lo, hi) in range_filter.items():
+        if col not in stats:
+            continue
+        smin, smax = stats[col]
+        qlo, qhi = _json_stat(lo), _json_stat(hi)
+        if qhi is not None and smin is not None and smin > qhi:
+            return True
+        if qlo is not None and smax is not None and smax < qlo:
+            return True
+    return False
+
+
 def _try_commit(fs, path: str, version: int, payload: dict) -> bool:
-    payload = dict(payload, version=version)
+    import time as _time
+
+    # wall-clock commit stamp: backs AS-OF-TIMESTAMP time travel; the
+    # version order stays the only serialization authority (clock skew
+    # between writers is normalized by the resolver's running max)
+    payload = dict(payload, version=version, ts=_time.time())
     return fs.put_if_absent(
         _commit_path(path, version), json.dumps(payload, indent=0).encode("utf-8")
     )
+
+
+def version_at_timestamp(spark: SparkSession, path: str, timestamp: float) -> int:
+    """The snapshot version live at wall-clock ``timestamp`` (unix
+    seconds): the newest commit whose stamp is <= it. Commit stamps are
+    normalized to a running maximum before comparing — writers' clocks
+    can skew, but the version order is the serialization order, so a
+    commit can never take effect before its predecessor (Delta applies
+    the same monotonicity adjustment to its file-time resolution).
+    Raises if the table did not exist yet at ``timestamp``."""
+    fs = lake_fs(spark, path)
+    versions = _list_versions(fs, path)
+    if not versions:
+        raise FileNotFoundError(f"no commits under {path}")
+    chosen, running = 0, float("-inf")
+    for v in versions:
+        c = _read_commit(fs, path, v)
+        running = max(running, c.get("ts", float("-inf")))
+        if running <= timestamp:
+            chosen = v
+    if chosen == 0:
+        raise FileNotFoundError(
+            f"no snapshot under {path} at or before timestamp {timestamp} "
+            f"(first commit is newer)"
+        )
+    return chosen
 
 
 def append(
@@ -355,6 +483,7 @@ def append(
     sources: list[str] | None = None,
     since_version: int | None = None,
     evolve: bool = False,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Transactional append: write an immutable part, then CAS it into
     the log. Blind appends commute, so losing the CAS race costs one
@@ -371,6 +500,14 @@ def append(
     validation re-runs against the live schema on every CAS retry, so
     a concurrent evolution can't be silently reverted by a racing
     old-schema append's recorded schema.
+
+    ``stats_cols`` records per-column [min, max] zone maps in the
+    manifest entry (one extra aggregate job over the part being
+    written): ``read_table(range_filter=...)`` then skips provably
+    disjoint parts without opening them — commit-log data skipping,
+    the Delta/Iceberg file-stats idea. Omit it (default) and the
+    append costs nothing extra; stats-less parts are simply never
+    skipped.
 
     ``sources`` makes the append EXACTLY-ONCE per source file: the
     commit records which upstream files it incorporated, and the commit
@@ -389,9 +526,14 @@ def append(
     schema_at = v
     schema = _merge_schema(_committed_schema(fs, path, v), df, evolve)
     part = _write_part(spark, path, df)
+    add = {"path": part, "partition": partition or {}}
+    if stats_cols:
+        stats = _column_stats(df, stats_cols)
+        if stats:
+            add["stats"] = stats
     payload = {
         "operation": "append",
-        "adds": [{"path": part, "partition": partition or {}}],
+        "adds": [add],
         "removes": [],
         "scope_partition": partition,
         "schema": schema,
@@ -472,8 +614,8 @@ def compact(
 
     schema = _committed_schema(fs, path, v0)
     groups: dict[tuple, list[str]] = {}
-    for p, tag in live.items():
-        groups.setdefault(tuple(sorted(tag.items())), []).append(p)
+    for p, e in live.items():
+        groups.setdefault(tuple(sorted(e["partition"].items())), []).append(p)
     adds = []
     for key, parts in sorted(groups.items()):
         parts = sorted(parts)
@@ -492,7 +634,22 @@ def compact(
             .option("maxRecordsPerFile", rows_per_file)
             .parquet(part)
         )
-        adds.append({"path": part, "partition": dict(key), "rewrite": True})
+        add = {"path": part, "partition": dict(key), "rewrite": True}
+        # zone maps survive compaction for free: the merged part's range
+        # is the envelope of its members' — but only when EVERY member
+        # recorded the column (a stats-less member could widen it)
+        member_stats = [live[p].get("stats") for p in parts]
+        if all(member_stats):
+            merged_stats = {}
+            common = set.intersection(*(set(s) for s in member_stats))
+            for col in common:
+                merged_stats[col] = [
+                    min(s[col][0] for s in member_stats),
+                    max(s[col][1] for s in member_stats),
+                ]
+            if merged_stats:
+                add["stats"] = merged_stats
+        adds.append(add)
     removes = sorted(live)
     payload = {
         "operation": "compact",
@@ -554,7 +711,7 @@ def overwrite_partition(
         raise ValueError("overwrite_partition: partition must be a non-empty dict")
     v0, live = _snapshot(fs, path)
     schema = _merge_schema(_committed_schema(fs, path, v0), df, evolve)
-    removes = sorted(p for p, tag in live.items() if tag == partition)
+    removes = sorted(p for p, e in live.items() if e["partition"] == partition)
     part = _write_part(spark, path, df)
     payload = {
         "operation": "overwrite_partition",
@@ -708,7 +865,12 @@ def delete_where(
             continue  # the whole part matched: pure remove
         np = fs_join(_part_dir(path), uuid.uuid4().hex)
         keep.write.mode("overwrite").parquet(np)
-        adds.append({"path": np, "partition": live[p], "rewrite": True})
+        add = {"path": np, "partition": live[p]["partition"], "rewrite": True}
+        if live[p].get("stats"):
+            # survivors are a subset of the original rows, so the
+            # original zone map stays VALID (possibly wider — still safe)
+            add["stats"] = live[p]["stats"]
+        adds.append(add)
     payload = {
         "operation": "delete_where",
         "adds": adds,
@@ -811,7 +973,12 @@ def merge_upsert(
                     continue
                 np = fs_join(_part_dir(path), uuid.uuid4().hex)
                 keep.write.mode("overwrite").parquet(np)
-                adds.append({"path": np, "partition": live[p], "rewrite": True})
+                add = {"path": np, "partition": live[p]["partition"], "rewrite": True}
+        if live[p].get("stats"):
+            # survivors are a subset of the original rows, so the
+            # original zone map stays VALID (possibly wider — still safe)
+            add["stats"] = live[p]["stats"]
+        adds.append(add)
     upd_part = _write_part(spark, path, updates)
     adds.append({"path": upd_part, "partition": {}})
     payload = {
@@ -1077,7 +1244,7 @@ def checkpoint(spark: SparkSession, path: str) -> dict:
         return {"version": 0, "written": False}
     payload = {
         "version": v,
-        "live": [{"path": p, "partition": tag} for p, tag in sorted(live.items())],
+        "live": [dict(e, path=p) for p, e in sorted(live.items())],
     }
     won = fs.put_if_absent(
         _checkpoint_path(path, v), json.dumps(payload, indent=0).encode("utf-8")

@@ -975,6 +975,70 @@ def test_cdf_change_parts_respect_vacuum_retention(spark, tmp_path):
     assert table_changes_cdf(spark, path, 2).count() == 4
 
 
+def test_as_of_timestamp_time_travel(spark, tmp_path):
+    """Wall-clock time travel: commits carry a stamp; a timestamp
+    resolves to the newest commit at-or-before it (running-max
+    normalized, so writer clock skew can't reorder the version
+    authority)."""
+    from es_analytics_spark.txlog import version_at_timestamp
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))  # v1
+    t_after_v1 = time.time()
+    time.sleep(0.05)
+    append(spark, path, _ids(spark, 10, 30))  # v2
+    assert version_at_timestamp(spark, path, t_after_v1) == 1
+    assert read_table(spark, path, timestamp=t_after_v1).count() == 10
+    assert read_table(spark, path, timestamp=time.time()).count() == 30
+    h = history(spark, path)
+    assert all(x["ts"] is not None for x in h)
+    # before the first commit: the table did not exist yet
+    with pytest.raises(FileNotFoundError, match="first commit is newer"):
+        read_table(spark, path, timestamp=h[0]["ts"] - 10.0)
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, path, version=1, timestamp=t_after_v1)
+
+
+def test_range_filter_skips_parts_by_zone_maps(spark, tmp_path):
+    """Commit-log data skipping: appends record per-column [min,max];
+    a range read opens only parts whose stats overlap (stats-less parts
+    conservatively read), and applies the row predicate so the result
+    is exact either way."""
+    path = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        append(spark, path, _ids(spark, lo, lo + 100), stats_cols=["id"])
+    append(spark, path, _ids(spark, 300, 400))  # NO stats: never skipped
+
+    got = read_table(spark, path, range_filter={"id": (120, 180)})
+    assert sorted(r["id"] for r in got.collect()) == list(range(120, 181))
+    opened = {f.rsplit("/parts/", 1)[1].split("/")[0] for f in got.inputFiles()}
+    assert len(opened) == 2  # the [100,199] part + the stats-less part
+
+    # half-open range
+    got = read_table(spark, path, range_filter={"id": (None, 50)})
+    assert got.count() == 51
+    opened = {f.rsplit("/parts/", 1)[1].split("/")[0] for f in got.inputFiles()}
+    assert len(opened) == 2  # the [0,99] part + the stats-less part
+
+
+def test_zone_maps_survive_compaction_and_row_level_rewrites(spark, tmp_path):
+    from es_analytics_spark.txlog import delete_where
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 100), stats_cols=["id"])
+    append(spark, path, _ids(spark, 100, 200), stats_cols=["id"])
+    compact(spark, path)  # every member has stats -> envelope survives
+    # provably-disjoint range: ZERO parts opened, schema-stable empty
+    got = read_table(spark, path, range_filter={"id": (1000, None)})
+    assert got.count() == 0 and got.inputFiles() == [] and got.columns == ["id"]
+    # delete keeps the (now wider but still valid) original zone map
+    delete_where(spark, path, "id < 50")
+    got = read_table(spark, path, range_filter={"id": (5000, 6000)})
+    assert got.count() == 0 and got.inputFiles() == []
+    got = read_table(spark, path, range_filter={"id": (60, 70)})
+    assert got.count() == 11
+
+
 def test_append_sources_requires_since_version(spark, tmp_path):
     with pytest.raises(ValueError, match="since_version"):
         append(spark, str(tmp_path / "t"), _ids(spark, 0, 1), sources=["a"])
