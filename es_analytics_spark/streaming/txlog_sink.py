@@ -80,11 +80,13 @@ class _EpochCommitter:
     check re-validates against every commit past ``since_version``
     before the CAS can win."""
 
-    def __init__(self, path: str, stream_id: str, partition: dict | None, evolve: bool):
+    def __init__(self, path: str, stream_id: str, partition: dict | None, evolve: bool,
+                 stats_cols: list | None = None):
         self.path = path
         self.stream_id = stream_id
         self.partition = partition
         self.evolve = evolve
+        self.stats_cols = stats_cols
         self._seen_version = 0
         self._seen: set[str] = set()
 
@@ -116,6 +118,7 @@ class _EpochCommitter:
                 sources=[source],
                 since_version=v,
                 evolve=self.evolve,
+                stats_cols=self.stats_cols,
             )
         except txlog.CommitConflict:
             # a racing writer landed THIS source between our snapshot and
@@ -234,6 +237,7 @@ def stream_to_txlog(
     evolve: bool = False,
     available_now: bool = False,
     processing_time: str | None = None,
+    stats_cols: list | None = None,
 ) -> StreamingQuery:
     """Start a streaming query whose sink is a transactional txlog
     table: every micro-batch becomes one exactly-once ``txlog.append``
@@ -248,7 +252,7 @@ def stream_to_txlog(
     snapshot reads, and ``changes_since`` consumers all operate on it
     unmodified."""
     committer = _EpochCommitter(
-        path, stream_id or checkpoint_dir, partition, evolve
+        path, stream_id or checkpoint_dir, partition, evolve, stats_cols
     )
     writer = (
         df.writeStream.foreachBatch(committer)

@@ -117,6 +117,55 @@ def test_stream_to_txlog_epochs_commit_exactly_once(spark, sf_dir, tmp_path):
     assert cursor2 == txlog.current_version(spark, table)
 
 
+def test_two_concurrent_streams_one_table_exactly_once(spark, sf_dir, tmp_path):
+    """Multi-writer is the point of the txlog sink: two independent
+    streaming queries (distinct stream_ids and checkpoints) drain into
+    the SAME table concurrently. The CAS serializes their epochs into a
+    gap-free history and every source row lands exactly once — with
+    per-epoch zone maps recorded along the way."""
+    import threading
+
+    table = str(tmp_path / "table")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    n = events.count()
+    half1, half2 = str(tmp_path / "a"), str(tmp_path / "b")
+    events.filter(F.col("event_id") % 2 == 0).repartition(4).write.parquet(half1)
+    events.filter(F.col("event_id") % 2 == 1).repartition(4).write.parquet(half2)
+
+    def run(src: str, sid: str) -> None:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_to_txlog(
+            stream, path=table, checkpoint_dir=str(tmp_path / f"ckpt_{sid}"),
+            stream_id=sid, available_now=True, stats_cols=["event_id"],
+        )
+        q.awaitTermination()
+
+    t1 = threading.Thread(target=run, args=(half1, "sa"))
+    t2 = threading.Thread(target=run, args=(half2, "sb"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    got = txlog.read_table(spark, table)
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+    hist = txlog.history(spark, table)
+    assert [h["version"] for h in hist] == list(range(1, 9))  # gap-free
+    sids = {s.split("/")[0] for s in txlog.table_sources(spark, table)}
+    assert sids == {"sa", "sb"}
+    # the recorded zone maps actually skip: a range read opens a subset
+    lo = events.agg(F.max("event_id")).first()[0]
+    sub = txlog.read_table(spark, table, range_filter={"event_id": (lo, lo)})
+    assert sub.count() == 1
+    opened = {f.rsplit("/parts/", 1)[1].split("/")[0] for f in sub.inputFiles()}
+    assert len(opened) < 8
+
+
 def test_committer_zombie_race_conflicts_then_noops(spark, tmp_path, monkeypatch):
     """Deterministic coverage of the committer's narrowest window: a
     zombie driver lands the SAME epoch source between our seen-snapshot
