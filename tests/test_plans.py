@@ -408,6 +408,12 @@ def test_every_driver_fetch_is_limit_guarded_or_audited():
         # as table_stats' file listing), and a single-writer
         # maintenance op, not a query
         ("maintenance.py", "_prune_rewrite"),
+        # txlog row-level rewrites: the touched-part discovery collects
+        # DISTINCT input_file_name()s of matching rows — one row per
+        # data file, the same manifest-sized class as _prune_rewrite;
+        # the data rewrite itself stays fully distributed
+        ("txlog.py", "delete_where"),
+        ("txlog.py", "merge_upsert"),
     }
 
     def chain_has_limit(node: ast.AST) -> bool:
