@@ -684,6 +684,115 @@ def compact(
     raise CommitConflict(f"compact lost the CAS {max_retries} times under {path}")
 
 
+def _commit_exclusive(fs, path: str, payload: dict, v0: int, op: str) -> int:
+    """Single-shot CAS for snapshot-replacing commits (overwrite_table,
+    restore): these rewrite the WHOLE live set, so NOTHING commutes —
+    even a blind append would be silently clobbered by a re-attach
+    (its part stays live, violating replace semantics). A lost CAS is
+    therefore an immediate :class:`CommitConflict`; the caller re-reads
+    and decides against the new state."""
+    if _try_commit(fs, path, v0 + 1, payload):
+        return v0 + 1
+    raise CommitConflict(
+        f"{op} under {path}: a concurrent commit won v{v0 + 1}; whole-table "
+        "replacement cannot re-attach past anything — re-run against the "
+        "new state"
+    )
+
+
+def overwrite_table(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    evolve: bool = False,
+    replace_schema: bool = False,
+    partition: dict | None = None,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """CREATE OR REPLACE: one atomic commit removes every live part and
+    adds the new content — readers see the old table or the new one,
+    never a mix, and every historical version stays time-travelable.
+    ``replace_schema=True`` records the frame's schema verbatim (Delta's
+    ``overwriteSchema``: a full replace may legitimately retype the
+    table; per-commit schemas keep old versions and CDF windows reading
+    correctly under THEIR schema), otherwise the normal validate-or-
+    ``evolve`` contract applies. Nothing commutes with a whole-table
+    replace — any concurrent commit raises :class:`CommitConflict`.
+
+    Feed contract: like ``overwrite_partition``, the new content feeds
+    as inserts and the replaced rows are not emitted as deletes."""
+    fs = lake_fs(spark, path)
+    v0, live = _snapshot(fs, path)
+    if replace_schema:
+        schema = df.schema.jsonValue()
+    else:
+        schema = _merge_schema(_committed_schema(fs, path, v0), df, evolve)
+    part = _write_part(spark, path, df)
+    add = {"path": part, "partition": partition or {}}
+    if stats_cols:
+        stats = _column_stats(df, stats_cols)
+        if stats:
+            add["stats"] = stats
+    payload = {
+        "operation": "overwrite_table",
+        "adds": [add],
+        "removes": sorted(live),
+        "scope_partition": None,
+        "schema": schema,
+    }
+    v = _commit_exclusive(fs, path, payload, v0, "overwrite_table")
+    return {"version": v, "removed_parts": len(live)}
+
+
+def restore(spark: SparkSession, path: str, version: int) -> dict:
+    """Delta-style RESTORE: make the live set equal to ``version``'s
+    snapshot via ONE new commit — a roll-forward undo that preserves
+    history (the bad commits stay inspectable and the restore itself is
+    versioned, unlike rewinding the log). The restored schema is the
+    schema as-of ``version``. Requires the target snapshot's parts to
+    still exist — restoring past ``vacuum(keep_versions=...)`` raises
+    :class:`VersionExpiredError` at plan time. Nothing commutes with a
+    whole-table replacement (see :func:`_commit_exclusive`).
+
+    Feed contract: the re-added parts were already visible at
+    ``version``, so they are flagged as rewrites — invisible to
+    ``table_changes`` / ``table_changes_cdf`` exactly like a
+    compaction's adds (re-feeding them would double-count for any
+    consumer that saw them the first time); ``iter_changes`` still
+    surfaces the restore commit itself for operation-aware consumers."""
+    fs = lake_fs(spark, path)
+    v0, cur = _snapshot(fs, path)
+    if version > v0:
+        raise FileNotFoundError(
+            f"restore({version}) under {path}: latest committed is v{v0}"
+        )
+    _, target = _snapshot(fs, path, version)
+    _require_parts_exist(fs, path, sorted(target), f"restore({version})")
+    removes = sorted(set(cur) - set(target))
+    adds = [
+        dict(
+            {"path": p, "partition": e["partition"], "rewrite": True},
+            **({"stats": e["stats"]} if e.get("stats") else {}),
+        )
+        for p, e in sorted(target.items())
+        if p not in cur
+    ]
+    if not removes and not adds:
+        return {"version": v0, "restored_to": version, "changed": False}
+    payload = {
+        "operation": "restore",
+        "adds": adds,
+        "removes": removes,
+        "scope_partition": None,
+        "restored_version": version,
+    }
+    sj = _committed_schema(fs, path, version)
+    if sj is not None:
+        payload["schema"] = sj
+    v = _commit_exclusive(fs, path, payload, v0, "restore")
+    return {"version": v, "restored_to": version, "changed": True}
+
+
 def overwrite_partition(
     spark: SparkSession,
     path: str,
@@ -1065,7 +1174,7 @@ def table_changes(
         op = c.get("operation")
         if op == "compact":
             continue  # pure rewrite: no content change, invisible to CDC
-        if op == "overwrite_partition":
+        if op in ("overwrite_partition", "overwrite_table"):
             # true replacement whose replacement rows fully feed below —
             # popping in-window adds matches the final visible state
             for r in c.get("removes", []):

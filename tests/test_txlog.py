@@ -975,6 +975,87 @@ def test_cdf_change_parts_respect_vacuum_retention(spark, tmp_path):
     assert table_changes_cdf(spark, path, 2).count() == 4
 
 
+def test_overwrite_table_atomic_replace(spark, tmp_path):
+    from es_analytics_spark.txlog import overwrite_table, table_changes
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))   # v1
+    append(spark, path, _ids(spark, 10, 20))  # v2
+    r = overwrite_table(spark, path, _ids(spark, 100, 105))  # v3
+    assert r == {"version": 3, "removed_parts": 2}
+    assert sorted(x["id"] for x in read_table(spark, path).collect()) == list(
+        range(100, 105)
+    )
+    # history preserved: the pre-replace snapshot still reads
+    assert read_table(spark, path, version=2).count() == 20
+    # insert-only feed: replacement rows feed, replaced rows vanish
+    got = sorted(x["id"] for x in table_changes(spark, path, 0).collect())
+    assert got == list(range(100, 105))
+    # replace_schema retypes the table wholesale; old versions keep theirs
+    retyped = spark.range(0, 3).select(F.col("id").cast("string").alias("id"))
+    overwrite_table(spark, path, retyped, replace_schema=True)  # v4
+    assert dict(read_table(spark, path).dtypes)["id"] == "string"
+    assert dict(read_table(spark, path, version=3).dtypes)["id"] == "bigint"
+    # nothing commutes: a stolen CAS is an immediate conflict
+    orig = txlog._try_commit
+
+    def steal_once(fs, p, version, payload):
+        if payload.get("operation") == "overwrite_table":
+            competing = {"operation": "append", "adds": [], "removes": [],
+                         "scope_partition": None}
+            assert orig(fs, p, version, competing)
+        return orig(fs, p, version, payload)
+
+    import pytest as _pytest
+    from unittest import mock
+
+    with mock.patch.object(txlog, "_try_commit", steal_once):
+        with _pytest.raises(CommitConflict, match="cannot re-attach"):
+            overwrite_table(spark, path, _ids(spark, 0, 1), replace_schema=True)
+
+
+def test_restore_rolls_forward_and_is_feed_invisible(spark, tmp_path):
+    from es_analytics_spark.txlog import (
+        VersionExpiredError,
+        delete_where,
+        restore,
+        table_changes,
+        table_changes_cdf,
+    )
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10), stats_cols=["id"])  # v1
+    append(spark, path, _ids(spark, 10, 20), stats_cols=["id"])  # v2
+    delete_where(spark, path, "id >= 15")  # v3: the "bad" commit
+    assert read_table(spark, path).count() == 15
+    r = restore(spark, path, 2)  # v4: undo it, keep history
+    assert r == {"version": 4, "restored_to": 2, "changed": True}
+    assert sorted(x["id"] for x in read_table(spark, path).collect()) == list(
+        range(20)
+    )
+    # zone maps came back with the restored parts
+    sub = read_table(spark, path, range_filter={"id": (0, 3)})
+    opened = {f.rsplit("/parts/", 1)[1].split("/")[0] for f in sub.inputFiles()}
+    assert len(opened) == 1
+    # history preserved: the deleted state is still inspectable
+    assert read_table(spark, path, version=3).count() == 15
+    # feed-invisible: a consumer at v3 sees nothing new (rows at v2 were
+    # already fed; re-feeding them would double-count)
+    assert table_changes(spark, path, 3).count() == 0
+    assert table_changes_cdf(spark, path, 3).count() == 0
+    # restoring to the current state is a no-op, not an empty commit
+    assert restore(spark, path, 4) == {
+        "version": 4, "restored_to": 4, "changed": False,
+    }
+    # restore past vacuum retention raises at plan time
+    append(spark, path, _ids(spark, 20, 25))  # v5
+    compact(spark, path)  # v6
+    append(spark, path, _ids(spark, 25, 30))  # v7
+    vacuum(spark, path, keep_versions=1, retention_seconds=0)
+    with pytest.raises(VersionExpiredError, match="expired"):
+        restore(spark, path, 2)
+
+
 def test_as_of_timestamp_time_travel(spark, tmp_path):
     """Wall-clock time travel: commits carry a stamp; a timestamp
     resolves to the newest commit at-or-before it (running-max
