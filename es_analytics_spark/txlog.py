@@ -38,6 +38,8 @@ delete_where /            every intervening commit is a blind append
 merge_upsert              (WriteSerializable: the rewrite read its
                           snapshot; concurrent appends are simply not
                           subject to it)
+overwrite_table /         never — whole-table replacement commutes
+restore                   with nothing
 ========================  =========================================
 
 Anything else raises :class:`CommitConflict`; the caller re-runs the
@@ -1083,11 +1085,11 @@ def merge_upsert(
                 np = fs_join(_part_dir(path), uuid.uuid4().hex)
                 keep.write.mode("overwrite").parquet(np)
                 add = {"path": np, "partition": live[p]["partition"], "rewrite": True}
-        if live[p].get("stats"):
-            # survivors are a subset of the original rows, so the
-            # original zone map stays VALID (possibly wider — still safe)
-            add["stats"] = live[p]["stats"]
-        adds.append(add)
+                if live[p].get("stats"):
+                    # survivors are a subset of the original rows, so the
+                    # original zone map stays VALID (possibly wider — safe)
+                    add["stats"] = live[p]["stats"]
+                adds.append(add)
     upd_part = _write_part(spark, path, updates)
     adds.append({"path": upd_part, "partition": {}})
     payload = {

@@ -853,6 +853,19 @@ def test_merge_upsert_replaces_and_inserts_in_one_commit(spark, tmp_path):
     dup = spark.range(0, 2).select(F.lit(7).cast("long").alias("id"), F.col("id").alias("val"))
     with pytest.raises(ValueError, match="duplicate key"):
         merge_upsert(spark, path, dup, keys=["id"])
+    # merge spanning MULTIPLE touched parts keeps EVERY part's survivors
+    # (regression: an indentation slip appended only the LAST part's
+    # survivor rewrite, silently dropping the others' unmatched rows —
+    # caught by the mixed-ops CDF-replay stress)
+    path2 = str(tmp_path / "t2")
+    append(spark, path2, spark.range(0, 20).select("id", (F.col("id") * 10).alias("val")))
+    append(spark, path2, spark.range(20, 40).select("id", (F.col("id") * 10).alias("val")))
+    upd_span = spark.range(15, 25).select("id", F.lit(0).cast("long").alias("val"))
+    r3 = merge_upsert(spark, path2, upd_span, keys=["id"])
+    assert r3["rows_updated"] == 10 and r3["parts_rewritten"] == 2
+    got2 = {x["id"]: x["val"] for x in read_table(spark, path2).collect()}
+    assert got2 == {i: (0 if 15 <= i < 25 else i * 10) for i in range(40)}
+
     # a key appended TWICE collapses to the single update row
     append(spark, path, spark.range(3, 4).select("id", F.lit(-1).cast("long").alias("val")))
     upd2 = spark.range(3, 4).select("id", F.lit(999).cast("long").alias("val"))
@@ -973,6 +986,79 @@ def test_cdf_change_parts_respect_vacuum_retention(spark, tmp_path):
         table_changes_cdf(spark, path, 0).count()
     # recent windows (past the expired versions) still read fine
     assert table_changes_cdf(spark, path, 2).count() == 4
+
+
+def test_mixed_rowlevel_stress_cdf_replay_equals_table(spark, tmp_path):
+    """Serializability + CDF exactness under contention: three writers
+    interleave appends, key-space merges, and predicate deletes (each
+    retrying through CommitConflict, as real writers must). The
+    invariant that catches ANY lost/duplicated/ghost row: replaying the
+    row-level change feed version-by-version reconstructs the final
+    table as an exact multiset — and the snapshot replay itself
+    validates every remove in the history."""
+    from collections import Counter
+
+    from es_analytics_spark.txlog import delete_where, merge_upsert, table_changes_cdf
+
+    path = str(tmp_path / "t")
+    append(
+        spark, path,
+        spark.range(0, 50).select("id", (F.col("id") % 10).alias("val")),
+    )
+    errs: list[Exception] = []
+
+    def with_retries(fn) -> None:
+        for _ in range(12):
+            try:
+                fn()
+                return
+            except CommitConflict:
+                time.sleep(0.01)
+        errs.append(RuntimeError("retry budget exhausted"))
+
+    def appender() -> None:
+        for i in range(3):
+            lo = 1000 + i * 100
+            append(
+                spark, path,
+                spark.range(lo, lo + 50).select("id", (F.col("id") % 10).alias("val")),
+            )
+
+    def merger() -> None:
+        for i in range(3):
+            upd = spark.range(i * 10, i * 10 + 20).select(
+                "id", F.lit(900 + i).cast("long").alias("val")
+            )
+            with_retries(lambda u=upd: merge_upsert(spark, path, u, keys=["id"]))
+
+    def deleter() -> None:
+        for i in range(3):
+            with_retries(
+                lambda k=i: delete_where(spark, path, f"id >= 0 and val = {k}")
+            )
+
+    threads = [
+        threading.Thread(target=f) for f in (appender, merger, deleter)
+    ]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs
+    # snapshot replay validates the whole remove history
+    final = Counter(
+        (r["id"], r["val"]) for r in read_table(spark, path).collect()
+    )
+    # CDF replay: apply each version's deletes then inserts to a multiset
+    state: Counter = Counter()
+    rows = table_changes_cdf(spark, path, 0).collect()
+    for r in sorted(rows, key=lambda x: (x["_commit_version"], x["_change_type"] == "insert")):
+        k = (r["id"], r["val"])
+        if r["_change_type"] == "delete":
+            state[k] -= 1
+            if state[k] == 0:
+                del state[k]
+        else:
+            state[k] += 1
+    assert state == final
 
 
 def test_overwrite_table_atomic_replace(spark, tmp_path):
