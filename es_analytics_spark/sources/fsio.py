@@ -400,7 +400,12 @@ class CoordinatedFS:
     def read_bytes(self, path: str) -> bytes:
         try:
             return self._base.read_bytes(path)
-        except (OSError, FileNotFoundError):
+        except Exception:
+            # catch broadly, NOT just OSError: HadoopFS surfaces a
+            # missing path as Py4JJavaError, and the coordinator
+            # deployment target IS the URI-store case. recover() is a
+            # safe probe — it acts only when a claim row exists for the
+            # path; any other failure re-raises unchanged below.
             if getattr(self._coordinator, "recover", None) and self._coordinator.recover(path):
                 return self._base.read_bytes(path)
             raise

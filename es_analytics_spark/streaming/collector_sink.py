@@ -124,8 +124,8 @@ def stream_upsert_to_table(
 ) -> StreamingQuery:
     """CDC-style streaming sink: each micro-batch MERGEs into the
     parquet table at ``path`` on ``keys`` (latest row per key wins,
-    "latest" = max ``order_col`` with key order as tie-break for
-    determinism).
+    "latest" = max ``order_col`` with a full-row content hash as the
+    deterministic tie-break).
 
     foreachBatch + maintenance.upsert: the batch is first reduced to
     one row per key (upsert rejects duplicate key tuples by contract),
@@ -142,8 +142,12 @@ def stream_upsert_to_table(
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if not batch.columns:
             return
+        # ties on order_col break by a content hash of the full row —
+        # key columns are constant within the partition and cannot
+        # tie-break, which would leave the winner task-order-dependent
         w = W.partitionBy(*keys).orderBy(
-            F.col(order_col).desc(), *[F.col(k) for k in keys]
+            F.col(order_col).desc(),
+            F.xxhash64(*[F.col(c) for c in batch.columns]),
         )
         latest = (
             batch.withColumn("__rn", F.row_number().over(w))

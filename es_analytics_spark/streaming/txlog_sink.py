@@ -70,23 +70,17 @@ def epoch_source(stream_id: str, batch_id: int) -> str:
     return f"{stream_id}/epoch-{batch_id:012d}"
 
 
-class _EpochCommitter:
-    """foreachBatch callable: commit each epoch exactly once.
+class _SeenSourceCache:
+    """Incremental (version, seen-sources) snapshot shared by both epoch
+    committers: the already-committed check reads only commits that
+    landed since the previous epoch — O(new commits), never O(log). The
+    cache is pure optimization; correctness never depends on it (append
+    re-validates source overlap past ``since_version`` before its CAS
+    can win, and a merge epoch is idempotent)."""
 
-    Keeps an incremental (version, seen-sources) snapshot so the
-    already-committed check reads only commits that landed since the
-    previous epoch. The snapshot is a pure cache — correctness never
-    depends on it, because ``txlog.append``'s source-overlap conflict
-    check re-validates against every commit past ``since_version``
-    before the CAS can win."""
-
-    def __init__(self, path: str, stream_id: str, partition: dict | None, evolve: bool,
-                 stats_cols: list | None = None):
+    def __init__(self, path: str, stream_id: str):
         self.path = path
         self.stream_id = stream_id
-        self.partition = partition
-        self.evolve = evolve
-        self.stats_cols = stats_cols
         self._seen_version = 0
         self._seen: set[str] = set()
 
@@ -97,6 +91,18 @@ class _EpochCommitter:
         for c in txlog._intervening(fs, self.path, self._seen_version, upto):
             self._seen.update(c.get("sources", []))
         self._seen_version = upto
+
+
+class _EpochCommitter(_SeenSourceCache):
+    """foreachBatch callable: commit each epoch exactly once (see
+    _SeenSourceCache for the duplicate-check mechanics)."""
+
+    def __init__(self, path: str, stream_id: str, partition: dict | None, evolve: bool,
+                 stats_cols: list | None = None):
+        super().__init__(path, stream_id)
+        self.partition = partition
+        self.evolve = evolve
+        self.stats_cols = stats_cols
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -130,33 +136,24 @@ class _EpochCommitter:
             raise
 
 
-class _MergeEpochCommitter:
+class _MergeEpochCommitter(_SeenSourceCache):
     """foreachBatch callable for the CDC-shaped sink: each epoch MERGEs
     into the txlog table (latest row per key wins within the epoch,
-    ordered by ``order_col`` with key order as tie-break). Exactly-once
-    has two layers: the source stamp skips a replayed epoch whose merge
-    already committed, and the merge itself is idempotent (same keys →
-    same replacement rows), so even a skipped stamp converges. A
+    ordered by ``order_col``; ties on it break by a content hash of the
+    full row, so the winner is a deterministic function of the epoch's
+    DATA — never of task/shuffle order). Exactly-once has two layers:
+    the source stamp skips a replayed epoch whose merge already
+    committed, and the merge itself is idempotent (same keys → same
+    replacement rows), so even a skipped stamp converges. A
     CommitConflict (a concurrent compact/overwrite/merge landed mid-CAS)
     re-runs the merge against the fresh snapshot — the orphaned rewrite
     parts are vacuum fodder, the standard OCC retry."""
 
     def __init__(self, path: str, stream_id: str, keys: list[str], order_col: str, evolve: bool):
-        self.path = path
-        self.stream_id = stream_id
+        super().__init__(path, stream_id)
         self.keys = keys
         self.order_col = order_col
         self.evolve = evolve
-        self._seen_version = 0
-        self._seen: set[str] = set()
-
-    def _refresh_seen(self, spark, upto: int) -> None:
-        if upto <= self._seen_version:
-            return
-        fs = lake_fs(spark, self.path)
-        for c in txlog._intervening(fs, self.path, self._seen_version, upto):
-            self._seen.update(c.get("sources", []))
-        self._seen_version = upto
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as W, functions as F
@@ -168,8 +165,12 @@ class _MergeEpochCommitter:
         self._refresh_seen(spark, txlog.current_version(spark, self.path))
         if source in self._seen:
             return
+        # NOTE: key columns are constant within the window partition, so
+        # they cannot tie-break; the row-content hash can and is
+        # replay-stable
         w = W.partitionBy(*self.keys).orderBy(
-            F.col(self.order_col).desc(), *[F.col(k) for k in self.keys]
+            F.col(self.order_col).desc(),
+            F.xxhash64(*[F.col(c) for c in batch.columns]),
         )
         latest = (
             batch.withColumn("__rn", F.row_number().over(w))

@@ -65,7 +65,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from es_analytics_spark.sources.fsio import join as fs_join, lake_fs
+from es_analytics_spark.sources.fsio import is_uri, join as fs_join, lake_fs
 
 _CHECKPOINT_EVERY_HINT = 20  # advisory; checkpoint() is explicit
 
@@ -93,6 +93,16 @@ class VersionExpiredError(FileNotFoundError):
 
 
 def _log_dir(path: str) -> str:
+    import os
+
+    if not is_uri(path) and not os.path.isabs(path):
+        # split-brain hazard: Spark resolves relative DATA paths against
+        # the JVM's working directory, while the log I/O here resolves
+        # them against the Python process's — after any chdir the table
+        # halves land in different places. Refuse up front.
+        raise ValueError(
+            f"txlog table path must be absolute or a URI, got {path!r}"
+        )
     return fs_join(path, "_txlog")
 
 
@@ -348,8 +358,6 @@ def read_table(
         version = version_at_timestamp(spark, path, timestamp)
     v, live = _snapshot(fs, path, version)
     parts = sorted(live)
-    if version is not None:
-        _require_parts_exist(fs, path, parts, f"read_table(version={version})")
     if partition_filter:
         parts = [
             p
@@ -365,6 +373,11 @@ def read_table(
             for p in parts
             if not _stats_disjoint(live[p].get("stats"), range_filter)
         ]
+    if version is not None:
+        # AFTER pruning: a time-travel read must not fail on reaped
+        # parts it was never going to open (a pruned partition whose
+        # history expired is irrelevant to this query)
+        _require_parts_exist(fs, path, parts, f"read_table(version={version})")
     if not parts:
         if live:
             out = _empty_frame(spark, fs, path, v, live)
@@ -877,17 +890,56 @@ def _strip_scheme(p: str) -> str:
 
 def _owning_parts(parts: list[str], file_uris: list[str]) -> list[str]:
     """Map data-file URIs back to the manifest part directories that
-    contain them."""
-    by_path = {_strip_scheme(p).rstrip("/"): p for p in parts}
+    contain them — by the part directory's BASENAME, a uuid4 hex that is
+    globally unique by construction (``_write_part``). Path-prefix
+    matching would be fragile here: input_file_name() returns an
+    absolute percent-encoded URI while manifest paths may be relative
+    (resolved against the JVM's cwd, which need not equal Python's) or
+    carry a different scheme spelling. An unmappable file RAISES: a
+    silent miss would turn a delete into a no-op (rows survive
+    uncounted) or make a merge insert duplicates without removing the
+    matched rows — fail loudly instead."""
+    by_base = {p.rstrip("/").rsplit("/", 1)[-1]: p for p in parts}
     out = set()
     for f in file_uris:
-        fp = _strip_scheme(f)
-        d = fp.rsplit("/", 1)[0]
-        while d and d not in by_path:
-            d = d.rsplit("/", 1)[0] if "/" in d else ""
-        if d:
-            out.add(by_path[d])
+        segs = f.rstrip("/").split("/")
+        base = next(
+            (segs[i + 1] for i in range(len(segs) - 2, -1, -1)
+             if segs[i] == "parts" and segs[i + 1] in by_base),
+            None,
+        )
+        if base is None:
+            raise RuntimeError(
+                f"cannot map data file {f} back to any manifest part; "
+                "refusing to proceed with a partial rewrite"
+            )
+        out.add(by_base[base])
     return sorted(out)
+
+
+def _union_schema_json(a: dict | None, b: dict | None) -> dict | None:
+    """Union of two committed-schema payloads: a's fields, then b's
+    fields a lacks (forced nullable — they're absent from some parts).
+    A type conflict raises — it means two writers evolved incompatibly,
+    which the validate path should have rejected. Used when a rewrite
+    re-attaches past a concurrent append: neither side's schema may be
+    silently dropped (adopting the append's verbatim used to REVERT a
+    merge's own evolution; recording only ours would revert theirs)."""
+    if a is None or b is None:
+        return a if b is None else b
+    a_types = {f["name"]: f["type"] for f in a["fields"]}
+    out = dict(a)
+    out["fields"] = list(a["fields"])
+    for f in b["fields"]:
+        if f["name"] in a_types:
+            if a_types[f["name"]] != f["type"]:
+                raise SchemaMismatchError(
+                    f"column {f['name']!r}: concurrent writers committed "
+                    f"types {a_types[f['name']]} vs {f['type']}"
+                )
+        else:
+            out["fields"].append(dict(f, nullable=True))
+    return out
 
 
 def _commute_past_appends_only(
@@ -900,7 +952,10 @@ def _commute_past_appends_only(
     never in the snapshot), while any intervening remove-carrying or
     scoped commit (compact, overwrite, another delete/merge) raises
     :class:`CommitConflict`, because it may have touched the very parts
-    this transaction rewrote."""
+    this transaction rewrote. The re-attached commit records the UNION
+    of its schema and the intervening appends' — neither a concurrent
+    evolution nor this rewrite's own ``evolve=True`` columns can be
+    silently reverted by losing the CAS."""
     v = v0
     for _ in range(max_retries):
         v += 1
@@ -914,8 +969,9 @@ def _commute_past_appends_only(
                     f"({c.get('operation')}) may overlap this rewrite; "
                     "re-run against the new state"
                 )
-            if c.get("schema") is not None:
-                payload["schema"] = c["schema"]
+            merged = _union_schema_json(payload.get("schema"), c.get("schema"))
+            if merged is not None:
+                payload["schema"] = merged
         v = max(v, latest)
     raise CommitConflict(f"{op} lost the CAS {max_retries} times under {path}")
 
@@ -947,6 +1003,12 @@ def delete_where(
     from pyspark.sql import functions as F
 
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    # SQL DELETE three-valued semantics: delete exactly where the
+    # predicate is TRUE. Without the coalesce, rows where it evaluates
+    # to NULL would be excluded from BOTH the matched/cdc set
+    # (filter(cond)) and the survivor rewrite (filter(~cond)) — silent,
+    # unauditable data loss for any predicate over a nullable column.
+    cond = F.coalesce(cond.cast("boolean"), F.lit(False))
     fs = lake_fs(spark, path)
     v0, live = _snapshot(fs, path)
     if not live:
@@ -1007,12 +1069,21 @@ def merge_upsert(
     evolve: bool = False,
     max_retries: int = 10,
     sources: list[str] | None = None,
+    partition: dict | None = None,
 ) -> dict:
     """Transactional MERGE (upsert) in ONE atomic commit: rows in
     ``updates`` replace live rows with equal key tuples, unmatched
     update rows insert. ``updates`` must be key-unique (checked —
     duplicate key tuples make "the" new row ambiguous). Returns
     {"version", "rows_updated", "rows_inserted", "parts_rewritten"}.
+
+    ``partition`` tags the updates part. It matters on tables read via
+    ``partition_filter``: that read is manifest-exact only over tagged
+    parts, so an UNTAGGED updates part (the default — a merge may span
+    partitions) is invisible to it, and is outside
+    ``overwrite_partition``'s remove/conflict scope. Single-partition
+    merges on tag-partitioned tables should pass the tag; survivor
+    rewrites always keep their original part's tag.
 
     Mechanics mirror :func:`delete_where`: one distributed semi-join
     pass finds the touched parts, each is rewritten WITHOUT its matched
@@ -1091,12 +1162,12 @@ def merge_upsert(
                     add["stats"] = live[p]["stats"]
                 adds.append(add)
     upd_part = _write_part(spark, path, updates)
-    adds.append({"path": upd_part, "partition": {}})
+    adds.append({"path": upd_part, "partition": partition or {}})
     payload = {
         "operation": "merge_upsert",
         "adds": adds,
         "removes": removes,
-        "scope_partition": None,
+        "scope_partition": partition,
         "schema": schema,
     }
     if cdc:
@@ -1104,7 +1175,10 @@ def merge_upsert(
     if sources is not None:
         payload["sources"] = sorted(sources)
     res = _commute_past_appends_only(fs, path, payload, v0, max_retries, "merge_upsert")
-    n_updates = updates.count()
+    # footer-only count of the part actually written — never a third
+    # execution of the caller's updates lineage (which may be expensive
+    # or, for a re-read stream batch, not even deterministic)
+    n_updates = spark.read.parquet(upd_part).count()
     return {
         "version": res["version"],
         "rows_updated": rows_updated,
@@ -1176,9 +1250,11 @@ def table_changes(
         op = c.get("operation")
         if op == "compact":
             continue  # pure rewrite: no content change, invisible to CDC
-        if op in ("overwrite_partition", "overwrite_table"):
-            # true replacement whose replacement rows fully feed below —
-            # popping in-window adds matches the final visible state
+        if op in ("overwrite_partition", "overwrite_table", "restore"):
+            # replacement/undo whose surviving content is (re)covered
+            # below — popping in-window adds matches the final visible
+            # state (a part appended in-window and then undone by an
+            # in-window restore must not feed)
             for r in c.get("removes", []):
                 added.pop(r, None)
         # delete_where / merge_upsert removes are NOT popped: their

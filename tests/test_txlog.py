@@ -988,6 +988,116 @@ def test_cdf_change_parts_respect_vacuum_retention(spark, tmp_path):
     assert table_changes_cdf(spark, path, 2).count() == 4
 
 
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE three-valued semantics (round-8 review finding): a
+    row where the predicate evaluates to NULL is NOT deleted. Without
+    the coalesce guard it vanished from BOTH the cdc set (filter cond)
+    and the survivor rewrite (filter ~cond) — silent data loss."""
+    from es_analytics_spark.txlog import delete_where, table_changes_cdf
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "eu"), (2, None), (3, "us"), (4, None)], "id long, region string"
+    )
+    append(spark, path, df)
+    r = delete_where(spark, path, "region = 'eu'")
+    assert r["rows_deleted"] == 1
+    got = sorted(x["id"] for x in read_table(spark, path).collect())
+    assert got == [2, 3, 4]  # NULL-region rows survive
+    dels = table_changes_cdf(spark, path, 1).filter(
+        F.col("_change_type") == "delete"
+    )
+    assert [x["id"] for x in dels.collect()] == [1]
+    # NULL-matching is still expressible explicitly
+    delete_where(spark, path, "region IS NULL")
+    assert sorted(x["id"] for x in read_table(spark, path).collect()) == [3]
+
+
+def test_rewrite_reattach_unions_schemas(spark, tmp_path, monkeypatch):
+    """Round-8 review finding: a merge(evolve=True) losing its CAS to a
+    concurrent old-schema blind append must record the UNION of both
+    schemas — adopting the append's verbatim reverted the merge's own
+    evolution (the new column became unreadable)."""
+    from es_analytics_spark.txlog import merge_upsert, table_schema
+
+    path = str(tmp_path / "t")
+    append(spark, path, spark.range(0, 10).select("id", (F.col("id") * 2).alias("val")))
+    spare = _write_part(spark, path, spark.range(50, 55).select("id", (F.col("id") * 2).alias("val")))
+    orig = txlog._try_commit
+    state = {"stolen": False}
+
+    def hooked(fs, p, version, payload):
+        if payload.get("operation") == "merge_upsert" and not state["stolen"]:
+            state["stolen"] = True
+            competing = {
+                "operation": "append",
+                "adds": [{"path": spare, "partition": {}}],
+                "removes": [],
+                "scope_partition": None,
+                "schema": txlog._committed_schema(fs, p, 1),  # OLD schema
+            }
+            assert orig(fs, p, version, competing)
+        return orig(fs, p, version, payload)
+
+    monkeypatch.setattr(txlog, "_try_commit", hooked)
+    upd = spark.range(0, 3).select(
+        "id", (F.col("id") * 2).alias("val"), F.lit("eu").alias("region")
+    )
+    merge_upsert(spark, path, upd, keys=["id"], evolve=True)
+    names = [f.name for f in table_schema(spark, path).fields]
+    assert names == ["id", "val", "region"]  # evolution NOT reverted
+    got = read_table(spark, path)
+    assert got.filter(F.col("region") == "eu").count() == 3
+    assert got.filter(F.col("region").isNull()).count() == 12
+
+
+def test_merge_partition_tag_and_pruned_time_travel(spark, tmp_path):
+    from es_analytics_spark.txlog import VersionExpiredError, merge_upsert
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10, d="a"), partition={"d": "a"})  # v1
+    append(spark, path, _ids(spark, 10, 20, d="b"), partition={"d": "b"})  # v2
+    # a tagged single-partition merge stays visible to partition_filter
+    upd = spark.range(5, 12).select("id", F.lit("a").alias("d"))
+    merge_upsert(spark, path, upd, keys=["id"], partition={"d": "a"})  # v3
+    got = read_table(spark, path, partition_filter={"d": "a"})
+    assert sorted(x["id"] for x in got.collect()) == list(range(12))
+    # expire partition b's history; pruned time travel to a must WORK
+    overwrite_partition(spark, path, _ids(spark, 100, 103, d="b"), {"d": "b"})  # v4
+    append(spark, path, _ids(spark, 200, 201, d="c"), partition={"d": "c"})  # v5
+    vacuum(spark, path, keep_versions=1, retention_seconds=0)
+    got = read_table(spark, path, version=4, partition_filter={"d": "a"})
+    assert got.count() == 12  # b's reaped v2 part is pruned away, no error
+    with pytest.raises(VersionExpiredError):
+        read_table(spark, path, version=2, partition_filter={"d": "b"})
+
+
+def test_restore_pops_in_window_adds_from_feed(spark, tmp_path):
+    from es_analytics_spark.txlog import restore, table_changes
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))  # v1
+    append(spark, path, _ids(spark, 10, 20))  # v2 — will be undone
+    restore(spark, path, 1)  # v3
+    # a consumer bootstrapping across the undo sees only surviving rows
+    got = sorted(x["id"] for x in table_changes(spark, path, 0).collect())
+    assert got == list(range(10))
+
+
+def test_relative_table_paths_rejected_up_front(spark, tmp_path, monkeypatch):
+    """Round-8 review finding, resolved as a contract: a relative table
+    path is split-brain (Spark resolves data writes against the JVM's
+    cwd, the log I/O against Python's — they diverge after any chdir),
+    and input_file_name() mapping would silently no-op a DELETE. txlog
+    refuses relative paths at every entry point; part mapping is by the
+    globally-unique part basename, immune to path-spelling differences."""
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError, match="absolute or a URI"):
+        append(spark, "rel_table", _ids(spark, 0, 10))
+    with pytest.raises(ValueError, match="absolute or a URI"):
+        read_table(spark, "rel_table")
+
+
 def test_mixed_rowlevel_stress_cdf_replay_equals_table(spark, tmp_path):
     """Serializability + CDF exactness under contention: three writers
     interleave appends, key-space merges, and predicate deletes (each
