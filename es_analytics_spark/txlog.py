@@ -715,6 +715,20 @@ def _commit_exclusive(fs, path: str, payload: dict, v0: int, op: str) -> int:
     )
 
 
+def _replaced_rows_cdc(spark, fs, path: str, removes: list[str], schema) -> list[dict]:
+    """Materialize the rows an overwrite replaces into a change part,
+    so the CDF can emit them as deletes (opt-in: it costs one full read
+    + write of the replaced content, which a wholesale overwrite
+    otherwise never pays)."""
+    if not removes:
+        return []
+    cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
+    _read_parts(spark, sorted(removes), schema).write.mode("overwrite").parquet(
+        cdc_part
+    )
+    return [{"path": cdc_part, "change_type": "delete"}]
+
+
 def overwrite_table(
     spark: SparkSession,
     path: str,
@@ -723,6 +737,7 @@ def overwrite_table(
     replace_schema: bool = False,
     partition: dict | None = None,
     stats_cols: list[str] | None = None,
+    cdc: bool = False,
 ) -> dict:
     """CREATE OR REPLACE: one atomic commit removes every live part and
     adds the new content — readers see the old table or the new one,
@@ -734,8 +749,12 @@ def overwrite_table(
     ``evolve`` contract applies. Nothing commutes with a whole-table
     replace — any concurrent commit raises :class:`CommitConflict`.
 
-    Feed contract: like ``overwrite_partition``, the new content feeds
-    as inserts and the replaced rows are not emitted as deletes."""
+    Feed contract: the new content feeds as inserts; with ``cdc=True``
+    the replaced rows are additionally materialized into a change part
+    so ``table_changes_cdf`` emits them as deletes (full Delta-CDF
+    parity for overwrites, at the cost of one read+write of the
+    replaced content — default off, like Delta tables without CDF
+    enabled)."""
     fs = lake_fs(spark, path)
     v0, live = _snapshot(fs, path)
     if replace_schema:
@@ -755,6 +774,12 @@ def overwrite_table(
         "scope_partition": None,
         "schema": schema,
     }
+    if cdc:
+        change = _replaced_rows_cdc(
+            spark, fs, path, sorted(live), _committed_schema(fs, path, v0)
+        )
+        if change:
+            payload["cdc"] = change
     v = _commit_exclusive(fs, path, payload, v0, "overwrite_table")
     return {"version": v, "removed_parts": len(live)}
 
@@ -815,6 +840,7 @@ def overwrite_partition(
     partition: dict,
     max_retries: int = 10,
     evolve: bool = False,
+    cdc: bool = False,
 ) -> dict:
     """Transactional partition overwrite (the upsert shape: replace
     partition P's content wholesale): removes every live part tagged
@@ -844,6 +870,13 @@ def overwrite_partition(
         "scope_partition": partition,
         "schema": schema,
     }
+    if cdc:
+        # opt-in CDF parity: the replaced partition rows become deletes
+        change = _replaced_rows_cdc(
+            spark, fs, path, removes, _committed_schema(fs, path, v0)
+        )
+        if change:
+            payload["cdc"] = change
 
     def _touches_scope(c: dict) -> bool:
         if set(removes) & set(c.get("removes", [])):
@@ -1296,11 +1329,12 @@ def table_changes_cdf(
       version;
     - survivor rewrites and ``compact`` are invisible (no content
       change);
-    - an ``overwrite_partition``'s REPLACED rows are NOT emitted as
-      deletes (the overwrite commit records no change part — consumers
-      tracking wholesale replacement react to the operation +
-      ``scope_partition`` via :func:`iter_changes`). This is the one
-      documented divergence from full Delta CDF semantics.
+    - an overwrite's REPLACED rows are emitted as deletes only when the
+      overwrite was written with ``cdc=True`` (which materializes them
+      into a change part — Delta tables likewise only record change
+      files when CDF is enabled); without it, consumers tracking
+      wholesale replacement react to the operation +
+      ``scope_partition`` via :func:`iter_changes`.
 
     Mixed schemas across the window union by name with null fill
     (additive evolution only, so this is lossless). Change parts are

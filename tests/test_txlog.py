@@ -1098,6 +1098,79 @@ def test_relative_table_paths_rejected_up_front(spark, tmp_path, monkeypatch):
         read_table(spark, "rel_table")
 
 
+def test_rowlevel_crash_before_cas_is_invisible_and_vacuumable(
+    spark, tmp_path, monkeypatch
+):
+    """Crash sweep at the rewrite/CAS boundary for row-level ops: a
+    delete or merge that dies after writing its survivor + cdc parts
+    but before winning the CAS must leave the table byte-identical, and
+    quiescent vacuum must reap ALL its debris (survivors, updates part,
+    AND the cdc part)."""
+    from es_analytics_spark.txlog import delete_where, merge_upsert
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 30))
+    before = sorted(r["id"] for r in read_table(spark, path).collect())
+
+    def die(fs, p, version, payload):
+        raise OSError("simulated crash before CAS")
+
+    monkeypatch.setattr(txlog, "_try_commit", die)
+    with pytest.raises(OSError, match="simulated"):
+        delete_where(spark, path, "id < 10")
+    with pytest.raises(OSError, match="simulated"):
+        merge_upsert(
+            spark, path, spark.range(5, 8).select(F.col("id").cast("long")),
+            keys=["id"],
+        )
+    monkeypatch.undo()
+    # invisible: the table replays identically
+    assert sorted(r["id"] for r in read_table(spark, path).collect()) == before
+    assert current_version(spark, path) == 1
+    # vacuumable: every orphan (rewrites + updates + cdc) is reaped
+    fs = lake_fs(spark, path)
+    all_parts = set(fs.glob(fs_join(txlog._part_dir(path), "*")))
+    live = set(txlog._snapshot(fs, path)[1])
+    orphans = all_parts - live
+    assert orphans, "expected crash debris"
+    assert any("/cdc-" in p for p in orphans)
+    reaped = vacuum(spark, path, retention_seconds=0)
+    assert set(reaped) == orphans
+    assert read_table(spark, path).count() == 30
+
+
+def test_overwrite_cdc_opt_in_emits_deletes(spark, tmp_path):
+    from es_analytics_spark.txlog import overwrite_table, table_changes_cdf
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10, d="a"), partition={"d": "a"})  # v1
+    # without cdc: replacement feeds inserts only
+    overwrite_partition(spark, path, _ids(spark, 100, 103, d="a"), {"d": "a"})  # v2
+    assert table_changes_cdf(spark, path, 1).filter(
+        F.col("_change_type") == "delete"
+    ).count() == 0
+    # with cdc: the replaced rows become deletes at the overwrite version
+    overwrite_partition(
+        spark, path, _ids(spark, 200, 202, d="a"), {"d": "a"}, cdc=True
+    )  # v3
+    w = table_changes_cdf(spark, path, 2)
+    dels = sorted(
+        r["id"] for r in w.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == [100, 101, 102]
+    # whole-table variant
+    r = overwrite_table(spark, path, _ids(spark, 300, 302, d="z"), cdc=True)  # v4
+    w = table_changes_cdf(spark, path, 3)
+    dels = sorted(
+        r["id"] for r in w.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert dels == [200, 201]  # v3 wrote _ids(200, 202): two rows
+    ins = sorted(
+        r["id"] for r in w.filter(F.col("_change_type") == "insert").collect()
+    )
+    assert ins == [300, 301]  # 300..302 exclusive
+
+
 def test_mixed_rowlevel_stress_cdf_replay_equals_table(spark, tmp_path):
     """Serializability + CDF exactness under contention: three writers
     interleave appends, key-space merges, and predicate deletes (each
