@@ -142,12 +142,14 @@ def stream_upsert_to_table(
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         if not batch.columns:
             return
-        # ties on order_col break by a content hash of the full row —
+        # ties on order_col break by a content hash of the hashable
+        # columns (maps excluded — Spark prohibits hashing MapType) —
         # key columns are constant within the partition and cannot
         # tie-break, which would leave the winner task-order-dependent
+        from es_analytics_spark.streaming.txlog_sink import row_content_tiebreak
+
         w = W.partitionBy(*keys).orderBy(
-            F.col(order_col).desc(),
-            F.xxhash64(*[F.col(c) for c in batch.columns]),
+            F.col(order_col).desc(), row_content_tiebreak(batch)
         )
         latest = (
             batch.withColumn("__rn", F.row_number().over(w))

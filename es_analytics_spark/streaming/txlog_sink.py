@@ -63,6 +63,20 @@ from es_analytics_spark import txlog
 from es_analytics_spark.sources.fsio import lake_fs
 
 
+def row_content_tiebreak(batch: DataFrame):
+    """Deterministic tie-break expression for latest-per-key dedup:
+    xxhash64 over every HASHABLE column (Spark prohibits hash functions
+    on MapType — a map column must not make the whole sink unusable).
+    Falls back to a constant when nothing is hashable, which degrades
+    to arbitrary-but-documented tie order instead of failing."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.col(c) for c, t in batch.dtypes if not t.startswith("map")
+    ]
+    return F.xxhash64(*cols) if cols else F.lit(0)
+
+
 def epoch_source(stream_id: str, batch_id: int) -> str:
     """The txlog source name under which a stream's epoch commits.
     Deterministic in (stream_id, batch_id) — restarts MUST derive the
@@ -169,8 +183,7 @@ class _MergeEpochCommitter(_SeenSourceCache):
         # they cannot tie-break; the row-content hash can and is
         # replay-stable
         w = W.partitionBy(*self.keys).orderBy(
-            F.col(self.order_col).desc(),
-            F.xxhash64(*[F.col(c) for c in batch.columns]),
+            F.col(self.order_col).desc(), row_content_tiebreak(batch)
         )
         latest = (
             batch.withColumn("__rn", F.row_number().over(w))

@@ -715,18 +715,25 @@ def _commit_exclusive(fs, path: str, payload: dict, v0: int, op: str) -> int:
     )
 
 
-def _replaced_rows_cdc(spark, fs, path: str, removes: list[str], schema) -> list[dict]:
-    """Materialize the rows an overwrite replaces into a change part,
-    so the CDF can emit them as deletes (opt-in: it costs one full read
-    + write of the replaced content, which a wholesale overwrite
-    otherwise never pays)."""
+def _replaced_rows_cdc(
+    spark, fs, path: str, removes: list[str], schema, change_type: str = "delete"
+) -> list[dict]:
+    """Materialize rows into a change part so the CDF can emit them
+    (opt-in: it costs one full read + write of that content, which the
+    operation otherwise never pays). The entry records the SCHEMA the
+    rows were written under: a replace_schema overwrite's deletes carry
+    the OLD schema — reading them with the commit's new schema would
+    fail or drop columns."""
     if not removes:
         return []
     cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
     _read_parts(spark, sorted(removes), schema).write.mode("overwrite").parquet(
         cdc_part
     )
-    return [{"path": cdc_part, "change_type": "delete"}]
+    entry = {"path": cdc_part, "change_type": change_type}
+    if schema is not None:
+        entry["schema"] = schema
+    return [entry]
 
 
 def overwrite_table(
@@ -784,7 +791,7 @@ def overwrite_table(
     return {"version": v, "removed_parts": len(live)}
 
 
-def restore(spark: SparkSession, path: str, version: int) -> dict:
+def restore(spark: SparkSession, path: str, version: int, cdc: bool = False) -> dict:
     """Delta-style RESTORE: make the live set equal to ``version``'s
     snapshot via ONE new commit — a roll-forward undo that preserves
     history (the bad commits stay inspectable and the restore itself is
@@ -795,10 +802,15 @@ def restore(spark: SparkSession, path: str, version: int) -> dict:
     whole-table replacement (see :func:`_commit_exclusive`).
 
     Feed contract: the re-added parts were already visible at
-    ``version``, so they are flagged as rewrites — invisible to
-    ``table_changes`` / ``table_changes_cdf`` exactly like a
-    compaction's adds (re-feeding them would double-count for any
-    consumer that saw them the first time); ``iter_changes`` still
+    ``version``, so they are flagged as rewrites and the insert-only
+    ``table_changes`` feed handles them positionally (a part whose
+    in-window feed entry a replacement op erased re-feeds; anything
+    restored from before the window stays skipped — the consumer fed it
+    when it was first added). For the row-level ``table_changes_cdf``,
+    pass ``cdc=True`` to materialize the undo as change parts (deletes
+    for the rows the restore removes, inserts for the rows it brings
+    back); a CDF window spanning a restore committed WITHOUT cdc raises
+    rather than replaying to the wrong multiset. ``iter_changes``
     surfaces the restore commit itself for operation-aware consumers."""
     fs = lake_fs(spark, path)
     v0, cur = _snapshot(fs, path)
@@ -829,6 +841,16 @@ def restore(spark: SparkSession, path: str, version: int) -> dict:
     sj = _committed_schema(fs, path, version)
     if sj is not None:
         payload["schema"] = sj
+    if cdc:
+        entries = _replaced_rows_cdc(
+            spark, fs, path, removes, _committed_schema(fs, path, v0),
+            change_type="delete",
+        ) + _replaced_rows_cdc(
+            spark, fs, path, [a["path"] for a in adds], sj,
+            change_type="insert",
+        )
+        if entries:
+            payload["cdc"] = entries
     v = _commit_exclusive(fs, path, payload, v0, "restore")
     return {"version": v, "restored_to": version, "changed": True}
 
@@ -903,22 +925,6 @@ def overwrite_partition(
     raise CommitConflict(
         f"overwrite_partition lost the CAS {max_retries} times under {path}"
     )
-
-
-_SCHEME_RE = None
-
-
-def _strip_scheme(p: str) -> str:
-    """Path component of a possibly-URI path, so input_file_name()
-    output (always a URI) can be matched against manifest part paths
-    (plain for LocalFS, URIs for Hadoop stores)."""
-    global _SCHEME_RE
-    if _SCHEME_RE is None:
-        import re
-
-        _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?(/.*)$")
-    m = _SCHEME_RE.match(p)
-    return m.group(2) if m else p
 
 
 def _owning_parts(parts: list[str], file_uris: list[str]) -> list[str]:
@@ -1167,6 +1173,20 @@ def merge_upsert(
             .collect()
         )
         touched = _owning_parts(parts, [r["__f"] for r in matched])
+        if partition is not None:
+            # the declared single-partition contract must actually hold:
+            # silently migrating a matched row from another partition
+            # into the tagged updates part would make partition_filter
+            # reads lose it and a later overwrite of ITS partition leave
+            # it behind as a stale duplicate
+            outside = [p for p in touched if live[p]["partition"] != partition]
+            if outside:
+                raise ValueError(
+                    f"merge_upsert(partition={partition}): matched keys live "
+                    f"in {len(outside)} part(s) tagged differently (e.g. "
+                    f"{live[outside[0]]['partition']}); drop the partition "
+                    "tag or scope the update keys"
+                )
         if touched:
             removes = touched
             old_rows = _read_parts(spark, touched, table_schema).join(
@@ -1278,6 +1298,7 @@ def table_changes(
             f"latest committed version is v{latest}"
         )
     added: dict[str, dict] = {}
+    popped: dict[str, dict] = {}
     for v in range(from_version + 1, to_version + 1):
         c = _read_commit(fs, path, v)
         op = c.get("operation")
@@ -1287,9 +1308,11 @@ def table_changes(
             # replacement/undo whose surviving content is (re)covered
             # below — popping in-window adds matches the final visible
             # state (a part appended in-window and then undone by an
-            # in-window restore must not feed)
+            # in-window restore must not feed). Remember what was
+            # popped: a LATER in-window restore may bring it back.
             for r in c.get("removes", []):
-                added.pop(r, None)
+                if r in added:
+                    popped[r] = added.pop(r)
         # delete_where / merge_upsert removes are NOT popped: their
         # surviving rows are fed by the ORIGINAL in-window adds (the
         # rewrites are flagged and skipped below), and deletions are
@@ -1298,6 +1321,13 @@ def table_changes(
         for a in c.get("adds", []):
             if not a.get("rewrite"):
                 added[a["path"]] = a.get("partition", {})
+            elif op == "restore" and a["path"] in popped:
+                # the restore re-added a part whose in-window feed entry
+                # a replacement op erased: its rows are back in the
+                # final visible state and the consumer has never seen
+                # them — re-feed (parts restored from BEFORE the window
+                # were fed when originally added and stay skipped)
+                added[a["path"]] = popped.pop(a["path"])
     parts = sorted(added)
     _require_parts_exist(
         fs, path, parts, f"table_changes({from_version}, {to_version})"
@@ -1336,6 +1366,14 @@ def table_changes_cdf(
       wholesale replacement react to the operation +
       ``scope_partition`` via :func:`iter_changes`.
 
+    **Exact multiset replay requires uniform cdc discipline**: every
+    overwrite and restore inside the window must have been committed
+    with ``cdc=True``. A cdc-less overwrite yields documented
+    insert-only replacement semantics; mixing it with a LATER cdc
+    restore double-counts the restored rows (their removal was never
+    emitted). A cdc-less restore raises outright (below) because its
+    content change would otherwise be entirely invisible.
+
     Mixed schemas across the window union by name with null fill
     (additive evolution only, so this is lossless). Change parts are
     retained like historical data parts: reaped only by
@@ -1355,19 +1393,42 @@ def table_changes_cdf(
     frames = []
     for v in range(from_version + 1, to_version + 1):
         c = _read_commit(fs, path, v)
-        if c.get("operation") == "compact":
+        op = c.get("operation")
+        if op == "compact":
             continue
+        if op == "restore" and not c.get("cdc"):
+            # a restore changes visible content but materialized no
+            # change parts — replaying across it would yield the wrong
+            # multiset (phantom undone rows / missing restored rows).
+            # Fail honestly instead of feeding garbage.
+            raise ValueError(
+                f"table_changes_cdf window spans restore v{v}, which was "
+                "committed without cdc=True; consume via iter_changes / "
+                "re-bootstrap from a snapshot, or re-run the restore "
+                "with cdc=True"
+            )
         sj = c.get("schema")
         ins = sorted(a["path"] for a in c.get("adds", []) if not a.get("rewrite"))
-        dels = sorted(e["path"] for e in c.get("cdc", []))
-        _require_parts_exist(fs, path, ins + dels, f"table_changes_cdf v{v}")
-        for kind, group in (("insert", ins), ("delete", dels)):
-            if group:
-                frames.append(
-                    _read_parts(spark, group, sj)
-                    .withColumn("_change_type", F.lit(kind))
-                    .withColumn("_commit_version", F.lit(v))
-                )
+        cdc_entries = list(c.get("cdc", []))
+        _require_parts_exist(
+            fs, path, ins + sorted(e["path"] for e in cdc_entries),
+            f"table_changes_cdf v{v}",
+        )
+        if ins:
+            frames.append(
+                _read_parts(spark, ins, sj)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v))
+            )
+        for e in cdc_entries:
+            frames.append(
+                # change rows are read with the schema they were WRITTEN
+                # under (recorded per entry) — a replace_schema
+                # overwrite's deletes carry the pre-replace schema
+                _read_parts(spark, [e["path"]], e.get("schema", sj))
+                .withColumn("_change_type", F.lit(e.get("change_type", "delete")))
+                .withColumn("_commit_version", F.lit(v))
+            )
     if not frames:
         _v, live = _snapshot(fs, path, to_version)
         return (

@@ -1058,16 +1058,17 @@ def test_merge_partition_tag_and_pruned_time_travel(spark, tmp_path):
     append(spark, path, _ids(spark, 0, 10, d="a"), partition={"d": "a"})  # v1
     append(spark, path, _ids(spark, 10, 20, d="b"), partition={"d": "b"})  # v2
     # a tagged single-partition merge stays visible to partition_filter
-    upd = spark.range(5, 12).select("id", F.lit("a").alias("d"))
+    # (keys scoped to partition a — the tag contract is now validated)
+    upd = spark.range(5, 10).select("id", F.lit("a").alias("d"))
     merge_upsert(spark, path, upd, keys=["id"], partition={"d": "a"})  # v3
     got = read_table(spark, path, partition_filter={"d": "a"})
-    assert sorted(x["id"] for x in got.collect()) == list(range(12))
+    assert sorted(x["id"] for x in got.collect()) == list(range(10))
     # expire partition b's history; pruned time travel to a must WORK
     overwrite_partition(spark, path, _ids(spark, 100, 103, d="b"), {"d": "b"})  # v4
     append(spark, path, _ids(spark, 200, 201, d="c"), partition={"d": "c"})  # v5
     vacuum(spark, path, keep_versions=1, retention_seconds=0)
     got = read_table(spark, path, version=4, partition_filter={"d": "a"})
-    assert got.count() == 12  # b's reaped v2 part is pruned away, no error
+    assert got.count() == 10  # b's reaped v2 part is pruned away, no error
     with pytest.raises(VersionExpiredError):
         read_table(spark, path, version=2, partition_filter={"d": "b"})
 
@@ -1169,6 +1170,89 @@ def test_overwrite_cdc_opt_in_emits_deletes(spark, tmp_path):
         r["id"] for r in w.filter(F.col("_change_type") == "insert").collect()
     )
     assert ins == [300, 301]  # 300..302 exclusive
+
+
+def test_restore_refeeds_parts_popped_inside_the_window(spark, tmp_path):
+    """Second-review finding: a window spanning overwrite -> restore
+    used to lose the restored rows from the insert feed entirely (the
+    overwrite popped the add; the restore's re-add is rewrite-flagged).
+    Re-adds of in-window-popped parts now re-feed; parts restored from
+    before the window stay skipped (their consumer already fed them)."""
+    from es_analytics_spark.txlog import overwrite_table, restore, table_changes
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))  # v1
+    overwrite_table(spark, path, _ids(spark, 100, 105))  # v2
+    restore(spark, path, 1)  # v3
+    # bootstrap across the undo: exactly the final visible rows
+    got = sorted(x["id"] for x in table_changes(spark, path, 0).collect())
+    assert got == list(range(10))
+    # consumer who already consumed v1: the in-window overwrite+restore
+    # nets out to nothing it hasn't seen
+    assert table_changes(spark, path, 1).count() == 0
+
+
+def test_restore_cdc_makes_cdf_windows_exact(spark, tmp_path):
+    from collections import Counter
+
+    from es_analytics_spark.txlog import restore, table_changes_cdf
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))  # v1
+    append(spark, path, _ids(spark, 10, 20))  # v2
+    restore(spark, path, 1, cdc=True)  # v3: undo v2 with change parts
+    rows = table_changes_cdf(spark, path, 0).collect()
+    state: Counter = Counter()
+    for r in sorted(rows, key=lambda x: (x["_commit_version"], x["_change_type"] == "insert")):
+        if r["_change_type"] == "delete":
+            state[r["id"]] -= 1
+        else:
+            state[r["id"]] += 1
+    final = Counter(x["id"] for x in read_table(spark, path).collect())
+    assert +state == final  # replay == table, across the restore
+    # a cdc-less restore makes spanning CDF windows raise, not lie
+    append(spark, path, _ids(spark, 20, 25))  # v4
+    restore(spark, path, 3)  # v5 (no cdc)
+    with pytest.raises(ValueError, match="without cdc=True"):
+        table_changes_cdf(spark, path, 0)
+    # windows that do not span it still work
+    assert table_changes_cdf(spark, path, 3, 4).count() == 5
+
+
+def test_replace_schema_cdc_deletes_read_under_old_schema(spark, tmp_path):
+    from es_analytics_spark.txlog import overwrite_table, table_changes_cdf
+
+    path = str(tmp_path / "t")
+    append(spark, path, spark.range(0, 5).select("id", (F.col("id") * 2).alias("val")))
+    # replace_schema DROPPING a column, with cdc: the delete rows carry
+    # the OLD schema (with val) and union with null fill
+    overwrite_table(
+        spark, path, spark.range(9, 12).select("id"),
+        replace_schema=True, cdc=True,
+    )
+    w = table_changes_cdf(spark, path, 1)
+    dels = w.filter(F.col("_change_type") == "delete")
+    assert dels.count() == 5
+    assert sorted(r["val"] for r in dels.collect()) == [0, 2, 4, 6, 8]
+    ins = w.filter(F.col("_change_type") == "insert")
+    assert ins.count() == 3 and all(r["val"] is None for r in ins.collect())
+
+
+def test_merge_partition_tag_must_match_touched_parts(spark, tmp_path):
+    from es_analytics_spark.txlog import merge_upsert
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10, d="a"), partition={"d": "a"})
+    append(spark, path, _ids(spark, 10, 20, d="b"), partition={"d": "b"})
+    # an update key living in partition b under a declared a-tag would
+    # silently migrate the row out of b — refuse instead
+    upd = spark.range(5, 15).select("id", F.lit("a").alias("d"))
+    with pytest.raises(ValueError, match="tagged differently"):
+        merge_upsert(spark, path, upd, keys=["id"], partition={"d": "a"})
+    # untagged merge spanning both partitions is the supported shape
+    r = merge_upsert(spark, path, upd, keys=["id"])
+    assert r["rows_updated"] == 10
+    assert read_table(spark, path).count() == 20
 
 
 def test_mixed_rowlevel_stress_cdf_replay_equals_table(spark, tmp_path):
@@ -1311,7 +1395,10 @@ def test_restore_rolls_forward_and_is_feed_invisible(spark, tmp_path):
     # feed-invisible: a consumer at v3 sees nothing new (rows at v2 were
     # already fed; re-feeding them would double-count)
     assert table_changes(spark, path, 3).count() == 0
-    assert table_changes_cdf(spark, path, 3).count() == 0
+    # the ROW-LEVEL feed refuses to replay across a cdc-less restore
+    # (it cannot represent the undo) — see test_restore_cdc_makes_cdf_windows_exact
+    with pytest.raises(ValueError, match="without cdc=True"):
+        table_changes_cdf(spark, path, 3)
     # restoring to the current state is a no-op, not an empty commit
     assert restore(spark, path, 4) == {
         "version": 4, "restored_to": 4, "changed": False,

@@ -166,6 +166,24 @@ def test_two_concurrent_streams_one_table_exactly_once(spark, sf_dir, tmp_path):
     assert len(opened) < 8
 
 
+def test_merge_committer_handles_map_columns(spark, tmp_path):
+    """Second-review finding: the full-row xxhash64 tie-break broke any
+    stream with a MapType column (Spark prohibits hashing maps). The
+    tie-break hashes only hashable columns now; latest-per-key dedup
+    must still work with a map payload."""
+    from es_analytics_spark.streaming.txlog_sink import _MergeEpochCommitter
+
+    table = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [(1, 2, {"a": "x"}), (1, 1, {"a": "old"}), (2, 1, {"b": "y"})],
+        "k long, seq long, attrs map<string,string>",
+    )
+    committer = _MergeEpochCommitter(table, "s", ["k"], "seq", False)
+    committer(batch, 0)  # runs exactly as foreachBatch would
+    got = {r["k"]: (r["seq"], dict(r["attrs"])) for r in txlog.read_table(spark, table).collect()}
+    assert got == {1: (2, {"a": "x"}), 2: (1, {"b": "y"})}
+
+
 def test_committer_zombie_race_conflicts_then_noops(spark, tmp_path, monkeypatch):
     """Deterministic coverage of the committer's narrowest window: a
     zombie driver lands the SAME epoch source between our seen-snapshot
