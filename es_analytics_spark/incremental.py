@@ -1,0 +1,171 @@
+"""Incrementally-maintained rollups ON the transaction log, driven by
+its row-level change feed — the lake-native incremental-view-maintenance
+loop the round-7 verdict pointed the CDC surface at:
+
+    source txlog table ──table_changes_cdf──▶ delta aggregate
+                                               │ (+1 insert / −1 delete)
+    rollup txlog table ◀──merge_upsert────────┘ touched groups only
+
+Every maintenance step is COMMIT-SIZED work (the delta of the new
+commits, grouped), never table-sized; at 100 TB the rollup refresh cost
+tracks ingest rate, not accumulated history. The classic delta rule for
+distributive aggregates (Gray et al., "Data Cube"; the standard IVM
+formulation): SUM and COUNT are signed-delta maintainable under
+inserts AND deletes — ``Δsum = Σ sign·x``, ``Δcount = Σ sign`` — while
+MIN/MAX are not (a deleted minimum needs a rescan), so they are
+rejected here rather than maintained wrong.
+
+Exactly-once, multi-maintainer safe, the same design as the streaming
+epoch sink (`streaming/txlog_sink.py`):
+
+- each maintenance commit stamps the rollup with one source token PER
+  COVERED SOURCE VERSION (``cdf:{src}@v{N}``) — any two windows that
+  overlap share a token;
+- a maintainer pre-checks :func:`txlog.table_sources` and starts after
+  the highest stamped version;
+- two maintainers racing the same window cannot both land:
+  ``merge_upsert`` commits re-attach past blind appends ONLY, so the
+  loser's merge raises :class:`txlog.CommitConflict`, and its retry
+  re-reads the stamped tokens and finds nothing left to apply.
+
+Honesty rule: the CDF window must actually carry every content change.
+``table_changes_cdf`` already raises on a cdc-less ``restore``; this
+maintainer additionally refuses cdc-less ``overwrite_partition`` /
+``overwrite_table`` commits in the window (their replaced rows were
+never emitted as deletes, so the rollup would silently keep counting
+them — re-run the overwrite with ``cdc=True`` or rebuild the rollup).
+
+Reference parity: the reference ships rows into write-once lake objects
+and leaves downstream aggregation to the warehouse
+(/root/reference/lib/store/Store.ts:4-8 — keys are never overwritten);
+this module is that downstream made incremental, transactional, and
+exactly-once on the same commit log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import txlog
+from .sources.fsio import lake_fs
+
+#: the always-maintained net row count per group; read_rollup() hides
+#: groups whose net count reached zero (their state row is retained —
+#: a merge_upsert cannot delete — but they are not part of the rollup)
+COUNT_COL = "_n"
+
+
+def _cursor_token(source_path: str, version: int) -> str:
+    return f"cdf:{source_path}@v{version:06d}"
+
+
+def rollup_cursor(spark: SparkSession, rollup_path: str, source_path: str) -> int:
+    """Highest source version this rollup has incorporated (0 = never
+    maintained): the max version parsed from the rollup's stamped
+    source tokens. Metadata-sized (reads commit JSONs only)."""
+    prefix = f"cdf:{source_path}@v"
+    best = 0
+    for s in txlog.table_sources(spark, rollup_path):
+        if s.startswith(prefix):
+            best = max(best, int(s[len(prefix):]))
+    return best
+
+
+def _check_window_cdc_complete(spark, source_path: str, cursor: int, to: int) -> None:
+    fs = lake_fs(spark, source_path)
+    for v in range(cursor + 1, to + 1):
+        c = txlog._read_commit(fs, source_path, v)
+        op = c.get("operation")
+        if op in ("overwrite_partition", "overwrite_table") and not c.get("cdc"):
+            raise ValueError(
+                f"maintain_rollup: source commit v{v} is a {op} committed "
+                "without cdc=True — its replaced rows were never emitted as "
+                "deletes, so delta maintenance would keep counting them. "
+                "Re-run overwrites with cdc=True, or rebuild the rollup "
+                "from a snapshot"
+            )
+
+
+def maintain_rollup(
+    spark: SparkSession,
+    source_path: str,
+    rollup_path: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str | None]],
+    max_attempts: int = 5,
+) -> dict:
+    """Fold the source's new commits into the rollup: one transactional
+    ``merge_upsert`` over the TOUCHED groups only. ``measures`` maps
+    output column → ``("sum", col)`` or ``("count", None)``; a net
+    row count (:data:`COUNT_COL`) is always maintained. Returns
+    ``{"cursor", "applied", "version"}`` (``applied=0`` → caught up,
+    nothing committed).
+
+    Safe to call from many processes on any schedule: exactly-once per
+    source version (see module docstring). Compactions advance the
+    cursor with no delta (their token is stamped so overlapping windows
+    still collide). Deletes/upserts on the source subtract exactly; a
+    group whose net count hits zero stays stored but is hidden by
+    :func:`read_rollup`."""
+    for out, (agg, col) in measures.items():
+        if agg not in ("sum", "count"):
+            raise ValueError(
+                f"maintain_rollup: measure {out}={agg!r} — only sum/count are "
+                "delta-maintainable under deletes (min/max would need a "
+                "rescan; compute those as a windowed query instead)"
+            )
+        if out == COUNT_COL:
+            raise ValueError(f"maintain_rollup: {COUNT_COL} is reserved")
+
+    for attempt in range(max_attempts):
+        latest = txlog.current_version(spark, source_path)
+        cursor = rollup_cursor(spark, rollup_path, source_path)
+        if latest <= cursor:
+            return {"cursor": cursor, "applied": 0, "version": None}
+        _check_window_cdc_complete(spark, source_path, cursor, latest)
+        delta = txlog.table_changes_cdf(spark, source_path, cursor, latest)
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        aggs = [F.sum(sign).cast("long").alias(COUNT_COL)]
+        for out, (agg, col) in measures.items():
+            if agg == "count":
+                aggs.append(F.sum(sign).cast("long").alias(out))
+            else:
+                aggs.append(F.sum(sign * F.col(col)).alias(out))
+        grouped = delta.groupBy(*keys).agg(*aggs)
+        if txlog.current_version(spark, rollup_path) > 0:
+            cur = txlog.read_table(spark, rollup_path).join(
+                grouped.select(*keys), keys, "left_semi"
+            )
+            merged = grouped.alias("d").join(cur.alias("c"), keys, "left")
+            cols = [F.col(f"d.{k}").alias(k) for k in keys]
+            for out in [COUNT_COL, *measures]:
+                cols.append(
+                    (
+                        F.coalesce(F.col(f"c.{out}"), F.lit(0))
+                        + F.coalesce(F.col(f"d.{out}"), F.lit(0))
+                    ).alias(out)
+                )
+            updates = merged.select(*cols)
+        else:
+            updates = grouped
+        tokens = [_cursor_token(source_path, v) for v in range(cursor + 1, latest + 1)]
+        try:
+            res = txlog.merge_upsert(
+                spark, rollup_path, updates, keys=keys, sources=tokens
+            )
+            return {"cursor": latest, "applied": len(tokens), "version": res["version"]}
+        except txlog.CommitConflict:
+            # another maintainer (or writer) landed first — re-read the
+            # stamped cursor; if it covered our window we're done
+            if attempt == max_attempts - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """The rollup's current state, hiding groups whose net count reached
+    zero (every source row of the group was deleted — the group no
+    longer exists, but merge_upsert retains its state row)."""
+    return txlog.read_table(spark, rollup_path).filter(F.col(COUNT_COL) > 0)

@@ -1,0 +1,366 @@
+"""Streaming SOURCE over the transaction log: ``spark.readStream
+.format("txlog_feed")`` — the read half of the streaming↔txlog loop
+(the write half is ``streaming/txlog_sink.stream_to_txlog``).
+
+Round 8 made the txlog a transactional multi-writer table format with a
+change feed (``table_changes`` / ``table_changes_cdf``) and an
+exactly-once streaming SINK; this module closes the loop so a txlog
+table is also a first-class Structured Streaming *source* — the Delta
+streaming-source role (`spark.readStream.format("delta")`), built on
+PySpark 4's Python DataSource streaming API (the same pluggable-citizen
+pattern as ``typed_csv_ds.py``).
+
+Design, Spark-first:
+
+- **Offsets are commit versions** (``{"version": N}``). A micro-batch
+  covers the commit window ``(start, end]``; parts are immutable and
+  the window replay is a pure function of the commit dicts
+  (:func:`txlog._insert_window_parts` / :func:`txlog._cdf_commit_actions`
+  — shared with the batch feeds so the two can never drift), so
+  ``partitions(start, end)`` is deterministic and replay under the
+  checkpoint WAL is exactly-once.
+- **One input partition per parquet file** inside the window's part
+  directories — reads distribute across executors and scale with data,
+  not with 1 task per commit. Rows travel as Arrow record batches
+  (``pyarrow.parquet`` → ``RecordBatch`` yields), never per-row Python.
+- **Rate limiting**: ``max_versions_per_batch`` bounds each trigger's
+  window (Delta's ``maxFilesPerTrigger`` shape), so a consumer
+  bootstrapping against a long history progresses in bounded,
+  checkpointed steps instead of one giant batch.
+- **Three modes**, Delta-parity semantics:
+
+  * default (strict appends): any data-changing non-append commit in a
+    window fails the stream with the version and operation named —
+    silently skipping a delete/overwrite would be data loss the
+    consumer can't detect (Delta raises the same way);
+  * ``ignore_changes=true``: replacement ops don't fail; the window
+    feeds exactly what batch :func:`txlog.table_changes` would
+    (insert-only replay, survivor rewrites invisible);
+  * ``cdf=true``: row-level change feed — every row tagged
+    ``_change_type`` (insert|delete) and ``_commit_version``, reading
+    the commit-recorded change parts; an upsert streams as
+    delete(old)+insert(new) at one version.
+
+- **Schema is the committed schema** (schema-in-commit), never file
+  sampling. A stream plans with the schema at start; if a later commit
+  evolves the table, the batch that first covers it fails with an
+  explicit "restart to pick up the evolved schema" error instead of
+  silently dropping the new column (Delta fails streams on schema
+  change for the same reason). Pre-evolution parts align with nulls.
+
+The log and part files are read with plain Python I/O (the planner runs
+in the driver's Python worker, the readers in executor Python workers —
+no SparkSession exists there), so the source requires a LOCAL table
+path. URI stores (s3a/hdfs) would plug an fsspec filesystem into
+``_PyLog``; the seam is one class, documented at the boundary the same
+way ``fsio.HadoopFS`` is for the JVM half.
+
+Reference parity: the reference's pipeline ends at write-once lake
+objects (lib/store/Store.ts:4-8) that downstreams poll; this source is
+that poll loop upgraded to checkpointed, exactly-once, version-cursor
+streaming.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+from typing import Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from ..txlog import _cdf_commit_actions, _insert_window_parts
+from .fsio import is_uri
+
+_CDF_COLS = ("_change_type", "_commit_version")
+
+
+class _PyLog:
+    """Driver/executor-side commit-log access with plain Python I/O
+    (no SparkSession). Local paths only — the URI seam documented in
+    the module docstring."""
+
+    def __init__(self, path: str):
+        if is_uri(path):
+            raise ValueError(
+                "txlog_feed reads the commit log with plain Python I/O and "
+                f"supports local table paths only, got {path!r}; URI stores "
+                "need an fsspec filesystem plugged into _PyLog (documented "
+                "seam)"
+            )
+        if not os.path.isabs(path):
+            # same split-brain refusal as txlog._log_dir: the JVM and the
+            # Python workers may not share a working directory
+            raise ValueError(
+                f"txlog_feed table path must be absolute, got {path!r}"
+            )
+        self.path = path
+        self._log = os.path.join(path, "_txlog")
+
+    def current_version(self) -> int:
+        vs = [
+            int(os.path.basename(p)[1:-5])
+            for p in _glob.glob(os.path.join(self._log, "v*.json"))
+        ]
+        return max(vs, default=0)
+
+    def commit(self, version: int) -> dict:
+        with open(os.path.join(self._log, f"v{version:06d}.json"), "rb") as f:
+            return json.loads(f.read().decode("utf-8"))
+
+    def committed_schema(self, version: int | None = None) -> dict:
+        """Latest commit schema at-or-before ``version`` (schema-in-commit
+        walk-back, mirroring txlog._committed_schema)."""
+        v = self.current_version() if version is None else version
+        while v >= 1:
+            sj = self.commit(v).get("schema")
+            if sj is not None:
+                return sj
+            v -= 1
+        raise ValueError(
+            f"txlog_feed: no committed schema under {self.path} — the table "
+            "is empty or predates schema-in-commit; append once with the "
+            "current writer to record one"
+        )
+
+    def part_files(self, part_dir: str) -> list[str]:
+        files = sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
+        if not files and not os.path.isdir(part_dir):
+            raise FileNotFoundError(
+                f"txlog_feed: part {part_dir} is gone — expired by "
+                "vacuum retention; restart the stream from a newer "
+                "starting_version or re-bootstrap from a snapshot"
+            )
+        return files
+
+
+def _check_no_unseen_columns(commit_schema: dict | None, query_fields: set[str],
+                             version: int) -> None:
+    """Plan-time guard: a commit whose schema carries columns the
+    running query never planned means the table evolved after the
+    stream started — fail loudly instead of silently dropping the new
+    column from every fed row (Delta parity)."""
+    if not commit_schema:
+        return
+    extra = {f["name"] for f in commit_schema.get("fields", [])} - query_fields
+    if extra:
+        raise ValueError(
+            f"txlog_feed: commit v{version} evolved the table schema with "
+            f"column(s) {sorted(extra)} the running stream did not plan; "
+            "restart the stream to pick up the evolved schema"
+        )
+
+
+class _PartFilePartition(InputPartition):
+    """One parquet file of one committed part: the unit of parallelism.
+
+    ``change_type``/``version`` are None in the insert-only modes and
+    set in cdf mode (they become the literal ``_change_type`` /
+    ``_commit_version`` columns)."""
+
+    def __init__(self, file: str, change_type: str | None, version: int | None):
+        self.file = file
+        self.change_type = change_type
+        self.version = version
+
+
+def _arrow_target(schema):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+def _aligned_batches(partition: _PartFilePartition, schema, cdf: bool):
+    """Read one parquet file and yield Arrow batches aligned to the
+    query schema: committed-schema column order, evolution-added
+    columns null-filled, types cast (e.g. INT96/ns timestamps → us).
+    A file column absent from the query schema fails loudly — see
+    _check_no_unseen_columns (this is the executor-side backstop)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = _arrow_target(schema)
+    data_fields = [f for f in target if f.name not in _CDF_COLS] if cdf else list(target)
+    table = pq.read_table(partition.file)
+    known = {f.name for f in data_fields}
+    extra = [n for n in table.column_names if n not in known]
+    if extra:
+        raise ValueError(
+            f"txlog_feed: part file {partition.file} carries column(s) "
+            f"{extra} the running stream did not plan; restart the stream "
+            "to pick up the evolved schema"
+        )
+    n = len(table)
+    cols = []
+    for f in data_fields:
+        if f.name in table.column_names:
+            col = table.column(f.name)
+            if col.type != f.type:
+                col = col.cast(f.type)
+        else:
+            col = pa.nulls(n, f.type)
+        cols.append(col)
+    if cdf:
+        cols.append(pa.array([partition.change_type] * n,
+                             target.field("_change_type").type))
+        cols.append(pa.array([partition.version] * n,
+                             target.field("_commit_version").type))
+    for batch in pa.Table.from_arrays(cols, schema=target).to_batches():
+        yield batch
+
+
+def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
+                 ignore_changes: bool, query_fields: set[str],
+                 ) -> list[_PartFilePartition]:
+    """Turn the commit window (start_v, end_v] into input partitions —
+    the streaming analog of table_changes/table_changes_cdf's planning,
+    via the SAME pure replay helpers."""
+    commits = [log.commit(v) for v in range(start_v + 1, end_v + 1)]
+    for v, c in zip(range(start_v + 1, end_v + 1), commits):
+        _check_no_unseen_columns(c.get("schema"), query_fields, v)
+        op = c.get("operation")
+        if not cdf and not ignore_changes and op not in ("append", "compact"):
+            raise ValueError(
+                f"txlog_feed: commit v{v} is a data-changing {op!r}; the "
+                "default mode streams appends only (skipping it would be "
+                "silent data loss). Set option ignore_changes=true for "
+                "insert-only replacement semantics, or cdf=true for the "
+                "row-level change feed"
+            )
+    out: list[_PartFilePartition] = []
+    if cdf:
+        for v, c in zip(range(start_v + 1, end_v + 1), commits):
+            for a in _cdf_commit_actions(c, v):
+                for f in log.part_files(a["path"]):
+                    out.append(_PartFilePartition(f, a["change_type"], v))
+    else:
+        for part in sorted(_insert_window_parts(commits)):
+            for f in log.part_files(part):
+                out.append(_PartFilePartition(f, None, None))
+    return out
+
+
+class TxLogFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, path: str, options):
+        self._schema = schema
+        self._log = _PyLog(path)
+        self._cdf = str(options.get("cdf", "false")).lower() == "true"
+        self._ignore_changes = (
+            str(options.get("ignore_changes", "false")).lower() == "true"
+        )
+        self._start = int(options.get("starting_version", 0))
+        self._max_versions = int(options.get("max_versions_per_batch", 0))
+        # Rate-limit floor: the newest version known delivered/planned.
+        # Call-order contract (probed empirically, pinned by
+        # test_rate_limit_bounds_each_batch): a FRESH stream calls
+        # latestOffset() BEFORE initialOffset(), while EVERY restart
+        # calls partitions(committed, committed) before latestOffset().
+        # So latestOffset() may lazily seed the floor with
+        # starting_version — on a restart the floor was already raised
+        # to the WAL-recovered offset by partitions(), and a clamp can
+        # never regress the stream below a committed offset.
+        self._floor: int | None = None
+        self._query_fields = {f.name for f in schema.fields} - set(_CDF_COLS)
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        self._floor = self._start
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        if self._floor is None:
+            self._floor = self._start  # fresh stream (see __init__ contract)
+        latest = self._log.current_version()
+        if self._max_versions > 0:
+            latest = min(latest, self._floor + self._max_versions)
+        return {"version": max(latest, self._floor)}  # never regress
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        s, e = start["version"], end["version"]
+        self._floor = max(self._floor or 0, e)
+        return _plan_window(
+            self._log, s, e, cdf=self._cdf,
+            ignore_changes=self._ignore_changes,
+            query_fields=self._query_fields,
+        )
+
+    def read(self, partition: _PartFilePartition):
+        return _aligned_batches(partition, self._schema, self._cdf)
+
+    def commit(self, end: dict) -> None:
+        self._floor = max(self._floor or 0, end["version"])
+
+
+class TxLogFeedBatchReader(DataSourceReader):
+    """Batch window read through the same planner: ``spark.read
+    .format("txlog_feed").option("from_version", N)`` — the Python-I/O
+    twin of :func:`txlog.table_changes` (with ``cdf=true``, of
+    :func:`txlog.table_changes_cdf`), useful when the consumer wants
+    the feed through the pluggable-source API (e.g. to union it with
+    other sources) rather than the library call."""
+
+    def __init__(self, schema, path: str, options):
+        self._schema = schema
+        self._log = _PyLog(path)
+        self._cdf = str(options.get("cdf", "false")).lower() == "true"
+        self._from = int(options.get("from_version", 0))
+        to = options.get("to_version")
+        self._to = int(to) if to is not None else self._log.current_version()
+
+    def partitions(self):
+        return _plan_window(
+            self._log, self._from, self._to, cdf=self._cdf,
+            ignore_changes=True,
+            query_fields={f.name for f in self._schema.fields} - set(_CDF_COLS),
+        )
+
+    def read(self, partition: _PartFilePartition):
+        return _aligned_batches(partition, self._schema, self._cdf)
+
+
+class TxLogFeedDataSource(DataSource):
+    """``txlog_feed``: a txlog table as a pluggable Spark source.
+
+    Options: ``path`` (absolute local table root, required),
+    ``cdf`` (row-level feed with ``_change_type``/``_commit_version``),
+    ``ignore_changes`` (don't fail on replacement commits),
+    ``starting_version`` (stream bootstrap cursor, default 0 = full
+    history), ``max_versions_per_batch`` (per-trigger window bound),
+    ``from_version``/``to_version`` (batch reads)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog_feed"
+
+    def schema(self):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txlog_feed: path option required")
+        sj = _PyLog(path).committed_schema()
+        st = StructType.fromJson(sj)
+        if str(self.options.get("cdf", "false")).lower() == "true":
+            st = StructType(
+                st.fields
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
+        return st
+
+    def streamReader(self, schema) -> TxLogFeedStreamReader:  # noqa: N802
+        return TxLogFeedStreamReader(schema, self.options.get("path"), self.options)
+
+    def reader(self, schema) -> TxLogFeedBatchReader:
+        return TxLogFeedBatchReader(schema, self.options.get("path"), self.options)
+
+
+def register_txlog_feed(spark) -> None:
+    spark.dataSource.register(TxLogFeedDataSource)

@@ -1240,6 +1240,88 @@ def merge_upsert(
     }
 
 
+def _insert_window_parts(commits: list[dict]) -> dict[str, dict]:
+    """Pure replay of the insert-only change feed over an ORDERED commit
+    window: returns ``{part_path: partition_tag}`` for the parts whose
+    rows a consumer of that window must see. Shared verbatim by
+    :func:`table_changes` (batch) and the ``txlog_feed`` streaming
+    source (`sources/txlog_source.py`) so the two feeds can never
+    drift. Operates on commit dicts only — no filesystem, no Spark."""
+    added: dict[str, dict] = {}
+    popped: dict[str, dict] = {}
+    for c in commits:
+        op = c.get("operation")
+        if op == "compact":
+            continue  # pure rewrite: no content change, invisible to CDC
+        if op in ("overwrite_partition", "overwrite_table", "restore"):
+            # replacement/undo whose surviving content is (re)covered
+            # below — popping in-window adds matches the final visible
+            # state (a part appended in-window and then undone by an
+            # in-window restore must not feed). Remember what was
+            # popped: a LATER in-window restore may bring it back.
+            for r in c.get("removes", []):
+                if r in added:
+                    popped[r] = added.pop(r)
+        # delete_where / merge_upsert removes are NOT popped: their
+        # surviving rows are fed by the ORIGINAL in-window adds (the
+        # rewrites are flagged and skipped below), and deletions are
+        # not representable in an insert-only feed — consumers that
+        # need them use table_changes_cdf
+        for a in c.get("adds", []):
+            if not a.get("rewrite"):
+                added[a["path"]] = a.get("partition", {})
+            elif op == "restore" and a["path"] in popped:
+                # the restore re-added a part whose in-window feed entry
+                # a replacement op erased: its rows are back in the
+                # final visible state and the consumer has never seen
+                # them — re-feed (parts restored from BEFORE the window
+                # were fed when originally added and stay skipped)
+                added[a["path"]] = popped.pop(a["path"])
+    return added
+
+
+def _cdf_commit_actions(c: dict, version: int) -> list[dict]:
+    """Row-level CDF actions of ONE commit: a list of
+    ``{"path", "change_type", "schema"}`` entries (inserts first, then
+    the commit's recorded change parts). Raises on a cdc-less restore
+    — its content change materialized no change parts, so any CDF
+    window spanning it would replay the wrong multiset. Shared by
+    :func:`table_changes_cdf` and the ``txlog_feed`` streaming source's
+    ``cdf`` mode. Pure: commit dict in, actions out."""
+    op = c.get("operation")
+    if op == "compact":
+        return []
+    if op == "restore" and not c.get("cdc"):
+        # a restore changes visible content but materialized no
+        # change parts — replaying across it would yield the wrong
+        # multiset (phantom undone rows / missing restored rows).
+        # Fail honestly instead of feeding garbage.
+        raise ValueError(
+            f"change-data feed window spans restore v{version}, which was "
+            "committed without cdc=True; consume via iter_changes / "
+            "re-bootstrap from a snapshot, or re-run the restore "
+            "with cdc=True"
+        )
+    sj = c.get("schema")
+    out = [
+        {"path": a["path"], "change_type": "insert", "schema": sj}
+        for a in c.get("adds", [])
+        if not a.get("rewrite")
+    ]
+    for e in c.get("cdc", []):
+        # change rows are read with the schema they were WRITTEN
+        # under (recorded per entry) — a replace_schema
+        # overwrite's deletes carry the pre-replace schema
+        out.append(
+            {
+                "path": e["path"],
+                "change_type": e.get("change_type", "delete"),
+                "schema": e.get("schema", sj),
+            }
+        )
+    return out
+
+
 def table_changes(
     spark: SparkSession,
     path: str,
@@ -1297,38 +1379,11 @@ def table_changes(
             f"table_changes({from_version}, {to_version}) under {path}: "
             f"latest committed version is v{latest}"
         )
-    added: dict[str, dict] = {}
-    popped: dict[str, dict] = {}
-    for v in range(from_version + 1, to_version + 1):
-        c = _read_commit(fs, path, v)
-        op = c.get("operation")
-        if op == "compact":
-            continue  # pure rewrite: no content change, invisible to CDC
-        if op in ("overwrite_partition", "overwrite_table", "restore"):
-            # replacement/undo whose surviving content is (re)covered
-            # below — popping in-window adds matches the final visible
-            # state (a part appended in-window and then undone by an
-            # in-window restore must not feed). Remember what was
-            # popped: a LATER in-window restore may bring it back.
-            for r in c.get("removes", []):
-                if r in added:
-                    popped[r] = added.pop(r)
-        # delete_where / merge_upsert removes are NOT popped: their
-        # surviving rows are fed by the ORIGINAL in-window adds (the
-        # rewrites are flagged and skipped below), and deletions are
-        # not representable in an insert-only feed — consumers that
-        # need them use table_changes_cdf
-        for a in c.get("adds", []):
-            if not a.get("rewrite"):
-                added[a["path"]] = a.get("partition", {})
-            elif op == "restore" and a["path"] in popped:
-                # the restore re-added a part whose in-window feed entry
-                # a replacement op erased: its rows are back in the
-                # final visible state and the consumer has never seen
-                # them — re-feed (parts restored from BEFORE the window
-                # were fed when originally added and stay skipped)
-                added[a["path"]] = popped.pop(a["path"])
-    parts = sorted(added)
+    commits = [
+        _read_commit(fs, path, v)
+        for v in range(from_version + 1, to_version + 1)
+    ]
+    parts = sorted(_insert_window_parts(commits))
     _require_parts_exist(
         fs, path, parts, f"table_changes({from_version}, {to_version})"
     )
@@ -1392,41 +1447,27 @@ def table_changes_cdf(
         )
     frames = []
     for v in range(from_version + 1, to_version + 1):
-        c = _read_commit(fs, path, v)
-        op = c.get("operation")
-        if op == "compact":
-            continue
-        if op == "restore" and not c.get("cdc"):
-            # a restore changes visible content but materialized no
-            # change parts — replaying across it would yield the wrong
-            # multiset (phantom undone rows / missing restored rows).
-            # Fail honestly instead of feeding garbage.
-            raise ValueError(
-                f"table_changes_cdf window spans restore v{v}, which was "
-                "committed without cdc=True; consume via iter_changes / "
-                "re-bootstrap from a snapshot, or re-run the restore "
-                "with cdc=True"
-            )
-        sj = c.get("schema")
-        ins = sorted(a["path"] for a in c.get("adds", []) if not a.get("rewrite"))
-        cdc_entries = list(c.get("cdc", []))
+        actions = _cdf_commit_actions(_read_commit(fs, path, v), v)
         _require_parts_exist(
-            fs, path, ins + sorted(e["path"] for e in cdc_entries),
+            fs, path, sorted(a["path"] for a in actions),
             f"table_changes_cdf v{v}",
         )
+        # group contiguous inserts sharing the commit schema into one
+        # scan; change parts read one-by-one with their recorded schema
+        ins = sorted(a["path"] for a in actions if a["change_type"] == "insert")
         if ins:
+            sj = next(a["schema"] for a in actions if a["change_type"] == "insert")
             frames.append(
                 _read_parts(spark, ins, sj)
                 .withColumn("_change_type", F.lit("insert"))
                 .withColumn("_commit_version", F.lit(v))
             )
-        for e in cdc_entries:
+        for a in actions:
+            if a["change_type"] == "insert":
+                continue
             frames.append(
-                # change rows are read with the schema they were WRITTEN
-                # under (recorded per entry) — a replace_schema
-                # overwrite's deletes carry the pre-replace schema
-                _read_parts(spark, [e["path"]], e.get("schema", sj))
-                .withColumn("_change_type", F.lit(e.get("change_type", "delete")))
+                _read_parts(spark, [a["path"]], a["schema"])
+                .withColumn("_change_type", F.lit(a["change_type"]))
                 .withColumn("_commit_version", F.lit(v))
             )
     if not frames:

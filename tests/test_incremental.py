@@ -1,0 +1,166 @@
+"""CDF-driven incremental rollup maintenance (`incremental.py`):
+delta-consume == full recompute at every source version, across
+appends, deletes, upserts, compactions, and cdc=True overwrites;
+exactly-once under repeated and racing maintainers."""
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from es_analytics_spark.incremental import (
+    COUNT_COL,
+    maintain_rollup,
+    read_rollup,
+    rollup_cursor,
+)
+from es_analytics_spark.txlog import (
+    append,
+    compact,
+    delete_where,
+    merge_upsert,
+    overwrite_partition,
+    read_table,
+)
+
+MEASURES = {"revenue": ("sum", "amount"), "orders": ("count", None)}
+
+
+def _rows(spark, lo, hi, cat="a"):
+    return spark.createDataFrame(
+        [Row(id=i, cat=cat, amount=float(i)) for i in range(lo, hi)]
+    )
+
+
+def _recompute(spark, src):
+    return (
+        read_table(spark, src)
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).alias(COUNT_COL),
+            F.sum("amount").alias("revenue"),
+            F.count(F.lit(1)).alias("orders"),
+        )
+    )
+
+
+def _assert_converged(spark, src, roll):
+    got = sorted(
+        map(tuple, read_rollup(spark, roll).select("cat", COUNT_COL, "revenue", "orders").collect())
+    )
+    want = sorted(
+        map(tuple, _recompute(spark, src).select("cat", COUNT_COL, "revenue", "orders").collect())
+    )
+    assert got == want
+
+
+def test_lifecycle_delta_equals_recompute_at_every_version(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    roll = os.path.join(str(tmp_path), "roll")
+
+    append(spark, src, _rows(spark, 0, 10, "a"), partition={"cat": "a"})  # v1
+    maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    _assert_converged(spark, src, roll)
+
+    append(spark, src, _rows(spark, 10, 20, "b"), partition={"cat": "b"})  # v2
+    delete_where(spark, src, "id < 5")  # v3: subtract from group a
+    maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    _assert_converged(spark, src, roll)
+
+    merge_upsert(
+        spark,
+        src,
+        spark.createDataFrame(
+            [Row(id=7, cat="a", amount=700.0), Row(id=99, cat="c", amount=9.0)]
+        ),
+        keys=["id"],
+    )  # v4: delete(old 7) + insert(new 7) + insert(99)
+    compact(spark, src)  # v5: must be invisible to the delta
+    maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    _assert_converged(spark, src, roll)
+
+    overwrite_partition(
+        spark, src, _rows(spark, 50, 53, "b"), {"cat": "b"}, cdc=True
+    )  # v6: replaced rows emitted as deletes
+    r = maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    _assert_converged(spark, src, roll)
+    assert r["cursor"] == 6
+
+
+def test_caught_up_is_a_noop_and_cursor_durable(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    roll = os.path.join(str(tmp_path), "roll")
+    append(spark, src, _rows(spark, 0, 5))
+    r1 = maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    assert r1["applied"] == 1 and r1["cursor"] == 1
+    r2 = maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    assert r2["applied"] == 0 and r2["cursor"] == 1
+    assert rollup_cursor(spark, roll, src) == 1
+    _assert_converged(spark, src, roll)
+
+
+def test_group_vanishes_when_all_rows_deleted(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    roll = os.path.join(str(tmp_path), "roll")
+    append(spark, src, _rows(spark, 0, 5, "a"))
+    append(spark, src, _rows(spark, 5, 8, "b"))
+    maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    delete_where(spark, src, "cat = 'b'")
+    maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    assert {r.cat for r in read_rollup(spark, roll).collect()} == {"a"}
+    # the zero-count state row is retained but hidden
+    assert {r.cat for r in read_table(spark, roll).collect()} == {"a", "b"}
+    _assert_converged(spark, src, roll)
+
+
+def test_cdcless_overwrite_refused(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    roll = os.path.join(str(tmp_path), "roll")
+    append(spark, src, _rows(spark, 0, 5, "a"), partition={"cat": "a"})
+    maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    overwrite_partition(spark, src, _rows(spark, 9, 12, "a"), {"cat": "a"})  # no cdc
+    with pytest.raises(ValueError, match="cdc=True"):
+        maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+
+
+def test_minmax_measures_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="delta-maintainable"):
+        maintain_rollup(
+            spark,
+            os.path.join(str(tmp_path), "s"),
+            os.path.join(str(tmp_path), "r"),
+            ["cat"],
+            {"m": ("max", "amount")},
+        )
+
+
+def test_racing_maintainers_apply_window_exactly_once(spark, tmp_path):
+    """Two maintainers see the same un-applied window and race: the
+    merge-vs-merge conflict serializes them, the loser retries, finds
+    its window stamped, and applies nothing — the delta lands once."""
+    src = os.path.join(str(tmp_path), "src")
+    roll = os.path.join(str(tmp_path), "roll")
+    append(spark, src, _rows(spark, 0, 5, "a"))
+    maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    append(spark, src, _rows(spark, 5, 9, "a"))  # the contended window
+
+    results, errors = [], []
+
+    def run():
+        try:
+            results.append(maintain_rollup(spark, src, roll, ["cat"], MEASURES))
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errors.append(e)
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors
+    assert sorted(r["applied"] for r in results) in ([0, 1], [1, 1])
+    # [1, 1] can only be a win + a loser that retried AFTER the win
+    # landed and found applied=0... assert the state, which is what
+    # matters: no double-count
+    _assert_converged(spark, src, roll)

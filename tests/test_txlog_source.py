@@ -1,0 +1,277 @@
+"""The ``txlog_feed`` streaming/batch source (`sources/txlog_source.py`):
+a txlog table as a first-class Structured Streaming SOURCE — version
+offsets, exactly-once restarts, rate limiting, strict/ignore_changes/cdf
+modes, schema-evolution failure, and the full loop (stream a txlog
+table into another txlog table and converge)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from es_analytics_spark.sources.txlog_source import register_txlog_feed
+from es_analytics_spark.txlog import (
+    append,
+    compact,
+    delete_where,
+    merge_upsert,
+    read_table,
+    table_changes_cdf,
+    vacuum,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_txlog_feed(spark)
+
+
+def _ids(spark, lo, hi, **tags):
+    rows = [Row(id=i, val=float(i), **tags) for i in range(lo, hi)]
+    return spark.createDataFrame(rows)
+
+
+def _table(spark, tmp_path, name="t"):
+    path = os.path.join(str(tmp_path), name)
+    append(spark, path, _ids(spark, 0, 10))  # v1
+    append(spark, path, _ids(spark, 10, 20))  # v2
+    return path
+
+
+def _run_stream(spark, path, checkpoint, **options):
+    """One availableNow pass collected via foreachBatch (the memory sink
+    can't recover from a checkpoint; foreachBatch can). Returns
+    (query, rows-collected-by-THIS-run)."""
+    reader = spark.readStream.format("txlog_feed").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    rows: list = []
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # failure surfaces via q.exception(), which tests assert on
+    return q, rows
+
+
+def test_stream_matches_table(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    _q, rows = _run_stream(spark, path, os.path.join(str(tmp_path), "ckpt"))
+    got = {r.id for r in rows}
+    want = {r.id for r in read_table(spark, path).collect()}
+    assert got == want == set(range(20))
+
+
+def test_restart_is_exactly_once(spark, tmp_path):
+    """Stop, append more, resume from the SAME checkpoint: only the new
+    commits feed — no duplicates, no gaps (version offsets in the WAL)."""
+    path = _table(spark, tmp_path)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    _q, first = _run_stream(spark, path, ckpt)
+    append(spark, path, _ids(spark, 20, 25))  # v3 — after the stream stopped
+    _q, second = _run_stream(spark, path, ckpt)
+    assert {r.id for r in first} == set(range(20))
+    assert sorted(r.id for r in second) == list(range(20, 25))
+    # a third run with nothing new feeds nothing (cursor is durable)
+    _q, third = _run_stream(spark, path, ckpt)
+    assert third == []
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    _q, rows = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ckpt"), starting_version=1
+    )
+    assert sorted(r.id for r in rows) == list(range(10, 20))
+
+
+def test_rate_limit_bounds_each_batch(spark, tmp_path):
+    """max_versions_per_batch=1 on a 3-version history → each pass
+    advances exactly one commit (availableNow falls back to single-batch
+    for Python sources, so each start = one bounded, checkpointed step)."""
+    path = _table(spark, tmp_path)
+    append(spark, path, _ids(spark, 20, 30))  # v3
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    seen = []
+    for _ in range(3):
+        _q, rows = _run_stream(spark, path, ckpt, max_versions_per_batch=1)
+        seen.append(sorted(r.id for r in rows))
+    assert seen == [list(range(0, 10)), list(range(10, 20)), list(range(20, 30))]
+
+
+def test_strict_mode_fails_on_delete(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    delete_where(spark, path, "id < 5")  # v3: data-changing non-append
+    q, _rows = _run_stream(spark, path, os.path.join(str(tmp_path), "ckpt"))
+    assert q.exception() is not None
+    assert "ignore_changes" in str(q.exception())
+
+
+def test_ignore_changes_streams_insert_feed(spark, tmp_path):
+    """ignore_changes: delete/merge commits don't fail the stream; the
+    fed rows are exactly the batch insert-only feed (survivor rewrites
+    invisible, merge's genuinely-new rows included)."""
+    path = _table(spark, tmp_path)
+    delete_where(spark, path, "id < 5")  # v3
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([Row(id=7, val=700.0), Row(id=99, val=99.0)]),
+        keys=["id"],
+    )  # v4
+    _q, rows = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ckpt"), ignore_changes="true"
+    )
+    # insert-only feed: the original appends (0..19 — deletions not
+    # expressible) plus the merge's updates part (7's new version, 99)
+    assert sorted(r.id for r in rows) == sorted(list(range(0, 20)) + [7, 99])
+
+
+def test_compaction_is_invisible_and_empty_batch_ok(spark, tmp_path):
+    """A window containing only a compact commit plans zero input
+    partitions and the stream still advances its offset past it."""
+    path = _table(spark, tmp_path)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    _run_stream(spark, path, ckpt)
+    compact(spark, path)  # v3: pure rewrite
+    q, rows = _run_stream(spark, path, ckpt)
+    assert q.exception() is None and rows == []
+    append(spark, path, _ids(spark, 20, 22))  # v4
+    _q, rows = _run_stream(spark, path, ckpt)
+    assert sorted(r.id for r in rows) == [20, 21]
+
+
+def test_cdf_stream_replays_to_snapshot(spark, tmp_path):
+    """cdf=true: the streamed row-level feed equals the batch
+    table_changes_cdf multiset, and net(insert − delete) per full row
+    reconstructs the live table exactly."""
+    from collections import Counter
+
+    path = _table(spark, tmp_path)
+    delete_where(spark, path, "id >= 15")  # v3
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([Row(id=3, val=333.0), Row(id=77, val=77.0)]),
+        keys=["id"],
+    )  # v4
+    _q, rows = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ckpt"), cdf="true"
+    )
+    cols = ["id", "val", "_change_type", "_commit_version"]
+    batch = table_changes_cdf(spark, path, 0)
+    assert sorted((r.id, r.val, r._change_type, r._commit_version) for r in rows) == sorted(
+        map(tuple, batch.select(*cols).collect())
+    )
+    net = Counter()
+    for r in rows:
+        net[(r.id, r.val)] += 1 if r._change_type == "insert" else -1
+    replayed = sorted(k for k, n in net.items() if n > 0)
+    assert replayed == sorted(
+        (r.id, r.val) for r in read_table(spark, path).select("id", "val").collect()
+    )
+
+
+def test_schema_evolution_fails_running_stream_with_restart_hint(spark, tmp_path):
+    """A RUNNING query that planned before an evolution fails loudly
+    when a batch first covers the evolved commit (silently dropping the
+    new column would be undetectable data loss); a restarted query
+    re-plans with the evolved schema and null-fills old parts."""
+    import time
+
+    path = _table(spark, tmp_path)
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    rows: list = []
+    q = (
+        spark.readStream.format("txlog_feed")
+        .option("path", path)
+        .load()
+        .writeStream.foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while len(rows) < 20 and time.time() < deadline:
+        time.sleep(0.2)
+    assert len(rows) == 20  # planned-schema batches flowed
+    df = spark.createDataFrame([Row(id=100, val=1.0, extra="x")])
+    append(spark, path, df, evolve=True)  # v3 evolves under the running query
+    while q.exception() is None and time.time() < deadline:
+        time.sleep(0.2)
+    assert q.exception() is not None
+    assert "restart the stream" in str(q.exception())
+    # the restarted query (same checkpoint) plans the evolved schema;
+    # it re-covers only the unfinished window and null-fill applies to
+    # any pre-evolution part in it
+    q2, rows2 = _run_stream(spark, path, ckpt)
+    assert q2.exception() is None
+    assert {(r.id, r.extra) for r in rows2} == {(100, "x")}
+    # a FRESH stream (new checkpoint) replays history under the evolved
+    # schema: old parts read the new column as null
+    _q, rows3 = _run_stream(spark, path, os.path.join(str(tmp_path), "ckpt2"))
+    assert {r.id for r in rows3} == set(range(0, 20)) | {100}
+    assert {r.extra for r in rows3} == {None, "x"}
+
+
+def test_vacuumed_history_raises_clear_error(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    compact(spark, path)  # v3 rewrites v1/v2's parts
+    append(spark, path, _ids(spark, 20, 22))  # v4 pushes v1/v2 past retention
+    vacuum(spark, path, keep_versions=1, retention_seconds=0)
+    q, _rows = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ckpt"), ignore_changes="true"
+    )
+    assert q.exception() is not None
+    assert "vacuum retention" in str(q.exception())
+
+
+def test_batch_reader_window(spark, tmp_path):
+    path = _table(spark, tmp_path)
+    append(spark, path, _ids(spark, 20, 25))  # v3
+    got = (
+        spark.read.format("txlog_feed")
+        .option("path", path)
+        .option("from_version", 1)
+        .load()
+    )
+    assert sorted(r.id for r in got.collect()) == list(range(10, 25))
+    window = (
+        spark.read.format("txlog_feed")
+        .option("path", path)
+        .option("from_version", 1)
+        .option("to_version", 2)
+        .load()
+    )
+    assert sorted(r.id for r in window.collect()) == list(range(10, 20))
+
+
+def test_full_loop_stream_txlog_to_txlog(spark, tmp_path):
+    """The closed loop: txlog table A → txlog_feed source → exactly-once
+    txlog sink → table B; B converges to A across restarts and new
+    commits on A."""
+    from es_analytics_spark.streaming.txlog_sink import stream_to_txlog
+
+    src = _table(spark, tmp_path, "src")
+    dst = os.path.join(str(tmp_path), "dst")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def run_once():
+        feed = spark.readStream.format("txlog_feed").option("path", src).load()
+        q = stream_to_txlog(
+            feed, dst, checkpoint_dir=ckpt, stream_id="loop", available_now=True
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    append(spark, src, _ids(spark, 20, 30))
+    run_once()
+    a = sorted(map(tuple, read_table(spark, src).select("id", "val").collect()))
+    b = sorted(map(tuple, read_table(spark, dst).select("id", "val").collect()))
+    assert a == b and len(b) == 30
