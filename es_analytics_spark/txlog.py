@@ -600,11 +600,59 @@ def _intervening(fs, path: str, since: int, until: int) -> list[dict]:
     return [_read_commit(fs, path, v) for v in range(since + 1, until + 1)]
 
 
+def _write_clustered_parts(
+    spark: SparkSession,
+    fs,
+    path: str,
+    merged: DataFrame,
+    partition: dict,
+    n_parts: int,
+    rows_per_file: int,
+    cluster_by: list[str],
+    stats_cols: list[str],
+) -> list[dict]:
+    """Emit one partition group as range-clustered parts: a sampled
+    range shuffle on the cluster columns, one part directory per range
+    (written in a single job via ``partitionBy`` on the post-shuffle
+    partition id — never N driver-looped writes), fresh per-part zone
+    maps computed from the bytes actually on disk. Crash debris (the
+    staging dir, renamed-but-uncommitted parts) is unreferenced and
+    reaped by vacuum's retention horizon like every other orphan."""
+    from pyspark.sql import functions as F
+
+    staging = fs_join(_part_dir(path), "stage-" + uuid.uuid4().hex)
+    (
+        merged.repartitionByRange(max(n_parts, 1), *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        # spark_partition_id is non-deterministic-tagged, so Catalyst
+        # cannot reorder it below the range exchange: it names the
+        # post-shuffle range each row landed in
+        .withColumn("_range_id", F.spark_partition_id())
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .partitionBy("_range_id")
+        .parquet(staging)
+    )
+    adds = []
+    for sub in sorted(fs.glob(fs_join(staging, "_range_id=*"))):
+        part = fs_join(_part_dir(path), uuid.uuid4().hex)
+        fs.rename(sub, part)
+        stats = _column_stats(spark.read.parquet(part), list(stats_cols))
+        add = {"path": part, "partition": partition, "rewrite": True}
+        if stats:
+            add["stats"] = stats
+        adds.append(add)
+    fs.delete(staging)  # empty shell + _SUCCESS marker
+    return adds
+
+
 def compact(
     spark: SparkSession,
     path: str,
     max_retries: int = 10,
     target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Transactional compaction: rewrite the snapshot's live parts into
     one part per partition tag, then commit {adds, removes=snapshot
@@ -621,7 +669,24 @@ def compact(
     current on-disk size, written across ``ceil(bytes/target)`` tasks —
     never a single-task ``coalesce(1)``, which at 100 TB would make a
     hot partition a multi-GB single-thread write and a straggler/OOM
-    magnet."""
+    magnet.
+
+    ``cluster_by`` makes the compaction CLUSTERED (Delta's ``OPTIMIZE
+    ZORDER BY`` role, linear-order variant): each partition group is
+    range-partitioned on the cluster columns (``repartitionByRange`` —
+    a sampled range shuffle, no single-task sort) and emitted as one
+    PART PER RANGE, each with freshly computed [min,max] zone maps over
+    ``stats_cols`` (default: the cluster columns). Because commit-log
+    data skipping is per part, interleaved appends — whose per-part
+    ranges all overlap and so can never be skipped — become disjoint
+    ranges after one clustered compact, and ``read_table(range_filter=
+    ...)`` on a cluster column opens a constant number of parts instead
+    of all of them. Stats are computed by re-reading each emitted part
+    (column-pruned min/max scan), never from the pre-shuffle lineage —
+    a re-sampled range assignment can't desync the recorded envelope
+    from the bytes on disk. Rows within each part are sorted on the
+    cluster columns, so parquet row-group pruning compounds the
+    part-level skip."""
     fs = lake_fs(spark, path)
     v0, live = _snapshot(fs, path)
     if len(live) <= 1:
@@ -642,6 +707,15 @@ def compact(
         bytes_per_row = max(group_bytes / max(n_rows, 1), 1.0)
         rows_per_file = max(int(target_file_bytes / bytes_per_row), 1)
         n_files = max(-(-group_bytes // max(target_file_bytes, 1)), 1)
+        if cluster_by:
+            adds.extend(
+                _write_clustered_parts(
+                    spark, fs, path, merged, dict(key), int(n_files),
+                    rows_per_file, cluster_by,
+                    stats_cols or cluster_by,
+                )
+            )
+            continue
         sized = merged.repartition(int(n_files))
         part = fs_join(_part_dir(path), uuid.uuid4().hex)
         (

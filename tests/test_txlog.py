@@ -38,6 +38,7 @@ from es_analytics_spark.txlog import (
     history,
     overwrite_partition,
     read_table,
+    table_changes,
     table_sources,
     vacuum,
 )
@@ -1495,3 +1496,65 @@ def test_append_source_overlap_conflicts(spark, tmp_path):
     r = append(spark, path, _ids(spark, 20, 30), sources=["s9"], since_version=v0)
     assert r["version"] == 2
     assert table_sources(spark, path) == {"s1", "s2", "s9"}
+
+
+def test_clustered_compaction_makes_interleaved_data_skippable(spark, tmp_path):
+    """compact(cluster_by=...): interleaved appends (every part spans
+    the full id range — zone maps can never skip) become disjoint
+    range-clustered parts with fresh stats, so a narrow range read
+    opens a strict subset of parts. Content, feed invisibility, and
+    time travel are unchanged."""
+    path = str(tmp_path / "t")
+    # 4 interleaved appends: ids i, i+4, i+8, ... each spanning [0, 400)
+    for r in range(4):
+        df = spark.range(400).filter(f"id % 4 = {r}").select(F.col("id").cast("long"))
+        append(spark, path, df, stats_cols=["id"])
+    # interleaved: a narrow range read must open EVERY part
+    got = read_table(spark, path, range_filter={"id": (100, 120)})
+    opened = {f.rsplit("/parts/", 1)[1].split("/")[0] for f in got.inputFiles()}
+    assert len(opened) == 4
+
+    res = compact(spark, path, target_file_bytes=2_000, cluster_by=["id"])
+    assert res["parts_after"] > 1, "clustering must emit one part per range"
+
+    full = read_table(spark, path)
+    assert sorted(r["id"] for r in full.collect()) == list(range(400))
+    got = read_table(spark, path, range_filter={"id": (100, 120)})
+    assert sorted(r["id"] for r in got.collect()) == list(range(100, 121))
+    opened = {f.rsplit("/parts/", 1)[1].split("/")[0] for f in got.inputFiles()}
+    assert len(opened) < res["parts_after"], "narrow range must skip parts"
+    # a provably-disjoint range opens nothing
+    none = read_table(spark, path, range_filter={"id": (10_000, None)})
+    assert none.count() == 0 and none.inputFiles() == []
+    # compaction stays invisible to the feed and to time travel
+    assert table_changes(spark, path, current_version(spark, path) - 1).count() == 0
+    assert read_table(spark, path, version=4).count() == 400
+
+
+def test_clustered_compaction_per_partition_tag(spark, tmp_path):
+    """Clustering operates within each partition tag group: tags keep
+    their own parts, and partition_filter reads stay manifest-exact."""
+    path = str(tmp_path / "t")
+    for r in range(2):
+        append(
+            spark, path,
+            _ids(spark, 0, 100).withColumn("d", F.lit("a")).filter(f"id % 2 = {r}"),
+            partition={"d": "a"}, stats_cols=["id"],
+        )
+        append(
+            spark, path,
+            _ids(spark, 100, 200).withColumn("d", F.lit("b")).filter(f"id % 2 = {r}"),
+            partition={"d": "b"}, stats_cols=["id"],
+        )
+    compact(spark, path, target_file_bytes=1_500, cluster_by=["id"])
+    a = read_table(spark, path, partition_filter={"d": "a"})
+    assert sorted(r["id"] for r in a.collect()) == list(range(0, 100))
+    b = read_table(spark, path, partition_filter={"d": "b"})
+    assert sorted(r["id"] for r in b.collect()) == list(range(100, 200))
+    # parts carry their group's tag and a fresh zone map
+    fs = __import__("es_analytics_spark.sources.fsio", fromlist=["lake_fs"]).lake_fs(spark, path)
+    from es_analytics_spark.txlog import _snapshot
+    _v, live = _snapshot(fs, path)
+    tags = {tuple(e["partition"].items()) for e in live.values()}
+    assert tags == {(("d", "a"),), (("d", "b"),)}
+    assert all(e.get("stats", {}).get("id") for e in live.values())
