@@ -106,6 +106,40 @@ def main() -> None:
     for row in audit:
         print(f"  v{row['_commit_version']:>2} {row['_change_type']:>6}: {row['count']} rows")
 
+    # 6. re-stream: the txlog table is itself a streaming SOURCE — the
+    # closed loop. Mirror the events table into another txlog table
+    # with exactly-once semantics on BOTH ends (version offsets in the
+    # WAL, epoch source-stamps in the sink's commits).
+    from es_analytics_spark.sources.txlog_source import register_txlog_feed
+
+    register_txlog_feed(spark)
+    mirror = f"{root}/events_mirror"
+    feed = spark.readStream.format("txlog_feed").option("path", events).load()
+    q = stream_to_txlog(
+        feed, path=mirror, checkpoint_dir=f"{root}/ckpt_mirror",
+        stream_id="mirror", available_now=True,
+    )
+    q.awaitTermination()
+    print(
+        "mirror == source:",
+        txlog.read_table(spark, mirror).count()
+        == txlog.read_table(spark, events).count(),
+    )
+
+    # 7. maintain: an incrementally-maintained rollup ON the log —
+    # signed CDF deltas fold into a txlog rollup table, commit-sized
+    # work per call, exactly-once per source version, correct across
+    # the delete in step 4
+    from es_analytics_spark.incremental import maintain_rollup, read_rollup
+
+    tier_stats = f"{root}/tier_stats"
+    res = maintain_rollup(
+        spark, profiles, tier_stats, keys=["tier"],
+        measures={"users": ("count", None)},
+    )
+    print("rollup applied", res["applied"], "source versions; state:",
+          sorted((r["tier"], r["users"]) for r in read_rollup(spark, tier_stats).collect()))
+
     shutil.rmtree(root, ignore_errors=True)
 
 
