@@ -23,10 +23,15 @@ epoch sink (`streaming/txlog_sink.py`):
   overlap share a token;
 - a maintainer pre-checks :func:`txlog.table_sources` and starts after
   the highest stamped version;
-- two maintainers racing the same window cannot both land:
-  ``merge_upsert`` commits re-attach past blind appends ONLY, so the
-  loser's merge raises :class:`txlog.CommitConflict`, and its retry
-  re-reads the stamped tokens and finds nothing left to apply.
+- the maintenance commit is an OPTIMISTIC read-modify-write
+  (``merge_upsert(expect_version=...)``): cursor and rollup state are
+  read pinned at one rollup version and the commit must land at
+  exactly the next one, so ANY rival commit — same window, a
+  different/wider window (the classic TOCTOU lost-update, where a
+  same-window idempotence check would pass while silently erasing the
+  rival's extra versions), or an unrelated writer — raises
+  :class:`txlog.CommitConflict` and the loser recomputes from fresh
+  state, finding nothing left if its window was covered.
 
 Honesty rule: the CDF window must actually carry every content change.
 ``table_changes_cdf`` already raises on a cdc-less ``restore``; this
@@ -59,13 +64,21 @@ def _cursor_token(source_path: str, version: int) -> str:
     return f"cdf:{source_path}@v{version:06d}"
 
 
-def rollup_cursor(spark: SparkSession, rollup_path: str, source_path: str) -> int:
-    """Highest source version this rollup has incorporated (0 = never
-    maintained): the max version parsed from the rollup's stamped
-    source tokens. Metadata-sized (reads commit JSONs only)."""
+def rollup_cursor(
+    spark: SparkSession,
+    rollup_path: str,
+    source_path: str,
+    version: int | None = None,
+) -> int:
+    """Highest source version this rollup has incorporated as of its
+    own ``version`` (0 = never maintained): the max version parsed from
+    the rollup's stamped source tokens. Metadata-sized (reads commit
+    JSONs only). ``version`` pins the read to the same rollup snapshot
+    the maintainer's state read uses — cursor and state must come from
+    ONE version or a racing commit could desync them."""
     prefix = f"cdf:{source_path}@v"
     best = 0
-    for s in txlog.table_sources(spark, rollup_path):
+    for s in txlog.table_sources(spark, rollup_path, version=version):
         if s.startswith(prefix):
             best = max(best, int(s[len(prefix):]))
     return best
@@ -119,7 +132,15 @@ def maintain_rollup(
 
     for attempt in range(max_attempts):
         latest = txlog.current_version(spark, source_path)
-        cursor = rollup_cursor(spark, rollup_path, source_path)
+        # cursor AND current state both pinned to ONE rollup version;
+        # the merge below requires the commit to land at exactly
+        # state_v + 1 (expect_version), so a rival landing between this
+        # read and our commit — even one covering a DIFFERENT window,
+        # the lost-update shape a same-window idempotence check can't
+        # catch — forces a clean recompute instead of silently
+        # overwriting the rival's contribution
+        state_v = txlog.current_version(spark, rollup_path)
+        cursor = rollup_cursor(spark, rollup_path, source_path, version=state_v)
         if latest <= cursor:
             return {"cursor": cursor, "applied": 0, "version": None}
         _check_window_cdc_complete(spark, source_path, cursor, latest)
@@ -134,31 +155,42 @@ def maintain_rollup(
             else:
                 aggs.append(F.sum(sign * F.col(col)).alias(out))
         grouped = delta.groupBy(*keys).agg(*aggs)
-        if txlog.current_version(spark, rollup_path) > 0:
-            cur = txlog.read_table(spark, rollup_path).join(
-                grouped.select(*keys), keys, "left_semi"
-            )
-            merged = grouped.alias("d").join(cur.alias("c"), keys, "left")
-            cols = [F.col(f"d.{k}").alias(k) for k in keys]
+        if state_v > 0:
+            state = txlog.read_table(spark, rollup_path, version=state_v)
+            d, c = grouped.alias("d"), state.alias("c")
+            # null-safe: groupBy emits ONE NULL-keyed group, so state
+            # lookup and key matching must treat NULL as that group too
+            cond = None
+            for k in keys:
+                term = d[k].eqNullSafe(c[k])
+                cond = term if cond is None else (cond & term)
+            merged = d.join(c, cond, "left")
+            cols = [d[k].alias(k) for k in keys]
             for out in [COUNT_COL, *measures]:
                 cols.append(
                     (
-                        F.coalesce(F.col(f"c.{out}"), F.lit(0))
-                        + F.coalesce(F.col(f"d.{out}"), F.lit(0))
+                        F.coalesce(c[out], F.lit(0))
+                        + F.coalesce(d[out], F.lit(0))
                     ).alias(out)
                 )
             updates = merged.select(*cols)
         else:
             updates = grouped
+        # materialize ONCE: merge_upsert evaluates its updates several
+        # times (dup check, key joins, part write) — without a barrier
+        # each evaluation would re-run the CDF scan + state read + join
+        updates = updates.localCheckpoint(eager=True)
         tokens = [_cursor_token(source_path, v) for v in range(cursor + 1, latest + 1)]
         try:
             res = txlog.merge_upsert(
-                spark, rollup_path, updates, keys=keys, sources=tokens
+                spark, rollup_path, updates, keys=keys, sources=tokens,
+                expect_version=state_v, null_safe_keys=True,
             )
             return {"cursor": latest, "applied": len(tokens), "version": res["version"]}
         except txlog.CommitConflict:
             # another maintainer (or writer) landed first — re-read the
-            # stamped cursor; if it covered our window we're done
+            # stamped cursor and state; if the rival covered our window
+            # the retry applies nothing
             if attempt == max_attempts - 1:
                 raise
     raise AssertionError("unreachable")

@@ -141,20 +141,33 @@ class _PyLog:
 
 
 def _check_no_unseen_columns(commit_schema: dict | None, query_fields: set[str],
-                             version: int) -> None:
+                             latest_fields: set[str], version: int) -> None:
     """Plan-time guard: a commit whose schema carries columns the
-    running query never planned means the table evolved after the
-    stream started — fail loudly instead of silently dropping the new
-    column from every fed row (Delta parity)."""
+    running query never planned cannot feed without silently dropping
+    them. Two distinct remedies, named honestly: if the LATEST table
+    schema still has the columns, the table evolved after the stream
+    started and a restart re-plans with them (Delta parity); if it does
+    not, a later replace_schema overwrite dropped them — no restart can
+    represent this window, so start past it or consume it via the batch
+    feed."""
     if not commit_schema:
         return
     extra = {f["name"] for f in commit_schema.get("fields", [])} - query_fields
-    if extra:
+    if not extra:
+        return
+    if extra <= latest_fields:
         raise ValueError(
             f"txlog_feed: commit v{version} evolved the table schema with "
             f"column(s) {sorted(extra)} the running stream did not plan; "
             "restart the stream to pick up the evolved schema"
         )
+    raise ValueError(
+        f"txlog_feed: commit v{version} carries column(s) {sorted(extra)} "
+        "that a later replace_schema overwrite dropped — no stream planned "
+        "on the current schema can represent this window. Start the stream "
+        f"past it (starting_version >= {version}), or consume the window "
+        "via batch txlog.table_changes / table_changes_cdf"
+    )
 
 
 class _PartFilePartition(InputPartition):
@@ -215,15 +228,55 @@ def _aligned_batches(partition: _PartFilePartition, schema, cdf: bool):
         yield batch
 
 
+def _check_cdf_entry_schema(entry_schema: dict | None, query_types: dict,
+                            version: int) -> None:
+    """A change part is read with its WRITE-TIME schema (the commit
+    records it per entry — a ``replace_schema`` overwrite's deletes
+    carry the pre-replace schema). The streaming query's schema is
+    fixed at plan time, so an entry column the query lacks — or holds
+    at a different type — is UNREPRESENTABLE in the stream, and unlike
+    mid-stream evolution a restart cannot fix it (the latest schema
+    still lacks the old column). Fail at plan time with the honest
+    remedies instead of an executor cast error or a silent coercion
+    that would desync delete rows from the inserts they undo."""
+    if not entry_schema:
+        return
+    for f in entry_schema.get("fields", []):
+        qt = query_types.get(f["name"])
+        if qt is not None and qt == f["type"]:
+            continue
+        problem = (
+            f"column {f['name']!r} (absent from the stream's schema)"
+            if qt is None
+            else f"column {f['name']!r} at type {f['type']} (stream has {qt})"
+        )
+        raise ValueError(
+            f"txlog_feed: commit v{version}'s change rows carry {problem} — "
+            "a replace_schema overwrite's change parts keep their write-time "
+            "schema, which this stream cannot represent. Consume that window "
+            "via batch txlog.table_changes_cdf, or start the stream past it "
+            f"(starting_version >= {version})"
+        )
+
+
 def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
-                 ignore_changes: bool, query_fields: set[str],
+                 ignore_changes: bool, query_schema,
                  ) -> list[_PartFilePartition]:
     """Turn the commit window (start_v, end_v] into input partitions —
     the streaming analog of table_changes/table_changes_cdf's planning,
     via the SAME pure replay helpers."""
+    query_fields = {f.name for f in query_schema.fields} - set(_CDF_COLS)
+    query_types = {
+        f.name: f.dataType.jsonValue()
+        for f in query_schema.fields
+        if f.name not in _CDF_COLS
+    }
+    latest_fields = {
+        f["name"] for f in log.committed_schema().get("fields", [])
+    }
     commits = [log.commit(v) for v in range(start_v + 1, end_v + 1)]
     for v, c in zip(range(start_v + 1, end_v + 1), commits):
-        _check_no_unseen_columns(c.get("schema"), query_fields, v)
+        _check_no_unseen_columns(c.get("schema"), query_fields, latest_fields, v)
         op = c.get("operation")
         if not cdf and not ignore_changes and op not in ("append", "compact"):
             raise ValueError(
@@ -237,6 +290,7 @@ def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
     if cdf:
         for v, c in zip(range(start_v + 1, end_v + 1), commits):
             for a in _cdf_commit_actions(c, v):
+                _check_cdf_entry_schema(a.get("schema"), query_types, v)
                 for f in log.part_files(a["path"]):
                     out.append(_PartFilePartition(f, a["change_type"], v))
     else:
@@ -266,7 +320,6 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
         # to the WAL-recovered offset by partitions(), and a clamp can
         # never regress the stream below a committed offset.
         self._floor: int | None = None
-        self._query_fields = {f.name for f in schema.fields} - set(_CDF_COLS)
 
     def initialOffset(self) -> dict:  # noqa: N802
         self._floor = self._start
@@ -286,7 +339,7 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
         return _plan_window(
             self._log, s, e, cdf=self._cdf,
             ignore_changes=self._ignore_changes,
-            query_fields=self._query_fields,
+            query_schema=self._schema,
         )
 
     def read(self, partition: _PartFilePartition):
@@ -316,7 +369,7 @@ class TxLogFeedBatchReader(DataSourceReader):
         return _plan_window(
             self._log, self._from, self._to, cdf=self._cdf,
             ignore_changes=True,
-            query_fields={f.name for f in self._schema.fields} - set(_CDF_COLS),
+            query_schema=self._schema,
         )
 
     def read(self, partition: _PartFilePartition):

@@ -633,12 +633,33 @@ def _write_clustered_parts(
         .partitionBy("_range_id")
         .parquet(staging)
     )
+    # ONE stats job for every emitted range (grouped min/max over the
+    # staging dir as written on disk — deterministic, and never a
+    # driver-serialized per-part job loop: K ranges at 100 TB is in the
+    # thousands, and K sequential Spark jobs would make compaction
+    # driver-bound)
+    from pyspark.sql import functions as F  # noqa: F811 (local import shape)
+
+    exprs = []
+    for i, c in enumerate(stats_cols):
+        exprs += [F.min(c).alias(f"__mn{i}"), F.max(c).alias(f"__mx{i}")]
+    by_range = {
+        r["_range_id"]: r
+        for r in spark.read.parquet(staging).groupBy("_range_id").agg(*exprs).collect()
+    }
     adds = []
     for sub in sorted(fs.glob(fs_join(staging, "_range_id=*"))):
+        rid = int(sub.rsplit("=", 1)[1])
         part = fs_join(_part_dir(path), uuid.uuid4().hex)
         fs.rename(sub, part)
-        stats = _column_stats(spark.read.parquet(part), list(stats_cols))
         add = {"path": part, "partition": partition, "rewrite": True}
+        row, stats = by_range.get(rid), {}
+        if row is not None:
+            for i, c in enumerate(stats_cols):
+                mn = _json_stat(row[f"__mn{i}"])
+                mx = _json_stat(row[f"__mx{i}"])
+                if mn is not None and mx is not None:
+                    stats[c] = [mn, mx]
         if stats:
             add["stats"] = stats
         adds.append(add)
@@ -676,17 +697,18 @@ def compact(
     range-partitioned on the cluster columns (``repartitionByRange`` —
     a sampled range shuffle, no single-task sort) and emitted as one
     PART PER RANGE, each with freshly computed [min,max] zone maps over
-    ``stats_cols`` (default: the cluster columns). Because commit-log
-    data skipping is per part, interleaved appends — whose per-part
-    ranges all overlap and so can never be skipped — become disjoint
-    ranges after one clustered compact, and ``read_table(range_filter=
-    ...)`` on a cluster column opens a constant number of parts instead
-    of all of them. Stats are computed by re-reading each emitted part
-    (column-pruned min/max scan), never from the pre-shuffle lineage —
-    a re-sampled range assignment can't desync the recorded envelope
-    from the bytes on disk. Rows within each part are sorted on the
-    cluster columns, so parquet row-group pruning compounds the
-    part-level skip."""
+    the cluster columns ∪ ``stats_cols`` ∪ every column the group's
+    members ALL recorded stats for (clustering must never regress
+    skipping on other columns). Because commit-log data skipping is per
+    part, interleaved appends — whose per-part ranges all overlap and
+    so can never be skipped — become disjoint ranges after one
+    clustered compact, and ``read_table(range_filter=...)`` on a
+    cluster column opens a constant number of parts instead of all of
+    them. Stats come from ONE grouped min/max job over the staged bytes
+    on disk, never from the pre-shuffle lineage — a re-sampled range
+    assignment can't desync the recorded envelope from the files. Rows
+    within each part are sorted on the cluster columns, so parquet
+    row-group pruning compounds the part-level skip."""
     fs = lake_fs(spark, path)
     v0, live = _snapshot(fs, path)
     if len(live) <= 1:
@@ -708,11 +730,19 @@ def compact(
         rows_per_file = max(int(target_file_bytes / bytes_per_row), 1)
         n_files = max(-(-group_bytes // max(target_file_bytes, 1)), 1)
         if cluster_by:
+            # never REGRESS skipping: columns every member already
+            # recorded stats for keep their zone maps (recomputed from
+            # disk, so they come out tighter, not merely enveloped),
+            # alongside the cluster columns and any explicit request
+            member = [set(live[p].get("stats") or {}) for p in parts]
+            common = set.intersection(*member) if member else set()
+            stat_set = list(dict.fromkeys(
+                [*cluster_by, *(stats_cols or []), *sorted(common)]
+            ))
             adds.extend(
                 _write_clustered_parts(
                     spark, fs, path, merged, dict(key), int(n_files),
-                    rows_per_file, cluster_by,
-                    stats_cols or cluster_by,
+                    rows_per_file, cluster_by, stat_set,
                 )
             )
             continue
@@ -1183,6 +1213,8 @@ def merge_upsert(
     max_retries: int = 10,
     sources: list[str] | None = None,
     partition: dict | None = None,
+    expect_version: int | None = None,
+    null_safe_keys: bool = False,
 ) -> dict:
     """Transactional MERGE (upsert) in ONE atomic commit: rows in
     ``updates`` replace live rows with equal key tuples, unmatched
@@ -1216,8 +1248,37 @@ def merge_upsert(
     cannot carry the same epoch), so no ``since_version`` is needed;
     the merge itself is also idempotent (same keys → same replacement
     rows), making the source stamp a fast-path, not a correctness
-    crutch."""
+    crutch.
+
+    ``expect_version`` turns the merge into an OPTIMISTIC
+    read-modify-write: the caller computed ``updates`` from the table's
+    state at that version, so the commit must land at exactly
+    ``expect_version + 1`` — ANY intervening commit (even a blind
+    append, which a plain merge would commute past) raises
+    :class:`CommitConflict` so the caller recomputes from fresh state.
+    This is the guard an incremental maintainer needs: without it, a
+    maintainer whose state read predates a rival's commit would
+    silently overwrite the rival's contribution
+    (`incremental.maintain_rollup` passes it always).
+
+    ``null_safe_keys`` matches key tuples with ``<=>`` (IS NOT DISTINCT
+    FROM) instead of ``=``: a NULL-keyed update row then REPLACES the
+    existing NULL-keyed rows rather than inserting beside them. The
+    default (ANSI/Delta ``MERGE ON t.k = s.k`` behavior) never matches
+    NULL keys. GroupBy-derived update sets (rollup maintenance) need
+    the null-safe form — groupBy emits one NULL group, so key matching
+    must agree with grouping semantics."""
+    import functools
+
     from pyspark.sql import functions as F
+
+    def _key_join(left, right, how: str):
+        if not null_safe_keys:
+            return left.join(right, keys, how)
+        cond = functools.reduce(
+            lambda a, b: a & b, [left[k].eqNullSafe(right[k]) for k in keys]
+        )
+        return left.join(right, cond, how)
 
     if not keys:
         raise ValueError("merge_upsert: keys must be non-empty")
@@ -1229,6 +1290,11 @@ def merge_upsert(
         )
     fs = lake_fs(spark, path)
     v0, live = _snapshot(fs, path)
+    if expect_version is not None and v0 != expect_version:
+        raise CommitConflict(
+            f"merge_upsert under {path}: state read at v{expect_version} is "
+            f"stale (table is at v{v0}); recompute from fresh state"
+        )
     schema = _merge_schema(_committed_schema(fs, path, v0), updates, evolve)
     upd_keys = updates.select(*keys).distinct()
     adds: list[dict] = []
@@ -1240,8 +1306,10 @@ def merge_upsert(
         table_schema = _committed_schema(fs, path, v0)
         tbl = _read_parts(spark, parts, table_schema)
         matched = (
-            tbl.select(F.input_file_name().alias("__f"), *keys)
-            .join(upd_keys, keys, "left_semi")
+            _key_join(
+                tbl.select(F.input_file_name().alias("__f"), *keys),
+                upd_keys, "left_semi",
+            )
             .select("__f")
             .distinct()
             .collect()
@@ -1263,8 +1331,8 @@ def merge_upsert(
                 )
         if touched:
             removes = touched
-            old_rows = _read_parts(spark, touched, table_schema).join(
-                upd_keys, keys, "left_semi"
+            old_rows = _key_join(
+                _read_parts(spark, touched, table_schema), upd_keys, "left_semi"
             )
             cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
             old_rows.write.mode("overwrite").parquet(cdc_part)
@@ -1275,8 +1343,8 @@ def merge_upsert(
             )
             cdc = [{"path": cdc_part, "change_type": "delete"}]
             for p in touched:
-                keep = _read_parts(spark, [p], table_schema).join(
-                    upd_keys, keys, "left_anti"
+                keep = _key_join(
+                    _read_parts(spark, [p], table_schema), upd_keys, "left_anti"
                 )
                 if keep.isEmpty():
                     continue
@@ -1301,7 +1369,19 @@ def merge_upsert(
         payload["cdc"] = cdc
     if sources is not None:
         payload["sources"] = sorted(sources)
-    res = _commute_past_appends_only(fs, path, payload, v0, max_retries, "merge_upsert")
+    if expect_version is None:
+        res = _commute_past_appends_only(
+            fs, path, payload, v0, max_retries, "merge_upsert"
+        )
+    elif _try_commit(fs, path, v0 + 1, payload):
+        # optimistic read-modify-write: exact CAS at expect_version+1,
+        # no re-attach — ANY racer invalidates the caller's state read
+        res = {"version": v0 + 1}
+    else:
+        raise CommitConflict(
+            f"merge_upsert under {path}: lost the CAS at "
+            f"v{v0 + 1}; recompute from fresh state"
+        )
     # footer-only count of the part actually written — never a third
     # execution of the caller's updates lineage (which may be expensive
     # or, for a re-read stream batch, not even deterministic)

@@ -46,11 +46,14 @@ def _recompute(spark, src):
 
 
 def _assert_converged(spark, src, roll):
+    key = lambda t: (t[0] is None, t)  # noqa: E731 — None-safe sort
     got = sorted(
-        map(tuple, read_rollup(spark, roll).select("cat", COUNT_COL, "revenue", "orders").collect())
+        map(tuple, read_rollup(spark, roll).select("cat", COUNT_COL, "revenue", "orders").collect()),
+        key=key,
     )
     want = sorted(
-        map(tuple, _recompute(spark, src).select("cat", COUNT_COL, "revenue", "orders").collect())
+        map(tuple, _recompute(spark, src).select("cat", COUNT_COL, "revenue", "orders").collect()),
+        key=key,
     )
     assert got == want
 
@@ -163,4 +166,63 @@ def test_racing_maintainers_apply_window_exactly_once(spark, tmp_path):
     # [1, 1] can only be a win + a loser that retried AFTER the win
     # landed and found applied=0... assert the state, which is what
     # matters: no double-count
+    _assert_converged(spark, src, roll)
+
+
+def test_toctou_lost_update_forces_conflict_and_recompute(spark, tmp_path, monkeypatch):
+    """The classic lost-update: maintainer B reads state, then rival A
+    applies a WIDER window (including a source commit B never saw) and
+    commits. B's merge must CONFLICT (expect_version), and its retry —
+    seeing A's stamped tokens — applies nothing. Without the guard, B's
+    stale-state merge would land and silently erase A's extra version."""
+    import es_analytics_spark.incremental as inc
+
+    src = os.path.join(str(tmp_path), "src")
+    roll = os.path.join(str(tmp_path), "roll")
+    append(spark, src, _rows(spark, 0, 5, "a"))  # v1
+    maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    append(spark, src, _rows(spark, 5, 10, "a"))  # v2 — B's window is (1, 2]
+
+    real_merge = inc.txlog.merge_upsert
+    fired = {"n": 0}
+
+    def hijack(spark_, path_, updates_, **kw):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            monkeypatch.setattr(inc.txlog, "merge_upsert", real_merge)
+            # rival A: a NEW source commit lands and A maintains the
+            # wider window (1, 3] before B's commit reaches the log
+            append(spark, src, _rows(spark, 10, 20, "b"))  # v3
+            a_res = maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+            assert a_res["applied"] == 2  # A covered v2 AND v3
+        return real_merge(spark_, path_, updates_, **kw)
+
+    monkeypatch.setattr(inc.txlog, "merge_upsert", hijack)
+    b_res = maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    assert fired["n"] == 1
+    assert b_res["applied"] == 0, "B must find its window already covered"
+    _assert_converged(spark, src, roll)
+
+
+def test_null_group_keys_accumulate_as_one_group(spark, tmp_path):
+    """NULL group keys: groupBy emits one NULL group, so the state
+    lookup and merge key-matching must be null-safe — the NULL group
+    accumulates across windows instead of accreting split rows."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("id", LongType()), StructField("cat", StringType()),
+        StructField("amount", DoubleType()),
+    ])
+    src = os.path.join(str(tmp_path), "src")
+    roll = os.path.join(str(tmp_path), "roll")
+    append(spark, src, spark.createDataFrame(
+        [(1, None, 10.0), (2, "a", 1.0)], schema))
+    maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    append(spark, src, spark.createDataFrame(
+        [(3, None, 5.0), (4, "a", 2.0)], schema))
+    maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    rows = {r.cat: (r._n, r.revenue) for r in read_rollup(spark, roll).collect()}
+    assert rows == {None: (2, 15.0), "a": (2, 3.0)}
+    assert read_rollup(spark, roll).count() == 2  # no split NULL rows
     _assert_converged(spark, src, roll)

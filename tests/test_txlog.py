@@ -1558,3 +1558,22 @@ def test_clustered_compaction_per_partition_tag(spark, tmp_path):
     tags = {tuple(e["partition"].items()) for e in live.values()}
     assert tags == {(("d", "a"),), (("d", "b"),)}
     assert all(e.get("stats", {}).get("id") for e in live.values())
+
+
+def test_clustered_compaction_preserves_other_stats_columns(spark, tmp_path):
+    """Clustering on one column must not regress skipping on columns the
+    members all recorded: their zone maps are recomputed from disk and
+    stay in every emitted part's manifest entry."""
+    path = str(tmp_path / "t")
+    for lo in (0, 200):
+        df = _ids(spark, lo, lo + 200).withColumn("ts", F.col("id") * 10)
+        append(spark, path, df, stats_cols=["ts"])
+    compact(spark, path, target_file_bytes=2_000, cluster_by=["id"])
+    from es_analytics_spark.txlog import _snapshot
+    fs = lake_fs(spark, path)
+    _v, live = _snapshot(fs, path)
+    assert len(live) > 1
+    assert all({"id", "ts"} <= set(e.get("stats", {})) for e in live.values())
+    # and the preserved column still skips: ts spans [0, 3990]
+    got = read_table(spark, path, range_filter={"ts": (100_000, None)})
+    assert got.count() == 0 and got.inputFiles() == []

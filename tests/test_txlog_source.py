@@ -275,3 +275,50 @@ def test_full_loop_stream_txlog_to_txlog(spark, tmp_path):
     a = sorted(map(tuple, read_table(spark, src).select("id", "val").collect()))
     b = sorted(map(tuple, read_table(spark, dst).select("id", "val").collect()))
     assert a == b and len(b) == 30
+
+
+def test_cdf_stream_rejects_replace_schema_change_parts(spark, tmp_path):
+    """A replace_schema overwrite's change parts keep their WRITE-TIME
+    schema; a cdf stream planned on the new schema cannot represent
+    them (a restart can't fix it — the latest schema still lacks the
+    old column). The batch must fail at PLAN time with bootstrap
+    guidance, and starting past the overwrite must work."""
+    from pyspark.sql import functions as F
+
+    from es_analytics_spark.txlog import overwrite_table
+
+    path = _table(spark, tmp_path)
+    overwrite_table(
+        spark,
+        path,
+        spark.createDataFrame([Row(id=1, renamed=9.0)]),
+        replace_schema=True,
+        cdc=True,
+    )  # v3: deletes carry the OLD (id, val) schema; stream schema lacks val
+    # from v0 the commit-level guard names the replace_schema remedy
+    # (a restart cannot represent the pre-replace window)
+    q, _rows = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ckpt"), cdf="true"
+    )
+    assert q.exception() is not None
+    assert "replace_schema" in str(q.exception())
+    # a window covering ONLY the overwrite trips the per-ENTRY guard:
+    # the commit schema matches the stream, but its cdc delete part
+    # keeps the write-time (pre-replace) schema
+    q, _rows = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ckpt_e"), cdf="true",
+        starting_version=2,
+    )
+    assert q.exception() is not None
+    assert "write-time schema" in str(q.exception())
+    # starting past the offending window streams fine
+    _q, rows = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ckpt2"), cdf="true",
+        starting_version=3,
+    )
+    append(spark, path, spark.createDataFrame([Row(id=2, renamed=1.0)]))
+    _q2, rows2 = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ckpt2"), cdf="true",
+        starting_version=3,
+    )
+    assert {r.id for r in rows + rows2} == {2}
