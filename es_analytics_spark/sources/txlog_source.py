@@ -261,10 +261,15 @@ def _check_cdf_entry_schema(entry_schema: dict | None, query_types: dict,
 
 def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
                  ignore_changes: bool, query_schema,
+                 partition_filter: dict | None = None,
                  ) -> list[_PartFilePartition]:
     """Turn the commit window (start_v, end_v] into input partitions —
     the streaming analog of table_changes/table_changes_cdf's planning,
-    via the SAME pure replay helpers."""
+    via the SAME pure replay helpers. ``partition_filter`` keeps only
+    parts whose commit-recorded tag matches EXACTLY (the
+    ``read_table(partition_filter=...)`` manifest contract): a
+    per-tenant consumer then plans and reads only its partition's parts
+    — untagged parts are invisible to it, same as the batch read."""
     query_fields = {f.name for f in query_schema.fields} - set(_CDF_COLS)
     query_types = {
         f.name: f.dataType.jsonValue()
@@ -294,10 +299,38 @@ def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
                 for f in log.part_files(a["path"]):
                     out.append(_PartFilePartition(f, a["change_type"], v))
     else:
-        for part in sorted(_insert_window_parts(commits)):
+        added = _insert_window_parts(commits)
+        for part in sorted(added):
+            if partition_filter is not None and added[part] != partition_filter:
+                continue
             for f in log.part_files(part):
                 out.append(_PartFilePartition(f, None, None))
     return out
+
+
+def _parse_partition_filter(options, cdf: bool) -> dict | None:
+    """``partition_filter`` option: a JSON object of tag equality, e.g.
+    '{"tenant": "a"}'. Exact-tag manifest semantics (untagged parts
+    invisible), so it composes with per-partition writers. Refused in
+    cdf mode: change parts carry no partition tag (a delete may span
+    partitions), so a filtered change feed would silently miss
+    deletes — filter rows downstream instead."""
+    raw = options.get("partition_filter")
+    if raw is None:
+        return None
+    if cdf:
+        raise ValueError(
+            "txlog_feed: partition_filter is not supported with cdf=true — "
+            "change parts are untagged (a delete may span partitions), so a "
+            "tag-filtered change feed would silently miss deletes; filter "
+            "rows in the query instead"
+        )
+    pf = json.loads(raw)
+    if not isinstance(pf, dict):
+        raise ValueError(
+            f"txlog_feed: partition_filter must be a JSON object, got {raw!r}"
+        )
+    return pf
 
 
 class TxLogFeedStreamReader(DataSourceStreamReader):
@@ -310,6 +343,7 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
         )
         self._start = int(options.get("starting_version", 0))
         self._max_versions = int(options.get("max_versions_per_batch", 0))
+        self._partition_filter = _parse_partition_filter(options, self._cdf)
         # Rate-limit floor: the newest version known delivered/planned.
         # Call-order contract (probed empirically, pinned by
         # test_rate_limit_bounds_each_batch): a FRESH stream calls
@@ -340,6 +374,7 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
             self._log, s, e, cdf=self._cdf,
             ignore_changes=self._ignore_changes,
             query_schema=self._schema,
+            partition_filter=self._partition_filter,
         )
 
     def read(self, partition: _PartFilePartition):
@@ -361,6 +396,7 @@ class TxLogFeedBatchReader(DataSourceReader):
         self._schema = schema
         self._log = _PyLog(path)
         self._cdf = str(options.get("cdf", "false")).lower() == "true"
+        self._partition_filter = _parse_partition_filter(options, self._cdf)
         self._from = int(options.get("from_version", 0))
         to = options.get("to_version")
         self._to = int(to) if to is not None else self._log.current_version()
@@ -370,6 +406,7 @@ class TxLogFeedBatchReader(DataSourceReader):
             self._log, self._from, self._to, cdf=self._cdf,
             ignore_changes=True,
             query_schema=self._schema,
+            partition_filter=self._partition_filter,
         )
 
     def read(self, partition: _PartFilePartition):

@@ -322,3 +322,31 @@ def test_cdf_stream_rejects_replace_schema_change_parts(spark, tmp_path):
         starting_version=3,
     )
     assert {r.id for r in rows + rows2} == {2}
+
+
+def test_partition_filter_streams_one_tenant(spark, tmp_path):
+    """partition_filter: exact-tag manifest pruning in the stream
+    planner — a per-tenant consumer plans only its partition's parts;
+    cdf mode refuses the option (change parts are untagged)."""
+    import json as _json
+
+    path = os.path.join(str(tmp_path), "t")
+    append(spark, path, _ids(spark, 0, 5, d="a"), partition={"d": "a"})
+    append(spark, path, _ids(spark, 5, 9, d="b"), partition={"d": "b"})
+    append(spark, path, _ids(spark, 9, 12, d="a"), partition={"d": "a"})
+    _q, rows = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ckpt"),
+        partition_filter=_json.dumps({"d": "a"}),
+    )
+    assert sorted(r.id for r in rows) == [0, 1, 2, 3, 4, 9, 10, 11]
+    # batch window read honors it too
+    got = (
+        spark.read.format("txlog_feed").option("path", path)
+        .option("partition_filter", _json.dumps({"d": "b"})).load()
+    )
+    assert sorted(r.id for r in got.collect()) == [5, 6, 7, 8]
+    q, _rows = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ckpt2"), cdf="true",
+        partition_filter=_json.dumps({"d": "a"}),
+    )
+    assert q.exception() is not None and "untagged" in str(q.exception())
