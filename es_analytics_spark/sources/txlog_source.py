@@ -266,10 +266,11 @@ def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
     """Turn the commit window (start_v, end_v] into input partitions —
     the streaming analog of table_changes/table_changes_cdf's planning,
     via the SAME pure replay helpers. ``partition_filter`` keeps only
-    parts whose commit-recorded tag matches EXACTLY (the
-    ``read_table(partition_filter=...)`` manifest contract): a
-    per-tenant consumer then plans and reads only its partition's parts
-    — untagged parts are invisible to it, same as the batch read."""
+    parts whose commit-recorded tag matches on every filter key (the
+    ``read_table(partition_filter=...)`` subset-match manifest
+    contract): a per-tenant consumer then plans and reads only its
+    partition's parts — untagged parts are invisible to it, same as
+    the batch read."""
     query_fields = {f.name for f in query_schema.fields} - set(_CDF_COLS)
     query_types = {
         f.name: f.dataType.jsonValue()
@@ -301,7 +302,11 @@ def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
     else:
         added = _insert_window_parts(commits)
         for part in sorted(added):
-            if partition_filter is not None and added[part] != partition_filter:
+            if partition_filter is not None and not all(
+                added[part].get(k) == pv for k, pv in partition_filter.items()
+            ):
+                # subset tag matching — the read_table(partition_filter=)
+                # manifest contract exactly (an untagged part never matches)
                 continue
             for f in log.part_files(part):
                 out.append(_PartFilePartition(f, None, None))
