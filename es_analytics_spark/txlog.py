@@ -610,6 +610,7 @@ def _write_clustered_parts(
     rows_per_file: int,
     cluster_by: list[str],
     stats_cols: list[str],
+    order_expr=None,
 ) -> list[dict]:
     """Emit one partition group as range-clustered parts: a sampled
     range shuffle on the cluster columns, one part directory per range
@@ -621,13 +622,24 @@ def _write_clustered_parts(
     from pyspark.sql import functions as F
 
     staging = fs_join(_part_dir(path), "stage-" + uuid.uuid4().hex)
+    if order_expr is not None:
+        # z-order: one synthetic curve position drives both the range
+        # shuffle and the in-partition sort, then drops before write
+        frame = (
+            merged.withColumn("__zpos", order_expr)
+            .repartitionByRange(max(n_parts, 1), "__zpos")
+            .sortWithinPartitions("__zpos")
+            .drop("__zpos")
+        )
+    else:
+        frame = merged.repartitionByRange(
+            max(n_parts, 1), *cluster_by
+        ).sortWithinPartitions(*cluster_by)
     (
-        merged.repartitionByRange(max(n_parts, 1), *cluster_by)
-        .sortWithinPartitions(*cluster_by)
         # spark_partition_id is non-deterministic-tagged, so Catalyst
         # cannot reorder it below the range exchange: it names the
         # post-shuffle range each row landed in
-        .withColumn("_range_id", F.spark_partition_id())
+        frame.withColumn("_range_id", F.spark_partition_id())
         .write.mode("overwrite")
         .option("maxRecordsPerFile", rows_per_file)
         .partitionBy("_range_id")
@@ -674,6 +686,7 @@ def compact(
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    zorder: bool = False,
 ) -> dict:
     """Transactional compaction: rewrite the snapshot's live parts into
     one part per partition tag, then commit {adds, removes=snapshot
@@ -708,7 +721,16 @@ def compact(
     on disk, never from the pre-shuffle lineage — a re-sampled range
     assignment can't desync the recorded envelope from the files. Rows
     within each part are sorted on the cluster columns, so parquet
-    row-group pruning compounds the part-level skip."""
+    row-group pruning compounds the part-level skip.
+
+    ``zorder=True`` upgrades linear clustering to the multi-dimensional
+    curve (Delta's ``OPTIMIZE ZORDER BY`` proper): the cluster columns'
+    normalized bits interleave into one Morton position
+    (``functions.zorder``, shared with ``maintenance.zorder_by``) that
+    drives the range shuffle, so every part gets a small bounding box
+    in EVERY cluster dimension — a ``range_filter`` on ANY of them
+    skips, where linear clustering prunes only the leading column.
+    Costs one extra per-group stats job; same shuffle shape."""
     fs = lake_fs(spark, path)
     v0, live = _snapshot(fs, path)
     if len(live) <= 1:
@@ -730,6 +752,32 @@ def compact(
         rows_per_file = max(int(target_file_bytes / bytes_per_row), 1)
         n_files = max(-(-group_bytes // max(target_file_bytes, 1)), 1)
         if cluster_by:
+            from pyspark.sql import functions as F
+
+            order_expr = None
+            if zorder:
+                # multi-dimensional clustering: interleave the cluster
+                # columns' normalized bits (functions.zorder — the same
+                # portable Morton expression maintenance.zorder_by uses
+                # on the lake) so EVERY emitted part gets a small
+                # bounding box in EVERY cluster dimension, not just the
+                # leading one. One extra stats job per group.
+                from .functions.zorder import interleave_expr, normalize_expr
+
+                zbits = min(16, 63 // len(cluster_by))
+                zs = merged.agg(
+                    *[F.min(c).cast("double").alias(f"lo_{i}")
+                      for i, c in enumerate(cluster_by)],
+                    *[F.max(c).cast("double").alias(f"hi_{i}")
+                      for i, c in enumerate(cluster_by)],
+                ).first()
+                cells = [
+                    normalize_expr(
+                        f"CAST(`{c}` AS DOUBLE)", zs[f"lo_{i}"], zs[f"hi_{i}"], zbits
+                    )
+                    for i, c in enumerate(cluster_by)
+                ]
+                order_expr = F.expr(interleave_expr(cells, zbits))
             # never REGRESS skipping: columns every member already
             # recorded stats for keep their zone maps (recomputed from
             # disk, so they come out tighter, not merely enveloped),
@@ -742,7 +790,7 @@ def compact(
             adds.extend(
                 _write_clustered_parts(
                     spark, fs, path, merged, dict(key), int(n_files),
-                    rows_per_file, cluster_by, stat_set,
+                    rows_per_file, cluster_by, stat_set, order_expr,
                 )
             )
             continue

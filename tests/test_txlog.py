@@ -1577,3 +1577,42 @@ def test_clustered_compaction_preserves_other_stats_columns(spark, tmp_path):
     # and the preserved column still skips: ts spans [0, 3990]
     got = read_table(spark, path, range_filter={"ts": (100_000, None)})
     assert got.count() == 0 and got.inputFiles() == []
+
+
+def test_zorder_compaction_skips_on_every_cluster_dimension(spark, tmp_path):
+    """compact(cluster_by=[x, y], zorder=True): every part gets a small
+    bounding box in BOTH dimensions, so narrow range reads on x AND on
+    y each open a strict subset of parts — linear clustering would
+    prune only the leading column."""
+    path = str(tmp_path / "t")
+    # 60x60 grid, appended in 4 interleaved stripes (each spans the
+    # full range of both x and y — nothing skippable before)
+    for r in range(4):
+        df = (
+            spark.range(3600)
+            .filter(f"id % 4 = {r}")
+            .select(
+                (F.col("id") % 60).cast("long").alias("x"),
+                (F.col("id") / 60).cast("long").alias("y"),
+            )
+        )
+        append(spark, path, df)
+    res = compact(
+        spark, path, target_file_bytes=1_500, cluster_by=["x", "y"], zorder=True
+    )
+    assert res["parts_after"] >= 4
+    total = res["parts_after"]
+
+    def opened(rf):
+        got = read_table(spark, path, range_filter=rf)
+        return got, {f.rsplit("/parts/", 1)[1].split("/")[0] for f in got.inputFiles()}
+
+    got_x, parts_x = opened({"x": (10, 15)})
+    assert got_x.count() == 6 * 60
+    assert len(parts_x) < total, "x range must skip parts"
+    got_y, parts_y = opened({"y": (50, 55)})
+    assert got_y.count() == 6 * 60
+    assert len(parts_y) < total, "y range must skip parts"
+    assert sorted(map(tuple, read_table(spark, path).collect())) == sorted(
+        ((i % 60, i // 60) for i in range(3600))
+    )
