@@ -196,6 +196,58 @@ def maintain_rollup(
     raise AssertionError("unreachable")
 
 
+def bootstrap_rollup(
+    spark: SparkSession,
+    source_path: str,
+    rollup_path: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str | None]],
+) -> dict:
+    """Initialize a rollup from a full snapshot recompute instead of
+    CDF replay — the entry point when the source's early change history
+    has been vacuumed (``maintain_rollup`` from cursor 0 would raise
+    :class:`txlog.VersionExpiredError`), and the cheaper start when the
+    table long predates the rollup. One table-sized pass, once; the
+    cursor lands at the snapshot version (a single ``cdf:...@vN``
+    token — :func:`rollup_cursor` takes the max), and every subsequent
+    :func:`maintain_rollup` is commit-sized again.
+
+    Only valid on an empty rollup (the snapshot IS the state; folding
+    it into existing state would double-count) — a non-empty target
+    raises. The snapshot version is pinned BEFORE the read and the
+    commit lands at rollup v1 exactly (``expect_version=0``), so a
+    concurrent maintainer or second bootstrap conflicts instead of
+    double-initializing."""
+    for out, (agg, col) in measures.items():
+        if agg not in ("sum", "count"):
+            raise ValueError(
+                f"bootstrap_rollup: measure {out}={agg!r} — only sum/count "
+                "are delta-maintainable (same contract as maintain_rollup)"
+            )
+    if txlog.current_version(spark, rollup_path) > 0:
+        raise ValueError(
+            f"bootstrap_rollup: {rollup_path} is not empty; bootstrap "
+            "initializes — incremental catch-up is maintain_rollup"
+        )
+    snap_v = txlog.current_version(spark, source_path)
+    if snap_v == 0:
+        raise FileNotFoundError(f"bootstrap_rollup: {source_path} has no commits")
+    snapshot = txlog.read_table(spark, source_path, version=snap_v)
+    aggs = [F.count(F.lit(1)).alias(COUNT_COL)]
+    for out, (agg, col) in measures.items():
+        if agg == "count":
+            aggs.append(F.count(F.lit(1)).alias(out))
+        else:
+            aggs.append(F.sum(F.col(col)).alias(out))
+    state = snapshot.groupBy(*keys).agg(*aggs).localCheckpoint(eager=True)
+    res = txlog.merge_upsert(
+        spark, rollup_path, state, keys=keys,
+        sources=[_cursor_token(source_path, snap_v)],
+        expect_version=0, null_safe_keys=True,
+    )
+    return {"cursor": snap_v, "version": res["version"]}
+
+
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
     """The rollup's current state, hiding groups whose net count reached
     zero (every source row of the group was deleted — the group no

@@ -226,3 +226,34 @@ def test_null_group_keys_accumulate_as_one_group(spark, tmp_path):
     assert rows == {None: (2, 15.0), "a": (2, 3.0)}
     assert read_rollup(spark, roll).count() == 2  # no split NULL rows
     _assert_converged(spark, src, roll)
+
+
+def test_bootstrap_then_incremental_across_vacuumed_history(spark, tmp_path):
+    """When the early CDF history is vacuum-reaped, maintain_rollup from
+    cursor 0 raises at plan time; bootstrap_rollup initializes from the
+    snapshot and incremental maintenance continues from there."""
+    from es_analytics_spark.incremental import bootstrap_rollup
+    from es_analytics_spark.txlog import VersionExpiredError, vacuum
+
+    src = os.path.join(str(tmp_path), "src")
+    roll = os.path.join(str(tmp_path), "roll")
+    append(spark, src, _rows(spark, 0, 10, "a"))  # v1
+    append(spark, src, _rows(spark, 10, 15, "b"))  # v2
+    compact(spark, src)  # v3 rewrites v1/v2
+    append(spark, src, _rows(spark, 15, 18, "b"))  # v4 pushes v1/v2 past retention
+    vacuum(spark, src, keep_versions=1, retention_seconds=0)
+
+    with pytest.raises(VersionExpiredError):
+        maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+
+    b = bootstrap_rollup(spark, src, roll, ["cat"], MEASURES)
+    assert b["cursor"] == 4
+    _assert_converged(spark, src, roll)
+    # a second bootstrap refuses (non-empty target)
+    with pytest.raises(ValueError, match="not empty"):
+        bootstrap_rollup(spark, src, roll, ["cat"], MEASURES)
+    # incremental maintenance continues from the snapshot cursor
+    delete_where(spark, src, "cat = 'a' and id < 5")  # v6 (v5 = nothing? ops count)
+    r = maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    assert r["applied"] >= 1
+    _assert_converged(spark, src, roll)
