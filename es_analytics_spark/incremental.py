@@ -224,6 +224,8 @@ def bootstrap_rollup(
                 f"bootstrap_rollup: measure {out}={agg!r} — only sum/count "
                 "are delta-maintainable (same contract as maintain_rollup)"
             )
+        if out == COUNT_COL:
+            raise ValueError(f"bootstrap_rollup: {COUNT_COL} is reserved")
     if txlog.current_version(spark, rollup_path) > 0:
         raise ValueError(
             f"bootstrap_rollup: {rollup_path} is not empty; bootstrap "

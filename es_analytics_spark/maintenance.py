@@ -278,22 +278,14 @@ def zorder_by(
     """
     from pyspark.sql import functions as F
 
-    from es_analytics_spark.functions.zorder import interleave_expr, normalize_expr
+    from es_analytics_spark.functions.zorder import curve_position
 
     before = table_stats(spark, path)
     df = spark.read.parquet(path)
     n_rows = df.count()
-    # keep the interleave inside bigint: k*bits must fit below the sign bit
-    bits = min(bits, 63 // len(zorder_cols))
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(zorder_cols)],
-        *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(zorder_cols)],
-    ).first()
-    cells = [
-        normalize_expr(f"CAST({c} AS DOUBLE)", stats[f"lo_{i}"], stats[f"hi_{i}"], bits)
-        for i, c in enumerate(zorder_cols)
-    ]
-    z = interleave_expr(cells, bits)
+    # shared curve construction (type handling, bigint clamp) with
+    # txlog.compact(zorder=True) — one source of truth for both paths
+    z = curve_position(df, zorder_cols, bits)
 
     bytes_per_row = max(before["total_bytes"] / max(n_rows, 1), 1.0)
     rows_per_file = max(int(target_file_bytes / bytes_per_row), 1)
@@ -301,7 +293,7 @@ def zorder_by(
 
     staging = path.rstrip("/") + ".__zorder__"
     (
-        df.withColumn("__z", F.expr(z))
+        df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")

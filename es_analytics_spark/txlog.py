@@ -379,10 +379,11 @@ def read_table(
         # history expired is irrelevant to this query)
         _require_parts_exist(fs, path, parts, f"read_table(version={version})")
     if not parts:
-        if live:
-            out = _empty_frame(spark, fs, path, v, live)
-        else:
-            raise FileNotFoundError(f"no live parts under {path} at v{v}")
+        # _empty_frame builds from the committed schema, so a table
+        # whose every row was deleted (live set empty) reads as a
+        # schema-stable empty frame — not an error; only a pre-schema
+        # table with no live parts has nothing to build from (it raises)
+        out = _empty_frame(spark, fs, path, v, live)
     else:
         out = _read_parts(spark, parts, _committed_schema(fs, path, v))
     for col, (lo, hi) in (range_filter or {}).items():
@@ -645,13 +646,17 @@ def _write_clustered_parts(
         .partitionBy("_range_id")
         .parquet(staging)
     )
+    subs = sorted(fs.glob(fs_join(staging, "_range_id=*")))
+    if not subs:
+        # zero-row group: the write emitted only _SUCCESS — nothing to
+        # add (reading the staging dir would die on schema inference)
+        fs.delete(staging)
+        return []
     # ONE stats job for every emitted range (grouped min/max over the
     # staging dir as written on disk — deterministic, and never a
     # driver-serialized per-part job loop: K ranges at 100 TB is in the
     # thousands, and K sequential Spark jobs would make compaction
     # driver-bound)
-    from pyspark.sql import functions as F  # noqa: F811 (local import shape)
-
     exprs = []
     for i, c in enumerate(stats_cols):
         exprs += [F.min(c).alias(f"__mn{i}"), F.max(c).alias(f"__mx{i}")]
@@ -660,7 +665,7 @@ def _write_clustered_parts(
         for r in spark.read.parquet(staging).groupBy("_range_id").agg(*exprs).collect()
     }
     adds = []
-    for sub in sorted(fs.glob(fs_join(staging, "_range_id=*"))):
+    for sub in subs:
         rid = int(sub.rsplit("=", 1)[1])
         part = fs_join(_part_dir(path), uuid.uuid4().hex)
         fs.rename(sub, part)
@@ -756,28 +761,18 @@ def compact(
 
             order_expr = None
             if zorder:
-                # multi-dimensional clustering: interleave the cluster
-                # columns' normalized bits (functions.zorder — the same
-                # portable Morton expression maintenance.zorder_by uses
-                # on the lake) so EVERY emitted part gets a small
-                # bounding box in EVERY cluster dimension, not just the
-                # leading one. One extra stats job per group.
-                from .functions.zorder import interleave_expr, normalize_expr
+                # multi-dimensional clustering: the shared Morton
+                # position (functions.zorder.curve_position — the SAME
+                # helper maintenance.zorder_by uses, so type handling
+                # and overflow clamps can never drift between the lake
+                # and transactional paths) makes EVERY emitted part
+                # carry a small bounding box in EVERY cluster
+                # dimension. One extra stats job per group; a single
+                # cluster column degenerates to linear order (the
+                # 1-D curve IS the column).
+                from .functions.zorder import curve_position
 
-                zbits = min(16, 63 // len(cluster_by))
-                zs = merged.agg(
-                    *[F.min(c).cast("double").alias(f"lo_{i}")
-                      for i, c in enumerate(cluster_by)],
-                    *[F.max(c).cast("double").alias(f"hi_{i}")
-                      for i, c in enumerate(cluster_by)],
-                ).first()
-                cells = [
-                    normalize_expr(
-                        f"CAST(`{c}` AS DOUBLE)", zs[f"lo_{i}"], zs[f"hi_{i}"], zbits
-                    )
-                    for i, c in enumerate(cluster_by)
-                ]
-                order_expr = F.expr(interleave_expr(cells, zbits))
+                order_expr = curve_position(merged, cluster_by)
             # never REGRESS skipping: columns every member already
             # recorded stats for keep their zone maps (recomputed from
             # disk, so they come out tighter, not merely enveloped),

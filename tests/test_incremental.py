@@ -257,3 +257,21 @@ def test_bootstrap_then_incremental_across_vacuumed_history(spark, tmp_path):
     r = maintain_rollup(spark, src, roll, ["cat"], MEASURES)
     assert r["applied"] >= 1
     _assert_converged(spark, src, roll)
+
+
+def test_bootstrap_on_emptied_source_initializes_empty_rollup(spark, tmp_path):
+    """A source whose rows were all deleted bootstraps to an empty
+    rollup with the cursor at the snapshot version, and incremental
+    maintenance continues from there."""
+    from es_analytics_spark.incremental import bootstrap_rollup
+
+    src = os.path.join(str(tmp_path), "src")
+    roll = os.path.join(str(tmp_path), "roll")
+    append(spark, src, _rows(spark, 0, 3, "a"))
+    delete_where(spark, src, "id >= 0")  # v2: table now empty
+    b = bootstrap_rollup(spark, src, roll, ["cat"], MEASURES)
+    assert b["cursor"] == 2
+    assert read_rollup(spark, roll).count() == 0
+    append(spark, src, _rows(spark, 5, 8, "b"))
+    maintain_rollup(spark, src, roll, ["cat"], MEASURES)
+    _assert_converged(spark, src, roll)

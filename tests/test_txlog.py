@@ -1616,3 +1616,64 @@ def test_zorder_compaction_skips_on_every_cluster_dimension(spark, tmp_path):
     assert sorted(map(tuple, read_table(spark, path).collect())) == sorted(
         ((i % 60, i // 60) for i in range(3600))
     )
+
+
+def test_zorder_single_column_and_type_guards(spark, tmp_path):
+    """zorder=True with ONE cluster column degenerates to linear order
+    (no crash); a string cluster column is rejected with a clear error
+    instead of silently collapsing every row into curve cell 0; date
+    columns embed properly."""
+    import datetime
+
+    path = str(tmp_path / "t")
+    for r in range(2):
+        df = (
+            spark.range(200)
+            .filter(f"id % 2 = {r}")
+            .select(
+                F.col("id").cast("long"),
+                F.lit("x").alias("s"),
+                F.date_add(F.lit(datetime.date(2020, 1, 1)), F.col("id").cast("int")).alias("d"),
+            )
+        )
+        append(spark, path, df)
+    res = compact(spark, path, target_file_bytes=2_000, cluster_by=["id"], zorder=True)
+    assert res["parts_after"] > 1
+    got = read_table(spark, path, range_filter={"id": (0, 20)})
+    opened = {f.rsplit("/parts/", 1)[1].split("/")[0] for f in got.inputFiles()}
+    assert len(opened) < res["parts_after"]
+    with pytest.raises(ValueError, match="order-preserving numeric embedding"):
+        compact(spark, path, cluster_by=["s", "id"], zorder=True)
+    # date + id interleave fine (dates embed as epoch days)
+    res2 = compact(spark, path, target_file_bytes=2_000, cluster_by=["d", "id"], zorder=True)
+    assert res2["parts_after"] >= 1
+    assert sorted(r["id"] for r in read_table(spark, path).collect()) == list(range(200))
+
+
+def test_clustered_compaction_of_all_empty_parts(spark, tmp_path):
+    """A partition group whose live parts hold zero rows compacts
+    cleanly under cluster_by (the staged write emits no files; the old
+    per-part code path never hit this, the grouped stats job must skip
+    it instead of dying on schema inference)."""
+    from es_analytics_spark.txlog import delete_where
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+    append(spark, path, _ids(spark, 0, 10).filter("id < 0"))  # empty part
+    delete_where(spark, path, "id >= 0")  # both parts now empty or gone
+    res = compact(spark, path, target_file_bytes=2_000, cluster_by=["id"])
+    assert read_table(spark, path).count() == 0
+    assert res["parts_after"] == 0 or read_table(spark, path).count() == 0
+
+
+def test_fully_emptied_table_reads_as_schema_stable_empty(spark, tmp_path):
+    """delete_where removing EVERY row leaves an empty live set; the
+    table must still read (schema-stable empty frame from the committed
+    schema), not raise — an emptied table is a state, not an error."""
+    from es_analytics_spark.txlog import delete_where
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+    delete_where(spark, path, "id >= 0")
+    got = read_table(spark, path)
+    assert got.count() == 0 and got.columns == ["id"]
