@@ -284,7 +284,9 @@ def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
     for v, c in zip(range(start_v + 1, end_v + 1), commits):
         _check_no_unseen_columns(c.get("schema"), query_fields, latest_fields, v)
         op = c.get("operation")
-        if not cdf and not ignore_changes and op not in ("append", "compact"):
+        if not cdf and not ignore_changes and op not in (
+            "append", "compact", "set_properties",
+        ):
             raise ValueError(
                 f"txlog_feed: commit v{v} is a data-changing {op!r}; the "
                 "default mode streams appends only (skipping it would be "

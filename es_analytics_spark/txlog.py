@@ -582,6 +582,108 @@ def append(
     raise CommitConflict(f"append lost the CAS {max_retries} times under {path}")
 
 
+def set_table_properties(
+    spark: SparkSession,
+    path: str,
+    properties: dict[str, str | None],
+    max_retries: int = 50,
+) -> dict:
+    """Record table-level key/value properties IN the commit log (the
+    Delta ``TBLPROPERTIES`` idea): one ``set_properties`` commit whose
+    payload carries the key/value updates — last writer wins per key, a
+    value of ``None`` unsets. Properties are therefore versioned with
+    the data (time travel reads the properties as-of that version) and
+    need no side-channel config store. The commit is BLIND (no adds, no
+    removes, no schema): it commutes with appends and other property
+    sets, and row-level rewrites commute past it — it can never overlap
+    a data rewrite. Returns {"version"}.
+
+    Well-known keys consumed by :func:`optimize`:
+    ``optimize.cluster_by`` (JSON list of columns),
+    ``optimize.zorder`` ("true"/"false"),
+    ``optimize.target_file_bytes`` (int),
+    ``retention.keep_versions`` / ``retention.seconds`` (vacuum policy).
+    """
+    fs = lake_fs(spark, path)
+    clean: dict[str, str | None] = {}
+    for k, v in properties.items():
+        if not isinstance(k, str) or not k:
+            raise ValueError(f"set_table_properties: bad key {k!r}")
+        clean[k] = None if v is None else str(v)
+    payload = {
+        "operation": "set_properties",
+        "adds": [],
+        "removes": [],
+        "properties": clean,
+    }
+    v = current_version(spark, path)
+    for _ in range(max_retries):
+        if _try_commit(fs, path, v + 1, payload):
+            return {"version": v + 1}
+        v = max(v + 1, current_version(spark, path))
+    raise CommitConflict(
+        f"set_table_properties lost the CAS {max_retries} times under {path}"
+    )
+
+
+def table_properties(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict[str, str]:
+    """The table's property map as-of ``version`` (default latest):
+    fold every ``set_properties`` commit oldest-first, last writer wins,
+    ``None`` unsets. Metadata-sized — commit JSONs only (commit files
+    are never deleted; checkpoints bound data replay, not history)."""
+    fs = lake_fs(spark, path)
+    versions = _list_versions(fs, path)
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+    out: dict[str, str] = {}
+    for v in versions:
+        c = _read_commit(fs, path, v)
+        if c.get("operation") != "set_properties":
+            continue
+        for k, val in c.get("properties", {}).items():
+            if val is None:
+                out.pop(k, None)
+            else:
+                out[k] = val
+    return out
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    vacuum_after: bool = False,
+) -> dict:
+    """One-call table maintenance driven by the table's own committed
+    properties (Delta's ``OPTIMIZE`` + policy-from-TBLPROPERTIES UX):
+    compact — clustered/z-ordered when ``optimize.cluster_by`` is set —
+    then checkpoint the live set so replay stays bounded, then
+    (``vacuum_after=True``) vacuum under the table's committed
+    ``retention.*`` policy. Idempotent: a second call on an
+    already-compacted table commits nothing new except the (write-once,
+    racing-safe) checkpoint. Returns the per-step results."""
+    props = table_properties(spark, path)
+    cluster = json.loads(props["optimize.cluster_by"]) if "optimize.cluster_by" in props else None
+    res_compact = compact(
+        spark,
+        path,
+        target_file_bytes=int(props.get("optimize.target_file_bytes", 128 * 1024 * 1024)),
+        cluster_by=cluster,
+        zorder=props.get("optimize.zorder", "false").lower() == "true",
+    )
+    res_ckpt = checkpoint(spark, path)
+    out = {"compact": res_compact, "checkpoint": res_ckpt}
+    if vacuum_after:
+        out["vacuum"] = vacuum(
+            spark,
+            path,
+            keep_versions=int(props.get("retention.keep_versions", 0)),
+            retention_seconds=float(props.get("retention.seconds", 7 * 24 * 3600)),
+        )
+    return out
+
+
 def table_sources(spark: SparkSession, path: str, version: int | None = None) -> set[str]:
     """Union of every source file incorporated by commits <= ``version``
     (default: all) — the incremental-refresh "seen" set. Metadata-sized:
@@ -1149,7 +1251,10 @@ def _commute_past_appends_only(
             return {"version": v}
         latest = (_list_versions(fs, path) or [0])[-1]
         for c in _intervening(fs, path, v - 1, latest):
-            if c.get("operation") != "append" or c.get("removes"):
+            # blind appends commute (snapshot semantics); property-only
+            # commits carry no parts at all, so they cannot overlap a
+            # rewrite either
+            if c.get("operation") not in ("append", "set_properties") or c.get("removes"):
                 raise CommitConflict(
                     f"{op} under {path}: intervening v{c['version']} "
                     f"({c.get('operation')}) may overlap this rewrite; "

@@ -1677,3 +1677,87 @@ def test_fully_emptied_table_reads_as_schema_stable_empty(spark, tmp_path):
     delete_where(spark, path, "id >= 0")
     got = read_table(spark, path)
     assert got.count() == 0 and got.columns == ["id"]
+
+
+def test_table_properties_set_unset_time_travel_and_commute(spark, tmp_path):
+    """Properties live IN the log: last writer wins, None unsets, time
+    travel reads them as-of a version, property commits are invisible
+    to the change feed and commute past row-level rewrites."""
+    import json as _json
+
+    from es_analytics_spark.txlog import (
+        delete_where, set_table_properties, table_changes_cdf, table_properties,
+    )
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))  # v1
+    set_table_properties(spark, path, {"owner": "a", "retention.keep_versions": 3})  # v2
+    set_table_properties(spark, path, {"owner": "b"})  # v3
+    assert table_properties(spark, path) == {
+        "owner": "b", "retention.keep_versions": "3",
+    }
+    assert table_properties(spark, path, version=2)["owner"] == "a"
+    assert table_properties(spark, path, version=1) == {}
+    set_table_properties(spark, path, {"retention.keep_versions": None})  # v4
+    assert table_properties(spark, path) == {"owner": "b"}
+    # invisible to both feeds
+    assert table_changes(spark, path, 1).count() == 0
+    assert table_changes_cdf(spark, path, 1).count() == 0
+    # data ops unaffected; schema walk-back skips property commits
+    delete_where(spark, path, "id < 2")  # v5
+    assert read_table(spark, path).count() == 8
+
+
+def test_optimize_uses_committed_policy(spark, tmp_path):
+    """optimize(): compaction policy comes from the table's own
+    committed properties — clustered compact + checkpoint + vacuum in
+    one idempotent call."""
+    import json as _json
+
+    from es_analytics_spark.txlog import optimize, set_table_properties
+
+    path = str(tmp_path / "t")
+    for r in range(4):
+        df = spark.range(400).filter(f"id % 4 = {r}").select(F.col("id").cast("long"))
+        append(spark, path, df)
+    set_table_properties(spark, path, {
+        "optimize.cluster_by": _json.dumps(["id"]),
+        "optimize.target_file_bytes": 2_000,
+        "retention.keep_versions": 1,
+        "retention.seconds": 0,
+    })
+    res = optimize(spark, path, vacuum_after=True)
+    assert res["compact"]["parts_after"] > 1  # clustered per policy
+    # the compacted-away parts still back time travel (keep_versions=1),
+    # so the FIRST vacuum correctly reaps nothing
+    assert res["vacuum"] == []
+    got = read_table(spark, path, range_filter={"id": (100, 120)})
+    opened = {f.rsplit("/parts/", 1)[1].split("/")[0] for f in got.inputFiles()}
+    assert len(opened) < res["compact"]["parts_after"]
+    assert sorted(r["id"] for r in read_table(spark, path).collect()) == list(range(400))
+    # advance history; the next policy-driven vacuum reaps the old parts
+    append(spark, path, spark.range(400, 410).select(F.col("id").cast("long")))
+    res2 = optimize(spark, path, vacuum_after=True)
+    assert res2["vacuum"], "parts past the committed retention policy reaped"
+    assert read_table(spark, path).count() == 410
+
+
+def test_streaming_source_ignores_property_commits(spark, tmp_path):
+    from es_analytics_spark.sources.txlog_source import register_txlog_feed
+    from es_analytics_spark.txlog import set_table_properties, table_changes
+
+    register_txlog_feed(spark)
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 5))
+    set_table_properties(spark, path, {"owner": "x"})
+    append(spark, path, _ids(spark, 5, 8))
+    rows = []
+    q = (
+        spark.readStream.format("txlog_feed").option("path", path).load()
+        .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert sorted(r.id for r in rows) == list(range(8))
