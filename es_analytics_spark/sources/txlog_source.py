@@ -111,8 +111,19 @@ class _PyLog:
         return max(vs, default=0)
 
     def commit(self, version: int) -> dict:
+        from ..txlog import PROTOCOL_VERSION, ProtocolVersionError
+
         with open(os.path.join(self._log, f"v{version:06d}.json"), "rb") as f:
-            return json.loads(f.read().decode("utf-8"))
+            c = json.loads(f.read().decode("utf-8"))
+        if c.get("protocol", 1) > PROTOCOL_VERSION:
+            # same reader contract as txlog._read_commit: never silently
+            # misread a future writer's commit semantics
+            raise ProtocolVersionError(
+                f"commit v{version} under {self.path} was written at txlog "
+                f"protocol {c['protocol']}; this reader supports <= "
+                f"{PROTOCOL_VERSION} — upgrade the engine"
+            )
+        return c
 
     def committed_schema(self, version: int | None = None) -> dict:
         """Latest commit schema at-or-before ``version`` (schema-in-commit

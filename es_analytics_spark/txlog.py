@@ -70,6 +70,16 @@ from es_analytics_spark.sources.fsio import is_uri, join as fs_join, lake_fs
 _CHECKPOINT_EVERY_HINT = 20  # advisory; checkpoint() is explicit
 
 
+#: bump when a commit payload gains semantics an OLD reader would
+#: silently misread (not for additive, ignorable fields) — readers
+#: reject higher-protocol commits with ProtocolVersionError
+PROTOCOL_VERSION = 1
+
+
+class ProtocolVersionError(Exception):
+    """A commit was written by a newer writer than this reader supports."""
+
+
 class CommitConflict(Exception):
     """The transaction's snapshot was invalidated by a concurrent
     commit (or the CAS retry budget ran out); re-run it."""
@@ -128,7 +138,15 @@ def _list_versions(fs, path: str, prefix: str = "v") -> list[int]:
 
 
 def _read_commit(fs, path: str, version: int) -> dict:
-    return json.loads(fs.read_bytes(_commit_path(path, version)).decode("utf-8"))
+    c = json.loads(fs.read_bytes(_commit_path(path, version)).decode("utf-8"))
+    if c.get("protocol", 1) > PROTOCOL_VERSION:
+        raise ProtocolVersionError(
+            f"commit v{version} under {path} was written at txlog protocol "
+            f"{c['protocol']}; this reader supports <= {PROTOCOL_VERSION} — "
+            "upgrade the engine before reading this table (new commit "
+            "semantics could otherwise be silently misread)"
+        )
+    return c
 
 
 def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str, dict]]:
@@ -457,8 +475,13 @@ def _try_commit(fs, path: str, version: int, payload: dict) -> bool:
 
     # wall-clock commit stamp: backs AS-OF-TIMESTAMP time travel; the
     # version order stays the only serialization authority (clock skew
-    # between writers is normalized by the resolver's running max)
-    payload = dict(payload, version=version, ts=_time.time())
+    # between writers is normalized by the resolver's running max).
+    # Every commit also stamps the writer's protocol version, so a
+    # reader meeting a commit from a FUTURE writer fails with a named
+    # upgrade error instead of silently misreading new semantics
+    # (the Delta reader/writer-version idea).
+    payload = dict(payload, version=version, ts=_time.time(),
+                   protocol=PROTOCOL_VERSION)
     return fs.put_if_absent(
         _commit_path(path, version), json.dumps(payload, indent=0).encode("utf-8")
     )

@@ -1761,3 +1761,22 @@ def test_streaming_source_ignores_property_commits(spark, tmp_path):
     q.awaitTermination(120)
     assert q.exception() is None
     assert sorted(r.id for r in rows) == list(range(8))
+
+
+def test_future_protocol_commit_rejected_with_upgrade_error(spark, tmp_path):
+    """A commit stamped with a higher protocol version than this reader
+    supports fails every read with a named upgrade error — new commit
+    semantics must never be silently misread by an old engine."""
+    import json as _json
+
+    from es_analytics_spark.txlog import PROTOCOL_VERSION, ProtocolVersionError
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 5))
+    raw = open(_commit_path(path, 1)).read()
+    c = _json.loads(raw)
+    assert c["protocol"] == PROTOCOL_VERSION  # every commit is stamped
+    c["protocol"] = PROTOCOL_VERSION + 1
+    open(_commit_path(path, 1), "w").write(_json.dumps(c))
+    with pytest.raises(ProtocolVersionError, match="upgrade the engine"):
+        read_table(spark, path)
