@@ -120,7 +120,20 @@ def main() -> None:
     delta, cursor = txlog.changes_since(spark, table, cursor)  # caught up
     print("caught-up poll:", delta.count(), "rows; cursor stays", cursor)
 
-    # 7. clean: retention-horizon vacuum never reaps in-flight parts
+    # 7. govern: table properties live IN the log (versioned, time-
+    # travelable) and drive one-call maintenance
+    import json as _json
+
+    txlog.set_table_properties(spark, table, {
+        "optimize.cluster_by": _json.dumps(["id"]),
+        "optimize.target_file_bytes": 8 * 1024 * 1024,
+    })
+    res = txlog.optimize(spark, table)
+    print("optimize (policy from committed properties):",
+          res["compact"]["parts_before"], "->", res["compact"]["parts_after"],
+          "parts; checkpoint at v", res["checkpoint"]["version"])
+
+    # 8. clean: retention-horizon vacuum never reaps in-flight parts
     print("vacuum (fresh debris kept):", len(txlog.vacuum(spark, table)))
     print(
         "vacuum quiescent + expire time travel:",
