@@ -15,7 +15,8 @@ built-ins genuinely cannot express the semantics.
 from es_analytics_spark.session import get_spark
 from es_analytics_spark.sources.lake import load_tables, TABLES
 from es_analytics_spark.collector import Collector, CollectorConfig, DataType, FlushInfo, FlushTrigger
-from es_analytics_spark import txlog
+from es_analytics_spark import incremental, txlog
+from es_analytics_spark.sources.txlog_source import register_txlog_feed
 from es_analytics_spark.txlog import CommitConflict
 
 __all__ = [
@@ -27,7 +28,9 @@ __all__ = [
     "DataType",
     "FlushInfo",
     "FlushTrigger",
+    "incremental",
     "txlog",
+    "register_txlog_feed",
     "CommitConflict",
 ]
 
