@@ -70,10 +70,13 @@ from es_analytics_spark.sources.fsio import is_uri, join as fs_join, lake_fs
 _CHECKPOINT_EVERY_HINT = 20  # advisory; checkpoint() is explicit
 
 
-#: bump when a commit payload gains semantics an OLD reader would
-#: silently misread (not for additive, ignorable fields) — readers
-#: reject higher-protocol commits with ProtocolVersionError
-PROTOCOL_VERSION = 1
+#: the READER's maximum supported protocol. Each commit stamps the
+#: MINIMUM protocol needed to read it correctly (1 = base; 2 = carries
+#: deletion vectors, which a v1 reader would silently misread as live
+#: rows); readers reject higher-protocol commits with
+#: ProtocolVersionError. Bump only for semantics an old reader would
+#: silently misread — never for additive, ignorable fields.
+PROTOCOL_VERSION = 2
 
 
 class ProtocolVersionError(Exception):
@@ -175,6 +178,9 @@ def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str,
         e = {"partition": a.get("partition", {})}
         if a.get("stats"):
             e["stats"] = a["stats"]
+        if a.get("dvs"):
+            # deletion vectors survive checkpoint/restore round-trips
+            e["dvs"] = list(a["dvs"])
         return e
 
     live: dict[str, dict] = {}
@@ -196,6 +202,13 @@ def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str,
             del live[r]
         for a in c.get("adds", []):
             live[a["path"]] = _entry(a)
+        for d in c.get("dv", []):
+            if d["part"] not in live:
+                raise RuntimeError(
+                    f"txlog corrupt under {path}: v{v} attaches a deletion "
+                    f"vector to non-live part {d['part']}"
+                )
+            live[d["part"]].setdefault("dvs", []).append(d["path"])
     return version, live
 
 
@@ -281,6 +294,62 @@ def _read_parts(spark: SparkSession, parts: list[str], schema_json: dict | None)
     if schema_json is None:
         return spark.read.parquet(*parts)
     return spark.read.schema(T.StructType.fromJson(schema_json)).parquet(*parts)
+
+
+_META_COLS = ("_f_path", "_f_name", "_f_idx")
+
+
+def _read_live(
+    spark: SparkSession,
+    live: dict,
+    schema_json: dict | None,
+    meta: bool = False,
+) -> DataFrame:
+    """DV-aware snapshot read of a set of LIVE ENTRIES: parts carrying
+    deletion vectors anti-join their deleted (file, row_index) pairs
+    out (``_metadata.row_index`` is stable per parquet file, so the
+    pair is a durable row id); parts without DVs read exactly as
+    before. ``meta=True`` additionally exposes ``_f_path`` /
+    ``_f_name`` / ``_f_idx`` provenance columns (computed AT THE SCAN
+    from the file metadata — deterministic through the anti-join,
+    unlike input_file_name past a join). Callers must pass a non-empty
+    live subset."""
+    from pyspark.sql import functions as F
+
+    def _with_meta(df):
+        return (
+            df.withColumn("_f_path", F.col("_metadata.file_path"))
+            .withColumn(
+                "_f_name",
+                F.regexp_extract(F.col("_metadata.file_path"), "[^/]+$", 0),
+            )
+            .withColumn("_f_idx", F.col("_metadata.row_index"))
+        )
+
+    plain = sorted(p for p, e in live.items() if not e.get("dvs"))
+    dvd = {p: e for p, e in live.items() if e.get("dvs")}
+    frames = []
+    if plain:
+        df = _read_parts(spark, plain, schema_json)
+        if meta:
+            df = _with_meta(df)
+        frames.append(df)
+    if dvd:
+        df = _with_meta(_read_parts(spark, sorted(dvd), schema_json))
+        dv_paths = sorted({d for e in dvd.values() for d in e["dvs"]})
+        dv = spark.read.parquet(*dv_paths).select("dv_file", "dv_idx")
+        df = df.join(
+            dv,
+            (df["_f_name"] == dv["dv_file"]) & (df["_f_idx"] == dv["dv_idx"]),
+            "left_anti",
+        )
+        if not meta:
+            df = df.drop(*_META_COLS)
+        frames.append(df)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _empty_frame(spark: SparkSession, fs, path: str, version: int, live: dict) -> DataFrame:
@@ -394,8 +463,12 @@ def read_table(
     if version is not None:
         # AFTER pruning: a time-travel read must not fail on reaped
         # parts it was never going to open (a pruned partition whose
-        # history expired is irrelevant to this query)
-        _require_parts_exist(fs, path, parts, f"read_table(version={version})")
+        # history expired is irrelevant to this query). Deletion-vector
+        # parts of the selected entries are load-bearing too.
+        needed = list(parts) + sorted(
+            {d for p in parts for d in live[p].get("dvs", [])}
+        )
+        _require_parts_exist(fs, path, needed, f"read_table(version={version})")
     if not parts:
         # _empty_frame builds from the committed schema, so a table
         # whose every row was deleted (live set empty) reads as a
@@ -403,7 +476,9 @@ def read_table(
         # table with no live parts has nothing to build from (it raises)
         out = _empty_frame(spark, fs, path, v, live)
     else:
-        out = _read_parts(spark, parts, _committed_schema(fs, path, v))
+        out = _read_live(
+            spark, {p: live[p] for p in parts}, _committed_schema(fs, path, v)
+        )
     for col, (lo, hi) in (range_filter or {}).items():
         if lo is not None:
             out = out.filter(F.col(col) >= F.lit(lo))
@@ -481,7 +556,7 @@ def _try_commit(fs, path: str, version: int, payload: dict) -> bool:
     # upgrade error instead of silently misreading new semantics
     # (the Delta reader/writer-version idea).
     payload = dict(payload, version=version, ts=_time.time(),
-                   protocol=PROTOCOL_VERSION)
+                   protocol=payload.get("protocol", 1))
     return fs.put_if_absent(
         _commit_path(path, version), json.dumps(payload, indent=0).encode("utf-8")
     )
@@ -863,7 +938,10 @@ def compact(
     Costs one extra per-group stats job; same shuffle shape."""
     fs = lake_fs(spark, path)
     v0, live = _snapshot(fs, path)
-    if len(live) <= 1:
+    if len(live) <= 1 and not any(e.get("dvs") for e in live.values()):
+        # nothing to bin-pack AND no deletion vectors to materialize
+        # away — a single DV'd part must still compact (that rewrite is
+        # the vector's deferred cost)
         return {"version": v0, "parts_before": len(live), "parts_after": len(live)}
 
     schema = _committed_schema(fs, path, v0)
@@ -874,8 +952,10 @@ def compact(
     for key, parts in sorted(groups.items()):
         parts = sorted(parts)
         # committed-schema read: the rewrite materializes evolution-added
-        # columns (as nulls) into pre-evolution parts, normalizing the table
-        merged = _read_parts(spark, parts, schema)
+        # columns (as nulls) into pre-evolution parts, normalizing the
+        # table; DV-aware, so deletion vectors compact away (the rewrite
+        # the vectors deferred happens here, once)
+        merged = _read_live(spark, {p: live[p] for p in parts}, schema)
         group_bytes = sum(s for p in parts for s in fs.file_sizes(p, ".parquet"))
         n_rows = merged.count()
         bytes_per_row = max(group_bytes / max(n_rows, 1), 1.0)
@@ -988,18 +1068,20 @@ def _commit_exclusive(fs, path: str, payload: dict, v0: int, op: str) -> int:
 
 
 def _replaced_rows_cdc(
-    spark, fs, path: str, removes: list[str], schema, change_type: str = "delete"
+    spark, fs, path: str, entries: dict, schema, change_type: str = "delete"
 ) -> list[dict]:
     """Materialize rows into a change part so the CDF can emit them
     (opt-in: it costs one full read + write of that content, which the
-    operation otherwise never pays). The entry records the SCHEMA the
-    rows were written under: a replace_schema overwrite's deletes carry
-    the OLD schema — reading them with the commit's new schema would
-    fail or drop columns."""
-    if not removes:
+    operation otherwise never pays). ``entries`` maps part path -> its
+    live entry, so deletion vectors are honored — a replaced part's
+    already-DV-deleted rows must NOT appear in the feed. The entry
+    records the SCHEMA the rows were written under: a replace_schema
+    overwrite's deletes carry the OLD schema — reading them with the
+    commit's new schema would fail or drop columns."""
+    if not entries:
         return []
     cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
-    _read_parts(spark, sorted(removes), schema).write.mode("overwrite").parquet(
+    _read_live(spark, entries, schema).write.mode("overwrite").parquet(
         cdc_part
     )
     entry = {"path": cdc_part, "change_type": change_type}
@@ -1055,7 +1137,7 @@ def overwrite_table(
     }
     if cdc:
         change = _replaced_rows_cdc(
-            spark, fs, path, sorted(live), _committed_schema(fs, path, v0)
+            spark, fs, path, dict(live), _committed_schema(fs, path, v0)
         )
         if change:
             payload["cdc"] = change
@@ -1092,14 +1174,29 @@ def restore(spark: SparkSession, path: str, version: int, cdc: bool = False) -> 
         )
     _, target = _snapshot(fs, path, version)
     _require_parts_exist(fs, path, sorted(target), f"restore({version})")
-    removes = sorted(set(cur) - set(target))
+
+    def _add_entry(p: str, e: dict) -> dict:
+        a = {"path": p, "partition": e["partition"], "rewrite": True}
+        if e.get("stats"):
+            a["stats"] = e["stats"]
+        if e.get("dvs"):
+            # the target snapshot's deletion-vector state restores with
+            # the part (the add entry carries it; _snapshot re-applies)
+            a["dvs"] = e["dvs"]
+        return a
+
+    # a part live in BOTH snapshots but with a DIFFERENT deletion-vector
+    # set (a dv delete happened after `version`) must be re-pointed at
+    # the target's vector state: remove + re-add with the target entry
+    dv_changed = sorted(
+        p for p in set(cur) & set(target)
+        if cur[p].get("dvs", []) != target[p].get("dvs", [])
+    )
+    removes = sorted(set(cur) - set(target)) + dv_changed
     adds = [
-        dict(
-            {"path": p, "partition": e["partition"], "rewrite": True},
-            **({"stats": e["stats"]} if e.get("stats") else {}),
-        )
+        _add_entry(p, e)
         for p, e in sorted(target.items())
-        if p not in cur
+        if p not in cur or p in dv_changed
     ]
     if not removes and not adds:
         return {"version": v0, "restored_to": version, "changed": False}
@@ -1115,10 +1212,11 @@ def restore(spark: SparkSession, path: str, version: int, cdc: bool = False) -> 
         payload["schema"] = sj
     if cdc:
         entries = _replaced_rows_cdc(
-            spark, fs, path, removes, _committed_schema(fs, path, v0),
+            spark, fs, path, {p: cur[p] for p in removes},
+            _committed_schema(fs, path, v0),
             change_type="delete",
         ) + _replaced_rows_cdc(
-            spark, fs, path, [a["path"] for a in adds], sj,
+            spark, fs, path, {a["path"]: target[a["path"]] for a in adds}, sj,
             change_type="insert",
         )
         if entries:
@@ -1167,7 +1265,8 @@ def overwrite_partition(
     if cdc:
         # opt-in CDF parity: the replaced partition rows become deletes
         change = _replaced_rows_cdc(
-            spark, fs, path, removes, _committed_schema(fs, path, v0)
+            spark, fs, path, {p: live[p] for p in removes},
+            _committed_schema(fs, path, v0),
         )
         if change:
             payload["cdc"] = change
@@ -1295,6 +1394,7 @@ def delete_where(
     path: str,
     condition,
     max_retries: int = 10,
+    use_dv: bool = False,
 ) -> dict:
     """Transactional row-level DELETE: rewrite exactly the live parts
     that contain matching rows (one distributed pass over the snapshot
@@ -1313,7 +1413,20 @@ def delete_where(
     Isolation is WriteSerializable (see
     :func:`_commute_past_appends_only`): blind appends land unexamined —
     a row appended concurrently with a delete that matches its predicate
-    survives, exactly as in Delta's default level."""
+    survives, exactly as in Delta's default level.
+
+    ``use_dv=True`` deletes WITHOUT rewriting any part: the matched
+    (file, row_index) pairs land in a DELETION VECTOR part the commit
+    attaches to each touched part (Delta's deletion-vector design), and
+    every reader anti-joins them out. A small delete on a huge part
+    costs one scan + a vector write instead of rewriting the part —
+    the rewrite amortizes into the next ``compact``, which materializes
+    vectors away. Parts whose every live row matched are removed whole
+    (no vector needed). DV commits stamp protocol 2: a v1 reader would
+    silently resurrect the deleted rows, so it must refuse instead.
+    CDF, snapshot isolation, time travel (pre-delete versions read the
+    part WITHOUT the vector), zone maps (still valid — survivors are a
+    subset), and the conflict rules are identical to the rewrite path."""
     from pyspark.sql import functions as F
 
     cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -1328,26 +1441,25 @@ def delete_where(
     if not live:
         return {"version": v0, "rows_deleted": 0, "parts_rewritten": 0}
     schema = _committed_schema(fs, path, v0)
-    parts = sorted(live)
-    matched = (
-        _read_parts(spark, parts, schema)
-        .filter(cond)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    )
-    touched = _owning_parts(parts, [r["f"] for r in matched])
+    if use_dv:
+        return _delete_where_dv(
+            spark, fs, path, cond, live, v0, schema, max_retries
+        )
+    tbl = _read_live(spark, live, schema, meta=True)
+    matched = tbl.filter(cond).select("_f_path").distinct().collect()
+    touched = _owning_parts(sorted(live), [r["_f_path"] for r in matched])
     if not touched:
         return {"version": v0, "rows_deleted": 0, "parts_rewritten": 0}
     cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
-    _read_parts(spark, touched, schema).filter(cond).write.mode(
+    touched_live = {p: live[p] for p in touched}
+    _read_live(spark, touched_live, schema).filter(cond).write.mode(
         "overwrite"
     ).parquet(cdc_part)
     # footer-only count of what was actually written — no recompute
     rows_deleted = spark.read.parquet(cdc_part).count()
     adds = []
     for p in touched:
-        keep = _read_parts(spark, [p], schema).filter(~cond)
+        keep = _read_live(spark, {p: live[p]}, schema).filter(~cond)
         if keep.isEmpty():
             continue  # the whole part matched: pure remove
         np = fs_join(_part_dir(path), uuid.uuid4().hex)
@@ -1372,6 +1484,86 @@ def delete_where(
         "version": res["version"],
         "rows_deleted": rows_deleted,
         "parts_rewritten": len(adds),
+    }
+
+
+def _delete_where_dv(
+    spark: SparkSession, fs, path: str, cond, live: dict, v0: int,
+    schema: dict | None, max_retries: int,
+) -> dict:
+    """Deletion-vector delete (see :func:`delete_where` ``use_dv``):
+    ONE scan finds the matched (part, file, row_index) set; matched
+    rows materialize into the cdc change part (CDF parity with the
+    rewrite path); fully-matched parts are removed whole; the rest get
+    one shared deletion-vector part. No data part is rewritten."""
+    from pyspark.sql import functions as F
+
+    tbl = _read_live(spark, live, schema, meta=True)
+    hits = tbl.filter(cond).withColumn(
+        "_pb", F.regexp_extract("_f_path", "/parts/([^/]+)/", 1)
+    ).localCheckpoint(eager=True)
+    by_base = {p.rstrip("/").rsplit("/", 1)[-1]: p for p in live}
+    hit_counts = {
+        r["_pb"]: r["n"]
+        for r in hits.groupBy("_pb").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not hit_counts:
+        return {"version": v0, "rows_deleted": 0, "parts_rewritten": 0}
+    unknown = set(hit_counts) - set(by_base)
+    if unknown:
+        raise RuntimeError(
+            f"cannot map matched files back to manifest parts: {sorted(unknown)}"
+        )
+    # live row count per touched part (post-existing-DV), to detect
+    # parts whose EVERY remaining row matched -> whole-part remove
+    touched_live = {by_base[b]: live[by_base[b]] for b in hit_counts}
+    live_counts = {
+        r["_pb"]: r["n"]
+        for r in _read_live(spark, touched_live, schema, meta=True)
+        .withColumn("_pb", F.regexp_extract("_f_path", "/parts/([^/]+)/", 1))
+        .groupBy("_pb").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    removes = sorted(
+        by_base[b] for b, n in hit_counts.items() if n >= live_counts[b]
+    )
+    partial = sorted(
+        by_base[b] for b, n in hit_counts.items() if n < live_counts[b]
+    )
+    cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
+    hits.drop("_pb", *_META_COLS).write.mode("overwrite").parquet(cdc_part)
+    rows_deleted = spark.read.parquet(cdc_part).count()
+    payload = {
+        "operation": "delete_where",
+        "adds": [],
+        "removes": removes,
+        "scope_partition": None,
+        "cdc": [{"path": cdc_part, "change_type": "delete"}],
+        "protocol": 2,  # a v1 reader would resurrect the deleted rows
+    }
+    if partial:
+        partial_bases = {p.rstrip("/").rsplit("/", 1)[-1] for p in partial}
+        dv_part = fs_join(_part_dir(path), "dv-" + uuid.uuid4().hex)
+        (
+            hits.filter(F.col("_pb").isin(list(partial_bases)))
+            .select(
+                F.col("_f_name").alias("dv_file"),
+                F.col("_f_idx").alias("dv_idx"),
+            )
+            .write.mode("overwrite")
+            .parquet(dv_part)
+        )
+        payload["dv"] = [{"part": p, "path": dv_part} for p in partial]
+    if schema is not None:
+        payload["schema"] = schema
+    res = _commute_past_appends_only(
+        fs, path, payload, v0, max_retries, "delete_where"
+    )
+    return {
+        "version": res["version"],
+        "rows_deleted": rows_deleted,
+        "parts_rewritten": 0,
+        "parts_removed": len(removes),
+        "parts_vectored": len(partial),
     }
 
 
@@ -1475,10 +1667,10 @@ def merge_upsert(
     if live:
         parts = sorted(live)
         table_schema = _committed_schema(fs, path, v0)
-        tbl = _read_parts(spark, parts, table_schema)
+        tbl = _read_live(spark, live, table_schema, meta=True)
         matched = (
             _key_join(
-                tbl.select(F.input_file_name().alias("__f"), *keys),
+                tbl.select(F.col("_f_path").alias("__f"), *keys),
                 upd_keys, "left_semi",
             )
             .select("__f")
@@ -1502,8 +1694,9 @@ def merge_upsert(
                 )
         if touched:
             removes = touched
+            touched_live = {p: live[p] for p in touched}
             old_rows = _key_join(
-                _read_parts(spark, touched, table_schema), upd_keys, "left_semi"
+                _read_live(spark, touched_live, table_schema), upd_keys, "left_semi"
             )
             cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
             old_rows.write.mode("overwrite").parquet(cdc_part)
@@ -1515,7 +1708,8 @@ def merge_upsert(
             cdc = [{"path": cdc_part, "change_type": "delete"}]
             for p in touched:
                 keep = _key_join(
-                    _read_parts(spark, [p], table_schema), upd_keys, "left_anti"
+                    _read_live(spark, {p: live[p]}, table_schema),
+                    upd_keys, "left_anti",
                 )
                 if keep.isEmpty():
                     continue
@@ -1942,11 +2136,18 @@ def vacuum(
             # change parts back table_changes_cdf the way removed parts
             # back time travel: same keep_versions retention
             referenced[e["path"]] = v
+        for d in c.get("dv", []):
+            # deletion-vector parts back time travel / CDF windows the
+            # same way (live-attached vectors are protected below)
+            referenced[d["path"]] = v
     cutoff = latest - keep_versions if keep_versions > 0 else 0
     horizon = _time.time() - retention_seconds
+    # a deletion vector attached to a LIVE part is load-bearing NOW —
+    # reaping it would resurrect the deleted rows
+    live_dvs = {d for e in live.values() for d in e.get("dvs", [])}
     victims = []
     for p in fs.glob(fs_join(_part_dir(path), "*")):
-        if p in live:
+        if p in live or p in live_dvs:
             continue
         last_ref = referenced.get(p)
         if last_ref is None:

@@ -419,6 +419,11 @@ def test_every_driver_fetch_is_limit_guarded_or_audited():
         # manifest-sized (ceil(group_bytes / target_file_bytes) rows of
         # a few scalar bounds), never data-sized
         ("txlog.py", "_write_clustered_parts"),
+        # deletion-vector delete: both collects are per-TOUCHED-PART hit
+        # counts (groupBy part-basename), manifest-sized like the
+        # delete/merge file discovery above; the vector and cdc parts
+        # themselves are written distributed
+        ("txlog.py", "_delete_where_dv"),
     }
 
     def chain_has_limit(node: ast.AST) -> bool:

@@ -1775,7 +1775,9 @@ def test_future_protocol_commit_rejected_with_upgrade_error(spark, tmp_path):
     append(spark, path, _ids(spark, 0, 5))
     raw = open(_commit_path(path, 1)).read()
     c = _json.loads(raw)
-    assert c["protocol"] == PROTOCOL_VERSION  # every commit is stamped
+    # every commit is stamped with the MINIMUM protocol needed to read
+    # it (an append needs only the base protocol, not the reader max)
+    assert c["protocol"] == 1
     c["protocol"] = PROTOCOL_VERSION + 1
     open(_commit_path(path, 1), "w").write(_json.dumps(c))
     with pytest.raises(ProtocolVersionError, match="upgrade the engine"):
