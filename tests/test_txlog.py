@@ -1256,14 +1256,16 @@ def test_merge_partition_tag_must_match_touched_parts(spark, tmp_path):
     assert read_table(spark, path).count() == 20
 
 
-def test_mixed_rowlevel_stress_cdf_replay_equals_table(spark, tmp_path):
+@pytest.mark.parametrize("use_dv", [False, True], ids=["rewrite", "dv"])
+def test_mixed_rowlevel_stress_cdf_replay_equals_table(spark, tmp_path, use_dv):
     """Serializability + CDF exactness under contention: three writers
     interleave appends, key-space merges, and predicate deletes (each
     retrying through CommitConflict, as real writers must). The
     invariant that catches ANY lost/duplicated/ghost row: replaying the
     row-level change feed version-by-version reconstructs the final
     table as an exact multiset — and the snapshot replay itself
-    validates every remove in the history."""
+    validates every remove in the history. Parametrized over both
+    delete modes: part-rewriting and deletion-vector."""
     from collections import Counter
 
     from es_analytics_spark.txlog import delete_where, merge_upsert, table_changes_cdf
@@ -1302,7 +1304,9 @@ def test_mixed_rowlevel_stress_cdf_replay_equals_table(spark, tmp_path):
     def deleter() -> None:
         for i in range(3):
             with_retries(
-                lambda k=i: delete_where(spark, path, f"id >= 0 and val = {k}")
+                lambda k=i: delete_where(
+                    spark, path, f"id >= 0 and val = {k}", use_dv=use_dv
+                )
             )
 
     threads = [
