@@ -190,6 +190,12 @@ def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str,
         ck = json.loads(
             fs.read_bytes(_checkpoint_path(path, ckpts[-1])).decode("utf-8")
         )
+        if ck.get("protocol", 1) > PROTOCOL_VERSION:
+            raise ProtocolVersionError(
+                f"checkpoint v{ck['version']} under {path} was written at "
+                f"txlog protocol {ck['protocol']}; this reader supports <= "
+                f"{PROTOCOL_VERSION} — upgrade the engine"
+            )
         live = {e["path"]: _entry(e) for e in ck["live"]}
         start = ck["version"] + 1
     for v in range(start, version + 1):
@@ -1043,6 +1049,16 @@ def compact(
                     f"compact under {path}: v{c['version']} already removed "
                     "part(s) from this snapshot; re-run against the new state"
                 )
+            if our_removes & {d["part"] for d in c.get("dv", [])}:
+                # a deletion vector attached to a part we rewrote from its
+                # PRE-delete content: re-attaching would resurrect the
+                # deleted rows (dv commits carry no removes, so the check
+                # above cannot see them)
+                raise CommitConflict(
+                    f"compact under {path}: v{c['version']} attached a "
+                    "deletion vector to part(s) in this snapshot; re-run "
+                    "against the new state"
+                )
             # compact doesn't change the schema: record the live one so a
             # re-attach after an intervening evolution never reverts it
             if c.get("schema") is not None:
@@ -1173,7 +1189,12 @@ def restore(spark: SparkSession, path: str, version: int, cdc: bool = False) -> 
             f"restore({version}) under {path}: latest committed is v{v0}"
         )
     _, target = _snapshot(fs, path, version)
-    _require_parts_exist(fs, path, sorted(target), f"restore({version})")
+    _require_parts_exist(
+        fs, path,
+        sorted(target)
+        + sorted({d for e in target.values() for d in e.get("dvs", [])}),
+        f"restore({version})",
+    )
 
     def _add_entry(p: str, e: dict) -> dict:
         a = {"path": p, "partition": e["partition"], "rewrite": True}
@@ -1207,6 +1228,11 @@ def restore(spark: SparkSession, path: str, version: int, cdc: bool = False) -> 
         "scope_partition": None,
         "restored_version": version,
     }
+    if any(a.get("dvs") for a in adds):
+        # re-attached deletion vectors: a v1 reader would ignore the
+        # dvs field and resurrect the deleted rows — same guard as the
+        # dv delete itself
+        payload["protocol"] = 2
     sj = _committed_schema(fs, path, version)
     if sj is not None:
         payload["schema"] = sj
@@ -1273,6 +1299,12 @@ def overwrite_partition(
 
     def _touches_scope(c: dict) -> bool:
         if set(removes) & set(c.get("removes", [])):
+            return True
+        if set(removes) & {d["part"] for d in c.get("dv", [])}:
+            # a deletion vector attached to a part this overwrite replaces:
+            # with cdc=True our change part was materialized from the
+            # PRE-delete snapshot and would re-emit rows the dv delete
+            # already emitted as deletes (double-delete in the feed)
             return True
         # exact tag equality, mirroring the remove rule above
         return any(a.get("partition", {}) == partition for a in c.get("adds", []))
@@ -1499,9 +1531,13 @@ def _delete_where_dv(
     from pyspark.sql import functions as F
 
     tbl = _read_live(spark, live, schema, meta=True)
-    hits = tbl.filter(cond).withColumn(
-        "_pb", F.regexp_extract("_f_path", "/parts/([^/]+)/", 1)
-    ).localCheckpoint(eager=True)
+    # anchored at the path TAIL: data files sit directly under
+    # parts/<uuid>/, so this is exact even when the table path itself
+    # contains a "parts" segment (a first-match regex would grab it)
+    _pb_expr = F.regexp_extract("_f_path", "/parts/([^/]+)/[^/]+$", 1)
+    hits = tbl.filter(cond).withColumn("_pb", _pb_expr).localCheckpoint(
+        eager=True
+    )
     by_base = {p.rstrip("/").rsplit("/", 1)[-1]: p for p in live}
     hit_counts = {
         r["_pb"]: r["n"]
@@ -1520,7 +1556,7 @@ def _delete_where_dv(
     live_counts = {
         r["_pb"]: r["n"]
         for r in _read_live(spark, touched_live, schema, meta=True)
-        .withColumn("_pb", F.regexp_extract("_f_path", "/parts/([^/]+)/", 1))
+        .withColumn("_pb", _pb_expr)
         .groupBy("_pb").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     removes = sorted(
@@ -1538,9 +1574,12 @@ def _delete_where_dv(
         "removes": removes,
         "scope_partition": None,
         "cdc": [{"path": cdc_part, "change_type": "delete"}],
-        "protocol": 2,  # a v1 reader would resurrect the deleted rows
     }
     if partial:
+        # minimum-protocol stamping: only a commit that actually
+        # attaches a vector needs the v2 reader (whole-part removes
+        # below are plain v1 semantics)
+        payload["protocol"] = 2
         partial_bases = {p.rstrip("/").rsplit("/", 1)[-1] for p in partial}
         dv_part = fs_join(_part_dir(path), "dv-" + uuid.uuid4().hex)
         (
@@ -2087,6 +2126,10 @@ def checkpoint(spark: SparkSession, path: str) -> dict:
     payload = {
         "version": v,
         "live": [dict(e, path=p) for p, e in sorted(live.items())],
+        # checkpoints short-circuit commit replay, so they must carry
+        # the protocol guard themselves: a live set with deletion
+        # vectors read by a v1 engine would silently resurrect rows
+        "protocol": 2 if any(e.get("dvs") for e in live.values()) else 1,
     }
     won = fs.put_if_absent(
         _checkpoint_path(path, v), json.dumps(payload, indent=0).encode("utf-8")
@@ -2130,6 +2173,10 @@ def vacuum(
         c = _read_commit(fs, path, v)
         for a in c.get("adds", []):
             referenced[a["path"]] = v
+            for d in a.get("dvs", []):
+                # a restore's re-attached vector: its last reference is
+                # THIS commit, not the original dv delete
+                referenced[d] = v
         for r in c.get("removes", []):
             referenced[r] = v
         for e in c.get("cdc", []):

@@ -169,3 +169,74 @@ def test_dv_zone_maps_stay_valid(spark, tmp_path):
     assert len(opened) == 1  # skipping unaffected by the vector
     none = read_table(spark, path, range_filter={"id": (1000, None)})
     assert none.count() == 0 and none.inputFiles() == []
+
+
+def test_compact_conflicts_with_concurrent_dv_attach(spark, tmp_path, monkeypatch):
+    """A dv delete landing between compact's snapshot and its CAS must
+    CONFLICT the compact — re-attaching would resurrect the deleted
+    rows (dv commits carry no removes, so the remove-overlap check
+    alone cannot see them)."""
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 50))
+    append(spark, path, _ids(spark, 50, 100))
+
+    real_try = txlog._try_commit
+    fired = {"n": 0}
+
+    def hijack(fs, path_, version, payload):
+        if payload.get("operation") == "compact" and fired["n"] == 0:
+            fired["n"] += 1
+            # the racing dv delete wins the version first
+            delete_where(spark, path, "id < 10", use_dv=True)
+        return real_try(fs, path_, version, payload)
+
+    monkeypatch.setattr(txlog, "_try_commit", hijack)
+    with pytest.raises(txlog.CommitConflict, match="deletion vector"):
+        compact(spark, path)
+    monkeypatch.setattr(txlog, "_try_commit", real_try)
+    # the table is intact and a clean re-run compacts fine
+    assert read_table(spark, path).count() == 90
+    compact(spark, path)
+    assert read_table(spark, path).count() == 90
+
+
+def test_checkpoint_with_dvs_stamps_protocol(spark, tmp_path, monkeypatch):
+    """A checkpoint snapshotting deletion-vector state must be refused
+    by a v1 reader — replay starts AFTER the protocol-2 commit, so the
+    checkpoint itself has to carry the guard."""
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 20))
+    delete_where(spark, path, "id < 5", use_dv=True)
+    txlog.checkpoint(spark, path)
+    assert read_table(spark, path).count() == 15  # current reader fine
+    monkeypatch.setattr(txlog, "PROTOCOL_VERSION", 1)
+    with pytest.raises(ProtocolVersionError, match="checkpoint"):
+        read_table(spark, path)
+    monkeypatch.setattr(txlog, "PROTOCOL_VERSION", PROTOCOL_VERSION)
+
+
+def test_whole_part_dv_delete_stays_protocol_one(spark, tmp_path):
+    import json as _json
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+    append(spark, path, _ids(spark, 10, 20))
+    delete_where(spark, path, "id < 10", use_dv=True)  # kills part 1 whole
+    c = _json.loads(open(txlog._commit_path(path, 3)).read())
+    assert "dv" not in c and c["protocol"] == 1  # minimum stamping
+
+
+def test_restore_reattaching_dvs_stamps_protocol_two(spark, tmp_path):
+    import json as _json
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 20))  # v1
+    delete_where(spark, path, "id < 5", use_dv=True)  # v2 (dv)
+    restore(spark, path, 1)  # v3: clean state, protocol 1
+    restore(spark, path, 2)  # v4: re-attaches the vector
+    stamps = {
+        v: _json.loads(open(txlog._commit_path(path, v)).read()).get("protocol")
+        for v in (3, 4)
+    }
+    assert stamps == {3: 1, 4: 2}
+    assert read_table(spark, path).count() == 15
