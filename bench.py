@@ -234,6 +234,89 @@ def ingest_bulk_events_per_sec(spark, n: int = 400_000, chunk: int = 20_000) -> 
         shutil.rmtree(lake, ignore_errors=True)
 
 
+def lake_ops_bench(spark, sf_dir: str) -> dict:
+    """Transactional-plane telemetry (round-9 ask #5): time the txlog
+    primitives at the bench SF so the lake core gets round-over-round
+    numbers like queries have. One linear scenario on the orders table
+    (~150k rows at sf0.1): bulk append → streamed epochs → merge →
+    delete (rewrite vs deletion-vector) → clustered compact → rollup
+    maintenance. Values are seconds per op (epochs_per_sec is a rate)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from es_analytics_spark import txlog
+    from es_analytics_spark.incremental import maintain_rollup
+    from es_analytics_spark.streaming.txlog_sink import _EpochCommitter
+
+    base = tempfile.mkdtemp(prefix="bench_txlog_")
+    t = os.path.join(base, "t")
+    out: dict[str, float] = {}
+    try:
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+        ).localCheckpoint(eager=True)
+
+        t0 = time.perf_counter()
+        txlog.append(spark, t, orders, stats_cols=["o_orderkey"])
+        out["append_sec"] = round(time.perf_counter() - t0, 3)
+
+        # streamed epochs: the foreachBatch committer loop, 20 x 1k rows
+        epochs = 20
+        batch = (
+            orders.limit(1000)
+            .withColumn("o_orderkey", -F.col("o_orderkey"))
+            .localCheckpoint(eager=True)
+        )
+        com = _EpochCommitter(t, "bench-stream", None, False)
+        t0 = time.perf_counter()
+        for e in range(epochs):
+            com(batch.withColumn("o_orderkey", F.col("o_orderkey") - e * 1000), e)
+        out["sink_epochs_per_sec"] = round(epochs / (time.perf_counter() - t0), 2)
+
+        upd = (
+            orders.filter(F.col("o_orderkey") % 100 == 7)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        txlog.merge_upsert(spark, t, upd, keys=["o_orderkey"])
+        out["merge_upsert_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        txlog.delete_where(spark, t, "o_orderkey % 100 = 13")
+        out["delete_rewrite_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        txlog.delete_where(spark, t, "o_orderkey % 100 = 29", use_dv=True)
+        out["delete_dv_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        txlog.compact(spark, t, cluster_by=["o_custkey", "o_totalprice"], zorder=True)
+        out["compact_zorder_sec"] = round(time.perf_counter() - t0, 3)
+
+        # incremental rollup: catch-up over the full history, then the
+        # per-commit delta latency a scheduled maintainer would pay
+        roll = os.path.join(base, "roll")
+        t0 = time.perf_counter()
+        maintain_rollup(spark, t, roll, keys=["o_custkey"],
+                        measures={"rev": ("sum", "o_totalprice")})
+        out["rollup_bootstrap_sec"] = round(time.perf_counter() - t0, 3)
+        txlog.append(spark, t, upd.withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10_000_000))
+        t0 = time.perf_counter()
+        maintain_rollup(spark, t, roll, keys=["o_custkey"],
+                        measures={"rev": ("sum", "o_totalprice")})
+        out["rollup_delta_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        assert txlog.read_table(spark, t).count() > 0
+        out["snapshot_read_sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -287,6 +370,7 @@ def main() -> None:
     ingest_bulk = max(
         ingest_bulk_events_per_sec(spark), ingest_bulk_events_per_sec(spark)
     )
+    lake_ops = lake_ops_bench(spark, sf_dir)
     compact = {
         "metric": "headline_query_wall_total",
         "value": total,
@@ -297,6 +381,7 @@ def main() -> None:
         "cold_mode": "wall-clock, 8-way concurrent submission",
         "ingest_events_per_sec": ingest,
         "ingest_bulk_events_per_sec": ingest_bulk,
+        "lake_ops": lake_ops,
         "per_query_file": "BENCH_local.json",
     }
     full = dict(compact, queries=timings)

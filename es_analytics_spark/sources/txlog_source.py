@@ -113,8 +113,16 @@ class _PyLog:
     def commit(self, version: int) -> dict:
         from ..txlog import PROTOCOL_VERSION, ProtocolVersionError
 
-        with open(os.path.join(self._log, f"v{version:06d}.json"), "rb") as f:
-            c = json.loads(f.read().decode("utf-8"))
+        try:
+            with open(os.path.join(self._log, f"v{version:06d}.json"), "rb") as f:
+                c = json.loads(f.read().decode("utf-8"))
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"txlog_feed: commit v{version} under {self.path} was reaped "
+                "by log retention (txlog.clean_log) — restart the stream "
+                f"from a newer starting_version, or re-bootstrap from a "
+                "snapshot"
+            ) from None
         if c.get("protocol", 1) > PROTOCOL_VERSION:
             # same reader contract as txlog._read_commit: never silently
             # misread a future writer's commit semantics
@@ -127,10 +135,18 @@ class _PyLog:
 
     def committed_schema(self, version: int | None = None) -> dict:
         """Latest commit schema at-or-before ``version`` (schema-in-commit
-        walk-back, mirroring txlog._committed_schema)."""
+        walk-back, mirroring txlog._committed_schema; a walk that runs
+        into log-retention-reaped commits answers from the surviving
+        checkpoint's folded schema)."""
         v = self.current_version() if version is None else version
         while v >= 1:
-            sj = self.commit(v).get("schema")
+            try:
+                sj = self.commit(v).get("schema")
+            except FileNotFoundError:
+                sj = self._checkpoint_schema(v)
+                if sj is not None:
+                    return sj
+                raise
             if sj is not None:
                 return sj
             v -= 1
@@ -139,6 +155,31 @@ class _PyLog:
             "is empty or predates schema-in-commit; append once with the "
             "current writer to record one"
         )
+
+    def _checkpoint_schema(self, version: int) -> dict | None:
+        """Folded schema of the newest checkpoint <= ``version`` (the
+        retention boundary's authoritative copy), None when no folded
+        checkpoint survives."""
+        cks = sorted(
+            int(os.path.basename(p)[len("checkpoint.v"):-5])
+            for p in _glob.glob(os.path.join(self._log, "checkpoint.v*.json"))
+        )
+        from ..txlog import PROTOCOL_VERSION, ProtocolVersionError
+
+        for cv in reversed([c for c in cks if c <= version]):
+            with open(
+                os.path.join(self._log, f"checkpoint.v{cv:06d}.json"), "rb"
+            ) as f:
+                ck = json.loads(f.read().decode("utf-8"))
+            if ck.get("protocol", 1) > PROTOCOL_VERSION:
+                raise ProtocolVersionError(
+                    f"checkpoint v{cv} under {self.path} was written at txlog "
+                    f"protocol {ck['protocol']}; this reader supports <= "
+                    f"{PROTOCOL_VERSION} — upgrade the engine"
+                )
+            if ck.get("schema") is not None:
+                return ck["schema"]
+        return None
 
     def part_files(self, part_dir: str) -> list[str]:
         files = sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
@@ -151,22 +192,38 @@ class _PyLog:
         return files
 
 
-def _check_no_unseen_columns(commit_schema: dict | None, query_fields: set[str],
-                             latest_fields: set[str], version: int) -> None:
+def _field_phys(f: dict) -> str:
+    return (f.get("metadata") or {}).get("cm.phys", f["name"])
+
+
+def _check_no_unseen_columns(commit_schema: dict | None, query_phys: set[str],
+                             latest_phys: set[str], version: int) -> None:
     """Plan-time guard: a commit whose schema carries columns the
     running query never planned cannot feed without silently dropping
-    them. Two distinct remedies, named honestly: if the LATEST table
-    schema still has the columns, the table evolved after the stream
-    started and a restart re-plans with them (Delta parity); if it does
-    not, a later replace_schema overwrite dropped them — no restart can
-    represent this window, so start past it or consume it via the batch
-    feed."""
+    them. Identity is the PHYSICAL column name (rename-stable): a
+    pre-rename commit whose logical name differs from the query's is
+    the SAME column and feeds fine; only a genuinely new physical
+    column trips the guard. Two distinct remedies, named honestly: if
+    the LATEST table schema still has the columns, the table evolved
+    after the stream started and a restart re-plans with them (Delta
+    parity); if it does not, a later replace_schema overwrite (or
+    drop_column) removed them — no restart can represent this window,
+    so start past it or consume it via the batch feed."""
     if not commit_schema:
         return
-    extra = {f["name"] for f in commit_schema.get("fields", [])} - query_fields
+    extra = {
+        f["name"]
+        for f in commit_schema.get("fields", [])
+        if _field_phys(f) not in query_phys
+    }
     if not extra:
         return
-    if extra <= latest_fields:
+    extra_phys = {
+        _field_phys(f)
+        for f in commit_schema.get("fields", [])
+        if f["name"] in extra
+    }
+    if extra_phys <= latest_phys:
         raise ValueError(
             f"txlog_feed: commit v{version} evolved the table schema with "
             f"column(s) {sorted(extra)} the running stream did not plan; "
@@ -186,12 +243,16 @@ class _PartFilePartition(InputPartition):
 
     ``change_type``/``version`` are None in the insert-only modes and
     set in cdf mode (they become the literal ``_change_type`` /
-    ``_commit_version`` columns)."""
+    ``_commit_version`` columns). ``renames`` maps PHYSICAL parquet
+    column names to the logical names the query planned (column-mapping
+    tables; empty for unmapped tables)."""
 
-    def __init__(self, file: str, change_type: str | None, version: int | None):
+    def __init__(self, file: str, change_type: str | None, version: int | None,
+                 renames: dict | None = None):
         self.file = file
         self.change_type = change_type
         self.version = version
+        self.renames = renames or {}
 
 
 def _arrow_target(schema):
@@ -212,6 +273,12 @@ def _aligned_batches(partition: _PartFilePartition, schema, cdf: bool):
     target = _arrow_target(schema)
     data_fields = [f for f in target if f.name not in _CDF_COLS] if cdf else list(target)
     table = pq.read_table(partition.file)
+    if partition.renames:
+        # column-mapping table: the bytes are stored under physical
+        # names; present them under the logical names the query planned
+        table = table.rename_columns(
+            [partition.renames.get(n, n) for n in table.column_names]
+        )
     known = {f.name for f in data_fields}
     extra = [n for n in table.column_names if n not in known]
     if extra:
@@ -282,21 +349,42 @@ def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
     contract): a per-tenant consumer then plans and reads only its
     partition's parts — untagged parts are invisible to it, same as
     the batch read."""
-    query_fields = {f.name for f in query_schema.fields} - set(_CDF_COLS)
+    def _struct_phys(f):
+        md = f.metadata or {}
+        return md.get("cm.phys", f.name)
+
+    query_phys = {
+        _struct_phys(f) for f in query_schema.fields if f.name not in _CDF_COLS
+    }
+    # ONE physical->logical map serves every file in the window: the
+    # bytes store immutable physical names, and the query's own schema
+    # (planned from the committed schema, metadata preserved through
+    # the DataSource plumbing) says what to call them
+    renames = {
+        _struct_phys(f): f.name
+        for f in query_schema.fields
+        if f.name not in _CDF_COLS and _struct_phys(f) != f.name
+    }
     query_types = {
         f.name: f.dataType.jsonValue()
         for f in query_schema.fields
         if f.name not in _CDF_COLS
     }
-    latest_fields = {
-        f["name"] for f in log.committed_schema().get("fields", [])
+    latest_phys = {
+        _field_phys(f) for f in log.committed_schema().get("fields", [])
     }
     commits = [log.commit(v) for v in range(start_v + 1, end_v + 1)]
     for v, c in zip(range(start_v + 1, end_v + 1), commits):
-        _check_no_unseen_columns(c.get("schema"), query_fields, latest_fields, v)
+        _check_no_unseen_columns(c.get("schema"), query_phys, latest_phys, v)
         op = c.get("operation")
         if not cdf and not ignore_changes and op not in (
+            # rename/drop are metadata-only (no rows added or removed):
+            # physical identity keeps the planned columns complete across
+            # a rename (the stream presents ITS planned names; a restart
+            # re-plans under the new ones); a drop narrows the committed
+            # schema and the planned column null-fills on newer parts
             "append", "compact", "set_properties",
+            "rename_column", "drop_column",
         ):
             raise ValueError(
                 f"txlog_feed: commit v{v} is a data-changing {op!r}; the "
@@ -311,7 +399,7 @@ def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
             for a in _cdf_commit_actions(c, v):
                 _check_cdf_entry_schema(a.get("schema"), query_types, v)
                 for f in log.part_files(a["path"]):
-                    out.append(_PartFilePartition(f, a["change_type"], v))
+                    out.append(_PartFilePartition(f, a["change_type"], v, renames))
     else:
         added = _insert_window_parts(commits)
         for part in sorted(added):
@@ -322,7 +410,7 @@ def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
                 # manifest contract exactly (an untagged part never matches)
                 continue
             for f in log.part_files(part):
-                out.append(_PartFilePartition(f, None, None))
+                out.append(_PartFilePartition(f, None, None, renames))
     return out
 
 
@@ -371,7 +459,19 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
         # starting_version — on a restart the floor was already raised
         # to the WAL-recovered offset by partitions(), and a clamp can
         # never regress the stream below a committed offset.
+        #
+        # The contract is additionally made CALL-ORDER ROBUST (it is an
+        # empirically-probed API behavior, not a documented guarantee):
+        # partitions() raises the floor with its START offset too (the
+        # WAL-committed position Spark hands back), and if an offer of
+        # new data (a latestOffset > floor) is followed by ANOTHER
+        # latestOffset call with no partitions()/commit() in between,
+        # Spark declined the offer — which only happens when our clamp
+        # landed BELOW its committed offset. The next answer is then
+        # returned UNCLAMPED, so a stale floor costs at most one
+        # unthrottled batch instead of a silent permanent stall.
         self._floor: int | None = None
+        self._pending_offer = False
 
     def initialOffset(self) -> dict:  # noqa: N802
         self._floor = self._start
@@ -381,13 +481,18 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
         if self._floor is None:
             self._floor = self._start  # fresh stream (see __init__ contract)
         latest = self._log.current_version()
-        if self._max_versions > 0:
+        if self._max_versions > 0 and not self._pending_offer:
             latest = min(latest, self._floor + self._max_versions)
-        return {"version": max(latest, self._floor)}  # never regress
+        out = max(latest, self._floor)  # never regress
+        self._pending_offer = out > self._floor
+        return {"version": out}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = start["version"], end["version"]
-        self._floor = max(self._floor or 0, e)
+        # `s` is the offset Spark recovered/committed — the authoritative
+        # floor even if a future Spark calls latestOffset() first
+        self._floor = max(self._floor or 0, s, e)
+        self._pending_offer = False
         return _plan_window(
             self._log, s, e, cdf=self._cdf,
             ignore_changes=self._ignore_changes,
@@ -400,6 +505,7 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         self._floor = max(self._floor or 0, end["version"])
+        self._pending_offer = False
 
 
 class TxLogFeedBatchReader(DataSourceReader):

@@ -101,6 +101,15 @@ class _SeenSourceCache:
     def _refresh_seen(self, spark, upto: int) -> None:
         if upto <= self._seen_version:
             return
+        if self._seen_version == 0:
+            # cold cache (fresh sink / restart): seed from the
+            # checkpoint-FOLDED seen-source set instead of replaying
+            # every commit from v1 — bounded on a million-epoch table,
+            # and the only correct read once clean_log has reaped the
+            # early commit JSONs (their sources live on in the fold)
+            self._seen = set(txlog.table_sources(spark, self.path, version=upto))
+            self._seen_version = upto
+            return
         fs = lake_fs(spark, self.path)
         for c in txlog._intervening(fs, self.path, self._seen_version, upto):
             self._seen.update(c.get("sources", []))

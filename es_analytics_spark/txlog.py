@@ -67,16 +67,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 from es_analytics_spark.sources.fsio import is_uri, join as fs_join, lake_fs
 
-_CHECKPOINT_EVERY_HINT = 20  # advisory; checkpoint() is explicit
+#: automatic checkpoint cadence: every writer, after WINNING a commit,
+#: checkpoints when the replay tail since the last checkpoint reaches
+#: this many commits (Delta checkpoints every 10). This is what keeps a
+#: long-lived streaming sink — one commit per epoch, no scheduled
+#: optimize() — replay-bounded without any operator action. Explicit
+#: checkpoint()/optimize() still work; set to 0 to disable (tests).
+_CHECKPOINT_EVERY = 20
+_CHECKPOINT_EVERY_HINT = _CHECKPOINT_EVERY  # back-compat alias
 
 
 #: the READER's maximum supported protocol. Each commit stamps the
 #: MINIMUM protocol needed to read it correctly (1 = base; 2 = carries
 #: deletion vectors, which a v1 reader would silently misread as live
-#: rows); readers reject higher-protocol commits with
-#: ProtocolVersionError. Bump only for semantics an old reader would
-#: silently misread — never for additive, ignorable fields.
-PROTOCOL_VERSION = 2
+#: rows; 3 = column mapping — the committed schema's logical names
+#: differ from the physical parquet column names, which a v<=2 reader
+#: would read as all-null columns); readers reject higher-protocol
+#: commits with ProtocolVersionError. Bump only for semantics an old
+#: reader would silently misread — never for additive, ignorable
+#: fields.
+PROTOCOL_VERSION = 3
 
 
 class ProtocolVersionError(Exception):
@@ -131,13 +141,90 @@ def _part_dir(path: str) -> str:
     return fs_join(path, "parts")
 
 
+def _pointer_path(path: str) -> str:
+    return fs_join(_log_dir(path), "_last_checkpoint")
+
+
 def _list_versions(fs, path: str, prefix: str = "v") -> list[int]:
+    """Full directory LIST of the log — O(total retained commits).
+    Used by audit/maintenance APIs (history, vacuum, clean_log) and as
+    the fallback when no ``_last_checkpoint`` pointer exists; the hot
+    read path (:func:`_snapshot` / :func:`_latest_version`) goes
+    through the pointer instead and touches only the tail."""
     pat = fs_join(_log_dir(path), f"{prefix}*.json")
     out = []
     for p in fs.glob(pat):
         name = p.rsplit("/", 1)[-1]
         out.append(int(name[len(prefix): -len(".json")]))
     return sorted(out)
+
+
+def _checkpoint_hint(fs, path: str) -> int:
+    """Version named by the ``_last_checkpoint`` pointer file, 0 when
+    absent/unreadable. A HINT only: every consumer falls back to the
+    full listing when it is missing or stale-beyond-use, so a torn or
+    lagging pointer can cost extra I/O but never correctness."""
+    try:
+        raw = fs.read_bytes(_pointer_path(path))
+        return int(json.loads(raw.decode("utf-8"))["version"])
+    except Exception:
+        return 0
+
+
+def _advance_pointer(fs, path: str, version: int) -> None:
+    """Monotonically advance the pointer to ``version`` (atomic replace
+    of the one mutable file in the log). Two racing writers both leave a
+    valid pointer — both checkpoints exist; the worst interleaving
+    regresses the hint by one cadence, which only means a slightly
+    longer probe tail. Failure is swallowed: the checkpoint itself is
+    already durable and readers fall back to listing."""
+    if _checkpoint_hint(fs, path) >= version:
+        return
+    tmp = _pointer_path(path) + f".tmp-{uuid.uuid4().hex}"
+    try:
+        fs.put_bytes(tmp, json.dumps({"version": version}).encode("utf-8"))
+        fs.replace_file(tmp, _pointer_path(path))
+    except Exception:
+        try:
+            fs.delete(tmp)
+        except Exception:
+            pass
+
+
+def _latest_version(fs, path: str) -> int:
+    """Newest committed version, touching O(commits-since-checkpoint)
+    log files: probe forward from the pointer (versions are dense by
+    construction — every CAS lands at latest+1), falling back to a full
+    LIST when no pointer exists yet. This is what keeps every read and
+    every CAS retry metadata-bounded on a table whose streaming sink
+    has committed a million epochs."""
+    hint = _checkpoint_hint(fs, path)
+    if hint > 0:
+        v = hint
+        while fs.exists(_commit_path(path, v + 1)):
+            v += 1
+        return v
+    versions = _list_versions(fs, path)
+    return versions[-1] if versions else 0
+
+
+def _load_checkpoint(fs, path: str, version: int) -> dict | None:
+    """Read checkpoint ``version``, None when absent/unreadable (the
+    caller falls back to listing/replay). Protocol-guarded like commits:
+    a checkpoint short-circuits replay, so a future writer's semantics
+    must be refused here, never silently misread."""
+    try:
+        raw = fs.read_bytes(_checkpoint_path(path, version))
+    except Exception:
+        return None
+    ck = json.loads(raw.decode("utf-8"))
+    if ck.get("protocol", 1) > PROTOCOL_VERSION:
+        raise ProtocolVersionError(
+            f"checkpoint v{ck['version']} under {path} was written at "
+            f"txlog protocol {ck['protocol']}; this reader supports <= "
+            f"{PROTOCOL_VERSION} — upgrade the engine"
+        )
+    return ck
 
 
 def _read_commit(fs, path: str, version: int) -> dict:
@@ -152,14 +239,70 @@ def _read_commit(fs, path: str, version: int) -> dict:
     return c
 
 
+def _entry(a: dict) -> dict:
+    e = {"partition": a.get("partition", {})}
+    if a.get("stats"):
+        e["stats"] = a["stats"]
+    if a.get("dvs"):
+        # deletion vectors survive checkpoint/restore round-trips
+        e["dvs"] = list(a["dvs"])
+    if a.get("compacted"):
+        # the compaction-settings marker backs compact's per-group
+        # no-op detection (an already-compacted group is skipped)
+        e["compacted"] = a["compacted"]
+    return e
+
+
+def _apply_commit(live: dict[str, dict], c: dict, v: int, path: str) -> None:
+    """Fold one commit into the live set, VALIDATING every remove — a
+    commit removing a non-live part means the conflict protocol was
+    violated, and raising here is what makes the stress tests check the
+    whole history."""
+    for r in c.get("removes", []):
+        if r not in live:
+            raise RuntimeError(
+                f"txlog corrupt under {path}: v{v} removes non-live part {r}"
+            )
+        del live[r]
+    for a in c.get("adds", []):
+        live[a["path"]] = _entry(a)
+    for d in c.get("dv", []):
+        if d["part"] not in live:
+            raise RuntimeError(
+                f"txlog corrupt under {path}: v{v} attaches a deletion "
+                f"vector to non-live part {d['part']}"
+            )
+        live[d["part"]].setdefault("dvs", []).append(d["path"])
+
+
 def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str, dict]]:
     """Replay the log up to ``version`` (default: latest): returns
     ``(version, live)`` where live maps part path -> its manifest entry
     ``{"partition": tag, "stats": {col: [min, max]} | absent}``.
-    Replay STARTS from the newest checkpoint <= version and VALIDATES
-    every remove against the live set — a commit removing a non-live
-    part means the conflict protocol was violated, and raising here is
-    what makes the stress tests check the whole history."""
+
+    **Latest-snapshot reads are metadata-bounded**: with a
+    ``_last_checkpoint`` pointer present, the replay loads ONE
+    checkpoint and probes/reads only the commits after it —
+    O(commits-since-checkpoint) log objects, never a LIST of the whole
+    directory (a streaming sink commits once per epoch; at 10⁵–10⁶
+    commits a full LIST per read is the first thing to fall over).
+    Explicit-version time travel takes the listed path (it may need an
+    older checkpoint), which also detects corruption (missing commits)
+    and raises :class:`VersionExpiredError` for versions older than
+    what log retention (:func:`clean_log`) kept replayable."""
+    if version is None:
+        hint = _checkpoint_hint(fs, path)
+        if hint > 0:
+            ck = _load_checkpoint(fs, path, hint)
+            if ck is not None:
+                v = hint
+                while fs.exists(_commit_path(path, v + 1)):
+                    v += 1
+                live = {e["path"]: _entry(e) for e in ck["live"]}
+                for w in range(hint + 1, v + 1):
+                    _apply_commit(live, _read_commit(fs, path, w), w, path)
+                return v, live
+        # no pointer (young/legacy table) or damaged checkpoint: listed
     versions = _list_versions(fs, path)
     if not versions:
         return 0, {}
@@ -170,52 +313,59 @@ def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str,
         raise FileNotFoundError(
             f"no commit v{version} under {path} (latest is v{latest})"
         )
-    if versions != list(range(1, latest + 1)):
-        missing = sorted(set(range(1, latest + 1)) - set(versions))
+    first = versions[0]
+    if versions != list(range(first, latest + 1)):
+        missing = sorted(set(range(first, latest + 1)) - set(versions))
         raise RuntimeError(f"txlog corrupt under {path}: missing commits {missing}")
-
-    def _entry(a: dict) -> dict:
-        e = {"partition": a.get("partition", {})}
-        if a.get("stats"):
-            e["stats"] = a["stats"]
-        if a.get("dvs"):
-            # deletion vectors survive checkpoint/restore round-trips
-            e["dvs"] = list(a["dvs"])
-        return e
 
     live: dict[str, dict] = {}
     start = 1
     ckpts = [v for v in _list_versions(fs, path, prefix="checkpoint.v") if v <= version]
     if ckpts:
-        ck = json.loads(
-            fs.read_bytes(_checkpoint_path(path, ckpts[-1])).decode("utf-8")
-        )
-        if ck.get("protocol", 1) > PROTOCOL_VERSION:
-            raise ProtocolVersionError(
-                f"checkpoint v{ck['version']} under {path} was written at "
-                f"txlog protocol {ck['protocol']}; this reader supports <= "
-                f"{PROTOCOL_VERSION} — upgrade the engine"
+        ck = _load_checkpoint(fs, path, ckpts[-1])
+        if ck is None:
+            raise RuntimeError(
+                f"txlog corrupt under {path}: checkpoint v{ckpts[-1]} is "
+                "listed but unreadable"
             )
         live = {e["path"]: _entry(e) for e in ck["live"]}
         start = ck["version"] + 1
+    if start < first:
+        # the replay would need commits that log retention already
+        # reaped and no surviving checkpoint covers this version
+        raise VersionExpiredError(
+            f"version {version} under {path} needs commits v{start}..v"
+            f"{first - 1}, which log retention (clean_log) already "
+            "reaped; history older than the retained checkpoint is "
+            "expired by design"
+        )
     for v in range(start, version + 1):
-        c = _read_commit(fs, path, v)
-        for r in c.get("removes", []):
-            if r not in live:
-                raise RuntimeError(
-                    f"txlog corrupt under {path}: v{v} removes non-live part {r}"
-                )
-            del live[r]
-        for a in c.get("adds", []):
-            live[a["path"]] = _entry(a)
-        for d in c.get("dv", []):
-            if d["part"] not in live:
-                raise RuntimeError(
-                    f"txlog corrupt under {path}: v{v} attaches a deletion "
-                    f"vector to non-live part {d['part']}"
-                )
-            live[d["part"]].setdefault("dvs", []).append(d["path"])
+        _apply_commit(live, _read_commit(fs, path, v), v, path)
     return version, live
+
+
+def _folded_checkpoint(fs, path: str, version: int, key: str) -> tuple[object, int]:
+    """The newest checkpoint <= ``version`` that carries folded state
+    ``key`` → ``(value, replay_start)``; ``(None, 1)`` when none exists
+    (legacy checkpoints predate folding — replay the whole log).
+    Tries the pointer hint first (no LIST), then the listed
+    checkpoints."""
+    hint = _checkpoint_hint(fs, path)
+    if 0 < hint <= version:
+        ck = _load_checkpoint(fs, path, hint)
+        if ck is not None and ck.get(key) is not None:
+            return ck[key], ck["version"] + 1
+    # hint absent, above `version`, or a legacy checkpoint without the
+    # folded key: fall back to the listed checkpoints, newest first
+    for cv in sorted(
+        (v for v in _list_versions(fs, path, prefix="checkpoint.v")
+         if v <= version and v != hint),
+        reverse=True,
+    ):
+        ck = _load_checkpoint(fs, path, cv)
+        if ck is not None and ck.get(key) is not None:
+            return ck[key], ck["version"] + 1
+    return None, 1
 
 
 def _committed_schema(fs, path: str, version: int) -> dict | None:
@@ -223,9 +373,21 @@ def _committed_schema(fs, path: str, version: int) -> dict | None:
     the newest commit <= version that carries one (every commit written
     by this module does — the backward walk exists only for logs
     written before schema-in-commit landed, where it returns None and
-    readers fall back to Spark's file-sampled inference)."""
+    readers fall back to Spark's file-sampled inference). When the walk
+    runs into commits reaped by log retention, the surviving
+    checkpoint's folded schema answers instead."""
     for v in range(version, 0, -1):
-        c = _read_commit(fs, path, v)
+        try:
+            c = _read_commit(fs, path, v)
+        except FileNotFoundError:
+            sj, _start = _folded_checkpoint(fs, path, version, "schema")
+            if sj is not None:
+                return sj
+            raise VersionExpiredError(
+                f"schema as-of v{version} under {path}: commits at and "
+                f"below v{v} were reaped by log retention and no surviving "
+                "checkpoint records a schema"
+            )
         if "schema" in c:
             return c["schema"]
     return None
@@ -243,7 +405,9 @@ def table_schema(spark: SparkSession, path: str, version: int | None = None):
     return T.StructType.fromJson(sj) if sj is not None else None
 
 
-def _merge_schema(table_sj: dict | None, df, evolve: bool) -> dict:
+def _merge_schema(
+    table_sj: dict | None, df, evolve: bool, mint: dict | None = None
+) -> dict:
     """Validate a write's DataFrame schema against the committed table
     schema and return the schema the new commit must record.
 
@@ -257,7 +421,17 @@ def _merge_schema(table_sj: dict | None, df, evolve: bool) -> dict:
     - a TYPE change for an existing column is never allowed — rewriting
       history isn't evolution; at 100 TB it would silently reinterpret
       every existing part.
+
+    On a column-mapping table (see :func:`rename_column`), evolution-
+    added columns mint a FRESH uuid physical name, so a column dropped
+    and later re-added can never resurrect the dropped bytes. ``mint``
+    pins logical→physical for a retrying writer whose part bytes were
+    already written under the first merge's names: a re-merge reuses
+    them, and a concurrent add of the same logical name under a
+    DIFFERENT physical id raises :class:`CommitConflict` (the part must
+    be rewritten under the winning identity).
     """
+    _check_reserved_columns(df.schema.jsonValue(), "write")
     new_fields = {f.name: f.dataType.jsonValue() for f in df.schema.fields}
     if table_sj is None:
         return df.schema.jsonValue()
@@ -267,6 +441,14 @@ def _merge_schema(table_sj: dict | None, df, evolve: bool) -> dict:
             raise SchemaMismatchError(
                 f"column {name!r}: committed type {table_fields[name]} vs "
                 f"incoming {typ} — type changes are never allowed"
+            )
+    for name, phys in (mint or {}).items():
+        if name in table_fields and _phys_of(table_sj, name) != phys:
+            raise CommitConflict(
+                f"column {name!r} was concurrently added under a different "
+                f"physical id ({_phys_of(table_sj, name)} vs our {phys}); "
+                "the staged part is unreadable under the winning identity — "
+                "re-run the write"
             )
     added = [n for n in new_fields if n not in table_fields]
     missing = [n for n in table_fields if n not in new_fields]
@@ -280,29 +462,196 @@ def _merge_schema(table_sj: dict | None, df, evolve: bool) -> dict:
         return table_sj
     if not added:
         return table_sj
+    mapped = _mapping_enabled(table_sj)
+    next_id = max(
+        ((f.get("metadata") or {}).get("cm.id", 0) for f in table_sj["fields"]),
+        default=0,
+    )
+    new_dicts = []
+    for f in df.schema.fields:
+        if f.name not in set(added):
+            continue
+        fd = dict(f.jsonValue(), nullable=True)
+        if mapped:
+            # fresh physical identity: a later same-named re-add after a
+            # drop must never read the dropped bytes
+            next_id += 1
+            md = dict(fd.get("metadata") or {})
+            md["cm.phys"] = (mint or {}).get(f.name) or f"col-{uuid.uuid4().hex}"
+            md["cm.id"] = next_id
+            fd["metadata"] = md
+        new_dicts.append(fd)
     merged = dict(table_sj)
-    merged["fields"] = list(table_sj["fields"]) + [
-        dict(f.jsonValue(), nullable=True)
-        for f in df.schema.fields
-        if f.name in set(added)
-    ]
+    merged["fields"] = list(table_sj["fields"]) + new_dicts
     return merged
 
 
-def _read_parts(spark: SparkSession, parts: list[str], schema_json: dict | None) -> DataFrame:
+# --------------------------------------------------------------------------
+# column mapping (rename/drop without rewrite — the public Delta
+# column-mapping design, name-mapping mode)
+#
+# Each committed-schema field may carry ``metadata: {"cm.phys": p,
+# "cm.id": n}``: the LOGICAL name (``field["name"]``) is what users
+# query; the PHYSICAL name (``cm.phys``, default = the logical name) is
+# what the parquet bytes actually store and NEVER changes once minted.
+# ``rename_column`` therefore only rewrites the schema payload (logical
+# name moves, physical stays); ``drop_column`` removes the field
+# (later re-adds mint a FRESH uuid physical name, so dropped bytes can
+# never resurrect under the new column). Commits whose schema maps any
+# logical name away from its physical one stamp protocol 3 — a v<=2
+# reader would read the renamed column as all-null.
+# --------------------------------------------------------------------------
+
+
+def _phys_name(f: dict) -> str:
+    return (f.get("metadata") or {}).get("cm.phys", f["name"])
+
+
+def _schema_mapped(sj: dict | None) -> bool:
+    """True iff any logical name differs from its physical name — the
+    exact condition under which a v<=2 reader silently misreads."""
+    return sj is not None and any(
+        _phys_name(f) != f["name"] for f in sj.get("fields", [])
+    )
+
+
+def _mapping_enabled(sj: dict | None) -> bool:
+    """True once any field carries mapping metadata (set by the first
+    rename/drop): from then on evolution-added columns mint fresh
+    physical names."""
+    return sj is not None and any(
+        "cm.phys" in (f.get("metadata") or {}) for f in sj.get("fields", [])
+    )
+
+
+def _stamp_mapping(sj: dict) -> dict:
+    """Enter mapping mode: give every field explicit mapping metadata,
+    physical = its current logical name (the name its bytes are already
+    stored under), ids positional. Idempotent for already-stamped
+    fields."""
+    out = dict(sj)
+    fields = []
+    next_id = max(
+        ((f.get("metadata") or {}).get("cm.id", 0) for f in sj["fields"]),
+        default=0,
+    )
+    for f in sj["fields"]:
+        f = dict(f)
+        md = dict(f.get("metadata") or {})
+        if "cm.phys" not in md:
+            next_id += 1
+            md["cm.phys"] = f["name"]
+            md["cm.id"] = next_id
+        f["metadata"] = md
+        fields.append(f)
+    out["fields"] = fields
+    return out
+
+
+def _physical_struct(schema_json: dict):
+    """The committed schema with PHYSICAL field names — the schema the
+    parquet bytes are actually stored under."""
+    from pyspark.sql import types as T
+
+    fields = [dict(f, name=_phys_name(f)) for f in schema_json["fields"]]
+    return T.StructType.fromJson(dict(schema_json, fields=fields))
+
+
+def _to_logical(df: DataFrame, schema_json: dict | None) -> DataFrame:
+    if schema_json is None:
+        return df
+    renames = {
+        _phys_name(f): f["name"]
+        for f in schema_json["fields"]
+        if _phys_name(f) != f["name"]
+    }
+    return df.withColumnsRenamed(renames) if renames else df
+
+
+def _to_physical(df: DataFrame, schema_json: dict | None) -> DataFrame:
+    """Rename a LOGICAL frame to physical column names before any
+    parquet write — the single direction in which table bytes land on
+    disk. Columns the schema does not know (only scan-provenance temp
+    columns reach here) pass through unchanged."""
+    if schema_json is None:
+        return df
+    have = set(df.columns)
+    renames = {
+        f["name"]: _phys_name(f)
+        for f in schema_json["fields"]
+        if _phys_name(f) != f["name"] and f["name"] in have
+    }
+    return df.withColumnsRenamed(renames) if renames else df
+
+
+def _phys_of(schema_json: dict | None, logical: str) -> str:
+    if schema_json is None:
+        return logical
+    for f in schema_json["fields"]:
+        if f["name"] == logical:
+            return _phys_name(f)
+    return logical
+
+
+def _read_parts(
+    spark: SparkSession,
+    parts: list[str],
+    schema_json: dict | None,
+    keep_physical: bool = False,
+) -> DataFrame:
     """Read part files WITH the committed schema when one exists —
     deterministic column set and types regardless of which file Spark
     would sample (evolution-added columns are nullable, so pre-evolution
     parts read them as null: explicit ``mergeSchema`` semantics pinned
-    by the log, not by file-sampling luck)."""
+    by the log, not by file-sampling luck). The scan runs under the
+    PHYSICAL column names (what the bytes store) and the result is
+    renamed to the logical names — ``keep_physical=True`` skips the
+    rename for callers that must still touch the scan's ``_metadata``
+    pseudo-column (a projection would sever it)."""
     from pyspark.sql import types as T
 
     if schema_json is None:
         return spark.read.parquet(*parts)
-    return spark.read.schema(T.StructType.fromJson(schema_json)).parquet(*parts)
+    if not _schema_mapped(schema_json):
+        return spark.read.schema(T.StructType.fromJson(schema_json)).parquet(*parts)
+    df = spark.read.schema(_physical_struct(schema_json)).parquet(*parts)
+    return df if keep_physical else _to_logical(df, schema_json)
 
 
 _META_COLS = ("_f_path", "_f_name", "_f_idx")
+#: names no committed table column may use: the scan-provenance columns
+#: _read_live(meta=True) injects for delete/merge/DV matching, plus the
+#: change-feed tags table_changes_cdf / the txlog_feed source append.
+#: Without the write-time refusal, withColumn would silently REPLACE a
+#: same-named user column and row matching would run against file
+#: metadata instead of the user's data.
+_RESERVED_COLS = frozenset(_META_COLS) | {"_change_type", "_commit_version"}
+
+
+def _part_rel_expr(col: str = "_f_path"):
+    """'<part-dir>/<file-name>' tail of a scanned file path — the
+    deletion-vector row-identity key. The part-dir segment is a uuid4
+    this module mints (``_write_part``), so the key is globally unique
+    BY CONSTRUCTION — unlike a bare file basename, whose uniqueness
+    across part directories would silently ride on Spark's task-file
+    naming. Anchored at the path TAIL so a table path that itself
+    contains a ``parts`` segment cannot confuse the extraction."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract(F.col(col), "/parts/([^/]+/[^/]+)$", 1)
+
+
+def _check_reserved_columns(schema_json: dict, where: str) -> None:
+    bad = sorted(
+        f["name"] for f in schema_json.get("fields", [])
+        if f["name"] in _RESERVED_COLS
+    )
+    if bad:
+        raise SchemaMismatchError(
+            f"{where}: column name(s) {bad} are reserved by the txlog "
+            "engine (scan provenance / change-feed tags) — rename them "
+            "before writing"
+        )
 
 
 def _read_live(
@@ -323,6 +672,16 @@ def _read_live(
     from pyspark.sql import functions as F
 
     def _with_meta(df):
+        clash = sorted(set(df.columns) & set(_META_COLS))
+        if clash:
+            # legacy table written before the reserved-name guard:
+            # withColumn would silently REPLACE the user's column and
+            # run row matching against file metadata — refuse instead
+            raise SchemaMismatchError(
+                f"table column(s) {clash} collide with the engine's scan "
+                "provenance columns; rename them (new writes reject these "
+                "names up front)"
+            )
         return (
             df.withColumn("_f_path", F.col("_metadata.file_path"))
             .withColumn(
@@ -335,23 +694,32 @@ def _read_live(
     plain = sorted(p for p, e in live.items() if not e.get("dvs"))
     dvd = {p: e for p, e in live.items() if e.get("dvs")}
     frames = []
+    # provenance columns must be materialized on the RAW scan (the
+    # _metadata pseudo-column does not survive a projection), so mapped
+    # tables scan physical, stamp _f_*, THEN rename to logical names
     if plain:
-        df = _read_parts(spark, plain, schema_json)
+        df = _read_parts(spark, plain, schema_json, keep_physical=True)
         if meta:
             df = _with_meta(df)
-        frames.append(df)
+        frames.append(_to_logical(df, schema_json))
     if dvd:
-        df = _with_meta(_read_parts(spark, sorted(dvd), schema_json))
+        df = _with_meta(
+            _read_parts(spark, sorted(dvd), schema_json, keep_physical=True)
+        )
         dv_paths = sorted({d for e in dvd.values() for d in e["dvs"]})
         dv = spark.read.parquet(*dv_paths).select("dv_file", "dv_idx")
+        # row identity is '<part-dir-uuid>/<file-name>' — a key this
+        # module CONTROLS (part dirs are uuid4 by _write_part), unlike
+        # bare file basenames, whose global uniqueness would silently
+        # depend on Spark's task-file naming across part directories
         df = df.join(
             dv,
-            (df["_f_name"] == dv["dv_file"]) & (df["_f_idx"] == dv["dv_idx"]),
+            (_part_rel_expr() == dv["dv_file"]) & (df["_f_idx"] == dv["dv_idx"]),
             "left_anti",
         )
         if not meta:
             df = df.drop(*_META_COLS)
-        frames.append(df)
+        frames.append(_to_logical(df, schema_json))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
@@ -373,8 +741,7 @@ def _empty_frame(spark: SparkSession, fs, path: str, version: int, live: dict) -
 
 def current_version(spark: SparkSession, path: str) -> int:
     fs = lake_fs(spark, path)
-    versions = _list_versions(fs, path)
-    return versions[-1] if versions else 0
+    return _latest_version(fs, path)
 
 
 def history(spark: SparkSession, path: str) -> list[dict]:
@@ -461,10 +828,15 @@ def read_table(
             )
         ]
     if range_filter:
+        # zone maps are keyed by physical name; the user filters logical
+        sj_v = _committed_schema(fs, path, v)
+        phys_filter = {
+            _phys_of(sj_v, c): b for c, b in range_filter.items()
+        }
         parts = [
             p
             for p in parts
-            if not _stats_disjoint(live[p].get("stats"), range_filter)
+            if not _stats_disjoint(live[p].get("stats"), phys_filter)
         ]
     if version is not None:
         # AFTER pruning: a time-travel read must not fail on reaped
@@ -493,9 +865,11 @@ def read_table(
     return out
 
 
-def _write_part(spark: SparkSession, path: str, df: DataFrame) -> str:
+def _write_part(
+    spark: SparkSession, path: str, df: DataFrame, schema_json: dict | None = None
+) -> str:
     part = fs_join(_part_dir(path), uuid.uuid4().hex)
-    df.write.mode("overwrite").parquet(part)
+    _to_physical(df, schema_json).write.mode("overwrite").parquet(part)
     return part
 
 
@@ -551,6 +925,31 @@ def _stats_disjoint(stats: dict | None, range_filter: dict) -> bool:
     return False
 
 
+def _maybe_auto_checkpoint(spark: SparkSession, path: str, version: int) -> None:
+    """Post-commit cadence hook: writers call this after WINNING a
+    commit. When the tail since the last checkpoint has reached
+    :data:`_CHECKPOINT_EVERY`, write one (write-once and racing-safe —
+    two writers hitting the cadence together is the same idempotent
+    race as two explicit checkpoints). The commit has already won, so a
+    checkpoint failure must never fail the write: it is reported as a
+    warning and the next writer retries the cadence."""
+    if _CHECKPOINT_EVERY <= 0:
+        return
+    try:
+        fs = lake_fs(spark, path)
+        if version - _checkpoint_hint(fs, path) >= _CHECKPOINT_EVERY:
+            checkpoint(spark, path)
+    except Exception as e:  # pragma: no cover - defensive
+        import warnings
+
+        warnings.warn(
+            f"txlog auto-checkpoint under {path} failed (commit v{version} "
+            f"itself is durable): {e}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+
 def _try_commit(fs, path: str, version: int, payload: dict) -> bool:
     import time as _time
 
@@ -561,8 +960,12 @@ def _try_commit(fs, path: str, version: int, payload: dict) -> bool:
     # reader meeting a commit from a FUTURE writer fails with a named
     # upgrade error instead of silently misreading new semantics
     # (the Delta reader/writer-version idea).
-    payload = dict(payload, version=version, ts=_time.time(),
-                   protocol=payload.get("protocol", 1))
+    proto = payload.get("protocol", 1)
+    if _schema_mapped(payload.get("schema")):
+        # a v<=2 reader would resolve the renamed column's logical name
+        # against the parquet bytes and read it as all-null
+        proto = max(proto, 3)
+    payload = dict(payload, version=version, ts=_time.time(), protocol=proto)
     return fs.put_if_absent(
         _commit_path(path, version), json.dumps(payload, indent=0).encode("utf-8")
     )
@@ -575,12 +978,27 @@ def version_at_timestamp(spark: SparkSession, path: str, timestamp: float) -> in
     can skew, but the version order is the serialization order, so a
     commit can never take effect before its predecessor (Delta applies
     the same monotonicity adjustment to its file-time resolution).
-    Raises if the table did not exist yet at ``timestamp``."""
+    Raises if the table did not exist yet at ``timestamp``; a timestamp
+    inside history that log retention (:func:`clean_log`) already reaped
+    raises :class:`VersionExpiredError` (the surviving checkpoint's
+    folded commit stamp marks the boundary)."""
     fs = lake_fs(spark, path)
     versions = _list_versions(fs, path)
     if not versions:
         raise FileNotFoundError(f"no commits under {path}")
     chosen, running = 0, float("-inf")
+    if versions[0] > 1:
+        # truncated prefix: seed from the surviving checkpoint's folded
+        # running-max commit stamp
+        ck_ts, start = _folded_checkpoint(fs, path, versions[0] - 1, "ts")
+        if ck_ts is not None and ck_ts <= timestamp:
+            chosen, running = start - 1, ck_ts
+        elif ck_ts is not None:
+            raise VersionExpiredError(
+                f"timestamp {timestamp} under {path} resolves into history "
+                "that log retention already reaped (earliest retained "
+                f"snapshot is v{start - 1} at ts {ck_ts})"
+            )
     for v in versions:
         c = _read_commit(fs, path, v)
         running = max(running, c.get("ts", float("-inf")))
@@ -645,12 +1063,17 @@ def append(
     v = current_version(spark, path)
     schema_at = v
     schema = _merge_schema(_committed_schema(fs, path, v), df, evolve)
-    part = _write_part(spark, path, df)
+    # pin the minted logical->physical map: CAS-retry re-merges MUST
+    # reuse it (the part bytes below are written under these names)
+    mint = {f["name"]: _phys_name(f) for f in schema["fields"]}
+    part = _write_part(spark, path, df, schema)
     add = {"path": part, "partition": partition or {}}
     if stats_cols:
         stats = _column_stats(df, stats_cols)
         if stats:
-            add["stats"] = stats
+            # zone maps are keyed by PHYSICAL name — the rename-stable
+            # column identity (readers map their logical filter back)
+            add["stats"] = {_phys_of(schema, c): b for c, b in stats.items()}
     payload = {
         "operation": "append",
         "adds": [add],
@@ -667,7 +1090,7 @@ def append(
             # a commit landed since validation — re-merge so a racing
             # evolution is honored (never reverted) by our recorded schema
             payload["schema"] = _merge_schema(
-                _committed_schema(fs, path, v), df, evolve
+                _committed_schema(fs, path, v), df, evolve, mint=mint
             )
             schema_at = v
         if checked is not None and v > checked:
@@ -681,6 +1104,7 @@ def append(
                     )
             checked = v
         if _try_commit(fs, path, v + 1, payload):
+            _maybe_auto_checkpoint(spark, path, v + 1)
             return {"version": v + 1, "part": part}
         v = max(v + 1, current_version(spark, path))
     raise CommitConflict(f"append lost the CAS {max_retries} times under {path}")
@@ -723,6 +1147,7 @@ def set_table_properties(
     v = current_version(spark, path)
     for _ in range(max_retries):
         if _try_commit(fs, path, v + 1, payload):
+            _maybe_auto_checkpoint(spark, path, v + 1)
             return {"version": v + 1}
         v = max(v + 1, current_version(spark, path))
     raise CommitConflict(
@@ -734,15 +1159,18 @@ def table_properties(
     spark: SparkSession, path: str, version: int | None = None
 ) -> dict[str, str]:
     """The table's property map as-of ``version`` (default latest):
-    fold every ``set_properties`` commit oldest-first, last writer wins,
-    ``None`` unsets. Metadata-sized — commit JSONs only (commit files
-    are never deleted; checkpoints bound data replay, not history)."""
+    the newest checkpoint's FOLDED map plus the ``set_properties``
+    commits after it, last writer wins, ``None`` unsets. Bounded —
+    O(commits-since-checkpoint) reads per call, not a rescan of the
+    whole history (which grew quadratically over a maintained table's
+    lifetime); the fold also survives log retention
+    (:func:`clean_log`)."""
     fs = lake_fs(spark, path)
-    versions = _list_versions(fs, path)
-    if version is not None:
-        versions = [v for v in versions if v <= version]
-    out: dict[str, str] = {}
-    for v in versions:
+    if version is None:
+        version = _latest_version(fs, path)
+    folded, start = _folded_checkpoint(fs, path, version, "props")
+    out: dict[str, str] = dict(folded or {})
+    for v in range(start, version + 1):
         c = _read_commit(fs, path, v)
         if c.get("operation") != "set_properties":
             continue
@@ -790,15 +1218,18 @@ def optimize(
 
 def table_sources(spark: SparkSession, path: str, version: int | None = None) -> set[str]:
     """Union of every source file incorporated by commits <= ``version``
-    (default: all) — the incremental-refresh "seen" set. Metadata-sized:
-    commit files are never deleted (checkpoints bound REPLAY, not
-    retention), so this always reads the full, exact history."""
+    (default: latest) — the incremental-refresh / exactly-once "seen"
+    set. Bounded: the newest checkpoint's FOLDED source set plus the
+    commits after it, O(commits-since-checkpoint) reads per call; the
+    fold is also what lets exactly-once survive log retention
+    (:func:`clean_log` refuses to reap commits whose sources are not
+    yet folded into a surviving checkpoint)."""
     fs = lake_fs(spark, path)
-    versions = _list_versions(fs, path)
-    if version is not None:
-        versions = [v for v in versions if v <= version]
-    out: set[str] = set()
-    for v in versions:
+    if version is None:
+        version = _latest_version(fs, path)
+    folded, start = _folded_checkpoint(fs, path, version, "sources")
+    out: set[str] = set(folded or [])
+    for v in range(start, version + 1):
         out.update(_read_commit(fs, path, v).get("sources", []))
     return out
 
@@ -818,6 +1249,7 @@ def _write_clustered_parts(
     cluster_by: list[str],
     stats_cols: list[str],
     order_expr=None,
+    schema_json: dict | None = None,
 ) -> list[dict]:
     """Emit one partition group as range-clustered parts: a sampled
     range shuffle on the cluster columns, one part directory per range
@@ -845,8 +1277,10 @@ def _write_clustered_parts(
     (
         # spark_partition_id is non-deterministic-tagged, so Catalyst
         # cannot reorder it below the range exchange: it names the
-        # post-shuffle range each row landed in
-        frame.withColumn("_range_id", F.spark_partition_id())
+        # post-shuffle range each row landed in; the write itself goes
+        # out under PHYSICAL column names like every table part
+        _to_physical(frame, schema_json)
+        .withColumn("_range_id", F.spark_partition_id())
         .write.mode("overwrite")
         .option("maxRecordsPerFile", rows_per_file)
         .partitionBy("_range_id")
@@ -906,7 +1340,16 @@ def compact(
     APPENDS are safe — they stay live, simply not compacted by this
     run); otherwise :class:`CommitConflict` — the caller re-runs, and
     the orphaned rewrite is vacuum fodder. Returns {"version",
-    "parts_before", "parts_after"}.
+    "parts_before", "parts_after", "skipped_groups"}.
+
+    **Idempotent per partition group**: every rewritten part records the
+    settings that produced it, and a group whose members were ALL
+    emitted by a compact with the same ``target_file_bytes`` /
+    ``cluster_by`` / ``zorder`` (and carry no deletion vectors) is
+    SKIPPED — a scheduled compact/optimize loop over a quiescent table
+    commits nothing instead of rewriting every part on every call. Any
+    append, delete, or DV into the group clears the condition and the
+    group recompacts.
 
     Each partition group is rewritten with size-targeted bin-packing
     (the ``maintenance.compact`` sizing contract): files approach
@@ -948,15 +1391,41 @@ def compact(
         # nothing to bin-pack AND no deletion vectors to materialize
         # away — a single DV'd part must still compact (that rewrite is
         # the vector's deferred cost)
-        return {"version": v0, "parts_before": len(live), "parts_after": len(live)}
+        return {
+            "version": v0,
+            "parts_before": len(live),
+            "parts_after": len(live),
+            "skipped_groups": len(live),
+        }
 
     schema = _committed_schema(fs, path, v0)
     groups: dict[tuple, list[str]] = {}
     for p, e in live.items():
         groups.setdefault(tuple(sorted(e["partition"].items())), []).append(p)
+    # per-group no-op detection: every rewritten part carries a marker
+    # with the settings that produced it; a group whose members ALL came
+    # from a compact with the SAME settings (and carry no deletion
+    # vectors) is already in its target layout — rewriting it again
+    # would be pure churn (a scheduled optimize loop used to re-commit
+    # every clustered table on every call, producing unbounded rewrite
+    # traffic and vacuum debt)
+    spec = {
+        "cluster": list(cluster_by) if cluster_by else None,
+        "zorder": bool(zorder and cluster_by),
+        "target": int(target_file_bytes),
+    }
     adds = []
+    removes: list[str] = []
+    skipped_groups = 0
     for key, parts in sorted(groups.items()):
         parts = sorted(parts)
+        entries = [live[p] for p in parts]
+        if not any(e.get("dvs") for e in entries) and all(
+            e.get("compacted") == spec for e in entries
+        ):
+            skipped_groups += 1
+            continue
+        removes.extend(parts)
         # committed-schema read: the rewrite materializes evolution-added
         # columns (as nulls) into pre-evolution parts, normalizing the
         # table; DV-aware, so deletion vectors compact away (the rewrite
@@ -990,24 +1459,30 @@ def compact(
             # alongside the cluster columns and any explicit request
             member = [set(live[p].get("stats") or {}) for p in parts]
             common = set.intersection(*member) if member else set()
+            # stats are keyed by PHYSICAL name (rename-stable identity);
+            # member stats and the staging bytes are already physical
             stat_set = list(dict.fromkeys(
-                [*cluster_by, *(stats_cols or []), *sorted(common)]
+                [_phys_of(schema, c) for c in [*cluster_by, *(stats_cols or [])]]
+                + sorted(common)
             ))
-            adds.extend(
-                _write_clustered_parts(
-                    spark, fs, path, merged, dict(key), int(n_files),
-                    rows_per_file, cluster_by, stat_set, order_expr,
-                )
+            new_adds = _write_clustered_parts(
+                spark, fs, path, merged, dict(key), int(n_files),
+                rows_per_file, cluster_by, stat_set, order_expr,
+                schema_json=schema,
             )
+            for a in new_adds:
+                a["compacted"] = spec
+            adds.extend(new_adds)
             continue
-        sized = merged.repartition(int(n_files))
+        sized = _to_physical(merged.repartition(int(n_files)), schema)
         part = fs_join(_part_dir(path), uuid.uuid4().hex)
         (
             sized.write.mode("overwrite")
             .option("maxRecordsPerFile", rows_per_file)
             .parquet(part)
         )
-        add = {"path": part, "partition": dict(key), "rewrite": True}
+        add = {"path": part, "partition": dict(key), "rewrite": True,
+               "compacted": spec}
         # zone maps survive compaction for free: the merged part's range
         # is the envelope of its members' — but only when EVERY member
         # recorded the column (a stats-less member could widen it)
@@ -1023,7 +1498,17 @@ def compact(
             if merged_stats:
                 add["stats"] = merged_stats
         adds.append(add)
-    removes = sorted(live)
+    if not removes:
+        # every group already sits in the requested layout: commit
+        # NOTHING (optimize's promised idempotence — only the write-once
+        # checkpoint it also writes is new on a second call)
+        return {
+            "version": v0,
+            "parts_before": len(live),
+            "parts_after": len(live),
+            "skipped_groups": skipped_groups,
+        }
+    removes = sorted(removes)
     payload = {
         "operation": "compact",
         "adds": adds,
@@ -1037,10 +1522,12 @@ def compact(
     for _ in range(max_retries):
         v += 1
         if _try_commit(fs, path, v, payload):
+            _maybe_auto_checkpoint(spark, path, v)
             return {
                 "version": v,
                 "parts_before": len(removes),
                 "parts_after": len(adds),
+                "skipped_groups": skipped_groups,
             }
         latest = current_version(spark, path)
         for c in _intervening(fs, path, v - 1, latest):
@@ -1097,9 +1584,9 @@ def _replaced_rows_cdc(
     if not entries:
         return []
     cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
-    _read_live(spark, entries, schema).write.mode("overwrite").parquet(
-        cdc_part
-    )
+    _to_physical(_read_live(spark, entries, schema), schema).write.mode(
+        "overwrite"
+    ).parquet(cdc_part)
     entry = {"path": cdc_part, "change_type": change_type}
     if schema is not None:
         entry["schema"] = schema
@@ -1136,14 +1623,15 @@ def overwrite_table(
     v0, live = _snapshot(fs, path)
     if replace_schema:
         schema = df.schema.jsonValue()
+        _check_reserved_columns(schema, "overwrite_table(replace_schema=True)")
     else:
         schema = _merge_schema(_committed_schema(fs, path, v0), df, evolve)
-    part = _write_part(spark, path, df)
+    part = _write_part(spark, path, df, schema)
     add = {"path": part, "partition": partition or {}}
     if stats_cols:
         stats = _column_stats(df, stats_cols)
         if stats:
-            add["stats"] = stats
+            add["stats"] = {_phys_of(schema, c): b for c, b in stats.items()}
     payload = {
         "operation": "overwrite_table",
         "adds": [add],
@@ -1158,6 +1646,7 @@ def overwrite_table(
         if change:
             payload["cdc"] = change
     v = _commit_exclusive(fs, path, payload, v0, "overwrite_table")
+    _maybe_auto_checkpoint(spark, path, v)
     return {"version": v, "removed_parts": len(live)}
 
 
@@ -1204,6 +1693,8 @@ def restore(spark: SparkSession, path: str, version: int, cdc: bool = False) -> 
             # the target snapshot's deletion-vector state restores with
             # the part (the add entry carries it; _snapshot re-applies)
             a["dvs"] = e["dvs"]
+        if e.get("compacted"):
+            a["compacted"] = e["compacted"]
         return a
 
     # a part live in BOTH snapshots but with a DIFFERENT deletion-vector
@@ -1248,6 +1739,7 @@ def restore(spark: SparkSession, path: str, version: int, cdc: bool = False) -> 
         if entries:
             payload["cdc"] = entries
     v = _commit_exclusive(fs, path, payload, v0, "restore")
+    _maybe_auto_checkpoint(spark, path, v)
     return {"version": v, "restored_to": version, "changed": True}
 
 
@@ -1280,7 +1772,7 @@ def overwrite_partition(
     v0, live = _snapshot(fs, path)
     schema = _merge_schema(_committed_schema(fs, path, v0), df, evolve)
     removes = sorted(p for p, e in live.items() if e["partition"] == partition)
-    part = _write_part(spark, path, df)
+    part = _write_part(spark, path, df, schema)
     payload = {
         "operation": "overwrite_partition",
         "adds": [{"path": part, "partition": partition}],
@@ -1313,6 +1805,7 @@ def overwrite_partition(
     for _ in range(max_retries):
         v += 1
         if _try_commit(fs, path, v, payload):
+            _maybe_auto_checkpoint(spark, path, v)
             return {"version": v, "removed_parts": len(removes)}
         latest = current_version(spark, path)
         for c in _intervening(fs, path, v - 1, latest):
@@ -1322,7 +1815,8 @@ def overwrite_partition(
                     f"partition {partition}; re-run against the new state"
                 )
         payload["schema"] = _merge_schema(
-            _committed_schema(fs, path, latest), df, evolve
+            _committed_schema(fs, path, latest), df, evolve,
+            mint={f["name"]: _phys_name(f) for f in schema["fields"]},
         )
         v = max(v, latest)
     raise CommitConflict(
@@ -1372,12 +1866,22 @@ def _union_schema_json(a: dict | None, b: dict | None) -> dict | None:
     a_types = {f["name"]: f["type"] for f in a["fields"]}
     out = dict(a)
     out["fields"] = list(a["fields"])
+    a_phys = {f["name"]: _phys_name(f) for f in a["fields"]}
     for f in b["fields"]:
         if f["name"] in a_types:
             if a_types[f["name"]] != f["type"]:
                 raise SchemaMismatchError(
                     f"column {f['name']!r}: concurrent writers committed "
                     f"types {a_types[f['name']]} vs {f['type']}"
+                )
+            if a_phys[f["name"]] != _phys_name(f):
+                # same logical name minted under two physical ids by
+                # concurrent evolutions: one side's part bytes would read
+                # as null under the other's mapping — never mergeable
+                raise SchemaMismatchError(
+                    f"column {f['name']!r}: concurrent writers minted "
+                    f"different physical ids ({a_phys[f['name']]} vs "
+                    f"{_phys_name(f)}); re-run one writer"
                 )
         else:
             out["fields"].append(dict(f, nullable=True))
@@ -1484,9 +1988,9 @@ def delete_where(
         return {"version": v0, "rows_deleted": 0, "parts_rewritten": 0}
     cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
     touched_live = {p: live[p] for p in touched}
-    _read_live(spark, touched_live, schema).filter(cond).write.mode(
-        "overwrite"
-    ).parquet(cdc_part)
+    _to_physical(
+        _read_live(spark, touched_live, schema).filter(cond), schema
+    ).write.mode("overwrite").parquet(cdc_part)
     # footer-only count of what was actually written — no recompute
     rows_deleted = spark.read.parquet(cdc_part).count()
     adds = []
@@ -1495,7 +1999,7 @@ def delete_where(
         if keep.isEmpty():
             continue  # the whole part matched: pure remove
         np = fs_join(_part_dir(path), uuid.uuid4().hex)
-        keep.write.mode("overwrite").parquet(np)
+        _to_physical(keep, schema).write.mode("overwrite").parquet(np)
         add = {"path": np, "partition": live[p]["partition"], "rewrite": True}
         if live[p].get("stats"):
             # survivors are a subset of the original rows, so the
@@ -1512,6 +2016,7 @@ def delete_where(
     if schema is not None:
         payload["schema"] = schema
     res = _commute_past_appends_only(fs, path, payload, v0, max_retries, "delete_where")
+    _maybe_auto_checkpoint(spark, path, res["version"])
     return {
         "version": res["version"],
         "rows_deleted": rows_deleted,
@@ -1566,7 +2071,9 @@ def _delete_where_dv(
         by_base[b] for b, n in hit_counts.items() if n < live_counts[b]
     )
     cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
-    hits.drop("_pb", *_META_COLS).write.mode("overwrite").parquet(cdc_part)
+    _to_physical(hits.drop("_pb", *_META_COLS), schema).write.mode(
+        "overwrite"
+    ).parquet(cdc_part)
     rows_deleted = spark.read.parquet(cdc_part).count()
     payload = {
         "operation": "delete_where",
@@ -1583,9 +2090,13 @@ def _delete_where_dv(
         partial_bases = {p.rstrip("/").rsplit("/", 1)[-1] for p in partial}
         dv_part = fs_join(_part_dir(path), "dv-" + uuid.uuid4().hex)
         (
+            # dv_file is the part-relative '<part-uuid>/<file>' key (see
+            # _part_rel_expr): collision-proof by construction, where a
+            # bare basename would rely on Spark's task-file naming being
+            # globally unique across part directories
             hits.filter(F.col("_pb").isin(list(partial_bases)))
             .select(
-                F.col("_f_name").alias("dv_file"),
+                F.concat_ws("/", F.col("_pb"), F.col("_f_name")).alias("dv_file"),
                 F.col("_f_idx").alias("dv_idx"),
             )
             .write.mode("overwrite")
@@ -1597,6 +2108,7 @@ def _delete_where_dv(
     res = _commute_past_appends_only(
         fs, path, payload, v0, max_retries, "delete_where"
     )
+    _maybe_auto_checkpoint(spark, path, res["version"])
     return {
         "version": res["version"],
         "rows_deleted": rows_deleted,
@@ -1738,11 +2250,16 @@ def merge_upsert(
                 _read_live(spark, touched_live, table_schema), upd_keys, "left_semi"
             )
             cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
-            old_rows.write.mode("overwrite").parquet(cdc_part)
+            _to_physical(old_rows, schema).write.mode("overwrite").parquet(cdc_part)
             # distinct matched keys, not raw old rows: a key appended
-            # twice counts as ONE update (all its rows are replaced)
+            # twice counts as ONE update (all its rows are replaced);
+            # read back through the schema so logical keys resolve on
+            # the physically-named change part
             rows_updated = (
-                spark.read.parquet(cdc_part).select(*keys).distinct().count()
+                _read_parts(spark, [cdc_part], table_schema)
+                .select(*keys)
+                .distinct()
+                .count()
             )
             cdc = [{"path": cdc_part, "change_type": "delete"}]
             for p in touched:
@@ -1753,14 +2270,14 @@ def merge_upsert(
                 if keep.isEmpty():
                     continue
                 np = fs_join(_part_dir(path), uuid.uuid4().hex)
-                keep.write.mode("overwrite").parquet(np)
+                _to_physical(keep, schema).write.mode("overwrite").parquet(np)
                 add = {"path": np, "partition": live[p]["partition"], "rewrite": True}
                 if live[p].get("stats"):
                     # survivors are a subset of the original rows, so the
                     # original zone map stays VALID (possibly wider — safe)
                     add["stats"] = live[p]["stats"]
                 adds.append(add)
-    upd_part = _write_part(spark, path, updates)
+    upd_part = _write_part(spark, path, updates, schema)
     adds.append({"path": upd_part, "partition": partition or {}})
     payload = {
         "operation": "merge_upsert",
@@ -1786,6 +2303,7 @@ def merge_upsert(
             f"merge_upsert under {path}: lost the CAS at "
             f"v{v0 + 1}; recompute from fresh state"
         )
+    _maybe_auto_checkpoint(spark, path, res["version"])
     # footer-only count of the part actually written — never a third
     # execution of the caller's updates lineage (which may be expensive
     # or, for a re-read stream batch, not even deterministic)
@@ -2003,6 +2521,28 @@ def table_changes_cdf(
             f"table_changes_cdf({from_version}, {to_version}) under {path}: "
             f"latest committed version is v{latest}"
         )
+    end_sj = _committed_schema(fs, path, to_version)
+    end_by_phys = (
+        {_phys_name(f): f["name"] for f in end_sj["fields"]}
+        if end_sj is not None
+        else {}
+    )
+
+    def _relabel(df, sj):
+        """Present a frame read under its as-of schema under the
+        WINDOW-END logical names, joined on physical identity — a
+        window spanning rename_column is then one uniform frame
+        (columns the end schema dropped keep their as-of name and
+        null-fill in the union: deterministic either way)."""
+        if sj is None or not end_by_phys:
+            return df
+        ren = {}
+        for f in sj["fields"]:
+            tgt = end_by_phys.get(_phys_name(f))
+            if tgt is not None and tgt != f["name"]:
+                ren[f["name"]] = tgt
+        return df.withColumnsRenamed(ren) if ren else df
+
     frames = []
     for v in range(from_version + 1, to_version + 1):
         actions = _cdf_commit_actions(_read_commit(fs, path, v), v)
@@ -2016,7 +2556,7 @@ def table_changes_cdf(
         if ins:
             sj = next(a["schema"] for a in actions if a["change_type"] == "insert")
             frames.append(
-                _read_parts(spark, ins, sj)
+                _relabel(_read_parts(spark, ins, sj), sj)
                 .withColumn("_change_type", F.lit("insert"))
                 .withColumn("_commit_version", F.lit(v))
             )
@@ -2024,7 +2564,7 @@ def table_changes_cdf(
             if a["change_type"] == "insert":
                 continue
             frames.append(
-                _read_parts(spark, [a["path"]], a["schema"])
+                _relabel(_read_parts(spark, [a["path"]], a["schema"]), a["schema"])
                 .withColumn("_change_type", F.lit(a["change_type"]))
                 .withColumn("_commit_version", F.lit(v))
             )
@@ -2110,6 +2650,154 @@ def iter_changes(spark: SparkSession, path: str, cursor: int) -> list[dict]:
     return out
 
 
+def rename_column(
+    spark: SparkSession, path: str, old: str, new: str, max_retries: int = 10
+) -> dict:
+    """Rename a column WITHOUT rewriting any data — the public Delta
+    column-mapping design: the committed schema's field keeps its
+    immutable PHYSICAL parquet name (stamped on every field the first
+    time mapping is needed) and only the LOGICAL name users query
+    changes. Time travel reads old versions under their old names (the
+    schema is per-commit); the change feed presents a window spanning
+    the rename uniformly under the window-end names (physical identity
+    joins them); zone maps survive (they are keyed by physical name).
+    Commits whose schema maps a name away from its physical one stamp
+    protocol 3, so a v<=2 reader refuses instead of silently reading
+    the renamed column as null.
+
+    The rename is a metadata-only read-modify-write: a lost CAS re-reads
+    the fresh schema and re-applies (it carries no data and removes
+    nothing, so any interleaving is safe to retry past); renaming a
+    column a concurrent commit dropped raises. Returns {"version"}."""
+    if new in _RESERVED_COLS:
+        raise SchemaMismatchError(
+            f"rename_column: {new!r} is reserved by the txlog engine"
+        )
+    fs = lake_fs(spark, path)
+    v = current_version(spark, path)
+    for _ in range(max_retries):
+        sj = _committed_schema(fs, path, v)
+        if sj is None:
+            raise SchemaMismatchError(
+                f"rename_column under {path}: the table has no committed "
+                "schema (empty or pre-schema log)"
+            )
+        names = [f["name"] for f in sj["fields"]]
+        if old not in names:
+            raise SchemaMismatchError(
+                f"rename_column under {path}: no column {old!r} "
+                f"(have {names})"
+            )
+        if new in names:
+            raise SchemaMismatchError(
+                f"rename_column under {path}: column {new!r} already exists"
+            )
+        stamped = _stamp_mapping(sj)
+        fields = [
+            dict(f, name=new) if f["name"] == old else f
+            for f in stamped["fields"]
+        ]
+        payload = {
+            "operation": "rename_column",
+            "adds": [],
+            "removes": [],
+            "scope_partition": None,
+            "schema": dict(stamped, fields=fields),
+            "rename": {"from": old, "to": new},
+        }
+        if _try_commit(fs, path, v + 1, payload):
+            _maybe_auto_checkpoint(spark, path, v + 1)
+            return {"version": v + 1}
+        v = max(v + 1, current_version(spark, path))
+    raise CommitConflict(
+        f"rename_column lost the CAS {max_retries} times under {path}"
+    )
+
+
+def drop_column(
+    spark: SparkSession, path: str, col: str, max_retries: int = 10
+) -> dict:
+    """Drop a column WITHOUT rewriting any data (column-mapping
+    tombstone semantics): the field leaves the committed schema; the
+    physical bytes stay in the parts (time travel still reads them at
+    old versions) but no current read materializes them. Dropping
+    enters mapping mode, so a LATER re-add of the same logical name
+    mints a fresh uuid physical id — the dropped bytes can never
+    resurrect under the new column. Metadata-only read-modify-write
+    like :func:`rename_column`. Returns {"version"}."""
+    fs = lake_fs(spark, path)
+    v = current_version(spark, path)
+    for _ in range(max_retries):
+        sj = _committed_schema(fs, path, v)
+        if sj is None:
+            raise SchemaMismatchError(
+                f"drop_column under {path}: the table has no committed "
+                "schema (empty or pre-schema log)"
+            )
+        names = [f["name"] for f in sj["fields"]]
+        if col not in names:
+            raise SchemaMismatchError(
+                f"drop_column under {path}: no column {col!r} (have {names})"
+            )
+        if len(names) == 1:
+            raise SchemaMismatchError(
+                f"drop_column under {path}: cannot drop the last column"
+            )
+        stamped = _stamp_mapping(sj)
+        fields = [f for f in stamped["fields"] if f["name"] != col]
+        payload = {
+            "operation": "drop_column",
+            "adds": [],
+            "removes": [],
+            "scope_partition": None,
+            "schema": dict(stamped, fields=fields),
+            "drop": {"column": col},
+        }
+        if _try_commit(fs, path, v + 1, payload):
+            _maybe_auto_checkpoint(spark, path, v + 1)
+            return {"version": v + 1}
+        v = max(v + 1, current_version(spark, path))
+    raise CommitConflict(
+        f"drop_column lost the CAS {max_retries} times under {path}"
+    )
+
+
+def register_table(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> DataFrame:
+    """Register a txlog table under a SQL name so ``spark.sql("SELECT …
+    FROM name")`` resolves a transactional snapshot — the lake exists to
+    be QUERIED, and before this helper the transactional surface was
+    Python-API only. Semantics:
+
+    - the registered view pins the snapshot chosen NOW (``version`` /
+      ``timestamp`` honored exactly like :func:`read_table`; default =
+      current latest). Commits landing after registration do NOT leak
+      into the view — same snapshot isolation as holding the DataFrame;
+      re-register (or use :func:`refresh_table`) to advance.
+    - registration is metadata work: the underlying plan is the same
+      DV-aware, manifest-pruned scan ``read_table`` builds, so SQL
+      queries get identical results, pushdown, and skipping.
+    - temp-view scope: this session, like ``createOrReplaceTempView``
+      (the engine has no Hive metastore dependency by design).
+
+    Returns the registered DataFrame."""
+    df = read_table(spark, path, version=version, timestamp=timestamp)
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def refresh_table(spark: SparkSession, name: str, path: str) -> DataFrame:
+    """Re-pin a registered txlog view at the table's CURRENT latest
+    snapshot (the explicit advance step — registered views never drift
+    on their own)."""
+    return register_table(spark, name, path)
+
+
 def checkpoint(spark: SparkSession, path: str) -> dict:
     """Write a checkpoint of the current live set so replay cost stays
     bounded as the log grows (Delta's parquet-checkpoint idea, JSON
@@ -2118,22 +2806,51 @@ def checkpoint(spark: SparkSession, path: str) -> dict:
     the same version is an idempotent race, and a checkpoint never
     blocks commits (readers just start replay later). Time travel to
     pre-checkpoint versions still works — commit files are never
-    deleted by this call."""
+    deleted by this call (that is :func:`clean_log`'s explicit job).
+
+    Beyond the live set, the checkpoint FOLDS the log state whose
+    authoritative copy would otherwise require full history: the
+    committed schema, the accumulated table properties, the
+    exactly-once seen-source set, and the running-max commit timestamp.
+    That fold is what makes :func:`table_sources` /
+    :func:`table_properties` O(commits-since-checkpoint) per call
+    instead of O(total history), and what lets :func:`clean_log` reap
+    old commit JSONs without breaking exactly-once or AS-OF-TIMESTAMP
+    resolution at the retention boundary.
+
+    After the write (win or idempotent loss — the file exists either
+    way) the ``_last_checkpoint`` pointer advances, so every subsequent
+    read lists nothing: one pointer read, one checkpoint read, and a
+    probe of the commits after it."""
     fs = lake_fs(spark, path)
     v, live = _snapshot(fs, path)
     if v == 0:
         return {"version": 0, "written": False}
+    prev_ts, ts_start = _folded_checkpoint(fs, path, v, "ts")
+    running = prev_ts if prev_ts is not None else float("-inf")
+    for w in range(ts_start, v + 1):
+        running = max(running, _read_commit(fs, path, w).get("ts", float("-inf")))
+    sj = _committed_schema(fs, path, v)
     payload = {
         "version": v,
         "live": [dict(e, path=p) for p, e in sorted(live.items())],
+        "schema": sj,
+        "sources": sorted(table_sources(spark, path, version=v)),
+        "props": table_properties(spark, path, version=v),
+        "ts": None if running == float("-inf") else running,
         # checkpoints short-circuit commit replay, so they must carry
-        # the protocol guard themselves: a live set with deletion
-        # vectors read by a v1 engine would silently resurrect rows
-        "protocol": 2 if any(e.get("dvs") for e in live.values()) else 1,
+        # the protocol guard themselves: deletion vectors read by a v1
+        # engine would silently resurrect rows; a mapped schema read by
+        # a v<=2 engine would null out renamed columns
+        "protocol": max(
+            2 if any(e.get("dvs") for e in live.values()) else 1,
+            3 if _schema_mapped(sj) else 1,
+        ),
     }
     won = fs.put_if_absent(
         _checkpoint_path(path, v), json.dumps(payload, indent=0).encode("utf-8")
     )
+    _advance_pointer(fs, path, v)
     return {"version": v, "written": bool(won)}
 
 
@@ -2169,7 +2886,10 @@ def vacuum(
     fs = lake_fs(spark, path)
     latest, live = _snapshot(fs, path)
     referenced: dict[str, int] = {}
-    for v in range(1, latest + 1):
+    # iterate the RETAINED commits (log retention may have reaped the
+    # oldest — their parts, if not live, age out via the mtime horizon
+    # below exactly like crash debris)
+    for v in _list_versions(fs, path):
         c = _read_commit(fs, path, v)
         for a in c.get("adds", []):
             referenced[a["path"]] = v
@@ -2211,3 +2931,69 @@ def vacuum(
     for p in victims:
         fs.delete(p)
     return sorted(victims)
+
+
+def clean_log(
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 0,
+) -> dict:
+    """Commit-log retention (Delta's ``logRetentionDuration`` role):
+    reap commit JSONs older than the newest FOLDED checkpoint that is
+    <= ``latest - keep_versions``, plus the checkpoints that checkpoint
+    superseded. Checkpoints are never deleted ahead of their commits,
+    and only checkpoints carrying the folded state (schema, seen-source
+    set, properties, running commit stamp — see :func:`checkpoint`) are
+    eligible cut points, so after the reap:
+
+    - snapshots/time travel at or after the cut replay exactly as
+      before (the checkpoint is the snapshot); older versions raise
+      :class:`VersionExpiredError` at plan time;
+    - exactly-once survives: :func:`table_sources` answers from the
+      folded seen-source set, so a restarted stream / refresh does not
+      re-commit pre-truncation epochs;
+    - :func:`table_properties` and AS-OF-TIMESTAMP resolution keep
+      working from the folded state (timestamps inside the reaped range
+      raise :class:`VersionExpiredError`).
+
+    Run :func:`vacuum` with the same ``keep_versions`` FIRST: parts
+    referenced only by commits this call reaps become invisible to
+    vacuum's reference scan and age out via its mtime retention horizon
+    instead of the version rule. A long-lived streaming table calls
+    this on the same schedule as vacuum; without it the log grows one
+    JSON per epoch forever (the listing is already checkpoint-bounded,
+    but the object count itself eventually becomes an operational
+    liability). Returns {"cut", "removed_commits",
+    "removed_checkpoints"}."""
+    fs = lake_fs(spark, path)
+    latest = _latest_version(fs, path)
+    bound = latest - max(keep_versions, 0)
+    cut = 0
+    for cv in sorted(
+        (v for v in _list_versions(fs, path, prefix="checkpoint.v") if v <= bound),
+        reverse=True,
+    ):
+        ck = _load_checkpoint(fs, path, cv)
+        if ck is not None and ck.get("sources") is not None:
+            # folded checkpoint: safe cut point (legacy checkpoints
+            # without the fold would break exactly-once if cut at)
+            cut = cv
+            break
+    if cut == 0:
+        return {"cut": 0, "removed_commits": 0, "removed_checkpoints": 0}
+    doomed_commits = [v for v in _list_versions(fs, path) if v <= cut]
+    doomed_ckpts = [
+        v for v in _list_versions(fs, path, prefix="checkpoint.v") if v < cut
+    ]
+    # pointer first: readers racing this reap must never be pointed at
+    # (or fall back onto) a listing that is mid-delete below the cut
+    _advance_pointer(fs, path, cut)
+    for v in doomed_ckpts:
+        fs.delete(_checkpoint_path(path, v))
+    for v in doomed_commits:
+        fs.delete(_commit_path(path, v))
+    return {
+        "cut": cut,
+        "removed_commits": len(doomed_commits),
+        "removed_checkpoints": len(doomed_ckpts),
+    }

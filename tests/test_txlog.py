@@ -159,7 +159,9 @@ def test_compact_merges_per_partition_and_preserves_rows(spark, tmp_path):
         append(spark, path, _ids(spark, i * 10, (i + 1) * 10, d="a"), partition={"d": "a"})
     append(spark, path, _ids(spark, 100, 110, d="b"), partition={"d": "b"})
     r = compact(spark, path)
-    assert r == {"version": 5, "parts_before": 4, "parts_after": 2}
+    assert r == {
+        "version": 5, "parts_before": 4, "parts_after": 2, "skipped_groups": 0,
+    }
     assert read_table(spark, path).count() == 40
     assert read_table(spark, path, partition_filter={"d": "a"}).count() == 30
     # time travel across the compact boundary still works
@@ -1786,3 +1788,64 @@ def test_future_protocol_commit_rejected_with_upgrade_error(spark, tmp_path):
     open(_commit_path(path, 1), "w").write(_json.dumps(c))
     with pytest.raises(ProtocolVersionError, match="upgrade the engine"):
         read_table(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# compact / optimize idempotence (per-group no-op detection)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_skips_already_compacted_groups(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for d in (1, 2):
+        for lo in (0, 100, 200):
+            append(spark, path, _ids(spark, lo, lo + 50, d=d), partition={"d": d})
+    r1 = compact(spark, path)
+    assert r1["parts_before"] == 6 and r1["skipped_groups"] == 0
+    v1 = current_version(spark, path)
+    # second identical call: nothing rewritten, nothing committed
+    r2 = compact(spark, path)
+    assert r2["version"] == v1 and r2["skipped_groups"] == 2
+    assert current_version(spark, path) == v1
+    # an append into ONE group recompacts only that group
+    append(spark, path, _ids(spark, 300, 310, d=1), partition={"d": 1})
+    r3 = compact(spark, path)
+    assert r3["skipped_groups"] == 1 and r3["parts_before"] == 2
+    # different settings invalidate the marker: full recompact
+    r4 = compact(spark, path, target_file_bytes=1 << 20)
+    assert r4["skipped_groups"] == 0
+    got = read_table(spark, path)
+    expected = 2 * (
+        sum(range(0, 50)) + sum(range(100, 150)) + sum(range(200, 250))
+    ) + sum(range(300, 310))
+    assert got.count() == 310 and got.select(F.sum("id")).first()[0] == expected
+
+
+def test_optimize_second_call_commits_only_checkpoint(spark, tmp_path):
+    from es_analytics_spark.txlog import optimize, set_table_properties
+
+    path = str(tmp_path / "t")
+    set_table_properties(spark, path, {"optimize.cluster_by": json.dumps(["id"])})
+    for lo in (0, 50, 100):
+        append(spark, path, _ids(spark, lo, lo + 50))
+    optimize(spark, path)
+    v = current_version(spark, path)
+    res = optimize(spark, path)  # idempotent: no new commit
+    assert current_version(spark, path) == v
+    assert res["compact"]["version"] == v and res["compact"]["skipped_groups"] == 1
+    assert read_table(spark, path).count() == 150
+
+
+def test_clustered_compact_skip_resets_on_dv_delete(spark, tmp_path):
+    from es_analytics_spark.txlog import delete_where
+
+    path = str(tmp_path / "t")
+    for lo in (0, 50):
+        append(spark, path, _ids(spark, lo, lo + 50))
+    compact(spark, path, cluster_by=["id"])
+    v = current_version(spark, path)
+    assert compact(spark, path, cluster_by=["id"])["version"] == v  # no-op
+    delete_where(spark, path, "id % 7 = 0", use_dv=True)
+    r = compact(spark, path, cluster_by=["id"])  # DV must materialize away
+    assert r["version"] > v + 1 and r["skipped_groups"] == 0
+    assert read_table(spark, path).count() == 100 - 15

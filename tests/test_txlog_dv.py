@@ -240,3 +240,79 @@ def test_restore_reattaching_dvs_stamps_protocol_two(spark, tmp_path):
     }
     assert stamps == {3: 1, 4: 2}
     assert read_table(spark, path).count() == 15
+
+
+def test_dv_identity_survives_basename_collision(spark, tmp_path):
+    """Deletion-vector row identity is '<part-uuid>/<file>' — a key the
+    module mints itself — so a parquet-file BASENAME shared by two part
+    directories (Spark's task-file naming is not a uniqueness contract
+    this module may lean on) cannot anti-join live rows out of the
+    wrong part."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    append(spark, path, spark.range(0, 100).coalesce(1))  # v1: part A
+    append(spark, path, spark.range(100, 200).coalesce(1))  # v2: part B
+    parts = sorted(
+        os.path.join(path, "parts", d)
+        for d in os.listdir(os.path.join(path, "parts"))
+    )
+    assert len(parts) == 2
+    files = [
+        sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        for p in parts
+    ]
+    assert all(len(f) == 1 for f in files)
+    # force the collision: give B's data file A's basename
+    if files[0][0] != files[1][0]:
+        src = os.path.join(parts[1], files[1][0])
+        dst = os.path.join(parts[1], files[0][0])
+        shutil.move(src, dst)
+        crc = os.path.join(parts[1], "." + files[1][0] + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    r = delete_where(spark, path, "id < 50", use_dv=True)  # hits part A only
+    assert r["rows_deleted"] == 50 and r["parts_vectored"] == 1
+    got = sorted(x["id"] for x in read_table(spark, path).collect())
+    # basename-keyed vectors would also have erased B's ids 100..149
+    # (same file name, same row indices)
+    assert got == list(range(50, 200))
+
+
+def test_reserved_provenance_columns_rejected_at_write(spark, tmp_path):
+    from es_analytics_spark.txlog import SchemaMismatchError, overwrite_table
+
+    path = str(tmp_path / "t")
+    for bad in ("_f_path", "_f_name", "_f_idx", "_change_type", "_commit_version"):
+        df = spark.range(0, 5).withColumn(bad, F.lit("x"))
+        with pytest.raises(SchemaMismatchError, match="reserved"):
+            append(spark, path, df)
+        with pytest.raises(SchemaMismatchError, match="reserved"):
+            overwrite_table(spark, path, df, replace_schema=True)
+    # clean writes still fine
+    append(spark, path, _ids(spark, 0, 5))
+
+
+def test_legacy_reserved_column_table_refused_at_read(spark, tmp_path):
+    """A table whose committed schema predates the reserved-name guard
+    (hand-built commit here) must fail delete/merge matching LOUDLY —
+    the old behavior silently replaced the user's column with file
+    metadata and matched rows against the wrong data."""
+    from es_analytics_spark.sources.fsio import LocalFS
+    from es_analytics_spark.txlog import SchemaMismatchError, _commit_path, _try_commit
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10).withColumn("_f_name", F.lit("user-data"))
+    part = os.path.join(path, "parts", "legacy")
+    df.write.parquet(part)
+    payload = {
+        "operation": "append",
+        "adds": [{"path": part, "partition": {}}],
+        "removes": [],
+        "schema": df.schema.jsonValue(),
+    }
+    assert _try_commit(LocalFS(), path, 1, payload)
+    with pytest.raises(SchemaMismatchError, match="_f_name"):
+        delete_where(spark, path, "id < 5")
+    with pytest.raises(SchemaMismatchError, match="_f_name"):
+        merge_upsert(spark, path, spark.range(0, 3), keys=["id"])

@@ -1,0 +1,282 @@
+"""Txlog metadata-plane scalability: the `_last_checkpoint` pointer
+(bounded log listing — O(commits-since-checkpoint) log objects per
+read, never a directory LIST), automatic checkpoint cadence on the
+write path, commit-log retention (`clean_log`) with checkpoint-folded
+schema/sources/properties/timestamp state, and SQL registration.
+
+These are the knobs that keep a table fed by the per-epoch streaming
+sink readable at 10^5-10^6 commits: without the pointer every
+read/CAS-retry pays an O(total-commits) object-store LIST, and without
+log retention + state folding the JSON count (and the exactly-once
+seen-source scan) grows forever.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_analytics_spark import txlog
+from es_analytics_spark.txlog import (
+    VersionExpiredError,
+    _checkpoint_hint,
+    _commit_path,
+    _try_commit,
+    append,
+    checkpoint,
+    clean_log,
+    current_version,
+    history,
+    read_table,
+    register_table,
+    set_table_properties,
+    table_properties,
+    table_schema,
+    table_sources,
+    vacuum,
+    version_at_timestamp,
+)
+from es_analytics_spark.sources.fsio import LocalFS
+
+
+def _ids(spark, lo, hi, **tags):
+    df = spark.range(lo, hi).select(F.col("id").cast("long"))
+    for k, v in tags.items():
+        df = df.withColumn(k, F.lit(v))
+    return df
+
+
+class _CountingFS:
+    """LocalFS shim counting commit-log object touches — the
+    instrumentation the bounded-listing guarantee is asserted through."""
+
+    def __init__(self):
+        self._b = LocalFS()
+        self.log_touches = 0
+        self.log_globs = 0
+
+    def __getattr__(self, name):
+        return getattr(self._b, name)
+
+    def read_bytes(self, p):
+        if "_txlog" in p:
+            self.log_touches += 1
+        return self._b.read_bytes(p)
+
+    def exists(self, p):
+        if "_txlog" in p:
+            self.log_touches += 1
+        return self._b.exists(p)
+
+    def glob(self, pat):
+        if "_txlog" in pat:
+            self.log_globs += 1
+            self.log_touches += 1
+        return self._b.glob(pat)
+
+
+def _synthetic_commits(path: str, start: int, n: int, schema: dict) -> None:
+    """Blind metadata-only append commits, written straight through the
+    CAS primitive — the shape a streaming sink's empty-ish epochs have,
+    letting the test build a 5000-commit log in seconds."""
+    fs = LocalFS()
+    for v in range(start, start + n):
+        assert _try_commit(
+            fs, path, v,
+            {"operation": "append", "adds": [], "removes": [],
+             "scope_partition": None, "schema": schema},
+        )
+
+
+def test_reads_touch_o_of_tail_not_o_of_log(spark, tmp_path, monkeypatch):
+    """≥5000-commit log: with a checkpoint + pointer present, a snapshot
+    read touches only the pointer, one checkpoint, and the tail commits
+    — and performs ZERO log-directory globs. This is the 10^6-epoch
+    streaming-table guarantee."""
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 20))  # v1 (real data)
+    schema = json.loads(
+        LocalFS().read_bytes(_commit_path(path, 1)).decode("utf-8")
+    )["schema"]
+    _synthetic_commits(path, 2, 5000, schema)  # v2..v5001
+    assert checkpoint(spark, path)["version"] == 5001
+    _synthetic_commits(path, 5002, 3, schema)  # small tail
+
+    shim = _CountingFS()
+    monkeypatch.setattr(txlog, "lake_fs", lambda _s, _p: shim)
+    assert read_table(spark, path).count() == 20
+    assert current_version(spark, path) == 5004
+    assert shim.log_globs == 0, "bounded read must not LIST the log dir"
+    # pointer + checkpoint + 3 tail commits + probes + schema lookups:
+    # a small constant over the tail, nowhere near the 5004 commits
+    assert shim.log_touches <= 40, shim.log_touches
+
+
+def test_auto_checkpoint_cadence_on_write_path(spark, tmp_path, monkeypatch):
+    """Writers checkpoint every _CHECKPOINT_EVERY commits on their own —
+    a stream that never runs optimize() still gets bounded replay."""
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 5)
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))  # v1
+    fs = LocalFS()
+    assert _checkpoint_hint(fs, path) == 0
+    for i in range(4):  # v2..v5 — v5 crosses the cadence
+        set_table_properties(spark, path, {f"k{i}": str(i)})
+    assert _checkpoint_hint(fs, path) == 5
+    assert os.path.exists(os.path.join(path, "_txlog", "checkpoint.v000005.json"))
+    # next cadence window: v6..v10 → second auto checkpoint
+    for i in range(5):
+        set_table_properties(spark, path, {f"m{i}": str(i)})
+    assert _checkpoint_hint(fs, path) == 10
+    assert read_table(spark, path).count() == 10
+
+
+def test_clean_log_retention_and_time_travel_boundary(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 0)  # manual control
+    path = str(tmp_path / "t")
+    stamps = []
+    for i in range(4):  # v1..v4
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10),
+               sources=[f"s{i + 1}"], since_version=i)
+        stamps.append(time.time())
+        time.sleep(0.02)
+    assert checkpoint(spark, path)["version"] == 4
+    for i in range(4, 6):  # v5, v6
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10),
+               sources=[f"s{i + 1}"], since_version=i)
+        stamps.append(time.time())
+        time.sleep(0.02)
+    vacuum(spark, path, keep_versions=2, retention_seconds=0)
+    res = clean_log(spark, path, keep_versions=2)  # bound v4 → cut at ck v4
+    assert res == {"cut": 4, "removed_commits": 4, "removed_checkpoints": 0}
+    assert not os.path.exists(_commit_path(path, 4))
+    assert os.path.exists(_commit_path(path, 5))
+
+    # inside retention: latest, v5, and the checkpointed v4 itself
+    assert read_table(spark, path).count() == 60
+    assert read_table(spark, path, version=5).count() == 50
+    assert read_table(spark, path, version=4).count() == 40
+    # outside retention: expired loudly, at plan time
+    with pytest.raises(VersionExpiredError):
+        read_table(spark, path, version=3)
+    # exactly-once state survives the truncation via the folded set
+    assert table_sources(spark, path) == {f"s{i}" for i in range(1, 7)}
+    # timestamp resolution: inside retention resolves, inside the reaped
+    # range raises the expiry error (not a wrong answer)
+    assert version_at_timestamp(spark, path, stamps[4]) == 5
+    with pytest.raises(VersionExpiredError):
+        version_at_timestamp(spark, path, stamps[1])
+    # history reports the retained commits only
+    assert [h["version"] for h in history(spark, path)] == [5, 6]
+
+
+def test_clean_log_requires_folded_checkpoint(spark, tmp_path, monkeypatch):
+    """A legacy checkpoint (no folded sources) is NOT an eligible cut —
+    reaping at it would break exactly-once. clean_log must no-op."""
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 0)
+    path = str(tmp_path / "t")
+    for i in range(3):
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10))
+    checkpoint(spark, path)
+    ck_path = os.path.join(path, "_txlog", "checkpoint.v000003.json")
+    ck = json.loads(open(ck_path, "rb").read().decode("utf-8"))
+    for k in ("sources", "props", "schema", "ts"):
+        ck.pop(k, None)
+    open(ck_path, "w").write(json.dumps(ck))
+    assert clean_log(spark, path)["cut"] == 0
+    assert os.path.exists(_commit_path(path, 1))
+
+
+def test_checkpoint_folds_properties_schema_and_survives_clean(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 0)
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))  # v1
+    set_table_properties(spark, path, {"k": "1", "j": "x"})  # v2
+    set_table_properties(spark, path, {"k": "2", "j": None})  # v3
+    append(spark, path, _ids(spark, 10, 20).withColumn("extra", F.lit(1.5)),
+           evolve=True)  # v4 (evolves)
+    checkpoint(spark, path)
+    assert clean_log(spark, path) == {
+        "cut": 4, "removed_commits": 4, "removed_checkpoints": 0,
+    }
+    assert table_properties(spark, path) == {"k": "2"}
+    sch = table_schema(spark, path)
+    assert [f.name for f in sch.fields] == ["id", "extra"]
+    # new writes still validate against the folded schema, and reads
+    # align pre-evolution rows with nulls
+    append(spark, path, _ids(spark, 20, 30).withColumn("extra", F.lit(2.5)))
+    got = read_table(spark, path)
+    assert got.count() == 30
+    assert got.filter(F.col("extra").isNull()).count() == 10
+
+
+def test_stream_restart_after_clean_log_does_not_recommit(spark, tmp_path, monkeypatch):
+    """A restarted stream's cold seen-source cache must answer from the
+    checkpoint-folded set: replayed pre-truncation epochs stay no-ops
+    even though their commit JSONs are gone."""
+    from es_analytics_spark.streaming.txlog_sink import _EpochCommitter
+
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 0)
+    path = str(tmp_path / "t")
+    com = _EpochCommitter(path, "sid", None, False)
+    for i in range(5):
+        com(_ids(spark, i * 10, (i + 1) * 10), i)  # epochs 0..4 → v1..v5
+    assert current_version(spark, path) == 5
+    checkpoint(spark, path)
+    assert clean_log(spark, path)["removed_commits"] == 5
+
+    fresh = _EpochCommitter(path, "sid", None, False)  # restart, cold cache
+    fresh(_ids(spark, 20, 30), 2)  # WAL replay of epoch 2
+    assert current_version(spark, path) == 5  # no re-commit
+    assert read_table(spark, path).count() == 50
+    fresh(_ids(spark, 50, 60), 5)  # genuinely new epoch
+    assert current_version(spark, path) == 6
+    assert read_table(spark, path).count() == 60
+
+
+def test_register_table_sql_over_pinned_snapshot(spark, tmp_path):
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    path = str(tmp_path / "li")
+    append(spark, path, li)
+    register_table(spark, "tx_lineitem", path)
+    got = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               SUM(l_extendedprice) AS sum_price,
+               COUNT(*) AS n
+        FROM tx_lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    exp = (
+        read_table(spark, path)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+        .collect()
+    )
+    assert got == exp
+    # snapshot pinning: a later append does not leak into the view
+    n0 = spark.sql("SELECT COUNT(*) AS n FROM tx_lineitem").first()["n"]
+    append(spark, path, li.limit(10))
+    assert spark.sql("SELECT COUNT(*) AS n FROM tx_lineitem").first()["n"] == n0
+    txlog.refresh_table(spark, "tx_lineitem", path)
+    assert (
+        spark.sql("SELECT COUNT(*) AS n FROM tx_lineitem").first()["n"] == n0 + 10
+    )
+    # explicit version pin
+    register_table(spark, "tx_lineitem_v1", path, version=1)
+    assert spark.sql("SELECT COUNT(*) FROM tx_lineitem_v1").first()[0] == n0

@@ -350,3 +350,32 @@ def test_partition_filter_streams_one_tenant(spark, tmp_path):
         partition_filter=_json.dumps({"d": "a"}),
     )
     assert q.exception() is not None and "untagged" in str(q.exception())
+
+
+def test_rate_limit_floor_call_order_robustness(spark, tmp_path):
+    """The rate-limit floor must not depend on the probed call-order
+    contract of the Python streaming API: if a (future) Spark asks for
+    latestOffset() on a restart BEFORE any partitions()/commit() seeds
+    the floor, declining our clamped offer and asking again must LIFT
+    the clamp (one unthrottled batch) instead of stalling the stream
+    below its WAL-committed offset forever."""
+    from es_analytics_spark.sources.txlog_source import TxLogFeedStreamReader
+
+    path = _table(spark, tmp_path)  # v1, v2
+    append(spark, path, _ids(spark, 20, 30))  # v3
+    schema = read_table(spark, path).schema
+
+    # healthy restart order: partitions(committed, committed) first
+    r = TxLogFeedStreamReader(schema, path, {"max_versions_per_batch": "1"})
+    r.partitions({"version": 2}, {"version": 2})
+    assert r.latestOffset() == {"version": 3}
+
+    # pathological order: latestOffset first, twice, floor unseeded —
+    # the clamped offer (v1) is below the committed offset (v2); the
+    # repeat call must return the true latest, not stall at v1
+    r2 = TxLogFeedStreamReader(schema, path, {"max_versions_per_batch": "1"})
+    assert r2.latestOffset() == {"version": 1}
+    assert r2.latestOffset() == {"version": 3}
+    # once partitions() reveals the committed offset the clamp resumes
+    r2.partitions({"version": 2}, {"version": 2})
+    assert r2.latestOffset() == {"version": 3}
