@@ -104,6 +104,22 @@ class _PyLog:
         self._log = os.path.join(path, "_txlog")
 
     def current_version(self) -> int:
+        """Newest committed version — pointer + tail probing, mirroring
+        txlog._latest_version: latestOffset() fires every trigger, so an
+        O(total-commits) directory LIST here would make the poll loop
+        itself the metadata bottleneck on a long-lived table. Falls back
+        to the full glob when no pointer exists (young/legacy log)."""
+        hint = 0
+        try:
+            with open(os.path.join(self._log, "_last_checkpoint"), "rb") as f:
+                hint = int(json.loads(f.read().decode("utf-8"))["version"])
+        except Exception:
+            pass
+        if hint > 0:
+            v = hint
+            while os.path.exists(os.path.join(self._log, f"v{v + 1:06d}.json")):
+                v += 1
+            return v
         vs = [
             int(os.path.basename(p)[1:-5])
             for p in _glob.glob(os.path.join(self._log, "v*.json"))

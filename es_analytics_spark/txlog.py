@@ -8,10 +8,16 @@ design (the public Delta/Iceberg commit protocol, re-expressed on this
 engine's fsio seam):
 
 - **The log is a sequence of write-once files** ``_txlog/v000001.json,
-  v000002.json, …`` — nothing in the log is ever mutated. This is the
-  reference's ``Store.put`` contract (every batch object goes to a
+  v000002.json, …`` — no commit or checkpoint is ever mutated. This is
+  the reference's ``Store.put`` contract (every batch object goes to a
   fresh write-once key — lib/store/Store.ts:4-8, StoreS3.ts:21-35)
-  promoted to the commit path.
+  promoted to the commit path. The single mutable object is the
+  ``_last_checkpoint`` POINTER (atomic-replace, monotonic, pure hint:
+  readers fall back to listing when it is torn or stale), which is what
+  keeps every read O(commits-since-checkpoint) instead of an
+  O(total-commits) directory LIST; :func:`clean_log` is the one
+  deleting operation — explicit retention past a folded checkpoint,
+  with expired history raising :class:`VersionExpiredError`.
 - **Committing version N is a compare-and-swap**: atomically create
   ``vN.json`` iff absent (``fsio.put_if_absent`` — hard-link locally,
   ``FileContext.rename`` without OVERWRITE on Hadoop stores). Exactly

@@ -115,6 +115,17 @@ def test_reads_touch_o_of_tail_not_o_of_log(spark, tmp_path, monkeypatch):
     # a small constant over the tail, nowhere near the 5004 commits
     assert shim.log_touches <= 40, shim.log_touches
 
+    # the streaming source's poll loop is bounded the same way: its
+    # per-trigger current_version() must answer from the pointer, never
+    # a directory LIST
+    from es_analytics_spark.sources import txlog_source as tsrc
+
+    def _no_glob(pat):
+        raise AssertionError(f"_PyLog.current_version globbed: {pat}")
+
+    monkeypatch.setattr(tsrc._glob, "glob", _no_glob)
+    assert tsrc._PyLog(path).current_version() == 5004
+
 
 def test_auto_checkpoint_cadence_on_write_path(spark, tmp_path, monkeypatch):
     """Writers checkpoint every _CHECKPOINT_EVERY commits on their own —
