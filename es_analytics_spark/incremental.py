@@ -18,11 +18,14 @@ rejected here rather than maintained wrong.
 Exactly-once, multi-maintainer safe, the same design as the streaming
 epoch sink (`streaming/txlog_sink.py`):
 
-- each maintenance commit stamps the rollup with one source token PER
-  COVERED SOURCE VERSION (``cdf:{src}@v{N}``) — any two windows that
-  overlap share a token;
-- a maintainer pre-checks :func:`txlog.table_sources` and starts after
-  the highest stamped version;
+- each maintenance commit stamps the rollup with a WRITER TRANSACTION
+  mark ``(app="cdf:{src}", version=covered-through)`` — one
+  checkpoint-folded integer per source (``txlog.txn_version``, the
+  Delta setTransaction design; the earlier per-version source tokens
+  grew checkpoints with total source history and are still honored on
+  read for old rollups);
+- a maintainer pre-checks :func:`rollup_cursor` and starts after the
+  stamped high-water mark;
 - the maintenance commit is an OPTIMISTIC read-modify-write
   (``merge_upsert(expect_version=...)``): cursor and rollup state are
   read pinned at one rollup version and the commit must land at
@@ -60,8 +63,8 @@ from .sources.fsio import lake_fs
 COUNT_COL = "_n"
 
 
-def _cursor_token(source_path: str, version: int) -> str:
-    return f"cdf:{source_path}@v{version:06d}"
+def _txn_app(source_path: str) -> str:
+    return f"cdf:{source_path}"
 
 
 def rollup_cursor(
@@ -71,17 +74,22 @@ def rollup_cursor(
     version: int | None = None,
 ) -> int:
     """Highest source version this rollup has incorporated as of its
-    own ``version`` (0 = never maintained): the max version parsed from
-    the rollup's stamped source tokens. Metadata-sized (reads commit
-    JSONs only). ``version`` pins the read to the same rollup snapshot
-    the maintainer's state read uses — cursor and state must come from
-    ONE version or a racing commit could desync them."""
+    own ``version`` (0 = never maintained): the rollup's WRITER
+    TRANSACTION mark for this source (one checkpoint-folded integer —
+    the Delta setTransaction design; per-version source tokens made
+    checkpoints grow with total source history), with legacy stamped
+    tokens still honored for rollups written before the switch.
+    ``version`` pins the read to the same rollup snapshot the
+    maintainer's state read uses — cursor and state must come from ONE
+    version or a racing commit could desync them."""
+    best = txlog.txn_version(
+        spark, rollup_path, _txn_app(source_path), version=version
+    )
     prefix = f"cdf:{source_path}@v"
-    best = 0
     for s in txlog.table_sources(spark, rollup_path, version=version):
         if s.startswith(prefix):
             best = max(best, int(s[len(prefix):]))
-    return best
+    return max(best, 0)
 
 
 def _check_window_cdc_complete(spark, source_path: str, cursor: int, to: int) -> None:
@@ -180,13 +188,13 @@ def maintain_rollup(
         # times (dup check, key joins, part write) — without a barrier
         # each evaluation would re-run the CDF scan + state read + join
         updates = updates.localCheckpoint(eager=True)
-        tokens = [_cursor_token(source_path, v) for v in range(cursor + 1, latest + 1)]
         try:
             res = txlog.merge_upsert(
-                spark, rollup_path, updates, keys=keys, sources=tokens,
+                spark, rollup_path, updates, keys=keys,
+                txn=(_txn_app(source_path), latest),
                 expect_version=state_v, null_safe_keys=True,
             )
-            return {"cursor": latest, "applied": len(tokens), "version": res["version"]}
+            return {"cursor": latest, "applied": latest - cursor, "version": res["version"]}
         except txlog.CommitConflict:
             # another maintainer (or writer) landed first — re-read the
             # stamped cursor and state; if the rival covered our window
@@ -244,7 +252,7 @@ def bootstrap_rollup(
     state = snapshot.groupBy(*keys).agg(*aggs).localCheckpoint(eager=True)
     res = txlog.merge_upsert(
         spark, rollup_path, state, keys=keys,
-        sources=[_cursor_token(source_path, snap_v)],
+        txn=(_txn_app(source_path), snap_v),
         expect_version=0, null_safe_keys=True,
     )
     return {"cursor": snap_v, "version": res["version"]}

@@ -6,16 +6,17 @@ left unconnected:
 - Structured Streaming's checkpoint WAL makes epoch REPLAY exactly-once
   per query (``stream_to_lake``, kill-sweep tested) — but its file sink
   is single-writer and its output is not transactional.
-- ``txlog`` makes COMMITS exactly-once per *source name*
-  (``append(sources=..., since_version=...)``) under multi-writer
-  contention — but nothing fed it from a stream.
+- ``txlog`` makes COMMITS idempotent per writer via the WRITER
+  TRANSACTION mark (``append(txn=(app, version))`` +
+  ``txn_version`` — the public Delta setTransaction design) under
+  multi-writer contention — but nothing fed it from a stream.
 
 ``stream_to_txlog`` composes them: each micro-batch commits as one
-txlog append whose source name is ``{stream_id}/epoch-{batch_id}``.
-The WAL guarantees a replayed epoch carries the SAME batch_id over the
-SAME offset range (replayable sources re-read identical rows), and the
-txlog source-set guarantees a given source name commits at most once —
-so every crash window is covered:
+txlog append stamped ``txn=(stream_id, batch_id)``. The WAL guarantees
+a replayed epoch carries the SAME batch_id over the SAME offset range
+(replayable sources re-read identical rows), and the txn high-water
+mark guarantees a given (stream, epoch) commits at most once — so
+every crash window is covered:
 
 ========================================  ==============================
 crash point                               restart outcome
@@ -26,10 +27,11 @@ after CAS, before the WAL commit          epoch replays, sink sees its
 after the WAL commit                      epoch not replayed
 ========================================  ==============================
 
-The sink's duplicate check is INCREMENTAL: it caches the seen-source
-set and folds in only commits newer than its last snapshot, so
-per-epoch overhead is O(new commits), not O(log length) — a stream
-committing millions of epochs never rescans its history. A concurrent
+The sink's duplicate check is the checkpoint-folded txn mark — ONE
+integer per stream in every checkpoint, O(commits-since-checkpoint) to
+read per epoch — with the legacy per-epoch source tokens still honored
+on read, so a stream committing millions of epochs neither rescans its
+history nor bloats its checkpoints. A concurrent
 batch writer (or a second stream with a different ``stream_id``) is
 just another txlog writer: blind appends commute, and the conflict
 rules serialize everything else.
@@ -85,18 +87,33 @@ def epoch_source(stream_id: str, batch_id: int) -> str:
 
 
 class _SeenSourceCache:
-    """Incremental (version, seen-sources) snapshot shared by both epoch
-    committers: the already-committed check reads only commits that
-    landed since the previous epoch — O(new commits), never O(log). The
-    cache is pure optimization; correctness never depends on it (append
-    re-validates source overlap past ``since_version`` before its CAS
-    can win, and a merge epoch is idempotent)."""
+    """Shared epoch-dedup state for both committers. The primary
+    mechanism is the WRITER TRANSACTION high-water mark
+    (``txlog.txn_version`` — the public Delta setTransaction design):
+    one integer per stream, checkpoint-folded, O(commits-since-
+    checkpoint) to read, and ONE entry in every checkpoint regardless
+    of epoch count. Epochs commit strictly in order under the WAL, so
+    ``mark >= batch_id`` proves the replayed epoch is durable (an
+    empty epoch that never committed re-reads as empty — still a
+    no-op). The legacy per-epoch SOURCE tokens are still honored on
+    READ (``_seen_legacy``) so a sink upgraded mid-stream never
+    re-commits pre-upgrade epochs; new commits stamp txn only —
+    per-epoch source tokens made the checkpoint-folded seen set grow
+    O(total epochs). Correctness never rests on the cache: the append
+    CAS re-validates the txn against every intervening commit before
+    it can win, so two zombie drivers replaying one epoch serialize."""
 
     def __init__(self, path: str, stream_id: str):
         self.path = path
         self.stream_id = stream_id
         self._seen_version = 0
         self._seen: set[str] = set()
+
+    def _epoch_committed(self, spark, batch_id: int, upto: int) -> bool:
+        if txlog.txn_version(spark, self.path, self.stream_id, version=upto) >= batch_id:
+            return True
+        self._refresh_seen(spark, upto)
+        return epoch_source(self.stream_id, batch_id) in self._seen
 
     def _refresh_seen(self, spark, upto: int) -> None:
         if upto <= self._seen_version:
@@ -131,10 +148,8 @@ class _EpochCommitter(_SeenSourceCache):
         if batch.isEmpty():
             return  # nothing to commit; replaying an empty epoch is a no-op
         spark = batch.sparkSession
-        source = epoch_source(self.stream_id, batch_id)
         v = txlog.current_version(spark, self.path)
-        self._refresh_seen(spark, v)
-        if source in self._seen:
+        if self._epoch_committed(spark, batch_id, v):
             # WAL replayed an epoch whose commit already won — the
             # crashed-after-CAS window; exactly-once means no-op here
             return
@@ -144,17 +159,15 @@ class _EpochCommitter(_SeenSourceCache):
                 self.path,
                 batch,
                 partition=self.partition,
-                sources=[source],
-                since_version=v,
+                txn=(self.stream_id, batch_id),
                 evolve=self.evolve,
                 stats_cols=self.stats_cols,
             )
         except txlog.CommitConflict:
-            # a racing writer landed THIS source between our snapshot and
+            # a racing writer landed THIS epoch between our snapshot and
             # the CAS (e.g. a zombie driver's last epoch): already durable
             latest = txlog.current_version(spark, self.path)
-            self._refresh_seen(spark, latest)
-            if source in self._seen:
+            if self._epoch_committed(spark, batch_id, latest):
                 return
             raise
 
@@ -184,9 +197,9 @@ class _MergeEpochCommitter(_SeenSourceCache):
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        source = epoch_source(self.stream_id, batch_id)
-        self._refresh_seen(spark, txlog.current_version(spark, self.path))
-        if source in self._seen:
+        if self._epoch_committed(
+            spark, batch_id, txlog.current_version(spark, self.path)
+        ):
             return
         # NOTE: key columns are constant within the window partition, so
         # they cannot tie-break; the row-content hash can and is
@@ -203,17 +216,19 @@ class _MergeEpochCommitter(_SeenSourceCache):
             try:
                 txlog.merge_upsert(
                     spark, self.path, latest, self.keys,
-                    evolve=self.evolve, sources=[source],
+                    evolve=self.evolve, txn=(self.stream_id, batch_id),
                 )
                 return
             except txlog.CommitConflict:
-                self._refresh_seen(spark, txlog.current_version(spark, self.path))
-                if source in self._seen:
+                if self._epoch_committed(
+                    spark, batch_id, txlog.current_version(spark, self.path)
+                ):
                     return  # a zombie's replay of this very epoch won
                 # else: an unrelated writer invalidated the snapshot —
                 # re-run the merge against the new state
         raise txlog.CommitConflict(
-            f"epoch {source}: merge kept conflicting after 5 re-runs"
+            f"epoch {epoch_source(self.stream_id, batch_id)}: merge kept "
+            "conflicting after 5 re-runs"
         )
 
 

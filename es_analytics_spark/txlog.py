@@ -1028,11 +1028,22 @@ def append(
     since_version: int | None = None,
     evolve: bool = False,
     stats_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Transactional append: write an immutable part, then CAS it into
     the log. Blind appends commute, so losing the CAS race costs one
     metadata retry — the part is NOT rewritten. Returns
     {"version", "part"}.
+
+    ``txn=(app, version)`` stamps the commit with a WRITER TRANSACTION
+    (the public Delta setTransaction design): sequential writers — a
+    streaming sink's epochs — record one monotonic high-water mark per
+    app (:func:`txn_version`), checked before re-committing a replay.
+    The CAS loop enforces it under contention: a zombie writer losing
+    the race to its twin's identical (app, version) raises
+    :class:`CommitConflict` instead of double-committing the epoch.
+    One integer per writer survives in checkpoints — unlike per-epoch
+    ``sources`` tokens, whose folded set grew O(total epochs).
 
     **Schema-in-commit**: every commit records the table schema as-of
     itself; the incoming frame is validated against the committed
@@ -1067,6 +1078,11 @@ def append(
         raise ValueError("append: sources requires since_version (the snapshot "
                          "version the new-file set was computed at)")
     v = current_version(spark, path)
+    if txn is not None and txn_version(spark, path, str(txn[0]), version=v) >= int(txn[1]):
+        raise CommitConflict(
+            f"append under {path}: writer transaction {txn[0]}@{txn[1]} is at "
+            "or below the committed high-water mark — already durable"
+        )
     schema_at = v
     schema = _merge_schema(_committed_schema(fs, path, v), df, evolve)
     # pin the minted logical->physical map: CAS-retry re-merges MUST
@@ -1089,8 +1105,11 @@ def append(
     }
     if sources is not None:
         payload["sources"] = sorted(sources)
+    if txn is not None:
+        payload["txn"] = {"app": str(txn[0]), "version": int(txn[1])}
     src_set = set(sources or [])
     checked = since_version if sources is not None else None
+    txn_checked = v
     for _ in range(max_retries):
         if v != schema_at:
             # a commit landed since validation — re-merge so a racing
@@ -1109,6 +1128,14 @@ def append(
                         "files; re-read table_sources and re-run"
                     )
             checked = v
+        if txn is not None and v > txn_checked:
+            if _txn_already_committed(fs, path, payload, txn_checked, v):
+                raise CommitConflict(
+                    f"append under {path}: writer transaction {txn[0]}@"
+                    f"{txn[1]} was already committed by a racing writer "
+                    "(zombie replay); treat the epoch as durable"
+                )
+            txn_checked = v
         if _try_commit(fs, path, v + 1, payload):
             _maybe_auto_checkpoint(spark, path, v + 1)
             return {"version": v + 1, "part": part}
@@ -1220,6 +1247,53 @@ def optimize(
             retention_seconds=float(props.get("retention.seconds", 7 * 24 * 3600)),
         )
     return out
+
+
+def txn_version(
+    spark: SparkSession, path: str, app: str, version: int | None = None
+) -> int:
+    """High-water mark of writer transaction ``app`` as-of ``version``
+    (default latest); -1 when the app never committed. This is the
+    public Delta ``txn`` (setTransaction) idempotent-writes design: a
+    sequential writer (a streaming sink's epochs, a rollup maintainer's
+    source cursor) stamps each commit with ``{"app", "version"}`` and
+    checks the mark before re-committing a replay — ONE integer per
+    writer, folded into checkpoints, instead of one source token per
+    epoch (which grew the checkpoint's seen-source set O(total epochs):
+    tens of MB rewritten every cadence on a million-epoch stream).
+
+    Soundness of the high-water mark: an app's versions commit in
+    order (a stream's foreachBatch epochs are sequential under the WAL;
+    a maintainer's windows are contiguous from its cursor), so mark
+    >= n implies version n either committed or had nothing to commit.
+    Bounded: checkpoint fold + tail commits, O(commits-since-
+    checkpoint) per call; survives :func:`clean_log`."""
+    fs = lake_fs(spark, path)
+    if version is None:
+        version = _latest_version(fs, path)
+    folded, start = _folded_checkpoint(fs, path, version, "txns")
+    best = int((folded or {}).get(app, -1))
+    for v in range(start, version + 1):
+        t = _read_commit(fs, path, v).get("txn")
+        if t and t.get("app") == app:
+            best = max(best, int(t["version"]))
+    return best
+
+
+def _txn_already_committed(fs, path: str, payload: dict, since: int, until: int) -> bool:
+    """CAS-loser check: did an intervening commit already land this
+    payload's writer transaction (same app, version >= ours)? The
+    zombie-writer race — two drivers replaying the same epoch — is
+    decided by the CAS, and the loser must treat the epoch as durable
+    instead of double-committing it."""
+    t = payload.get("txn")
+    if not t:
+        return False
+    for c in _intervening(fs, path, since, until):
+        ct = c.get("txn")
+        if ct and ct.get("app") == t["app"] and int(ct["version"]) >= int(t["version"]):
+            return True
+    return False
 
 
 def table_sources(spark: SparkSession, path: str, version: int | None = None) -> set[str]:
@@ -1913,7 +1987,13 @@ def _commute_past_appends_only(
         v += 1
         if _try_commit(fs, path, v, payload):
             return {"version": v}
-        latest = (_list_versions(fs, path) or [0])[-1]
+        latest = _latest_version(fs, path)
+        if _txn_already_committed(fs, path, payload, v - 1, latest):
+            raise CommitConflict(
+                f"{op} under {path}: this writer transaction was already "
+                "committed by a racing writer (zombie replay); treat it "
+                "as durable"
+            )
         for c in _intervening(fs, path, v - 1, latest):
             # blind appends commute (snapshot semantics); property-only
             # commits carry no parts at all, so they cannot overlap a
@@ -2135,6 +2215,7 @@ def merge_upsert(
     partition: dict | None = None,
     expect_version: int | None = None,
     null_safe_keys: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Transactional MERGE (upsert) in ONE atomic commit: rows in
     ``updates`` replace live rows with equal key tuples, unmatched
@@ -2210,6 +2291,11 @@ def merge_upsert(
         )
     fs = lake_fs(spark, path)
     v0, live = _snapshot(fs, path)
+    if txn is not None and txn_version(spark, path, str(txn[0]), version=v0) >= int(txn[1]):
+        raise CommitConflict(
+            f"merge_upsert under {path}: writer transaction {txn[0]}@{txn[1]} "
+            "is at or below the committed high-water mark — already durable"
+        )
     if expect_version is not None and v0 != expect_version:
         raise CommitConflict(
             f"merge_upsert under {path}: state read at v{expect_version} is "
@@ -2296,6 +2382,8 @@ def merge_upsert(
         payload["cdc"] = cdc
     if sources is not None:
         payload["sources"] = sorted(sources)
+    if txn is not None:
+        payload["txn"] = {"app": str(txn[0]), "version": int(txn[1])}
     if expect_version is None:
         res = _commute_past_appends_only(
             fs, path, payload, v0, max_retries, "merge_upsert"
@@ -2837,12 +2925,19 @@ def checkpoint(spark: SparkSession, path: str) -> dict:
     for w in range(ts_start, v + 1):
         running = max(running, _read_commit(fs, path, w).get("ts", float("-inf")))
     sj = _committed_schema(fs, path, v)
+    prev_txns, txn_start = _folded_checkpoint(fs, path, v, "txns")
+    txns = {k: int(n) for k, n in (prev_txns or {}).items()}
+    for w in range(txn_start, v + 1):
+        t = _read_commit(fs, path, w).get("txn")
+        if t:
+            txns[t["app"]] = max(txns.get(t["app"], -1), int(t["version"]))
     payload = {
         "version": v,
         "live": [dict(e, path=p) for p, e in sorted(live.items())],
         "schema": sj,
         "sources": sorted(table_sources(spark, path, version=v)),
         "props": table_properties(spark, path, version=v),
+        "txns": txns,
         "ts": None if running == float("-inf") else running,
         # checkpoints short-circuit commit replay, so they must carry
         # the protocol guard themselves: deletion vectors read by a v1
@@ -2980,9 +3075,14 @@ def clean_log(
         reverse=True,
     ):
         ck = _load_checkpoint(fs, path, cv)
-        if ck is not None and ck.get("sources") is not None:
-            # folded checkpoint: safe cut point (legacy checkpoints
-            # without the fold would break exactly-once if cut at)
+        if (
+            ck is not None
+            and ck.get("sources") is not None
+            and ck.get("txns") is not None
+        ):
+            # fully-folded checkpoint: safe cut point (a checkpoint
+            # missing the folded source set OR the writer-transaction
+            # marks would break exactly-once if cut at)
             cut = cv
             break
     if cut == 0:

@@ -205,18 +205,24 @@ def test_mid_epoch_kill_in_txlog_to_txlog_loop(spark, tmp_path):
     # availableNow falls back to single-batch for Python sources and the
     # rate limit bounds each run to one source commit: drain in a loop
     # until the sink has every epoch
+    from es_analytics_spark.txlog import _read_commit, current_version, lake_fs, txn_version
+
     for _ in range(n_commits + 2):
         q = stream_to_txlog(
             feed, dst, checkpoint_dir=ckpt, stream_id="loop", available_now=True
         )
         q.awaitTermination(120)
-        if len(table_sources(spark, dst)) >= n_commits:
+        if txn_version(spark, dst, "loop") >= n_commits - 1:
             break
 
     a = sorted(map(tuple, read_table(spark, src).select("id", "val").collect()))
     b = sorted(map(tuple, read_table(spark, dst).select("id", "val").collect()))
     assert a == b, "lost or duplicated rows across the kill"
-    # gap-free epoch history: every epoch name exactly once in B's log
-    epochs = sorted(table_sources(spark, dst))
-    assert len(epochs) == len(set(epochs)) == n_commits
+    # gap-free epoch history: every epoch's writer-txn mark exactly once
+    fs = lake_fs(spark, dst)
+    epochs = [
+        _read_commit(fs, dst, v)["txn"]["version"]
+        for v in range(1, current_version(spark, dst) + 1)
+    ]
+    assert epochs == sorted(set(epochs)) and len(epochs) == n_commits
     assert torn <= _entries(f"{ckpt}/commits"), "torn epoch was not re-run"

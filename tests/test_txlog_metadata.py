@@ -291,3 +291,100 @@ def test_register_table_sql_over_pinned_snapshot(spark, tmp_path):
     # explicit version pin
     register_table(spark, "tx_lineitem_v1", path, version=1)
     assert spark.sql("SELECT COUNT(*) FROM tx_lineitem_v1").first()[0] == n0
+
+
+def test_txn_high_water_mark_idempotence_and_fold(spark, tmp_path, monkeypatch):
+    """Writer transactions (the Delta setTransaction design): one
+    checkpoint-folded integer per app makes replays no-ops, keeps
+    checkpoints epoch-count-independent, and survives log retention."""
+    from es_analytics_spark.txlog import CommitConflict, txn_version
+
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 0)
+    path = str(tmp_path / "t")
+    for e in range(5):
+        append(spark, path, _ids(spark, e * 10, (e + 1) * 10), txn=("sink-a", e))
+    assert txn_version(spark, path, "sink-a") == 4
+    assert txn_version(spark, path, "other") == -1
+    # a replayed epoch refuses up front — already durable
+    with pytest.raises(CommitConflict, match="already durable"):
+        append(spark, path, _ids(spark, 0, 10), txn=("sink-a", 3))
+    assert read_table(spark, path).count() == 50
+
+    checkpoint(spark, path)
+    ck = json.loads(
+        LocalFS().read_bytes(
+            os.path.join(path, "_txlog", "checkpoint.v000005.json")
+        ).decode("utf-8")
+    )
+    # ONE entry per writer, and no per-epoch source tokens
+    assert ck["txns"] == {"sink-a": 4}
+    assert ck["sources"] == []
+    clean_log(spark, path)
+    assert txn_version(spark, path, "sink-a") == 4  # folded through retention
+    with pytest.raises(CommitConflict):
+        append(spark, path, _ids(spark, 0, 10), txn=("sink-a", 4))
+    append(spark, path, _ids(spark, 50, 60), txn=("sink-a", 5))  # next epoch fine
+    assert txn_version(spark, path, "sink-a") == 5
+
+
+def test_txn_zombie_cas_race_single_winner(spark, tmp_path, monkeypatch):
+    """Two drivers replaying the SAME epoch race the CAS: exactly one
+    commits; the loser sees its transaction already durable. Simulated
+    by injecting a rival commit with the same (app, version) between
+    the winner's snapshot read and its CAS attempt."""
+    from es_analytics_spark.txlog import CommitConflict
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10), txn=("sid", 0))  # v1
+
+    real = txlog._try_commit
+    fired = {"n": 0}
+
+    def inject_rival(fs, p, version, payload):
+        if fired["n"] == 0 and payload.get("txn", {}).get("app") == "sid" \
+                and payload["txn"]["version"] == 1:
+            fired["n"] = 1
+            rival = {
+                "operation": "append", "adds": [], "removes": [],
+                "scope_partition": None,
+                "schema": payload.get("schema"),
+                "txn": {"app": "sid", "version": 1},
+            }
+            assert real(fs, p, version, rival)  # the zombie twin wins v2
+        return real(fs, p, version, payload)
+
+    monkeypatch.setattr(txlog, "_try_commit", inject_rival)
+    with pytest.raises(CommitConflict, match="zombie|durable"):
+        append(spark, path, _ids(spark, 10, 20), txn=("sid", 1))
+    monkeypatch.setattr(txlog, "_try_commit", real)
+    # the epoch is durable exactly once; the next epoch proceeds
+    assert txlog.txn_version(spark, path, "sid") == 1
+    append(spark, path, _ids(spark, 20, 30), txn=("sid", 2))
+    assert read_table(spark, path).count() == 20  # rival carried no rows
+
+
+def test_sink_checkpoints_stay_epoch_count_independent(spark, tmp_path, monkeypatch):
+    """The streaming sink's dedup state in a checkpoint is one txn mark,
+    however many epochs have committed — the O(total-epochs) seen-source
+    growth is gone."""
+    from es_analytics_spark.streaming.txlog_sink import _EpochCommitter
+
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 0)
+    path = str(tmp_path / "t")
+    com = _EpochCommitter(path, "sid", None, False)
+    for e in range(30):
+        com(_ids(spark, e, e + 1), e)
+    checkpoint(spark, path)
+    ck = json.loads(
+        LocalFS().read_bytes(
+            os.path.join(path, "_txlog", "checkpoint.v000030.json")
+        ).decode("utf-8")
+    )
+    assert ck["txns"] == {"sid": 29} and ck["sources"] == []
+    # replay after restart + retention: still exactly-once
+    clean_log(spark, path)
+    fresh = _EpochCommitter(path, "sid", None, False)
+    fresh(_ids(spark, 7, 8), 7)
+    assert current_version(spark, path) == 30
+    fresh(_ids(spark, 30, 31), 30)
+    assert current_version(spark, path) == 31

@@ -4,9 +4,10 @@ The round-7 verdict's ask #2: the WAL-checkpointed streaming path and
 the transactional txlog existed side by side with nothing connecting
 them. These tests pin the composition end to end:
 
-- epoch-per-commit semantics (one txlog append per micro-batch, source
-  name ``{stream_id}/epoch-{batch_id}``), with the committed epochs
-  visible to ``changes_since`` consumers downstream;
+- epoch-per-commit semantics (one txlog append per micro-batch,
+  stamped with the writer transaction ``(stream_id, batch_id)``), with
+  the committed epochs visible to ``changes_since`` consumers
+  downstream;
 - clean-restart replay: re-running a drained query from the same
   checkpoint commits nothing twice;
 - the hard contract, mirroring tests/test_streaming_kill.py: a child
@@ -89,8 +90,12 @@ def test_stream_to_txlog_epochs_commit_exactly_once(spark, sf_dir, tmp_path):
     hist = txlog.history(spark, table)
     assert all(h["operation"] == "append" for h in hist)
     assert len(hist) == 5  # one commit per single-file epoch
-    srcs = txlog.table_sources(spark, table)
-    assert srcs == {epoch_source("s1", b) for b in range(5)}
+    # one writer-txn mark, high water at the last epoch
+    assert txlog.txn_version(spark, table, "s1") == 4
+    fs = txlog.lake_fs(spark, table)
+    assert [
+        txlog._read_commit(fs, table, v)["txn"]["version"] for v in range(1, 6)
+    ] == list(range(5))
 
     # clean-restart replay from the SAME checkpoint: nothing new commits
     v_before = txlog.current_version(spark, table)
@@ -156,7 +161,10 @@ def test_two_concurrent_streams_one_table_exactly_once(spark, sf_dir, tmp_path):
     assert got.select("event_id").distinct().count() == n
     hist = txlog.history(spark, table)
     assert [h["version"] for h in hist] == list(range(1, 9))  # gap-free
-    sids = {s.split("/")[0] for s in txlog.table_sources(spark, table)}
+    fs = txlog.lake_fs(spark, table)
+    sids = {
+        txlog._read_commit(fs, table, v)["txn"]["app"] for v in range(1, 9)
+    }
     assert sids == {"sa", "sb"}
     # the recorded zone maps actually skip: a range read opens a subset
     lo = events.agg(F.max("event_id")).first()[0]
@@ -186,10 +194,10 @@ def test_merge_committer_handles_map_columns(spark, tmp_path):
 
 def test_committer_zombie_race_conflicts_then_noops(spark, tmp_path, monkeypatch):
     """Deterministic coverage of the committer's narrowest window: a
-    zombie driver lands the SAME epoch source between our seen-snapshot
-    and our CAS. append's source-overlap rule raises CommitConflict;
-    the committer must recognize the epoch as already durable and
-    no-op — never retry into a duplicate, never surface the error."""
+    zombie driver lands the SAME epoch between our seen-snapshot and
+    our CAS. append's writer-transaction rule raises CommitConflict
+    (already durable); the committer must recognize the epoch as done
+    and no-op — never retry into a duplicate, never surface the error."""
     from es_analytics_spark.streaming import txlog_sink
 
     table = str(tmp_path / "t")
@@ -202,10 +210,7 @@ def test_committer_zombie_race_conflicts_then_noops(spark, tmp_path, monkeypatch
         if not state["raced"]:
             state["raced"] = True
             # the zombie's replay of the same epoch (same offset range)
-            real_append(
-                spark_, path, spark.range(5, 9),
-                sources=kw["sources"], since_version=kw["since_version"],
-            )
+            real_append(spark_, path, spark.range(5, 9), txn=kw["txn"])
         return real_append(spark_, path, df, **kw)
 
     monkeypatch.setattr(txlog_sink.txlog, "append", zombie_then_append)
@@ -335,10 +340,16 @@ def test_mid_epoch_kill_resumes_into_txlog_exactly_once(spark, sf_dir, tmp_path)
     assert got.select("event_id").distinct().count() == n_src, (
         "torn epoch was double-committed on resume"
     )
-    # every commit is a distinct epoch of the one stream
-    srcs = sorted(txlog.table_sources(spark, table))
-    assert len(srcs) == len(set(srcs)) == len(txlog.history(spark, table))
-    assert all(s.startswith("killstream/epoch-") for s in srcs)
+    # every commit is a distinct epoch of the one stream (writer-txn
+    # marks: strictly increasing versions under one app)
+    fs = txlog.lake_fs(spark, table)
+    txns = [
+        txlog._read_commit(fs, table, v).get("txn")
+        for v in range(1, txlog.current_version(spark, table) + 1)
+    ]
+    assert all(t and t["app"] == "killstream" for t in txns)
+    epochs = [t["version"] for t in txns]
+    assert epochs == sorted(set(epochs)), "an epoch double-committed"
     # the torn epoch really was re-run by the resumed query
     assert torn <= _entries(f"{ckpt}/commits")
     # downstream cursor consumer: the feed IS the table for appends-only
