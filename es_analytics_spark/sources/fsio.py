@@ -43,6 +43,22 @@ def join(base: str, *parts: str) -> str:
     return os.path.join(base, *parts)
 
 
+def norm_uri(path: str) -> str:
+    """Canonical spelling of a URI path for EQUALITY comparison: Hadoop
+    renders ``file:///tmp/x`` as ``file:/tmp/x`` (and generally
+    normalizes empty authorities), so a manifest-recorded path and the
+    same path coming back from a JVM glob/listing can differ in slash
+    count while naming one object. Comparing un-normalized spellings
+    silently mismatches — vacuum would see every live part as an
+    unreferenced orphan on URI stores. Non-URI paths pass through."""
+    if not is_uri(path):
+        return path
+    from urllib.parse import urlsplit, urlunsplit
+
+    s = urlsplit(path)
+    return urlunsplit((s.scheme, s.netloc, s.path, "", ""))
+
+
 class LocalFS:
     """os/shutil-backed implementation for plain local paths."""
 

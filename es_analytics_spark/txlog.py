@@ -3011,13 +3011,21 @@ def vacuum(
     cutoff = latest - keep_versions if keep_versions > 0 else 0
     horizon = _time.time() - retention_seconds
     # a deletion vector attached to a LIVE part is load-bearing NOW —
-    # reaping it would resurrect the deleted rows
-    live_dvs = {d for e in live.values() for d in e.get("dvs", [])}
+    # reaping it would resurrect the deleted rows.
+    # All comparisons run on NORMALIZED spellings: a JVM glob renders
+    # file:///x as file:/x, and treating that mismatch as "unreferenced
+    # orphan" would reap live parts on URI stores (found by the file://
+    # round-trip test).
+    from es_analytics_spark.sources.fsio import norm_uri
+
+    live_keys = {norm_uri(p) for p in live}
+    live_dvs = {norm_uri(d) for e in live.values() for d in e.get("dvs", [])}
+    referenced = {norm_uri(p): v for p, v in referenced.items()}
     victims = []
     for p in fs.glob(fs_join(_part_dir(path), "*")):
-        if p in live or p in live_dvs:
+        if norm_uri(p) in live_keys or norm_uri(p) in live_dvs:
             continue
-        last_ref = referenced.get(p)
+        last_ref = referenced.get(norm_uri(p))
         if last_ref is None:
             # possibly in-flight: only reap past the retention horizon
             try:

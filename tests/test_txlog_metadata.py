@@ -388,3 +388,96 @@ def test_sink_checkpoints_stay_epoch_count_independent(spark, tmp_path, monkeypa
     assert current_version(spark, path) == 30
     fresh(_ids(spark, 30, 31), 30)
     assert current_version(spark, path) == 31
+
+
+def test_metadata_plane_over_uri_store(spark, tmp_path, monkeypatch):
+    """The pointer, cadence, retention, and rename path exercise
+    DIFFERENT code on URI stores (HadoopFS: FileContext renames, JVM
+    globs) than on LocalFS — drive the whole round-trip over a file://
+    URI so the s3a/hdfs-shaped path is covered, not just os.rename."""
+    from es_analytics_spark.txlog import rename_column
+
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 5)
+    path = "file://" + str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+    for i in range(5):  # cross the cadence: auto checkpoint + pointer
+        set_table_properties(spark, path, {f"k{i}": "x"})
+    fs = txlog.lake_fs(spark, path)
+    hint = txlog._checkpoint_hint(fs, path)
+    assert hint >= 5
+    append(spark, path, _ids(spark, 10, 20))
+    rename_column(spark, path, "id", "event_id")
+    assert read_table(spark, path).columns == ["event_id"]
+    vacuum(spark, path, keep_versions=2, retention_seconds=0)
+    res = clean_log(spark, path, keep_versions=2)
+    assert res["cut"] >= 5 and res["removed_commits"] >= 5
+    got = read_table(spark, path)
+    assert got.count() == 20
+    assert got.select(F.sum("event_id")).first()[0] == sum(range(20))
+    with pytest.raises(VersionExpiredError):
+        read_table(spark, path, version=1)
+    assert len(table_properties(spark, path)) == 5
+
+
+def test_clean_log_races_contending_writers(spark, tmp_path):
+    """Retention runs while writers commit: clean_log must never break a
+    concurrent append's CAS loop or a reader's replay — the pointer is
+    advanced before any deletion, so readers route through the surviving
+    checkpoint. Final history is gap-free above the cut and every row
+    survives."""
+    import threading
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+    errs = []
+
+    def writer(w: int) -> None:
+        try:
+            for i in range(6):
+                append(
+                    spark, path,
+                    _ids(spark, 1000 * w + i * 10, 1000 * w + i * 10 + 10),
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    def cleaner() -> None:
+        try:
+            for _ in range(8):
+                checkpoint(spark, path)
+                clean_log(spark, path, keep_versions=3)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    threads.append(threading.Thread(target=cleaner))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = read_table(spark, path)
+    assert got.count() == 10 + 2 * 60
+    # retained history is contiguous and replays clean
+    vs = [h["version"] for h in history(spark, path)]
+    assert vs == list(range(vs[0], vs[-1] + 1))
+
+
+def test_restore_across_rename_restores_old_schema(spark, tmp_path):
+    from es_analytics_spark.txlog import rename_column, restore
+
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))  # v1
+    rename_column(spark, path, "id", "event_id")  # v2
+    append(
+        spark, path,
+        _ids(spark, 10, 20).withColumnRenamed("id", "event_id"),
+    )  # v3
+    restore(spark, path, 1)  # v4: undo both the rename and the append
+    got = read_table(spark, path)
+    assert got.columns == ["id"] and got.count() == 10
+    # the rename is still visible at its own version (history preserved)
+    assert read_table(spark, path, version=3).columns == ["event_id"]
+    # and the table can rename again afterwards
+    rename_column(spark, path, "id", "uid")
+    assert read_table(spark, path).columns == ["uid"]
