@@ -96,7 +96,7 @@ class _SeenSourceCache:
     ``mark >= batch_id`` proves the replayed epoch is durable (an
     empty epoch that never committed re-reads as empty — still a
     no-op). The legacy per-epoch SOURCE tokens are still honored on
-    READ (``_seen_legacy``) so a sink upgraded mid-stream never
+    READ (``_refresh_seen``) so a sink upgraded mid-stream never
     re-commits pre-upgrade epochs; new commits stamp txn only —
     per-epoch source tokens made the checkpoint-folded seen set grow
     O(total epochs). Correctness never rests on the cache: the append
@@ -106,14 +106,28 @@ class _SeenSourceCache:
     def __init__(self, path: str, stream_id: str):
         self.path = path
         self.stream_id = stream_id
+        self._mark: int | None = None  # cached committed high-water mark
         self._seen_version = 0
         self._seen: set[str] = set()
 
-    def _epoch_committed(self, spark, batch_id: int, upto: int) -> bool:
-        if txlog.txn_version(spark, self.path, self.stream_id, version=upto) >= batch_id:
+    def _epoch_committed(self, spark, batch_id: int, upto: int,
+                         refresh: bool = False) -> bool:
+        # the mark only ever advances, so the cached copy answers the
+        # common replay check without touching the log; a cold cache
+        # (restart) or a CommitConflict (refresh=True — a rival may
+        # have just landed this very epoch) re-reads the durable mark
+        if self._mark is None or refresh:
+            durable = txlog.txn_version(
+                spark, self.path, self.stream_id, version=upto
+            )
+            self._mark = max(self._mark if self._mark is not None else -1, durable)
+        if batch_id <= self._mark:
             return True
         self._refresh_seen(spark, upto)
         return epoch_source(self.stream_id, batch_id) in self._seen
+
+    def _note_committed(self, batch_id: int) -> None:
+        self._mark = max(self._mark if self._mark is not None else -1, batch_id)
 
     def _refresh_seen(self, spark, upto: int) -> None:
         if upto <= self._seen_version:
@@ -163,11 +177,12 @@ class _EpochCommitter(_SeenSourceCache):
                 evolve=self.evolve,
                 stats_cols=self.stats_cols,
             )
+            self._note_committed(batch_id)
         except txlog.CommitConflict:
             # a racing writer landed THIS epoch between our snapshot and
             # the CAS (e.g. a zombie driver's last epoch): already durable
             latest = txlog.current_version(spark, self.path)
-            if self._epoch_committed(spark, batch_id, latest):
+            if self._epoch_committed(spark, batch_id, latest, refresh=True):
                 return
             raise
 
@@ -218,10 +233,12 @@ class _MergeEpochCommitter(_SeenSourceCache):
                     spark, self.path, latest, self.keys,
                     evolve=self.evolve, txn=(self.stream_id, batch_id),
                 )
+                self._note_committed(batch_id)
                 return
             except txlog.CommitConflict:
                 if self._epoch_committed(
-                    spark, batch_id, txlog.current_version(spark, self.path)
+                    spark, batch_id, txlog.current_version(spark, self.path),
+                    refresh=True,
                 ):
                     return  # a zombie's replay of this very epoch won
                 # else: an unrelated writer invalidated the snapshot —

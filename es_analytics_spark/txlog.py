@@ -177,24 +177,32 @@ def _checkpoint_hint(fs, path: str) -> int:
         return 0
 
 
-def _advance_pointer(fs, path: str, version: int) -> None:
+def _advance_pointer(fs, path: str, version: int) -> bool:
     """Monotonically advance the pointer to ``version`` (atomic replace
-    of the one mutable file in the log). Two racing writers both leave a
-    valid pointer — both checkpoints exist; the worst interleaving
-    regresses the hint by one cadence, which only means a slightly
-    longer probe tail. Failure is swallowed: the checkpoint itself is
-    already durable and readers fall back to listing."""
-    if _checkpoint_hint(fs, path) >= version:
-        return
-    tmp = _pointer_path(path) + f".tmp-{uuid.uuid4().hex}"
-    try:
-        fs.put_bytes(tmp, json.dumps({"version": version}).encode("utf-8"))
-        fs.replace_file(tmp, _pointer_path(path))
-    except Exception:
+    of the one mutable file in the log), CONVERGENT under races: after
+    each replace the pointer is read back, and a writer whose target is
+    still ahead retries — so two concurrent advances always settle on
+    the maximum instead of the last writer silently regressing the hint
+    (a regressed hint is normally just extra probe I/O, but clean_log
+    deletes commits below its cut and must be able to rely on the
+    pointer staying at/above it). Returns True iff the pointer is known
+    to be >= version; failures are reported, not raised — the
+    checkpoint itself is already durable and ordinary readers fall back
+    to listing."""
+    for _ in range(5):
+        if _checkpoint_hint(fs, path) >= version:
+            return True
+        tmp = _pointer_path(path) + f".tmp-{uuid.uuid4().hex}"
         try:
-            fs.delete(tmp)
+            fs.put_bytes(tmp, json.dumps({"version": version}).encode("utf-8"))
+            fs.replace_file(tmp, _pointer_path(path))
         except Exception:
-            pass
+            try:
+                fs.delete(tmp)
+            except Exception:
+                pass
+            return _checkpoint_hint(fs, path) >= version
+    return _checkpoint_hint(fs, path) >= version
 
 
 def _latest_version(fs, path: str) -> int:
@@ -209,18 +217,44 @@ def _latest_version(fs, path: str) -> int:
         v = hint
         while fs.exists(_commit_path(path, v + 1)):
             v += 1
-        return v
+        if v > hint or fs.exists(_checkpoint_path(path, hint)):
+            return v
+        # a pointer naming a checkpoint that does not exist (external
+        # tampering / torn state): never trust it — fall through to the
+        # listing so a stale hint costs I/O, not a wrong version
     versions = _list_versions(fs, path)
-    return versions[-1] if versions else 0
+    if versions:
+        return versions[-1]
+    cks = _list_versions(fs, path, prefix="checkpoint.v")
+    return cks[-1] if cks else 0
+
+
+#: parsed-checkpoint cache. Checkpoint files are write-once, so a parse
+#: keyed by (path, version, mtime) can never serve stale content — the
+#: mtime component keeps externally mutated or recreated files visible.
+#: This is what keeps the per-commit metadata cost at "one small stat"
+#: instead of re-parsing a live-set JSON (MBs on a 10^4-part table) for
+#: every txn pre-check, fold, and auto-checkpoint probe.
+_CKPT_CACHE: dict[tuple, dict] = {}
+_CKPT_CACHE_MAX = 8
 
 
 def _load_checkpoint(fs, path: str, version: int) -> dict | None:
     """Read checkpoint ``version``, None when absent/unreadable (the
     caller falls back to listing/replay). Protocol-guarded like commits:
     a checkpoint short-circuits replay, so a future writer's semantics
-    must be refused here, never silently misread."""
+    must be refused here, never silently misread. Callers treat the
+    returned payload as READ-ONLY (it may be a shared cache entry)."""
+    cpath = _checkpoint_path(path, version)
     try:
-        raw = fs.read_bytes(_checkpoint_path(path, version))
+        key = (path, version, fs.mtime(cpath))
+    except Exception:
+        return None
+    hit = _CKPT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        raw = fs.read_bytes(cpath)
     except Exception:
         return None
     ck = json.loads(raw.decode("utf-8"))
@@ -230,6 +264,9 @@ def _load_checkpoint(fs, path: str, version: int) -> dict | None:
             f"txlog protocol {ck['protocol']}; this reader supports <= "
             f"{PROTOCOL_VERSION} — upgrade the engine"
         )
+    if len(_CKPT_CACHE) >= _CKPT_CACHE_MAX:
+        _CKPT_CACHE.clear()
+    _CKPT_CACHE[key] = ck
     return ck
 
 
@@ -281,6 +318,23 @@ def _apply_commit(live: dict[str, dict], c: dict, v: int, path: str) -> None:
         live[d["part"]].setdefault("dvs", []).append(d["path"])
 
 
+def _read_commit_retained(fs, path: str, v: int, what: str) -> dict:
+    """_read_commit for WINDOWED feeds: a commit reaped by log retention
+    surfaces as the curated :class:`VersionExpiredError` (same contract
+    as the snapshot path and the streaming source), never a bare
+    filesystem FileNotFoundError a consumer can't act on."""
+    try:
+        return _read_commit(fs, path, v)
+    except VersionExpiredError:
+        raise
+    except FileNotFoundError:
+        raise VersionExpiredError(
+            f"{what} under {path} needs commit v{v}, which log retention "
+            "(clean_log) already reaped; start from a newer version or "
+            "re-bootstrap from a snapshot"
+        ) from None
+
+
 def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str, dict]]:
     """Replay the log up to ``version`` (default: latest): returns
     ``(version, live)`` where live maps part path -> its manifest entry
@@ -310,23 +364,29 @@ def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str,
                 return v, live
         # no pointer (young/legacy table) or damaged checkpoint: listed
     versions = _list_versions(fs, path)
-    if not versions:
+    all_ckpts = _list_versions(fs, path, prefix="checkpoint.v")
+    if not versions and not all_ckpts:
         return 0, {}
-    latest = versions[-1]
+    # a table whose every commit JSON was reaped at a checkpointed cut
+    # (clean_log with cut == latest) is healthy: the checkpoint IS the
+    # snapshot, so "latest" must consider both listings
+    latest = max(versions[-1] if versions else 0,
+                 all_ckpts[-1] if all_ckpts else 0)
     if version is None:
         version = latest
     elif version > latest:
         raise FileNotFoundError(
             f"no commit v{version} under {path} (latest is v{latest})"
         )
-    first = versions[0]
-    if versions != list(range(first, latest + 1)):
-        missing = sorted(set(range(first, latest + 1)) - set(versions))
+    if versions and versions != list(range(versions[0], versions[-1] + 1)):
+        missing = sorted(
+            set(range(versions[0], versions[-1] + 1)) - set(versions)
+        )
         raise RuntimeError(f"txlog corrupt under {path}: missing commits {missing}")
 
     live: dict[str, dict] = {}
     start = 1
-    ckpts = [v for v in _list_versions(fs, path, prefix="checkpoint.v") if v <= version]
+    ckpts = [v for v in all_ckpts if v <= version]
     if ckpts:
         ck = _load_checkpoint(fs, path, ckpts[-1])
         if ck is None:
@@ -336,14 +396,15 @@ def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str,
             )
         live = {e["path"]: _entry(e) for e in ck["live"]}
         start = ck["version"] + 1
-    if start < first:
+    needed = set(range(start, version + 1)) - set(versions)
+    if needed:
         # the replay would need commits that log retention already
         # reaped and no surviving checkpoint covers this version
         raise VersionExpiredError(
-            f"version {version} under {path} needs commits v{start}..v"
-            f"{first - 1}, which log retention (clean_log) already "
-            "reaped; history older than the retained checkpoint is "
-            "expired by design"
+            f"version {version} under {path} needs commit(s) "
+            f"v{min(needed)}..v{max(needed)}, which log retention "
+            "(clean_log) already reaped; history older than the retained "
+            "checkpoint is expired by design"
         )
     for v in range(start, version + 1):
         _apply_commit(live, _read_commit(fs, path, v), v, path)
@@ -599,6 +660,29 @@ def _phys_of(schema_json: dict | None, logical: str) -> str:
     return logical
 
 
+def _check_concurrent_column_removal(
+    orig_sj: dict | None, fresh_sj: dict | None, df_cols, path: str, op: str
+) -> None:
+    """Retry-path guard for mapped tables: a writer whose part bytes
+    were already written under its first merge's mapping must not
+    re-attach past a concurrent rename/drop of a column it carries —
+    the re-merge would classify the column as evolution-ADDED and
+    re-mint its OLD physical name, resurrecting the dropped bytes (or
+    colliding with the renamed field's physical id). Conflict instead;
+    the caller re-runs against the new schema."""
+    if not (_mapping_enabled(orig_sj) or _mapping_enabled(fresh_sj)):
+        return
+    orig = {f["name"] for f in (orig_sj or {}).get("fields", [])}
+    fresh = {f["name"] for f in (fresh_sj or {}).get("fields", [])}
+    gone = sorted((set(df_cols) & orig) - fresh)
+    if gone:
+        raise CommitConflict(
+            f"{op} under {path}: column(s) {gone} were renamed or dropped "
+            "by a concurrent commit while this write was staged; re-run "
+            "against the new schema"
+        )
+
+
 def _read_parts(
     spark: SparkSession,
     parts: list[str],
@@ -717,10 +801,19 @@ def _read_live(
         # row identity is '<part-dir-uuid>/<file-name>' — a key this
         # module CONTROLS (part dirs are uuid4 by _write_part), unlike
         # bare file basenames, whose global uniqueness would silently
-        # depend on Spark's task-file naming across part directories
+        # depend on Spark's task-file naming across part directories.
+        # Vectors written BEFORE the part-relative key landed store the
+        # bare basename; the two formats are disjoint (new keys always
+        # contain '/', legacy never do), so each vector row matches
+        # through exactly one arm — legacy vectors keep their original
+        # (previously accepted) semantics instead of silently matching
+        # nothing and resurrecting their deleted rows
+        key_match = F.when(
+            dv["dv_file"].contains("/"), _part_rel_expr() == dv["dv_file"]
+        ).otherwise(df["_f_name"] == dv["dv_file"])
         df = df.join(
             dv,
-            (_part_rel_expr() == dv["dv_file"]) & (df["_f_idx"] == dv["dv_idx"]),
+            key_match & (df["_f_idx"] == dv["dv_idx"]),
             "left_anti",
         )
         if not meta:
@@ -991,7 +1084,19 @@ def version_at_timestamp(spark: SparkSession, path: str, timestamp: float) -> in
     fs = lake_fs(spark, path)
     versions = _list_versions(fs, path)
     if not versions:
-        raise FileNotFoundError(f"no commits under {path}")
+        # every commit JSON reaped at a checkpointed cut: the snapshot
+        # (and its folded running commit stamp) lives in the checkpoint
+        cks = _list_versions(fs, path, prefix="checkpoint.v")
+        if not cks:
+            raise FileNotFoundError(f"no commits under {path}")
+        ck_ts, start = _folded_checkpoint(fs, path, cks[-1], "ts")
+        if ck_ts is not None and ck_ts <= timestamp:
+            return start - 1
+        raise VersionExpiredError(
+            f"timestamp {timestamp} under {path} resolves into history "
+            "that log retention already reaped (earliest retained "
+            f"snapshot is v{cks[-1]})"
+        )
     chosen, running = 0, float("-inf")
     if versions[0] > 1:
         # truncated prefix: seed from the surviving checkpoint's folded
@@ -1084,7 +1189,8 @@ def append(
             "or below the committed high-water mark — already durable"
         )
     schema_at = v
-    schema = _merge_schema(_committed_schema(fs, path, v), df, evolve)
+    orig_sj = _committed_schema(fs, path, v)
+    schema = _merge_schema(orig_sj, df, evolve)
     # pin the minted logical->physical map: CAS-retry re-merges MUST
     # reuse it (the part bytes below are written under these names)
     mint = {f["name"]: _phys_name(f) for f in schema["fields"]}
@@ -1113,10 +1219,13 @@ def append(
     for _ in range(max_retries):
         if v != schema_at:
             # a commit landed since validation — re-merge so a racing
-            # evolution is honored (never reverted) by our recorded schema
-            payload["schema"] = _merge_schema(
-                _committed_schema(fs, path, v), df, evolve, mint=mint
+            # evolution is honored (never reverted) by our recorded
+            # schema; a racing rename/drop of a column we carry conflicts
+            fresh_sj = _committed_schema(fs, path, v)
+            _check_concurrent_column_removal(
+                orig_sj, fresh_sj, df.columns, path, "append"
             )
+            payload["schema"] = _merge_schema(fresh_sj, df, evolve, mint=mint)
             schema_at = v
         if checked is not None and v > checked:
             for c in _intervening(fs, path, checked, v):
@@ -1850,7 +1959,8 @@ def overwrite_partition(
     if not isinstance(partition, dict) or not partition:
         raise ValueError("overwrite_partition: partition must be a non-empty dict")
     v0, live = _snapshot(fs, path)
-    schema = _merge_schema(_committed_schema(fs, path, v0), df, evolve)
+    orig_sj = _committed_schema(fs, path, v0)
+    schema = _merge_schema(orig_sj, df, evolve)
     removes = sorted(p for p, e in live.items() if e["partition"] == partition)
     part = _write_part(spark, path, df, schema)
     payload = {
@@ -1894,8 +2004,12 @@ def overwrite_partition(
                     f"overwrite_partition under {path}: v{c['version']} touched "
                     f"partition {partition}; re-run against the new state"
                 )
+        fresh_sj = _committed_schema(fs, path, latest)
+        _check_concurrent_column_removal(
+            orig_sj, fresh_sj, df.columns, path, "overwrite_partition"
+        )
         payload["schema"] = _merge_schema(
-            _committed_schema(fs, path, latest), df, evolve,
+            fresh_sj, df, evolve,
             mint={f["name"]: _phys_name(f) for f in schema["fields"]},
         )
         v = max(v, latest)
@@ -2550,7 +2664,9 @@ def table_changes(
             f"latest committed version is v{latest}"
         )
     commits = [
-        _read_commit(fs, path, v)
+        _read_commit_retained(
+            fs, path, v, f"table_changes({from_version}, {to_version})"
+        )
         for v in range(from_version + 1, to_version + 1)
     ]
     parts = sorted(_insert_window_parts(commits))
@@ -2639,7 +2755,9 @@ def table_changes_cdf(
 
     frames = []
     for v in range(from_version + 1, to_version + 1):
-        actions = _cdf_commit_actions(_read_commit(fs, path, v), v)
+        actions = _cdf_commit_actions(
+            _read_commit_retained(fs, path, v, "table_changes_cdf"), v
+        )
         _require_parts_exist(
             fs, path, sorted(a["path"] for a in actions),
             f"table_changes_cdf v{v}",
@@ -2724,7 +2842,7 @@ def iter_changes(spark: SparkSession, path: str, cursor: int) -> list[dict]:
     latest = current_version(spark, path)
     out: list[dict] = []
     for v in range(cursor + 1, latest + 1):
-        c = _read_commit(fs, path, v)
+        c = _read_commit_retained(fs, path, v, "iter_changes")
         if c.get("operation") == "compact":
             continue
         # rewrite-flagged adds (delete/merge survivors) are not new
@@ -3099,9 +3217,17 @@ def clean_log(
     doomed_ckpts = [
         v for v in _list_versions(fs, path, prefix="checkpoint.v") if v < cut
     ]
-    # pointer first: readers racing this reap must never be pointed at
-    # (or fall back onto) a listing that is mid-delete below the cut
-    _advance_pointer(fs, path, cut)
+    # pointer first, and VERIFIED: readers and the CAS loop resolve the
+    # latest version through the pointer, so deleting commits below the
+    # cut while the pointer lags (a swallowed write failure, a racing
+    # regression) would regress current_version into the reaped range —
+    # a new append could then re-CREATE a reaped version number and
+    # corrupt the log. Refuse to delete anything we can't point past.
+    if not _advance_pointer(fs, path, cut):
+        raise RuntimeError(
+            f"clean_log under {path}: could not advance _last_checkpoint to "
+            f"v{cut}; refusing to reap commits the pointer does not cover"
+        )
     for v in doomed_ckpts:
         fs.delete(_checkpoint_path(path, v))
     for v in doomed_commits:

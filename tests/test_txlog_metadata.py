@@ -481,3 +481,140 @@ def test_restore_across_rename_restores_old_schema(spark, tmp_path):
     # and the table can rename again afterwards
     rename_column(spark, path, "id", "uid")
     assert read_table(spark, path).columns == ["uid"]
+
+
+# ---------------------------------------------------------------------------
+# round-9 self-review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_legacy_basename_dv_vectors_still_filter(spark, tmp_path):
+    """Deletion vectors written before the part-relative key change
+    store bare file basenames; the reader must honor BOTH formats (the
+    two are disjoint — new keys always contain '/'), never silently
+    match nothing and resurrect legacy-deleted rows."""
+    from es_analytics_spark.txlog import delete_where
+
+    path = str(tmp_path / "t")
+    append(spark, path, spark.range(0, 100).coalesce(1))
+    r = delete_where(spark, path, "id < 30", use_dv=True)
+    assert r["parts_vectored"] == 1
+    # rewrite the vector into the LEGACY format (strip the part prefix)
+    dv_dirs = [
+        d for d in os.listdir(os.path.join(path, "parts")) if d.startswith("dv-")
+    ]
+    assert len(dv_dirs) == 1
+    dv_dir = os.path.join(path, "parts", dv_dirs[0])
+    dv = spark.read.parquet(dv_dir).collect()
+    legacy = spark.createDataFrame(
+        [(r["dv_file"].split("/")[-1], r["dv_idx"]) for r in dv],
+        "dv_file string, dv_idx long",
+    )
+    for f in os.listdir(dv_dir):
+        os.remove(os.path.join(dv_dir, f))
+    legacy.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+    got = sorted(x["id"] for x in read_table(spark, path).collect())
+    assert got == list(range(30, 100))
+
+
+def test_clean_log_refuses_when_pointer_cannot_advance(spark, tmp_path, monkeypatch):
+    """Deleting commits the pointer does not cover would let
+    current_version regress into the reaped range and a new append
+    re-CREATE a reaped version number — clean_log must refuse."""
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 0)
+    path = str(tmp_path / "t")
+    for i in range(3):
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10))
+    checkpoint(spark, path)
+    monkeypatch.setattr(txlog, "_advance_pointer", lambda *a, **k: False)
+    with pytest.raises(RuntimeError, match="pointer"):
+        clean_log(spark, path)
+    assert os.path.exists(_commit_path(path, 1))  # nothing reaped
+    assert read_table(spark, path, version=1).count() == 10
+
+
+def test_append_conflicts_with_concurrent_drop_of_carried_column(
+    spark, tmp_path, monkeypatch
+):
+    """A retrying append whose part was staged under the old mapping
+    must NOT re-attach past a concurrent drop/rename of a column it
+    carries — the re-merge would re-mint the dropped physical name and
+    resurrect the dropped bytes."""
+    from es_analytics_spark.txlog import CommitConflict, drop_column, rename_column
+
+    path = str(tmp_path / "t")
+    df0 = spark.createDataFrame([(1, 2.0)], "id long, val double")
+    append(spark, path, df0)
+    rename_column(spark, path, "val", "amount")  # mapping active
+
+    real = txlog._try_commit
+    state = {"dropped": False}
+
+    def drop_then_commit(fs, p, version, payload):
+        if payload.get("operation") == "append" and not state["dropped"]:
+            state["dropped"] = True
+            drop_column(spark, path, "amount")  # rival wins first
+        return real(fs, p, version, payload)
+
+    monkeypatch.setattr(txlog, "_try_commit", drop_then_commit)
+    with pytest.raises(CommitConflict, match="renamed or dropped"):
+        append(
+            spark, path,
+            spark.createDataFrame([(9, 9.0)], "id long, amount double"),
+            evolve=True,
+        )
+    monkeypatch.setattr(txlog, "_try_commit", real)
+    # the dropped column stayed dropped; re-running against the new
+    # schema mints a FRESH physical id (old bytes stay invisible)
+    append(
+        spark, path,
+        spark.createDataFrame([(9, 9.0)], "id long, amount double"),
+        evolve=True,
+    )
+    got = read_table(spark, path)
+    assert got.filter(F.col("amount").isNotNull()).count() == 1
+    assert got.filter(F.col("id") == 1).first()["amount"] is None
+
+
+def test_checkpoint_only_table_reads_and_resolves(spark, tmp_path, monkeypatch):
+    """clean_log with cut == latest leaves ZERO commit JSONs — the
+    checkpoint IS the snapshot: explicit-version reads, timestamp
+    resolution, and new appends must all keep working."""
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 0)
+    path = str(tmp_path / "t")
+    for i in range(3):
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10))
+    checkpoint(spark, path)
+    assert clean_log(spark, path)["removed_commits"] == 3
+    assert _ids(spark, 0, 0).count() == 0  # touch spark
+    assert sorted(
+        os.listdir(os.path.join(path, "_txlog"))
+    ) == ["_last_checkpoint", "checkpoint.v000003.json"]
+    assert current_version(spark, path) == 3
+    assert read_table(spark, path).count() == 30
+    assert read_table(spark, path, version=3).count() == 30  # explicit pin
+    with pytest.raises(VersionExpiredError):
+        read_table(spark, path, version=2)
+    assert version_at_timestamp(spark, path, time.time()) == 3
+    append(spark, path, _ids(spark, 30, 40))  # the log grows back
+    assert current_version(spark, path) == 4
+    assert read_table(spark, path).count() == 40
+
+
+def test_batch_feeds_raise_version_expired_past_retention(spark, tmp_path, monkeypatch):
+    from es_analytics_spark.txlog import iter_changes, table_changes, table_changes_cdf
+
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 0)
+    path = str(tmp_path / "t")
+    for i in range(4):
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10))
+    checkpoint(spark, path)
+    append(spark, path, _ids(spark, 40, 50))
+    clean_log(spark, path, keep_versions=1)
+    for fn in (table_changes, table_changes_cdf):
+        with pytest.raises(VersionExpiredError, match="log retention"):
+            fn(spark, path, 0)
+    with pytest.raises(VersionExpiredError, match="log retention"):
+        iter_changes(spark, path, 0)
+    # windows inside retention still feed
+    assert table_changes(spark, path, 4).count() == 10
