@@ -463,7 +463,15 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignore_changes", "false")).lower() == "true"
         )
-        self._start = int(options.get("starting_version", 0))
+        raw_start = str(options.get("starting_version", "0"))
+        # "latest": new-data-only bootstrap (Delta's startingVersion=
+        # latest) — resolve the current version ONCE at stream start;
+        # the WAL then owns the cursor across restarts
+        self._start = (
+            self._log.current_version()
+            if raw_start.lower() == "latest"
+            else int(raw_start)
+        )
         self._max_versions = int(options.get("max_versions_per_batch", 0))
         self._partition_filter = _parse_partition_filter(options, self._cdf)
         # Rate-limit floor: the newest version known delivered/planned.
@@ -560,7 +568,8 @@ class TxLogFeedDataSource(DataSource):
     ``cdf`` (row-level feed with ``_change_type``/``_commit_version``),
     ``ignore_changes`` (don't fail on replacement commits),
     ``starting_version`` (stream bootstrap cursor, default 0 = full
-    history), ``max_versions_per_batch`` (per-trigger window bound),
+    history; ``"latest"`` starts at the current version — new data
+    only), ``max_versions_per_batch`` (per-trigger window bound),
     ``from_version``/``to_version`` (batch reads)."""
 
     @classmethod

@@ -1334,7 +1334,10 @@ def optimize(
     compact — clustered/z-ordered when ``optimize.cluster_by`` is set —
     then checkpoint the live set so replay stays bounded, then
     (``vacuum_after=True``) vacuum under the table's committed
-    ``retention.*`` policy. Idempotent: a second call on an
+    ``retention.*`` policy — and, when ``retention.log_keep_versions``
+    is set, reap old commit JSONs via :func:`clean_log` with that
+    window (the full Delta maintenance loop: data retention AND log
+    retention from one policy). Idempotent: a second call on an
     already-compacted table commits nothing new except the (write-once,
     racing-safe) checkpoint. Returns the per-step results."""
     props = table_properties(spark, path)
@@ -1355,6 +1358,14 @@ def optimize(
             keep_versions=int(props.get("retention.keep_versions", 0)),
             retention_seconds=float(props.get("retention.seconds", 7 * 24 * 3600)),
         )
+        if "retention.log_keep_versions" in props:
+            # log retention AFTER data retention, so parts referenced
+            # only by the commits being reaped were already handled by
+            # vacuum's version rule (not left to the mtime horizon)
+            out["clean_log"] = clean_log(
+                spark, path,
+                keep_versions=int(props["retention.log_keep_versions"]),
+            )
     return out
 
 

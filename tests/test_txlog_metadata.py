@@ -618,3 +618,32 @@ def test_batch_feeds_raise_version_expired_past_retention(spark, tmp_path, monke
         iter_changes(spark, path, 0)
     # windows inside retention still feed
     assert table_changes(spark, path, 4).count() == 10
+
+
+def test_optimize_runs_log_retention_from_committed_policy(spark, tmp_path, monkeypatch):
+    from es_analytics_spark.txlog import optimize
+
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 0)
+    path = str(tmp_path / "t")
+    set_table_properties(spark, path, {
+        "retention.keep_versions": "3",
+        "retention.seconds": "0",
+        "retention.log_keep_versions": "3",
+    })
+    for i in range(8):
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10))
+    res = optimize(spark, path, vacuum_after=True)
+    # the only checkpoint sits at latest — correctly NOT a cut while
+    # keep_versions=3 still needs the commits behind it
+    assert res["clean_log"]["cut"] == 0
+    ck1 = res["checkpoint"]["version"]
+    for i in range(8, 12):  # commit past the checkpoint
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10))
+    res = optimize(spark, path, vacuum_after=True)
+    assert res["clean_log"]["cut"] == ck1
+    assert res["clean_log"]["removed_commits"] == ck1
+    latest = current_version(spark, path)
+    assert read_table(spark, path).count() == 120
+    assert read_table(spark, path, version=latest).count() == 120
+    with pytest.raises(VersionExpiredError):
+        read_table(spark, path, version=2)

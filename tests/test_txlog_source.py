@@ -379,3 +379,14 @@ def test_rate_limit_floor_call_order_robustness(spark, tmp_path):
     # once partitions() reveals the committed offset the clamp resumes
     r2.partitions({"version": 2}, {"version": 2})
     assert r2.latestOffset() == {"version": 3}
+
+
+def test_starting_version_latest_streams_new_data_only(spark, tmp_path):
+    path = _table(spark, tmp_path)  # v1, v2
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    _q, rows = _run_stream(spark, path, ckpt, starting_version="latest")
+    assert rows == []  # nothing new at bootstrap
+    append(spark, path, _ids(spark, 20, 25))  # v3
+    _q, rows = _run_stream(spark, path, ckpt, starting_version="latest")
+    # the WAL owns the cursor across restarts; only the new commit feeds
+    assert sorted(r.id for r in rows) == list(range(20, 25))
