@@ -322,7 +322,7 @@ def _aligned_batches(partition: _PartFilePartition, schema, cdf: bool):
         yield batch
 
 
-def _check_cdf_entry_schema(entry_schema: dict | None, query_types: dict,
+def _check_cdf_entry_schema(entry_schema: dict | None, query_by_phys: dict,
                             version: int) -> None:
     """A change part is read with its WRITE-TIME schema (the commit
     records it per entry — a ``replace_schema`` overwrite's deletes
@@ -332,17 +332,30 @@ def _check_cdf_entry_schema(entry_schema: dict | None, query_types: dict,
     mid-stream evolution a restart cannot fix it (the latest schema
     still lacks the old column). Fail at plan time with the honest
     remedies instead of an executor cast error or a silent coercion
-    that would desync delete rows from the inserts they undo."""
+    that would desync delete rows from the inserts they undo.
+
+    Fields match by PHYSICAL identity (``cm.phys``), exactly like
+    :func:`_check_no_unseen_columns`: on a column-mapping table every
+    in-window action — plain inserts included — carries its commit's
+    write-time schema, whose LOGICAL names may predate a rename. The
+    physical name is the rename-stable column identity and the
+    ``renames`` map already presents those bytes under the query's
+    names, so only a genuinely absent or type-changed physical column
+    is unrepresentable."""
     if not entry_schema:
         return
     for f in entry_schema.get("fields", []):
-        qt = query_types.get(f["name"])
-        if qt is not None and qt == f["type"]:
+        q = query_by_phys.get(_field_phys(f))
+        if q is not None and q[1] == f["type"]:
             continue
         problem = (
-            f"column {f['name']!r} (absent from the stream's schema)"
-            if qt is None
-            else f"column {f['name']!r} at type {f['type']} (stream has {qt})"
+            f"column {f['name']!r} (physical {_field_phys(f)!r}, absent "
+            "from the stream's schema)"
+            if q is None
+            else (
+                f"column {f['name']!r} at type {f['type']} "
+                f"(stream plans {q[0]!r} as {q[1]})"
+            )
         )
         raise ValueError(
             f"txlog_feed: commit v{version}'s change rows carry {problem} — "
@@ -381,8 +394,10 @@ def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
         for f in query_schema.fields
         if f.name not in _CDF_COLS and _struct_phys(f) != f.name
     }
-    query_types = {
-        f.name: f.dataType.jsonValue()
+    # physical name -> (logical name, type): the rename-stable pairing
+    # the change-part representability check runs on
+    query_by_phys = {
+        _struct_phys(f): (f.name, f.dataType.jsonValue())
         for f in query_schema.fields
         if f.name not in _CDF_COLS
     }
@@ -413,7 +428,7 @@ def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
     if cdf:
         for v, c in zip(range(start_v + 1, end_v + 1), commits):
             for a in _cdf_commit_actions(c, v):
-                _check_cdf_entry_schema(a.get("schema"), query_types, v)
+                _check_cdf_entry_schema(a.get("schema"), query_by_phys, v)
                 for f in log.part_files(a["path"]):
                     out.append(_PartFilePartition(f, a["change_type"], v, renames))
     else:
@@ -491,11 +506,16 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
         # new data (a latestOffset > floor) is followed by ANOTHER
         # latestOffset call with no partitions()/commit() in between,
         # Spark declined the offer — which only happens when our clamp
-        # landed BELOW its committed offset. The next answer is then
-        # returned UNCLAMPED, so a stale floor costs at most one
-        # unthrottled batch instead of a silent permanent stall.
+        # landed BELOW its committed offset. Each repeated call then
+        # advances the clamp window by ONE more max_versions step
+        # (floor + N*max_versions) instead of dropping the throttle
+        # entirely: a stale floor converges on the committed offset in
+        # bounded steps, while a Spark that legitimately re-asks before
+        # consuming can never turn one micro-batch into the whole
+        # backlog (the unclamped answer used to bypass
+        # max_versions_per_batch completely on the second ask).
         self._floor: int | None = None
-        self._pending_offer = False
+        self._offer_steps = 0  # consecutive undelivered offers
 
     def initialOffset(self) -> dict:  # noqa: N802
         self._floor = self._start
@@ -505,10 +525,15 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
         if self._floor is None:
             self._floor = self._start  # fresh stream (see __init__ contract)
         latest = self._log.current_version()
-        if self._max_versions > 0 and not self._pending_offer:
-            latest = min(latest, self._floor + self._max_versions)
+        if self._max_versions > 0:
+            latest = min(
+                latest,
+                self._floor + self._max_versions * (self._offer_steps + 1),
+            )
         out = max(latest, self._floor)  # never regress
-        self._pending_offer = out > self._floor
+        # an offer that is consumed resets via partitions()/commit();
+        # a repeated ask widens the next clamp window by one step
+        self._offer_steps = self._offer_steps + 1 if out > self._floor else 0
         return {"version": out}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -516,7 +541,7 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
         # `s` is the offset Spark recovered/committed — the authoritative
         # floor even if a future Spark calls latestOffset() first
         self._floor = max(self._floor or 0, s, e)
-        self._pending_offer = False
+        self._offer_steps = 0
         return _plan_window(
             self._log, s, e, cdf=self._cdf,
             ignore_changes=self._ignore_changes,
@@ -529,7 +554,7 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         self._floor = max(self._floor or 0, end["version"])
-        self._pending_offer = False
+        self._offer_steps = 0
 
 
 class TxLogFeedBatchReader(DataSourceReader):

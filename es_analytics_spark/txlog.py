@@ -1111,7 +1111,9 @@ def version_at_timestamp(spark: SparkSession, path: str, timestamp: float) -> in
                 f"snapshot is v{start - 1} at ts {ck_ts})"
             )
     for v in versions:
-        c = _read_commit(fs, path, v)
+        # the listing can go stale mid-loop (a concurrent clean_log):
+        # surface the curated expiry error, not a bare filesystem one
+        c = _read_commit_retained(fs, path, v, "version_at_timestamp")
         running = max(running, c.get("ts", float("-inf")))
         if running <= timestamp:
             chosen = v
@@ -1313,7 +1315,9 @@ def table_properties(
     folded, start = _folded_checkpoint(fs, path, version, "props")
     out: dict[str, str] = dict(folded or {})
     for v in range(start, version + 1):
-        c = _read_commit(fs, path, v)
+        c = _read_commit_retained(
+            fs, path, v, f"table_properties(version={version})"
+        )
         if c.get("operation") != "set_properties":
             continue
         for k, val in c.get("properties", {}).items():
@@ -1394,7 +1398,9 @@ def txn_version(
     folded, start = _folded_checkpoint(fs, path, version, "txns")
     best = int((folded or {}).get(app, -1))
     for v in range(start, version + 1):
-        t = _read_commit(fs, path, v).get("txn")
+        t = _read_commit_retained(
+            fs, path, v, f"txn_version({app!r}, version={version})"
+        ).get("txn")
         if t and t.get("app") == app:
             best = max(best, int(t["version"]))
     return best
@@ -1430,12 +1436,23 @@ def table_sources(spark: SparkSession, path: str, version: int | None = None) ->
     folded, start = _folded_checkpoint(fs, path, version, "sources")
     out: set[str] = set(folded or [])
     for v in range(start, version + 1):
-        out.update(_read_commit(fs, path, v).get("sources", []))
+        out.update(
+            _read_commit_retained(
+                fs, path, v, f"table_sources(version={version})"
+            ).get("sources", [])
+        )
     return out
 
 
 def _intervening(fs, path: str, since: int, until: int) -> list[dict]:
-    return [_read_commit(fs, path, v) for v in range(since + 1, until + 1)]
+    """Commits in (since, until], oldest first — the CAS-loser conflict
+    scan. A commit reaped by a CONCURRENT clean_log mid-scan surfaces as
+    the curated :class:`VersionExpiredError`, never a bare
+    FileNotFoundError the retry loop's caller can't act on."""
+    return [
+        _read_commit_retained(fs, path, v, "conflict check (_intervening)")
+        for v in range(since + 1, until + 1)
+    ]
 
 
 def _write_clustered_parts(

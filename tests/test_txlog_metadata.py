@@ -647,3 +647,78 @@ def test_optimize_runs_log_retention_from_committed_policy(spark, tmp_path, monk
     assert read_table(spark, path, version=latest).count() == 120
     with pytest.raises(VersionExpiredError):
         read_table(spark, path, version=2)
+
+
+# ---------------------------------------------------------------------------
+# round-10 ADVICE fixes: concurrent log retention surfaces the curated
+# VersionExpiredError on EVERY walk/retry read path, never a bare
+# FileNotFoundError
+# ---------------------------------------------------------------------------
+
+
+def test_folded_state_reads_below_cut_raise_version_expired(
+    spark, tmp_path, monkeypatch
+):
+    """txn_version / table_properties / table_sources with an explicit
+    version below the retention cut: the folded checkpoint cannot answer
+    (it sits above the requested version) and the commits are reaped —
+    the read must raise VersionExpiredError, not FileNotFoundError."""
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 0)
+    path = str(tmp_path / "t")
+    for i in range(4):  # v1..v4
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10),
+               sources=[f"s{i}"], since_version=i, txn=("app", i))
+    checkpoint(spark, path)
+    append(spark, path, _ids(spark, 40, 50))  # v5
+    assert clean_log(spark, path, keep_versions=1)["cut"] == 4
+
+    for probe in (
+        lambda: table_sources(spark, path, version=2),
+        lambda: table_properties(spark, path, version=2),
+        lambda: txlog.txn_version(spark, path, "app", version=2),
+    ):
+        with pytest.raises(VersionExpiredError, match="log retention"):
+            probe()
+    # at/above the cut the folded state still answers
+    assert table_sources(spark, path, version=4) == {f"s{i}" for i in range(4)}
+    assert txlog.txn_version(spark, path, "app", version=4) == 3
+
+
+def test_intervening_conflict_scan_raises_curated_expiry(
+    spark, tmp_path, monkeypatch
+):
+    """The CAS loser's _intervening scan racing a clean_log reap gets
+    the curated expiry error (re-run against fresh state), not a raw
+    filesystem failure mid-retry-loop."""
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 0)
+    path = str(tmp_path / "t")
+    for i in range(3):
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10))
+    checkpoint(spark, path)
+    append(spark, path, _ids(spark, 30, 40))  # v4
+    clean_log(spark, path, keep_versions=1)  # reaps v1..v3
+    with pytest.raises(VersionExpiredError, match="log retention"):
+        txlog._intervening(LocalFS(), path, 0, 3)
+
+
+def test_version_at_timestamp_concurrent_reap_is_curated(
+    spark, tmp_path, monkeypatch
+):
+    """version_at_timestamp's commit loop walks a listing that a
+    concurrent clean_log can invalidate mid-call: simulate the race with
+    a stale listing and assert the curated error."""
+    monkeypatch.setattr(txlog, "_CHECKPOINT_EVERY", 0)
+    path = str(tmp_path / "t")
+    for i in range(3):
+        append(spark, path, _ids(spark, i * 10, (i + 1) * 10))
+    checkpoint(spark, path)
+    append(spark, path, _ids(spark, 30, 40))  # v4
+    stale = txlog._list_versions(LocalFS(), path)  # [1, 2, 3, 4]
+    clean_log(spark, path, keep_versions=1)  # reaps v1..v3 "concurrently"
+    real = txlog._list_versions
+    monkeypatch.setattr(
+        txlog, "_list_versions",
+        lambda fs, p, prefix="v": stale if prefix == "v" else real(fs, p, prefix),
+    )
+    with pytest.raises(VersionExpiredError, match="log retention"):
+        version_at_timestamp(spark, path, time.time())

@@ -356,9 +356,11 @@ def test_rate_limit_floor_call_order_robustness(spark, tmp_path):
     """The rate-limit floor must not depend on the probed call-order
     contract of the Python streaming API: if a (future) Spark asks for
     latestOffset() on a restart BEFORE any partitions()/commit() seeds
-    the floor, declining our clamped offer and asking again must LIFT
-    the clamp (one unthrottled batch) instead of stalling the stream
-    below its WAL-committed offset forever."""
+    the floor, declining our clamped offer and asking again must WIDEN
+    the clamp by one max_versions step per ask (round-10 ADVICE: the
+    old full unclamp let one micro-batch span the entire backlog) —
+    the stream converges past its WAL-committed offset in bounded
+    steps instead of stalling below it forever."""
     from es_analytics_spark.sources.txlog_source import TxLogFeedStreamReader
 
     path = _table(spark, tmp_path)  # v1, v2
@@ -371,10 +373,12 @@ def test_rate_limit_floor_call_order_robustness(spark, tmp_path):
     assert r.latestOffset() == {"version": 3}
 
     # pathological order: latestOffset first, twice, floor unseeded —
-    # the clamped offer (v1) is below the committed offset (v2); the
-    # repeat call must return the true latest, not stall at v1
+    # the clamped offer (v1) is below the committed offset (v2); each
+    # repeat widens one step, so the stream passes v2 on the next ask
+    # instead of stalling at v1 (and never jumps the whole backlog)
     r2 = TxLogFeedStreamReader(schema, path, {"max_versions_per_batch": "1"})
     assert r2.latestOffset() == {"version": 1}
+    assert r2.latestOffset() == {"version": 2}
     assert r2.latestOffset() == {"version": 3}
     # once partitions() reveals the committed offset the clamp resumes
     r2.partitions({"version": 2}, {"version": 2})
@@ -390,3 +394,64 @@ def test_starting_version_latest_streams_new_data_only(spark, tmp_path):
     _q, rows = _run_stream(spark, path, ckpt, starting_version="latest")
     # the WAL owns the cursor across restarts; only the new commit feeds
     assert sorted(r.id for r in rows) == list(range(20, 25))
+
+
+def test_cdf_stream_spans_rename_window(spark, tmp_path):
+    """round-10 ADVICE fix: in cdf mode EVERY in-window action carries
+    its commit's write-time schema, so a stream planned AFTER
+    rename_column used to fail at plan time on any pre-rename commit.
+    Entry fields now match by physical identity (like
+    _check_no_unseen_columns): the window is fully representable and
+    streams under the window-end names, equal to the batch feed."""
+    from es_analytics_spark.txlog import rename_column
+
+    path = os.path.join(str(tmp_path), "t")
+    append(spark, path, _ids(spark, 0, 10))  # v1: cols (id, val)
+    rename_column(spark, path, "val", "amount")  # v2
+    append(spark, path, spark.createDataFrame([Row(id=10, amount=10.0)]))  # v3
+    delete_where(spark, path, "id < 3")  # v4: change part, post-rename schema
+    q, rows = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ckpt"), cdf="true"
+    )
+    assert q.exception() is None, q.exception()
+    got = sorted(
+        (r["id"], r["amount"], r["_change_type"], r["_commit_version"])
+        for r in rows
+    )
+    want = sorted(
+        (r["id"], r["amount"], r["_change_type"], r["_commit_version"])
+        for r in table_changes_cdf(spark, path, 0).collect()
+    )
+    assert got == want
+    # pre-rename bytes present under the window-end logical name
+    assert (10, 10.0, "insert", 3) in got and (0, 0.0, "insert", 1) in got
+
+
+def test_rate_limit_repeated_ask_advances_one_step(spark, tmp_path):
+    """round-10 ADVICE fix: a repeated latestOffset() with no
+    partitions()/commit() in between advances the clamp by ONE
+    max_versions step per ask — never the whole backlog at once."""
+    from es_analytics_spark.sources.txlog_source import (
+        TxLogFeedDataSource,
+        TxLogFeedStreamReader,
+    )
+
+    path = _table(spark, tmp_path)  # v1, v2
+    for lo in (20, 30, 40):
+        append(spark, path, _ids(spark, lo, lo + 10))  # v3..v5
+    schema = TxLogFeedDataSource(options={"path": path}).schema()
+    r = TxLogFeedStreamReader(
+        schema, path, {"max_versions_per_batch": "1", "starting_version": "0"}
+    )
+    assert r.initialOffset() == {"version": 0}
+    assert r.latestOffset() == {"version": 1}  # clamped to one step
+    # declined offers widen by exactly one step each, never unclamp
+    assert r.latestOffset() == {"version": 2}
+    assert r.latestOffset() == {"version": 3}
+    # consuming a window resets the throttle at the new floor
+    r.partitions({"version": 0}, {"version": 2})
+    r.commit({"version": 2})
+    assert r.latestOffset() == {"version": 3}
+    r.partitions({"version": 2}, {"version": 3})
+    r.commit({"version": 3})
+    assert r.latestOffset() == {"version": 4}
