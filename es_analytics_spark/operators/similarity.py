@@ -697,6 +697,7 @@ def pq_topk(
     ksub: int = 16,
     iters: int = 4,
     oversample: int = 8,
+    max_query_rows: int = 4096,
 ) -> DataFrame:
     """Approximate top-k by cosine via product quantization with exact
     rerank (IVF-PQ's compression half, the standard ANN pairing with
@@ -725,9 +726,25 @@ def pq_topk(
     books = pq_train_codebooks(corpus, id_col, vec_col, m=m, ksub=ksub, iters=iters)
     dsub = books.shape[2]
 
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).collect()
+    # queries are small BY CONTRACT (the LUT ships with every task): the
+    # collect goes through a LIMIT so the driver never receives more than
+    # the bound, and overflow raises instead of silently degrading into a
+    # full-corpus driver pull — same guard as cosine_pairs_above_np
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        )
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"pq_topk: query side exceeds max_query_rows={max_query_rows}; "
+            "it is collected to the driver (the ADC look-up table ships to "
+            "every task) and must be small by contract — use ivf_topk / "
+            "lsh_near_dup_pairs for corpus-scale query sets"
+        )
     if not q_rows:
         raise ValueError("pq_topk: empty query set")
     qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)

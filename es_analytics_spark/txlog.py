@@ -68,6 +68,7 @@ from __future__ import annotations
 
 import json
 import uuid
+import weakref as _weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -2819,7 +2820,18 @@ def table_changes_cdf(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
-    return out
+    # normalized column order: window-end schema order first, then any
+    # columns only historical commits carry (dropped columns keep their
+    # as-of names), metadata tags LAST. Without this, an evolution
+    # inside the window appended its new columns AFTER _change_type/
+    # _commit_version (union order), surprising SELECT * consumers.
+    end_names = [f["name"] for f in end_sj["fields"]] if end_sj else []
+    data_cols = [c for c in end_names if c in out.columns] + [
+        c
+        for c in out.columns
+        if c not in end_names and c not in ("_change_type", "_commit_version")
+    ]
+    return out.select(*data_cols, "_change_type", "_commit_version")
 
 
 def changes_since(
@@ -3002,6 +3014,20 @@ def drop_column(
     )
 
 
+#: registered-table paths, per session (weak — a closed session drops
+#: its registry): what lets refresh_table / SQL DML resolve a view name
+#: back to its txlog table without the caller re-passing the path.
+_TABLE_REGISTRY: "_weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def registered_table_path(spark: SparkSession, name: str) -> str | None:
+    """The txlog path ``name`` was registered under in this session
+    (:func:`register_table`), or None for an unregistered name."""
+    return _TABLE_REGISTRY.get(spark, {}).get(name)
+
+
 def register_table(
     spark: SparkSession,
     name: str,
@@ -3025,16 +3051,27 @@ def register_table(
     - temp-view scope: this session, like ``createOrReplaceTempView``
       (the engine has no Hive metastore dependency by design).
 
-    Returns the registered DataFrame."""
+    Returns the registered DataFrame. The name→path binding is
+    remembered for this session, so :func:`refresh_table` (and the SQL
+    DML router, :mod:`es_analytics_spark.sqldml`) need only the name."""
     df = read_table(spark, path, version=version, timestamp=timestamp)
     df.createOrReplaceTempView(name)
+    _TABLE_REGISTRY.setdefault(spark, {})[name] = path
     return df
 
 
-def refresh_table(spark: SparkSession, name: str, path: str) -> DataFrame:
+def refresh_table(spark: SparkSession, name: str, path: str | None = None) -> DataFrame:
     """Re-pin a registered txlog view at the table's CURRENT latest
     snapshot (the explicit advance step — registered views never drift
-    on their own)."""
+    on their own). ``path`` is remembered from :func:`register_table`;
+    pass it only for a name registered by some other mechanism."""
+    if path is None:
+        path = registered_table_path(spark, name)
+        if path is None:
+            raise ValueError(
+                f"refresh_table: {name!r} was not registered via "
+                "register_table in this session — pass the table path"
+            )
     return register_table(spark, name, path)
 
 

@@ -1063,3 +1063,17 @@ def test_checkpoint_modes_produce_identical_results(spark, sf_dir, tmp_path):
     import os
 
     assert any(os.scandir(tmp_path / "ckpt")), "no reliable checkpoint written"
+
+
+def test_pq_topk_query_side_guard(spark, sf_dir):
+    """round-10 fix: pq_topk collects the query set to the driver (the
+    ADC LUT ships with every task) — a corpus-scale query side must
+    raise instead of silently becoming an unbounded driver pull."""
+    import pytest as _pytest
+
+    from es_analytics_spark.operators.similarity import pq_topk
+    from es_analytics_spark.sources.lake import load_tables
+
+    e = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        pq_topk(e, e, "vec_id", "embedding", k=5, max_query_rows=16)

@@ -1849,3 +1849,24 @@ def test_clustered_compact_skip_resets_on_dv_delete(spark, tmp_path):
     r = compact(spark, path, cluster_by=["id"])  # DV must materialize away
     assert r["version"] > v + 1 and r["skipped_groups"] == 0
     assert read_table(spark, path).count() == 100 - 15
+
+
+def test_cdf_column_order_schema_then_metadata_last(spark, tmp_path):
+    """round-10 fix: a CDF window spanning additive evolution presents
+    columns in WINDOW-END schema order with the _change_type /
+    _commit_version tags LAST — union order used to splice
+    evolution-added columns after the metadata tags."""
+    from es_analytics_spark.txlog import delete_where, table_changes_cdf
+
+    path = str(tmp_path / "t")
+    append(spark, path, spark.createDataFrame([(1, "a")], "k long, b string"))
+    append(
+        spark, path,
+        spark.createDataFrame([(2, "b", 9.0)], "k long, b string, c double"),
+        evolve=True,
+    )
+    delete_where(spark, path, "k = 1")
+    feed = table_changes_cdf(spark, path, 0)
+    assert feed.columns == ["k", "b", "c", "_change_type", "_commit_version"]
+    rows = {(r["k"], r["_change_type"]) for r in feed.collect()}
+    assert rows == {(1, "insert"), (2, "insert"), (1, "delete")}

@@ -722,3 +722,19 @@ def test_version_at_timestamp_concurrent_reap_is_curated(
     )
     with pytest.raises(VersionExpiredError, match="log retention"):
         version_at_timestamp(spark, path, time.time())
+
+
+def test_refresh_table_remembers_registration_path(spark, tmp_path):
+    """round-10 fix: register_table records the name→path binding, so
+    refresh_table needs only the name; unregistered names still demand
+    an explicit path."""
+    path = str(tmp_path / "t")
+    append(spark, path, _ids(spark, 0, 10))
+    register_table(spark, "reg_t", path)
+    n0 = spark.sql("SELECT COUNT(*) FROM reg_t").first()[0]
+    append(spark, path, _ids(spark, 10, 15))
+    assert spark.sql("SELECT COUNT(*) FROM reg_t").first()[0] == n0  # pinned
+    txlog.refresh_table(spark, "reg_t")  # no path needed
+    assert spark.sql("SELECT COUNT(*) FROM reg_t").first()[0] == n0 + 5
+    with pytest.raises(ValueError, match="not registered"):
+        txlog.refresh_table(spark, "never_registered")
