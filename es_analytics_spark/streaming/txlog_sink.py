@@ -200,11 +200,15 @@ class _MergeEpochCommitter(_SeenSourceCache):
     re-runs the merge against the fresh snapshot — the orphaned rewrite
     parts are vacuum fodder, the standard OCC retry."""
 
-    def __init__(self, path: str, stream_id: str, keys: list[str], order_col: str, evolve: bool):
+    def __init__(self, path: str, stream_id: str, keys: list[str], order_col: str,
+                 evolve: bool, merge_clauses: dict | None = None):
         super().__init__(path, stream_id)
         self.keys = keys
         self.order_col = order_col
         self.evolve = evolve
+        # clause-level MERGE pass-through (tombstone handling): forwarded
+        # verbatim to txlog.merge_upsert every epoch
+        self.merge_clauses = merge_clauses or {}
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as W, functions as F
@@ -232,6 +236,7 @@ class _MergeEpochCommitter(_SeenSourceCache):
                 txlog.merge_upsert(
                     spark, self.path, latest, self.keys,
                     evolve=self.evolve, txn=(self.stream_id, batch_id),
+                    **self.merge_clauses,
                 )
                 self._note_committed(batch_id)
                 return
@@ -259,6 +264,9 @@ def stream_merge_to_txlog(
     evolve: bool = False,
     available_now: bool = False,
     processing_time: str | None = None,
+    when_matched_delete=None,
+    when_not_matched_insert=None,
+    drop_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """CDC-shaped streaming sink: each micro-batch MERGEs into a
     transactional txlog table — the upgrade of
@@ -267,9 +275,28 @@ def stream_merge_to_txlog(
     snapshot isolation, time travel, and an exact row-level change feed
     (``table_changes_cdf`` shows each epoch's upsert as
     delete(old)+insert(new) at one version). See
-    :class:`_MergeEpochCommitter` for the exactly-once story."""
+    :class:`_MergeEpochCommitter` for the exactly-once story.
+
+    **Tombstones**: a CDC stream that carries deletes as flagged rows
+    passes the clause surface through — e.g.
+    ``when_matched_delete="_deleted"``,
+    ``when_not_matched_insert="NOT _deleted"``,
+    ``drop_cols=["_deleted"]`` — so a tombstone whose key is live
+    DELETES the row (a row-level delete on the change feed) and a
+    tombstone for a never-seen key is dropped instead of inserted; the
+    flag column never enters the table schema. Per-key ordering still
+    applies first: the epoch's LATEST event per key (by ``order_col``)
+    decides whether that key upserts or deletes."""
+    clauses = {}
+    if when_matched_delete is not None:
+        clauses["when_matched_delete"] = when_matched_delete
+    if when_not_matched_insert is not None:
+        clauses["when_not_matched_insert"] = when_not_matched_insert
+    if drop_cols:
+        clauses["drop_cols"] = list(drop_cols)
     committer = _MergeEpochCommitter(
-        path, stream_id or checkpoint_dir, keys, order_col, evolve
+        path, stream_id or checkpoint_dir, keys, order_col, evolve,
+        merge_clauses=clauses,
     )
     writer = (
         df.writeStream.foreachBatch(committer)

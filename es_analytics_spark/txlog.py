@@ -2359,12 +2359,42 @@ def merge_upsert(
     expect_version: int | None = None,
     null_safe_keys: bool = False,
     txn: tuple[str, int] | None = None,
+    when_matched_delete=None,
+    when_matched_update=None,
+    when_not_matched_insert=None,
+    drop_cols: list[str] | None = None,
 ) -> dict:
     """Transactional MERGE (upsert) in ONE atomic commit: rows in
     ``updates`` replace live rows with equal key tuples, unmatched
     update rows insert. ``updates`` must be key-unique (checked —
     duplicate key tuples make "the" new row ambiguous). Returns
-    {"version", "rows_updated", "rows_inserted", "parts_rewritten"}.
+    {"version", "rows_updated", "rows_inserted", "rows_deleted",
+    "parts_rewritten"}.
+
+    **Clause-level MERGE** (the public Delta ``whenMatchedDelete`` /
+    conditional-clause surface — what CDC tombstone pipelines expect).
+    Each condition is a SQL expression string or Column evaluated over
+    the UPDATE row (the source side; NULL counts as false, like any SQL
+    predicate):
+
+    - ``when_matched_delete``: a matched target row whose update row
+      satisfies it is DELETED (emitted on the change feed as a delete,
+      with no replacing insert). Evaluated first — Delta's clause-order
+      semantics with the delete clause leading.
+    - ``when_matched_update``: a matched row is replaced only when this
+      holds (default: always). A matched row satisfying NEITHER clause
+      leaves the target row untouched and discards the update row.
+    - ``when_not_matched_insert``: an unmatched update row inserts only
+      when this holds (default: always) — tombstones for keys the table
+      never had are dropped instead of inserted.
+    - ``drop_cols``: columns used only by the clause conditions (a CDC
+      ``_deleted`` flag) — dropped from the written rows BEFORE schema
+      validation, so the flag never enters the table schema. May not
+      overlap ``keys``.
+
+    The default (no clauses) is exactly the historical upsert: every
+    matched key replaced, every unmatched row inserted, and no extra
+    join against the table's key set is paid.
 
     ``partition`` tags the updates part. It matters on tables read via
     ``partition_filter``: that read is manifest-exact only over tagged
@@ -2426,13 +2456,38 @@ def merge_upsert(
 
     if not keys:
         raise ValueError("merge_upsert: keys must be non-empty")
+    clausal = (
+        when_matched_delete is not None
+        or when_matched_update is not None
+        or when_not_matched_insert is not None
+        or bool(drop_cols)
+    )
+    if drop_cols:
+        bad = sorted(set(drop_cols) & set(keys))
+        if bad:
+            raise ValueError(f"merge_upsert: drop_cols may not contain keys {bad}")
+        missing = sorted(set(drop_cols) - set(updates.columns))
+        if missing:
+            raise ValueError(
+                f"merge_upsert: drop_cols {missing} are not in the updates frame"
+            )
+
+    def _cond(c, default: bool):
+        # SQL three-valued semantics: a clause fires exactly where its
+        # condition is TRUE (NULL is not a match) — same coalesce as
+        # delete_where's predicate
+        if c is None:
+            return F.lit(default)
+        c = F.expr(c) if isinstance(c, str) else c
+        return F.coalesce(c.cast("boolean"), F.lit(False))
+
+    fs = lake_fs(spark, path)
     dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
     if not dup.isEmpty():
         raise ValueError(
             "merge_upsert: updates contain duplicate key tuples "
             f"(e.g. {dup.limit(3).collect()})"
         )
-    fs = lake_fs(spark, path)
     v0, live = _snapshot(fs, path)
     if txn is not None and txn_version(spark, path, str(txn[0]), version=v0) >= int(txn[1]):
         raise CommitConflict(
@@ -2444,20 +2499,46 @@ def merge_upsert(
             f"merge_upsert under {path}: state read at v{expect_version} is "
             f"stale (table is at v{v0}); recompute from fresh state"
         )
-    schema = _merge_schema(_committed_schema(fs, path, v0), updates, evolve)
-    upd_keys = updates.select(*keys).distinct()
+    table_schema = _committed_schema(fs, path, v0)
+    payload_updates = updates.drop(*drop_cols) if drop_cols else updates
+    schema = _merge_schema(table_schema, payload_updates, evolve)
+    # clause evaluation is per UPDATE row; the tags ride along so the
+    # matched/unmatched split below can route each row once
+    _MARKS = ("__merge_del", "__merge_upd", "__merge_ins")
+    if clausal:
+        tagged = updates.withColumn("__merge_del", _cond(when_matched_delete, False))
+        tagged = tagged.withColumn(
+            "__merge_upd",
+            ~F.col("__merge_del") & _cond(when_matched_update, True),
+        )
+        tagged = tagged.withColumn(
+            "__merge_ins", _cond(when_not_matched_insert, True)
+        )
+        matched_upd = tagged.limit(0)
+        unmatched_upd = tagged
+        # keys whose target rows this merge removes: matched deletes AND
+        # matched updates (the update's old row goes to the change feed)
+        remove_keys = matched_upd.select(*keys)
+    else:
+        remove_keys = updates.select(*keys).distinct()
     adds: list[dict] = []
     removes: list[str] = []
     cdc: list[dict] = []
+    cdc_part: str | None = None
     rows_updated = 0
     if live:
         parts = sorted(live)
-        table_schema = _committed_schema(fs, path, v0)
         tbl = _read_live(spark, live, table_schema, meta=True)
+        if clausal:
+            matched_upd = _key_join(tagged, tbl.select(*keys), "left_semi")
+            unmatched_upd = _key_join(tagged, tbl.select(*keys), "left_anti")
+            remove_keys = matched_upd.filter(
+                F.col("__merge_del") | F.col("__merge_upd")
+            ).select(*keys)
         matched = (
             _key_join(
                 tbl.select(F.col("_f_path").alias("__f"), *keys),
-                upd_keys, "left_semi",
+                remove_keys, "left_semi",
             )
             .select("__f")
             .distinct()
@@ -2482,7 +2563,7 @@ def merge_upsert(
             removes = touched
             touched_live = {p: live[p] for p in touched}
             old_rows = _key_join(
-                _read_live(spark, touched_live, table_schema), upd_keys, "left_semi"
+                _read_live(spark, touched_live, table_schema), remove_keys, "left_semi"
             )
             cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
             _to_physical(old_rows, schema).write.mode("overwrite").parquet(cdc_part)
@@ -2500,7 +2581,7 @@ def merge_upsert(
             for p in touched:
                 keep = _key_join(
                     _read_live(spark, {p: live[p]}, table_schema),
-                    upd_keys, "left_anti",
+                    remove_keys, "left_anti",
                 )
                 if keep.isEmpty():
                     continue
@@ -2512,8 +2593,33 @@ def merge_upsert(
                     # original zone map stays VALID (possibly wider — safe)
                     add["stats"] = live[p]["stats"]
                 adds.append(add)
-    upd_part = _write_part(spark, path, updates, schema)
-    adds.append({"path": upd_part, "partition": partition or {}})
+    if clausal:
+        # the new part carries only the rows the clauses route to the
+        # table: matched updates + insertable unmatched rows (delete
+        # tombstones and condition-only columns never land on disk)
+        write_rows = (
+            matched_upd.filter(F.col("__merge_upd"))
+            .unionByName(unmatched_upd.filter(F.col("__merge_ins")))
+            .drop(*_MARKS, *(drop_cols or []))
+        )
+        upd_part = (
+            None if write_rows.isEmpty()
+            else _write_part(spark, path, write_rows, schema)
+        )
+    else:
+        upd_part = _write_part(spark, path, updates, schema)
+    if upd_part is not None:
+        adds.append({"path": upd_part, "partition": partition or {}})
+    if not adds and not removes:
+        # every clause routed to "leave unchanged" / "drop": commit
+        # NOTHING — an empty commit would be pure log churn
+        return {
+            "version": v0,
+            "rows_updated": 0,
+            "rows_inserted": 0,
+            "rows_deleted": 0,
+            "parts_rewritten": 0,
+        }
     payload = {
         "operation": "merge_upsert",
         "adds": adds,
@@ -2541,15 +2647,29 @@ def merge_upsert(
             f"v{v0 + 1}; recompute from fresh state"
         )
     _maybe_auto_checkpoint(spark, path, res["version"])
-    # footer-only count of the part actually written — never a third
+    # footer-only counts over the parts actually written — never a third
     # execution of the caller's updates lineage (which may be expensive
     # or, for a re-read stream batch, not even deterministic)
-    n_updates = spark.read.parquet(upd_part).count()
+    n_new = spark.read.parquet(upd_part).count() if upd_part is not None else 0
+    rows_deleted = 0
+    if clausal and cdc_part is not None:
+        # the change part holds BOTH clause-deleted and updated old
+        # rows; split by whether a replacing row landed in the new part
+        cdc_keys = (
+            _read_parts(spark, [cdc_part], table_schema).select(*keys).distinct()
+        )
+        if upd_part is not None:
+            new_keys = _read_parts(spark, [upd_part], schema).select(*keys)
+            rows_updated = _key_join(cdc_keys, new_keys, "left_semi").count()
+        else:
+            rows_updated = 0
+        rows_deleted = cdc_keys.count() - rows_updated
     return {
         "version": res["version"],
         "rows_updated": rows_updated,
-        "rows_inserted": n_updates - rows_updated,
-        "parts_rewritten": len(adds) - 1,
+        "rows_inserted": n_new - rows_updated,
+        "rows_deleted": rows_deleted,
+        "parts_rewritten": len(adds) - (1 if upd_part is not None else 0),
     }
 
 
