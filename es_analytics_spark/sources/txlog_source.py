@@ -76,6 +76,7 @@ from pyspark.sql.datasource import (
 )
 
 from ..txlog import _cdf_commit_actions, _insert_window_parts
+from ..txlog import _widens_to as _txwiden
 from .fsio import is_uri
 
 _CDF_COLS = ("_change_type", "_commit_version")
@@ -212,7 +213,7 @@ def _field_phys(f: dict) -> str:
     return (f.get("metadata") or {}).get("cm.phys", f["name"])
 
 
-def _check_no_unseen_columns(commit_schema: dict | None, query_phys: set[str],
+def _check_no_unseen_columns(commit_schema: dict | None, query_by_phys: dict,
                              latest_phys: set[str], version: int) -> None:
     """Plan-time guard: a commit whose schema carries columns the
     running query never planned cannot feed without silently dropping
@@ -224,29 +225,49 @@ def _check_no_unseen_columns(commit_schema: dict | None, query_phys: set[str],
     after the stream started and a restart re-plans with them (Delta
     parity); if it does not, a later replace_schema overwrite (or
     drop_column) removed them — no restart can represent this window,
-    so start past it or consume it via the batch feed."""
+    so start past it or consume it via the batch feed.
+
+    TYPES are checked on the same physical pairing: a commit whose
+    column is NARROWER than the planned type feeds fine (the Arrow
+    reader upcasts — type-widening parity with the batch scan); a
+    commit WIDER than the planned type means a widening landed after
+    the stream planned, and the stream must restart to re-plan wide
+    (Delta fails streams on schema change the same way) — silently
+    downcasting could overflow mid-batch."""
     if not commit_schema:
         return
-    extra = {
-        f["name"]
-        for f in commit_schema.get("fields", [])
-        if _field_phys(f) not in query_phys
-    }
+    extra = []
+    for f in commit_schema.get("fields", []):
+        q = query_by_phys.get(_field_phys(f))
+        if q is None:
+            extra.append(f)
+        elif q[1] != f["type"] and not _txwiden(f["type"], q[1]):
+            if _txwiden(q[1], f["type"]):
+                raise ValueError(
+                    f"txlog_feed: commit v{version} widened column "
+                    f"{f['name']!r} to {f['type']} (the running stream "
+                    f"planned {q[0]!r} as {q[1]}); restart the stream to "
+                    "pick up the widened schema"
+                )
+            raise ValueError(
+                f"txlog_feed: commit v{version} carries column {f['name']!r} "
+                f"at type {f['type']}, which the stream's planned type "
+                f"{q[1]} cannot represent — consume the window via batch "
+                "txlog.table_changes / table_changes_cdf, or start past it "
+                f"(starting_version >= {version})"
+            )
     if not extra:
         return
-    extra_phys = {
-        _field_phys(f)
-        for f in commit_schema.get("fields", [])
-        if f["name"] in extra
-    }
+    extra_names = sorted(f["name"] for f in extra)
+    extra_phys = {_field_phys(f) for f in extra}
     if extra_phys <= latest_phys:
         raise ValueError(
             f"txlog_feed: commit v{version} evolved the table schema with "
-            f"column(s) {sorted(extra)} the running stream did not plan; "
+            f"column(s) {extra_names} the running stream did not plan; "
             "restart the stream to pick up the evolved schema"
         )
     raise ValueError(
-        f"txlog_feed: commit v{version} carries column(s) {sorted(extra)} "
+        f"txlog_feed: commit v{version} carries column(s) {extra_names} "
         "that a later replace_schema overwrite dropped — no stream planned "
         "on the current schema can represent this window. Start the stream "
         f"past it (starting_version >= {version}), or consume the window "
@@ -346,7 +367,9 @@ def _check_cdf_entry_schema(entry_schema: dict | None, query_by_phys: dict,
         return
     for f in entry_schema.get("fields", []):
         q = query_by_phys.get(_field_phys(f))
-        if q is not None and q[1] == f["type"]:
+        if q is not None and (q[1] == f["type"] or _txwiden(f["type"], q[1])):
+            # equal, or the entry is NARROWER than the planned type —
+            # the Arrow read upcasts losslessly (type-widening parity)
             continue
         problem = (
             f"column {f['name']!r} (physical {_field_phys(f)!r}, absent "
@@ -382,9 +405,6 @@ def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
         md = f.metadata or {}
         return md.get("cm.phys", f.name)
 
-    query_phys = {
-        _struct_phys(f) for f in query_schema.fields if f.name not in _CDF_COLS
-    }
     # ONE physical->logical map serves every file in the window: the
     # bytes store immutable physical names, and the query's own schema
     # (planned from the committed schema, metadata preserved through
@@ -406,16 +426,18 @@ def _plan_window(log: _PyLog, start_v: int, end_v: int, *, cdf: bool,
     }
     commits = [log.commit(v) for v in range(start_v + 1, end_v + 1)]
     for v, c in zip(range(start_v + 1, end_v + 1), commits):
-        _check_no_unseen_columns(c.get("schema"), query_phys, latest_phys, v)
+        _check_no_unseen_columns(c.get("schema"), query_by_phys, latest_phys, v)
         op = c.get("operation")
         if not cdf and not ignore_changes and op not in (
-            # rename/drop are metadata-only (no rows added or removed):
-            # physical identity keeps the planned columns complete across
-            # a rename (the stream presents ITS planned names; a restart
-            # re-plans under the new ones); a drop narrows the committed
-            # schema and the planned column null-fills on newer parts
+            # rename/drop/widen are metadata-only (no rows added or
+            # removed): physical identity keeps the planned columns
+            # complete across a rename (the stream presents ITS planned
+            # names; a restart re-plans under the new ones); a drop
+            # narrows the committed schema and the planned column
+            # null-fills on newer parts; a widen is caught above when
+            # the planned type can no longer represent the column
             "append", "compact", "set_properties",
-            "rename_column", "drop_column",
+            "rename_column", "drop_column", "widen_column",
         ):
             raise ValueError(
                 f"txlog_feed: commit v{v} is a data-changing {op!r}; the "

@@ -473,6 +473,42 @@ def table_schema(spark: SparkSession, path: str, version: int | None = None):
     return T.StructType.fromJson(sj) if sj is not None else None
 
 
+#: lossless numeric widening lattice (the public Delta type-widening
+#: matrix): byte < short < integer < long on the integer chain.
+_INT_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _widens_to(frm, to) -> bool:
+    """True iff parquet bytes written at type ``frm`` read LOSSLESSLY
+    under committed type ``to`` — the public Delta type-widening matrix,
+    backed by Spark 4's parquet widening reads (probed live: tinyint→
+    smallint→int→long, float→double, byte/short/int→double,
+    decimal precision/scale-up with non-shrinking integer digits,
+    date→timestamp_ntz; a narrowing read fails loudly with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH). long→double is EXCLUDED — it
+    loses precision past 2^53."""
+    if frm == to:
+        return True
+    if not isinstance(frm, str) or not isinstance(to, str):
+        return False
+    if frm in _INT_ORDER:
+        if to in _INT_ORDER:
+            return _INT_ORDER[frm] < _INT_ORDER[to]
+        # byte/short/int fit a double exactly; long does NOT (2^53)
+        return to == "double" and frm != "long"
+    if frm == "float":
+        return to == "double"
+    if frm == "date":
+        return to == "timestamp_ntz"
+    if frm.startswith("decimal(") and to.startswith("decimal("):
+        fp, fs = (int(x) for x in frm[len("decimal("):-1].split(","))
+        tp, ts = (int(x) for x in to[len("decimal("):-1].split(","))
+        # scale may only grow, and the integer-digit budget (p - s)
+        # must not shrink — otherwise large values stop fitting
+        return ts >= fs and tp - ts >= fp - fs
+    return False
+
+
 def _merge_schema(
     table_sj: dict | None, df, evolve: bool, mint: dict | None = None
 ) -> dict:
@@ -482,13 +518,29 @@ def _merge_schema(
     - table has no schema yet (first write / legacy log) → df's schema.
     - exact field set with identical types (order-insensitive) → table
       schema unchanged.
-    - ``evolve=True`` → additive evolution only: new columns append to
-      the table schema (forced nullable, so parts written before the
-      evolution read as null deterministically); columns the df omits
-      stay in the schema (this part reads them as null).
-    - a TYPE change for an existing column is never allowed — rewriting
-      history isn't evolution; at 100 TB it would silently reinterpret
-      every existing part.
+    - ``evolve=True`` → additive evolution PLUS lossless type widening:
+      new columns append to the table schema (forced nullable, so parts
+      written before the evolution read as null deterministically);
+      columns the df omits stay in the schema (this part reads them as
+      null); an incoming type that WIDENS the committed one (the Delta
+      type-widening matrix — see :func:`_widens_to`: int→long,
+      float→double, decimal scale-up, …) updates the committed type, no
+      rewrite — old narrow parts upcast at scan time (Spark 4 parquet
+      widening reads).
+    - a write whose type is NARROWER than the committed one is always
+      accepted (schema unchanged — the part's bytes upcast on read like
+      any pre-widening part).
+    - any OTHER type change is never allowed — rewriting history isn't
+      evolution; at 100 TB it would silently reinterpret every existing
+      part.
+
+    Protocol note: widening does NOT bump the txlog protocol. Every
+    reader applies the committed schema at scan time, so a widened
+    table reads with numerically identical values on any engine version
+    of this module; an execution engine without parquet widening reads
+    fails LOUDLY at scan (PARQUET_COLUMN_DATA_TYPE_MISMATCH), never
+    silently misreads — and protocol bumps are reserved for silent
+    misreads (see :data:`PROTOCOL_VERSION`).
 
     On a column-mapping table (see :func:`rename_column`), evolution-
     added columns mint a FRESH uuid physical name, so a column dropped
@@ -504,11 +556,26 @@ def _merge_schema(
     if table_sj is None:
         return df.schema.jsonValue()
     table_fields = {f["name"]: f["type"] for f in table_sj["fields"]}
+    widened: dict[str, object] = {}
     for name, typ in new_fields.items():
         if name in table_fields and table_fields[name] != typ:
+            if _widens_to(typ, table_fields[name]):
+                # narrower write into a wider committed column: the part
+                # bytes upcast at scan like any pre-widening part
+                continue
+            if _widens_to(table_fields[name], typ):
+                if not evolve:
+                    raise SchemaMismatchError(
+                        f"column {name!r}: incoming type {typ} widens the "
+                        f"committed {table_fields[name]}; pass evolve=True "
+                        "to commit the lossless widening"
+                    )
+                widened[name] = typ
+                continue
             raise SchemaMismatchError(
                 f"column {name!r}: committed type {table_fields[name]} vs "
-                f"incoming {typ} — type changes are never allowed"
+                f"incoming {typ} — non-widening type changes are never "
+                "allowed"
             )
     for name, phys in (mint or {}).items():
         if name in table_fields and _phys_of(table_sj, name) != phys:
@@ -528,8 +595,14 @@ def _merge_schema(
                 "evolution (new nullable columns / null-filled omissions)"
             )
         return table_sj
-    if not added:
+    if not added and not widened:
         return table_sj
+    base_fields = [
+        dict(f, type=widened[f["name"]]) if f["name"] in widened else f
+        for f in table_sj["fields"]
+    ]
+    if not added:
+        return dict(table_sj, fields=base_fields)
     mapped = _mapping_enabled(table_sj)
     next_id = max(
         ((f.get("metadata") or {}).get("cm.id", 0) for f in table_sj["fields"]),
@@ -550,7 +623,7 @@ def _merge_schema(
             fd["metadata"] = md
         new_dicts.append(fd)
     merged = dict(table_sj)
-    merged["fields"] = list(table_sj["fields"]) + new_dicts
+    merged["fields"] = base_fields + new_dicts
     return merged
 
 
@@ -2093,10 +2166,22 @@ def _union_schema_json(a: dict | None, b: dict | None) -> dict | None:
     for f in b["fields"]:
         if f["name"] in a_types:
             if a_types[f["name"]] != f["type"]:
-                raise SchemaMismatchError(
-                    f"column {f['name']!r}: concurrent writers committed "
-                    f"types {a_types[f['name']]} vs {f['type']}"
-                )
+                if _widens_to(f["type"], a_types[f["name"]]):
+                    pass  # ours is already the wider type — keep it
+                elif _widens_to(a_types[f["name"]], f["type"]):
+                    # the intervening commit widened the column: adopt
+                    # the wider type (recording the narrow one would
+                    # silently REVERT the widening, and the widened
+                    # parts would then fail every read)
+                    out["fields"] = [
+                        dict(g, type=f["type"]) if g["name"] == f["name"] else g
+                        for g in out["fields"]
+                    ]
+                else:
+                    raise SchemaMismatchError(
+                        f"column {f['name']!r}: concurrent writers committed "
+                        f"types {a_types[f['name']]} vs {f['type']}"
+                    )
             if a_phys[f["name"]] != _phys_name(f):
                 # same logical name minted under two physical ids by
                 # concurrent evolutions: one side's part bytes would read
@@ -3131,6 +3216,83 @@ def drop_column(
         v = max(v + 1, current_version(spark, path))
     raise CommitConflict(
         f"drop_column lost the CAS {max_retries} times under {path}"
+    )
+
+
+#: accepted spellings for widen_column's target type (users write SQL
+#: names; the committed-schema json uses Spark's canonical ones)
+_TYPE_ALIASES = {"tinyint": "byte", "smallint": "short", "int": "integer",
+                 "bigint": "long"}
+
+
+def widen_column(
+    spark: SparkSession, path: str, col: str, new_type, max_retries: int = 10
+) -> dict:
+    """Widen a column's type WITHOUT rewriting any data — the explicit
+    half of type-widening evolution (Delta's ``ALTER TABLE … CHANGE
+    COLUMN … TYPE``; the implicit half is ``append(evolve=True)`` with
+    a wider frame, :func:`_merge_schema`). Only the lossless matrix in
+    :func:`_widens_to` is allowed (int→long, float→double, decimal
+    precision/scale-up, date→timestamp_ntz, …): old parts keep their
+    narrow bytes and upcast at scan time via Spark 4's parquet widening
+    reads; time travel reads old versions under their old type (schema
+    is per-commit); CDF windows spanning the widening union to the
+    window-end (wide) type; zone maps survive (numeric JSON bounds
+    compare identically under the wider type).
+
+    ``new_type`` is a Spark DataType or a type string (``"long"``,
+    ``"bigint"``, ``"decimal(12,4)"``). Idempotent: widening to the
+    current type returns the current version without committing. No
+    protocol bump — see the :func:`_merge_schema` protocol note (a
+    widening can fail loudly on an incapable engine, never silently
+    misread). Metadata-only read-modify-write like
+    :func:`rename_column`. Returns {"version"}."""
+    if hasattr(new_type, "jsonValue"):
+        target = new_type.jsonValue()
+    else:
+        s = str(new_type).strip().lower().replace(" ", "")
+        target = _TYPE_ALIASES.get(s, s)
+    fs = lake_fs(spark, path)
+    v = current_version(spark, path)
+    for _ in range(max_retries):
+        sj = _committed_schema(fs, path, v)
+        if sj is None:
+            raise SchemaMismatchError(
+                f"widen_column under {path}: the table has no committed "
+                "schema (empty or pre-schema log)"
+            )
+        cur = {f["name"]: f["type"] for f in sj["fields"]}
+        if col not in cur:
+            raise SchemaMismatchError(
+                f"widen_column under {path}: no column {col!r} "
+                f"(have {sorted(cur)})"
+            )
+        if cur[col] == target:
+            return {"version": v}  # idempotent no-op
+        if not _widens_to(cur[col], target):
+            raise SchemaMismatchError(
+                f"widen_column under {path}: {cur[col]} -> {target} is not "
+                "a lossless widening (see the type-widening matrix); "
+                "non-widening type changes are never allowed"
+            )
+        fields = [
+            dict(f, type=target) if f["name"] == col else f
+            for f in sj["fields"]
+        ]
+        payload = {
+            "operation": "widen_column",
+            "adds": [],
+            "removes": [],
+            "scope_partition": None,
+            "schema": dict(sj, fields=fields),
+            "widen": {"column": col, "from": cur[col], "to": target},
+        }
+        if _try_commit(fs, path, v + 1, payload):
+            _maybe_auto_checkpoint(spark, path, v + 1)
+            return {"version": v + 1}
+        v = max(v + 1, current_version(spark, path))
+    raise CommitConflict(
+        f"widen_column lost the CAS {max_retries} times under {path}"
     )
 
 
