@@ -17,6 +17,7 @@ from es_analytics_spark.sources.lake import load_tables, TABLES
 from es_analytics_spark.collector import Collector, CollectorConfig, DataType, FlushInfo, FlushTrigger
 from es_analytics_spark import incremental, txlog
 from es_analytics_spark.sources.txlog_source import register_txlog_feed
+from es_analytics_spark.sqldml import SqlDmlError, execute_sql
 from es_analytics_spark.txlog import CommitConflict
 
 __all__ = [
@@ -32,6 +33,8 @@ __all__ = [
     "txlog",
     "register_txlog_feed",
     "CommitConflict",
+    "execute_sql",
+    "SqlDmlError",
 ]
 
 __version__ = "0.1.0"

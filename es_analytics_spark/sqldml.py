@@ -1,0 +1,320 @@
+"""SQL DML over registered txlog tables (round-10 ask #2).
+
+``txlog.register_table`` made transactional snapshots SQL-readable; the
+first thing a SQL-first user does next is ``INSERT INTO`` /
+``DELETE FROM`` / ``MERGE INTO`` (the reference's lake exists to be
+queried — /root/reference/README.md:3 — and a queryable lake that can
+only be mutated through a Python API is half a surface).
+:func:`execute_sql` is the single entry point: it routes the DML verbs
+to the transactional Python API with IDENTICAL conflict/CDF semantics
+and hands every other statement to ``spark.sql`` unchanged.
+
+Routing (the documented subset — a statement outside it raises a
+curated error naming the restriction and the Python-API escape hatch):
+
+- ``INSERT INTO <table> [(cols)] <SELECT …|VALUES …>`` → :func:`txlog.append`
+- ``INSERT OVERWRITE <table> <SELECT …|VALUES …>`` → :func:`txlog.overwrite_table`
+- ``DELETE FROM <table> [WHERE <cond>]`` → :func:`txlog.delete_where`
+- ``MERGE INTO <table> [AS] t USING <view|(subquery)> [AS] s
+  ON t.k = s.k [AND …]
+  [WHEN MATCHED [AND <c>] THEN UPDATE SET *]
+  [WHEN MATCHED [AND <c>] THEN DELETE]
+  [WHEN NOT MATCHED [AND <c>] THEN INSERT *]``
+  → :func:`txlog.merge_upsert` with the clause surface. First-match-wins
+  clause order is honored by condition composition (an update clause
+  listed before a delete clause shadows it where both match, and vice
+  versa — ANSI/Delta MERGE semantics). ``SET *`` / ``INSERT *`` only:
+  the row-level rewrite replaces whole rows by key; column-level SET
+  lists are the Python API's job. Clause conditions evaluate over the
+  SOURCE row (qualify with the source alias or leave unqualified).
+- anything else → ``spark.sql(statement)`` verbatim (SELECT, DDL, …).
+
+After a successful DML the registered view is re-pinned at the new
+snapshot (``refresh_table``), so the SQL user's next SELECT sees their
+own write — the read-your-writes ergonomics a SQL session expects,
+while OTHER sessions' registered views keep snapshot isolation.
+
+Scale note: this module only PARSES; every routed statement executes
+the same distributed plans as the Python API (part-pruned rewrites,
+key-shuffled merges, manifest commits) — nothing here adds a
+driver-side data path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from es_analytics_spark import txlog
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_.]*"
+
+
+class SqlDmlError(ValueError):
+    """A DML statement outside the documented routed subset."""
+
+
+def _table_path(spark: SparkSession, name: str, verb: str) -> str:
+    path = txlog.registered_table_path(spark, name)
+    if path is None:
+        raise SqlDmlError(
+            f"{verb}: {name!r} is not a registered txlog table in this "
+            "session — call txlog.register_table(spark, name, path) first"
+        )
+    return path
+
+
+def _strip_alias(cond: str, src_alias: str | None, tgt_alias: str | None,
+                 what: str) -> str:
+    """Clause conditions evaluate over the SOURCE row: strip the source
+    alias qualifier, refuse target-qualified references honestly."""
+    if tgt_alias and re.search(rf"\b{re.escape(tgt_alias)}\s*\.", cond):
+        raise SqlDmlError(
+            f"{what}: clause conditions evaluate over the source row only "
+            f"(found a {tgt_alias!r}-qualified reference); conditions over "
+            "the target row need the Python API (txlog.merge_upsert)"
+        )
+    if src_alias:
+        cond = re.sub(rf"\b{re.escape(src_alias)}\s*\.", "", cond)
+    return cond.strip()
+
+
+def _cast_to_table(spark: SparkSession, path: str, df: DataFrame, st=None) -> DataFrame:
+    """SQL store-assignment: cast the statement's columns to the target
+    table's committed types (a VALUES literal types as decimal/int, not
+    the table's double/long; ANSI DML casts on assignment). Columns the
+    table does not know pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    st = st if st is not None else txlog.table_schema(spark, path)
+    if st is None:
+        return df
+    types = {f.name: f.dataType for f in st.fields}
+    return df.select(
+        *[
+            F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _insert_frame(spark: SparkSession, path: str, df: DataFrame,
+                  cols: list[str] | None) -> tuple[DataFrame, bool]:
+    """Align an INSERT's SELECT/VALUES result with the table schema:
+    explicit column lists bind positionally (standard SQL); without one,
+    name-matched frames pass through and arity-matched frames bind
+    positionally (VALUES produces col1..colN). Returns (frame, evolve) —
+    evolve=True only for the null-filled-omission case, and ONLY after
+    proving every named column already exists (so a typo can never
+    silently evolve the schema)."""
+    st = txlog.table_schema(spark, path)
+    table_cols = [f.name for f in st.fields] if st is not None else None
+
+    def _assign(out: DataFrame) -> DataFrame:
+        return _cast_to_table(spark, path, out, st=st)
+
+    if cols:
+        unknown = [c for c in cols if table_cols is not None and c not in table_cols]
+        if unknown:
+            raise SqlDmlError(
+                f"INSERT: column(s) {unknown} are not in the table schema "
+                f"{table_cols} — execute_sql never evolves a schema from an "
+                "INSERT (use txlog.append(evolve=True) deliberately)"
+            )
+        if len(cols) != len(df.columns):
+            raise SqlDmlError(
+                f"INSERT: {len(cols)} target column(s) but the query "
+                f"produces {len(df.columns)}"
+            )
+        out = _assign(df.toDF(*cols))
+        # a subset column list means the omitted columns null-fill —
+        # append's evolve contract, provably additive-only here
+        return out, bool(table_cols) and len(cols) < len(table_cols)
+    if table_cols is None or set(df.columns) == set(table_cols):
+        return _assign(df), False
+    if len(df.columns) == len(table_cols):
+        # positional binding (VALUES produces col1..colN)
+        return _assign(df.toDF(*table_cols)), False
+    raise SqlDmlError(
+        f"INSERT: query columns {df.columns} match the table schema "
+        f"{table_cols} neither by name nor by arity — name the target "
+        "columns: INSERT INTO t (c1, c2, ...) ..."
+    )
+
+
+def _parse_merge_clauses(tail: str, src_alias: str | None,
+                         tgt_alias: str | None) -> dict:
+    """The WHEN clause list → merge_upsert kwargs, honoring ANSI
+    first-match-wins by condition composition."""
+    pat = re.compile(
+        r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+"
+        r"(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*|UPDATE\s+SET\s+[^W]*|INSERT\s*\([^)]*\)[^W]*)",
+        re.IGNORECASE | re.DOTALL,
+    )
+    upd = dele = ins = None  # (position, condition)
+    pos = 0
+    for m in pat.finditer(tail):
+        negated, cond, action = m.group(1), m.group(2), m.group(3).strip()
+        cond = _strip_alias(cond, src_alias, tgt_alias, "MERGE") if cond else None
+        act = re.sub(r"\s+", " ", action.upper())
+        if negated:
+            if act != "INSERT *":
+                raise SqlDmlError(
+                    f"MERGE: unsupported NOT MATCHED action {action!r} — "
+                    "INSERT * only (the merge inserts the whole source row)"
+                )
+            if ins is not None:
+                raise SqlDmlError("MERGE: multiple WHEN NOT MATCHED clauses")
+            ins = (pos, cond)
+        elif act == "UPDATE SET *":
+            if upd is not None:
+                raise SqlDmlError("MERGE: multiple WHEN MATCHED ... UPDATE clauses")
+            upd = (pos, cond)
+        elif act == "DELETE":
+            if dele is not None:
+                raise SqlDmlError("MERGE: multiple WHEN MATCHED ... DELETE clauses")
+            dele = (pos, cond)
+        else:
+            raise SqlDmlError(
+                f"MERGE: unsupported action {action!r} — UPDATE SET *, "
+                "DELETE, and INSERT * are routed; column-level SET lists "
+                "need the Python API (txlog.merge_upsert)"
+            )
+        pos += 1
+    if upd is None and dele is None and ins is None:
+        raise SqlDmlError("MERGE: no WHEN clause found")
+    kwargs: dict = {}
+    # first-match-wins: when both matched clauses exist, the LATER one
+    # only fires where the earlier one's condition does not
+    if dele is not None:
+        d = dele[1] or "true"
+        if upd is not None and upd[0] < dele[0]:
+            u = upd[1] or "true"
+            d = f"(NOT ({u})) AND ({d})"
+        kwargs["when_matched_delete"] = d
+    if upd is not None:
+        # merge_upsert already applies delete-before-update on ~delete,
+        # which equals first-match-wins when the delete clause led; the
+        # update-led ordering was folded into the delete condition above
+        kwargs["when_matched_update"] = upd[1] or "true"
+    elif dele is not None:
+        # DELETE-only matched clause: matched rows not matching it stay
+        kwargs["when_matched_update"] = "false"
+    if ins is not None:
+        if ins[1]:
+            kwargs["when_not_matched_insert"] = ins[1]
+    else:
+        # no NOT MATCHED clause: unmatched source rows do NOT insert
+        kwargs["when_not_matched_insert"] = "false"
+    return kwargs
+
+
+def _parse_on_keys(on: str, t_alias: str, s_alias: str) -> list[str]:
+    keys = []
+    for conj in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+        m = re.fullmatch(
+            rf"\s*({_IDENT})\s*\.\s*({_IDENT})\s*=\s*({_IDENT})\s*\.\s*({_IDENT})\s*",
+            conj,
+        )
+        if not m:
+            raise SqlDmlError(
+                f"MERGE: ON must be a conjunction of alias-qualified "
+                f"equi-predicates (t.k = s.k), got {conj.strip()!r}"
+            )
+        a1, c1, a2, c2 = m.groups()
+        if {a1, a2} != {t_alias, s_alias}:
+            raise SqlDmlError(
+                f"MERGE: ON predicate {conj.strip()!r} must join the target "
+                f"({t_alias!r}) to the source ({s_alias!r})"
+            )
+        if c1 != c2:
+            raise SqlDmlError(
+                f"MERGE: key columns must share a name on both sides "
+                f"(got {c1!r} = {c2!r}) — rename in the USING subquery, or "
+                "use the Python API"
+            )
+        keys.append(c1)
+    return keys
+
+
+def execute_sql(spark: SparkSession, statement: str):
+    """Route one SQL statement: DML verbs hit the transactional txlog
+    API (see module docstring for the exact subset and semantics);
+    everything else returns ``spark.sql(statement)`` unchanged. DML
+    returns the underlying API's result dict, augmented with
+    ``{"operation", "table", "path"}``."""
+    sql = statement.strip().rstrip(";").strip()
+
+    m = re.match(
+        rf"INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*(\(([^)]*)\))?\s*(.+)",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        mode, name, _clist, cols_raw, query = m.groups()
+        path = _table_path(spark, name, "INSERT")
+        cols = [c.strip() for c in cols_raw.split(",")] if cols_raw else None
+        if cols and mode.upper() == "OVERWRITE":
+            raise SqlDmlError("INSERT OVERWRITE takes no column list here — "
+                              "provide the full row shape in the query")
+        df = spark.sql(query)
+        frame, evolve = _insert_frame(spark, path, df, cols)
+        if mode.upper() == "OVERWRITE":
+            res = txlog.overwrite_table(spark, path, frame)
+        else:
+            res = txlog.append(spark, path, frame, evolve=evolve)
+        txlog.refresh_table(spark, name)
+        return dict(res, operation=f"insert_{mode.lower()}", table=name, path=path)
+
+    m = re.match(
+        rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.+))?$",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, cond = m.groups()
+        path = _table_path(spark, name, "DELETE")
+        res = txlog.delete_where(spark, path, cond.strip() if cond else "true")
+        txlog.refresh_table(spark, name)
+        return dict(res, operation="delete", table=name, path=path)
+
+    m = re.match(
+        rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+"
+        rf"USING\s+(\((?:[^()]|\([^()]*\))*\)|{_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+"
+        r"ON\s+(.+?)\s+(WHEN\s+.+)$",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, t_alias, source, s_alias, on, tail = m.groups()
+        path = _table_path(spark, name, "MERGE")
+        t_alias = t_alias or name
+        s_alias = s_alias or (None if source.startswith("(") else source)
+        if s_alias is None:
+            raise SqlDmlError("MERGE: a USING (subquery) needs an alias")
+        src = (
+            spark.sql(source[1:-1]) if source.startswith("(")
+            else spark.table(source)
+        )
+        src = _cast_to_table(spark, path, src)
+        keys = _parse_on_keys(on, t_alias, s_alias)
+        kwargs = _parse_merge_clauses(tail, s_alias, t_alias)
+        st = txlog.table_schema(spark, path)
+        if st is not None:
+            # SET * / INSERT * expand to TARGET columns (ANSI/Delta):
+            # source columns the table does not know — a CDC _deleted
+            # flag referenced only in clause conditions — are condition
+            # inputs, not payload, and must never evolve the schema
+            table_cols = {f.name for f in st.fields}
+            extra = [c for c in src.columns if c not in table_cols]
+            if extra:
+                kwargs["drop_cols"] = extra
+        res = txlog.merge_upsert(spark, path, src, keys, **kwargs)
+        txlog.refresh_table(spark, name)
+        return dict(res, operation="merge", table=name, path=path)
+
+    if re.match(r"(UPDATE)\b", sql, re.IGNORECASE):
+        raise SqlDmlError(
+            "UPDATE is not routed — express it as MERGE INTO ... WHEN "
+            "MATCHED THEN UPDATE SET *, or use txlog.merge_upsert / "
+            "delete_where+append"
+        )
+    return spark.sql(sql)

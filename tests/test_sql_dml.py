@@ -1,0 +1,183 @@
+"""SQL DML over registered txlog tables (round-10 ask #2): every routed
+statement is ORACLE-CHECKED against the equivalent Python API run on a
+twin table — identical final rows, identical change feed — plus the
+parser's curated-refusal surface and read-your-writes view refresh."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from es_analytics_spark import txlog
+from es_analytics_spark.sqldml import SqlDmlError, execute_sql
+from es_analytics_spark.txlog import (
+    append,
+    merge_upsert,
+    read_table,
+    register_table,
+    table_changes_cdf,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _twin(spark, tmp_path, name):
+    """Two identical tables: `name` driven via SQL, its twin via the
+    Python API — the oracle."""
+    sql_path = str(tmp_path / f"{name}_sql")
+    api_path = str(tmp_path / f"{name}_api")
+    df = spark.createDataFrame(
+        [(k, f"v{k}", float(k)) for k in range(10)],
+        "k long, val string, x double",
+    )
+    append(spark, sql_path, df)
+    append(spark, api_path, df)
+    register_table(spark, name, sql_path)
+    return sql_path, api_path
+
+
+def test_insert_into_values_and_select(spark, tmp_path):
+    sql_path, api_path = _twin(spark, tmp_path, "t_ins")
+    r = execute_sql(
+        spark, "INSERT INTO t_ins VALUES (100, 'new', 1.5), (101, 'new2', 2.5)"
+    )
+    assert r["operation"] == "insert_into" and r["version"] == 2
+    append(spark, api_path, spark.createDataFrame(
+        [(100, "new", 1.5), (101, "new2", 2.5)], "k long, val string, x double"
+    ))
+    assert _rows(read_table(spark, sql_path)) == _rows(read_table(spark, api_path))
+    # read-your-writes: the registered view advanced
+    assert spark.sql("SELECT COUNT(*) FROM t_ins").first()[0] == 12
+
+    # INSERT ... SELECT, and a subset column list (omitted cols null)
+    execute_sql(spark, "INSERT INTO t_ins (k, val) SELECT k + 200, val FROM t_ins WHERE k < 2")
+    api_df = read_table(spark, api_path)
+    append(
+        spark, api_path,
+        api_df.filter("k < 2").select((F.col("k") + 200).alias("k"), "val"),
+        evolve=True,
+    )
+    assert _rows(read_table(spark, sql_path)) == _rows(read_table(spark, api_path))
+
+
+def test_insert_overwrite(spark, tmp_path):
+    sql_path, api_path = _twin(spark, tmp_path, "t_ovw")
+    execute_sql(spark, "INSERT OVERWRITE t_ovw VALUES (1, 'only', 9.0)")
+    txlog.overwrite_table(spark, api_path, spark.createDataFrame(
+        [(1, "only", 9.0)], "k long, val string, x double"
+    ))
+    assert _rows(read_table(spark, sql_path)) == _rows(read_table(spark, api_path))
+    assert spark.sql("SELECT COUNT(*) FROM t_ovw").first()[0] == 1
+
+
+def test_delete_from(spark, tmp_path):
+    sql_path, api_path = _twin(spark, tmp_path, "t_del")
+    r = execute_sql(spark, "DELETE FROM t_del WHERE k % 2 = 0 AND x < 7")
+    assert r["operation"] == "delete" and r["rows_deleted"] == 4
+    txlog.delete_where(spark, api_path, "k % 2 = 0 AND x < 7")
+    assert _rows(read_table(spark, sql_path)) == _rows(read_table(spark, api_path))
+    assert spark.sql("SELECT COUNT(*) FROM t_del").first()[0] == 6
+    # bare DELETE FROM empties the table
+    execute_sql(spark, "DELETE FROM t_del")
+    assert spark.sql("SELECT COUNT(*) FROM t_del").first()[0] == 0
+
+
+def test_merge_upsert_sql_vs_api(spark, tmp_path):
+    sql_path, api_path = _twin(spark, tmp_path, "t_mrg")
+    upd = spark.createDataFrame(
+        [(1, "v1b", 11.0), (50, "new", 50.0)], "k long, val string, x double"
+    )
+    upd.createOrReplaceTempView("mrg_src")
+    r = execute_sql(spark, """
+        MERGE INTO t_mrg AS t USING mrg_src AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert (r["rows_updated"], r["rows_inserted"]) == (1, 1)
+    merge_upsert(spark, api_path, upd, keys=["k"])
+    assert _rows(read_table(spark, sql_path)) == _rows(read_table(spark, api_path))
+
+
+def test_merge_tombstones_sql_vs_api(spark, tmp_path):
+    sql_path, api_path = _twin(spark, tmp_path, "t_cdc")
+    cdc = spark.createDataFrame(
+        [(3, "x", 0.0, True), (5, "v5b", 55.0, False),
+         (99, "x", 0.0, True), (100, "new", 100.0, False)],
+        "k long, val string, x double, _deleted boolean",
+    )
+    cdc.createOrReplaceTempView("cdc_src")
+    v0 = txlog.current_version(spark, sql_path)
+    r = execute_sql(spark, """
+        MERGE INTO t_cdc t
+        USING (SELECT k, val, x, _deleted FROM cdc_src) s
+        ON t.k = s.k
+        WHEN MATCHED AND s._deleted THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED AND NOT s._deleted THEN INSERT *
+    """)
+    assert (r["rows_deleted"], r["rows_updated"], r["rows_inserted"]) == (1, 1, 1)
+    merge_upsert(
+        spark, api_path, cdc, keys=["k"],
+        when_matched_delete="_deleted",
+        when_not_matched_insert="NOT _deleted",
+        drop_cols=["_deleted"],
+    )
+    sql_rows = _rows(read_table(spark, sql_path).select("k", "val", "x"))
+    api_rows = _rows(read_table(spark, api_path).select("k", "val", "x"))
+    assert sql_rows == api_rows
+    # SET * / INSERT * expand to TARGET columns: the condition-only
+    # _deleted flag never entered the SQL-side schema either
+    assert "_deleted" not in read_table(spark, sql_path).columns
+    feed = {
+        (r["k"], r["_change_type"])
+        for r in table_changes_cdf(spark, sql_path, v0).select("k", "_change_type").collect()
+    }
+    assert feed == {(3, "delete"), (5, "delete"), (5, "insert"), (100, "insert")}
+
+
+def test_merge_first_match_wins_update_before_delete(spark, tmp_path):
+    """ANSI clause order: an update clause listed FIRST shadows a later
+    delete clause where both conditions match."""
+    sql_path, api_path = _twin(spark, tmp_path, "t_ord")
+    upd = spark.createDataFrame(
+        [(1, "keepme", 1.0), (2, "zap", -2.0)], "k long, val string, x double"
+    )
+    upd.createOrReplaceTempView("ord_src")
+    execute_sql(spark, """
+        MERGE INTO t_ord t USING ord_src s ON t.k = s.k
+        WHEN MATCHED AND s.val = 'keepme' THEN UPDATE SET *
+        WHEN MATCHED THEN DELETE
+    """)
+    got = {r["k"]: r["val"] for r in read_table(spark, sql_path).collect()}
+    assert got[1] == "keepme" and 2 not in got and len(got) == 9
+
+
+def test_curated_refusals_and_passthrough(spark, tmp_path):
+    _twin(spark, tmp_path, "t_ref")
+    with pytest.raises(SqlDmlError, match="not a registered"):
+        execute_sql(spark, "DELETE FROM nowhere WHERE 1=1")
+    with pytest.raises(SqlDmlError, match="UPDATE is not routed"):
+        execute_sql(spark, "UPDATE t_ref SET val = 'x' WHERE k = 1")
+    with pytest.raises(SqlDmlError, match="column-level SET"):
+        execute_sql(spark, """
+            MERGE INTO t_ref t USING t_ref s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET val = 'x'
+        """)
+    with pytest.raises(SqlDmlError, match="equi-predicates"):
+        execute_sql(spark, """
+            MERGE INTO t_ref t USING t_ref s ON t.k > s.k
+            WHEN MATCHED THEN DELETE
+        """)
+    with pytest.raises(SqlDmlError, match="source row only"):
+        execute_sql(spark, """
+            MERGE INTO t_ref t USING t_ref s ON t.k = s.k
+            WHEN MATCHED AND t.x > 5 THEN DELETE
+        """)
+    with pytest.raises(SqlDmlError, match="never evolves"):
+        execute_sql(spark, "INSERT INTO t_ref (k, typo_col) VALUES (1, 'x')")
+    # non-DML passes through to spark.sql unchanged
+    df = execute_sql(spark, "SELECT COUNT(*) AS n FROM t_ref")
+    assert df.first()["n"] == 10
