@@ -240,7 +240,26 @@ def lake_ops_bench(spark, sf_dir: str) -> dict:
     numbers like queries have. One linear scenario on the orders table
     (~150k rows at sf0.1): bulk append → streamed epochs → merge →
     delete (rewrite vs deletion-vector) → clustered compact → rollup
-    maintenance. Values are seconds per op (epochs_per_sec is a rate)."""
+    maintenance. Values are seconds per op (epochs_per_sec is a rate).
+
+    Round-10 bench hygiene (ask #7): the whole scenario runs TWICE and
+    each op reports its best-of-two, same convention as the headline
+    queries — round 9's z-order compact swung 2.5→10.8 s on ambient
+    jitter alone, generating false regression flags in round-over-round
+    reads. Each pass uses a fresh table, so pass 2 times the identical
+    work with the JVM/codegen warm."""
+    best: dict[str, float] = {}
+    for _pass in range(2):
+        one = _lake_ops_once(spark, sf_dir)
+        for k, v in one.items():
+            if k.endswith("_per_sec"):
+                best[k] = max(best.get(k, 0.0), v)  # rates: higher is better
+            else:
+                best[k] = min(best.get(k, float("inf")), v)
+    return best
+
+
+def _lake_ops_once(spark, sf_dir: str) -> dict:
     import shutil
     import tempfile
 

@@ -89,11 +89,17 @@ _CHECKPOINT_EVERY_HINT = _CHECKPOINT_EVERY  # back-compat alias
 #: deletion vectors, which a v1 reader would silently misread as live
 #: rows; 3 = column mapping — the committed schema's logical names
 #: differ from the physical parquet column names, which a v<=2 reader
-#: would read as all-null columns); readers reject higher-protocol
-#: commits with ProtocolVersionError. Bump only for semantics an old
-#: reader would silently misread — never for additive, ignorable
-#: fields.
-PROTOCOL_VERSION = 3
+#: would read as all-null columns; 4 = CHUNKED CHECKPOINTS — the
+#: checkpoint footer references live-set chunk files instead of
+#: inlining the live set, which a v<=3 reader cannot reconstruct a
+#: snapshot from); readers reject higher-protocol commits with
+#: ProtocolVersionError. Bump only for semantics an old reader would
+#: misread or cannot reconstruct — never for additive, ignorable
+#: fields. Protocol 4 is stamped ONLY on chunked checkpoint footers
+#: (large tables past _CKPT_INLINE_MAX); commits and small-table
+#: checkpoints keep their computed <=3 stamp, so mixed-version fleets
+#: interoperate until a table actually needs chunking.
+PROTOCOL_VERSION = 4
 
 
 class ProtocolVersionError(Exception):
@@ -230,6 +236,63 @@ def _latest_version(fs, path: str) -> int:
     return cks[-1] if cks else 0
 
 
+#: checkpoint live-set format thresholds. A checkpoint whose live set
+#: exceeds _CKPT_INLINE_MAX entries is written CHUNKED (format 2): the
+#: live entries bucket by a stable hash of part path into power-of-two
+#: many chunk files of ~_CKPT_CHUNK_TARGET entries, each chunk file
+#: named by its CONTENT hash and written once (put_if_absent). Because
+#: bucket membership is hash-of-path, K commits between two cadence
+#: checkpoints change at most ~K buckets — every unchanged chunk is
+#: REUSED by name, so the cadence write serializes O(delta), not
+#: O(live set) (the single-JSON design re-serialized tens of MB per
+#: cadence at 10^5-10^6 parts; Delta's parquet checkpoints rewrite the
+#: full live set — content-addressed chunks beat both on the write
+#: path). Cold reads assemble the chunks: O(live set) bytes, which is
+#: the information-theoretic floor for a snapshot. Small tables stay
+#: on the inline format (zero extra objects, fully back-compatible).
+_CKPT_INLINE_MAX = 512
+_CKPT_CHUNK_TARGET = 256
+
+
+def _pick_n_chunks(n_entries: int, prev: int | None) -> int:
+    """Chunk count for this checkpoint: STICKY on the previous
+    checkpoint's count (recorded in its footer), resized by powers of
+    two only past a 2x hysteresis band — so slow table growth keeps the
+    same bucketing (maximal chunk reuse) and a resize (full reshuffle)
+    happens O(log n) times over a table's life, amortized O(1) per
+    checkpoint."""
+    n = max(prev or 1, 1)
+    while n_entries / n > 2 * _CKPT_CHUNK_TARGET:
+        n *= 2
+    while n > 1 and n_entries / n < _CKPT_CHUNK_TARGET / 2:
+        n //= 2  # a compact shrank the live set: fold buckets back
+    return n
+
+
+def _chunk_live(entries: list[dict], n_chunks: int) -> list[tuple[str, bytes, int]]:
+    """Bucket live entries into content-addressed chunk payloads:
+    ``[(name, raw_bytes, n_entries)]`` in bucket order. Deterministic in
+    (entry set, n_chunks) — same inputs, same chunks, same names —
+    which is what makes cross-checkpoint reuse and the idempotent
+    two-writer checkpoint race safe. All-empty buckets share one chunk
+    object (same content hash)."""
+    import hashlib
+
+    buckets: list[list[dict]] = [[] for _ in range(n_chunks)]
+    for e in entries:
+        h = int.from_bytes(
+            hashlib.sha256(e["path"].encode("utf-8")).digest()[:8], "big"
+        )
+        buckets[h % n_chunks].append(e)
+    out = []
+    for b in buckets:
+        b.sort(key=lambda e: e["path"])
+        raw = json.dumps({"live": b}, indent=0, sort_keys=True).encode("utf-8")
+        name = "chunk-" + hashlib.sha256(raw).hexdigest()[:32] + ".json"
+        out.append((name, raw, len(b)))
+    return out
+
+
 #: parsed-checkpoint cache. Checkpoint files are write-once, so a parse
 #: keyed by (path, version, mtime) can never serve stale content — the
 #: mtime component keeps externally mutated or recreated files visible.
@@ -240,34 +303,58 @@ _CKPT_CACHE: dict[tuple, dict] = {}
 _CKPT_CACHE_MAX = 8
 
 
-def _load_checkpoint(fs, path: str, version: int) -> dict | None:
+def _load_checkpoint(
+    fs, path: str, version: int, with_live: bool = True
+) -> dict | None:
     """Read checkpoint ``version``, None when absent/unreadable (the
     caller falls back to listing/replay). Protocol-guarded like commits:
     a checkpoint short-circuits replay, so a future writer's semantics
     must be refused here, never silently misread. Callers treat the
-    returned payload as READ-ONLY (it may be a shared cache entry)."""
+    returned payload as READ-ONLY (it may be a shared cache entry).
+
+    ``with_live=False`` is the FOLDED-STATE fast path (schema, sources,
+    props, txns, ts — all footer-resident): a chunked (format-2)
+    checkpoint then costs one footer read, no chunk I/O. The default
+    assembles the live set from the content-addressed chunk files for
+    format 2 (inline for format 1) and caches the assembled payload, so
+    repeated snapshot reads of one checkpoint fetch the chunks once. A
+    missing/torn chunk makes the checkpoint unreadable as a whole
+    (None), exactly like a torn format-1 file."""
     cpath = _checkpoint_path(path, version)
     try:
         key = (path, version, fs.mtime(cpath))
     except Exception:
         return None
-    hit = _CKPT_CACHE.get(key)
-    if hit is not None:
-        return hit
-    try:
-        raw = fs.read_bytes(cpath)
-    except Exception:
-        return None
-    ck = json.loads(raw.decode("utf-8"))
-    if ck.get("protocol", 1) > PROTOCOL_VERSION:
-        raise ProtocolVersionError(
-            f"checkpoint v{ck['version']} under {path} was written at "
-            f"txlog protocol {ck['protocol']}; this reader supports <= "
-            f"{PROTOCOL_VERSION} — upgrade the engine"
-        )
-    if len(_CKPT_CACHE) >= _CKPT_CACHE_MAX:
-        _CKPT_CACHE.clear()
-    _CKPT_CACHE[key] = ck
+    ck = _CKPT_CACHE.get(key)
+    if ck is None:
+        try:
+            raw = fs.read_bytes(cpath)
+        except Exception:
+            return None
+        ck = json.loads(raw.decode("utf-8"))
+        if ck.get("protocol", 1) > PROTOCOL_VERSION:
+            raise ProtocolVersionError(
+                f"checkpoint v{ck['version']} under {path} was written at "
+                f"txlog protocol {ck['protocol']}; this reader supports <= "
+                f"{PROTOCOL_VERSION} — upgrade the engine"
+            )
+        if len(_CKPT_CACHE) >= _CKPT_CACHE_MAX:
+            _CKPT_CACHE.clear()
+        _CKPT_CACHE[key] = ck
+    if with_live and ck.get("format", 1) >= 2 and "live" not in ck:
+        by_name: dict[str, list] = {}
+        entries: list[dict] = []
+        try:
+            for ref in ck["live_chunks"]:
+                name = ref["name"]
+                if name not in by_name:
+                    raw = fs.read_bytes(fs_join(_log_dir(path), name))
+                    by_name[name] = json.loads(raw.decode("utf-8"))["live"]
+                entries.extend(by_name[name])
+        except Exception:
+            return None
+        ck = dict(ck, live=entries)
+        _CKPT_CACHE[key] = ck
     return ck
 
 
@@ -420,7 +507,8 @@ def _folded_checkpoint(fs, path: str, version: int, key: str) -> tuple[object, i
     checkpoints."""
     hint = _checkpoint_hint(fs, path)
     if 0 < hint <= version:
-        ck = _load_checkpoint(fs, path, hint)
+        # footer-only read: the folded keys never require chunk I/O
+        ck = _load_checkpoint(fs, path, hint, with_live=False)
         if ck is not None and ck.get(key) is not None:
             return ck[key], ck["version"] + 1
     # hint absent, above `version`, or a legacy checkpoint without the
@@ -430,7 +518,7 @@ def _folded_checkpoint(fs, path: str, version: int, key: str) -> tuple[object, i
          if v <= version and v != hint),
         reverse=True,
     ):
-        ck = _load_checkpoint(fs, path, cv)
+        ck = _load_checkpoint(fs, path, cv, with_live=False)
         if ck is not None and ck.get(key) is not None:
             return ck[key], ck["version"] + 1
     return None, 1
@@ -3359,13 +3447,26 @@ def refresh_table(spark: SparkSession, name: str, path: str | None = None) -> Da
 
 def checkpoint(spark: SparkSession, path: str) -> dict:
     """Write a checkpoint of the current live set so replay cost stays
-    bounded as the log grows (Delta's parquet-checkpoint idea, JSON
-    here — the live set is part-count-sized, not data-sized).
+    bounded as the log grows (Delta's parquet-checkpoint role).
     Write-once via the same CAS primitive: two writers checkpointing
     the same version is an idempotent race, and a checkpoint never
     blocks commits (readers just start replay later). Time travel to
     pre-checkpoint versions still works — commit files are never
     deleted by this call (that is :func:`clean_log`'s explicit job).
+
+    **Two live-set formats** (chosen by table size, invisible to every
+    consumer): up to :data:`_CKPT_INLINE_MAX` live parts the live set
+    inlines in the checkpoint JSON (format 1 — zero extra objects,
+    back-compatible); past it the live set is written as
+    content-addressed CHUNK files referenced by a small footer
+    (format 2 — see the design note at :data:`_CKPT_INLINE_MAX`:
+    unchanged chunks are reused across checkpoints, so a cadence write
+    on a 10^5-10^6-part table serializes only the entries the tail
+    commits changed, where the single-JSON design re-serialized the
+    whole live set and Delta's parquet checkpoints rewrite it). Chunked
+    footers stamp protocol 4 — a reader that cannot reconstruct the
+    snapshot refuses with the named upgrade error. Returns
+    {"version", "written", "chunks_written"}.
 
     Beyond the live set, the checkpoint FOLDS the log state whose
     authoritative copy would otherwise require full history: the
@@ -3398,7 +3499,6 @@ def checkpoint(spark: SparkSession, path: str) -> dict:
             txns[t["app"]] = max(txns.get(t["app"], -1), int(t["version"]))
     payload = {
         "version": v,
-        "live": [dict(e, path=p) for p, e in sorted(live.items())],
         "schema": sj,
         "sources": sorted(table_sources(spark, path, version=v)),
         "props": table_properties(spark, path, version=v),
@@ -3413,11 +3513,37 @@ def checkpoint(spark: SparkSession, path: str) -> dict:
             3 if _schema_mapped(sj) else 1,
         ),
     }
+    entries = [dict(e, path=p) for p, e in sorted(live.items())]
+    chunks_written = 0
+    if len(entries) > _CKPT_INLINE_MAX:
+        # format 2 (chunked): content-addressed live-set chunks, written
+        # once and REUSED across checkpoints — the cadence write
+        # serializes only the buckets the tail commits actually changed
+        # (see the _CKPT_INLINE_MAX design note). Chunks land BEFORE the
+        # footer that references them, so no reader can observe a footer
+        # with missing chunks; a crash in between leaves unreferenced
+        # chunks that clean_log's retention horizon reaps.
+        prev_n, _start = _folded_checkpoint(fs, path, v, "n_chunks")
+        n_chunks = _pick_n_chunks(len(entries), prev_n)
+        names = []
+        for name, raw, cnt in _chunk_live(entries, n_chunks):
+            if fs.put_if_absent(fs_join(_log_dir(path), name), raw):
+                chunks_written += 1
+            names.append({"name": name, "n": cnt})
+        payload["format"] = 2
+        payload["live_chunks"] = names
+        payload["n_chunks"] = n_chunks
+        payload["n_live"] = len(entries)
+        # a v<=3 reader cannot reconstruct a snapshot from the footer —
+        # refuse with the named upgrade error, never a KeyError
+        payload["protocol"] = max(payload["protocol"], 4)
+    else:
+        payload["live"] = entries
     won = fs.put_if_absent(
         _checkpoint_path(path, v), json.dumps(payload, indent=0).encode("utf-8")
     )
     _advance_pointer(fs, path, v)
-    return {"version": v, "written": bool(won)}
+    return {"version": v, "written": bool(won), "chunks_written": chunks_written}
 
 
 def vacuum(
@@ -3511,6 +3637,7 @@ def clean_log(
     spark: SparkSession,
     path: str,
     keep_versions: int = 0,
+    chunk_retention_seconds: float = 24 * 3600,
 ) -> dict:
     """Commit-log retention (Delta's ``logRetentionDuration`` role):
     reap commit JSONs older than the newest FOLDED checkpoint that is
@@ -3537,8 +3664,17 @@ def clean_log(
     this on the same schedule as vacuum; without it the log grows one
     JSON per epoch forever (the listing is already checkpoint-bounded,
     but the object count itself eventually becomes an operational
-    liability). Returns {"cut", "removed_commits",
-    "removed_checkpoints"}."""
+    liability). Live-set CHUNK files (format-2 checkpoints) are
+    content-addressed and may be shared across checkpoints: chunks no
+    surviving checkpoint references are reaped too, but only past
+    ``chunk_retention_seconds`` (default 24 h) — a concurrent
+    checkpointer writes its chunks BEFORE the footer that references
+    them, and reaping that window would leave the new footer dangling
+    (the same in-flight-writer horizon vacuum applies to parts).
+    Returns {"cut", "removed_commits", "removed_checkpoints",
+    "removed_chunks"}."""
+    import time as _time
+
     fs = lake_fs(spark, path)
     latest = _latest_version(fs, path)
     bound = latest - max(keep_versions, 0)
@@ -3547,7 +3683,7 @@ def clean_log(
         (v for v in _list_versions(fs, path, prefix="checkpoint.v") if v <= bound),
         reverse=True,
     ):
-        ck = _load_checkpoint(fs, path, cv)
+        ck = _load_checkpoint(fs, path, cv, with_live=False)
         if (
             ck is not None
             and ck.get("sources") is not None
@@ -3559,7 +3695,8 @@ def clean_log(
             cut = cv
             break
     if cut == 0:
-        return {"cut": 0, "removed_commits": 0, "removed_checkpoints": 0}
+        return {"cut": 0, "removed_commits": 0, "removed_checkpoints": 0,
+                "removed_chunks": 0}
     doomed_commits = [v for v in _list_versions(fs, path) if v <= cut]
     doomed_ckpts = [
         v for v in _list_versions(fs, path, prefix="checkpoint.v") if v < cut
@@ -3579,8 +3716,29 @@ def clean_log(
         fs.delete(_checkpoint_path(path, v))
     for v in doomed_commits:
         fs.delete(_commit_path(path, v))
+    # live-set chunks: keep everything any SURVIVING footer references
+    # (content addressing means a chunk can back several checkpoints);
+    # unreferenced chunks are superseded content or a crashed writer's
+    # debris — reaped past the in-flight horizon
+    referenced: set[str] = set()
+    for cv in _list_versions(fs, path, prefix="checkpoint.v"):
+        ck = _load_checkpoint(fs, path, cv, with_live=False)
+        if ck is not None:
+            referenced |= {r["name"] for r in ck.get("live_chunks", [])}
+    removed_chunks = 0
+    horizon = _time.time() - chunk_retention_seconds
+    for p in fs.glob(fs_join(_log_dir(path), "chunk-*.json")):
+        if p.rsplit("/", 1)[-1] in referenced:
+            continue
+        try:
+            if fs.mtime(p) <= horizon:
+                fs.delete(p)
+                removed_chunks += 1
+        except (OSError, FileNotFoundError):
+            continue  # vanished concurrently — nothing to do
     return {
         "cut": cut,
         "removed_commits": len(doomed_commits),
         "removed_checkpoints": len(doomed_ckpts),
+        "removed_chunks": removed_chunks,
     }

@@ -436,9 +436,9 @@ def test_checkpoint_bounds_replay_and_keeps_time_travel(spark, tmp_path):
     for i in range(5):
         append(spark, path, _ids(spark, i * 10, (i + 1) * 10))
     ck = checkpoint(spark, path)
-    assert ck == {"version": 5, "written": True}
+    assert ck == {"version": 5, "written": True, "chunks_written": 0}
     # idempotent race: second checkpoint at the same version is a no-op
-    assert checkpoint(spark, path) == {"version": 5, "written": False}
+    assert checkpoint(spark, path) == {"version": 5, "written": False, "chunks_written": 0}
     append(spark, path, _ids(spark, 50, 60))
     assert read_table(spark, path).count() == 60
     # pre-checkpoint time travel replays from v1 (commits never deleted)

@@ -163,7 +163,8 @@ def test_clean_log_retention_and_time_travel_boundary(spark, tmp_path, monkeypat
         time.sleep(0.02)
     vacuum(spark, path, keep_versions=2, retention_seconds=0)
     res = clean_log(spark, path, keep_versions=2)  # bound v4 → cut at ck v4
-    assert res == {"cut": 4, "removed_commits": 4, "removed_checkpoints": 0}
+    assert res == {"cut": 4, "removed_commits": 4, "removed_checkpoints": 0,
+                   "removed_chunks": 0}
     assert not os.path.exists(_commit_path(path, 4))
     assert os.path.exists(_commit_path(path, 5))
 
@@ -213,6 +214,7 @@ def test_checkpoint_folds_properties_schema_and_survives_clean(spark, tmp_path, 
     checkpoint(spark, path)
     assert clean_log(spark, path) == {
         "cut": 4, "removed_commits": 4, "removed_checkpoints": 0,
+        "removed_chunks": 0,
     }
     assert table_properties(spark, path) == {"k": "2"}
     sch = table_schema(spark, path)
