@@ -173,17 +173,17 @@ class _PyLog:
             "current writer to record one"
         )
 
-    def _checkpoint_schema(self, version: int) -> dict | None:
-        """Folded schema of the newest checkpoint <= ``version`` (the
-        retention boundary's authoritative copy), None when no folded
-        checkpoint survives."""
+    def _newest_footer(self, version: int | None, key: str) -> dict | None:
+        """Newest checkpoint FOOTER at/below ``version`` (None = any)
+        that carries folded state ``key`` — footer-only reads, so a
+        chunked (format-2) checkpoint costs no chunk I/O here."""
         cks = sorted(
             int(os.path.basename(p)[len("checkpoint.v"):-5])
             for p in _glob.glob(os.path.join(self._log, "checkpoint.v*.json"))
         )
         from ..txlog import PROTOCOL_VERSION, ProtocolVersionError
 
-        for cv in reversed([c for c in cks if c <= version]):
+        for cv in reversed([c for c in cks if version is None or c <= version]):
             with open(
                 os.path.join(self._log, f"checkpoint.v{cv:06d}.json"), "rb"
             ) as f:
@@ -194,9 +194,71 @@ class _PyLog:
                     f"protocol {ck['protocol']}; this reader supports <= "
                     f"{PROTOCOL_VERSION} — upgrade the engine"
                 )
-            if ck.get("schema") is not None:
-                return ck["schema"]
+            if ck.get(key) is not None:
+                return ck
         return None
+
+    def _checkpoint_schema(self, version: int) -> dict | None:
+        """Folded schema of the newest checkpoint <= ``version`` (the
+        retention boundary's authoritative copy), None when no folded
+        checkpoint survives."""
+        ck = self._newest_footer(version, "schema")
+        return ck["schema"] if ck is not None else None
+
+    def version_at_timestamp(self, ts: float) -> int:
+        """The snapshot version live at wall-clock ``ts`` — the plain-
+        Python twin of :func:`txlog.version_at_timestamp`, with the SAME
+        running-max stamp normalization (writers' clocks may skew; the
+        version order is the serialization order) and folded-checkpoint
+        seeding at the retention boundary. Stream-bootstrap semantics:
+        a timestamp EARLIER than the first retained commit on an
+        untruncated log returns 0 (the stream replays full history —
+        there is no snapshot to pin, unlike the batch AS-OF read which
+        raises); a timestamp inside history that log retention already
+        reaped raises :class:`txlog.VersionExpiredError`."""
+        from ..txlog import VersionExpiredError
+
+        vs = sorted(
+            int(os.path.basename(p)[1:-5])
+            for p in _glob.glob(os.path.join(self._log, "v*.json"))
+        )
+        chosen, running = 0, float("-inf")
+        if not vs:
+            ck = self._newest_footer(None, "ts")
+            if ck is None:
+                return 0  # empty/young table: feed whatever arrives
+            if ck["ts"] <= ts:
+                return ck["version"]
+            raise VersionExpiredError(
+                f"starting_timestamp {ts} under {self.path} resolves into "
+                "history that log retention already reaped (earliest "
+                f"retained snapshot is v{ck['version']} at ts {ck['ts']})"
+            )
+        if vs[0] > 1:
+            ck = self._newest_footer(vs[0] - 1, "ts")
+            if ck is not None:
+                if ck["ts"] <= ts:
+                    chosen, running = ck["version"], ck["ts"]
+                else:
+                    raise VersionExpiredError(
+                        f"starting_timestamp {ts} under {self.path} resolves "
+                        "into history that log retention already reaped "
+                        f"(earliest retained snapshot is v{ck['version']} "
+                        f"at ts {ck['ts']})"
+                    )
+        for v in vs:
+            running = max(running, self.commit(v).get("ts", float("-inf")))
+            if running <= ts:
+                chosen = v
+        if chosen == 0 and vs[0] > 1:
+            # truncated prefix with no folded stamp to anchor on: the
+            # timestamp falls inside reaped history — never guess
+            raise VersionExpiredError(
+                f"starting_timestamp {ts} under {self.path} resolves into "
+                "history that log retention already reaped; start from a "
+                "newer timestamp/version or re-bootstrap from a snapshot"
+            )
+        return chosen
 
     def part_files(self, part_dir: str) -> list[str]:
         files = sorted(_glob.glob(os.path.join(part_dir, "*.parquet")))
@@ -492,6 +554,24 @@ def _parse_partition_filter(options, cdf: bool) -> dict | None:
     return pf
 
 
+def _parse_ts_option(raw) -> float:
+    """``starting_timestamp``: unix seconds (int/float) or an ISO-8601
+    string (naive = local time, same as Python's fromisoformat)."""
+    s = str(raw).strip()
+    try:
+        return float(s)
+    except ValueError:
+        import datetime as _dt
+
+        try:
+            return _dt.datetime.fromisoformat(s).timestamp()
+        except ValueError:
+            raise ValueError(
+                f"txlog_feed: starting_timestamp must be unix seconds or an "
+                f"ISO-8601 datetime, got {raw!r}"
+            ) from None
+
+
 class TxLogFeedStreamReader(DataSourceStreamReader):
     def __init__(self, schema, path: str, options):
         self._schema = schema
@@ -500,15 +580,30 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignore_changes", "false")).lower() == "true"
         )
-        raw_start = str(options.get("starting_version", "0"))
-        # "latest": new-data-only bootstrap (Delta's startingVersion=
-        # latest) — resolve the current version ONCE at stream start;
-        # the WAL then owns the cursor across restarts
-        self._start = (
-            self._log.current_version()
-            if raw_start.lower() == "latest"
-            else int(raw_start)
-        )
+        raw_start_ts = options.get("starting_timestamp")
+        if raw_start_ts is not None and options.get("starting_version") is not None:
+            raise ValueError(
+                "txlog_feed: pass starting_version OR starting_timestamp, "
+                "not both"
+            )
+        if raw_start_ts is not None:
+            # wall-clock bootstrap (Delta's startingTimestamp, the
+            # ergonomic twin of AS-OF-TIMESTAMP reads): resolved ONCE at
+            # stream start through the same running-max normalization as
+            # txlog.version_at_timestamp; the WAL owns the cursor after
+            self._start = self._log.version_at_timestamp(
+                _parse_ts_option(raw_start_ts)
+            )
+        else:
+            raw_start = str(options.get("starting_version", "0"))
+            # "latest": new-data-only bootstrap (Delta's startingVersion=
+            # latest) — resolve the current version ONCE at stream start;
+            # the WAL then owns the cursor across restarts
+            self._start = (
+                self._log.current_version()
+                if raw_start.lower() == "latest"
+                else int(raw_start)
+            )
         self._max_versions = int(options.get("max_versions_per_batch", 0))
         self._partition_filter = _parse_partition_filter(options, self._cdf)
         # Rate-limit floor: the newest version known delivered/planned.
@@ -616,7 +711,12 @@ class TxLogFeedDataSource(DataSource):
     ``ignore_changes`` (don't fail on replacement commits),
     ``starting_version`` (stream bootstrap cursor, default 0 = full
     history; ``"latest"`` starts at the current version — new data
-    only), ``max_versions_per_batch`` (per-trigger window bound),
+    only), ``starting_timestamp`` (wall-clock bootstrap, unix seconds
+    or ISO-8601 — resolves to the snapshot version live at that instant
+    via the same running-max stamp normalization as AS-OF-TIMESTAMP
+    reads; earlier than history = full replay, inside reaped history =
+    VersionExpiredError; mutually exclusive with ``starting_version``),
+    ``max_versions_per_batch`` (per-trigger window bound),
     ``from_version``/``to_version`` (batch reads)."""
 
     @classmethod

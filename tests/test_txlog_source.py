@@ -455,3 +455,83 @@ def test_rate_limit_repeated_ask_advances_one_step(spark, tmp_path):
     r.partitions({"version": 2}, {"version": 3})
     r.commit({"version": 3})
     assert r.latestOffset() == {"version": 4}
+
+
+def test_starting_timestamp_replays_exactly_like_version_start(spark, tmp_path):
+    """round-10 ask #6: a stream started by wall clock replays exactly
+    the rows the equivalent version-started stream replays (resolved
+    through the same running-max stamp normalization as AS-OF reads);
+    a timestamp before history replays everything; ISO-8601 accepted."""
+    import time as _time
+
+    path = os.path.join(str(tmp_path), "t")
+    before = _time.time() - 1
+    append(spark, path, _ids(spark, 0, 10))  # v1
+    _time.sleep(0.05)
+    after_v1 = _time.time()
+    _time.sleep(0.05)
+    append(spark, path, _ids(spark, 10, 20))  # v2
+    append(spark, path, _ids(spark, 20, 30))  # v3
+
+    _q, by_version = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ck_v"), starting_version=1
+    )
+    _q, by_ts = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ck_t"),
+        starting_timestamp=str(after_v1),
+    )
+    assert sorted(r.id for r in by_ts) == sorted(r.id for r in by_version)
+    assert sorted(r.id for r in by_ts) == list(range(10, 30))
+
+    # before history: full replay (no snapshot to pin — stream semantics)
+    _q, rows = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ck_b"),
+        starting_timestamp=str(before),
+    )
+    assert sorted(r.id for r in rows) == list(range(0, 30))
+
+    # ISO-8601 spelling resolves identically
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(after_v1).isoformat()
+    _q, rows = _run_stream(
+        spark, path, os.path.join(str(tmp_path), "ck_i"),
+        starting_timestamp=iso,
+    )
+    assert sorted(r.id for r in rows) == list(range(10, 30))
+
+
+def test_starting_timestamp_past_retention_raises_curated(spark, tmp_path):
+    import time as _time
+
+    from es_analytics_spark.sources.txlog_source import TxLogFeedStreamReader
+    from es_analytics_spark.txlog import VersionExpiredError, checkpoint, clean_log
+
+    path = os.path.join(str(tmp_path), "t")
+    append(spark, path, _ids(spark, 0, 10))  # v1
+    _time.sleep(0.05)
+    inside = _time.time()  # resolves to v1
+    _time.sleep(0.05)
+    for lo in (10, 20, 30):
+        append(spark, path, _ids(spark, lo, lo + 10))  # v2..v4
+    checkpoint(spark, path)  # folded cut point at v4
+    append(spark, path, _ids(spark, 40, 50))  # v5
+    assert clean_log(spark, path, keep_versions=1)["cut"] == 4  # reaps v1..v4
+
+    schema = read_table(spark, path).schema
+    with pytest.raises(VersionExpiredError, match="already reaped"):
+        TxLogFeedStreamReader(
+            schema, path, {"starting_timestamp": str(inside)}
+        )
+    # at/after the boundary still resolves (the folded stamp anchors it)
+    r = TxLogFeedStreamReader(
+        schema, path, {"starting_timestamp": str(_time.time())}
+    )
+    assert r._start == 5
+    with pytest.raises(ValueError, match="not both"):
+        TxLogFeedStreamReader(
+            schema, path,
+            {"starting_timestamp": str(inside), "starting_version": "2"},
+        )
+    with pytest.raises(ValueError, match="unix seconds or an ISO-8601"):
+        TxLogFeedStreamReader(schema, path, {"starting_timestamp": "nonsense"})
