@@ -15,6 +15,15 @@ curated error naming the restriction and the Python-API escape hatch):
 - ``INSERT INTO <table> [(cols)] <SELECT …|VALUES …>`` → :func:`txlog.append`
 - ``INSERT OVERWRITE <table> <SELECT …|VALUES …>`` → :func:`txlog.overwrite_table`
 - ``DELETE FROM <table> [WHERE <cond>]`` → :func:`txlog.delete_where`
+- ``UPDATE <table> SET c = e, … [WHERE <cond>]`` → :func:`txlog.update_where`
+  (ANSI: every RHS sees the old row; store-assignment casts; never
+  evolves a schema)
+- ``ALTER TABLE <table> RENAME COLUMN a TO b | DROP COLUMN a |
+  ALTER/CHANGE COLUMN a TYPE t | SET/UNSET TBLPROPERTIES (…)`` →
+  :func:`txlog.rename_column` / :func:`txlog.drop_column` /
+  :func:`txlog.widen_column` / :func:`txlog.set_table_properties`
+- ``OPTIMIZE <table>`` → :func:`txlog.optimize` (policy-driven);
+  ``VACUUM <table> [RETAIN n HOURS]`` → :func:`txlog.vacuum`
 - ``MERGE INTO <table> [AS] t USING <view|(subquery)> [AS] s
   ON t.k = s.k [AND …]
   [WHEN MATCHED [AND <c>] THEN UPDATE SET *]
@@ -311,10 +320,110 @@ def execute_sql(spark: SparkSession, statement: str):
         txlog.refresh_table(spark, name)
         return dict(res, operation="merge", table=name, path=path)
 
-    if re.match(r"(UPDATE)\b", sql, re.IGNORECASE):
-        raise SqlDmlError(
-            "UPDATE is not routed — express it as MERGE INTO ... WHEN "
-            "MATCHED THEN UPDATE SET *, or use txlog.merge_upsert / "
-            "delete_where+append"
+    m = re.match(
+        rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        name, set_raw, cond = m.groups()
+        path = _table_path(spark, name, "UPDATE")
+        res = txlog.update_where(
+            spark, path, _parse_set_list(set_raw),
+            cond.strip() if cond else "true",
         )
+        txlog.refresh_table(spark, name)
+        return dict(res, operation="update", table=name, path=path)
+
+    m = re.match(rf"ALTER\s+TABLE\s+({_IDENT})\s+(.+)$", sql,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        name, action = m.group(1), m.group(2).strip()
+        path = _table_path(spark, name, "ALTER TABLE")
+        res = _route_alter(spark, path, action)
+        txlog.refresh_table(spark, name)
+        return dict(res, operation="alter_table", table=name, path=path)
+
+    m = re.match(rf"OPTIMIZE\s+({_IDENT})$", sql, re.IGNORECASE)
+    if m:
+        name = m.group(1)
+        path = _table_path(spark, name, "OPTIMIZE")
+        res = txlog.optimize(spark, path)
+        txlog.refresh_table(spark, name)
+        return dict(res, operation="optimize", table=name, path=path)
+
+    m = re.match(
+        rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?$",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        name, hours = m.groups()
+        path = _table_path(spark, name, "VACUUM")
+        reaped = txlog.vacuum(
+            spark, path,
+            retention_seconds=float(hours) * 3600 if hours else 24 * 3600,
+        )
+        return {"operation": "vacuum", "table": name, "path": path,
+                "reaped": len(reaped)}
+
     return spark.sql(sql)
+
+
+def _parse_set_list(raw: str) -> dict:
+    """``SET a = e1, b = e2`` → {a: e1, b: e2}, splitting on top-level
+    commas only (expression commas inside parens stay intact)."""
+    parts, depth, cur = [], 0, []
+    for ch in raw:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out = {}
+    for p in parts:
+        m = re.fullmatch(rf"\s*({_IDENT})\s*=\s*(.+?)\s*", p, re.DOTALL)
+        if not m:
+            raise SqlDmlError(f"UPDATE: cannot parse SET item {p.strip()!r}")
+        out[m.group(1)] = m.group(2)
+    return out
+
+
+def _route_alter(spark: SparkSession, path: str, action: str) -> dict:
+    m = re.fullmatch(rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})",
+                     action, re.IGNORECASE)
+    if m:
+        return txlog.rename_column(spark, path, m.group(1), m.group(2))
+    m = re.fullmatch(rf"DROP\s+COLUMN\s+({_IDENT})", action, re.IGNORECASE)
+    if m:
+        return txlog.drop_column(spark, path, m.group(1))
+    m = re.fullmatch(
+        rf"(?:ALTER|CHANGE)\s+COLUMN\s+({_IDENT})\s+TYPE\s+([A-Za-z_]+(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?)",
+        action, re.IGNORECASE,
+    )
+    if m:
+        return txlog.widen_column(spark, path, m.group(1), m.group(2))
+    m = re.fullmatch(r"SET\s+TBLPROPERTIES\s*\((.+)\)", action,
+                     re.IGNORECASE | re.DOTALL)
+    if m:
+        props = dict(
+            (k.strip().strip("'\""), v.strip().strip("'\""))
+            for k, v in (
+                kv.split("=", 1) for kv in m.group(1).split(",")
+            )
+        )
+        return txlog.set_table_properties(spark, path, props)
+    m = re.fullmatch(r"UNSET\s+TBLPROPERTIES\s*\((.+)\)", action,
+                     re.IGNORECASE | re.DOTALL)
+    if m:
+        keys = [k.strip().strip("'\"") for k in m.group(1).split(",")]
+        return txlog.set_table_properties(spark, path, {k: None for k in keys})
+    raise SqlDmlError(
+        f"ALTER TABLE: unsupported action {action!r} — RENAME COLUMN, "
+        "DROP COLUMN, ALTER/CHANGE COLUMN ... TYPE (lossless widening), "
+        "and SET/UNSET TBLPROPERTIES are routed; everything else needs "
+        "the Python API"
+    )

@@ -2426,6 +2426,133 @@ def delete_where(
     }
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    assignments: dict,
+    condition,
+    max_retries: int = 10,
+) -> dict:
+    """Transactional row-level UPDATE (Delta's ``UPDATE`` verb — the
+    remaining corner of the DML quartet): rewrite exactly the live parts
+    containing rows where ``condition`` is TRUE, applying
+    ``assignments`` ({column: SQL expression or Column}) to the matched
+    rows. Untouched parts are never read twice, let alone rewritten.
+    Returns {"version", "rows_updated", "parts_rewritten"}.
+
+    Semantics (ANSI UPDATE):
+
+    - every assignment RHS evaluates against the OLD row (one
+      ``CASE WHEN`` select, so ``SET a = b, b = a`` swaps);
+    - assigned values cast to the column's committed type
+      (store-assignment, like the SQL router's INSERT);
+    - assigning a column the schema lacks raises — an UPDATE never
+      evolves a schema;
+    - three-valued predicate: rows where the condition is NULL are NOT
+      updated (same coalesce as :func:`delete_where`).
+
+    **Change-data feed**: the commit records delete(old) + insert(new)
+    change parts, so :func:`table_changes_cdf` shows the update as
+    delete+insert at one version (the merge_upsert convention); the
+    rewritten parts are ``rewrite``-flagged, so the insert-only feed
+    ignores the operation entirely (documented contract, as for
+    deletes). Zone maps survive on unassigned columns only — assigned
+    columns' recorded ranges no longer bound the new values, so their
+    entries drop (conservatively unprunable) instead of lying.
+    Isolation is WriteSerializable via
+    :func:`_commute_past_appends_only`, identical to delete/merge."""
+    from pyspark.sql import functions as F
+
+    if not assignments:
+        raise ValueError("update_where: assignments must be non-empty")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    cond = F.coalesce(cond.cast("boolean"), F.lit(False))
+    fs = lake_fs(spark, path)
+    v0, live = _snapshot(fs, path)
+    if not live:
+        return {"version": v0, "rows_updated": 0, "parts_rewritten": 0}
+    schema = _committed_schema(fs, path, v0)
+    if schema is not None:
+        known = {f["name"]: f["type"] for f in schema["fields"]}
+        bad = sorted(set(assignments) - set(known))
+        if bad:
+            raise SchemaMismatchError(
+                f"update_where: column(s) {bad} are not in the table schema "
+                f"({sorted(known)}) — an UPDATE never evolves a schema"
+            )
+
+    def _apply(df: DataFrame) -> DataFrame:
+        # ONE select: every RHS sees the OLD row, assigned values cast
+        # to the committed column type (store-assignment)
+        from pyspark.sql import types as T
+
+        sel = []
+        for c in df.columns:
+            if c in assignments:
+                e = assignments[c]
+                e = F.expr(e) if isinstance(e, str) else e
+                if schema is not None:
+                    e = e.cast(T.StructType.fromJson(
+                        {"type": "struct",
+                         "fields": [f for f in schema["fields"] if f["name"] == c]}
+                    )[c].dataType)
+                sel.append(F.when(cond, e).otherwise(F.col(c)).alias(c))
+            else:
+                sel.append(F.col(c))
+        return df.select(*sel)
+
+    tbl = _read_live(spark, live, schema, meta=True)
+    matched = tbl.filter(cond).select("_f_path").distinct().collect()
+    touched = _owning_parts(sorted(live), [r["_f_path"] for r in matched])
+    if not touched:
+        return {"version": v0, "rows_updated": 0, "parts_rewritten": 0}
+    touched_live = {p: live[p] for p in touched}
+    old_rows = _read_live(spark, touched_live, schema).filter(cond)
+    cdc_old = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
+    _to_physical(old_rows, schema).write.mode("overwrite").parquet(cdc_old)
+    rows_updated = spark.read.parquet(cdc_old).count()
+    cdc_new = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
+    _to_physical(
+        _apply(_read_parts(spark, [cdc_old], schema)), schema
+    ).write.mode("overwrite").parquet(cdc_new)
+    assigned_phys = {_phys_of(schema, c) for c in assignments}
+    adds = []
+    for p in touched:
+        np = fs_join(_part_dir(path), uuid.uuid4().hex)
+        _to_physical(
+            _apply(_read_live(spark, {p: live[p]}, schema)), schema
+        ).write.mode("overwrite").parquet(np)
+        add = {"path": np, "partition": live[p]["partition"], "rewrite": True}
+        stats = {
+            k: v for k, v in (live[p].get("stats") or {}).items()
+            if k not in assigned_phys
+        }
+        if stats:
+            add["stats"] = stats
+        adds.append(add)
+    payload = {
+        "operation": "update_where",
+        "adds": adds,
+        "removes": touched,
+        "scope_partition": None,
+        "cdc": [
+            {"path": cdc_old, "change_type": "delete"},
+            {"path": cdc_new, "change_type": "insert"},
+        ],
+    }
+    if schema is not None:
+        payload["schema"] = schema
+    res = _commute_past_appends_only(
+        fs, path, payload, v0, max_retries, "update_where"
+    )
+    _maybe_auto_checkpoint(spark, path, res["version"])
+    return {
+        "version": res["version"],
+        "rows_updated": rows_updated,
+        "parts_rewritten": len(adds),
+    }
+
+
 def _delete_where_dv(
     spark: SparkSession, fs, path: str, cond, live: dict, v0: int,
     schema: dict | None, max_retries: int,

@@ -159,8 +159,8 @@ def test_curated_refusals_and_passthrough(spark, tmp_path):
     _twin(spark, tmp_path, "t_ref")
     with pytest.raises(SqlDmlError, match="not a registered"):
         execute_sql(spark, "DELETE FROM nowhere WHERE 1=1")
-    with pytest.raises(SqlDmlError, match="UPDATE is not routed"):
-        execute_sql(spark, "UPDATE t_ref SET val = 'x' WHERE k = 1")
+    with pytest.raises(SqlDmlError, match="not a registered"):
+        execute_sql(spark, "UPDATE nowhere SET val = 'x' WHERE k = 1")
     with pytest.raises(SqlDmlError, match="column-level SET"):
         execute_sql(spark, """
             MERGE INTO t_ref t USING t_ref s ON t.k = s.k
@@ -181,3 +181,47 @@ def test_curated_refusals_and_passthrough(spark, tmp_path):
     # non-DML passes through to spark.sql unchanged
     df = execute_sql(spark, "SELECT COUNT(*) AS n FROM t_ref")
     assert df.first()["n"] == 10
+
+
+def test_update_sql_vs_api(spark, tmp_path):
+    sql_path, api_path = _twin(spark, tmp_path, "t_upd")
+    r = execute_sql(
+        spark, "UPDATE t_upd SET val = concat(val, '!'), x = x * 2 WHERE k < 3"
+    )
+    assert r["operation"] == "update" and r["rows_updated"] == 3
+    txlog.update_where(
+        spark, api_path, {"val": "concat(val, '!')", "x": "x * 2"}, "k < 3"
+    )
+    assert _rows(read_table(spark, sql_path)) == _rows(read_table(spark, api_path))
+    # read-your-writes through the refreshed view
+    assert spark.sql("SELECT val FROM t_upd WHERE k = 0").first()[0] == "v0!"
+    # bare UPDATE (no WHERE) hits every row
+    execute_sql(spark, "UPDATE t_upd SET x = 0")
+    assert spark.sql("SELECT SUM(x) FROM t_upd").first()[0] == 0.0
+
+
+def test_alter_table_routing(spark, tmp_path):
+    _sql_path, _ = _twin(spark, tmp_path, "t_ddl")
+    execute_sql(spark, "ALTER TABLE t_ddl RENAME COLUMN val TO label")
+    assert "label" in spark.table("t_ddl").columns
+    execute_sql(spark, "ALTER TABLE t_ddl ALTER COLUMN k TYPE bigint")  # no-op widen
+    execute_sql(spark, "ALTER TABLE t_ddl DROP COLUMN x")
+    assert spark.table("t_ddl").columns == ["k", "label"]
+    execute_sql(spark, "ALTER TABLE t_ddl SET TBLPROPERTIES ('retention.keep_versions' = '5')")
+    assert txlog.table_properties(spark, _sql_path) == {
+        "retention.keep_versions": "5"
+    }
+    execute_sql(spark, "ALTER TABLE t_ddl UNSET TBLPROPERTIES ('retention.keep_versions')")
+    assert txlog.table_properties(spark, _sql_path) == {}
+    with pytest.raises(SqlDmlError, match="unsupported action"):
+        execute_sql(spark, "ALTER TABLE t_ddl ADD CONSTRAINT c CHECK (k > 0)")
+
+
+def test_optimize_and_vacuum_routing(spark, tmp_path):
+    sql_path, _ = _twin(spark, tmp_path, "t_mnt")
+    execute_sql(spark, "INSERT INTO t_mnt VALUES (700, 'x', 1.0)")
+    r = execute_sql(spark, "OPTIMIZE t_mnt")
+    assert r["operation"] == "optimize" and "compact" in r
+    r = execute_sql(spark, "VACUUM t_mnt RETAIN 0 HOURS")
+    assert r["operation"] == "vacuum" and r["reaped"] >= 0
+    assert spark.sql("SELECT COUNT(*) FROM t_mnt").first()[0] == 11
