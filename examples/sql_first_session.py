@@ -74,6 +74,27 @@ def main() -> None:
         ).first()[0]
         print(f"read-your-writes: o_orderkey=9000001 now {upd}")
 
+        r = execute_sql(
+            spark,
+            "UPDATE orders_tx SET o_totalprice = o_totalprice * 1.1 "
+            "WHERE o_orderkey >= 9000000",
+        )
+        print(f"UPDATE v{r['version']}: bumped {r['rows_updated']} rows")
+
+        execute_sql(spark, "ALTER TABLE orders_tx RENAME COLUMN o_totalprice TO amount")
+        execute_sql(spark, "ALTER TABLE orders_tx ALTER COLUMN o_custkey TYPE bigint")
+        top = execute_sql(
+            spark,
+            "SELECT o_orderkey, amount FROM orders_tx ORDER BY amount DESC LIMIT 1",
+        ).first()
+        print(f"after rename+widen: top order {top['o_orderkey']} at {round(top['amount'], 2)}")
+
+        r = execute_sql(spark, "OPTIMIZE orders_tx")
+        print(f"OPTIMIZE: {r['compact']['parts_before']} parts -> "
+              f"{r['compact']['parts_after']}")
+        r = execute_sql(spark, "VACUUM orders_tx RETAIN 0 HOURS")
+        print(f"VACUUM reaped {r['reaped']} unreferenced part(s)")
+
         feed = txlog.table_changes_cdf(spark, table, r["version"] - 1)
         print("change feed for the merge:",
               sorted((x["o_orderkey"], x["_change_type"])
