@@ -65,7 +65,8 @@ def main() -> None:
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED AND NOT s._deleted THEN INSERT *
         """)
-        print(f"MERGE v{r['version']}: updated={r['rows_updated']} "
+        merge_version = r["version"]
+        print(f"MERGE v{merge_version}: updated={r['rows_updated']} "
               f"inserted={r['rows_inserted']} deleted={r['rows_deleted']}")
 
         upd = execute_sql(
@@ -95,7 +96,9 @@ def main() -> None:
         r = execute_sql(spark, "VACUUM orders_tx RETAIN 0 HOURS")
         print(f"VACUUM reaped {r['reaped']} unreferenced part(s)")
 
-        feed = txlog.table_changes_cdf(spark, table, r["version"] - 1)
+        feed = txlog.table_changes_cdf(
+            spark, table, merge_version - 1, merge_version
+        )
         print("change feed for the merge:",
               sorted((x["o_orderkey"], x["_change_type"])
                      for x in feed.select("o_orderkey", "_change_type").collect()))
