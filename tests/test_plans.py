@@ -414,6 +414,7 @@ def test_every_driver_fetch_is_limit_guarded_or_audited():
         # the data rewrite itself stays fully distributed
         ("txlog.py", "delete_where"),
         ("txlog.py", "merge_upsert"),
+        ("txlog.py", "update_where"),  # same touched-part discovery shape
         # clustered compaction's per-range zone maps: ONE grouped
         # min/max job whose result is one row per emitted range —
         # manifest-sized (ceil(group_bytes / target_file_bytes) rows of
