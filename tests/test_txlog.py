@@ -1870,3 +1870,92 @@ def test_cdf_column_order_schema_then_metadata_last(spark, tmp_path):
     assert feed.columns == ["k", "b", "c", "_change_type", "_commit_version"]
     rows = {(r["k"], r["_change_type"]) for r in feed.collect()}
     assert rows == {(1, "insert"), (2, "insert"), (1, "delete")}
+
+
+def test_mixed_stress_with_update_and_clausal_merge(spark, tmp_path):
+    """round-10 extension of the serializability stress: four writers
+    interleave appends, CLAUSAL merges (tombstones + conditional
+    updates), row-level UPDATEs, and predicate deletes, each retrying
+    through CommitConflict. Invariant unchanged: version-ordered CDF
+    replay reconstructs the final table as an exact multiset, and the
+    snapshot replay validates every remove in the history."""
+    from collections import Counter
+
+    from es_analytics_spark.txlog import (
+        delete_where,
+        merge_upsert,
+        table_changes_cdf,
+        update_where,
+    )
+
+    path = str(tmp_path / "t")
+    append(
+        spark, path,
+        spark.range(0, 60).select("id", (F.col("id") % 10).alias("val")),
+    )
+    errs: list[Exception] = []
+
+    def with_retries(fn) -> None:
+        for _ in range(15):
+            try:
+                fn()
+                return
+            except CommitConflict:
+                time.sleep(0.01)
+        errs.append(RuntimeError("retry budget exhausted"))
+
+    def appender() -> None:
+        for i in range(3):
+            lo = 1000 + i * 100
+            append(
+                spark, path,
+                spark.range(lo, lo + 40).select("id", (F.col("id") % 10).alias("val")),
+            )
+
+    def clausal_merger() -> None:
+        for i in range(3):
+            upd = spark.range(i * 10, i * 10 + 20).select(
+                "id",
+                F.lit(700 + i).cast("long").alias("val"),
+                (F.col("id") % 7 == 0).alias("_gone"),
+            )
+            with_retries(lambda u=upd: merge_upsert(
+                spark, path, u, keys=["id"],
+                when_matched_delete="_gone",
+                when_not_matched_insert="NOT _gone",
+                drop_cols=["_gone"],
+            ))
+
+    def updater() -> None:
+        for i in range(3):
+            with_retries(lambda k=i: update_where(
+                spark, path, {"val": "val + 10000"}, f"val = {k + 3}"
+            ))
+
+    def deleter() -> None:
+        for i in range(3):
+            with_retries(lambda k=i: delete_where(
+                spark, path, f"id >= 0 and val = {k}", use_dv=(k % 2 == 0)
+            ))
+
+    threads = [
+        threading.Thread(target=f)
+        for f in (appender, clausal_merger, updater, deleter)
+    ]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs, errs
+    final = Counter(
+        (r["id"], r["val"]) for r in read_table(spark, path).collect()
+    )
+    state: Counter = Counter()
+    rows = table_changes_cdf(spark, path, 0).collect()
+    for r in sorted(rows, key=lambda x: (x["_commit_version"], x["_change_type"] == "insert")):
+        k = (r["id"], r["val"])
+        if r["_change_type"] == "delete":
+            state[k] -= 1
+            if state[k] == 0:
+                del state[k]
+        else:
+            state[k] += 1
+    assert state == final
