@@ -269,23 +269,49 @@ def _pick_n_chunks(n_entries: int, prev: int | None) -> int:
     return n
 
 
-def _chunk_live(entries: list[dict], n_chunks: int) -> list[tuple[str, bytes, int]]:
+def _bucket_of(part_path: str, n_chunks: int) -> int:
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.sha256(part_path.encode("utf-8")).digest()[:8], "big"
+    ) % n_chunks
+
+
+def _chunk_live(
+    entries: list[dict],
+    n_chunks: int,
+    prev_refs: list[dict] | None = None,
+    dirty: set[int] | None = None,
+) -> list[tuple[str, bytes | None, int]]:
     """Bucket live entries into content-addressed chunk payloads:
     ``[(name, raw_bytes, n_entries)]`` in bucket order. Deterministic in
     (entry set, n_chunks) — same inputs, same chunks, same names —
     which is what makes cross-checkpoint reuse and the idempotent
     two-writer checkpoint race safe. All-empty buckets share one chunk
-    object (same content hash)."""
+    object (same content hash).
+
+    ``prev_refs``/``dirty`` make the SERIALIZATION itself O(delta):
+    when the previous checkpoint's footer (same n_chunks) and the set
+    of buckets the tail commits touched are known, clean buckets reuse
+    the previous footer's (name, n) verbatim with ``raw=None`` (no
+    serialize, no hash, no write) — only dirty buckets pay the JSON
+    dump. Sound because a bucket's content can only change through a
+    commit that adds/removes/DV-mutates a part hashing into it, and
+    the caller derives ``dirty`` from exactly those commits."""
     import hashlib
 
     buckets: list[list[dict]] = [[] for _ in range(n_chunks)]
     for e in entries:
-        h = int.from_bytes(
-            hashlib.sha256(e["path"].encode("utf-8")).digest()[:8], "big"
-        )
-        buckets[h % n_chunks].append(e)
-    out = []
-    for b in buckets:
+        buckets[_bucket_of(e["path"], n_chunks)].append(e)
+    reuse = (
+        prev_refs if prev_refs is not None and dirty is not None
+        and len(prev_refs) == n_chunks else None
+    )
+    out: list[tuple[str, bytes | None, int]] = []
+    for i, b in enumerate(buckets):
+        if reuse is not None and i not in dirty:
+            out.append((reuse[i]["name"], None, reuse[i]["n"]))
+            continue
         b.sort(key=lambda e: e["path"])
         raw = json.dumps({"live": b}, indent=0, sort_keys=True).encode("utf-8")
         name = "chunk-" + hashlib.sha256(raw).hexdigest()[:32] + ".json"
@@ -3652,9 +3678,42 @@ def checkpoint(spark: SparkSession, path: str) -> dict:
         # chunks that clean_log's retention horizon reaps.
         prev_n, _start = _folded_checkpoint(fs, path, v, "n_chunks")
         n_chunks = _pick_n_chunks(len(entries), prev_n)
+        # O(delta) serialization: with the previous footer at the same
+        # bucketing, only buckets the tail commits touched re-serialize;
+        # the rest reuse the previous footer's refs outright. prev is
+        # always >= any concurrent clean_log's cut (the cut is <= the
+        # newest checkpoint), so reused chunk files cannot be reaped
+        # under us. Any doubt (stale/missing/other-format footer, reaped
+        # tail, bucketing resize) falls back to a full serialize.
+        prev_refs, dirty = None, None
+        hint = _checkpoint_hint(fs, path)
+        if hint > 0:
+            pc = _load_checkpoint(fs, path, hint, with_live=False)
+            if (
+                pc is not None
+                and pc.get("format", 1) >= 2
+                and pc.get("n_chunks") == n_chunks
+                and pc["version"] <= v
+            ):
+                try:
+                    dirty = set()
+                    for w in range(pc["version"] + 1, v + 1):
+                        c = _read_commit(fs, path, w)
+                        for a in c.get("adds", []):
+                            dirty.add(_bucket_of(a["path"], n_chunks))
+                        for rp in c.get("removes", []):
+                            dirty.add(_bucket_of(rp, n_chunks))
+                        for d in c.get("dv", []):
+                            dirty.add(_bucket_of(d["part"], n_chunks))
+                    prev_refs = pc.get("live_chunks")
+                except FileNotFoundError:
+                    prev_refs, dirty = None, None
         names = []
-        for name, raw, cnt in _chunk_live(entries, n_chunks):
-            if fs.put_if_absent(fs_join(_log_dir(path), name), raw):
+        chunks_reused = 0
+        for name, raw, cnt in _chunk_live(entries, n_chunks, prev_refs, dirty):
+            if raw is None:
+                chunks_reused += 1
+            elif fs.put_if_absent(fs_join(_log_dir(path), name), raw):
                 chunks_written += 1
             names.append({"name": name, "n": cnt})
         payload["format"] = 2
@@ -3670,7 +3729,10 @@ def checkpoint(spark: SparkSession, path: str) -> dict:
         _checkpoint_path(path, v), json.dumps(payload, indent=0).encode("utf-8")
     )
     _advance_pointer(fs, path, v)
-    return {"version": v, "written": bool(won), "chunks_written": chunks_written}
+    out = {"version": v, "written": bool(won), "chunks_written": chunks_written}
+    if payload.get("format", 1) >= 2:
+        out["chunks_reused"] = chunks_reused
+    return out
 
 
 def vacuum(

@@ -96,10 +96,13 @@ def test_cadence_write_is_incremental(spark, tmp_path):
     assert r2["written"]
     # one part lands in one hash bucket: exactly one chunk differs
     # (plus nothing else — the other buckets' content is unchanged, and
-    # the sticky n_chunks means no boundary reshuffle)
+    # the sticky n_chunks means no boundary reshuffle). The clean
+    # buckets were REUSED from the previous footer without even
+    # re-serializing (O(delta) cadence CPU, not just O(delta) writes).
     assert r2["chunks_written"] == 1, r2
     ck1, ck2 = _footer(path, 20), _footer(path, 21)
     assert ck1["n_chunks"] == ck2["n_chunks"]
+    assert r2["chunks_reused"] == ck1["n_chunks"] - 1, r2
     n1 = {c["name"] for c in ck1["live_chunks"]}
     n2 = {c["name"] for c in ck2["live_chunks"]}
     assert len(n2 - n1) == 1  # shared content, one fresh chunk
