@@ -140,31 +140,117 @@ def _insert_frame(spark: SparkSession, path: str, df: DataFrame,
         # a subset column list means the omitted columns null-fill —
         # append's evolve contract, provably additive-only here
         return out, bool(table_cols) and len(cols) < len(table_cols)
-    if table_cols is None or set(df.columns) == set(table_cols):
+    if table_cols is None:
         return _assign(df), False
     if len(df.columns) == len(table_cols):
-        # positional binding (VALUES produces col1..colN)
+        # ANSI ordinal binding: INSERT without a column list assigns by
+        # POSITION, exactly like spark.sql / any SQL engine — even when
+        # the query's names coincide with the table's in another order
+        # (name-binding here would make the same statement return
+        # different data than the engine it claims parity with)
         return _assign(df.toDF(*table_cols)), False
     raise SqlDmlError(
-        f"INSERT: query columns {df.columns} match the table schema "
-        f"{table_cols} neither by name nor by arity — name the target "
-        "columns: INSERT INTO t (c1, c2, ...) ..."
+        f"INSERT: query produces {len(df.columns)} column(s) "
+        f"({df.columns}) for a {len(table_cols)}-column table "
+        f"({table_cols}) — name the target columns: "
+        "INSERT INTO t (c1, c2, ...) ..."
     )
+
+
+def _scan_top_level(s: str):
+    """Yield (index, char) for characters at paren depth 0 OUTSIDE
+    string literals (single quotes with '' escaping, double quotes,
+    backticks) — the quote/paren awareness every splitter here needs."""
+    depth = 0
+    quote: str | None = None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote is not None:
+            if ch == quote:
+                if quote == "'" and i + 1 < n and s[i + 1] == "'":
+                    i += 2  # escaped '' inside a single-quoted literal
+                    continue
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"`":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0:
+            yield i, ch
+        i += 1
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at depth 0 outside string literals — a comma in
+    ``'Smith, John'`` or inside ``f(a, b)`` never splits."""
+    parts, last = [], 0
+    for i, ch in _scan_top_level(s):
+        if ch == sep:
+            parts.append(s[last:i])
+            last = i + 1
+    parts.append(s[last:])
+    return parts
+
+
+def _find_top_level_word(s: str, word: str, start: int = 0) -> int:
+    """Index of the first standalone (case-insensitive) ``word`` at
+    depth 0 outside string literals, or -1."""
+    w = word.upper()
+    L = len(w)
+    for i, ch in _scan_top_level(s):
+        if i < start or ch.upper() != w[0]:
+            continue
+        if s[i:i + L].upper() != w:
+            continue
+        before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+        j = i + L
+        after_ok = j >= len(s) or not (s[j].isalnum() or s[j] == "_")
+        if before_ok and after_ok:
+            return i
+    return -1
 
 
 def _parse_merge_clauses(tail: str, src_alias: str | None,
                          tgt_alias: str | None) -> dict:
     """The WHEN clause list → merge_upsert kwargs, honoring ANSI
-    first-match-wins by condition composition."""
+    first-match-wins by condition composition. The WHOLE tail must
+    parse: any fragment the clause grammar cannot consume raises —
+    silently dropping an unrecognized clause (e.g. ``WHEN NOT MATCHED
+    BY SOURCE``) would mean silently not running part of the user's
+    DML."""
     pat = re.compile(
-        r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.*?))?\s*THEN\s+"
+        r"WHEN\s+(NOT\s+)?MATCHED(?:\s+BY\s+(TARGET|SOURCE))?"
+        r"\s*(?:AND\s+(.*?))?\s*THEN\s+"
         r"(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*|UPDATE\s+SET\s+[^W]*|INSERT\s*\([^)]*\)[^W]*)",
         re.IGNORECASE | re.DOTALL,
     )
     upd = dele = ins = None  # (position, condition)
     pos = 0
+    consumed = 0
     for m in pat.finditer(tail):
-        negated, cond, action = m.group(1), m.group(2), m.group(3).strip()
+        if tail[consumed:m.start()].strip():
+            raise SqlDmlError(
+                f"MERGE: cannot parse clause fragment "
+                f"{tail[consumed:m.start()].strip()!r} — the routed grammar "
+                "is WHEN [NOT] MATCHED [AND <cond>] THEN "
+                "UPDATE SET * | DELETE | INSERT *"
+            )
+        consumed = m.end()
+        negated, by_word, cond, action = (
+            m.group(1), m.group(2), m.group(3), m.group(4).strip()
+        )
+        if by_word is not None and by_word.upper() == "SOURCE":
+            raise SqlDmlError(
+                "MERGE: WHEN NOT MATCHED BY SOURCE is not routed (it acts "
+                "on target rows absent from the source) — use the Python "
+                "API (e.g. delete_where with an anti-join condition)"
+            )
+        # "BY TARGET" is the explicit spelling of plain NOT MATCHED
         cond = _strip_alias(cond, src_alias, tgt_alias, "MERGE") if cond else None
         act = re.sub(r"\s+", " ", action.upper())
         if negated:
@@ -191,6 +277,12 @@ def _parse_merge_clauses(tail: str, src_alias: str | None,
                 "need the Python API (txlog.merge_upsert)"
             )
         pos += 1
+    if tail[consumed:].strip():
+        raise SqlDmlError(
+            f"MERGE: cannot parse clause fragment {tail[consumed:].strip()!r}"
+            " — the routed grammar is WHEN [NOT] MATCHED [AND <cond>] THEN "
+            "UPDATE SET * | DELETE | INSERT *"
+        )
     if upd is None and dele is None and ins is None:
         raise SqlDmlError("MERGE: no WHEN clause found")
     kwargs: dict = {}
@@ -217,6 +309,74 @@ def _parse_merge_clauses(tail: str, src_alias: str | None,
         # no NOT MATCHED clause: unmatched source rows do NOT insert
         kwargs["when_not_matched_insert"] = "false"
     return kwargs
+
+
+def _take_balanced(s: str) -> tuple[str, str]:
+    """``s`` starts with '(' — return (the balanced ``(...)`` prefix,
+    the remainder), quote-aware at ANY nesting depth."""
+    depth = 0
+    quote: str | None = None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote is not None:
+            if ch == quote:
+                if quote == "'" and i + 1 < n and s[i + 1] == "'":
+                    i += 2
+                    continue
+                quote = None
+        elif ch in "'\"`":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[:i + 1], s[i + 1:]
+        i += 1
+    raise SqlDmlError("MERGE: unbalanced parentheses in USING (...)")
+
+
+def _parse_merge_stmt(sql: str):
+    """Staged MERGE parse — regex for the fixed heads, a balanced-paren
+    scan for the USING subquery (ANY nesting depth, quote-aware), and a
+    top-level split for ON vs the WHEN tail (a WHEN inside a string
+    literal or subselect never splits). Returns ``(name, t_alias,
+    source, s_alias, on, tail)`` or None when the statement is not a
+    MERGE (falls through to spark.sql for its own error)."""
+    m = re.match(
+        rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+(?!USING\b)({_IDENT}))?"
+        rf"\s+USING\s+",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        return None
+    name, t_alias = m.group(1), m.group(2)
+    rest = sql[m.end():].lstrip()
+    if rest.startswith("("):
+        source, rest = _take_balanced(rest)
+    else:
+        m2 = re.match(rf"({_IDENT})", rest)
+        if m2 is None:
+            raise SqlDmlError(f"MERGE: cannot parse USING source at {rest[:40]!r}")
+        source, rest = m2.group(1), rest[m2.end():]
+    m3 = re.match(
+        rf"\s*(?:AS\s+)?(?!ON\b)({_IDENT})\s+ON\s+", rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m3 is not None:
+        s_alias, rest = m3.group(1), rest[m3.end():]
+    else:
+        m3 = re.match(r"\s*ON\s+", rest, re.IGNORECASE | re.DOTALL)
+        if m3 is None:
+            raise SqlDmlError(
+                f"MERGE: expected [AS alias] ON ... at {rest[:40]!r}"
+            )
+        s_alias, rest = None, rest[m3.end():]
+    w = _find_top_level_word(rest, "WHEN")
+    if w < 0:
+        raise SqlDmlError("MERGE: no WHEN clause found")
+    return name, t_alias, source, s_alias, rest[:w].strip(), rest[w:]
 
 
 def _parse_on_keys(on: str, t_alias: str, s_alias: str) -> list[str]:
@@ -256,7 +416,7 @@ def execute_sql(spark: SparkSession, statement: str):
     sql = statement.strip().rstrip(";").strip()
 
     m = re.match(
-        rf"INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*(\(([^)]*)\))?\s*(.+)",
+        rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*(\(([^)]*)\))?\s*(.+)",
         sql, re.IGNORECASE | re.DOTALL,
     )
     if m:
@@ -286,14 +446,9 @@ def execute_sql(spark: SparkSession, statement: str):
         txlog.refresh_table(spark, name)
         return dict(res, operation="delete", table=name, path=path)
 
-    m = re.match(
-        rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+"
-        rf"USING\s+(\((?:[^()]|\([^()]*\))*\)|{_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+"
-        r"ON\s+(.+?)\s+(WHEN\s+.+)$",
-        sql, re.IGNORECASE | re.DOTALL,
-    )
-    if m:
-        name, t_alias, source, s_alias, on, tail = m.groups()
+    parsed = _parse_merge_stmt(sql)
+    if parsed is not None:
+        name, t_alias, source, s_alias, on, tail = parsed
         path = _table_path(spark, name, "MERGE")
         t_alias = t_alias or name
         s_alias = s_alias or (None if source.startswith("(") else source)
@@ -370,21 +525,10 @@ def execute_sql(spark: SparkSession, statement: str):
 
 def _parse_set_list(raw: str) -> dict:
     """``SET a = e1, b = e2`` → {a: e1, b: e2}, splitting on top-level
-    commas only (expression commas inside parens stay intact)."""
-    parts, depth, cur = [], 0, []
-    for ch in raw:
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    parts.append("".join(cur))
+    commas only — commas inside parens AND inside string literals
+    (``SET name = 'Smith, John'``) never split."""
     out = {}
-    for p in parts:
+    for p in _split_top_level(raw):
         m = re.fullmatch(rf"\s*({_IDENT})\s*=\s*(.+?)\s*", p, re.DOTALL)
         if not m:
             raise SqlDmlError(f"UPDATE: cannot parse SET item {p.strip()!r}")
@@ -409,12 +553,18 @@ def _route_alter(spark: SparkSession, path: str, action: str) -> dict:
     m = re.fullmatch(r"SET\s+TBLPROPERTIES\s*\((.+)\)", action,
                      re.IGNORECASE | re.DOTALL)
     if m:
-        props = dict(
-            (k.strip().strip("'\""), v.strip().strip("'\""))
-            for k, v in (
-                kv.split("=", 1) for kv in m.group(1).split(",")
-            )
-        )
+        props = {}
+        for kv in _split_top_level(m.group(1)):
+            km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'((?:[^']|'')*)'\s*"
+                              r"|\s*\"([^\"]*)\"\s*=\s*\"([^\"]*)\"\s*", kv)
+            if km is None:
+                raise SqlDmlError(
+                    f"ALTER TABLE SET TBLPROPERTIES: cannot parse {kv.strip()!r}"
+                    " — expected 'key' = 'value' pairs"
+                )
+            k = km.group(1) if km.group(1) is not None else km.group(3)
+            v = km.group(2) if km.group(2) is not None else km.group(4)
+            props[k] = v.replace("''", "'") if km.group(2) is not None else v
         return txlog.set_table_properties(spark, path, props)
     m = re.fullmatch(r"UNSET\s+TBLPROPERTIES\s*\((.+)\)", action,
                      re.IGNORECASE | re.DOTALL)

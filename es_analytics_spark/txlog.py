@@ -282,7 +282,7 @@ def _chunk_live(
     n_chunks: int,
     prev_refs: list[dict] | None = None,
     dirty: set[int] | None = None,
-) -> list[tuple[str, bytes | None, int]]:
+) -> tuple[list[tuple[str, bytes | None, int]], list[list[dict]]]:
     """Bucket live entries into content-addressed chunk payloads:
     ``[(name, raw_bytes, n_entries)]`` in bucket order. Deterministic in
     (entry set, n_chunks) — same inputs, same chunks, same names —
@@ -297,9 +297,11 @@ def _chunk_live(
     serialize, no hash, no write) — only dirty buckets pay the JSON
     dump. Sound because a bucket's content can only change through a
     commit that adds/removes/DV-mutates a part hashing into it, and
-    the caller derives ``dirty`` from exactly those commits."""
-    import hashlib
+    the caller derives ``dirty`` from exactly those commits.
 
+    Returns ``(chunks, buckets)`` — the chunk list plus the raw bucket
+    contents, so the caller can re-serialize any bucket on demand (the
+    post-publish verify-and-heal of reused chunk files)."""
     buckets: list[list[dict]] = [[] for _ in range(n_chunks)]
     for e in entries:
         buckets[_bucket_of(e["path"], n_chunks)].append(e)
@@ -312,11 +314,18 @@ def _chunk_live(
         if reuse is not None and i not in dirty:
             out.append((reuse[i]["name"], None, reuse[i]["n"]))
             continue
-        b.sort(key=lambda e: e["path"])
-        raw = json.dumps({"live": b}, indent=0, sort_keys=True).encode("utf-8")
-        name = "chunk-" + hashlib.sha256(raw).hexdigest()[:32] + ".json"
+        name, raw = _chunk_payload(b)
         out.append((name, raw, len(b)))
-    return out
+    return out, buckets
+
+
+def _chunk_payload(bucket: list[dict]) -> tuple[str, bytes]:
+    """Deterministic (content-hash name, bytes) of one live-set bucket."""
+    import hashlib
+
+    b = sorted(bucket, key=lambda e: e["path"])
+    raw = json.dumps({"live": b}, indent=0, sort_keys=True).encode("utf-8")
+    return "chunk-" + hashlib.sha256(raw).hexdigest()[:32] + ".json", raw
 
 
 #: parsed-checkpoint cache. Checkpoint files are write-once, so a parse
@@ -354,10 +363,13 @@ def _load_checkpoint(
     ck = _CKPT_CACHE.get(key)
     if ck is None:
         try:
-            raw = fs.read_bytes(cpath)
+            # a torn footer (crash mid-replace, external tamper) is
+            # "unreadable", same as an absent one — callers degrade.
+            # Broad catch: URI stores surface missing paths as Py4J
+            # errors, and the parse failure is part of the contract
+            ck = json.loads(fs.read_bytes(cpath).decode("utf-8"))
         except Exception:
             return None
-        ck = json.loads(raw.decode("utf-8"))
         if ck.get("protocol", 1) > PROTOCOL_VERSION:
             raise ProtocolVersionError(
                 f"checkpoint v{ck['version']} under {path} was written at "
@@ -500,18 +512,27 @@ def _snapshot(fs, path: str, version: int | None = None) -> tuple[int, dict[str,
 
     live: dict[str, dict] = {}
     start = 1
-    ckpts = [v for v in all_ckpts if v <= version]
-    if ckpts:
-        ck = _load_checkpoint(fs, path, ckpts[-1])
+    unreadable: list[int] = []
+    for cv in reversed([v for v in all_ckpts if v <= version]):
+        ck = _load_checkpoint(fs, path, cv)
         if ck is None:
-            raise RuntimeError(
-                f"txlog corrupt under {path}: checkpoint v{ckpts[-1]} is "
-                "listed but unreadable"
-            )
+            # torn footer or missing chunk (external tampering, a crash
+            # inside the verify-and-heal window): degrade to an OLDER
+            # checkpoint or full replay — raise only if the degradation
+            # genuinely cannot reconstruct this version (below)
+            unreadable.append(cv)
+            continue
         live = {e["path"]: _entry(e) for e in ck["live"]}
         start = ck["version"] + 1
+        break
     needed = set(range(start, version + 1)) - set(versions)
     if needed:
+        if unreadable:
+            raise RuntimeError(
+                f"txlog corrupt under {path}: checkpoint v{unreadable[0]} "
+                "is listed but unreadable, and the commits it covers "
+                f"(v{min(needed)}..v{max(needed)}) are not replayable"
+            )
         # the replay would need commits that log retention already
         # reaped and no surviving checkpoint covers this version
         raise VersionExpiredError(
@@ -2528,6 +2549,17 @@ def update_where(
         return df.select(*sel)
 
     tbl = _read_live(spark, live, schema, meta=True)
+    if schema is None:
+        # pre-schema (legacy) log: validate against the scanned columns
+        # so a typo'd assignment raises instead of silently rewriting
+        # every matched part with nothing changed
+        data_cols = [c for c in tbl.columns if c not in _META_COLS]
+        bad = sorted(set(assignments) - set(data_cols))
+        if bad:
+            raise SchemaMismatchError(
+                f"update_where: column(s) {bad} are not in the table "
+                f"({sorted(data_cols)}) — an UPDATE never evolves a schema"
+            )
     matched = tbl.filter(cond).select("_f_path").distinct().collect()
     touched = _owning_parts(sorted(live), [r["_f_path"] for r in matched])
     if not touched:
@@ -2856,8 +2888,18 @@ def merge_upsert(
         parts = sorted(live)
         tbl = _read_live(spark, live, table_schema, meta=True)
         if clausal:
-            matched_upd = _key_join(tagged, tbl.select(*keys), "left_semi")
-            unmatched_upd = _key_join(tagged, tbl.select(*keys), "left_anti")
+            # materialize the matched/unmatched split ONCE: each side's
+            # lineage joins the updates against a key scan of EVERY live
+            # part, and downstream it feeds the per-part survivor
+            # rewrites, the new-part write, and isEmpty — without the
+            # checkpoint a P-part merge would re-run the full-table key
+            # scan O(P) times
+            matched_upd = _key_join(
+                tagged, tbl.select(*keys), "left_semi"
+            ).localCheckpoint(eager=True)
+            unmatched_upd = _key_join(
+                tagged, tbl.select(*keys), "left_anti"
+            ).localCheckpoint(eager=True)
             remove_keys = matched_upd.filter(
                 F.col("__merge_del") | F.col("__merge_upd")
             ).select(*keys)
@@ -3680,11 +3722,13 @@ def checkpoint(spark: SparkSession, path: str) -> dict:
         n_chunks = _pick_n_chunks(len(entries), prev_n)
         # O(delta) serialization: with the previous footer at the same
         # bucketing, only buckets the tail commits touched re-serialize;
-        # the rest reuse the previous footer's refs outright. prev is
-        # always >= any concurrent clean_log's cut (the cut is <= the
-        # newest checkpoint), so reused chunk files cannot be reaped
-        # under us. Any doubt (stale/missing/other-format footer, reaped
-        # tail, bucketing resize) falls back to a full serialize.
+        # the rest reuse the previous footer's refs outright. A
+        # concurrent clean_log whose cut supersedes that footer could
+        # reap a reused chunk in flight — closed by the post-publish
+        # verify-and-heal below (content addressing makes the heal a
+        # deterministic re-put under the same name). Any doubt
+        # (stale/missing/other-format footer, reaped tail, bucketing
+        # resize) falls back to a full serialize.
         prev_refs, dirty = None, None
         hint = _checkpoint_hint(fs, path)
         if hint > 0:
@@ -3710,7 +3754,8 @@ def checkpoint(spark: SparkSession, path: str) -> dict:
                     prev_refs, dirty = None, None
         names = []
         chunks_reused = 0
-        for name, raw, cnt in _chunk_live(entries, n_chunks, prev_refs, dirty):
+        chunks, buckets = _chunk_live(entries, n_chunks, prev_refs, dirty)
+        for name, raw, cnt in chunks:
             if raw is None:
                 chunks_reused += 1
             elif fs.put_if_absent(fs_join(_log_dir(path), name), raw):
@@ -3732,6 +3777,25 @@ def checkpoint(spark: SparkSession, path: str) -> dict:
     out = {"version": v, "written": bool(won), "chunks_written": chunks_written}
     if payload.get("format", 1) >= 2:
         out["chunks_reused"] = chunks_reused
+        if chunks_reused:
+            # verify-and-heal AFTER the footer is durable: a clean_log
+            # racing this write may have reaped a reused chunk whose
+            # only reference was the footer we superseded. Once OUR
+            # footer is listed, every retention pass protects its refs;
+            # anything reaped before that re-serializes to the SAME
+            # bytes (clean buckets are identical by construction) and is
+            # re-put under the footer's recorded name — healing every
+            # checkpoint that references it. O(reused) stats per
+            # cadence, payload writes only for actual gaps.
+            for i, (name, raw, _cnt) in enumerate(chunks):
+                if raw is not None:
+                    continue
+                cpath = fs_join(_log_dir(path), name)
+                if not fs.exists(cpath):
+                    _hname, hraw = _chunk_payload(buckets[i])
+                    fs.put_if_absent(cpath, hraw)
+                    chunks_written += 1
+            out["chunks_written"] = chunks_written
     return out
 
 
@@ -3908,7 +3972,12 @@ def clean_log(
     # live-set chunks: keep everything any SURVIVING footer references
     # (content addressing means a chunk can back several checkpoints);
     # unreferenced chunks are superseded content or a crashed writer's
-    # debris — reaped past the in-flight horizon
+    # debris — reaped past the in-flight horizon. The fresh listing here
+    # (taken AFTER the doomed deletions) narrows the race with an
+    # in-flight checkpointer reusing a superseded footer's chunks, and
+    # the checkpointer's post-publish verify-and-heal re-creates any
+    # reused chunk reaped in the remaining window (content-addressed
+    # names make the heal byte-identical)
     referenced: set[str] = set()
     for cv in _list_versions(fs, path, prefix="checkpoint.v"):
         ck = _load_checkpoint(fs, path, cv, with_live=False)

@@ -225,3 +225,82 @@ def test_optimize_and_vacuum_routing(spark, tmp_path):
     r = execute_sql(spark, "VACUUM t_mnt RETAIN 0 HOURS")
     assert r["operation"] == "vacuum" and r["reaped"] >= 0
     assert spark.sql("SELECT COUNT(*) FROM t_mnt").first()[0] == 11
+
+
+def test_review_fixes_parser_robustness(spark, tmp_path):
+    """Round-10 self-review fixes: unparseable MERGE clauses raise
+    instead of silently dropping; BY SOURCE refused honestly; BY TARGET
+    accepted; deep USING subqueries route; quoted commas survive SET
+    and TBLPROPERTIES; INSERT INTO TABLE spelling works."""
+    sql_path, _ = _twin(spark, tmp_path, "t_rob")
+    spark.createDataFrame(
+        [(1, "v1b", 11.0), (70, "new", 7.0)], "k long, val string, x double"
+    ).createOrReplaceTempView("rob_src")
+
+    # silently-dropped clause fragments are now loud parse errors
+    with pytest.raises(SqlDmlError, match="cannot parse clause fragment"):
+        execute_sql(spark, """
+            MERGE INTO t_rob t USING rob_src s ON t.k = s.k
+            WHEN MATCHED THEN DELETE
+            GARBAGE TRAILING WORDS
+        """)
+    with pytest.raises(SqlDmlError, match="unsupported NOT MATCHED action"):
+        execute_sql(spark, """
+            MERGE INTO t_rob t USING rob_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT (k, val) VALUES (s.k, s.val)
+        """)
+    with pytest.raises(SqlDmlError, match="BY SOURCE"):
+        execute_sql(spark, """
+            MERGE INTO t_rob t USING rob_src s ON t.k = s.k
+            WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """)
+    # BY TARGET = the explicit spelling of plain NOT MATCHED
+    r = execute_sql(spark, """
+        MERGE INTO t_rob t USING rob_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY TARGET THEN INSERT *
+    """)
+    assert (r["rows_updated"], r["rows_inserted"]) == (1, 1)
+
+    # deep paren nesting in the USING subquery routes (used to fall
+    # through to spark.sql with an opaque error)
+    r = execute_sql(spark, """
+        MERGE INTO t_rob t
+        USING (SELECT k, val, x FROM rob_src WHERE coalesce(x, abs((1))) > 0) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+    """)
+    assert r["rows_updated"] == 2
+
+    # quoted comma in a SET literal
+    r = execute_sql(spark, "UPDATE t_rob SET val = 'Smith, John' WHERE k = 2")
+    assert r["rows_updated"] == 1
+    assert spark.sql("SELECT val FROM t_rob WHERE k = 2").first()[0] == "Smith, John"
+
+    # quoted comma (and escaped quote) in TBLPROPERTIES values
+    execute_sql(
+        spark,
+        "ALTER TABLE t_rob SET TBLPROPERTIES ('a' = 'x,y', 'b' = 'it''s')",
+    )
+    assert txlog.table_properties(spark, sql_path) == {"a": "x,y", "b": "it's"}
+    with pytest.raises(SqlDmlError, match="cannot parse"):
+        execute_sql(spark, "ALTER TABLE t_rob SET TBLPROPERTIES (k = v)")
+
+    # the INSERT INTO TABLE spelling
+    execute_sql(spark, "INSERT INTO TABLE t_rob VALUES (500, 'x', 1.0)")
+    assert spark.sql("SELECT COUNT(*) FROM t_rob WHERE k = 500").first()[0] == 1
+
+
+def test_insert_without_column_list_binds_positionally(spark, tmp_path):
+    """ANSI ordinal binding: INSERT ... SELECT assigns by position even
+    when the query's column names coincide with the table's in another
+    order — parity with spark.sql, not name-matching magic."""
+    sql_path, _ = _twin(spark, tmp_path, "t_pos")
+    # table columns are (k, val, x); select (x, val, k)-typed values
+    # positionally compatible: k <- 777, val <- 'p', x <- 3.5
+    execute_sql(spark, "INSERT INTO t_pos SELECT 777L AS x, 'p' AS val, 3.5D AS k")
+    row = spark.sql("SELECT k, val, x FROM t_pos WHERE k = 777").first()
+    assert (row["k"], row["val"], row["x"]) == (777, "p", 3.5)
+    with pytest.raises(SqlDmlError, match="name the target columns"):
+        execute_sql(spark, "INSERT INTO t_pos SELECT 1L, 'q'")

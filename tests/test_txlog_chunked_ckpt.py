@@ -249,3 +249,70 @@ def test_streaming_source_over_chunked_table(spark, tmp_path):
     q.awaitTermination(120)
     assert q.exception() is None
     assert sorted(r["id"] for r in rows) == list(range(9000, 9005))
+
+
+def test_reused_chunk_reaped_midflight_heals_after_publish(spark, tmp_path):
+    """Self-review fix: a clean_log racing a cadence checkpoint can reap
+    a chunk the checkpoint REUSES from the superseded footer. The
+    post-publish verify re-creates it byte-identically (content-
+    addressed name), healing every footer that references it."""
+    path = str(tmp_path / "t")
+    _grow(spark, path, 20)
+    checkpoint(spark, path)
+    append(spark, path, _ids(spark, 5000, 5010))
+    ck1 = _footer(path, 20)
+    reused_names = {c["name"] for c in ck1["live_chunks"]}
+
+    real = LocalFS.put_if_absent
+    state = {"reaped": None}
+
+    def reap_before_footer(self, p, data):
+        if "checkpoint.v" in p and state["reaped"] is None:
+            # simulate the racing clean_log: delete one chunk the new
+            # footer is about to reference via reuse
+            victim = sorted(reused_names)[0]
+            vpath = os.path.join(path, "_txlog", victim)
+            os.remove(vpath)
+            state["reaped"] = victim
+        return real(self, p, data)
+
+    import pytest as _p
+
+    _p.MonkeyPatch().setattr(LocalFS, "put_if_absent", reap_before_footer)
+    try:
+        r = checkpoint(spark, path)
+    finally:
+        LocalFS.put_if_absent = real
+    assert state["reaped"] is not None
+    # the heal re-created the reaped chunk under its recorded name
+    assert os.path.exists(os.path.join(path, "_txlog", state["reaped"]))
+    assert r["chunks_written"] >= 1  # the dirty bucket + the heal
+    txlog._CKPT_CACHE.clear()
+    assert read_table(spark, path).count() == 210
+    # the SUPERSEDED footer is healed too (same content-addressed file)
+    txlog._CKPT_CACHE.clear()
+    assert read_table(spark, path, version=20).count() == 200
+
+
+def test_snapshot_degrades_past_unreadable_checkpoint(spark, tmp_path):
+    """Self-review fix: a torn/unreadable newest checkpoint no longer
+    kills the read when the commits (or an older checkpoint) can still
+    reconstruct the version — corruption raises ONLY when the replay is
+    genuinely impossible."""
+    path = str(tmp_path / "t")
+    _grow(spark, path, 20)
+    checkpoint(spark, path)
+    # corrupt the footer (commits all retained -> full replay works)
+    fpath = os.path.join(path, "_txlog", "checkpoint.v000020.json")
+    open(fpath, "w").write("{torn")
+    txlog._CKPT_CACHE.clear()
+    assert read_table(spark, path).count() == 200
+    assert read_table(spark, path, version=10).count() == 100
+    # now reap the commits: the torn checkpoint is genuinely required
+    os.remove(fpath)
+    checkpoint(spark, path)
+    clean_log(spark, path)
+    open(os.path.join(path, "_txlog", "checkpoint.v000020.json"), "w").write("{torn")
+    txlog._CKPT_CACHE.clear()
+    with pytest.raises(RuntimeError, match="unreadable"):
+        read_table(spark, path, version=20)

@@ -161,3 +161,30 @@ def test_update_noop_when_nothing_matches(spark, tmp_path):
     r = update_where(spark, path, {"x": "0"}, "k > 999")
     assert r == {"version": v0, "rows_updated": 0, "parts_rewritten": 0}
     assert current_version(spark, path) == v0
+
+
+def test_update_validates_columns_on_preschema_tables(spark, tmp_path):
+    """Self-review fix: a legacy (pre-schema) log still refuses a typo'd
+    assignment instead of silently rewriting parts with nothing
+    changed."""
+    import json
+
+    from es_analytics_spark.sources.fsio import LocalFS
+    from es_analytics_spark.txlog import _part_dir, _try_commit
+    from es_analytics_spark.sources.fsio import join as fs_join
+
+    path = str(tmp_path / "t")
+    part = fs_join(_part_dir(path), "legacy0")
+    spark.range(0, 10).select(F.col("id").alias("k")).write.parquet(part)
+    assert _try_commit(LocalFS(), path, 1, {
+        "operation": "append", "adds": [{"path": part, "partition": {}}],
+        "removes": [], "scope_partition": None,  # NO schema key: legacy
+    })
+    assert txlog.table_schema(spark, path) is None
+    with pytest.raises(SchemaMismatchError, match="never evolves"):
+        update_where(spark, path, {"typo_col": "1"}, "k >= 0")
+    r = update_where(spark, path, {"k": "k + 100"}, "k < 3")
+    assert r["rows_updated"] == 3
+    assert sorted(x["k"] for x in read_table(spark, path).collect()) == [
+        3, 4, 5, 6, 7, 8, 9, 100, 101, 102
+    ]
