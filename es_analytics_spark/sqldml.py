@@ -24,6 +24,9 @@ curated error naming the restriction and the Python-API escape hatch):
   :func:`txlog.widen_column` / :func:`txlog.set_table_properties`
 - ``OPTIMIZE <table>`` → :func:`txlog.optimize` (policy-driven);
   ``VACUUM <table> [RETAIN n HOURS]`` → :func:`txlog.vacuum`
+- ``DESCRIBE HISTORY <table>`` → :func:`txlog.history` as a DataFrame;
+  ``RESTORE TABLE <table> TO VERSION AS OF n`` → :func:`txlog.restore`
+  (with ``cdc=True`` so the change feed stays replayable across it)
 - ``MERGE INTO <table> [AS] t USING <view|(subquery)> [AS] s
   ON t.k = s.k [AND …]
   [WHEN MATCHED [AND <c>] THEN UPDATE SET *]
@@ -51,6 +54,7 @@ driver-side data path.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -497,6 +501,31 @@ def execute_sql(spark: SparkSession, statement: str):
         res = _route_alter(spark, path, action)
         txlog.refresh_table(spark, name)
         return dict(res, operation="alter_table", table=name, path=path)
+
+    m = re.match(rf"DESCRIBE\s+HISTORY\s+({_IDENT})$", sql, re.IGNORECASE)
+    if m:
+        name = m.group(1)
+        path = _table_path(spark, name, "DESCRIBE HISTORY")
+        hist = txlog.history(spark, path)
+        return spark.createDataFrame(
+            [(h["version"], h["operation"], h["n_adds"], h["n_removes"],
+              json.dumps(h["partition"]) if h["partition"] else None,
+              float(h["ts"]) if h.get("ts") is not None else None)
+             for h in hist],
+            "version long, operation string, n_adds long, n_removes long, "
+            "scope_partition string, ts double",
+        )
+
+    m = re.match(
+        rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$",
+        sql, re.IGNORECASE,
+    )
+    if m:
+        name, version = m.group(1), int(m.group(2))
+        path = _table_path(spark, name, "RESTORE TABLE")
+        res = txlog.restore(spark, path, version, cdc=True)
+        txlog.refresh_table(spark, name)
+        return dict(res, operation="restore", table=name, path=path)
 
     m = re.match(rf"OPTIMIZE\s+({_IDENT})$", sql, re.IGNORECASE)
     if m:

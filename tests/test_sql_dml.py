@@ -304,3 +304,26 @@ def test_insert_without_column_list_binds_positionally(spark, tmp_path):
     assert (row["k"], row["val"], row["x"]) == (777, "p", 3.5)
     with pytest.raises(SqlDmlError, match="name the target columns"):
         execute_sql(spark, "INSERT INTO t_pos SELECT 1L, 'q'")
+
+
+def test_describe_history_and_restore_table(spark, tmp_path):
+    sql_path, _ = _twin(spark, tmp_path, "t_hist")
+    execute_sql(spark, "INSERT INTO t_hist VALUES (50, 'x', 1.0)")   # v2
+    execute_sql(spark, "DELETE FROM t_hist WHERE k = 0")             # v3
+    hist = execute_sql(spark, "DESCRIBE HISTORY t_hist")
+    ops = [(r["version"], r["operation"]) for r in hist.collect()]
+    assert ops == [(1, "append"), (2, "append"), (3, "delete_where")]
+    r = execute_sql(spark, "RESTORE TABLE t_hist TO VERSION AS OF 2")
+    assert r["operation"] == "restore" and r["restored_to"] == 2
+    # read-your-writes: the view re-pinned at the restored snapshot
+    assert spark.sql("SELECT COUNT(*) FROM t_hist").first()[0] == 11
+    # cdc restore keeps the row-level feed replayable across the undo:
+    # the NET of the restore window is exactly the one un-deleted row
+    # (part-level materialization emits delete(survivors)+insert(originals))
+    from collections import Counter
+
+    net: Counter = Counter()
+    for x in txlog.table_changes_cdf(spark, sql_path, 3).collect():
+        net[x["k"]] += 1 if x["_change_type"] == "insert" else -1
+    assert {k for k, n in net.items() if n != 0} == {0}
+    assert net[0] == 1
