@@ -269,10 +269,12 @@ def test_reused_chunk_reaped_midflight_heals_after_publish(spark, tmp_path):
     def reap_before_footer(self, p, data):
         if "checkpoint.v" in p and state["reaped"] is None:
             # simulate the racing clean_log: delete one chunk the new
-            # footer is about to reference via reuse
-            victim = sorted(reused_names)[0]
-            vpath = os.path.join(path, "_txlog", victim)
-            os.remove(vpath)
+            # footer is about to reference via REUSE (parse the footer
+            # being published — the dirty bucket's fresh chunk is not a
+            # reuse and would not exercise the heal)
+            new_names = {c["name"] for c in json.loads(data)["live_chunks"]}
+            victim = sorted(new_names & reused_names)[0]
+            os.remove(os.path.join(path, "_txlog", victim))
             state["reaped"] = victim
         return real(self, p, data)
 
