@@ -78,19 +78,52 @@ def _table_path(spark: SparkSession, name: str, verb: str) -> str:
     return path
 
 
+def _quote_segments(s: str) -> list[tuple[bool, str]]:
+    """Split into (is_string_literal, text) segments so alias handling
+    never touches quoted content (``val = 's.x'`` keeps its literal)."""
+    out: list[tuple[bool, str]] = []
+    quote: str | None = None
+    start = 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote is None and ch in "'\"`":
+            out.append((False, s[start:i]))
+            start, quote = i, ch
+        elif quote is not None and ch == quote:
+            if quote == "'" and i + 1 < n and s[i + 1] == "'":
+                i += 2
+                continue
+            out.append((True, s[start:i + 1]))
+            start, quote = i + 1, None
+        i += 1
+    out.append((quote is not None, s[start:]))
+    return out
+
+
 def _strip_alias(cond: str, src_alias: str | None, tgt_alias: str | None,
                  what: str) -> str:
     """Clause conditions evaluate over the SOURCE row: strip the source
-    alias qualifier, refuse target-qualified references honestly."""
-    if tgt_alias and re.search(rf"\b{re.escape(tgt_alias)}\s*\.", cond):
-        raise SqlDmlError(
-            f"{what}: clause conditions evaluate over the source row only "
-            f"(found a {tgt_alias!r}-qualified reference); conditions over "
-            "the target row need the Python API (txlog.merge_upsert)"
-        )
-    if src_alias:
-        cond = re.sub(rf"\b{re.escape(src_alias)}\s*\.", "", cond)
-    return cond.strip()
+    alias qualifier, refuse target-qualified references honestly.
+    String literals pass through untouched (an alias-lookalike inside
+    quotes is data, not a reference)."""
+    segs = _quote_segments(cond)
+    out = []
+    for is_lit, text in segs:
+        if is_lit:
+            out.append(text)
+            continue
+        if tgt_alias and re.search(rf"\b{re.escape(tgt_alias)}\s*\.", text):
+            raise SqlDmlError(
+                f"{what}: clause conditions evaluate over the source row "
+                f"only (found a {tgt_alias!r}-qualified reference); "
+                "conditions over the target row need the Python API "
+                "(txlog.merge_upsert)"
+            )
+        if src_alias:
+            text = re.sub(rf"\b{re.escape(src_alias)}\s*\.", "", text)
+        out.append(text)
+    return "".join(out).strip()
 
 
 def _cast_to_table(spark: SparkSession, path: str, df: DataFrame, st=None) -> DataFrame:

@@ -327,3 +327,23 @@ def test_describe_history_and_restore_table(spark, tmp_path):
         net[x["k"]] += 1 if x["_change_type"] == "insert" else -1
     assert {k for k, n in net.items() if n != 0} == {0}
     assert net[0] == 1
+
+
+def test_clause_condition_string_literal_with_alias_lookalike(spark, tmp_path):
+    """An alias-lookalike INSIDE a string literal is data: 's.x' in a
+    condition literal must not be stripped to 'x' (and a 't.' inside a
+    literal must not trip the target-reference refusal)."""
+    _twin(spark, tmp_path, "t_lit")
+    spark.createDataFrame(
+        [(1, "s.x", 1.0), (2, "t.y", 2.0)], "k long, val string, x double"
+    ).createOrReplaceTempView("lit_src")
+    r = execute_sql(spark, """
+        MERGE INTO t_lit t USING lit_src s ON t.k = s.k
+        WHEN MATCHED AND s.val = 's.x' THEN DELETE
+        WHEN MATCHED AND s.val = 't.y' THEN UPDATE SET *
+    """)
+    assert (r["rows_deleted"], r["rows_updated"]) == (1, 1)
+    got = {x["k"]: x["val"] for x in read_table(
+        spark, txlog.registered_table_path(spark, "t_lit")
+    ).collect()}
+    assert 1 not in got and got[2] == "t.y"

@@ -318,3 +318,35 @@ def test_snapshot_degrades_past_unreadable_checkpoint(spark, tmp_path):
     txlog._CKPT_CACHE.clear()
     with pytest.raises(RuntimeError, match="unreadable"):
         read_table(spark, path, version=20)
+
+
+def test_concurrent_checkpointers_idempotent_over_chunks(spark, tmp_path):
+    """Two writers hitting the cadence together: chunk names are a
+    deterministic function of (live set, n_chunks), so the race is
+    idempotent — exactly one footer wins, both reference the same
+    chunks, no torn state, and readers see one consistent snapshot."""
+    import threading
+
+    path = str(tmp_path / "t")
+    _grow(spark, path, 20)
+    results: list[dict] = []
+    errs: list[Exception] = []
+
+    def ck():
+        try:
+            results.append(checkpoint(spark, path))
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=ck) for _ in range(3)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs, errs
+    assert sum(1 for r in results if r["written"]) == 1  # one footer won
+    assert {r["version"] for r in results} == {20}
+    txlog._CKPT_CACHE.clear()
+    assert read_table(spark, path).count() == 200
+    res = clean_log(spark, path)
+    assert res["cut"] == 20 and res["removed_chunks"] == 0
+    txlog._CKPT_CACHE.clear()
+    assert read_table(spark, path).count() == 200
