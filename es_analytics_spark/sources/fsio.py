@@ -296,7 +296,20 @@ class HadoopFS:
         return False
 
     def read_bytes(self, path: str) -> bytes:
-        stream = self._fs.open(self._jpath(path))
+        """Raw bytes, with a missing path raised as the PYTHON
+        FileNotFoundError — same contract as LocalFS.read_bytes and
+        HadoopFS.mtime. Without the translation, every read_bytes
+        consumer that handles a vanished object (checkpoint's O(delta)
+        dirty-scan fallback, _read_commit_retained's curated
+        VersionExpiredError) would see an opaque Py4JJavaError on URI
+        stores — the deployment target — and crash instead of taking
+        its documented recovery path."""
+        try:
+            stream = self._fs.open(self._jpath(path))
+        except Exception as e:
+            if self._is_not_found(e):
+                raise FileNotFoundError(path) from e
+            raise
         try:
             # one JVM round-trip; commons-io ships with Hadoop
             return bytes(self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))

@@ -28,18 +28,29 @@ curated error naming the restriction and the Python-API escape hatch):
   ``RESTORE TABLE <table> TO VERSION AS OF n`` → :func:`txlog.restore`
   (with ``cdc=True`` so the change feed stays replayable across it)
 - ``MERGE INTO <table> [AS] t USING <view|(subquery)> [AS] s
-  ON t.k = s.k [AND …]
-  [WHEN MATCHED [AND <c>] THEN UPDATE SET *]
-  [WHEN MATCHED [AND <c>] THEN DELETE]
-  [WHEN NOT MATCHED [AND <c>] THEN INSERT *]``
-  → :func:`txlog.merge_upsert` with the clause surface. First-match-wins
-  clause order is honored by condition composition (an update clause
-  listed before a delete clause shadows it where both match, and vice
-  versa — ANSI/Delta MERGE semantics). ``SET *`` / ``INSERT *`` only:
-  the row-level rewrite replaces whole rows by key; column-level SET
-  lists are the Python API's job. Clause conditions evaluate over the
-  SOURCE row (qualify with the source alias or leave unqualified).
+  ON t.k = s.k [AND …]`` with the FULL public Delta clause grammar →
+  :func:`txlog.merge`:
+
+  - ``WHEN MATCHED [AND <c>] THEN UPDATE SET * | UPDATE SET col =
+    expr, … | DELETE`` (any number, first-match-wins in listed order);
+  - ``WHEN NOT MATCHED [BY TARGET] [AND <c>] THEN INSERT * |
+    INSERT (cols) VALUES (exprs) | INSERT VALUES (exprs)`` (the
+    column-less VALUES binds positionally over the target schema);
+  - ``WHEN NOT MATCHED BY SOURCE [AND <c>] THEN DELETE |
+    UPDATE SET col = expr, …``.
+
+  Conditions and expressions may qualify with either alias; matched
+  clauses see both rows, NOT MATCHED only the source row, BY SOURCE
+  only the target row (violations get a curated error). An
+  UNQUALIFIED column resolves source-first, then target (the
+  documented back-compat rule; qualify to disambiguate). ``SET *`` /
+  ``INSERT *`` expand over TARGET columns, so a condition-only source
+  column (a CDC ``_deleted`` flag) never enters the schema.
 - anything else → ``spark.sql(statement)`` verbatim (SELECT, DDL, …).
+  DML verbs against a table that is NOT txlog-registered but resolves
+  in the session catalog also pass through unchanged (the module
+  contract: only registered txlog tables are intercepted); an
+  unresolvable name still gets the curated registration hint.
 
 After a successful DML the registered view is re-pinned at the new
 snapshot (``refresh_table``), so the SQL user's next SELECT sees their
@@ -68,19 +79,34 @@ class SqlDmlError(ValueError):
     """A DML statement outside the documented routed subset."""
 
 
-def _table_path(spark: SparkSession, name: str, verb: str) -> str:
+def _table_path(spark: SparkSession, name: str, verb: str) -> str | None:
+    """Resolve a DML target. Registered txlog table → its path. A name
+    that is NOT registered but resolves in the session catalog returns
+    None — the caller passes the statement to ``spark.sql`` unchanged
+    (the module contract: only txlog tables are intercepted). A name
+    resolving nowhere gets the curated registration hint."""
     path = txlog.registered_table_path(spark, name)
-    if path is None:
-        raise SqlDmlError(
-            f"{verb}: {name!r} is not a registered txlog table in this "
-            "session — call txlog.register_table(spark, name, path) first"
-        )
-    return path
+    if path is not None:
+        return path
+    try:
+        in_catalog = spark.catalog.tableExists(name)
+    except Exception:
+        in_catalog = False
+    if in_catalog:
+        return None
+    raise SqlDmlError(
+        f"{verb}: {name!r} is not a registered txlog table in this "
+        "session (and resolves to no catalog table) — call "
+        "txlog.register_table(spark, name, path) first"
+    )
 
 
 def _quote_segments(s: str) -> list[tuple[bool, str]]:
     """Split into (is_string_literal, text) segments so alias handling
-    never touches quoted content (``val = 's.x'`` keeps its literal)."""
+    never touches quoted content (``val = 's.x'`` keeps its literal).
+    Doubled-quote escaping is honored for ALL three quote kinds — ``''``
+    in single quotes, ``""`` in double-quoted identifiers, ``` `` ```
+    in backticks — so an escaped quote never ends a segment early."""
     out: list[tuple[bool, str]] = []
     quote: str | None = None
     start = 0
@@ -91,7 +117,7 @@ def _quote_segments(s: str) -> list[tuple[bool, str]]:
             out.append((False, s[start:i]))
             start, quote = i, ch
         elif quote is not None and ch == quote:
-            if quote == "'" and i + 1 < n and s[i + 1] == "'":
+            if i + 1 < n and s[i + 1] == quote:
                 i += 2
                 continue
             out.append((True, s[start:i + 1]))
@@ -101,29 +127,87 @@ def _quote_segments(s: str) -> list[tuple[bool, str]]:
     return out
 
 
-def _strip_alias(cond: str, src_alias: str | None, tgt_alias: str | None,
-                 what: str) -> str:
-    """Clause conditions evaluate over the SOURCE row: strip the source
-    alias qualifier, refuse target-qualified references honestly.
-    String literals pass through untouched (an alias-lookalike inside
-    quotes is data, not a reference)."""
-    segs = _quote_segments(cond)
+_SQL_WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _rewrite_expr(expr: str, alias_map: dict, bare, refuse: dict,
+                  what: str) -> str:
+    """Rewrite a clause condition / SET / VALUES expression onto the
+    engine's two row structs: the statement's aliases map to ``t`` /
+    ``s`` (``alias_map``: {lower_alias: "t"|"s"}), a qualification with
+    an alias the clause may not see raises the curated message
+    (``refuse``: {lower_alias: message}), and a BARE identifier is
+    resolved by ``bare(lower_name) -> "t"|"s"|None|SqlDmlError-message``
+    (None leaves it untouched — a function name, SQL keyword, or
+    CAST-type is not a column reference). String literals pass through
+    byte-identical; a word followed by ``(`` is a function call; a word
+    preceded or followed by ``.`` is already part of a qualified chain."""
     out = []
-    for is_lit, text in segs:
+    for is_lit, text in _quote_segments(expr):
         if is_lit:
             out.append(text)
             continue
-        if tgt_alias and re.search(rf"\b{re.escape(tgt_alias)}\s*\.", text):
-            raise SqlDmlError(
-                f"{what}: clause conditions evaluate over the source row "
-                f"only (found a {tgt_alias!r}-qualified reference); "
-                "conditions over the target row need the Python API "
-                "(txlog.merge_upsert)"
-            )
-        if src_alias:
-            text = re.sub(rf"\b{re.escape(src_alias)}\s*\.", "", text)
-        out.append(text)
+        res: list[str] = []
+        i, n = 0, len(text)
+        while i < n:
+            m = _SQL_WORD.match(text, i)
+            if not m:
+                res.append(text[i])
+                i += 1
+                continue
+            w, j = m.group(0), m.end()
+            prev = text[i - 1] if i > 0 else ""
+            k = j
+            while k < n and text[k] in " \t\r\n":
+                k += 1
+            nxt = text[k] if k < n else ""
+            lw = w.lower()
+            if prev == ".":
+                res.append(w)  # field of an already-qualified chain
+            elif nxt == "." and lw in refuse:
+                raise SqlDmlError(f"{what}: {refuse[lw]}")
+            elif nxt == "." and lw in alias_map:
+                res.append(alias_map[lw])  # alias → struct name
+            elif nxt in ("(", "."):
+                res.append(w)  # function call / other qualified chain
+            else:
+                got = bare(lw)
+                if isinstance(got, str) and got not in ("t", "s"):
+                    raise SqlDmlError(f"{what}: {got}")
+                res.append(f"{got}.`{w}`" if got else w)
+            i = j
+        out.append("".join(res))
     return "".join(out).strip()
+
+
+def _set_items(raw: str, t_alias: str, s_alias: str, what: str) -> dict:
+    """``SET a = e, t.b = e2`` → ordered {target_col: raw_rhs}. The LHS
+    may qualify with the TARGET alias (stripped); a source-alias LHS is
+    refused (you cannot assign into the source)."""
+    out: dict[str, str] = {}
+    for p in _split_top_level(raw):
+        m = re.fullmatch(
+            rf"\s*(?:({_IDENT})\s*\.\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*",
+            p, re.DOTALL,
+        )
+        if not m:
+            raise SqlDmlError(f"{what}: cannot parse SET item {p.strip()!r}")
+        qual, col, rhs = m.groups()
+        if qual is not None:
+            if qual.lower() == s_alias.lower():
+                raise SqlDmlError(
+                    f"{what}: SET assigns into the TARGET row — "
+                    f"{qual}.{col} qualifies the source alias"
+                )
+            if qual.lower() != t_alias.lower():
+                raise SqlDmlError(
+                    f"{what}: unknown alias {qual!r} in SET target "
+                    f"{qual}.{col} (target alias is {t_alias!r})"
+                )
+        if col in out:
+            raise SqlDmlError(f"{what}: column {col!r} assigned twice in one SET")
+        out[col] = rhs
+    return out
 
 
 def _cast_to_table(spark: SparkSession, path: str, df: DataFrame, st=None) -> DataFrame:
@@ -205,8 +289,8 @@ def _scan_top_level(s: str):
         ch = s[i]
         if quote is not None:
             if ch == quote:
-                if quote == "'" and i + 1 < n and s[i + 1] == "'":
-                    i += 2  # escaped '' inside a single-quoted literal
+                if i + 1 < n and s[i + 1] == quote:
+                    i += 2  # doubled-quote escape inside the literal
                     continue
                 quote = None
             i += 1
@@ -252,100 +336,242 @@ def _find_top_level_word(s: str, word: str, start: int = 0) -> int:
     return -1
 
 
-def _parse_merge_clauses(tail: str, src_alias: str | None,
-                         tgt_alias: str | None) -> dict:
-    """The WHEN clause list → merge_upsert kwargs, honoring ANSI
-    first-match-wins by condition composition. The WHOLE tail must
-    parse: any fragment the clause grammar cannot consume raises —
-    silently dropping an unrecognized clause (e.g. ``WHEN NOT MATCHED
-    BY SOURCE``) would mean silently not running part of the user's
-    DML."""
-    pat = re.compile(
-        r"WHEN\s+(NOT\s+)?MATCHED(?:\s+BY\s+(TARGET|SOURCE))?"
-        r"\s*(?:AND\s+(.*?))?\s*THEN\s+"
-        r"(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*|UPDATE\s+SET\s+[^W]*|INSERT\s*\([^)]*\)[^W]*)",
-        re.IGNORECASE | re.DOTALL,
-    )
-    upd = dele = ins = None  # (position, condition)
+def _split_when_clauses(tail: str) -> list[str]:
+    """The WHEN tail → one string per clause, split at top-level WHEN
+    tokens (a WHEN inside a string literal, CASE expression paren, or
+    subselect never splits). The whole tail must be consumed: a
+    fragment before the first WHEN raises — silently dropping it would
+    mean silently not running part of the user's DML."""
+    starts = []
     pos = 0
-    consumed = 0
-    for m in pat.finditer(tail):
-        if tail[consumed:m.start()].strip():
-            raise SqlDmlError(
-                f"MERGE: cannot parse clause fragment "
-                f"{tail[consumed:m.start()].strip()!r} — the routed grammar "
-                "is WHEN [NOT] MATCHED [AND <cond>] THEN "
-                "UPDATE SET * | DELETE | INSERT *"
-            )
-        consumed = m.end()
-        negated, by_word, cond, action = (
-            m.group(1), m.group(2), m.group(3), m.group(4).strip()
-        )
-        if by_word is not None and by_word.upper() == "SOURCE":
-            raise SqlDmlError(
-                "MERGE: WHEN NOT MATCHED BY SOURCE is not routed (it acts "
-                "on target rows absent from the source) — use the Python "
-                "API (e.g. delete_where with an anti-join condition)"
-            )
-        # "BY TARGET" is the explicit spelling of plain NOT MATCHED
-        cond = _strip_alias(cond, src_alias, tgt_alias, "MERGE") if cond else None
-        act = re.sub(r"\s+", " ", action.upper())
-        if negated:
-            if act != "INSERT *":
-                raise SqlDmlError(
-                    f"MERGE: unsupported NOT MATCHED action {action!r} — "
-                    "INSERT * only (the merge inserts the whole source row)"
-                )
-            if ins is not None:
-                raise SqlDmlError("MERGE: multiple WHEN NOT MATCHED clauses")
-            ins = (pos, cond)
-        elif act == "UPDATE SET *":
-            if upd is not None:
-                raise SqlDmlError("MERGE: multiple WHEN MATCHED ... UPDATE clauses")
-            upd = (pos, cond)
-        elif act == "DELETE":
-            if dele is not None:
-                raise SqlDmlError("MERGE: multiple WHEN MATCHED ... DELETE clauses")
-            dele = (pos, cond)
-        else:
-            raise SqlDmlError(
-                f"MERGE: unsupported action {action!r} — UPDATE SET *, "
-                "DELETE, and INSERT * are routed; column-level SET lists "
-                "need the Python API (txlog.merge_upsert)"
-            )
-        pos += 1
-    if tail[consumed:].strip():
-        raise SqlDmlError(
-            f"MERGE: cannot parse clause fragment {tail[consumed:].strip()!r}"
-            " — the routed grammar is WHEN [NOT] MATCHED [AND <cond>] THEN "
-            "UPDATE SET * | DELETE | INSERT *"
-        )
-    if upd is None and dele is None and ins is None:
+    while True:
+        w = _find_top_level_word(tail, "WHEN", pos)
+        if w < 0:
+            break
+        starts.append(w)
+        pos = w + 4
+    if not starts:
         raise SqlDmlError("MERGE: no WHEN clause found")
-    kwargs: dict = {}
-    # first-match-wins: when both matched clauses exist, the LATER one
-    # only fires where the earlier one's condition does not
-    if dele is not None:
-        d = dele[1] or "true"
-        if upd is not None and upd[0] < dele[0]:
-            u = upd[1] or "true"
-            d = f"(NOT ({u})) AND ({d})"
-        kwargs["when_matched_delete"] = d
-    if upd is not None:
-        # merge_upsert already applies delete-before-update on ~delete,
-        # which equals first-match-wins when the delete clause led; the
-        # update-led ordering was folded into the delete condition above
-        kwargs["when_matched_update"] = upd[1] or "true"
-    elif dele is not None:
-        # DELETE-only matched clause: matched rows not matching it stay
-        kwargs["when_matched_update"] = "false"
-    if ins is not None:
-        if ins[1]:
-            kwargs["when_not_matched_insert"] = ins[1]
-    else:
-        # no NOT MATCHED clause: unmatched source rows do NOT insert
-        kwargs["when_not_matched_insert"] = "false"
-    return kwargs
+    if tail[:starts[0]].strip():
+        raise SqlDmlError(
+            f"MERGE: cannot parse clause fragment {tail[:starts[0]].strip()!r}"
+        )
+    bounds = starts + [len(tail)]
+    return [tail[bounds[i]:bounds[i + 1]].strip() for i in range(len(starts))]
+
+
+def _parse_merge_clauses(tail: str, t_alias: str, s_alias: str,
+                         scols: list[str], tcols: list[str]) -> dict:
+    """The WHEN clause list → :func:`txlog.merge` clause-list kwargs.
+    Every condition / SET RHS / VALUES expression is rewritten onto the
+    engine's ``t`` / ``s`` row structs (see :func:`_rewrite_expr`):
+    statement aliases map, bare identifiers resolve source-first then
+    target, and a reference to the row a clause cannot see gets a
+    curated error here — not a late analyzer one. Clause ORDER within
+    each category is preserved (first-match-wins is the engine's job)."""
+    scl = {c.lower() for c in scols}
+    tcl = {c.lower() for c in tcols}
+    ta, sa = t_alias.lower(), s_alias.lower()
+
+    def _bare_matched(w):
+        return "s" if w in scl else ("t" if w in tcl else None)
+
+    def _bare_not_matched(w):
+        if w in scl:
+            return "s"
+        if w in tcl:
+            return (
+                f"a NOT MATCHED clause sees only the source row, but "
+                f"{w!r} is a target-only column — no target row exists "
+                "for an insert"
+            )
+        return None
+
+    def _bare_by_source(w):
+        if w in tcl:
+            return "t"
+        if w in scl:
+            return (
+                f"a NOT MATCHED BY SOURCE clause sees only the target row, "
+                f"but {w!r} is a source-only column — no source row matched"
+            )
+        return None
+
+    shapes = {
+        "matched": (
+            {ta: "t", sa: "s"}, {}, _bare_matched,
+        ),
+        "not_matched": (
+            {sa: "s"},
+            {ta: "a NOT MATCHED clause cannot reference the target row "
+                 f"({t_alias}.) — no target row exists for an insert"},
+            _bare_not_matched,
+        ),
+        "by_source": (
+            {ta: "t"},
+            {sa: "a NOT MATCHED BY SOURCE clause cannot reference the "
+                 f"source row ({s_alias}.) — no source row matched"},
+            _bare_by_source,
+        ),
+    }
+
+    def _rw(expr, kind):
+        amap, refuse, bare = shapes[kind]
+        return _rewrite_expr(expr, amap, bare, refuse, "MERGE")
+
+    matched: list[dict] = []
+    not_matched: list[dict] = []
+    by_source: list[dict] = []
+    head = re.compile(
+        r"WHEN\s+(NOT\s+)?MATCHED(?:\s+BY\s+(TARGET|SOURCE))?\b",
+        re.IGNORECASE,
+    )
+    for clause in _split_when_clauses(tail):
+        m = head.match(clause)
+        if m is None:
+            raise SqlDmlError(f"MERGE: cannot parse clause {clause[:60]!r}")
+        negated = m.group(1) is not None
+        by = (m.group(2) or "").upper()
+        if by and not negated:
+            raise SqlDmlError(
+                f"MERGE: BY {by} only follows WHEN NOT MATCHED"
+            )
+        rest = clause[m.end():].strip()
+        then = _find_top_level_word(rest, "THEN")
+        if then < 0:
+            raise SqlDmlError(f"MERGE: clause has no THEN: {clause[:60]!r}")
+        pre, action = rest[:then].strip(), rest[then + 4:].strip()
+        cond_raw = None
+        if pre:
+            am = re.match(r"AND\s+(.+)$", pre, re.IGNORECASE | re.DOTALL)
+            if am is None:
+                raise SqlDmlError(
+                    f"MERGE: expected [AND <cond>] THEN, got {pre[:60]!r}"
+                )
+            cond_raw = am.group(1).strip()
+        kind = (
+            "by_source" if negated and by == "SOURCE"
+            else "not_matched" if negated
+            else "matched"
+        )
+        cond = _rw(cond_raw, kind) if cond_raw else None
+        dm = re.match(r"DELETE\b(.*)$", action, re.IGNORECASE | re.DOTALL)
+        if dm is not None and dm.group(1).strip():
+            raise SqlDmlError(
+                "MERGE: cannot parse clause fragment "
+                f"{dm.group(1).strip()!r} after DELETE"
+            )
+        if dm is not None:
+            if kind == "not_matched":
+                raise SqlDmlError(
+                    "MERGE: WHEN NOT MATCHED cannot DELETE — there is no "
+                    "target row (did you mean NOT MATCHED BY SOURCE?)"
+                )
+            (matched if kind == "matched" else by_source).append(
+                {"action": "delete", "condition": cond}
+            )
+            continue
+        um = re.match(r"UPDATE\s+SET\s+(.+)$", action, re.IGNORECASE | re.DOTALL)
+        if um is not None:
+            if kind == "not_matched":
+                raise SqlDmlError(
+                    "MERGE: WHEN NOT MATCHED cannot UPDATE — there is no "
+                    "target row (did you mean INSERT, or BY SOURCE?)"
+                )
+            raw = um.group(1).strip()
+            if raw == "*":
+                if kind == "by_source":
+                    raise SqlDmlError(
+                        "MERGE: NOT MATCHED BY SOURCE needs an explicit SET "
+                        "list — there is no source row to star-expand from"
+                    )
+                setmap = None
+            else:
+                setmap = {
+                    c: _rw(rhs, kind)
+                    for c, rhs in _set_items(raw, t_alias, s_alias, "MERGE").items()
+                }
+            (matched if kind == "matched" else by_source).append(
+                {"action": "update", "set": setmap, "condition": cond}
+            )
+            continue
+        im = re.match(r"INSERT\b\s*(.*)$", action, re.IGNORECASE | re.DOTALL)
+        if im is not None:
+            if kind != "not_matched":
+                raise SqlDmlError(
+                    "MERGE: INSERT only follows WHEN NOT MATCHED "
+                    "(a matched / by-source row already exists)"
+                )
+            raw = im.group(1).strip()
+            if raw == "*":
+                not_matched.append(
+                    {"action": "insert", "values": None, "condition": cond}
+                )
+                continue
+            cols: list[str] | None = None
+            if raw.startswith("("):
+                clist, raw = _take_balanced(raw)
+                cols = []
+                for c in _split_top_level(clist[1:-1]):
+                    cm = re.fullmatch(
+                        rf"\s*(?:({_IDENT})\s*\.\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*",
+                        c,
+                    )
+                    if cm is None:
+                        raise SqlDmlError(
+                            f"MERGE: cannot parse INSERT column {c.strip()!r}"
+                        )
+                    if cm.group(1) is not None and cm.group(1).lower() != ta:
+                        raise SqlDmlError(
+                            f"MERGE: INSERT columns name TARGET columns — "
+                            f"{c.strip()!r} qualifies {cm.group(1)!r}"
+                        )
+                    cols.append(cm.group(2))
+                raw = raw.strip()
+            vm = re.match(r"VALUES\s*(\(.*\))\s*$", raw, re.IGNORECASE | re.DOTALL)
+            if vm is None:
+                raise SqlDmlError(
+                    f"MERGE: cannot parse INSERT action {action[:60]!r} — "
+                    "INSERT * | INSERT [(cols)] VALUES (exprs)"
+                )
+            vals_raw, leftover = _take_balanced(vm.group(1))
+            if leftover.strip():
+                raise SqlDmlError(
+                    f"MERGE: trailing text after VALUES: {leftover.strip()!r}"
+                )
+            exprs = [
+                _rw(e.strip(), kind)
+                for e in _split_top_level(vals_raw[1:-1])
+            ]
+            if cols is None:
+                # column-less VALUES binds positionally over the target
+                # schema, standard SQL ordinal binding
+                if len(exprs) != len(tcols):
+                    raise SqlDmlError(
+                        f"MERGE: INSERT VALUES has {len(exprs)} expression(s) "
+                        f"for a {len(tcols)}-column table ({tcols}) — name "
+                        "the columns: INSERT (c1, ...) VALUES (...)"
+                    )
+                cols = list(tcols)
+            elif len(cols) != len(exprs):
+                raise SqlDmlError(
+                    f"MERGE: INSERT names {len(cols)} column(s) but VALUES "
+                    f"has {len(exprs)} expression(s)"
+                )
+            not_matched.append(
+                {"action": "insert", "values": dict(zip(cols, exprs)),
+                 "condition": cond}
+            )
+            continue
+        raise SqlDmlError(
+            f"MERGE: unsupported action {action[:60]!r} — UPDATE SET, "
+            "DELETE, and INSERT are the clause actions"
+        )
+    return {
+        "matched": matched or None,
+        "not_matched": not_matched or None,
+        "not_matched_by_source": by_source or None,
+    }
 
 
 def _take_balanced(s: str) -> tuple[str, str]:
@@ -358,7 +584,7 @@ def _take_balanced(s: str) -> tuple[str, str]:
         ch = s[i]
         if quote is not None:
             if ch == quote:
-                if quote == "'" and i + 1 < n and s[i + 1] == "'":
+                if i + 1 < n and s[i + 1] == quote:
                     i += 2
                     continue
                 quote = None
@@ -459,6 +685,8 @@ def execute_sql(spark: SparkSession, statement: str):
     if m:
         mode, name, _clist, cols_raw, query = m.groups()
         path = _table_path(spark, name, "INSERT")
+        if path is None:
+            return spark.sql(sql)
         cols = [c.strip() for c in cols_raw.split(",")] if cols_raw else None
         if cols and mode.upper() == "OVERWRITE":
             raise SqlDmlError("INSERT OVERWRITE takes no column list here — "
@@ -479,6 +707,8 @@ def execute_sql(spark: SparkSession, statement: str):
     if m:
         name, cond = m.groups()
         path = _table_path(spark, name, "DELETE")
+        if path is None:
+            return spark.sql(sql)
         res = txlog.delete_where(spark, path, cond.strip() if cond else "true")
         txlog.refresh_table(spark, name)
         return dict(res, operation="delete", table=name, path=path)
@@ -487,6 +717,8 @@ def execute_sql(spark: SparkSession, statement: str):
     if parsed is not None:
         name, t_alias, source, s_alias, on, tail = parsed
         path = _table_path(spark, name, "MERGE")
+        if path is None:
+            return spark.sql(sql)
         t_alias = t_alias or name
         s_alias = s_alias or (None if source.startswith("(") else source)
         if s_alias is None:
@@ -497,28 +729,30 @@ def execute_sql(spark: SparkSession, statement: str):
         )
         src = _cast_to_table(spark, path, src)
         keys = _parse_on_keys(on, t_alias, s_alias)
-        kwargs = _parse_merge_clauses(tail, s_alias, t_alias)
         st = txlog.table_schema(spark, path)
-        if st is not None:
-            # SET * / INSERT * expand to TARGET columns (ANSI/Delta):
-            # source columns the table does not know — a CDC _deleted
-            # flag referenced only in clause conditions — are condition
-            # inputs, not payload, and must never evolve the schema
-            table_cols = {f.name for f in st.fields}
-            extra = [c for c in src.columns if c not in table_cols]
-            if extra:
-                kwargs["drop_cols"] = extra
-        res = txlog.merge_upsert(spark, path, src, keys, **kwargs)
+        # SET * / INSERT * expand to TARGET columns inside txlog.merge
+        # (ANSI/Delta): a condition-only source column — a CDC _deleted
+        # flag — is a condition input, not payload, and never evolves
+        # the schema
+        tcols = [f.name for f in st.fields] if st is not None else list(src.columns)
+        clauses = _parse_merge_clauses(tail, t_alias, s_alias, src.columns, tcols)
+        res = txlog.merge(spark, path, src, keys, **clauses)
         txlog.refresh_table(spark, name)
         return dict(res, operation="merge", table=name, path=path)
 
     m = re.match(
-        rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
+        rf"UPDATE\s+({_IDENT})\s+SET\s+(.+)$",
         sql, re.IGNORECASE | re.DOTALL,
     )
     if m:
-        name, set_raw, cond = m.groups()
+        name, rest = m.groups()
         path = _table_path(spark, name, "UPDATE")
+        if path is None:
+            return spark.sql(sql)
+        # locate WHERE quote/paren-aware: a ' WHERE ' inside a SET
+        # string literal must not split the statement
+        w = _find_top_level_word(rest, "WHERE")
+        set_raw, cond = (rest[:w], rest[w + 5:]) if w >= 0 else (rest, None)
         res = txlog.update_where(
             spark, path, _parse_set_list(set_raw),
             cond.strip() if cond else "true",
@@ -531,6 +765,8 @@ def execute_sql(spark: SparkSession, statement: str):
     if m:
         name, action = m.group(1), m.group(2).strip()
         path = _table_path(spark, name, "ALTER TABLE")
+        if path is None:
+            return spark.sql(sql)
         res = _route_alter(spark, path, action)
         txlog.refresh_table(spark, name)
         return dict(res, operation="alter_table", table=name, path=path)
@@ -539,6 +775,8 @@ def execute_sql(spark: SparkSession, statement: str):
     if m:
         name = m.group(1)
         path = _table_path(spark, name, "DESCRIBE HISTORY")
+        if path is None:
+            return spark.sql(sql)
         hist = txlog.history(spark, path)
         return spark.createDataFrame(
             [(h["version"], h["operation"], h["n_adds"], h["n_removes"],
@@ -556,6 +794,8 @@ def execute_sql(spark: SparkSession, statement: str):
     if m:
         name, version = m.group(1), int(m.group(2))
         path = _table_path(spark, name, "RESTORE TABLE")
+        if path is None:
+            return spark.sql(sql)
         res = txlog.restore(spark, path, version, cdc=True)
         txlog.refresh_table(spark, name)
         return dict(res, operation="restore", table=name, path=path)
@@ -564,6 +804,8 @@ def execute_sql(spark: SparkSession, statement: str):
     if m:
         name = m.group(1)
         path = _table_path(spark, name, "OPTIMIZE")
+        if path is None:
+            return spark.sql(sql)
         res = txlog.optimize(spark, path)
         txlog.refresh_table(spark, name)
         return dict(res, operation="optimize", table=name, path=path)
@@ -575,6 +817,8 @@ def execute_sql(spark: SparkSession, statement: str):
     if m:
         name, hours = m.groups()
         path = _table_path(spark, name, "VACUUM")
+        if path is None:
+            return spark.sql(sql)
         reaped = txlog.vacuum(
             spark, path,
             retention_seconds=float(hours) * 3600 if hours else 24 * 3600,

@@ -3041,6 +3041,472 @@ def merge_upsert(
     }
 
 
+def _sql_refs_struct(expr, name: str) -> bool:
+    """True iff SQL expression string ``expr`` references ``name.``
+    OUTSIDE string literals — the textual guard :func:`merge` uses to
+    refuse a target reference in a NOT-MATCHED clause (no target row
+    exists there) with a curated error instead of a late analyzer one.
+    A ``name.``-lookalike inside quotes is data, never a reference."""
+    if not isinstance(expr, str):
+        return False
+    quote = None
+    i, n = 0, len(expr)
+    pat = name + "."
+    while i < n:
+        ch = expr[i]
+        if quote is not None:
+            if ch == quote:
+                if quote == "'" and i + 1 < n and expr[i + 1] == "'":
+                    i += 2
+                    continue
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"`":
+            quote = ch
+            i += 1
+            continue
+        if (
+            expr[i:i + len(pat)] == pat
+            and (i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] in "_."))
+        ):
+            return True
+        i += 1
+    return False
+
+
+def merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    matched: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
+    not_matched_by_source: list[dict] | None = None,
+    evolve: bool = False,
+    max_retries: int = 10,
+    sources: list[str] | None = None,
+    partition: dict | None = None,
+    expect_version: int | None = None,
+    null_safe_keys: bool = False,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Transactional MERGE with the FULL public Delta clause grammar —
+    column-level ``SET`` lists, clause conditions over the TARGET row,
+    and ``WHEN NOT MATCHED BY SOURCE`` (the three forms
+    :func:`merge_upsert` does not express; reference purpose: the lake
+    is written continuously and queried — /root/reference/README.md:3).
+    One atomic commit, Delta-CDF parity (update = delete(old) +
+    insert(new) at one version), WriteSerializable isolation via
+    :func:`_commute_past_appends_only` — identical to delete/merge.
+
+    Clause lists (each evaluated FIRST-MATCH-WINS, ANSI/Delta order):
+
+    - ``matched``: ``{"action": "update", "set": {col: sql_expr} |
+      None, "condition": sql_expr | None}`` or ``{"action": "delete",
+      "condition": ...}``. ``set=None`` is ``UPDATE SET *``: every
+      target column present in the source takes the source value,
+      columns the source lacks keep the target value.
+    - ``not_matched``: ``{"action": "insert", "values": {col: expr} |
+      None, "condition": ...}``. ``values=None`` is ``INSERT *``
+      (source value per shared column, NULL for target-only columns);
+      an explicit dict null-fills unnamed columns.
+    - ``not_matched_by_source``: ``{"action": "delete", "condition"}``
+      or ``{"action": "update", "set": {...}, "condition"}`` — acts on
+      TARGET rows with no matching source row (an explicit ``set`` is
+      required: there is no source row to star-expand from).
+
+    Expressions and conditions are SQL strings over two row structs:
+    ``t.<col>`` (target) and ``s.<col>`` (source) — matched clauses may
+    reference both, ``not_matched`` only ``s.`` (refused otherwise: no
+    target row exists), ``not_matched_by_source`` only ``t.``. NULL
+    conditions fire nothing (SQL three-valued logic, the
+    :func:`delete_where` coalesce). Assigned values cast to the
+    committed column type (store-assignment, as :func:`update_where`).
+
+    Semantics vs :func:`merge_upsert`: PER TARGET ROW (Delta's) — two
+    target rows sharing a key are each updated; merge_upsert's
+    whole-row-replace-by-key collapses them to one. On key-unique
+    targets (the CDC norm) the two agree; merge_upsert stays the plain
+    fast-path upsert, this is the general grammar.
+
+    ``evolve=True`` additionally evolves the schema with source columns
+    the target lacks (star expansions then cover them); the default
+    keeps star expansion to target∩source, so a condition-only source
+    column (a CDC ``_deleted`` flag) never enters the schema — no
+    ``drop_cols`` needed.
+
+    Scale: Delta's two-pass physical plan. Pass 1 joins the snapshot to
+    the source ON the keys (shuffle on keys both sides — never a
+    broadcast assumption on either: at 100 TB both can be huge) and
+    finds exactly the parts holding a row some clause fires on; pass 2
+    left-outer-joins ONLY those parts against the source, routes every
+    row through one JVM CASE chain (no Python UDFs), localCheckpoints
+    the routed rows once, and writes survivors per part + one new part
+    (updated rows + inserts) + the CDF delete part. Untouched parts are
+    never rewritten; an unconditional BY-SOURCE clause touches every
+    part by definition (as in Delta). Survivor rewrites keep the
+    original part's zone maps (subset ⇒ still valid)."""
+    import functools
+
+    from pyspark.sql import functions as F, types as T
+
+    matched = list(matched or [])
+    not_matched = list(not_matched or [])
+    by_source = list(not_matched_by_source or [])
+    if not keys:
+        raise ValueError("merge: keys must be non-empty")
+    if not (matched or not_matched or by_source):
+        raise ValueError("merge: at least one WHEN clause is required")
+
+    def _bad(msg):
+        raise ValueError(f"merge: {msg}")
+
+    for cl in matched:
+        if cl.get("action") not in ("update", "delete"):
+            _bad(f"matched clause action must be update|delete, got {cl.get('action')!r}")
+        if cl.get("action") == "delete" and cl.get("set"):
+            _bad("a matched delete clause takes no set")
+    for cl in not_matched:
+        if cl.get("action") != "insert":
+            _bad(f"not_matched clause action must be insert, got {cl.get('action')!r}")
+        for e in [cl.get("condition"), *(cl.get("values") or {}).values()]:
+            if _sql_refs_struct(e, "t"):
+                _bad(
+                    "a NOT MATCHED clause cannot reference the target row "
+                    f"(t.) — no target row exists for an insert: {e!r}"
+                )
+    for cl in by_source:
+        if cl.get("action") not in ("update", "delete"):
+            _bad(
+                "not_matched_by_source clause action must be update|delete, "
+                f"got {cl.get('action')!r}"
+            )
+        if cl.get("action") == "update" and not cl.get("set"):
+            _bad(
+                "a NOT MATCHED BY SOURCE update needs an explicit set "
+                "(there is no source row to star-expand from)"
+            )
+        for e in [cl.get("condition"), *(cl.get("set") or {}).values()]:
+            if _sql_refs_struct(e, "s"):
+                _bad(
+                    "a NOT MATCHED BY SOURCE clause cannot reference the "
+                    f"source row (s.) — no source row matched: {e!r}"
+                )
+
+    def _cond(c, default=True):
+        if c is None:
+            return F.lit(default)
+        c = F.expr(c) if isinstance(c, str) else c
+        return F.coalesce(c.cast("boolean"), F.lit(False))
+
+    fs = lake_fs(spark, path)
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
+    if not dup.isEmpty():
+        raise ValueError(
+            "merge: source contains duplicate key tuples "
+            f"(e.g. {dup.limit(3).collect()}) — multiple source rows may "
+            "not match one target row"
+        )
+    v0, live = _snapshot(fs, path)
+    if txn is not None and txn_version(spark, path, str(txn[0]), version=v0) >= int(txn[1]):
+        raise CommitConflict(
+            f"merge under {path}: writer transaction {txn[0]}@{txn[1]} "
+            "is at or below the committed high-water mark — already durable"
+        )
+    if expect_version is not None and v0 != expect_version:
+        raise CommitConflict(
+            f"merge under {path}: state read at v{expect_version} is stale "
+            f"(table is at v{v0}); recompute from fresh state"
+        )
+    table_schema = _committed_schema(fs, path, v0)
+    scols = list(source.columns)
+    missing_keys = sorted(set(keys) - set(scols))
+    if missing_keys:
+        raise ValueError(f"merge: source lacks key column(s) {missing_keys}")
+    schema = table_schema
+    if table_schema is None:
+        if live:
+            probe = _read_live(spark, dict(list(live.items())[:1]), None)
+            cur_cols = list(probe.columns)
+        else:
+            cur_cols = scols
+    else:
+        cur_cols = [f["name"] for f in table_schema["fields"]]
+    if evolve:
+        schema = _merge_schema(table_schema, source, True)
+    elif table_schema is None and not live:
+        schema = _merge_schema(None, source, True)
+    tcols = [f["name"] for f in schema["fields"]] if schema is not None else cur_cols
+    st = T.StructType.fromJson(schema) if schema is not None else None
+    types = {f.name: f.dataType for f in st.fields} if st is not None else {}
+    for cl in matched + by_source:
+        bad = sorted(set(cl.get("set") or {}) - set(tcols))
+        if bad:
+            _bad(f"set assigns unknown column(s) {bad} (table columns: {tcols})")
+    for cl in not_matched:
+        bad = sorted(set(cl.get("values") or {}) - set(tcols))
+        if bad:
+            _bad(f"insert names unknown column(s) {bad} (table columns: {tcols})")
+
+    def _star_set():
+        return {c: f"s.`{c}`" for c in tcols if c in scols}
+
+    def _row_exprs(assign: dict | None, keep_target: bool):
+        """One output column per table column: assigned expression if
+        present, else the target value (matched/by-source update) or
+        NULL (insert) — every value cast to the committed type."""
+        out = []
+        for c in tcols:
+            if assign is not None and c in assign:
+                e = assign[c]
+                e = F.expr(e) if isinstance(e, str) else e
+            elif keep_target:
+                e = F.col("t").getField(c)
+            else:
+                e = F.lit(None)
+            if c in types:
+                e = e.cast(types[c])
+            out.append(e.alias(c))
+        return out
+
+    s_struct = F.struct(*[F.col(c).alias(c) for c in scols]).alias("s")
+    s_side = source.select(
+        *[F.col(k).alias(f"__mrg_sk{i}") for i, k in enumerate(keys)], s_struct
+    ).withColumn("__mrg_sp", F.lit(True))
+
+    def _t_side(frame):
+        fields = [
+            (F.col(c) if c in frame.columns else F.lit(None).cast(types[c])).alias(c)
+            for c in tcols
+        ]
+        return frame.select(
+            *[F.col(k).alias(f"__mrg_tk{i}") for i, k in enumerate(keys)],
+            F.struct(*fields).alias("t"),
+            F.col("_f_path").alias("__mrg_f"),
+        )
+
+    def _key_cond(left, right):
+        pairs = [
+            (left[f"__mrg_tk{i}"], right[f"__mrg_sk{i}"]) for i in range(len(keys))
+        ]
+        op = (lambda a, b: a.eqNullSafe(b)) if null_safe_keys else (lambda a, b: a == b)
+        return functools.reduce(lambda a, b: a & b, [op(a, b) for a, b in pairs])
+
+    adds: list[dict] = []
+    removes: list[str] = []
+    cdc: list[dict] = []
+    touched: list[str] = []
+    routed = None
+    if live:
+        parts = sorted(live)
+        tbl_all = _t_side(_read_live(spark, live, table_schema, meta=True))
+        # pass 1: exactly the parts where some clause fires on some row —
+        # the Delta findTouchedFiles join, shuffled on the keys
+        fire_frames = []
+        if matched:
+            m_fire = functools.reduce(
+                lambda a, b: a | b, [_cond(cl.get("condition")) for cl in matched]
+            )
+            fire_frames.append(
+                tbl_all.join(s_side, _key_cond(tbl_all, s_side), "inner")
+                .filter(m_fire).select("__mrg_f")
+            )
+        if by_source:
+            b_fire = functools.reduce(
+                lambda a, b: a | b, [_cond(cl.get("condition")) for cl in by_source]
+            )
+            fire_frames.append(
+                tbl_all.join(s_side, _key_cond(tbl_all, s_side), "left_anti")
+                .filter(b_fire).select("__mrg_f")
+            )
+        hit_files: list[str] = []
+        if fire_frames:
+            hits = fire_frames[0]
+            for f in fire_frames[1:]:
+                hits = hits.unionByName(f)
+            hit_files = [r["__mrg_f"] for r in hits.distinct().collect()]
+        touched = _owning_parts(parts, hit_files)
+        if partition is not None:
+            outside = [p for p in touched if live[p]["partition"] != partition]
+            if outside:
+                raise ValueError(
+                    f"merge(partition={partition}): clause-hit rows live in "
+                    f"{len(outside)} part(s) tagged differently (e.g. "
+                    f"{live[outside[0]]['partition']}); drop the partition "
+                    "tag or scope the source keys"
+                )
+        if touched:
+            touched_live = {p: live[p] for p in touched}
+            tt = _t_side(_read_live(spark, touched_live, table_schema, meta=True))
+            joined = tt.join(s_side, _key_cond(tt, s_side), "left_outer")
+            is_m = F.coalesce(F.col("__mrg_sp"), F.lit(False))
+            # ONE JVM CASE chain routes every row to its first matching
+            # clause (-1 = no clause fired: the row survives unchanged)
+            route = None
+            for i, cl in enumerate(matched):
+                c = is_m & _cond(cl.get("condition"))
+                route = F.when(c, i) if route is None else route.when(c, i)
+            for j, cl in enumerate(by_source):
+                c = (~is_m) & _cond(cl.get("condition"))
+                route = F.when(c, 100 + j) if route is None else route.when(c, 100 + j)
+            routed = (
+                joined.withColumn("__mrg_route", route.otherwise(F.lit(-1)))
+                .select(
+                    F.col("__mrg_f"),
+                    F.col("__mrg_route"),
+                    F.col("t").alias("__mrg_t"),
+                    F.col("s").alias("__mrg_s"),
+                )
+                # materialize ONCE: the survivor writes (per part), the
+                # new-part write, the CDF part, and the counts all read
+                # this; without the checkpoint each would re-run the
+                # touched-scan ⋈ source shuffle
+                .localCheckpoint(eager=True)
+            )
+
+    # unmatched source rows (anti-join against the FULL live key set,
+    # not just touched parts) routed through the not_matched clauses
+    ins_routed = None
+    if not_matched:
+        if live:
+            tkeys = tbl_all.select(*[f"__mrg_tk{i}" for i in range(len(keys))])
+            ins_base = s_side.join(tkeys, _key_cond(tkeys, s_side), "left_anti")
+        else:
+            ins_base = s_side
+        iroute = None
+        for i, cl in enumerate(not_matched):
+            c = _cond(cl.get("condition"))
+            iroute = F.when(c, i) if iroute is None else iroute.when(c, i)
+        ins_routed = (
+            ins_base.withColumn("__mrg_route", iroute.otherwise(F.lit(-1)))
+            .filter(F.col("__mrg_route") >= 0)
+            .select(F.col("__mrg_route"), F.col("s").alias("__mrg_s"))
+            .localCheckpoint(eager=True)
+        )
+
+    rows_updated = rows_deleted = rows_inserted = 0
+    new_frames = []
+    if routed is not None:
+        counts = {
+            r["__mrg_route"]: r["n"]
+            for r in routed.groupBy("__mrg_route")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        for i, cl in enumerate(matched):
+            n = counts.get(i, 0)
+            if cl["action"] == "update":
+                rows_updated += n
+                if n:
+                    assign = cl.get("set") if cl.get("set") is not None else _star_set()
+                    new_frames.append(
+                        routed.filter(F.col("__mrg_route") == i)
+                        .select(F.col("__mrg_t").alias("t"), F.col("__mrg_s").alias("s"))
+                        .select(*_row_exprs(assign, keep_target=True))
+                    )
+            else:
+                rows_deleted += n
+        for j, cl in enumerate(by_source):
+            n = counts.get(100 + j, 0)
+            if cl["action"] == "update":
+                rows_updated += n
+                if n:
+                    new_frames.append(
+                        routed.filter(F.col("__mrg_route") == 100 + j)
+                        .select(F.col("__mrg_t").alias("t"))
+                        .select(*_row_exprs(cl["set"], keep_target=True))
+                    )
+            else:
+                rows_deleted += n
+        old_rows = routed.filter(F.col("__mrg_route") >= 0).select(
+            F.col("__mrg_t").alias("t")
+        ).select(*_row_exprs(None, keep_target=True))
+        cdc_part = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
+        _to_physical(old_rows, schema).write.mode("overwrite").parquet(cdc_part)
+        cdc = [{"path": cdc_part, "change_type": "delete"}]
+        removes = touched
+        pb = F.regexp_extract(F.col("__mrg_f"), "/parts/([^/]+)/[^/]+$", 1)
+        survivors = routed.filter(F.col("__mrg_route") == -1).withColumn("__mrg_pb", pb)
+        for p in touched:
+            base = p.rstrip("/").rsplit("/", 1)[-1]
+            keep = survivors.filter(F.col("__mrg_pb") == base).select(
+                F.col("__mrg_t").alias("t")
+            ).select(*_row_exprs(None, keep_target=True))
+            if keep.isEmpty():
+                continue
+            np = fs_join(_part_dir(path), uuid.uuid4().hex)
+            _to_physical(keep, schema).write.mode("overwrite").parquet(np)
+            add = {"path": np, "partition": live[p]["partition"], "rewrite": True}
+            if live[p].get("stats"):
+                add["stats"] = live[p]["stats"]
+            adds.append(add)
+    if ins_routed is not None:
+        icounts = {
+            r["__mrg_route"]: r["n"]
+            for r in ins_routed.groupBy("__mrg_route")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        rows_inserted = sum(icounts.values())
+        for i, cl in enumerate(not_matched):
+            if not icounts.get(i):
+                continue
+            assign = (
+                cl.get("values") if cl.get("values") is not None
+                else {c: f"s.`{c}`" for c in tcols if c in scols}
+            )
+            new_frames.append(
+                ins_routed.filter(F.col("__mrg_route") == i)
+                .select(F.col("__mrg_s").alias("s"))
+                .select(*_row_exprs(assign, keep_target=False))
+            )
+    upd_part = None
+    if new_frames:
+        new_rows = new_frames[0]
+        for f in new_frames[1:]:
+            new_rows = new_rows.unionByName(f)
+        upd_part = _write_part(spark, path, new_rows, schema)
+        adds.append({"path": upd_part, "partition": partition or {}})
+    if not adds and not removes:
+        return {
+            "version": v0,
+            "rows_updated": 0,
+            "rows_inserted": 0,
+            "rows_deleted": 0,
+            "parts_rewritten": 0,
+        }
+    payload = {
+        "operation": "merge",
+        "adds": adds,
+        "removes": removes,
+        "scope_partition": partition,
+    }
+    if schema is not None:
+        payload["schema"] = schema
+    if cdc:
+        payload["cdc"] = cdc
+    if sources is not None:
+        payload["sources"] = sorted(sources)
+    if txn is not None:
+        payload["txn"] = {"app": str(txn[0]), "version": int(txn[1])}
+    if expect_version is None:
+        res = _commute_past_appends_only(fs, path, payload, v0, max_retries, "merge")
+    elif _try_commit(fs, path, v0 + 1, payload):
+        res = {"version": v0 + 1}
+    else:
+        raise CommitConflict(
+            f"merge under {path}: lost the CAS at v{v0 + 1}; recompute "
+            "from fresh state"
+        )
+    _maybe_auto_checkpoint(spark, path, res["version"])
+    return {
+        "version": res["version"],
+        "rows_updated": rows_updated,
+        "rows_inserted": rows_inserted,
+        "rows_deleted": rows_deleted,
+        "parts_rewritten": len(adds) - (1 if upd_part is not None else 0),
+    }
+
+
 def _insert_window_parts(commits: list[dict]) -> dict[str, dict]:
     """Pure replay of the insert-only change feed over an ORDERED commit
     window: returns ``{part_path: partition_tag}`` for the parts whose
