@@ -670,13 +670,224 @@ def _parse_on_keys(on: str, t_alias: str, s_alias: str) -> list[str]:
     return keys
 
 
+def _parse_props(raw: str) -> dict:
+    """TBLPROPERTIES pair list → {key: value}; quoted commas and
+    doubled-quote escapes survive."""
+    props: dict[str, str] = {}
+    for kv in _split_top_level(raw):
+        km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'((?:[^']|'')*)'\s*"
+                          r"|\s*\"([^\"]*)\"\s*=\s*\"([^\"]*)\"\s*", kv)
+        if km is None:
+            raise SqlDmlError(
+                f"TBLPROPERTIES: cannot parse {kv.strip()!r} — expected "
+                "'key' = 'value' pairs"
+            )
+        k = km.group(1) if km.group(1) is not None else km.group(3)
+        v = km.group(2) if km.group(2) is not None else km.group(4)
+        props[k] = v.replace("''", "'") if km.group(2) is not None else v
+    return props
+
+
+def _pin_time_travel(spark: SparkSession, sql: str) -> str:
+    """Rewrite ``<registered-name> VERSION AS OF <n>`` /
+    ``<name> TIMESTAMP AS OF <unix-seconds | 'ISO-8601'>`` references
+    (at any query depth) to session temp views pinned at that snapshot
+    via :func:`txlog.read_table` — the time-travel SELECT spelling.
+    Occurrences inside string literals are data and stay untouched;
+    unregistered names pass through for Spark's own resolution."""
+    reg = {
+        n.lower(): (n, p)
+        for n, p in (txlog._TABLE_REGISTRY.get(spark) or {}).items()
+    }
+    if not reg:
+        return sql
+    # Delta's table_changes TVF spelling for the row-level change feed:
+    # table_changes('name', since[, until]) → rows changed in versions
+    # (since, until]  (the table_changes_cdf window contract)
+    def _cdf_sub(m):
+        lname = m.group(1).lower()
+        if lname not in reg:
+            raise SqlDmlError(
+                f"table_changes: {m.group(1)!r} is not a registered txlog "
+                "table in this session"
+            )
+        name, path = reg[lname]
+        since = int(m.group(2))
+        until = int(m.group(3)) if m.group(3) is not None else None
+        df = txlog.table_changes_cdf(spark, path, since, until)
+        view = f"__cdf_{name}_{since}_{until if until is not None else 'latest'}"
+        df.createOrReplaceTempView(view)
+        return view
+
+    sql = re.sub(
+        r"\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+        _cdf_sub, sql, flags=re.IGNORECASE,
+    )
+    if not re.search(r"\bAS\s+OF\b", sql, re.IGNORECASE):
+        return sql
+    spans = []
+    pos = 0
+    for is_lit, text in _quote_segments(sql):
+        if is_lit:
+            spans.append((pos, pos + len(text)))
+        pos += len(text)
+
+    def _in_lit(i: int) -> bool:
+        return any(a <= i < b for a, b in spans)
+
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(n) for n in sorted(reg, key=len, reverse=True))
+        + r")\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+",
+        re.IGNORECASE,
+    )
+    out: list[str] = []
+    last = 0
+    for m in pat.finditer(sql):
+        if _in_lit(m.start()) or m.start() < last:
+            continue
+        lname, kind = m.group(1).lower(), m.group(2).upper()
+        name, path = reg[lname]
+        i = m.end()
+        if i < len(sql) and sql[i] == "'":
+            j = i + 1
+            while j < len(sql):
+                if sql[j] == "'":
+                    if j + 1 < len(sql) and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if j >= len(sql):
+                raise SqlDmlError("AS OF: unterminated string literal")
+            raw, end = sql[i + 1:j].replace("''", "'"), j + 1
+        else:
+            mv = re.match(r"[^\s,()]+", sql[i:])
+            if mv is None:
+                raise SqlDmlError(f"AS OF: missing version/timestamp after "
+                                  f"{sql[m.start():i]!r}")
+            raw, end = mv.group(0), i + mv.end()
+        if kind == "VERSION":
+            if not re.fullmatch(r"\d+", raw):
+                raise SqlDmlError(
+                    f"VERSION AS OF needs an integer version, got {raw!r}"
+                )
+            df = txlog.read_table(spark, path, version=int(raw))
+            view = f"__asof_{name}_v{raw}"
+        else:
+            from es_analytics_spark.sources.txlog_source import _parse_ts_option
+
+            ts = _parse_ts_option(raw)
+            df = txlog.read_table(spark, path, timestamp=ts)
+            view = f"__asof_{name}_t{int(ts * 1000)}"
+        df.createOrReplaceTempView(view)
+        out.append(sql[last:m.start()])
+        out.append(view)
+        last = end
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _route_create_table(spark: SparkSession, sql: str):
+    """``CREATE TABLE … USING txlog LOCATION '<path>'`` (empty create or
+    CTAS) → :func:`txlog.create_table` / :func:`txlog.append`, then
+    :func:`txlog.register_table` — the SQL-first bootstrap, so a SQL
+    session never needs a Python txlog call. Returns None when the
+    statement is not a txlog CREATE (falls through to spark.sql)."""
+    m = re.match(
+        rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*(.*)$",
+        sql, re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        return None
+    or_replace, if_not_exists, name, rest = (
+        m.group(1) is not None, m.group(2) is not None, m.group(3),
+        m.group(4).strip(),
+    )
+    coldefs = None
+    if rest.startswith("("):
+        coldefs, rest = _take_balanced(rest)
+        coldefs, rest = coldefs[1:-1].strip(), rest.strip()
+    mu = re.match(r"USING\s+([A-Za-z_][A-Za-z0-9_]*)\s*", rest, re.IGNORECASE)
+    if mu is None or mu.group(1).lower() != "txlog":
+        return None  # ordinary catalog CREATE — spark.sql's business
+    rest = rest[mu.end():].strip()
+    ml = re.match(r"LOCATION\s+'((?:[^']|'')+)'\s*", rest, re.IGNORECASE)
+    if ml is None:
+        raise SqlDmlError(
+            "CREATE TABLE ... USING txlog needs LOCATION '<path>' — the "
+            "engine pins tables to explicit paths (no metastore default)"
+        )
+    path, rest = ml.group(1).replace("''", "'"), rest[ml.end():].strip()
+    props = None
+    mp = re.match(r"TBLPROPERTIES\s*(\()", rest, re.IGNORECASE)
+    if mp is not None:
+        praw, rest = _take_balanced(rest[mp.start(1):])
+        props, rest = _parse_props(praw[1:-1]), rest.strip()
+    select = None
+    ma = re.match(r"AS\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+    if ma is not None:
+        select, rest = ma.group(1).strip(), ""
+    if rest.strip():
+        raise SqlDmlError(
+            f"CREATE TABLE: cannot parse trailing {rest.strip()[:60]!r} — "
+            "the routed grammar is CREATE [OR REPLACE] TABLE [IF NOT "
+            "EXISTS] name [(cols)] USING txlog LOCATION '<path>' "
+            "[TBLPROPERTIES (...)] [AS <select>]"
+        )
+    if or_replace and if_not_exists:
+        raise SqlDmlError("CREATE TABLE: OR REPLACE and IF NOT EXISTS conflict")
+    if select is None:
+        if coldefs is None:
+            raise SqlDmlError(
+                "CREATE TABLE: declare columns — (col type, ...) — or use "
+                "CTAS (AS SELECT ...)"
+            )
+        if or_replace:
+            raise SqlDmlError(
+                "CREATE OR REPLACE TABLE needs AS <select> (replacing a "
+                "table with an empty one loses data; DELETE FROM instead)"
+            )
+        try:
+            res = txlog.create_table(spark, path, coldefs,
+                                     if_not_exists=if_not_exists)
+        except ValueError as e:
+            raise SqlDmlError(str(e)) from e
+    else:
+        if coldefs is not None:
+            raise SqlDmlError("CREATE TABLE AS SELECT takes no column list — "
+                              "the query defines the schema")
+        df = spark.sql(_pin_time_travel(spark, select))
+        existing = txlog.current_version(spark, path) > 0
+        if existing and if_not_exists:
+            res = {"version": txlog.current_version(spark, path), "created": False}
+        elif existing and not or_replace:
+            raise SqlDmlError(
+                f"CREATE TABLE: {path!r} already exists — use OR REPLACE "
+                "(transactional overwrite) or IF NOT EXISTS"
+            )
+        elif existing:
+            res = dict(txlog.overwrite_table(spark, path, df), created=True)
+        else:
+            res = dict(txlog.append(spark, path, df), created=True)
+    if props:
+        txlog.set_table_properties(spark, path, props)
+    txlog.register_table(spark, name, path)
+    return dict(res, operation="create_table", table=name, path=path)
+
+
 def execute_sql(spark: SparkSession, statement: str):
     """Route one SQL statement: DML verbs hit the transactional txlog
     API (see module docstring for the exact subset and semantics);
-    everything else returns ``spark.sql(statement)`` unchanged. DML
-    returns the underlying API's result dict, augmented with
-    ``{"operation", "table", "path"}``."""
+    everything else returns ``spark.sql(statement)`` unchanged — with
+    ``<name> VERSION|TIMESTAMP AS OF <v>`` references to registered
+    txlog tables pinned to snapshot temp views first (time-travel
+    SELECT). DML returns the underlying API's result dict, augmented
+    with ``{"operation", "table", "path"}``."""
     sql = statement.strip().rstrip(";").strip()
+
+    created = _route_create_table(spark, sql)
+    if created is not None:
+        return created
 
     m = re.match(
         rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})\s*(\(([^)]*)\))?\s*(.+)",
@@ -691,7 +902,7 @@ def execute_sql(spark: SparkSession, statement: str):
         if cols and mode.upper() == "OVERWRITE":
             raise SqlDmlError("INSERT OVERWRITE takes no column list here — "
                               "provide the full row shape in the query")
-        df = spark.sql(query)
+        df = spark.sql(_pin_time_travel(spark, query))
         frame, evolve = _insert_frame(spark, path, df, cols)
         if mode.upper() == "OVERWRITE":
             res = txlog.overwrite_table(spark, path, frame)
@@ -724,8 +935,8 @@ def execute_sql(spark: SparkSession, statement: str):
         if s_alias is None:
             raise SqlDmlError("MERGE: a USING (subquery) needs an alias")
         src = (
-            spark.sql(source[1:-1]) if source.startswith("(")
-            else spark.table(source)
+            spark.sql(_pin_time_travel(spark, source[1:-1]))
+            if source.startswith("(") else spark.table(source)
         )
         src = _cast_to_table(spark, path, src)
         keys = _parse_on_keys(on, t_alias, s_alias)
@@ -826,7 +1037,7 @@ def execute_sql(spark: SparkSession, statement: str):
         return {"operation": "vacuum", "table": name, "path": path,
                 "reaped": len(reaped)}
 
-    return spark.sql(sql)
+    return spark.sql(_pin_time_travel(spark, sql))
 
 
 def _parse_set_list(raw: str) -> dict:

@@ -1463,6 +1463,64 @@ def append(
     raise CommitConflict(f"append lost the CAS {max_retries} times under {path}")
 
 
+def create_table(
+    spark: SparkSession,
+    path: str,
+    schema,
+    if_not_exists: bool = False,
+) -> dict:
+    """Create an EMPTY transactional table: ONE schema-only commit at
+    v1 — no part files, no placeholder rows (an empty ``append`` would
+    write a useless empty parquet part the table drags through every
+    snapshot). ``schema`` is a DDL string (``"k long, val string"``), a
+    ``StructType``, or a committed-schema JSON dict. The table then
+    reads as a schema-stable empty frame, and every later verb
+    (append/merge/SQL DML) validates against the declared schema from
+    the first row onward — the Delta ``CREATE TABLE`` contract.
+
+    Creation is ARBITRATED BY THE COMMIT CAS itself: two racers both
+    try to land v1, exactly one wins, the loser raises
+    :class:`CommitConflict` (or returns ``created=False`` under
+    ``if_not_exists``). Returns {"version", "created"}."""
+    from pyspark.sql import types as T
+
+    fs = lake_fs(spark, path)
+    if isinstance(schema, str):
+        sj = spark.createDataFrame([], schema).schema.jsonValue()
+    elif isinstance(schema, T.StructType):
+        sj = schema.jsonValue()
+    elif isinstance(schema, dict):
+        sj = schema
+    else:
+        raise TypeError(f"create_table: schema must be DDL/StructType/dict, "
+                        f"got {type(schema).__name__}")
+    if not sj.get("fields"):
+        raise ValueError("create_table: schema must declare at least one column")
+    _check_reserved_columns(sj, "create_table")
+    v = _latest_version(fs, path)
+    if v > 0:
+        if if_not_exists:
+            return {"version": v, "created": False}
+        raise ValueError(
+            f"create_table: {path} already has {v} commit(s) — use "
+            "if_not_exists=True, or append/overwrite_table to write data"
+        )
+    payload = {
+        "operation": "create",
+        "adds": [],
+        "removes": [],
+        "scope_partition": None,
+        "schema": sj,
+    }
+    if _try_commit(fs, path, 1, payload):
+        return {"version": 1, "created": True}
+    if if_not_exists:
+        return {"version": _latest_version(fs, path), "created": False}
+    raise CommitConflict(
+        f"create_table: a concurrent writer created {path} first"
+    )
+
+
 def set_table_properties(
     spark: SparkSession,
     path: str,
