@@ -982,6 +982,17 @@ def execute_sql(spark: SparkSession, statement: str):
         txlog.refresh_table(spark, name)
         return dict(res, operation="alter_table", table=name, path=path)
 
+    m = re.match(rf"DESCRIBE\s+CONSTRAINTS\s+({_IDENT})$", sql, re.IGNORECASE)
+    if m:
+        name = m.group(1)
+        path = _table_path(spark, name, "DESCRIBE CONSTRAINTS")
+        if path is None:
+            return spark.sql(sql)
+        cons = txlog.table_constraints(spark, path)
+        return spark.createDataFrame(
+            sorted(cons.items()), "name string, expr string"
+        )
+
     m = re.match(rf"DESCRIBE\s+HISTORY\s+({_IDENT})$", sql, re.IGNORECASE)
     if m:
         name = m.group(1)
@@ -1088,9 +1099,46 @@ def _route_alter(spark: SparkSession, path: str, action: str) -> dict:
     if m:
         keys = [k.strip().strip("'\"") for k in m.group(1).split(",")]
         return txlog.set_table_properties(spark, path, {k: None for k in keys})
+    m = re.fullmatch(
+        r"ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*(\(.+\))",
+        action, re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        expr, leftover = _take_balanced(m.group(2).strip())
+        if leftover.strip():
+            raise SqlDmlError(
+                f"ADD CONSTRAINT: trailing text after CHECK (...): "
+                f"{leftover.strip()!r}"
+            )
+        try:
+            return txlog.add_constraint(spark, path, m.group(1), expr[1:-1].strip())
+        except ValueError as e:
+            raise SqlDmlError(str(e)) from e
+    m = re.fullmatch(r"DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)",
+                     action, re.IGNORECASE)
+    if m:
+        try:
+            return txlog.drop_constraint(spark, path, m.group(1))
+        except ValueError as e:
+            raise SqlDmlError(str(e)) from e
+    m = re.fullmatch(
+        rf"(?:ALTER|CHANGE)\s+COLUMN\s+({_IDENT})\s+(SET|DROP)\s+NOT\s+NULL",
+        action, re.IGNORECASE,
+    )
+    if m:
+        # the Delta NOT NULL spelling, recorded as a named CHECK
+        col, verb = m.group(1), m.group(2).upper()
+        name = f"notnull_{col}"
+        try:
+            if verb == "SET":
+                return txlog.add_constraint(spark, path, name, f"{col} IS NOT NULL")
+            return txlog.drop_constraint(spark, path, name)
+        except ValueError as e:
+            raise SqlDmlError(str(e)) from e
     raise SqlDmlError(
         f"ALTER TABLE: unsupported action {action!r} — RENAME COLUMN, "
         "DROP COLUMN, ALTER/CHANGE COLUMN ... TYPE (lossless widening), "
+        "ALTER COLUMN ... SET/DROP NOT NULL, ADD/DROP CONSTRAINT, "
         "and SET/UNSET TBLPROPERTIES are routed; everything else needs "
         "the Python API"
     )

@@ -67,6 +67,7 @@ boundary in ``sources/fsio.py``.
 from __future__ import annotations
 
 import json
+import re
 import uuid
 import weakref as _weakref
 
@@ -1402,6 +1403,7 @@ def append(
     schema_at = v
     orig_sj = _committed_schema(fs, path, v)
     schema = _merge_schema(orig_sj, df, evolve)
+    _enforce_constraints(spark, path, v, df, "append", schema)
     # pin the minted logical->physical map: CAS-retry re-merges MUST
     # reuse it (the part bytes below are written under these names)
     mint = {f["name"]: _phys_name(f) for f in schema["fields"]}
@@ -1593,6 +1595,238 @@ def table_properties(
             else:
                 out[k] = val
     return out
+
+
+class ConstraintViolationError(ValueError):
+    """A write whose rows violate a committed CHECK constraint."""
+
+
+def _sql_word_edit(expr: str, word: str, new: str | None):
+    """Whole-word identifier scan over a SQL expression, OUTSIDE string
+    literals/quoted identifiers: ``new=None`` returns True iff ``word``
+    is referenced; otherwise returns the expression with every
+    reference renamed to ``new``. A word preceded by ``.`` is a struct
+    field of some other column; a word followed by ``(`` is a function
+    call — neither is a reference to column ``word``."""
+    out = []
+    found = False
+    quote = None
+    i, n = 0, len(expr)
+    lw = word.lower()
+    while i < n:
+        ch = expr[i]
+        if quote is not None:
+            if ch == quote:
+                if i + 1 < n and expr[i + 1] == quote:
+                    out.append(expr[i:i + 2])
+                    i += 2
+                    continue
+                quote = None
+            out.append(ch)
+            i += 1
+            continue
+        if ch in "'\"`":
+            quote = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (expr[j].isalnum() or expr[j] == "_"):
+                j += 1
+            w = expr[i:j]
+            k = j
+            while k < n and expr[k] in " \t\r\n":
+                k += 1
+            nxt = expr[k] if k < n else ""
+            prev = expr[i - 1] if i > 0 else ""
+            if w.lower() == lw and prev != "." and nxt != "(":
+                found = True
+                out.append(new if new is not None else w)
+            else:
+                out.append(w)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return found if new is None else "".join(out)
+
+
+def table_constraints(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict[str, str]:
+    """The table's committed CHECK constraints as-of ``version``
+    (default latest): ``{name: sql_expr}``. Same bounded fold as
+    :func:`table_properties` — the newest checkpoint's folded map plus
+    the constraint-carrying commits after it, last writer wins, ``None``
+    unsets — so the map survives log retention (:func:`clean_log`)."""
+    fs = lake_fs(spark, path)
+    if version is None:
+        version = _latest_version(fs, path)
+    folded, start = _folded_checkpoint(fs, path, version, "constraints")
+    out: dict[str, str] = dict(folded or {})
+    for v in range(start, version + 1):
+        c = _read_commit_retained(
+            fs, path, v, f"table_constraints(version={version})"
+        )
+        for k, val in c.get("constraints", {}).items():
+            if val is None:
+                out.pop(k, None)
+            else:
+                out[k] = val
+    return out
+
+
+def _enforce_constraints(
+    spark: SparkSession, path: str, version: int, df: DataFrame,
+    what: str, schema_json: dict | None = None,
+) -> None:
+    """Pre-commit CHECK enforcement on the rows a write is about to
+    land: ONE aggregate job over the incoming frame counts violations
+    per constraint (ANSI CHECK three-valued semantics — a row passes
+    when the expression is TRUE or NULL, so ``c IS NOT NULL`` is the
+    NOT-NULL spelling and a plain range check tolerates nulls).
+    Violations raise :class:`ConstraintViolationError` with the failing
+    row counts BEFORE any commit is attempted. Zero overhead on tables
+    with no constraints (one folded-checkpoint metadata read, no job).
+    Columns the frame omits (evolve null-fill) evaluate as NULL — the
+    value those rows will actually read as."""
+    cons = table_constraints(spark, path, version=version)
+    if not cons:
+        return
+    from pyspark.sql import functions as F, types as T
+
+    eval_df = df
+    if schema_json is not None:
+        have = set(df.columns)
+        st = T.StructType.fromJson(schema_json)
+        for f in st.fields:
+            if f.name not in have:
+                eval_df = eval_df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    names = sorted(cons)
+    aggs = [
+        F.sum(
+            F.when(
+                ~F.coalesce(F.expr(cons[nm]).cast("boolean"), F.lit(True)), 1
+            ).otherwise(0)
+        ).alias(f"__viol{i}")
+        for i, nm in enumerate(names)
+    ]
+    row = eval_df.agg(*aggs).first()
+    bad = {
+        nm: int(row[f"__viol{i}"])
+        for i, nm in enumerate(names)
+        if row[f"__viol{i}"]
+    }
+    if bad:
+        raise ConstraintViolationError(
+            f"{what} under {path}: {sum(bad.values())} row(s) violate "
+            f"CHECK constraint(s) " +
+            ", ".join(f"{nm} ({cons[nm]!r}): {n} row(s)" for nm, n in bad.items())
+            + " — fix the data or drop_constraint first"
+        )
+
+
+def add_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    expr: str,
+    max_retries: int = 10,
+) -> dict:
+    """Commit a named CHECK constraint (Delta's ``ALTER TABLE … ADD
+    CONSTRAINT … CHECK (…)``): recorded IN the log (one blind metadata
+    commit, folded into checkpoints like properties), enforced at write
+    time on every subsequent append/merge/update/overwrite — violations
+    reject pre-commit with the failing rows' count
+    (:class:`ConstraintViolationError`). NOT NULL is the ``col IS NOT
+    NULL`` spelling (ANSI CHECK passes NULL otherwise). Like Delta, the
+    EXISTING rows are validated first — a constraint the current
+    snapshot already violates is refused with the count.
+
+    Protocol note: no protocol bump. Constraints gate WRITES, not
+    reads — every writer of this engine version enforces them, older
+    snapshots stay readable by any reader, and the txlog format has no
+    third-party writers to defend against (Delta splits reader/writer
+    protocol versions for exactly this case; this log has one number,
+    and spending it would needlessly lock out working readers).
+
+    Returns {"version"}."""
+    if not re.match(r"[A-Za-z_][A-Za-z0-9_]*$", name):
+        raise ValueError(f"add_constraint: bad constraint name {name!r}")
+    from pyspark.sql import functions as F
+
+    fs = lake_fs(spark, path)
+    v = current_version(spark, path)
+    if name in table_constraints(spark, path, version=v):
+        raise ValueError(
+            f"add_constraint under {path}: constraint {name!r} already "
+            "exists — drop_constraint first to replace it"
+        )
+    # the expression must analyze against the committed schema (curated
+    # error, not a later write-time analyzer blowup) …
+    snap = read_table(spark, path, version=v)
+    try:
+        probe = snap.filter(
+            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        )
+        probe.schema  # force analysis
+    except Exception as e:
+        raise ValueError(
+            f"add_constraint under {path}: expression {expr!r} does not "
+            f"analyze against the table schema ({snap.columns}): {e}"
+        ) from e
+    # … and the EXISTING rows must satisfy it (Delta's ADD CONSTRAINT
+    # contract — otherwise the very next write of any row would fail a
+    # check the table itself already breaks)
+    n_bad = probe.count()
+    if n_bad:
+        raise ConstraintViolationError(
+            f"add_constraint under {path}: {n_bad} existing row(s) violate "
+            f"{name!r} ({expr!r}) — clean the data first"
+        )
+    payload = {
+        "operation": "set_constraint",
+        "adds": [],
+        "removes": [],
+        "constraints": {name: expr},
+    }
+    for _ in range(max_retries):
+        if _try_commit(fs, path, v + 1, payload):
+            _maybe_auto_checkpoint(spark, path, v + 1)
+            return {"version": v + 1}
+        v = max(v + 1, current_version(spark, path))
+    raise CommitConflict(
+        f"add_constraint lost the CAS {max_retries} times under {path}"
+    )
+
+
+def drop_constraint(
+    spark: SparkSession, path: str, name: str, max_retries: int = 10
+) -> dict:
+    """Unset a committed constraint (last-writer-wins tombstone in the
+    fold, exactly like a property unset). Returns {"version"}."""
+    fs = lake_fs(spark, path)
+    v = current_version(spark, path)
+    if name not in table_constraints(spark, path, version=v):
+        raise ValueError(
+            f"drop_constraint under {path}: no constraint {name!r} "
+            f"(have {sorted(table_constraints(spark, path, version=v))})"
+        )
+    payload = {
+        "operation": "set_constraint",
+        "adds": [],
+        "removes": [],
+        "constraints": {name: None},
+    }
+    for _ in range(max_retries):
+        if _try_commit(fs, path, v + 1, payload):
+            _maybe_auto_checkpoint(spark, path, v + 1)
+            return {"version": v + 1}
+        v = max(v + 1, current_version(spark, path))
+    raise CommitConflict(
+        f"drop_constraint lost the CAS {max_retries} times under {path}"
+    )
 
 
 def optimize(
@@ -2110,6 +2344,7 @@ def overwrite_table(
         _check_reserved_columns(schema, "overwrite_table(replace_schema=True)")
     else:
         schema = _merge_schema(_committed_schema(fs, path, v0), df, evolve)
+    _enforce_constraints(spark, path, v0, df, "overwrite_table", schema)
     part = _write_part(spark, path, df, schema)
     add = {"path": part, "partition": partition or {}}
     if stats_cols:
@@ -2257,6 +2492,7 @@ def overwrite_partition(
     orig_sj = _committed_schema(fs, path, v0)
     schema = _merge_schema(orig_sj, df, evolve)
     removes = sorted(p for p, e in live.items() if e["partition"] == partition)
+    _enforce_constraints(spark, path, v0, df, "overwrite_partition", schema)
     part = _write_part(spark, path, df, schema)
     payload = {
         "operation": "overwrite_partition",
@@ -2628,6 +2864,10 @@ def update_where(
     _to_physical(old_rows, schema).write.mode("overwrite").parquet(cdc_old)
     rows_updated = spark.read.parquet(cdc_old).count()
     cdc_new = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
+    _enforce_constraints(
+        spark, path, v0, _apply(_read_parts(spark, [cdc_old], schema)),
+        "update_where", schema,
+    )
     _to_physical(
         _apply(_read_parts(spark, [cdc_old], schema)), schema
     ).write.mode("overwrite").parquet(cdc_new)
@@ -3028,11 +3268,13 @@ def merge_upsert(
             .unionByName(unmatched_upd.filter(F.col("__merge_ins")))
             .drop(*_MARKS, *(drop_cols or []))
         )
-        upd_part = (
-            None if write_rows.isEmpty()
-            else _write_part(spark, path, write_rows, schema)
-        )
+        if write_rows.isEmpty():
+            upd_part = None
+        else:
+            _enforce_constraints(spark, path, v0, write_rows, "merge_upsert", schema)
+            upd_part = _write_part(spark, path, write_rows, schema)
     else:
+        _enforce_constraints(spark, path, v0, payload_updates, "merge_upsert", schema)
         upd_part = _write_part(spark, path, updates, schema)
     if upd_part is not None:
         adds.append({"path": upd_part, "partition": partition or {}})
@@ -3522,6 +3764,7 @@ def merge(
         new_rows = new_frames[0]
         for f in new_frames[1:]:
             new_rows = new_rows.unionByName(f)
+        _enforce_constraints(spark, path, v0, new_rows, "merge", schema)
         upd_part = _write_part(spark, path, new_rows, schema)
         adds.append({"path": upd_part, "partition": partition or {}})
     if not adds and not removes:
@@ -3969,6 +4212,17 @@ def rename_column(
             "schema": dict(stamped, fields=fields),
             "rename": {"from": old, "to": new},
         }
+        # constraints referencing the renamed column follow it in the
+        # SAME commit — an expression left under the old name would
+        # fail analysis on the next write (Delta refuses the rename
+        # instead; rewriting keeps both the rename and the invariant)
+        recons = {
+            nm: _sql_word_edit(e, old, new)
+            for nm, e in table_constraints(spark, path, version=v).items()
+            if _sql_word_edit(e, old, None)
+        }
+        if recons:
+            payload["constraints"] = recons
         if _try_commit(fs, path, v + 1, payload):
             _maybe_auto_checkpoint(spark, path, v + 1)
             return {"version": v + 1}
@@ -4006,6 +4260,15 @@ def drop_column(
         if len(names) == 1:
             raise SchemaMismatchError(
                 f"drop_column under {path}: cannot drop the last column"
+            )
+        holders = sorted(
+            nm for nm, e in table_constraints(spark, path, version=v).items()
+            if _sql_word_edit(e, col, None)
+        )
+        if holders:
+            raise SchemaMismatchError(
+                f"drop_column under {path}: column {col!r} is referenced by "
+                f"CHECK constraint(s) {holders} — drop_constraint first"
             )
         stamped = _stamp_mapping(sj)
         fields = [f for f in stamped["fields"] if f["name"] != col]
@@ -4221,6 +4484,7 @@ def checkpoint(spark: SparkSession, path: str) -> dict:
         "schema": sj,
         "sources": sorted(table_sources(spark, path, version=v)),
         "props": table_properties(spark, path, version=v),
+        "constraints": table_constraints(spark, path, version=v),
         "txns": txns,
         "ts": None if running == float("-inf") else running,
         # checkpoints short-circuit commit replay, so they must carry

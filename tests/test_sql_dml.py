@@ -220,7 +220,7 @@ def test_alter_table_routing(spark, tmp_path):
     execute_sql(spark, "ALTER TABLE t_ddl UNSET TBLPROPERTIES ('retention.keep_versions')")
     assert txlog.table_properties(spark, _sql_path) == {}
     with pytest.raises(SqlDmlError, match="unsupported action"):
-        execute_sql(spark, "ALTER TABLE t_ddl ADD CONSTRAINT c CHECK (k > 0)")
+        execute_sql(spark, "ALTER TABLE t_ddl CLUSTER BY (k)")
 
 
 def test_optimize_and_vacuum_routing(spark, tmp_path):
