@@ -605,6 +605,13 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
                 else int(raw_start)
             )
         self._max_versions = int(options.get("max_versions_per_batch", 0))
+        # ending_version: hard upper bound on the stream's cursor — the
+        # drain trigger's termination point (see streaming.drain_txlog
+        # _feed): commits landing AFTER a bounded backfill started must
+        # not extend the drain, exactly like Delta's availableNow
+        # snapshot bound. latestOffset never offers past it.
+        raw_end = options.get("ending_version")
+        self._ending = int(raw_end) if raw_end is not None else None
         self._partition_filter = _parse_partition_filter(options, self._cdf)
         # Rate-limit floor: the newest version known delivered/planned.
         # Call-order contract (probed empirically, pinned by
@@ -642,6 +649,8 @@ class TxLogFeedStreamReader(DataSourceStreamReader):
         if self._floor is None:
             self._floor = self._start  # fresh stream (see __init__ contract)
         latest = self._log.current_version()
+        if self._ending is not None:
+            latest = min(latest, self._ending)
         if self._max_versions > 0:
             latest = min(
                 latest,
@@ -717,6 +726,9 @@ class TxLogFeedDataSource(DataSource):
     reads; earlier than history = full replay, inside reaped history =
     VersionExpiredError; mutually exclusive with ``starting_version``),
     ``max_versions_per_batch`` (per-trigger window bound),
+    ``ending_version`` (hard cursor bound — the stream never offers
+    past it; the drain trigger's termination point, see
+    ``streaming.drain_txlog_feed``),
     ``from_version``/``to_version`` (batch reads)."""
 
     @classmethod

@@ -1,3 +1,4 @@
+from es_analytics_spark.streaming.drain import drain_txlog_feed
 from es_analytics_spark.streaming.ingest import (
     replay_stream,
     stream_events,
@@ -7,6 +8,7 @@ from es_analytics_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "drain_txlog_feed",
     "replay_stream",
     "stream_events",
     "windowed_event_counts",

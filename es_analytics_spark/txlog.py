@@ -381,15 +381,37 @@ def _load_checkpoint(
             _CKPT_CACHE.clear()
         _CKPT_CACHE[key] = ck
     if with_live and ck.get("format", 1) >= 2 and "live" not in ck:
-        by_name: dict[str, list] = {}
-        entries: list[dict] = []
+        names: list[str] = []
+        seen: set[str] = set()
+        for ref in ck["live_chunks"]:
+            if ref["name"] not in seen:
+                seen.add(ref["name"])
+                names.append(ref["name"])
         try:
+            # cold assembly fetches chunks with a BOUNDED thread pool:
+            # fsio is remote-store-shaped, so per-object LATENCY (not
+            # CPU or bandwidth) dominates a 10^6-part table's hundreds
+            # of chunk GETs — a sequential loop pays latency × chunks,
+            # the pool pays ~latency × chunks/16. Local stores with a
+            # single chunk skip the pool entirely. JSON decode stays in
+            # the workers too (it is the CPU half of assembly).
+            def _fetch(nm: str) -> list:
+                raw = fs.read_bytes(fs_join(_log_dir(path), nm))
+                return json.loads(raw.decode("utf-8"))["live"]
+
+            if len(names) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(16, len(names))
+                ) as pool:
+                    lives = list(pool.map(_fetch, names))
+            else:
+                lives = [_fetch(nm) for nm in names]
+            by_name = dict(zip(names, lives))
+            entries: list[dict] = []
             for ref in ck["live_chunks"]:
-                name = ref["name"]
-                if name not in by_name:
-                    raw = fs.read_bytes(fs_join(_log_dir(path), name))
-                    by_name[name] = json.loads(raw.decode("utf-8"))["live"]
-                entries.extend(by_name[name])
+                entries.extend(by_name[ref["name"]])
         except Exception:
             return None
         ck = dict(ck, live=entries)
@@ -4760,28 +4782,46 @@ def clean_log(
     # live-set chunks: keep everything any SURVIVING footer references
     # (content addressing means a chunk can back several checkpoints);
     # unreferenced chunks are superseded content or a crashed writer's
-    # debris — reaped past the in-flight horizon. The fresh listing here
-    # (taken AFTER the doomed deletions) narrows the race with an
-    # in-flight checkpointer reusing a superseded footer's chunks, and
-    # the checkpointer's post-publish verify-and-heal re-creates any
-    # reused chunk reaped in the remaining window (content-addressed
-    # names make the heal byte-identical)
-    referenced: set[str] = set()
-    for cv in _list_versions(fs, path, prefix="checkpoint.v"):
-        ck = _load_checkpoint(fs, path, cv, with_live=False)
-        if ck is not None:
-            referenced |= {r["name"] for r in ck.get("live_chunks", [])}
+    # debris — reaped past the in-flight horizon. Two-phase reap: gather
+    # candidates from one footer listing, then RE-LIST the footers and
+    # re-check references immediately before deleting, so a footer that
+    # published (reusing an old chunk) while candidates were being
+    # gathered revokes the deletion. The remaining epsilon — a footer
+    # publishing between the re-list and the delete — is not a
+    # correctness hole: the checkpointer's post-publish verify-and-heal
+    # re-puts any reaped reused chunk (content-addressed names make the
+    # heal byte-identical), and until it does the snapshot degrades to
+    # an older checkpoint + replay, never to a wrong answer.
+    def _referenced_chunks() -> set[str]:
+        out: set[str] = set()
+        for cv in _list_versions(fs, path, prefix="checkpoint.v"):
+            ck = _load_checkpoint(fs, path, cv, with_live=False)
+            if ck is not None:
+                out |= {r["name"] for r in ck.get("live_chunks", [])}
+        return out
+
+    referenced = _referenced_chunks()
     removed_chunks = 0
     horizon = _time.time() - chunk_retention_seconds
+    candidates: list[str] = []
     for p in fs.glob(fs_join(_log_dir(path), "chunk-*.json")):
         if p.rsplit("/", 1)[-1] in referenced:
             continue
         try:
             if fs.mtime(p) <= horizon:
-                fs.delete(p)
-                removed_chunks += 1
+                candidates.append(p)
         except (OSError, FileNotFoundError):
             continue  # vanished concurrently — nothing to do
+    if candidates:
+        referenced = _referenced_chunks()  # fresh, just before deleting
+        for p in candidates:
+            if p.rsplit("/", 1)[-1] in referenced:
+                continue
+            try:
+                fs.delete(p)
+                removed_chunks += 1
+            except (OSError, FileNotFoundError):
+                continue
     return {
         "cut": cut,
         "removed_commits": len(doomed_commits),

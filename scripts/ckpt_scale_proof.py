@@ -78,6 +78,30 @@ def main() -> None:
     t_cold = time.perf_counter() - t0
     assert len(live) == n_parts + 1 and props == {}
 
+    # remote-store shape: per-object GET latency dominates cold
+    # assembly at 10^5-10^6 parts. Simulate it and compare the pooled
+    # _load_checkpoint against a sequential fetch of the same chunks —
+    # the round-11 parallel-assembly claim, measured.
+    get_latency = 0.004  # 4 ms per object — S3-intra-region shape
+    footer = txlog._load_checkpoint(fs, path, r2["version"], with_live=False)
+    chunk_names = sorted({r["name"] for r in footer.get("live_chunks", [])})
+
+    class _LatencyFS(LocalFS):
+        def read_bytes(self, p: str) -> bytes:
+            time.sleep(get_latency)
+            return super().read_bytes(p)
+
+    lfs = _LatencyFS()
+    t0 = time.perf_counter()
+    for nm in chunk_names:
+        json.loads(lfs.read_bytes(f"{path}/_txlog/{nm}").decode("utf-8"))
+    t_seq = time.perf_counter() - t0
+    txlog._CKPT_CACHE.clear()
+    t0 = time.perf_counter()
+    ck = txlog._load_checkpoint(lfs, path, r2["version"])
+    t_pooled = time.perf_counter() - t0
+    assert ck is not None and len(ck["live"]) == n_parts + 1
+
     print(json.dumps({
         "n_parts": n_parts,
         "full_ckpt_sec": round(t_full, 3),
@@ -87,6 +111,10 @@ def main() -> None:
         "inline_live_bytes_per_cadence": inline_bytes,
         "folded_read_sec": round(t_folded, 4),
         "cold_snapshot_assemble_sec": round(t_cold, 3),
+        "n_chunks": len(chunk_names),
+        "simulated_get_latency_sec": get_latency,
+        "cold_assemble_sequential_sec_at_latency": round(t_seq, 3),
+        "cold_assemble_pooled_sec_at_latency": round(t_pooled, 3),
     }))
 
 
