@@ -1910,3 +1910,40 @@ def test_analyze_rejects_location_mismatch(spark, tmp_path):
             analyze(spark, {"t_advice_loc_check": b})
     finally:
         spark.sql("DROP TABLE IF EXISTS t_advice_loc_check")
+
+
+def test_hadoopfs_read_bytes_missing_path_is_filenotfound(spark, tmp_path):
+    """Round-11 ADVICE fix: HadoopFS.read_bytes raises the PYTHON
+    FileNotFoundError for a vanished object (same contract as
+    LocalFS.read_bytes and HadoopFS.mtime) — the checkpoint dirty-scan
+    fallback and _read_commit_retained's curated VersionExpiredError
+    both catch exactly that type, so on URI stores a reaped commit must
+    not surface as an opaque Py4JJavaError."""
+    import pytest as _pytest
+
+    from es_analytics_spark.sources.fsio import HadoopFS
+
+    fs = HadoopFS(spark, f"file://{tmp_path}")
+    with _pytest.raises(FileNotFoundError):
+        fs.read_bytes(f"file://{tmp_path}/no/such/object.json")
+    # present paths still round-trip
+    fs.put_bytes(f"file://{tmp_path}/x.bin", b"abc")
+    assert fs.read_bytes(f"file://{tmp_path}/x.bin") == b"abc"
+
+
+def test_txlog_retention_error_curated_on_uri_store(spark, tmp_path):
+    """End-to-end: on a HadoopFS (URI) table, reading history that
+    clean_log reaped raises the curated VersionExpiredError — the
+    consumer-visible half of the read_bytes normalization."""
+    import pytest as _pytest
+
+    from es_analytics_spark import txlog
+
+    path = f"file://{tmp_path}/t"
+    for i in range(6):
+        txlog.append(spark, path, spark.createDataFrame([(i,)], "k long"))
+    txlog.checkpoint(spark, path)
+    r = txlog.clean_log(spark, path, keep_versions=0)
+    assert r["removed_commits"] > 0
+    with _pytest.raises(txlog.VersionExpiredError):
+        txlog.table_properties(spark, path, version=2)
