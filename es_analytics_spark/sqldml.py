@@ -655,7 +655,7 @@ def _parse_on_keys(on: str, t_alias: str, s_alias: str) -> list[str]:
                 f"equi-predicates (t.k = s.k), got {conj.strip()!r}"
             )
         a1, c1, a2, c2 = m.groups()
-        if {a1, a2} != {t_alias, s_alias}:
+        if {a1.lower(), a2.lower()} != {t_alias.lower(), s_alias.lower()}:
             raise SqlDmlError(
                 f"MERGE: ON predicate {conj.strip()!r} must join the target "
                 f"({t_alias!r}) to the source ({s_alias!r})"
