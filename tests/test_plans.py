@@ -415,6 +415,12 @@ def test_every_driver_fetch_is_limit_guarded_or_audited():
         ("txlog.py", "delete_where"),
         ("txlog.py", "merge_upsert"),
         ("txlog.py", "update_where"),  # same touched-part discovery shape
+        # full-grammar merge: pass-1 clause-hit file discovery (DISTINCT
+        # file paths — manifest-sized, the delete/merge class above) and
+        # two route-count groupBys whose result is one row per CLAUSE
+        # (<= a handful), never data-sized; the routed rewrite itself is
+        # fully distributed through a localCheckpoint
+        ("txlog.py", "merge"),
         # clustered compaction's per-range zone maps: ONE grouped
         # min/max job whose result is one row per emitted range —
         # manifest-sized (ceil(group_bytes / target_file_bytes) rows of
