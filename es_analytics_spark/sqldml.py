@@ -129,6 +129,26 @@ def _quote_segments(s: str) -> list[tuple[bool, str]]:
 
 _SQL_WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
+#: bare words NEVER rewritten to column references even when a column
+#: shares the name: SQL keyword operators and literals — the
+#: reserved-word rule every SQL dialect applies. A column colliding
+#: with one of these must be alias-qualified (``s.end``).
+_SQL_NONCOLUMN_WORDS = frozenset("""
+and or not in is like rlike ilike between escape exists all any some
+case when then else end cast try_cast as distinct from div
+true false null interval asc desc
+""".split())
+
+#: EXTRACT-field operands (``EXTRACT(YEAR FROM ts)``): protected only
+#: when the NEXT word is FROM — that syntactic position is never a
+#: column reference, while a bare ``year = 2024`` over a table with a
+#: ``year`` column (common in analytics) still resolves.
+_SQL_EXTRACT_FIELDS = frozenset("""
+year years quarter quarters month months week weeks day days dayofweek
+dayofyear doy dow hour hours minute minutes second seconds millisecond
+milliseconds microsecond microseconds nanosecond nanoseconds epoch
+""".split())
+
 
 def _rewrite_expr(expr: str, alias_map: dict, bare, refuse: dict,
                   what: str) -> str:
@@ -141,12 +161,17 @@ def _rewrite_expr(expr: str, alias_map: dict, bare, refuse: dict,
     (None leaves it untouched — a function name, SQL keyword, or
     CAST-type is not a column reference). String literals pass through
     byte-identical; a word followed by ``(`` is a function call; a word
-    preceded or followed by ``.`` is already part of a qualified chain."""
+    preceded or followed by ``.`` is already part of a qualified chain;
+    a word in :data:`_SQL_NONCOLUMN_WORDS`, or one directly preceding a
+    string literal (a ``DATE '2024-01-01'`` typed-literal prefix), is
+    never a column reference."""
     out = []
-    for is_lit, text in _quote_segments(expr):
+    segs = _quote_segments(expr)
+    for si, (is_lit, text) in enumerate(segs):
         if is_lit:
             out.append(text)
             continue
+        next_is_lit = si + 1 < len(segs) and segs[si + 1][0]
         res: list[str] = []
         i, n = 0, len(text)
         while i < n:
@@ -170,6 +195,13 @@ def _rewrite_expr(expr: str, alias_map: dict, bare, refuse: dict,
                 res.append(alias_map[lw])  # alias → struct name
             elif nxt in ("(", "."):
                 res.append(w)  # function call / other qualified chain
+            elif lw in _SQL_NONCOLUMN_WORDS or (k >= n and next_is_lit):
+                res.append(w)  # keyword / typed-literal prefix (DATE '…')
+            elif lw in _SQL_EXTRACT_FIELDS and (
+                text[k:k + 4].lower() == "from"
+                and not (text[k + 4:k + 5].isalnum() or text[k + 4:k + 5] == "_")
+            ):
+                res.append(w)  # EXTRACT(YEAR FROM …) operand position
             else:
                 got = bare(lw)
                 if isinstance(got, str) and got not in ("t", "s"):
@@ -320,18 +352,33 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
 
 def _find_top_level_word(s: str, word: str, start: int = 0) -> int:
     """Index of the first standalone (case-insensitive) ``word`` at
-    depth 0 outside string literals, or -1."""
+    depth 0 outside string literals AND outside ``CASE … END``
+    expressions, or -1. The CASE-awareness is what lets an
+    unparenthesized ``CASE WHEN … THEN … END`` live inside a MERGE
+    clause condition or SET expression without its WHEN/THEN being
+    mistaken for clause structure (CASE/END inside parens are invisible
+    here and balance themselves)."""
     w = word.upper()
-    L = len(w)
+    case_depth = 0
+    n = len(s)
     for i, ch in _scan_top_level(s):
-        if i < start or ch.upper() != w[0]:
+        if not (ch.isalpha() or ch == "_"):
             continue
-        if s[i:i + L].upper() != w:
-            continue
-        before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
-        j = i + L
-        after_ok = j >= len(s) or not (s[j].isalnum() or s[j] == "_")
-        if before_ok and after_ok:
+        prev = s[i - 1] if i > 0 else ""
+        if prev.isalnum() or prev == "_":
+            continue  # mid-word
+        j = i
+        while j < n and (s[j].isalnum() or s[j] == "_"):
+            j += 1
+        tok = s[i:j].upper()
+        if prev != ".":
+            if tok == "CASE":
+                case_depth += 1
+                continue
+            if tok == "END" and case_depth > 0:
+                case_depth -= 1
+                continue
+        if i >= start and tok == w and case_depth == 0:
             return i
     return -1
 
@@ -558,6 +605,11 @@ def _parse_merge_clauses(tail: str, t_alias: str, s_alias: str,
                     f"MERGE: INSERT names {len(cols)} column(s) but VALUES "
                     f"has {len(exprs)} expression(s)"
                 )
+            if len(set(cols)) != len(cols):
+                dupes = sorted({c for c in cols if cols.count(c) > 1})
+                raise SqlDmlError(
+                    f"MERGE: INSERT column(s) {dupes} listed more than once"
+                )
             not_matched.append(
                 {"action": "insert", "values": dict(zip(cols, exprs)),
                  "condition": cond}
@@ -701,10 +753,32 @@ def _pin_time_travel(spark: SparkSession, sql: str) -> str:
     }
     if not reg:
         return sql
+
+    def _literal_spans(s: str):
+        spans = []
+        pos = 0
+        for is_lit, text in _quote_segments(s):
+            if is_lit:
+                spans.append((pos, pos + len(text)))
+            pos += len(text)
+        return spans
+
     # Delta's table_changes TVF spelling for the row-level change feed:
     # table_changes('name', since[, until]) → rows changed in versions
-    # (since, until]  (the table_changes_cdf window contract)
-    def _cdf_sub(m):
+    # (since, until]  (the table_changes_cdf window contract). Matches
+    # INSIDE string literals are data, not calls — the TVF's own quoted
+    # name argument starts AFTER the matched prefix, so the match
+    # position itself is outside any literal in a real call.
+    tvf_spans = _literal_spans(sql)
+    tvf = re.compile(
+        r"\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+        re.IGNORECASE,
+    )
+    out0: list[str] = []
+    last0 = 0
+    for m in tvf.finditer(sql):
+        if any(a <= m.start() < b for a, b in tvf_spans):
+            continue
         lname = m.group(1).lower()
         if lname not in reg:
             raise SqlDmlError(
@@ -717,20 +791,15 @@ def _pin_time_travel(spark: SparkSession, sql: str) -> str:
         df = txlog.table_changes_cdf(spark, path, since, until)
         view = f"__cdf_{name}_{since}_{until if until is not None else 'latest'}"
         df.createOrReplaceTempView(view)
-        return view
-
-    sql = re.sub(
-        r"\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
-        _cdf_sub, sql, flags=re.IGNORECASE,
-    )
+        out0.append(sql[last0:m.start()])
+        out0.append(view)
+        last0 = m.end()
+    if out0:
+        out0.append(sql[last0:])
+        sql = "".join(out0)
     if not re.search(r"\bAS\s+OF\b", sql, re.IGNORECASE):
         return sql
-    spans = []
-    pos = 0
-    for is_lit, text in _quote_segments(sql):
-        if is_lit:
-            spans.append((pos, pos + len(text)))
-        pos += len(text)
+    spans = _literal_spans(sql)
 
     def _in_lit(i: int) -> bool:
         return any(a <= i < b for a, b in spans)
@@ -869,7 +938,10 @@ def _route_create_table(spark: SparkSession, sql: str):
             res = dict(txlog.overwrite_table(spark, path, df), created=True)
         else:
             res = dict(txlog.append(spark, path, df), created=True)
-    if props:
+    if props and res.get("created"):
+        # IF NOT EXISTS hitting an existing table is a full no-op —
+        # committing the statement's TBLPROPERTIES would silently
+        # mutate metadata the statement promised to leave alone
         txlog.set_table_properties(spark, path, props)
     txlog.register_table(spark, name, path)
     return dict(res, operation="create_table", table=name, path=path)

@@ -34,10 +34,33 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import SparkSession
 
 from es_analytics_spark.sources.txlog_source import _PyLog, register_txlog_feed
+
+
+def _local_ckpt_dir(checkpoint_dir: str) -> str:
+    """Normalize the checkpoint location to a plain local path:
+    ``file://`` / ``file:`` URIs strip to their path (Spark writes the
+    same bytes either way); any OTHER scheme is refused up front with a
+    curated error — the cursor reader (and the txlog_feed source
+    itself, see _PyLog) uses plain Python I/O, and silently returning
+    None here would make the drain loop spin to its runaway cap and
+    report failure AFTER the work succeeded."""
+    if re.match(r"^file:", checkpoint_dir):
+        from urllib.parse import urlparse
+
+        return urlparse(checkpoint_dir).path or checkpoint_dir[len("file:"):]
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", checkpoint_dir):
+        raise ValueError(
+            f"drain_txlog_feed: checkpoint_dir {checkpoint_dir!r} is a "
+            "non-local URI — the drain reads the WAL cursor (and the "
+            "txlog_feed source reads the log) with plain Python I/O; "
+            "use a local path, like the source's table path"
+        )
+    return checkpoint_dir
 
 
 def _wal_cursor(checkpoint_dir: str) -> int | None:
@@ -46,6 +69,7 @@ def _wal_cursor(checkpoint_dir: str) -> int | None:
     first commit. Reads Spark's stable v1 checkpoint layout: one file
     per batch id under ``commits/`` and ``offsets/``; the offset file's
     last line is the source's serialized offset ``{"version": N}``."""
+    checkpoint_dir = _local_ckpt_dir(checkpoint_dir)
     commits_dir = os.path.join(checkpoint_dir, "commits")
     try:
         batches = [int(n) for n in os.listdir(commits_dir) if n.isdigit()]
@@ -78,6 +102,7 @@ def drain_txlog_feed(
     ``partition_filter``, ``starting_version``, …) pass through to the
     source. Returns {"ending_version", "passes", "drained"}."""
     register_txlog_feed(spark)
+    _local_ckpt_dir(checkpoint_dir)  # refuse non-local URIs up front
     end_v = _PyLog(path).current_version()
     start_cursor = _wal_cursor(checkpoint_dir)
     passes = 0

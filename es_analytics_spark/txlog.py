@@ -1425,7 +1425,7 @@ def append(
     schema_at = v
     orig_sj = _committed_schema(fs, path, v)
     schema = _merge_schema(orig_sj, df, evolve)
-    _enforce_constraints(spark, path, v, df, "append", schema)
+    enforced_cons = _enforce_constraints(spark, path, v, df, "append", schema)
     # pin the minted logical->physical map: CAS-retry re-merges MUST
     # reuse it (the part bytes below are written under these names)
     mint = {f["name"]: _phys_name(f) for f in schema["fields"]}
@@ -1461,6 +1461,13 @@ def append(
                 orig_sj, fresh_sj, df.columns, path, "append"
             )
             payload["schema"] = _merge_schema(fresh_sj, df, evolve, mint=mint)
+            if table_constraints(spark, path, version=v) != enforced_cons:
+                # a constraint landed (or changed) since validation: the
+                # blind-append commute must not slip rows past it — the
+                # other half of add_constraint's own retry re-validation
+                enforced_cons = _enforce_constraints(
+                    spark, path, v, df, "append", payload["schema"]
+                )
             schema_at = v
         if checked is not None and v > checked:
             for c in _intervening(fs, path, checked, v):
@@ -1625,11 +1632,14 @@ class ConstraintViolationError(ValueError):
 
 def _sql_word_edit(expr: str, word: str, new: str | None):
     """Whole-word identifier scan over a SQL expression, OUTSIDE string
-    literals/quoted identifiers: ``new=None`` returns True iff ``word``
-    is referenced; otherwise returns the expression with every
-    reference renamed to ``new``. A word preceded by ``.`` is a struct
-    field of some other column; a word followed by ``(`` is a function
-    call — neither is a reference to column ``word``."""
+    literals: ``new=None`` returns True iff ``word`` is referenced;
+    otherwise returns the expression with every reference renamed to
+    ``new``. A word preceded by ``.`` is a struct field of some other
+    column; a word followed by ``(`` is a function call — neither is a
+    reference to column ``word``. A BACKTICK-quoted identifier is a
+    column reference too (`` `col` `` names the same column ``col``
+    does — missing it would leave a renamed column's constraint
+    pointing at a ghost), with doubled-backtick escaping honored."""
     out = []
     found = False
     quote = None
@@ -1647,7 +1657,32 @@ def _sql_word_edit(expr: str, word: str, new: str | None):
             out.append(ch)
             i += 1
             continue
-        if ch in "'\"`":
+        if ch == "`":
+            # quoted IDENTIFIER: read to the closing backtick (``
+            # escapes), compare the inner name to the target word
+            j = i + 1
+            inner = []
+            while j < n:
+                if expr[j] == "`":
+                    if j + 1 < n and expr[j + 1] == "`":
+                        inner.append("`")
+                        j += 2
+                        continue
+                    break
+                inner.append(expr[j])
+                j += 1
+            name = "".join(inner)
+            prev = expr[i - 1] if i > 0 else ""
+            if name.lower() == lw and prev != ".":
+                found = True
+                out.append(
+                    "`" + (new if new is not None else name).replace("`", "``") + "`"
+                )
+            else:
+                out.append(expr[i:min(j + 1, n)])
+            i = min(j + 1, n)
+            continue
+        if ch in "'\"":
             quote = ch
             out.append(ch)
             i += 1
@@ -1688,9 +1723,18 @@ def table_constraints(
     folded, start = _folded_checkpoint(fs, path, version, "constraints")
     out: dict[str, str] = dict(folded or {})
     for v in range(start, version + 1):
-        c = _read_commit_retained(
-            fs, path, v, f"table_constraints(version={version})"
-        )
+        try:
+            c = _read_commit(fs, path, v)
+        except FileNotFoundError:
+            # a reaped commit below a checkpoint that predates the
+            # constraints fold (pre-upgrade table whose log was
+            # cleaned): guaranteed constraint-free, because clean_log
+            # refuses to reap any constraints-carrying commit unless a
+            # surviving checkpoint folds them (in which case `folded`
+            # answered and `start` is past the cut). Without this skip,
+            # EVERY write on such a table — including the checkpoint()
+            # that would heal it — raised VersionExpiredError.
+            continue
         for k, val in c.get("constraints", {}).items():
             if val is None:
                 out.pop(k, None)
@@ -1702,7 +1746,7 @@ def table_constraints(
 def _enforce_constraints(
     spark: SparkSession, path: str, version: int, df: DataFrame,
     what: str, schema_json: dict | None = None,
-) -> None:
+):
     """Pre-commit CHECK enforcement on the rows a write is about to
     land: ONE aggregate job over the incoming frame counts violations
     per constraint (ANSI CHECK three-valued semantics — a row passes
@@ -1715,7 +1759,7 @@ def _enforce_constraints(
     value those rows will actually read as."""
     cons = table_constraints(spark, path, version=version)
     if not cons:
-        return
+        return {}
     from pyspark.sql import functions as F, types as T
 
     eval_df = df
@@ -1747,6 +1791,7 @@ def _enforce_constraints(
             ", ".join(f"{nm} ({cons[nm]!r}): {n} row(s)" for nm, n in bad.items())
             + " — fix the data or drop_constraint first"
         )
+    return cons
 
 
 def add_constraint(
@@ -1779,41 +1824,47 @@ def add_constraint(
     from pyspark.sql import functions as F
 
     fs = lake_fs(spark, path)
-    v = current_version(spark, path)
-    if name in table_constraints(spark, path, version=v):
-        raise ValueError(
-            f"add_constraint under {path}: constraint {name!r} already "
-            "exists — drop_constraint first to replace it"
-        )
-    # the expression must analyze against the committed schema (curated
-    # error, not a later write-time analyzer blowup) …
-    snap = read_table(spark, path, version=v)
-    try:
-        probe = snap.filter(
-            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
-        )
-        probe.schema  # force analysis
-    except Exception as e:
-        raise ValueError(
-            f"add_constraint under {path}: expression {expr!r} does not "
-            f"analyze against the table schema ({snap.columns}): {e}"
-        ) from e
-    # … and the EXISTING rows must satisfy it (Delta's ADD CONSTRAINT
-    # contract — otherwise the very next write of any row would fail a
-    # check the table itself already breaks)
-    n_bad = probe.count()
-    if n_bad:
-        raise ConstraintViolationError(
-            f"add_constraint under {path}: {n_bad} existing row(s) violate "
-            f"{name!r} ({expr!r}) — clean the data first"
-        )
     payload = {
         "operation": "set_constraint",
         "adds": [],
         "removes": [],
         "constraints": {name: expr},
     }
+    v = current_version(spark, path)
     for _ in range(max_retries):
+        # the whole validation re-runs on every CAS retry: a rival
+        # commit that landed since the last probe may have appended
+        # rows the constraint rejects (the TOCTOU the append-side
+        # retry re-enforcement closes from the other direction) — a
+        # constraint must NEVER commit over a snapshot it was not
+        # validated against
+        if name in table_constraints(spark, path, version=v):
+            raise ValueError(
+                f"add_constraint under {path}: constraint {name!r} already "
+                "exists — drop_constraint first to replace it"
+            )
+        # the expression must analyze against the committed schema
+        # (curated error, not a later write-time analyzer blowup) …
+        snap = read_table(spark, path, version=v)
+        try:
+            probe = snap.filter(
+                ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            )
+            probe.schema  # force analysis
+        except Exception as e:
+            raise ValueError(
+                f"add_constraint under {path}: expression {expr!r} does not "
+                f"analyze against the table schema ({snap.columns}): {e}"
+            ) from e
+        # … and the EXISTING rows must satisfy it (Delta's ADD
+        # CONSTRAINT contract — otherwise the very next write of any
+        # row would fail a check the table itself already breaks)
+        n_bad = probe.count()
+        if n_bad:
+            raise ConstraintViolationError(
+                f"add_constraint under {path}: {n_bad} existing row(s) "
+                f"violate {name!r} ({expr!r}) — clean the data first"
+            )
         if _try_commit(fs, path, v + 1, payload):
             _maybe_auto_checkpoint(spark, path, v + 1)
             return {"version": v + 1}
@@ -2514,7 +2565,9 @@ def overwrite_partition(
     orig_sj = _committed_schema(fs, path, v0)
     schema = _merge_schema(orig_sj, df, evolve)
     removes = sorted(p for p, e in live.items() if e["partition"] == partition)
-    _enforce_constraints(spark, path, v0, df, "overwrite_partition", schema)
+    enforced_cons = _enforce_constraints(
+        spark, path, v0, df, "overwrite_partition", schema
+    )
     part = _write_part(spark, path, df, schema)
     payload = {
         "operation": "overwrite_partition",
@@ -2565,6 +2618,12 @@ def overwrite_partition(
             fresh_sj, df, evolve,
             mint={f["name"]: _phys_name(f) for f in schema["fields"]},
         )
+        if table_constraints(spark, path, version=latest) != enforced_cons:
+            # a set_constraint commuted past this overwrite: re-enforce
+            # before re-attaching (same closure as append's retry loop)
+            enforced_cons = _enforce_constraints(
+                spark, path, latest, df, "overwrite_partition", payload["schema"]
+            )
         v = max(v, latest)
     raise CommitConflict(
         f"overwrite_partition lost the CAS {max_retries} times under {path}"
@@ -4398,8 +4457,16 @@ _TABLE_REGISTRY: "_weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
 
 def registered_table_path(spark: SparkSession, name: str) -> str | None:
     """The txlog path ``name`` was registered under in this session
-    (:func:`register_table`), or None for an unregistered name."""
-    return _TABLE_REGISTRY.get(spark, {}).get(name)
+    (:func:`register_table`), or None for an unregistered name. SQL
+    identifiers are case-insensitive, so ``ORDERS_TX`` resolves the
+    table registered as ``orders_tx`` (exact spelling wins when two
+    registrations differ only by case — which Spark's own
+    case-insensitive temp-view namespace cannot express anyway)."""
+    reg = _TABLE_REGISTRY.get(spark, {})
+    if name in reg:
+        return reg[name]
+    hits = [p for n, p in reg.items() if n.lower() == name.lower()]
+    return hits[0] if len(hits) == 1 else None
 
 
 def register_table(
@@ -4755,6 +4822,18 @@ def clean_log(
             # fully-folded checkpoint: safe cut point (a checkpoint
             # missing the folded source set OR the writer-transaction
             # marks would break exactly-once if cut at)
+            if ck.get("constraints") is None and any(
+                "constraints" in _read_commit(fs, path, w)
+                for w in _list_versions(fs, path)
+                if w <= cv
+            ):
+                # a pre-constraints-fold checkpoint may not cut past a
+                # constraints-carrying commit — the fold is the only
+                # surviving copy table_constraints could answer from
+                # (the replay treats reaped commits as constraint-free
+                # precisely because of this refusal); the next
+                # checkpoint() folds constraints and unblocks the cut
+                continue
             cut = cv
             break
     if cut == 0:

@@ -197,3 +197,41 @@ def test_create_table_cas_race(spark, tmp_path, monkeypatch):
     with pytest.raises(CommitConflict, match="concurrent"):
         create_table(spark, path, "k long")
     assert current_version(spark, path) == 1
+
+
+def test_table_changes_lookalike_in_literal_untouched(spark, tmp_path):
+    """Round-11 review fix: a table_changes(...) lookalike INSIDE a
+    string literal is data — no rewrite, no registration error."""
+    path = str(tmp_path / "t")
+    append(spark, path, spark.createDataFrame([(1,)], "k long"))
+    register_table(spark, "lc_lit", path)
+    row = execute_sql(
+        spark,
+        "SELECT 'see table_changes(''lc_lit'', 1) for docs' AS s FROM lc_lit",
+    ).first()
+    assert row["s"] == "see table_changes('lc_lit', 1) for docs"
+    row = execute_sql(
+        spark,
+        "SELECT 'table_changes(''nope_unregistered'', 1)' AS s FROM lc_lit",
+    ).first()
+    assert "nope_unregistered" in row["s"]
+
+
+def test_create_if_not_exists_does_not_mutate_properties(spark, tmp_path):
+    """IF NOT EXISTS hitting an existing table is a FULL no-op: the
+    statement's TBLPROPERTIES must not overwrite committed metadata."""
+    path = str(tmp_path / "t")
+    execute_sql(spark, f"""
+        CREATE TABLE lc_props (k BIGINT) USING txlog LOCATION '{path}'
+        TBLPROPERTIES ('retention.keep_versions' = '720')
+    """)
+    v = current_version(spark, path)
+    r = execute_sql(spark, f"""
+        CREATE TABLE IF NOT EXISTS lc_props (k BIGINT) USING txlog
+        LOCATION '{path}' TBLPROPERTIES ('retention.keep_versions' = '1')
+    """)
+    assert r["created"] is False
+    assert current_version(spark, path) == v  # no property commit landed
+    assert txlog.table_properties(spark, path) == {
+        "retention.keep_versions": "720"
+    }

@@ -196,3 +196,125 @@ def test_create_then_constraint_gates_from_first_row(spark, tmp_path):
         append(spark, path, spark.createDataFrame([(1, -1.0)], "k long, x double"))
     append(spark, path, spark.createDataFrame([(1, 1.0)], "k long, x double"))
     assert read_table(spark, path).count() == 1
+
+
+def test_preupgrade_cleaned_log_still_writes(spark, tmp_path):
+    """Round-11 review fix: a table whose checkpoints predate the
+    constraints fold (simulated by stripping the key) and whose log was
+    cleaned must keep accepting writes — the replay treats the reaped,
+    provably constraint-free prefix as empty instead of raising
+    VersionExpiredError on every write."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    for i in range(6):
+        append(spark, path, _df(spark, [(i, "a", float(i))]))
+    txlog.checkpoint(spark, path)
+    # simulate a pre-upgrade checkpoint: drop the constraints fold
+    from es_analytics_spark.sources.fsio import LocalFS
+
+    fs = LocalFS()
+    ck_path = txlog._checkpoint_path(path, 6)
+    ck = _json.loads(fs.read_bytes(ck_path).decode())
+    ck.pop("constraints", None)
+    fs.delete(ck_path)
+    fs.put_bytes(ck_path, _json.dumps(ck).encode())
+    txlog._CKPT_CACHE.clear()
+    r = txlog.clean_log(spark, path, keep_versions=0)
+    assert r["removed_commits"] > 0
+    assert table_constraints(spark, path) == {}
+    append(spark, path, _df(spark, [(100, "ok", 1.0)]))  # must not raise
+    txlog.checkpoint(spark, path)  # heals: folds constraints ({})
+
+
+def test_clean_log_refuses_cut_past_unfolded_constraint(spark, tmp_path):
+    """A checkpoint lacking the constraints fold may not cut past a
+    constraints-carrying commit (the fold would be the only surviving
+    copy); the next folding checkpoint unblocks the cut."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    for i in range(3):
+        append(spark, path, _df(spark, [(i, "a", float(i))]))
+    add_constraint(spark, path, "x_nonneg", "x >= 0")
+    append(spark, path, _df(spark, [(50, "b", 5.0)]))
+    txlog.checkpoint(spark, path)
+    from es_analytics_spark.sources.fsio import LocalFS
+
+    fs = LocalFS()
+    v = txlog.current_version(spark, path)
+    ck_path = txlog._checkpoint_path(path, v)
+    ck = _json.loads(fs.read_bytes(ck_path).decode())
+    ck.pop("constraints", None)
+    fs.delete(ck_path)
+    fs.put_bytes(ck_path, _json.dumps(ck).encode())
+    txlog._CKPT_CACHE.clear()
+    r = txlog.clean_log(spark, path, keep_versions=0)
+    assert r["cut"] == 0 and r["removed_commits"] == 0
+    # constraint survives and enforces
+    with pytest.raises(ConstraintViolationError):
+        append(spark, path, _df(spark, [(60, "bad", -1.0)]))
+    # a FOLDING checkpoint (fresh write at a new version) unblocks
+    append(spark, path, _df(spark, [(61, "ok", 1.0)]))
+    txlog.checkpoint(spark, path)
+    r = txlog.clean_log(spark, path, keep_versions=0)
+    assert r["removed_commits"] > 0
+    assert table_constraints(spark, path) == {"x_nonneg": "x >= 0"}
+
+
+def test_add_constraint_revalidates_on_cas_retry(spark, tmp_path, monkeypatch):
+    """TOCTOU closure, constraint side: a rival append landing
+    violating rows between validation and the CAS makes the retry
+    re-validate and refuse — the constraint can never commit over a
+    snapshot it was not checked against."""
+    path = _base(spark, tmp_path, n=3)
+    real = txlog._try_commit
+    fired = {"n": 0}
+
+    def inject(fs, p, version, payload):
+        if payload.get("operation") == "set_constraint" and fired["n"] == 0:
+            fired["n"] = 1
+            append(spark, path, _df(spark, [(50, "rival", -5.0)]))
+        return real(fs, p, version, payload)
+
+    monkeypatch.setattr(txlog, "_try_commit", inject)
+    with pytest.raises(ConstraintViolationError, match="existing row"):
+        add_constraint(spark, path, "x_nonneg", "x >= 0")
+    assert table_constraints(spark, path) == {}
+
+
+def test_append_reenforces_on_cas_retry(spark, tmp_path, monkeypatch):
+    """TOCTOU closure, append side: a constraint committed between the
+    append's validation and its CAS win is enforced on the retry — the
+    blind-append commute cannot slip violating rows past it."""
+    path = _base(spark, tmp_path, n=3)
+    real = txlog._try_commit
+    fired = {"n": 0}
+
+    def inject(fs, p, version, payload):
+        if payload.get("operation") == "append" and fired["n"] == 0 \
+                and payload["adds"] and not payload.get("constraints"):
+            fired["n"] = 1
+            add_constraint(spark, path, "x_nonneg", "x >= 0")
+        return real(fs, p, version, payload)
+
+    monkeypatch.setattr(txlog, "_try_commit", inject)
+    with pytest.raises(ConstraintViolationError):
+        append(spark, path, _df(spark, [(50, "bad", -5.0)]))
+    monkeypatch.setattr(txlog, "_try_commit", real)
+    assert read_table(spark, path).count() == 3
+
+
+def test_backticked_constraint_follows_rename(spark, tmp_path):
+    """Round-11 review fix: a constraint written with a backtick-quoted
+    identifier is STILL a reference — rename rewrites it, drop_column
+    refuses while it holds."""
+    path = _base(spark, tmp_path, n=3)
+    add_constraint(spark, path, "bt", "`x` >= 0")
+    with pytest.raises(txlog.SchemaMismatchError, match="referenced by"):
+        txlog.drop_column(spark, path, "x")
+    txlog.rename_column(spark, path, "x", "amount")
+    assert table_constraints(spark, path) == {"bt": "`amount` >= 0"}
+    with pytest.raises(ConstraintViolationError):
+        append(spark, path, _df(spark, [(60, "bad", -1.0)],
+                                "k long, val string, amount double"))

@@ -166,3 +166,18 @@ def test_ending_version_bounds_plain_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(r["id"] for r in rows) == list(range(0, 10))
+
+
+def test_drain_checkpoint_uri_handling(spark, tmp_path):
+    """file:// checkpoint locations work (cursor reads strip the
+    scheme); other schemes are refused up front with a curated error
+    instead of spinning to the runaway cap."""
+    path = _table(spark, tmp_path, commits=2)
+    got: list[int] = []
+    r = drain_txlog_feed(
+        spark, path, f"file://{tmp_path}/ckpt_uri",
+        lambda df, _b: got.extend(x["id"] for x in df.collect()),
+    )
+    assert r["ending_version"] == 2 and sorted(got) == list(range(0, 20))
+    with pytest.raises(ValueError, match="non-local URI"):
+        drain_txlog_feed(spark, path, "s3a://bucket/ckpt", lambda df, b: None)

@@ -458,3 +458,68 @@ def test_sql_update_where_inside_literal(spark, tmp_path):
     # and a WHERE-less UPDATE with the literal still hits every row
     r = execute_sql(spark, "UPDATE m_uw SET val = 'x WHERE y'")
     assert r["rows_updated"] == 3
+
+
+def test_sql_case_when_inside_clause(spark, tmp_path):
+    """Round-11 review fix: an unparenthesized CASE WHEN ... THEN ...
+    END inside a clause condition or SET expression is standard SQL —
+    its WHEN/THEN must not be mistaken for clause structure."""
+    sql_path = _base(spark, tmp_path, name="cw_sql")
+    register_table(spark, "m_case", sql_path)
+    spark.createDataFrame([(1, 5.0), (2, -5.0), (50, 1.0)], "k long, p double") \
+        .createOrReplaceTempView("case_src")
+    r = execute_sql(spark, """
+        MERGE INTO m_case t USING case_src s ON t.k = s.k
+        WHEN MATCHED AND CASE WHEN s.p > 0 THEN true ELSE false END
+            THEN UPDATE SET val = CASE WHEN s.p > 3 THEN 'big' ELSE 'small' END
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, val) VALUES (s.k,
+            CASE WHEN s.p > 0 THEN 'new+' ELSE 'new-' END)
+    """)
+    assert (r["rows_updated"], r["rows_deleted"], r["rows_inserted"]) == (1, 1, 1)
+    got = {x["k"]: x["val"] for x in read_table(spark, sql_path).collect()}
+    assert got[1] == "big" and 2 not in got and got[50] == "new+"
+
+
+def test_sql_keyword_operands_and_typed_literals(spark, tmp_path):
+    """EXTRACT(YEAR FROM ...) and DATE '...' survive the bare-identifier
+    rewrite even when a column shares the operand's name; a bare `year`
+    column reference still resolves outside the EXTRACT position."""
+    path = str(tmp_path / "kw")
+    append(spark, path, spark.createDataFrame(
+        [(1, 2020, "2020-06-01"), (2, 2024, "2024-06-01")],
+        "k long, year long, d string"))
+    register_table(spark, "m_kw", path)
+    spark.createDataFrame([(1,), (2,)], "k long").createOrReplaceTempView("kw_src")
+    r = execute_sql(spark, """
+        MERGE INTO m_kw t USING kw_src s ON t.k = s.k
+        WHEN MATCHED AND EXTRACT(YEAR FROM CAST(t.d AS DATE)) = 2024
+            AND year > 2021 AND CAST(t.d AS DATE) > DATE '2023-01-01'
+            THEN UPDATE SET d = 'matched'
+    """)
+    assert r["rows_updated"] == 1
+    got = {x["k"]: x["d"] for x in read_table(spark, path).collect()}
+    assert got[2] == "matched" and got[1] == "2020-06-01"
+
+
+def test_sql_case_variant_table_name_routes(spark, tmp_path):
+    """SQL identifiers are case-insensitive: DELETE FROM ORDERS_TX must
+    route to the table registered as orders_tx, not fall through to
+    spark.sql's v2-table error."""
+    path = _base(spark, tmp_path, name="cs_sql", n=4)
+    register_table(spark, "m_casevar", path)
+    r = execute_sql(spark, "DELETE FROM M_CASEVAR WHERE k = 0")
+    assert r["operation"] == "delete" and r["rows_deleted"] == 1
+    assert read_table(spark, path).count() == 3
+
+
+def test_sql_duplicate_insert_columns_rejected(spark, tmp_path):
+    path = _base(spark, tmp_path, name="dupins", n=2)
+    register_table(spark, "m_dupins", path)
+    spark.createDataFrame([(9, 1.0)], "k long, p double") \
+        .createOrReplaceTempView("dup_src")
+    with pytest.raises(SqlDmlError, match="more than once"):
+        execute_sql(spark, """
+            MERGE INTO m_dupins t USING dup_src s ON t.k = s.k
+            WHEN NOT MATCHED THEN INSERT (k, k) VALUES (s.k, s.p)
+        """)
