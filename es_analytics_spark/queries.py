@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum, davg, dsum_expr, davg_expr
+from es_analytics_spark.functions.fanout import fan_out
 from es_analytics_spark.sources.lake import load_tables
 
 
@@ -1180,7 +1181,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash-LSH path (see dedup_minhash_lsh)."""
     from es_analytics_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents")["documents"]
+    # the gram explode + distinct partial work runs map-side in the
+    # scan stage; spread it when the layout is a single local file
+    # (layout-adaptive no-op on a multi-file lake)
+    d = fan_out(
+        _t(spark, sf_dir, "documents")["documents"],
+        sf_dir, "documents", "doc_id", weight=30,
+    )
     return ngram_jaccard_pairs(
         d, "doc_id", "text", ngram=3, block_col="source", threshold=0.35
     ).filter(F.col("jaccard") >= 0.35)
@@ -1193,7 +1200,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs Jaccard at sf0.001."""
     from es_analytics_spark.operators.dedup import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents")["documents"]
+    # 64 hash-min partial aggregates per shingle run map-side in the
+    # scan stage — fan the docs out first (layout-adaptive no-op at scale)
+    d = fan_out(
+        _t(spark, sf_dir, "documents")["documents"],
+        sf_dir, "documents", "doc_id", weight=30,
+    )
     return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5)
 
 
@@ -1201,7 +1213,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from es_analytics_spark.operators.dedup import simhash
 
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = fan_out(
+        _t(spark, sf_dir, "documents")["documents"],
+        sf_dir, "documents", "doc_id", weight=30,
+    )
     return simhash(d, "doc_id", "text")
 
 

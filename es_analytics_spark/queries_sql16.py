@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum, dsum_expr
 from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.fanout import fan_out
 from es_analytics_spark.queries import _t, query
 
 
@@ -603,7 +604,13 @@ def ml_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     points^2 (the full Rousseeuw silhouette IS pairwise — the
     simplified variant is the one that scales, which is why it's the
     one shipped)."""
-    em = _t(spark, sf_dir, "embeddings")["embeddings"]
+    # the centroid-probe join and its decimal partial aggregation run
+    # map-side in the scan stage — fan out first (layout-adaptive
+    # no-op at scale)
+    em = fan_out(
+        _t(spark, sf_dir, "embeddings")["embeddings"],
+        sf_dir, "embeddings", "vec_id", weight=50,
+    )
     dims = em.select(
         "vec_id",
         "label",

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum, dsum_expr
 from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.fanout import fan_out
 from es_analytics_spark.functions.ranks import cumulative_offsets
 from es_analytics_spark.queries import _t, query
 
@@ -304,7 +305,13 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one part-grain aggregate, one range shuffle for the
     cumulative rank, a 9-cell reduction."""
-    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # the 4-sum decimal partial aggregation runs map-side in the scan
+    # stage; fan out on the grouping key so the exchange this adds IS
+    # the aggregation's exchange (layout-adaptive no-op at scale)
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem")["lineitem"],
+        sf_dir, "lineitem", "l_partkey", weight=4,
+    )
     per_part = (
         li.groupBy(F.col("l_partkey").alias("p"))
         .agg(

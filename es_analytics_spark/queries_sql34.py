@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum, dsum_expr
 from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.fanout import fan_out
 from es_analytics_spark.functions.portable import (
     MIX_P as _MIX_P,
     accept_hash as _accept_hash,
@@ -180,7 +181,13 @@ def ml_shapley_r2_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a single map-side-combinable aggregate; everything after is
     1-row arithmetic — the k-feature generalization costs 2^k
     closed-form evaluations of the same moments, not 2^k refits."""
-    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # spread the 10-moment decimal aggregation out of the single-task
+    # scan stage (layout-adaptive; exact-sum contract makes the result
+    # partitioning-independent)
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem")["lineitem"],
+        sf_dir, "lineitem", "l_orderkey", weight=4,
+    )
     yk = F.col("l_extendedprice") / F.lit(1000.0)
     x1, x2 = F.col("l_quantity"), F.col("l_discount")
     s = li.agg(

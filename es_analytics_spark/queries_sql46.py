@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import davg_expr, dsum, dsum_expr
 from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.fanout import fan_out
 from es_analytics_spark.functions.ranks import cumulative_offsets
 from es_analytics_spark.queries import _t, query
 
@@ -386,7 +387,12 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan, and everything after is 10-row arithmetic."""
     from es_analytics_spark.queries_sql14 import _pg_twiddles
 
-    e = _t(spark, sf_dir, "events")["events"]
+    # decimal daily partial sums run map-side in the scan stage; fan
+    # out on the day key (layout-adaptive no-op at scale)
+    e = fan_out(
+        _t(spark, sf_dir, "events")["events"],
+        sf_dir, "events", F.date_trunc("day", "ts"), weight=8,
+    )
     daily = (
         e.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(dsum("value").alias("y0"))
@@ -406,27 +412,44 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(cut_lineage)
     )
-    outs = []
-    for p in _SE_PERIODS:
-        tw = spark.createDataFrame(_pg_twiddles(p), "ph long, cs double, sn double")
-        agg = idx.join(F.broadcast(tw), F.col("i") % p == F.col("ph")).agg(
+    # ONE pass over the daily frame for the whole period bank: the
+    # banked twiddle table (sum of periods ~ 100 rows) broadcasts once
+    # and a single grouped aggregate replaces the former 10 separate
+    # agg branches (each paid its own broadcast build + job — measured
+    # ~34 jobs/run for this query, mostly those branches). Per-period
+    # terms y*cs / y*sn are the identical IEEE products, and dsum is
+    # order-independent, so the grouped sums bit-match the per-branch
+    # sums. The left join onto the literal period list reproduces the
+    # old all-periods output (null power) even on an empty input frame.
+    tw_all = spark.createDataFrame(
+        [(p, t, c, s) for p in _SE_PERIODS for (t, c, s) in _pg_twiddles(p)],
+        "period int, ph long, cs double, sn double",
+    )
+    by_period = (
+        idx.join(
+            F.broadcast(tw_all), F.col("i") % F.col("period") == F.col("ph")
+        )
+        .groupBy("period")
+        .agg(
             dsum(F.col("y") * F.col("cs")).alias("sc"),
             dsum(F.col("y") * F.col("sn")).alias("ss"),
             F.max("n_days").cast("bigint").alias("n_days"),
         )
-        outs.append(
-            agg.select(
-                F.lit(p).alias("period"),
-                _q6(
-                    (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
-                    / F.col("n_days").cast("double")
-                ).alias("power"),
-            )
+    )
+    periods_lit = spark.createDataFrame(
+        [(p,) for p in _SE_PERIODS], "period int"
+    )
+    pg = (
+        periods_lit.join(by_period, "period", "left")
+        .select(
+            "period",
+            _q6(
+                (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+                / F.col("n_days").cast("double")
+            ).alias("power"),
         )
-    pg = outs[0]
-    for o in outs[1:]:
-        pg = pg.unionAll(o)
-    pg = pg.transform(cut_lineage)
+        .transform(cut_lineage)
+    )
     tot = pg.agg(F.sum("power").alias("ptot"), F.count("*").alias("np"))
     share = F.col("power") / F.col("ptot")
     ln_q6 = F.floor(F.log(share) * 1e6 + F.lit(0.5)) / 1e6

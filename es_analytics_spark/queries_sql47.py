@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum, dsum_expr
 from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.fanout import fan_out
 from es_analytics_spark.queries import _t, query
 
 
@@ -220,7 +221,16 @@ def ml_aic_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE lineitem scan produces the 10 moment sums (map-side
     combined); all three fits and the ranking are 1-row/3-row
     arithmetic."""
-    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # the 10-moment decimal partial aggregation is the whole cost of
+    # this query and runs inside the scan task; on a single-row-group
+    # local file that stage is one task, so spread the rows first
+    # (layout-adaptive no-op on a real multi-file lake) — the decimal
+    # sums are order-independent by the exact.py contract, so the
+    # repartition cannot change a bit of the result
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem")["lineitem"],
+        sf_dir, "lineitem", "l_orderkey", weight=4,
+    )
     # response in kilo-dollars: raw price moments (sum of price^2) cross
     # the decimal->double safe conversion range (exact.py: unscaled
     # int beyond 2^53 rounds differently across engines) at sf0.1+;

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum, dsum_expr
 from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.fanout import fan_out
 from es_analytics_spark.queries import _t, query
 
 
@@ -93,7 +94,14 @@ def ml_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride-bounded exact arm as sim_quantization_recall; at production
     scale the probe sample is the budget knob (the estimator converges
     with hundreds of probes regardless of corpus size)."""
-    em = _t(spark, sf_dir, "embeddings")["embeddings"]
+    # the probe-join explode (|probes| x |corpus| rows) and its
+    # partial aggregation run in the partitions of the checkpointed
+    # dims frame, which inherit the single-task scan — fan out first
+    # (layout-adaptive no-op at scale)
+    em = fan_out(
+        _t(spark, sf_dir, "embeddings")["embeddings"],
+        sf_dir, "embeddings", "vec_id", weight=50,
+    )
     dims = em.select(
         "vec_id", F.posexplode("embedding").alias("dim", "xf")
     ).select(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.fanout import fan_out
 
 from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
 from es_analytics_spark.functions.portable import (
@@ -439,7 +440,14 @@ def agg_boxplot_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two passes over the fact — a per-group quartile aggregate
     (|groups| rows, broadcast back) and one filtered count/min/max
     aggregate; no sort, no window."""
-    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # both passes (percentile partials, fence probe + count) run
+    # map-side in the scan stage; fan out on a high-card key first
+    # (percentile partials just buffer values, so the partial/final
+    # split point cannot change the interpolated result)
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem")["lineitem"],
+        sf_dir, "lineitem", "l_orderkey", weight=4,
+    )
     cents = lambda c: F.floor(c * 100 + F.lit(0.5)) / 100  # noqa: E731
     q = li.groupBy("l_returnflag").agg(
         cents(F.expr("percentile(l_extendedprice, 0.25)")).alias("q1"),

@@ -196,6 +196,8 @@ def stat_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ABS_ITERS = 30
 _ABS_TARGET = "purchase"
+# driver-pull guard: the transition matrix is |event_types|^2-bounded
+_ABS_MAX_Q = 200_000
 
 
 def _abs_sql() -> str:
@@ -273,8 +275,6 @@ def seq_expected_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: one lead() window per user; then {_ABS_ITERS} joins over
     the constant |types|^2 grain — driver-side control flow over
     lazily composed, lineage-cut plans."""
-    from pyspark.sql import types as T
-
     ev = _t(spark, sf_dir, "events")["events"]
     wu = W.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")), "event_id")
     seq = ev.select(
@@ -292,29 +292,66 @@ def seq_expected_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         cnt.join(rs, "src")
         .filter((F.col("src") != _ABS_TARGET) & (F.col("dst") != _ABS_TARGET))
         .select("src", "dst", "n", F.col("r").alias("rs"))
-        .transform(cut_lineage)
     )
-    states = q.select(F.col("src").alias("node")).distinct().transform(cut_lineage)
-    e = states.select("node", F.lit(0.0).alias("e"))
-    e_prev = e
-    for _ in range(_ABS_ITERS):
-        s = F.round(
-            F.sum((F.col("n") * F.col("e") / F.col("rs")).cast(T.DecimalType(38, 15))),
-            12,
-        ).cast("double")
-        agg = (
-            q.join(e.select(F.col("node").alias("dst"), "e"), "dst")
-            .groupBy("src")
-            .agg(s.alias("s"))
+    # Driver-side fixed point over the k-bounded chain (guide step 1:
+    # pick the right distributed algorithm — here the right algorithm
+    # is NOT distributed). The transition matrix is |event-types|^2 —
+    # vocabulary-sized at ANY data scale; the distributed plan paid ~5
+    # tiny jobs per iteration (broadcast builds + eager checkpoints,
+    # measured 167 jobs/run = most of its 5.9 s), all to re-derive a
+    # <=|types|-row frame 30 times. The big-data work (the lead()
+    # window and the transition counts) stays distributed above; the
+    # collect is limit-guarded like every other k-bounded driver pull
+    # in this engine (similarity.py pq_topk precedent).
+    #
+    # Exactness: the Python loop mirrors the former Spark expression
+    # tree op for op — (double(n) * e / double(rs)) in IEEE doubles,
+    # cast to DECIMAL(38,15) via the shortest-decimal-string value
+    # (Spark: BigDecimal.valueOf(Double.toString), Python: repr — the
+    # same shortest round-trip string), exact decimal sum, HALF_UP
+    # round at scale 12 (both engines' ROUND rule on decimals), and a
+    # decimal->double conversion whose unscaled value fits 2^53 (the
+    # exact.py safe-conversion argument; e is O(iterations)). The
+    # sf0.001/0.01/0.1 snapshot + DuckDB oracle gates pin the mirror.
+    rows = q.limit(_ABS_MAX_Q + 1).collect()
+    if len(rows) > _ABS_MAX_Q:
+        raise ValueError(
+            f"seq_expected_steps_to_purchase: transition matrix exceeds "
+            f"{_ABS_MAX_Q} rows; raise _ABS_MAX_Q (state space is "
+            "|event_types|^2-bounded by design)"
         )
-        e_prev = e
-        e = (
-            states.join(agg.select(F.col("src").alias("node"), "s"), "node", "left")
-            .select(
-                "node", (F.lit(1.0) + F.coalesce(F.col("s"), F.lit(0.0))).alias("e")
-            )
-            .transform(cut_lineage)
-        )
+    import decimal as _dec
+
+    q15 = _dec.Decimal("1e-15")
+    q12 = _dec.Decimal("1e-12")
+    nodes = sorted({r["src"] for r in rows})
+    e_map = {nd: 0.0 for nd in nodes}
+    ep_map = dict(e_map)
+    with _dec.localcontext() as ctx:
+        ctx.prec = 60
+        for _i in range(_ABS_ITERS):
+            s_map: dict[str, _dec.Decimal] = {}
+            for r in rows:
+                ev_dst = e_map.get(r["dst"])
+                if ev_dst is None:
+                    continue  # dst outside the transient state set
+                term = float(r["n"]) * ev_dst / float(r["rs"])
+                s_map[r["src"]] = s_map.get(r["src"], _dec.Decimal(0)) + _dec.Decimal(
+                    repr(term)
+                ).quantize(q15, rounding=_dec.ROUND_HALF_UP)
+            ep_map = e_map
+            e_map = {
+                nd: 1.0
+                + (
+                    float(s_map[nd].quantize(q12, rounding=_dec.ROUND_HALF_UP))
+                    if nd in s_map
+                    else 0.0
+                )
+                for nd in nodes
+            }
+    e = spark.createDataFrame(
+        [(nd, e_map[nd], ep_map[nd]) for nd in nodes], "node string, e double, ep double"
+    )
     direct = (
         cnt.join(rs, "src")
         .filter((F.col("dst") == _ABS_TARGET) & (F.col("src") != _ABS_TARGET))
@@ -324,8 +361,7 @@ def seq_expected_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return (
-        e.join(e_prev.select("node", F.col("e").alias("ep")), "node")
-        .join(F.broadcast(direct), "node", "left")
+        e.join(F.broadcast(direct), "node", "left")
         .select(
             F.col("node").alias("event_type"),
             _q6(F.col("e")).alias("expected_steps"),
