@@ -15,6 +15,8 @@ from es_analytics_spark.queries import _t, query
 from es_analytics_spark.queries_sql2 import _dsum12_sql
 
 _PI_ITERS = 8
+# driver-pull guard: the transition matrix is |event_types|^2-bounded
+_PI_MAX_EDGES = 200_000
 
 
 def _stationary_sql(iters: int = _PI_ITERS) -> str:
@@ -96,21 +98,55 @@ def ts_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cut_lineage)
     )
     rows_ = cnt.groupBy("src").agg(F.sum("n").cast("bigint").alias("rs"))
-    k = rows_.count()
-    pi = rows_.select(F.col("src").alias("node"), F.lit(1.0 / k).alias("pi"))
-    pi_prev = pi
-    for _ in range(_PI_ITERS):
-        term = F.col("pi") * F.col("n") / F.col("rs")
-        s = F.round(F.sum(term.cast(T.DecimalType(38, 15))), 12).cast("double")
-        pi_prev = pi
-        pi = (
-            cnt.join(pi, cnt["src"] == pi["node"])
-            .join(F.broadcast(rows_), "src")
-            .groupBy("dst")
-            .agg(s.alias("pi"))
-            .select(F.col("dst").alias("node"), "pi")
-            .transform(cut_lineage)
+    # Driver-side power iteration over the |types|^2-bounded chain (the
+    # seq_expected_steps_to_purchase recipe): the distributed loop paid
+    # ~6 tiny jobs per iteration (broadcast builds + eager checkpoints,
+    # measured 53 jobs/run) to re-derive a <=|types|-row frame 8 times.
+    # The Python mirror reproduces the former expression tree op for op
+    # (IEEE term, shortest-string double->DECIMAL(38,15) cast, exact
+    # decimal sum, HALF_UP round at 12, 2^53-safe decimal->double);
+    # collect is limit-guarded like every k-bounded driver pull here.
+    edges = (
+        cnt.join(rows_, "src")
+        .select("src", "dst", "n", "rs")
+        .limit(_PI_MAX_EDGES + 1)
+        .collect()
+    )
+    if len(edges) > _PI_MAX_EDGES:
+        raise ValueError(
+            f"ts_markov_stationary: transition matrix exceeds {_PI_MAX_EDGES} "
+            "rows; raise _PI_MAX_EDGES (|event_types|^2-bounded by design)"
         )
+    import decimal as _dec
+
+    q15, q12 = _dec.Decimal("1e-15"), _dec.Decimal("1e-12")
+    srcs = sorted({r["src"] for r in edges})
+    k = len(srcs)
+    pi_map = {nd: 1.0 / k for nd in srcs}
+    prev_map = dict(pi_map)
+    with _dec.localcontext() as ctx:
+        ctx.prec = 60
+        for _ in range(_PI_ITERS):
+            acc: dict[str, _dec.Decimal] = {}
+            for r in edges:
+                p = pi_map.get(r["src"])
+                if p is None:
+                    continue
+                term = p * float(r["n"]) / float(r["rs"])
+                acc[r["dst"]] = acc.get(r["dst"], _dec.Decimal(0)) + _dec.Decimal(
+                    repr(term)
+                ).quantize(q15, rounding=_dec.ROUND_HALF_UP)
+            prev_map = pi_map
+            pi_map = {
+                nd: float(v.quantize(q12, rounding=_dec.ROUND_HALF_UP))
+                for nd, v in acc.items()
+            }
+    pi = spark.createDataFrame(
+        sorted(pi_map.items()), "node string, pi double"
+    )
+    pi_prev = spark.createDataFrame(
+        sorted(prev_map.items()), "node string, pi double"
+    )
     resid = (
         pi.join(pi_prev.select("node", F.col("pi").alias("prev")), "node").agg(
             F.round(F.max(F.abs(F.col("pi") - F.col("prev"))), 9)
