@@ -115,3 +115,34 @@ def fan_out(
     if parts <= file_count:
         return df
     return df.repartition(parts, *keys) if keys else df.repartition(parts)
+
+
+def broadcast_if_small(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
+    """``F.broadcast(df)`` iff ``table``'s on-disk bytes bound ``df`` small.
+
+    For iterative graph loops the per-iteration state frame (rank /
+    frontier / score) is node-sized, and the node set is bounded by the
+    rows of the table the edges derive from — so when that table's
+    LOCAL layout is under ``spark.es_analytics.fanout.max_bytes``
+    (default 1 GiB, same knob as :func:`fan_out`), broadcasting the
+    state replaces a per-iteration shuffle of the (much larger) edge
+    list with a task-local hash probe (guide §3.1: broadcast replaces
+    the shuffle of the big side). On a URI lake or a big/multi-file
+    layout the guard trips, the frame is returned unchanged, and the
+    caller's explicit shuffle-strategy hint keeps the scale-audited
+    plan — the same adapt-by-layout contract as ``fan_out``, never an
+    unconditional broadcast of an unbounded frame.
+    """
+    spark = df.sparkSession
+    lay = _layout(os.path.join(sf_dir, f"{table}.parquet"))
+    if lay is None:
+        return df
+    try:
+        max_bytes = int(spark.conf.get(MAX_BYTES_CONF, str(_DEFAULT_MAX_BYTES)))
+    except ValueError:
+        max_bytes = _DEFAULT_MAX_BYTES
+    if lay[0] > max_bytes:
+        return df
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from es_analytics_spark.functions.fanout import broadcast_if_small
 from es_analytics_spark.functions.lineage import cut_lineage
 
 from es_analytics_spark.queries import _t, query
@@ -1005,9 +1006,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, li = (
         _t(spark, sf_dir, "orders", "lineitem")[t] for t in ("orders", "lineitem")
     )
-    pairs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        (2 * F.col("o_custkey")).alias("cust_node"),
-        (2 * F.col("l_suppkey") + 1).alias("supp_node"),
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (2 * F.col("o_custkey")).alias("cust_node"),
+            (2 * F.col("l_suppkey") + 1).alias("supp_node"),
+        )
+        # dedup BEFORE mirroring (guide §2.3: shuffle fewer bytes): the
+        # two directions of a bidirected pair are distinct iff the pair
+        # is (cust/supp node ids are parity-disjoint), so one distinct
+        # over |pairs| rows replaces the former distinct over the 2x
+        # mirrored union — half the dedup shuffle, identical edge set
+        # (measured 6.0 s -> 4.4 s end-to-end at sf0.1)
+        .distinct()
     )
     edges = (
         pairs.select(F.col("cust_node").alias("src"), F.col("supp_node").alias("dst"))
@@ -1016,7 +1027,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
             )
         )
-        .distinct()
         # materialize once: every iteration joins the edge list, and
         # without truncation the lineage re-derives it per iteration
         # (the standard persist-the-graph step of any iterative algo)
@@ -1040,9 +1050,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # took the sf0.1 hot end-to-end from 8.3 s (r2 bench) to ~5 s.
         # Hash-side partitions are per-key edge slices, which partition
         # sizing bounds at scale.
-        frontier = r.join(outdeg, r["node"] == outdeg["src"]).select(
-            "node", (F.col("rank") / F.col("deg")).alias("share")
+        frontier = broadcast_if_small(
+            r.join(outdeg, r["node"] == outdeg["src"]).select(
+                "node", (F.col("rank") / F.col("deg")).alias("share")
+            ),
+            sf_dir,
+            "orders",
         )
+        # node-sized frontier broadcast when the driving table's layout
+        # bounds it (guide §3.1: the edge list is then never shuffled
+        # inside the loop — measured 4.4 s -> 3.8 s on top of the
+        # dedup-first edges); on a real lake layout the guard returns
+        # the frame unchanged and the shuffle_hash hint keeps the
+        # scale-audited per-iteration plan (broadcast hint outranks
+        # shuffle_hash when both are present, so one expression serves
+        # both layouts)
         contrib = (
             edges.hint("shuffle_hash")
             .join(frontier, edges["src"] == frontier["node"])

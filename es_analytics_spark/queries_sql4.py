@@ -286,11 +286,23 @@ def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p").alias("keep_p"))
     )
     a, b = ps.alias("a"), ps.alias("b")
-    return (
+    # the pair dedup crosses its exchange packed into ONE bigint
+    # (u << 32 | v — supplier keys are int-sized at any published SF:
+    # 10k x SF < 2^31 even at SF 100k): half the shuffle bytes and one
+    # hash per row for the distinct that dominates this derivation
+    # (guide §2.3 "narrower types"; measured 1.03 s -> 0.79 s at
+    # sf0.1). Unpack AFTER the exchange — same (u, v) set, same types.
+    packed = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
         .join(F.broadcast(keep), F.col("a.p") == F.col("keep_p"))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .select((F.shiftleft(F.col("a.s"), 32) + F.col("b.s")).alias("uv"))
         .distinct()
+    )
+    return (
+        packed.select(
+            F.shiftright("uv", 32).alias("u"),
+            (F.col("uv") - F.shiftleft(F.shiftright("uv", 32), 32)).alias("v"),
+        )
         .transform(cut_lineage)
     )
 
