@@ -117,7 +117,9 @@ def fan_out(
     return df.repartition(parts, *keys) if keys else df.repartition(parts)
 
 
-def broadcast_if_small(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
+def broadcast_if_small(
+    df: DataFrame, sf_dir: str, table: str, factor: float = 1.0
+) -> DataFrame:
     """``F.broadcast(df)`` iff ``table``'s on-disk bytes bound ``df`` small.
 
     For iterative graph loops the per-iteration state frame (rank /
@@ -132,6 +134,13 @@ def broadcast_if_small(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
     caller's explicit shuffle-strategy hint keeps the scale-audited
     plan — the same adapt-by-layout contract as ``fan_out``, never an
     unconditional broadcast of an unbounded frame.
+
+    ``factor`` declares how much LARGER than the bounding table the
+    frame can grow (e.g. a multi-source BFS frontier is |nodes| x
+    |seeds|, so the caller passes the measured seed count): the guard
+    becomes ``table_bytes * factor <= max_bytes``, keeping the
+    broadcast decision honest for super-linear state instead of
+    pretending node-sized.
     """
     spark = df.sparkSession
     lay = _layout(os.path.join(sf_dir, f"{table}.parquet"))
@@ -141,7 +150,7 @@ def broadcast_if_small(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
         max_bytes = int(spark.conf.get(MAX_BYTES_CONF, str(_DEFAULT_MAX_BYTES)))
     except ValueError:
         max_bytes = _DEFAULT_MAX_BYTES
-    if lay[0] > max_bytes:
+    if lay[0] * max(factor, 1.0) > max_bytes:
         return df
     from pyspark.sql import functions as F
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.lineage import cut_lineage
-from es_analytics_spark.functions.fanout import fan_out
+from es_analytics_spark.functions.fanout import broadcast_if_small, fan_out
 
 from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
 from es_analytics_spark.functions.portable import (
@@ -1080,15 +1080,29 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = seed.transform(cut_lineage)
     frontier = visited
     for r in range(1, _BFS_ROUNDS + 1):
+        # frontier and visited are node-sized: broadcast both sides of
+        # the expansion when the supplier table's layout proves them
+        # bounded (guide §3.1, the graph_pagerank loop pattern) — the
+        # edge list is then never shuffled inside the loop and the
+        # anti-join builds a broadcast hash set instead of exchanging.
+        # Only the new ring is checkpointed per round; visited is a
+        # union chain of already-checkpointed rings (each round's
+        # consumer reads cached blocks), halving the per-round
+        # localCheckpoint barrier jobs.
         nxt = (
-            frontier.join(und, frontier["node"] == und["u"])
+            broadcast_if_small(frontier, sf_dir, "supplier")
+            .join(und, frontier["node"] == und["u"])
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(
+                broadcast_if_small(visited.select("node"), sf_dir, "supplier"),
+                "node",
+                "left_anti",
+            )
             .select("node", F.lit(r).cast("int").alias("dist"))
         )
-        visited = visited.unionByName(nxt).transform(cut_lineage)
         frontier = nxt.transform(cut_lineage)
+        visited = visited.unionByName(frontier)
     return visited.select("node", "dist")
 
 
@@ -3560,9 +3574,14 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .transform(cut_lineage)
             )
         else:
+            # hub frame is customer-sized: broadcast when the customer
+            # table's local layout proves it small (guide §3.1, the
+            # graph_pagerank frontier pattern) so the edge list is not
+            # shuffled for this half-step; the shuffle_hash hint keeps
+            # the scale plan when the guard trips on a real lake
             ar = (
                 edges.hint("shuffle_hash")
-                .join(h, "cust")
+                .join(broadcast_if_small(h, sf_dir, "customer"), "cust")
                 .groupBy("supp")
                 .agg(d12(F.col("h")).alias("ar"))
                 .transform(cut_lineage)
@@ -3572,9 +3591,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = ar.crossJoin(F.broadcast(at)).select(
             "supp", (F.col("ar") / F.col("t")).alias("a")
         )
+        # authority frame is supplier-sized: same broadcast-when-bounded
         hr = (
             edges.hint("shuffle_hash")
-            .join(a, "supp")
+            .join(broadcast_if_small(a, sf_dir, "supplier"), "supp")
             .groupBy("cust")
             .agg(d12(F.col("a")).alias("hr"))
             .transform(cut_lineage)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum_expr
+from es_analytics_spark.functions.fanout import broadcast_if_small
 from es_analytics_spark.functions.lineage import cut_lineage
 from es_analytics_spark.queries import _t, query
 
@@ -284,9 +285,19 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, li = (
         _t(spark, sf_dir, "orders", "lineitem")[t] for t in ("orders", "lineitem")
     )
-    pairs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
-        (2 * F.col("o_custkey")).alias("cust_node"),
-        (2 * F.col("l_suppkey") + 1).alias("supp_node"),
+    # dedup BEFORE mirroring (guide §2.3: shuffle fewer bytes; the
+    # graph_pagerank note): the two directions of a bidirected pair are
+    # distinct iff the pair is (cust/supp node ids are parity-disjoint),
+    # so one distinct over |pairs| rows replaces the former distinct
+    # over the 2x mirrored union — half the dedup shuffle, identical
+    # edge set.
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (2 * F.col("o_custkey")).alias("cust_node"),
+            (2 * F.col("l_suppkey") + 1).alias("supp_node"),
+        )
+        .distinct()
     )
     edges = (
         pairs.select(F.col("cust_node").alias("src"), F.col("supp_node").alias("dst"))
@@ -295,7 +306,6 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
             )
         )
-        .distinct()
         .transform(cut_lineage)
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(cut_lineage)
@@ -309,8 +319,17 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_prev = r
     bonus = seeds.select("node", F.lit(0.15 / n_seeds).alias("bonus"))
     for _ in range(3):
-        frontier = r.join(outdeg, r["node"] == outdeg["src"]).select(
-            "node", (F.col("rank") / F.col("deg")).alias("share")
+        # node-sized frontier broadcast when the driving table's layout
+        # bounds it (guide §3.1; the graph_pagerank loop pattern): the
+        # edge list is then never shuffled inside the loop. On a real
+        # lake layout the guard returns the frame unchanged and the
+        # shuffle_hash hint keeps the scale-audited per-iteration plan.
+        frontier = broadcast_if_small(
+            r.join(outdeg, r["node"] == outdeg["src"]).select(
+                "node", (F.col("rank") / F.col("deg")).alias("share")
+            ),
+            sf_dir,
+            "orders",
         )
         contrib = (
             edges.hint("shuffle_hash")
@@ -779,11 +798,20 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("u").alias("node"))
         .distinct()
         .filter(F.col("node") % _CLOSE_SEED_MOD == 0)
+        .transform(cut_lineage)
     )
+    # the multi-source frontier is |nodes| x |seeds|, NOT node-sized, so
+    # the broadcast guard scales the supplier-table bound by the
+    # MEASURED seed count (a 1-row driver aggregate over a checkpointed
+    # node-sized frame) — honest super-linear gating: a lake-scale seed
+    # set trips the guard and the shuffle_hash hint keeps the audited
+    # per-round exchange plan (guide §3.1).
+    n_seeds = seeds.count()
     d = seeds.select("node", F.col("node").alias("seed"), F.lit(0).alias("dist"))
     for _ in range(_CLOSE_ROUNDS):
         stepped = (
-            d.join(und, d["node"] == und["u"])
+            broadcast_if_small(d, sf_dir, "supplier", factor=float(max(n_seeds, 1)))
+            .join(und.hint("shuffle_hash"), d["node"] == und["u"])
             .select(F.col("v").alias("node"), "seed", (F.col("dist") + 1).alias("dist"))
         )
         d = (

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
+from es_analytics_spark.functions.fanout import broadcast_if_small
 from es_analytics_spark.functions.lineage import cut_lineage
 from es_analytics_spark.queries import _t, query
 from es_analytics_spark.queries_sql4 import _TRI_CAP, _TRI_STRIDE
@@ -122,24 +123,38 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
             edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        mn = (
+        # the per-node min table is node-sized (bounded by the supplier
+        # table the co-supply graph is built over): broadcast it when
+        # the local layout proves it small (guide §3.1), so the
+        # edge-sized sym frame is never shuffled for the join — only
+        # the min aggregate and the dedup pay an exchange per half-round
+        mn = broadcast_if_small(
             sym.groupBy("u")
             .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", F.col("u")).alias("m"))
+            .select("u", F.least("mv", F.col("u")).alias("m")),
+            sf_dir,
+            "supplier",
         )
+        # NO distinct here: duplicate edges are harmless to the
+        # downstream small-star min aggregates and its closing distinct
+        # restores set semantics — dropping this dedup removes one of
+        # the two per-round edge-sized exchanges (guide §2.4 "a
+        # distinct on data that is already unique" — near-unique here;
+        # the duplicate inflation is bounded by the sym fan-in)
         return (
             sym.join(mn, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
 
     def _small_star(edges: DataFrame) -> DataFrame:
         # direct each edge to its larger endpoint, then rewire all the
         # smaller neighbors (and the center) to the neighborhood minimum
         d = edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        mn = d.groupBy("u").agg(F.min("v").alias("m"))
+        mn = broadcast_if_small(
+            d.groupBy("u").agg(F.min("v").alias("m")), sf_dir, "supplier"
+        )
         rewired = (
             d.join(mn, "u")
             .filter(F.col("v") != F.col("m"))
@@ -154,9 +169,18 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for _ in range(_CC_MAX_ROUNDS):
         nxt = _small_star(_large_star(E)).transform(cut_lineage)
+        # convergence probe: ONE symmetric-difference aggregate instead
+        # of two anti-join count jobs (guide §2.4 — both sides are
+        # distinct edge sets over checkpointed blocks, so a row with
+        # multiset count 1 exists iff the sets differ; LIMIT 1 stops at
+        # the first witness). Halves the per-round probe jobs.
         changed = (
-            nxt.join(E, ["a", "b"], "left_anti").limit(1).count()
-            + E.join(nxt, ["a", "b"], "left_anti").limit(1).count()
+            nxt.unionAll(E)
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") == 1)
+            .limit(1)
+            .count()
         )
         E = nxt
         if changed == 0:
