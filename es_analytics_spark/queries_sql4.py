@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from es_analytics_spark.functions.fanout import fan_out
 from es_analytics_spark.functions.lineage import cut_lineage
 
 from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
@@ -1989,9 +1990,16 @@ def rec_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
     n_orders = op.agg(F.countDistinct("o").alias("n"))
     item = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
-    a, b = op.alias("a"), op.alias("b")
+    # basket-explosion stage parallelism: AQE coalesces the tiny
+    # pre-join shuffle to 1-2 partitions at this input size, so the
+    # C(s,2) explosion ran near-single-threaded — fan the basket frame
+    # out on the order key (both self-join sides co-partition; the
+    # added exchange IS the join's) and hash- instead of sort-merge-join
+    opf = fan_out(op, sf_dir, "lineitem", "o", weight=8)
+    a, b = opf.alias("a"), opf.alias("b")
     pair = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _BASKET_MIN_SUPPORT)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import davg_expr, dsum, dsum_expr
+from es_analytics_spark.functions.fanout import broadcast_if_small, fan_out
 from es_analytics_spark.functions.lineage import cut_lineage
 from es_analytics_spark.functions.ranks import cumulative_offsets
 from es_analytics_spark.queries import _t, query
@@ -535,15 +536,44 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    adj = edges.select(F.col("u").alias("w"), F.col("v").alias("nb")).unionAll(
-        edges.select(F.col("v").alias("w"), F.col("u").alias("nb"))
+    # the wedge explosion amplifies each adjacency row ~deg(w)-fold, but
+    # AQE coalesces the tiny pre-join shuffle to 1-2 partitions at this
+    # input size (measured: every stage of this query ran 1-2 tasks on
+    # 32 cores) — fan the adjacency out on the join key so both sides
+    # co-partition at the conf-derived width and the explosion stage
+    # parallelizes (guide §2.2/§2.5 input skew; exchange count is
+    # unchanged — this IS the join's exchange, just wider)
+    adj = fan_out(
+        edges.select(F.col("u").alias("w"), F.col("v").alias("nb")).unionAll(
+            edges.select(F.col("v").alias("w"), F.col("u").alias("nb"))
+        ),
+        sf_dir,
+        "lineitem",
+        "w",
+        weight=8,
     )
     a, b = adj.alias("a"), adj.alias("b")
+    # wedge join: shuffle_hash instead of sort-merge (guide §3.1 — the
+    # adjacency sides are edge-sized; SMJ paid two input sorts whose
+    # only consumer is this equi-join). The wedge pair crosses the
+    # aggregate packed into ONE bigint (u << 32 | v — supplier keys are
+    # int-sized at any published SF, the _co_supply_edges precedent):
+    # the partial aggregate over the wedge explosion hashes one long
+    # instead of a two-field row and the exchange carries half the key
+    # bytes (guide §2.3 "narrower types").
     scored = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.nb") < F.col("b.nb")))
-        .select(F.col("a.nb").alias("u"), F.col("b.nb").alias("v"))
-        .groupBy("u", "v")
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.nb") < F.col("b.nb")))
+        .select(
+            (F.shiftleft(F.col("a.nb"), 32) + F.col("b.nb")).alias("uv")
+        )
+        .groupBy("uv")
         .agg(F.count(F.lit(1)).alias("cn"))
+        .select(
+            F.shiftright("uv", 32).alias("u"),
+            (F.col("uv") - F.shiftleft(F.shiftright("uv", 32), 32)).alias("v"),
+            "cn",
+        )
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -551,10 +581,13 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(_JN_FP)) * F.col("cn") / (F.col("du") + F.col("dv") - F.col("cn"))
         + F.lit(0.5)
     ).cast("bigint")
+    # anti-join against the (edge-sized, lineitem-bounded) edge list:
+    # broadcast it when the local layout proves it small, so the scored
+    # aggregate is not re-exchanged/sorted for a sort-merge anti join
     return (
         scored.join(F.broadcast(du), "u")
         .join(F.broadcast(dv), "v")
-        .join(edges, ["u", "v"], "left_anti")
+        .join(broadcast_if_small(edges, sf_dir, "lineitem"), ["u", "v"], "left_anti")
         .select("u", "v", F.col("cn").alias("common_neighbors"), jfp.alias("jaccard_fp"))
         .orderBy(F.col("jaccard_fp").desc(), F.col("u").asc(), F.col("v").asc())
         .limit(20)

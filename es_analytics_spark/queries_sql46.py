@@ -528,9 +528,14 @@ def rec_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct().transform(cut_lineage)
     item = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
-    a, b = op.alias("a"), op.alias("b")
+    # basket-explosion stage parallelism (see rec_item_cooccurrence):
+    # co-partition both self-join sides on the order key at the
+    # conf-derived width; hash- instead of sort-merge-join
+    opf = fan_out(op, sf_dir, "lineitem", "o", weight=8)
+    a, b = opf.alias("a"), opf.alias("b")
     pair = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)

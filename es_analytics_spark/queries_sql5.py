@@ -563,18 +563,47 @@ def rec_user_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pop = r.groupBy("p").agg(F.count("*").alias("np")).filter(F.col("np") <= _CF_POP_CAP)
     rr = r.join(pop.select("p"), "p").transform(cut_lineage)
     deg = rr.groupBy("c").agg(F.count("*").alias("d"))
-    a = rr.select(F.col("p"), F.col("c").alias("c1"))
-    b = rr.select(F.col("p"), F.col("c").alias("c2"))
+    # the co-purchase explosion amplifies each (item, customer) row by
+    # the item's popularity (<= cap), but AQE coalesces the tiny
+    # pre-join shuffle to 1-2 partitions at this input size — fan the
+    # rating frame out on the item key so both self-join sides
+    # co-partition at the conf-derived width and the explosion stage
+    # parallelizes (guide §2.2; the added exchange IS the join's)
+    rrp = fan_out(rr, sf_dir, "lineitem", "p", weight=8)
+    a = rrp.select(F.col("p"), F.col("c").alias("c1"))
+    b = rrp.select(F.col("p"), F.col("c").alias("c2"))
+    # inverted-index self-join as shuffle_hash (guide §3.1): the sides
+    # are (customer, item)-grain and their ONLY consumer is this
+    # equi-join — sort-merge paid two input sorts for nothing; the
+    # wedge explosion downstream is unchanged
     pairs = (
-        a.join(b, ["p"])
+        a.hint("shuffle_hash")
+        .join(b, ["p"])
         .filter(F.col("c1") < F.col("c2"))
         .groupBy("c1", "c2")
         .agg(F.count("*").alias("common"))
         .filter(F.col("common") >= _CF_MIN_COMMON)
     )
+    # degree table is customer-sized: broadcast when the customer
+    # table's local layout proves it bounded (guide §3.1) so the pair
+    # aggregate is not re-exchanged for two node-sized joins
     scored = (
-        pairs.join(deg.select(F.col("c").alias("c1"), F.col("d").alias("d1")), "c1")
-        .join(deg.select(F.col("c").alias("c2"), F.col("d").alias("d2")), "c2")
+        pairs.join(
+            broadcast_if_small(
+                deg.select(F.col("c").alias("c1"), F.col("d").alias("d1")),
+                sf_dir,
+                "customer",
+            ),
+            "c1",
+        )
+        .join(
+            broadcast_if_small(
+                deg.select(F.col("c").alias("c2"), F.col("d").alias("d2")),
+                sf_dir,
+                "customer",
+            ),
+            "c2",
+        )
         .select(
             "c1",
             "c2",

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum, dsum_expr
+from es_analytics_spark.functions.fanout import fan_out
 from es_analytics_spark.functions.lineage import cut_lineage
 from es_analytics_spark.functions.ranks import cumulative_offsets
 from es_analytics_spark.queries import _t, query
@@ -229,10 +230,16 @@ def rec_itemset_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(cut_lineage)
     )
     n_orders = op.select("o").distinct().agg(F.count("*").cast("bigint").alias("n"))
-    a, b, c = op.alias("a"), op.alias("b"), op.alias("c")
+    # basket-explosion stage parallelism (see rec_item_cooccurrence):
+    # fan the basket frame out on the order key so all three self-join
+    # sides co-partition and the C(s,3) explosion parallelizes;
+    # hash-join instead of paying three sort-merge input sorts
+    opf = fan_out(op, sf_dir, "lineitem", "o", weight=8)
+    a, b, c = opf.alias("a"), opf.alias("b"), opf.alias("c")
     triple = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .join(c, (F.col("b.o") == F.col("c.o")) & (F.col("b.p") < F.col("c.p")))
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .join(c.hint("shuffle_hash"), (F.col("b.o") == F.col("c.o")) & (F.col("b.p") < F.col("c.p")))
         .groupBy(
             F.col("a.p").alias("p1"),
             F.col("b.p").alias("p2"),

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum_expr, dsum
+from es_analytics_spark.functions.fanout import broadcast_if_small, fan_out
 from es_analytics_spark.functions.lineage import cut_lineage
 from es_analytics_spark.queries import _t, query
 from es_analytics_spark.queries_sql16 import _P2_EXPR, _PDF_EXPR, _T_EXPR
@@ -222,16 +223,25 @@ def rec_association_rules_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_orders = op.select("o").distinct().agg(F.count("*").cast("bigint").alias("n"))
     item = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))
-    a, b, c = op.alias("a"), op.alias("b"), op.alias("c")
+    # basket explosion (C(s,2)/C(s,3) per order) runs in the post-join
+    # stage, which AQE coalesces to 1-2 partitions at this input size —
+    # fan the basket frame out on the order key so all three self-join
+    # sides co-partition at the conf-derived width (guide §2.2; the
+    # added exchange IS the join's), and build per-partition hash
+    # tables instead of paying three sort-merge input sorts
+    opf = fan_out(op, sf_dir, "lineitem", "o", weight=8)
+    a, b, c = opf.alias("a"), opf.alias("b"), opf.alias("c")
     pair = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("sup2"))
         .transform(cut_lineage)
     )
     triple = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .join(c, (F.col("b.o") == F.col("c.o")) & (F.col("b.p") < F.col("c.p")))
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .join(c.hint("shuffle_hash"), (F.col("b.o") == F.col("c.o")) & (F.col("b.p") < F.col("c.p")))
         .groupBy(
             F.col("a.p").alias("p1"),
             F.col("b.p").alias("p2"),
@@ -250,8 +260,12 @@ def rec_association_rules_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sup3",
         )
         rules = r if rules is None else rules.unionAll(r)
+    # rules is 3x the support-filtered triples — broadcast it when the
+    # local layout proves the base table small, so the (bigger) pair
+    # frame is not re-exchanged/sorted for the antecedent join
     scored = (
-        rules.join(
+        broadcast_if_small(rules, sf_dir, "lineitem")
+        .join(
             pair.select(
                 F.col("p1").alias("ant1"), F.col("p2").alias("ant2"), "sup2"
             ),
