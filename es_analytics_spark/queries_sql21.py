@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from pyspark.sql import types as T
 
 from es_analytics_spark.functions.exact import dsum, dsum_expr
+from es_analytics_spark.functions.fanout import broadcast_if_small
 from es_analytics_spark.functions.lineage import cut_lineage
 from es_analytics_spark.queries import _t, query
 from es_analytics_spark.queries_sql2 import _dsum12_sql
@@ -326,8 +327,16 @@ def text_keyphrase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = wdeg.select(F.col("u").alias("node"), F.lit(1.0 / n).alias("rank"))
     r_prev = r
     for _ in range(_KP_ITERS):
-        frontier = r.join(wdeg, r["node"] == wdeg["u"]).select(
-            "node", (F.col("rank") / F.col("wd")).alias("share")
+        # vocab-sized frontier broadcast when the documents layout
+        # bounds it (guide §3.1, the graph_pagerank loop pattern): the
+        # co-occurrence edge list then never shuffles inside the loop;
+        # the shuffle_hash hint keeps the audited plan on a real lake
+        frontier = broadcast_if_small(
+            r.join(wdeg, r["node"] == wdeg["u"]).select(
+                "node", (F.col("rank") / F.col("wd")).alias("share")
+            ),
+            sf_dir,
+            "documents",
         )
         contrib = (
             sym.hint("shuffle_hash")

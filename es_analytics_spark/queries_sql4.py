@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
-from es_analytics_spark.functions.fanout import fan_out
+from es_analytics_spark.functions.fanout import broadcast_if_small, fan_out
 from es_analytics_spark.functions.lineage import cut_lineage
 
 from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
@@ -2148,10 +2148,16 @@ def rec_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _dist_quintile(
         anchored, total, [F.col("monetary").desc(), F.col("user_id").asc()], "m"
     )
+    # the three quintile frames are user-grain (bounded by the events
+    # table the grain derives from): broadcast them when the local
+    # layout proves it small (guide §3.1) so the final assembly is
+    # three map-side probes over the checkpointed anchored frame
+    # instead of three sort-merge exchanges; a lake layout keeps the
+    # audited hash-join plan
     return (
-        anchored.join(r, "user_id")
-        .join(f, "user_id")
-        .join(m, "user_id")
+        anchored.join(broadcast_if_small(r, sf_dir, "events"), "user_id")
+        .join(broadcast_if_small(f, sf_dir, "events"), "user_id")
+        .join(broadcast_if_small(m, sf_dir, "events"), "user_id")
         .select("user_id", "recency_days", "frequency", "monetary", "r", "f", "m")
     )
 

@@ -969,11 +969,27 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
+        # keep-set is node-sized: broadcast both semi-join probes when
+        # the supplier table's layout proves it bounded (guide §3.1,
+        # the graph loop pattern) — the edge list then pays no
+        # per-round exchange beyond the degree aggregate's
         keep = deg.filter(F.col("d") >= _KCORE_K).select("node")
         prev_nodes = deg
         edges = (
-            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            edges.join(
+                broadcast_if_small(
+                    keep.withColumnRenamed("node", "u"), sf_dir, "supplier"
+                ),
+                "u",
+                "left_semi",
+            )
+            .join(
+                broadcast_if_small(
+                    keep.withColumnRenamed("node", "v"), sf_dir, "supplier"
+                ),
+                "v",
+                "left_semi",
+            )
             .select("u", "v")
             .transform(cut_lineage)
         )
@@ -1600,19 +1616,31 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     ).transform(cut_lineage)
-    w = W2.partitionBy("node").orderBy(F.desc("c"), F.asc("nlbl"))
     labels_prev = labels
     for _ in range(_LPA_ROUNDS):
+        # label frame is node-sized: broadcast into the vote join when
+        # the supplier layout proves it bounded (guide §3.1) so the
+        # edge list never shuffles inside the loop; the per-node vote
+        # winner is an ARGMAX aggregate — max(struct(c, -nlbl)) picks
+        # the largest count then the smallest label, exactly the old
+        # row_number(DESC c, ASC nlbl)=1 rule — so the winner reduces
+        # map-side instead of paying a sort-based rank window
+        # (guide §2.3 "aggregate before you shuffle")
         votes = (
-            und.join(labels.withColumnRenamed("node", "u"), "u")
+            und.join(
+                broadcast_if_small(
+                    labels.withColumnRenamed("node", "u"), sf_dir, "supplier"
+                ),
+                "u",
+            )
             .groupBy(F.col("v").alias("node"), F.col("lbl").alias("nlbl"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
         labels_prev = labels
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("nlbl").alias("lbl"))
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("nlbl")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("lbl"))
             .transform(cut_lineage)
         )
     # convergence telemetry (r4 verdict ask 7): how many nodes changed
