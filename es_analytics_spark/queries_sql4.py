@@ -374,13 +374,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking bound; degrees are node-sized (broadcast); the wedge join
     shuffles oriented edges once on src and the closing check once on
     (src, dst). No driver-side state at all — output is one row."""
-    return triangle_stats(_co_supply_edges(spark, sf_dir))
+    return triangle_stats(_co_supply_edges(spark, sf_dir), sf_dir)
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(edges: DataFrame, sf_dir: str | None = None) -> DataFrame:
     """Degree-ordered triangle counting over an undirected (u < v)
     edge DataFrame — factored out of graph_triangle_count so the
-    brute-force property test can drive it on arbitrary graphs."""
+    brute-force property test can drive it on arbitrary graphs.
+
+    When ``sf_dir`` is given, the catalog caller's layout gates two
+    optimizations (both exact no-ops on a lake layout): the wedge
+    self-join sides fan out on the shared src key so the explosion
+    stage parallelizes (guide §2.2 — AQE coalesces the tiny pre-join
+    shuffle to 1-2 tasks otherwise), and the closing edge probe is
+    broadcast (guide §3.1) so the wedge explosion is consumed map-side
+    into the count instead of being exchanged for a sort-merge join."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -404,13 +412,24 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
     ).transform(cut_lineage)
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedge_side = (
+        fan_out(oriented, sf_dir, "lineitem", "src", weight=8)
+        if sf_dir is not None
+        else oriented
+    )
+    closing = (
+        broadcast_if_small(oriented, sf_dir, "lineitem")
+        if sf_dir is not None
+        else oriented
+    )
+    e1, e2, e3 = wedge_side.alias("e1"), wedge_side.alias("e2"), closing.alias("e3")
     pair_lt = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
         (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
         & (F.col("e1.dst") < F.col("e2.dst"))
     )
     tri = (
-        e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & pair_lt)
+        e1.hint("shuffle_hash")
+        .join(e2, (F.col("e1.src") == F.col("e2.src")) & pair_lt)
         .join(e3, (F.col("e3.src") == F.col("e1.dst")) & (F.col("e3.dst") == F.col("e2.dst")))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

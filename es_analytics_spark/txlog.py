@@ -2223,6 +2223,25 @@ def compact(
         # the vectors deferred happens here, once)
         merged = _read_live(spark, {p: live[p] for p in parts}, schema)
         group_bytes = sum(s for p in parts for s in fs.file_sizes(p, ".parquet"))
+        # the group frame is consumed by THREE actions (row count, the
+        # range partitioner's sample pass, the rewrite itself), each of
+        # which would re-run the many-part read + DV anti-join.
+        # Materialize it once when the group is small enough that local
+        # block storage is obviously cheaper than two extra remote
+        # read passes; big groups keep the streaming one-pass-per-
+        # action behavior (no doubling of a 100 GB group onto executor
+        # disks). Same layout-adaptive contract as the fanout knobs.
+        try:
+            cache_max = int(
+                spark.conf.get(
+                    "spark.es_analytics.compact.cache_group_max_bytes",
+                    str(1 << 30),
+                )
+            )
+        except ValueError:
+            cache_max = 1 << 30
+        if group_bytes <= cache_max:
+            merged = merged.localCheckpoint(eager=True)
         n_rows = merged.count()
         bytes_per_row = max(group_bytes / max(n_rows, 1), 1.0)
         rows_per_file = max(int(target_file_bytes / bytes_per_row), 1)
