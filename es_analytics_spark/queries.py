@@ -87,11 +87,24 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary (flagship). Single scan →
     partial+final hash aggregate; filter pushed to parquet."""
-    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # the decimal partial aggregates are the per-row cost and they run
+    # in the scan stage, which a single-row-group file pins to ONE task
+    # — fan out on a high-card key first (guide §2.2; layout-gated
+    # no-op on a real lake). Filter BEFORE the exchange so pushdown and
+    # the shuffled row count are unchanged.
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem")["lineitem"].filter(
+            F.col("l_shipdate") <= F.lit("1997-09-01").cast("timestamp")
+        ),
+        sf_dir,
+        "lineitem",
+        "l_orderkey",
+        weight=2,
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1997-09-01").cast("timestamp"))
+        li
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
@@ -163,7 +176,16 @@ def agg_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # four distinct aggregates expand every row 4x before the partial
+    # aggregates, all inside the scan stage — fan out on a high-card
+    # key so the expand+partials parallelize (guide §2.2; layout-gated)
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem")["lineitem"],
+        sf_dir,
+        "lineitem",
+        "l_orderkey",
+        weight=2,
+    )
     return li.agg(
         F.countDistinct("l_orderkey").alias("d_orders"),
         F.countDistinct("l_partkey").alias("d_parts"),

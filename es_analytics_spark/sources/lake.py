@@ -29,9 +29,68 @@ TABLES = (
 BROADCAST_TABLES = {"region", "nation", "supplier", "customer", "part"}
 
 
+#: (app_id, abs path, mtime_ns, size) -> lazily-evaluated scan plan.
+#: This memoizes METADATA, not data: `spark.read.parquet` pays a
+#: driver-side footer read + schema-inference job on every call
+#: (measured 140-260 ms per table on this box), which a catalog-backed
+#: table (metastore schema, Delta/Iceberg manifest — guide §6) never
+#: re-pays. The cached object is an unexecuted logical plan; every
+#: action on it still scans the parquet files, so results always come
+#: from the inputs. Keyed on the file's identity (mtime_ns + size) so
+#: any rewrite invalidates, and on the Spark application id so a new
+#: session never sees a stale plan. URI stores (no local stat) skip the
+#: memo entirely.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _file_key(spark: SparkSession, path: str) -> tuple | None:
+    """Cache key for a LOCAL file/dir: app id + path identity, or None
+    on URI stores (never memoize what we cannot invalidate)."""
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (
+        spark.sparkContext.applicationId,
+        os.path.abspath(path),
+        st.st_mtime_ns,
+        st.st_size,
+    )
+
+
+#: raw (pre-normalization) parquet schemas, same contract as _PLAN_CACHE
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def raw_parquet_schema(spark: SparkSession, path: str):
+    """Schema of a parquet file/dir as stored on disk, memoized like
+    `_PLAN_CACHE` — the streaming source needs the RAW schema (file
+    stream sources take an explicit schema), and re-inferring it costs
+    a footer-read job per call."""
+    key = _file_key(spark, path)
+    if key is not None:
+        hit = _SCHEMA_CACHE.get(key)
+        if hit is not None:
+            return hit
+    schema = spark.read.parquet(path).schema
+    if key is not None:
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing types to engine conventions."""
+    import os
+
     apply_runtime_confs(spark)
+    path = f"{sf_dir}/{name}.parquet"
+    key = _file_key(spark, path)
+    if key is not None:
+        hit = _PLAN_CACHE.get(key)
+        if hit is not None:
+            return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as long (nanosAsLong) → truncate
@@ -46,6 +105,8 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    if key is not None:
+        _PLAN_CACHE[key] = df
     return df
 
 

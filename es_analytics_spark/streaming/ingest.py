@@ -28,7 +28,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader so the ns→µs normalization matches exactly."""
     apply_runtime_confs(spark)
     batch = read_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from es_analytics_spark.sources.lake import raw_parquet_schema
+
+    raw_schema = raw_parquet_schema(spark, f"{sf_dir}/events.parquet")
     # file stream source wants a directory: stream the sf dir filtered
     # to the events file
     raw = (
