@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.fanout import broadcast_if_small
-from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.lineage import cut_lineage, cut_lineage_lazy
 
 from es_analytics_spark.queries import _t, query
 
@@ -1030,14 +1030,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize once: every iteration joins the edge list, and
         # without truncation the lineage re-derives it per iteration
         # (the standard persist-the-graph step of any iterative algo)
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     # node-sized; checkpointed so the three iteration joins read the
     # cached degrees instead of regrouping the edge list each time, and
     # the node count + uniform init frontier both derive from it (the
     # graph is bidirected, so every node appears as a src), replacing
     # two extra distinct aggregations over the edge list
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(cut_lineage)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(cut_lineage_lazy)
     n = outdeg.count()
     r = outdeg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
     r_prev = r
@@ -1079,7 +1079,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # multi-consumer lineage rule from SCALE.md)
         r = contrib.groupBy("dst").agg(
             (F.lit(0.15) / n + F.lit(0.85) * s).alias("rank")
-        ).select(F.col("dst").alias("node"), "rank").transform(cut_lineage)
+        ).select(F.col("dst").alias("node"), "rank").transform(cut_lineage_lazy)
     # convergence telemetry (r4 verdict ask 7): max |Δrank| between the
     # last two iterations, under the same decimal/round rules as the
     # ranks themselves, broadcast onto every output row — a 100×-scale

@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 
 from es_analytics_spark.functions.exact import dsum, dsum_expr
 from es_analytics_spark.functions.fanout import broadcast_if_small
-from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.lineage import cut_lineage, cut_lineage_lazy
 from es_analytics_spark.queries import _t, query
 from es_analytics_spark.queries_sql2 import _dsum12_sql
 
@@ -319,10 +319,10 @@ def text_keyphrase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sym = und.unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
-    ).transform(cut_lineage)
+    ).transform(cut_lineage_lazy)
     wdeg = (
         sym.groupBy("u").agg(F.sum("w").cast("bigint").alias("wd"))
-    ).transform(cut_lineage)
+    ).transform(cut_lineage_lazy)
     n = wdeg.count()
     r = wdeg.select(F.col("u").alias("node"), F.lit(1.0 / n).alias("rank"))
     r_prev = r
@@ -351,7 +351,7 @@ def text_keyphrase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             contrib.groupBy("v")
             .agg((F.lit(0.15) / n + F.lit(0.85) * s).alias("rank"))
             .select(F.col("v").alias("node"), "rank")
-            .transform(cut_lineage)
+            .transform(cut_lineage_lazy)
         )
     resid = (
         r.join(

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.fanout import broadcast_if_small, fan_out
-from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.lineage import cut_lineage, cut_lineage_lazy
 
 from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
 from es_analytics_spark.functions.ranks import cumulative_offsets
@@ -278,7 +278,7 @@ def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_partkey") % _TRI_STRIDE == 0)
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     keep = (
         ps.groupBy("p")
@@ -304,7 +304,7 @@ def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright("uv", 32).alias("u"),
             (F.col("uv") - F.shiftleft(F.shiftright("uv", 32), 32)).alias("v"),
         )
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
 
 
@@ -394,7 +394,7 @@ def triangle_stats(edges: DataFrame, sf_dir: str | None = None) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     e = (
         edges.join(F.broadcast(deg).withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
@@ -411,7 +411,7 @@ def triangle_stats(edges: DataFrame, sf_dir: str | None = None) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
-    ).transform(cut_lineage)
+    ).transform(cut_lineage_lazy)
     wedge_side = (
         fan_out(oriented, sf_dir, "lineitem", "src", weight=8)
         if sf_dir is not None

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.lineage import cut_lineage, cut_lineage_lazy
 from es_analytics_spark.functions.fanout import broadcast_if_small, fan_out
 
 from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
@@ -991,14 +991,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left_semi",
             )
             .select("u", "v")
-            .transform(cut_lineage)
+            .transform(cut_lineage_lazy)
         )
     core = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     # round-5 residual convention: nodes peeled in the LAST round — 0
     # means the fixed round count reached the peeling fixpoint (the
@@ -1117,12 +1117,12 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         e.select(F.col("u"), F.col("v"))
         .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     seed = und.agg(F.min("u").alias("node")).select(
         "node", F.lit(0).cast("int").alias("dist")
     )
-    visited = seed.transform(cut_lineage)
+    visited = seed.transform(cut_lineage_lazy)
     frontier = visited
     for r in range(1, _BFS_ROUNDS + 1):
         # frontier and visited are node-sized: broadcast both sides of
@@ -1146,7 +1146,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("node", F.lit(r).cast("int").alias("dist"))
         )
-        frontier = nxt.transform(cut_lineage)
+        frontier = nxt.transform(cut_lineage_lazy)
         visited = visited.unionByName(frontier)
     return visited.select("node", "dist")
 
@@ -1611,11 +1611,11 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         e.select("u", "v")
         .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
-    ).transform(cut_lineage)
+    ).transform(cut_lineage_lazy)
     labels_prev = labels
     for _ in range(_LPA_ROUNDS):
         # label frame is node-sized: broadcast into the vote join when
@@ -1641,7 +1641,7 @@ def graph_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.groupBy("node")
             .agg(F.max(F.struct(F.col("c"), (-F.col("nlbl")).alias("neg"))).alias("m"))
             .select("node", (-F.col("m.neg")).alias("lbl"))
-            .transform(cut_lineage)
+            .transform(cut_lineage_lazy)
         )
     # convergence telemetry (r4 verdict ask 7): how many nodes changed
     # label in the LAST round — 0 means the fixed round count reached a
@@ -3606,7 +3606,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
         .distinct()
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     d12 = lambda c: F.round(  # noqa: E731
         F.sum(c.cast("decimal(38,15)")), 12
@@ -3628,7 +3628,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ar = (
                 edges.groupBy("supp")
                 .agg(F.count("*").cast("double").alias("ar"))
-                .transform(cut_lineage)
+                .transform(cut_lineage_lazy)
             )
         else:
             # hub frame is customer-sized: broadcast when the customer
@@ -3641,7 +3641,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .join(broadcast_if_small(h, sf_dir, "customer"), "cust")
                 .groupBy("supp")
                 .agg(d12(F.col("h")).alias("ar"))
-                .transform(cut_lineage)
+                .transform(cut_lineage_lazy)
             )
         at = ar.agg(d12(F.col("ar")).alias("t"))
         a_prev = a
@@ -3654,7 +3654,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(broadcast_if_small(a, sf_dir, "supplier"), "supp")
             .groupBy("cust")
             .agg(d12(F.col("a")).alias("hr"))
-            .transform(cut_lineage)
+            .transform(cut_lineage_lazy)
         )
         ht = hr.agg(d12(F.col("hr")).alias("t"))
         h = hr.crossJoin(F.broadcast(ht)).select(
@@ -3665,8 +3665,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lets a deployment size the iteration count from the output
     # itself. Normalized frames are node-sized; checkpoint so the
     # extra consumer reads blocks.
-    a = a.transform(cut_lineage)
-    a_prev = a_prev.transform(cut_lineage)
+    a = a.transform(cut_lineage_lazy)
+    a_prev = a_prev.transform(cut_lineage_lazy)
     resid = (
         a.join(a_prev.withColumnRenamed("a", "pa"), "supp")
         .agg(F.round(F.max(F.abs(F.col("a") - F.col("pa"))), 9)

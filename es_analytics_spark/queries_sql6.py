@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum_expr
 from es_analytics_spark.functions.fanout import broadcast_if_small
-from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.lineage import cut_lineage, cut_lineage_lazy
 from es_analytics_spark.queries import _t, query
 
 
@@ -306,13 +306,13 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("supp_node").alias("src"), F.col("cust_node").alias("dst")
             )
         )
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(cut_lineage)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(cut_lineage_lazy)
     seeds = (
         outdeg.select(F.col("src").alias("node"))
         .filter((F.col("node") % 2 == 0) & ((F.col("node") / 2) % 97 == 0))
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     n_seeds = seeds.count()
     r = seeds.select("node", F.lit(1.0 / n_seeds).alias("rank"))
@@ -354,7 +354,7 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.coalesce(F.col("bonus"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .transform(cut_lineage)
+            .transform(cut_lineage_lazy)
         )
     resid = (
         r.join(r_prev.withColumnRenamed("rank", "prev"), "node", "left")
@@ -792,13 +792,13 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         e.select("u", "v")
         .unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     seeds = (
         und.select(F.col("u").alias("node"))
         .distinct()
         .filter(F.col("node") % _CLOSE_SEED_MOD == 0)
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     # the multi-source frontier is |nodes| x |seeds|, NOT node-sized, so
     # the broadcast guard scales the supplier-table bound by the
@@ -818,7 +818,7 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             stepped.unionByName(d)
             .groupBy("node", "seed")
             .agg(F.min("dist").alias("dist"))
-            .transform(cut_lineage)
+            .transform(cut_lineage_lazy)
         )
     return (
         d.filter(F.col("dist") > 0)

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
 from es_analytics_spark.functions.fanout import broadcast_if_small
-from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.lineage import cut_lineage, cut_lineage_lazy
 from es_analytics_spark.queries import _t, query
 from es_analytics_spark.queries_sql4 import _TRI_CAP, _TRI_STRIDE
 
@@ -114,7 +114,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
 
     def _large_star(edges: DataFrame) -> DataFrame:
@@ -168,7 +168,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for _ in range(_CC_MAX_ROUNDS):
-        nxt = _small_star(_large_star(E)).transform(cut_lineage)
+        nxt = _small_star(_large_star(E)).transform(cut_lineage_lazy)
         # convergence probe: ONE symmetric-difference aggregate instead
         # of two anti-join count jobs (guide §2.4 — both sides are
         # distinct edge sets over checkpointed blocks, so a row with

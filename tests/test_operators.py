@@ -1065,6 +1065,38 @@ def test_checkpoint_modes_produce_identical_results(spark, sf_dir, tmp_path):
     assert any(os.scandir(tmp_path / "ckpt")), "no reliable checkpoint written"
 
 
+def test_cut_lineage_lazy_defers_then_matches_eager(spark, sf_dir):
+    """r11 optimization: the deterministic graph loops cut lineage
+    LAZILY (materialize at the first consuming action — one fewer
+    scheduler job per cut). The lazy cut must produce rows identical
+    to the eager cut on a multi-consumer plan (two branches over one
+    cut frame — the shape the graph residuals use). Checkpoint state
+    itself is not observable through DataFrame.rdd (a fresh conversion
+    per access), so equivalence IS the contract under test."""
+    from pyspark.sql import functions as F
+
+    from es_analytics_spark.functions.lineage import cut_lineage, cut_lineage_lazy
+    from es_analytics_spark.sources.lake import load_tables
+
+    base = (
+        load_tables(spark, sf_dir, ["orders"])["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    lazy = cut_lineage_lazy(base)
+
+    def two_branch(df):
+        tot = df.agg(F.sum("n").alias("t"))
+        return (
+            df.crossJoin(F.broadcast(tot))
+            .select("o_custkey", (F.col("n") / F.col("t")).alias("share"))
+        )
+
+    got = sorted(map(tuple, two_branch(lazy).collect()))
+    want = sorted(map(tuple, two_branch(cut_lineage(base)).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_pq_topk_query_side_guard(spark, sf_dir):
     """round-10 fix: pq_topk collects the query set to the driver (the
     ADC LUT ships with every task) — a corpus-scale query side must
