@@ -102,7 +102,8 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable) + one edge join + a dedup shuffle, checkpoint-
     linearized (the pagerank lineage rule); state stays edge-sized and
     SHRINKS monotonically toward the star forest. The convergence
-    probe is a LIMIT-1 anti-diff each way, not a data fetch. The
+    probe is one LIMIT-1 symmetric-difference aggregate, not a data
+    fetch. The
     recursive-CTE oracle's state is sum of size^2 per component —
     fixture-bounded; at 100x you run the Spark side."""
     from es_analytics_spark.queries_sql4 import _co_supply_edges
