@@ -179,7 +179,16 @@ def ml_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     production mines from an ANN candidate pool instead of the full
     corpus, the sim_ivf_topk two-stage recipe); ranks are per-query
     windows."""
-    em = _t(spark, sf_dir, "embeddings")["embeddings"]
+    # the 64x posexplode + broadcast-probe + quantize run in the scan
+    # stage (one task on a single-file layout) — fan the corpus out
+    # first (guide §2.2; layout-gated no-op on a lake)
+    em = fan_out(
+        _t(spark, sf_dir, "embeddings")["embeddings"],
+        sf_dir,
+        "embeddings",
+        "vec_id",
+        weight=8,
+    )
     dims = em.select(
         "vec_id",
         "label",
