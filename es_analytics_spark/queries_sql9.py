@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import davg, davg_expr, dsum, dsum_expr
-from es_analytics_spark.functions.fanout import broadcast_if_small
 from es_analytics_spark.functions.lineage import cut_lineage, cut_lineage_lazy
 from es_analytics_spark.queries import _t, query
 from es_analytics_spark.queries_sql4 import _TRI_CAP, _TRI_STRIDE
@@ -124,17 +123,16 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
             edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        # the per-node min table is node-sized (bounded by the supplier
-        # table the co-supply graph is built over): broadcast it when
-        # the local layout proves it small (guide §3.1), so the
-        # edge-sized sym frame is never shuffled for the join — only
-        # the min aggregate and the dedup pay an exchange per half-round
-        mn = broadcast_if_small(
+        # NOTE: a layout-gated broadcast of this node-sized min table
+        # was tried (the pagerank pattern) and measured 0.95x in a
+        # quiet-box interleaved A/B — the per-round broadcast builds
+        # (2 stars x ~6 rounds) outweigh the tiny-edge-frame shuffles
+        # they replace on the THINNED graph, and the gate means the
+        # broadcast could only ever fire in exactly that regime.
+        mn = (
             sym.groupBy("u")
             .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", F.col("u")).alias("m")),
-            sf_dir,
-            "supplier",
+            .select("u", F.least("mv", F.col("u")).alias("m"))
         )
         # NO distinct here: duplicate edges are harmless to the
         # downstream small-star min aggregates and its closing distinct
@@ -153,9 +151,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # direct each edge to its larger endpoint, then rewire all the
         # smaller neighbors (and the center) to the neighborhood minimum
         d = edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        mn = broadcast_if_small(
-            d.groupBy("u").agg(F.min("v").alias("m")), sf_dir, "supplier"
-        )
+        mn = d.groupBy("u").agg(F.min("v").alias("m"))
         rewired = (
             d.join(mn, "u")
             .filter(F.col("v") != F.col("m"))
