@@ -157,7 +157,14 @@ def media_near_dup_pairs(
     only in-bucket pairs pay the exact cosine — no all-pairs stage.
     The global feature-mean vector is one tiny aggregate row.
     """
-    feats = extract_features(df, bin_col, id_col, decoder=decoder)
+    # materialize the decoded features ONCE: three consumers (the
+    # global-mean aggregate and both self-join sides) would otherwise
+    # re-run the decode+pool mapInPandas pass each (guide §5 caching
+    # rule — reused AND expensive); content is deterministic, so the
+    # lazy cut is safe (functions.lineage.cut_lineage_lazy)
+    from es_analytics_spark.functions.lineage import cut_lineage_lazy
+
+    feats = cut_lineage_lazy(extract_features(df, bin_col, id_col, decoder=decoder))
     dim = FEATURE_DIM
     means = feats.agg(
         *[F.avg(F.col("features")[i]).alias(f"m{i}") for i in range(dim)]

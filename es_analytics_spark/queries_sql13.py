@@ -371,7 +371,20 @@ def rec_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 5
         == 0,
     ).transform(cut_lineage)
-    train = split.filter(~F.col("is_test")).select("u", "i", "r")
+    # the per-user co-rating explosion (<= items-per-user^2 rows each)
+    # runs in the post-join stage, which AQE coalesces to 1-2 tasks at
+    # this input size — fan the train split out on the user key so both
+    # self-join sides co-partition (guide §2.2; layout-gated no-op on a
+    # lake) and hash-join instead of sort-merge
+    from es_analytics_spark.functions.fanout import fan_out
+
+    train = fan_out(
+        split.filter(~F.col("is_test")).select("u", "i", "r"),
+        sf_dir,
+        "lineitem",
+        "u",
+        weight=4,
+    )
     a = train.select(
         F.col("u"), F.col("i").alias("i1"), F.col("r").alias("r1")
     )
@@ -379,7 +392,8 @@ def rec_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u"), F.col("i").alias("i2"), F.col("r").alias("r2")
     )
     dev = (
-        a.join(b, ["u"])
+        a.hint("shuffle_hash")
+        .join(b, ["u"])
         .filter(F.col("i1") != F.col("i2"))
         .groupBy("i1", "i2")
         .agg(
@@ -392,10 +406,14 @@ def rec_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u", "i", F.col("r").alias("actual")
     )
     j = train.select("u", F.col("i").alias("ij"), F.col("r").alias("rj"))
+    # the deviation matrix is |brands|^2-bounded (~625 rows at ANY
+    # scale factor — brands are a fixed 25-value domain), so broadcast
+    # it unconditionally: the test-expansion frame is never exchanged
+    # for the deviation lookup (guide §3.1)
     preds = (
         test.join(j, "u")
         .join(
-            dev,
+            F.broadcast(dev),
             (F.col("i1") == F.col("i")) & (F.col("i2") == F.col("ij")),
         )
         .groupBy("u", "i", "actual")

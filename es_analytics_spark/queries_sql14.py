@@ -176,6 +176,9 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PCA_ITERS = 8
+# driver-pull guard for the collected covariance: dims^2-bounded by
+# construction (64-dim embeddings -> 4096 cells); 1e6 cells ~ dims=1000
+_PCA_MAX_CELLS = 1_000_000
 
 
 def _pca_sql() -> str:
@@ -258,55 +261,91 @@ def ml_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     nvec = dims.agg(
         F.countDistinct("vec_id").cast("bigint").alias("nv")
     )
-    a = dims.join(F.broadcast(mu), "dim").select(
-        "vec_id", F.col("dim").alias("i"), (F.col("x") - F.col("m")).alias("xa")
+    # the dims^2-per-vector outer-product explosion (~82M decimal
+    # addends at sf0.1) runs in the post-join stage, which AQE
+    # coalesces to 1-2 tasks at this input size — fan the centered
+    # long layout out on the join key so both self-join sides
+    # co-partition at the conf-derived width and the explosion +
+    # decimal partial aggregation parallelize (guide §2.2; layout-
+    # gated no-op on a lake), and hash- instead of sort-merge-join
+    from es_analytics_spark.functions.fanout import fan_out
+
+    centered = fan_out(
+        dims.join(F.broadcast(mu), "dim").select(
+            "vec_id", "dim", (F.col("x") - F.col("m")).alias("xc")
+        ),
+        sf_dir,
+        "embeddings",
+        "vec_id",
+        weight=8,
     )
-    b = dims.join(F.broadcast(mu), "dim").select(
-        "vec_id", F.col("dim").alias("j"), (F.col("x") - F.col("m")).alias("xb")
-    )
+    a = centered.select("vec_id", F.col("dim").alias("i"), F.col("xc").alias("xa"))
+    b = centered.select("vec_id", F.col("dim").alias("j"), F.col("xc").alias("xb"))
     gram = (
-        a.join(b, "vec_id")
+        a.hint("shuffle_hash")
+        .join(b, "vec_id")
         .groupBy("i", "j")
         .agg(dsum(F.col("xa") * F.col("xb")).alias("s"))
         .crossJoin(F.broadcast(nvec))
         .select("i", "j", (F.col("s") / F.col("nv").cast("double")).alias("a_ij"))
         .transform(cut_lineage)
     )
-    v = mu.select(F.col("dim").alias("i"), F.lit(0.125).alias("v"))
-    v_prev = None
-    for _ in range(_PCA_ITERS):
-        w = (
-            gram.join(
-                v.select(F.col("i").alias("j"), "v"), "j"
-            )
-            .groupBy("i")
-            .agg(dsum(F.col("a_ij") * F.col("v")).alias("w"))
-            .transform(cut_lineage)
+    # Driver-side power iteration over the dims^2-bounded covariance
+    # (the ts_markov_stationary / seq_expected_steps recipe): the
+    # distributed loop paid ~10 tiny jobs per iteration (matrix-vector
+    # join + norm + eager checkpoints; measured 83 jobs/run, 9.6 s) to
+    # re-derive a <=|dims|-row frame 8 times over a 64x64 matrix. The
+    # Python mirror reproduces the dsum contract op for op (IEEE term,
+    # shortest-string double->DECIMAL(38,10) cast, exact decimal sum,
+    # HALF_UP round at 4, correctly rounded sqrt / IEEE divide); the
+    # collect is limit-guarded like every k-bounded driver pull here.
+    g_rows = gram.limit(_PCA_MAX_CELLS + 1).collect()
+    if len(g_rows) > _PCA_MAX_CELLS:
+        raise ValueError(
+            f"ml_embedding_pca_power: covariance exceeds {_PCA_MAX_CELLS} "
+            "cells; raise _PCA_MAX_CELLS (dims^2-bounded by design)"
         )
-        norm = w.agg(F.sqrt(dsum(F.col("w") * F.col("w"))).alias("nrm"))
-        v_prev = v
-        v = w.crossJoin(F.broadcast(norm)).select(
-            "i", (F.col("w") / F.col("nrm")).alias("v")
-        ).transform(cut_lineage)
-        w_last = w
-    eig = (
-        w_last.join(v.select(F.col("i"), F.col("v").alias("v2")), "i")
-        .agg(dsum(F.col("w") * F.col("v2")).alias("eig"))
+    import decimal as _dec
+    import math as _math
+
+    q10, q4 = _dec.Decimal("1e-10"), _dec.Decimal("1e-4")
+
+    def _dsum_py(terms) -> float:
+        # mirror of functions.exact.dsum: per-addend HALF_UP quantize to
+        # scale 10 (the double->DECIMAL(38,10) cast), exact decimal sum,
+        # HALF_UP round to scale 4, exact decimal->double
+        tot = _dec.Decimal(0)
+        for t in terms:
+            tot += _dec.Decimal(repr(t)).quantize(q10, rounding=_dec.ROUND_HALF_UP)
+        return float(tot.quantize(q4, rounding=_dec.ROUND_HALF_UP))
+
+    by_i: dict[int, list] = {}
+    dims_set = set()
+    for r in g_rows:
+        by_i.setdefault(r["i"], []).append((r["j"], r["a_ij"]))
+        dims_set.add(r["i"])
+    with _dec.localcontext() as ctx:
+        ctx.prec = 60
+        v_map = {i: 0.125 for i in sorted(dims_set)}
+        v_prev_map = dict(v_map)
+        for _ in range(_PCA_ITERS):
+            w_map = {
+                i: _dsum_py(a * v_map[j] for j, a in cells if j in v_map)
+                for i, cells in by_i.items()
+            }
+            nrm = _math.sqrt(_dsum_py(w * w for w in w_map.values()))
+            v_prev_map = v_map
+            v_map = {i: w / nrm for i, w in w_map.items()}
+        eig_v = _dsum_py(w_map[i] * v_map[i] for i in w_map)
+        res_v = max(abs(v_map[i] - v_prev_map[i]) for i in v_map)
+    v = spark.createDataFrame(
+        sorted(v_map.items()), "i bigint, v double"
     )
-    resid = (
-        v.join(
-            v_prev.select(F.col("i"), F.col("v").alias("vp")), "i"
-        ).agg(F.max(F.abs(F.col("v") - F.col("vp"))).alias("res"))
-    )
-    return (
-        v.crossJoin(F.broadcast(eig))
-        .crossJoin(F.broadcast(resid))
-        .select(
-            F.col("i").cast("bigint").alias("dim"),
-            _q6(F.col("v")).alias("loading"),
-            _q6(F.col("eig")).alias("eigenvalue"),
-            _q6(F.col("res")).alias("residual"),
-        )
+    return v.select(
+        F.col("i").cast("bigint").alias("dim"),
+        _q6(F.col("v")).alias("loading"),
+        _q6(F.lit(eig_v)).alias("eigenvalue"),
+        _q6(F.lit(res_v)).alias("residual"),
     )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from es_analytics_spark.functions.fanout import broadcast_if_small
+from es_analytics_spark.functions.fanout import broadcast_if_small, fan_out
 from es_analytics_spark.functions.lineage import cut_lineage, cut_lineage_lazy
 
 from es_analytics_spark.queries import _t, query
@@ -324,12 +324,24 @@ def text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     where blocks grow unbounded, tighten blocks (prefix bands) exactly
     like dedup.ngram_jaccard_pairs does.
     """
-    d = _t(spark, sf_dir, "documents")["documents"].select(
-        "doc_id", "lang", "source", F.substring("text", 1, 60).alias("pre")
+    # the block^2 Levenshtein explosion runs in the post-join stage,
+    # which AQE coalesces to 1-2 tasks at this input size — fan the
+    # blocked frame out on the block keys so both self-join sides
+    # co-partition and the edit-distance work parallelizes
+    # (guide §2.2; layout-gated no-op on a lake), hash-joined
+    d = fan_out(
+        _t(spark, sf_dir, "documents")["documents"].select(
+            "doc_id", "lang", "source", F.substring("text", 1, 60).alias("pre")
+        ),
+        sf_dir,
+        "documents",
+        "lang",
+        "source",
+        weight=8,
     )
     a = d.alias("a")
     b = d.alias("b")
-    pairs = a.join(
+    pairs = a.hint("shuffle_hash").join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.source") == F.col("b.source"))
@@ -1876,7 +1888,16 @@ def mm_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by tests/test_multimodal.py::test_media_near_dup_pairs."""
     from es_analytics_spark.operators.multimodal import media_near_dup_pairs
 
-    d = _t(spark, sf_dir, "documents")["documents"]
+    # the decode+pool mapInPandas pass runs in the scan stage (one task
+    # on a single-file layout) — fan out first (guide §2.2; layout-
+    # gated no-op on a lake)
+    d = fan_out(
+        _t(spark, sf_dir, "documents")["documents"],
+        sf_dir,
+        "documents",
+        "doc_id",
+        weight=8,
+    )
     media = d.select(
         F.col("doc_id").alias("mid"), F.encode("text", "utf-8").alias("payload")
     )
@@ -1953,7 +1974,12 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: string build + parse are per-row expressions inside
     codegen; no UDF, no shuffle beyond the scan.
     """
-    ev = _t(spark, sf_dir, "events")["events"]
+    # the per-row XML build+parse is the whole query and it runs in the
+    # scan stage (one task on a single-file layout) — fan out first
+    # (guide §2.2; layout-gated no-op on a lake)
+    ev = fan_out(
+        _t(spark, sf_dir, "events")["events"], sf_dir, "events", "event_id", weight=4
+    )
     xml = F.concat(
         F.lit('<e id="'),
         F.col("event_id"),

@@ -1000,25 +1000,43 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     # attach the center's fixed-point contribution to the EDGE-sized
     # adjacency (2|E| rows), not to the wedge output (sum of C(deg,2)
     # rows) — the wedge join then carries a ready-made addend
-    adj_w = adj.join(
-        F.broadcast(deg.withColumnRenamed("node", "w")), "w"
-    ).withColumn("contrib", F.expr(f"{_RA_FP} div d"))
+    # wedge treatment (the graph_jaccard_neighbors batch): fan the
+    # adjacency out on the center key so both self-join sides
+    # co-partition and the explosion parallelizes (layout-gated),
+    # hash-join instead of sort-merge, and cross the hot partial
+    # aggregate on ONE packed bigint (supplier keys are int-sized at
+    # any published SF — the _co_supply_edges precedent)
+    adj_w = fan_out(
+        adj.join(
+            F.broadcast(deg.withColumnRenamed("node", "w")), "w"
+        ).withColumn("contrib", F.expr(f"{_RA_FP} div d")),
+        sf_dir,
+        "lineitem",
+        "w",
+        weight=8,
+    )
     a, b = adj_w.alias("a"), adj_w.alias("b")
     scored = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.nb") < F.col("b.nb")))
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.nb") < F.col("b.nb")))
         .select(
-            F.col("a.nb").alias("u"),
-            F.col("b.nb").alias("v"),
+            (F.shiftleft(F.col("a.nb"), 32) + F.col("b.nb")).alias("uv"),
             F.col("a.contrib").alias("contrib"),
         )
-        .groupBy("u", "v")
+        .groupBy("uv")
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
             F.sum("contrib").cast("bigint").alias("ra_score_fp"),
         )
+        .select(
+            F.shiftright("uv", 32).alias("u"),
+            (F.col("uv") - F.shiftleft(F.shiftright("uv", 32), 32)).alias("v"),
+            "common_neighbors",
+            "ra_score_fp",
+        )
     )
     return (
-        scored.join(edges, ["u", "v"], "left_anti")
+        scored.join(broadcast_if_small(edges, sf_dir, "lineitem"), ["u", "v"], "left_anti")
         .orderBy(F.col("ra_score_fp").desc(), F.col("u").asc(), F.col("v").asc())
         .limit(20)
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum_expr
-from es_analytics_spark.functions.fanout import broadcast_if_small
+from es_analytics_spark.functions.fanout import broadcast_if_small, fan_out
 from es_analytics_spark.functions.lineage import cut_lineage, cut_lineage_lazy
 from es_analytics_spark.queries import _t, query
 
@@ -1476,7 +1476,16 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine); the pair expansion is driver-side arithmetic over a
     single broadcast row.
     """
-    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    # eleven decimal partial sums per row, all in the scan stage — fan
+    # out on a high-card key first (guide §2.2, the agg_pricing_summary
+    # pattern; layout-gated no-op on a lake)
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem")["lineitem"],
+        sf_dir,
+        "lineitem",
+        "l_orderkey",
+        weight=2,
+    )
     dd = lambda c: F.round(F.sum(c.cast("decimal(38,10)")), 4).cast("double")  # noqa: E731
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for m in _CORR_MEASURES:

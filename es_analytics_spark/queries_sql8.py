@@ -236,22 +236,34 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
+    # wedge treatment (the graph_jaccard_neighbors batch): center-keyed
+    # fan-out, shuffle_hash, packed-bigint partial aggregate, and a
+    # broadcast anti-join probe — all layout-gated
+    from es_analytics_spark.functions.fanout import broadcast_if_small, fan_out
+
+    adj_w = fan_out(adj_w, sf_dir, "lineitem", "w", weight=8)
     a, b = adj_w.alias("a"), adj_w.alias("b")
     scored = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.nb") < F.col("b.nb")))
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.nb") < F.col("b.nb")))
         .select(
-            F.col("a.nb").alias("u"),
-            F.col("b.nb").alias("v"),
+            (F.shiftleft(F.col("a.nb"), 32) + F.col("b.nb")).alias("uv"),
             F.col("a.contrib").alias("contrib"),
         )
-        .groupBy("u", "v")
+        .groupBy("uv")
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
             F.sum("contrib").cast("bigint").alias("aa_score_fp"),
         )
+        .select(
+            F.shiftright("uv", 32).alias("u"),
+            (F.col("uv") - F.shiftleft(F.shiftright("uv", 32), 32)).alias("v"),
+            "common_neighbors",
+            "aa_score_fp",
+        )
     )
     return (
-        scored.join(edges, ["u", "v"], "left_anti")
+        scored.join(broadcast_if_small(edges, sf_dir, "lineitem"), ["u", "v"], "left_anti")
         .orderBy(F.col("aa_score_fp").desc(), F.col("u").asc(), F.col("v").asc())
         .limit(20)
     )
