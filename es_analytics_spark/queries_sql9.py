@@ -45,6 +45,15 @@ def _q6(c):
 # (36+/20+ components at sf>=0.01 — the vacuous-entry trap check).
 _CC_MOD = 101
 _CC_MAX_ROUNDS = 64
+# Rounds before the first convergence probe. Star contraction is
+# idempotent at its fixpoint (a converged star forest maps to itself),
+# so skipping early probes can NEVER change the result — it only
+# trades "wasted" rounds on an already-converged graph against probe
+# jobs on a still-contracting one. The fixture needs 6 rounds at every
+# tested SF (and the bound is O(log^2 n), growing with scale), so the
+# first 3 probes were pure scheduler overhead; a tiny graph that
+# converges earlier just runs <= 3 cheap identity rounds.
+_CC_PROBE_FLOOR = 3
 
 _CC_SQL = f"""
     WITH RECURSIVE ps AS MATERIALIZED (
@@ -97,12 +106,15 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     + 1. The oracle is the same true fixpoint via a recursive
     reachability CTE. All labels are exact integers; exact counts out.
 
-    Scale: each half-round is one node-grain min aggregate (map-side
-    combinable) + one edge join + a dedup shuffle, checkpoint-
-    linearized (the pagerank lineage rule); state stays edge-sized and
-    SHRINKS monotonically toward the star forest. The convergence
-    probe is one LIMIT-1 symmetric-difference aggregate, not a data
-    fetch. The
+    Scale: each half-round is ONE edge-sized exchange (a min-over-
+    neighborhood window — the same bytes the old groupBy+join pair
+    shuffled, minus the node-grain side exchange and hash build),
+    plus small-star's closing dedup, checkpoint-linearized (the
+    pagerank lineage rule); state stays edge-sized and SHRINKS
+    monotonically toward the star forest. The convergence probe is
+    one LIMIT-1 symmetric-difference aggregate, not a data fetch, and
+    skips the first _CC_PROBE_FLOOR rounds (idempotence argument at
+    the constant). The
     recursive-CTE oracle's state is sum of size^2 per component —
     fixture-bounded; at 100x you run the Spark side."""
     from es_analytics_spark.queries_sql4 import _co_supply_edges
@@ -119,53 +131,67 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _large_star(edges: DataFrame) -> DataFrame:
         # attach every neighborhood's minimum (incl. the center) to the
-        # LARGER neighbors: (v, m) for v in N(u), v > u, m = min(N+ (u))
+        # LARGER neighbors: (v, m) for v in N(u), v > u, m = min(N+ (u)).
+        # The minimum rides a min-over-partition WINDOW instead of the
+        # former groupBy+join pair: one edge-sized exchange per star
+        # instead of edge-exchange + node-exchange + hash-join build
+        # (guide §2.4 "two operations keyed the same way share one
+        # exchange" — here they share it literally, inside one
+        # WindowExec). Same bytes cross the wire; the per-u sort
+        # replaces the join's hash-table build, and the partition-size
+        # bound is the same neighborhood bound the join's build side
+        # had. Interleaved A/B: 4.78 -> 3.88 s median, 69 -> ~40
+        # jobs/run (with the probe floor below).
+        # NOTE: a layout-gated broadcast of the min table was tried
+        # earlier (the pagerank pattern) and measured 0.95x — the
+        # per-round broadcast builds outweigh the tiny-edge-frame
+        # shuffles they replace on the THINNED graph.
         sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
             edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        # NOTE: a layout-gated broadcast of this node-sized min table
-        # was tried (the pagerank pattern) and measured 0.95x in a
-        # quiet-box interleaved A/B — the per-round broadcast builds
-        # (2 stars x ~6 rounds) outweigh the tiny-edge-frame shuffles
-        # they replace on the THINNED graph, and the gate means the
-        # broadcast could only ever fire in exactly that regime.
-        mn = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("mv", F.col("u")).alias("m"))
+        st = sym.select(
+            "u", "v",
+            F.least(F.min("v").over(W.partitionBy("u")), F.col("u")).alias("m"),
         )
         # NO distinct here: duplicate edges are harmless to the
         # downstream small-star min aggregates and its closing distinct
-        # restores set semantics — dropping this dedup removes one of
-        # the two per-round edge-sized exchanges (guide §2.4 "a
-        # distinct on data that is already unique" — near-unique here;
-        # the duplicate inflation is bounded by the sym fan-in)
+        # restores set semantics — dropping this dedup removes one
+        # per-round edge-sized exchange (guide §2.4)
         return (
-            sym.join(mn, "u")
-            .filter(F.col("v") > F.col("u"))
+            st.filter(F.col("v") > F.col("u"))
             .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
             .filter(F.col("a") != F.col("b"))
         )
 
     def _small_star(edges: DataFrame) -> DataFrame:
         # direct each edge to its larger endpoint, then rewire all the
-        # smaller neighbors (and the center) to the neighborhood minimum
+        # smaller neighbors (and the center) to the neighborhood
+        # minimum — same one-exchange window form as _large_star
         d = edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        mn = d.groupBy("u").agg(F.min("v").alias("m"))
+        st = d.select("u", "v", F.min("v").over(W.partitionBy("u")).alias("m"))
         rewired = (
-            d.join(mn, "u")
-            .filter(F.col("v") != F.col("m"))
+            st.filter(F.col("v") != F.col("m"))
             .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
         )
-        centers = mn.select(F.col("m").alias("a"), F.col("u").alias("b"))
+        # exactly one (m, u) row per center u: d's (u, v) pairs are
+        # unique (edges is a dedup'd set), so v == m fires once per u
+        centers = st.filter(F.col("v") == F.col("m")).select(
+            F.col("m").alias("a"), F.col("u").alias("b")
+        )
         return (
             rewired.unionAll(centers)
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
 
-    for _ in range(_CC_MAX_ROUNDS):
+    for rnd in range(_CC_MAX_ROUNDS):
         nxt = _small_star(_large_star(E)).transform(cut_lineage_lazy)
+        if rnd < _CC_PROBE_FLOOR:
+            # below the probe floor the round's frame still materializes
+            # (the next round's window consumes the checkpointed blocks)
+            # but no convergence probe runs — see _CC_PROBE_FLOOR
+            E = nxt
+            continue
         # convergence probe: ONE symmetric-difference aggregate instead
         # of two anti-join count jobs (guide §2.4 — both sides are
         # distinct edge sets over checkpointed blocks, so a row with
