@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from es_analytics_spark.functions.lineage import cut_lineage
+from es_analytics_spark.functions.lineage import cut_lineage, cut_lineage_lazy
 
 
 # deterministic multipliers/offsets for the minhash permutation family
@@ -506,13 +506,19 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("n_comp"))
         )
+        # ONE job per round: the updated frame (still carrying the old
+        # label) is lazily checkpointed, so the convergence count both
+        # materializes the round's cache AND probes it — the former
+        # count-then-eager-checkpoint pair executed the join+aggregate
+        # twice per round (lazy-cut safety: min-label aggregates are
+        # deterministic, the cut_lineage_lazy contract)
         updated = labels.join(neighbor_min, "id", "left").select(
             "id",
             F.col("comp").alias("old"),
             F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
-        )
+        ).transform(cut_lineage_lazy)
         changed = updated.filter(F.col("comp") < F.col("old")).count()
-        labels = updated.select("id", "comp").transform(cut_lineage)
+        labels = updated.select("id", "comp")
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("comp").alias("component"))
