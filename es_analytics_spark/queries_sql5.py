@@ -27,7 +27,7 @@ from es_analytics_spark.functions.portable import (
     accept_hash as _accept_hash,
     accept_hash_sql as _accept_hash_sql,
 )
-from es_analytics_spark.functions.ranks import cumulative_offsets
+from es_analytics_spark.functions.ranks import cumulative_offsets, exact_percentile_cuts
 from es_analytics_spark.queries import _t, query
 
 
@@ -443,7 +443,13 @@ def agg_boxplot_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both passes (percentile partials, fence probe + count) run
     # map-side in the scan stage; fan out on a high-card key first
     # (percentile partials just buffer values, so the partial/final
-    # split point cannot change the interpolated result)
+    # split point cannot change the interpolated result).
+    # NOTE: swapping the grouped percentile for exact_percentile_cuts
+    # (the agg_histogram_equidepth fix) was A/B'd here and LOST
+    # (2.1 -> 4.1 s): the helper's three passes re-pay the fan-out
+    # exchange each time, while this builtin's final merge is already
+    # |groups|-way parallel (3 returnflags) — the single-merge disease
+    # the helper cures is the GLOBAL percentile's.
     li = fan_out(
         _t(spark, sf_dir, "lineitem")["lineitem"],
         sf_dir, "lineitem", "l_orderkey", weight=4,
@@ -2292,17 +2298,24 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate.""".format(b=_EQD_BUCKETS)
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     pcts = [b / _EQD_BUCKETS for b in range(1, _EQD_BUCKETS)]
-    cuts = li.agg(
-        F.expr(
-            f"percentile(l_extendedprice, array({', '.join(str(p) for p in pcts)}))"
-        ).alias("cs")
-    ).select(
+    # cut points via the distributed order-statistics helper — the
+    # builtin percentile's single-threaded final merge over the
+    # (near-unique) price column was this query's dominant cost and
+    # does not scale (see exact_percentile_cuts); the helper is
+    # bit-identical and the cent-quantization stays in the same Spark
+    # transform over the literal cut array, so bucket assignment
+    # compares the exact same doubles
+    raw = exact_percentile_cuts(li, [], "l_extendedprice", pcts)[()]
+    cuts = spark.range(1).select(
         F.transform(
-            F.col("cs"), lambda c: F.floor(c * 100 + F.lit(0.5)) / 100
+            F.array(*[F.lit(c) for c in raw]),
+            lambda c: F.floor(c * 100 + F.lit(0.5)) / 100,
         ).alias("cs")
     )
     assigned = (
-        li.select(F.col("l_extendedprice").alias("x"))
+        fan_out(li.select(F.col("l_extendedprice")), sf_dir, "lineitem",
+                "l_extendedprice", weight=2)
+        .select(F.col("l_extendedprice").alias("x"))
         .crossJoin(F.broadcast(cuts))
         .select(
             "x",

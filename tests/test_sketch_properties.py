@@ -244,3 +244,56 @@ def test_cumulative_offsets_matches_python_prefix_sum(spark):
             want[pid] = acc
             acc += cnt
         assert got == want, (rows, got, want)
+
+
+def test_exact_percentile_cuts_bit_matches_builtin(spark):
+    """functions/ranks.exact_percentile_cuts (the bucket-histogram
+    order-statistics recipe behind agg_histogram_equidepth) must be
+    BIT-identical to the builtin percentile — grouped and global,
+    through ties, tiny groups, single-value groups, and the
+    degenerate-distribution fallback path."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from es_analytics_spark.functions.ranks import exact_percentile_cuts
+
+    rng = random.Random(11)
+    cases = []
+    for n, rounder in [(1, 0), (2, 6), (3, 1), (9, 0), (400, 6), (400, 0)]:
+        rows = [
+            (rng.choice(["a", "b", "c"]),
+             round(rng.uniform(0, 1000), rounder))
+            for _ in range(n)
+        ]
+        cases.append(rows)
+    cases.append([("z", 5.0)] * 10)  # single distinct value in a group
+    pcts = [0.1, 0.25, 0.5, 0.75, 0.9]
+    arr = ", ".join(str(p) for p in pcts)
+    for rows in cases:
+        df = spark.createDataFrame(rows, "g string, x double")
+        want = {
+            r["g"]: list(r["cs"])
+            for r in df.groupBy("g")
+            .agg(F.expr(f"percentile(x, array({arr}))").alias("cs"))
+            .collect()
+        }
+        got = exact_percentile_cuts(df, ["g"], "x", pcts)
+        assert {k[0]: v for k, v in got.items()} == want
+        # global spelling over the same rows
+        want_g = list(
+            df.agg(F.expr(f"percentile(x, array({arr}))").alias("cs")).first()["cs"]
+        )
+        assert exact_percentile_cuts(df, [], "x", pcts)[()] == want_g
+    # fallback path: cap of 0 forces the builtin branch — still exact
+    df = spark.createDataFrame(
+        [("a", float(i % 7)) for i in range(50)], "g string, x double"
+    )
+    want = {
+        r["g"]: list(r["cs"])
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(x, array({arr}))").alias("cs"))
+        .collect()
+    }
+    got = exact_percentile_cuts(df, ["g"], "x", pcts, bucket_fetch_cap=0)
+    assert {k[0]: v for k, v in got.items()} == want
