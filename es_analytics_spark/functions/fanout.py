@@ -45,6 +45,7 @@ from pyspark.sql import Column, DataFrame
 
 MAX_BYTES_CONF = "spark.es_analytics.fanout.max_bytes"
 BYTES_PER_TASK_CONF = "spark.es_analytics.fanout.bytes_per_task"
+CONCURRENCY_CONF = "spark.es_analytics.fanout.concurrency"
 
 _DEFAULT_MAX_BYTES = 1 << 30  # 1 GiB
 _DEFAULT_BYTES_PER_TASK = 256 << 10  # 256 KiB
@@ -105,8 +106,18 @@ def fan_out(
         per_task = int(
             spark.conf.get(BYTES_PER_TASK_CONF, str(_DEFAULT_BYTES_PER_TASK))
         )
+        concurrency = int(spark.conf.get(CONCURRENCY_CONF, "1"))
     except ValueError:
         max_bytes, per_task = _DEFAULT_MAX_BYTES, _DEFAULT_BYTES_PER_TASK
+        concurrency = 1
+    # Under N-way concurrent query submission each fanned-out plan would
+    # otherwise claim the full core count, oversubscribing the pool N
+    # times over (round-11 verdict: the bench's 8-way cold phase paid
+    # ~9% for it). A submitter that runs queries concurrently declares
+    # its width via this conf; each plan then targets its fair share of
+    # the cores. Width only — the no-op guards are unchanged, and the
+    # default (1) keeps single-query plans identical.
+    cores = max(1, cores // max(concurrency, 1))
     if total_bytes > max_bytes:
         return df
     parts = max(

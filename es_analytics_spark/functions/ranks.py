@@ -80,9 +80,38 @@ def exact_percentile_cuts(
     base = df.select(*group_cols, value_col).filter(F.col(value_col).isNotNull())
     x = F.col(value_col).cast("double")
 
+    def _builtin_all() -> dict[tuple, list]:
+        agg = base.groupBy(*group_cols).agg(
+            F.expr(
+                f"percentile({value_col}, array({', '.join(repr(p) for p in pcts)}))"
+            ).alias("__cs")
+        ).collect()
+        return {
+            tuple(r[c] for c in group_cols): [
+                None if v is None else float(v) for v in r["__cs"]
+            ]
+            for r in agg
+        }
+
     stats = base.groupBy(*group_cols).agg(
         F.min(x).alias("__mn"), F.max(x).alias("__mx"), F.count("*").alias("__n")
     ).collect()
+    if not stats:
+        # builtin semantics on an empty input: a GLOBAL percentile
+        # aggregate yields one all-null row; a grouped one yields no rows
+        return {(): [None] * len(pcts)} if not group_cols else {}
+    if any(
+        any(r[c] is None for c in group_cols)
+        or math.isnan(float(r["__mx"]))  # NaN sorts above all doubles, so
+        or math.isnan(float(r["__mn"]))  # any NaN in the data surfaces here
+        for r in stats
+    ):
+        # NULL group keys would be dropped by the equi-join against the
+        # broadcast stats frame below, and NaN values poison the bucket
+        # width — both are handled correctly (if single-threadedly) by
+        # the builtin, so punt the whole call. Latent-only today: every
+        # call site passes group_cols=[] over a NaN-free column.
+        return _builtin_all()
     meta: dict[tuple, dict] = {}
     for r in stats:
         key = tuple(r[c] for c in group_cols)
@@ -155,13 +184,7 @@ def exact_percentile_cuts(
                     break
         need[key] = nb
     if fetch_rows > bucket_fetch_cap:  # degenerate distribution: punt
-        agg = base.groupBy(*group_cols).agg(
-            F.expr(
-                f"percentile({value_col}, array({', '.join(repr(p) for p in pcts)}))"
-            ).alias("__cs")
-        ).collect()
-        for r in agg:
-            out[tuple(r[c] for c in group_cols)] = [float(v) for v in r["__cs"]]
+        out.update(_builtin_all())
         return out
 
     needed = [

@@ -583,6 +583,16 @@ def rec_user_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when the part table's local layout proves it small (guide §3.1);
     # on a lake layout the planner keeps the plain filter join
     rr = r.join(broadcast_if_small(pop.select("p"), sf_dir, "part"), "p")
+    return _user_cf_topk_from(rr, sf_dir)
+
+
+def _user_cf_topk_from(rr: DataFrame, sf_dir: str) -> DataFrame:
+    """The CF neighbor ranking from a prebuilt hub-capped (c, p)
+    ratings frame — extracted so rec_item_recommendations can feed BOTH
+    its vote/anti-join stages and this ranking from ONE materialized
+    ratings frame instead of re-deriving the orders-lineitem dedup
+    twice. rec_user_cf_topk passes its un-checkpointed frame through,
+    so its audited exchange-sharing plan is unchanged."""
     deg = rr.groupBy("c").agg(F.count("*").alias("d"))
     a = rr.select(F.col("p"), F.col("c").alias("c1"))
     b = rr.select(F.col("p"), F.col("c").alias("c2"))
@@ -2295,7 +2305,13 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one percentile aggregate (|cuts| rows, broadcast back),
     then one pass assigning each row by counting crossed cuts — a
     9-row broadcast product, map-side, followed by a {b}-group
-    aggregate.""".format(b=_EQD_BUCKETS)
+    aggregate.
+
+    Contract note: the cut points are computed EAGERLY at DataFrame-
+    construction time (exact_percentile_cuts runs collect() jobs) and
+    baked into the returned plan as literals — the returned frame
+    reflects the data as of the call, so do not cache it across data
+    refreshes; rebuild it instead.""".format(b=_EQD_BUCKETS)
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     pcts = [b / _EQD_BUCKETS for b in range(1, _EQD_BUCKETS)]
     # cut points via the distributed order-statistics helper — the
@@ -2629,15 +2645,24 @@ def rec_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W2
 
     t = _t(spark, sf_dir, "orders", "lineitem")
-    r = (
+    # ONE materialized hub-capped ratings frame feeds the embedded CF
+    # neighbor ranking AND the vote/novelty stages below — the former
+    # shape built the orders-lineitem dedup twice (its own rr plus the
+    # one inside rec_user_cf_topk). The eager cut costs the self-join
+    # its shared partitioning (localCheckpoint erases it), but that
+    # re-exchange reads checkpoint blocks, while the saved second
+    # dedup re-ran the whole join+distinct (round-11 verdict item 5).
+    raw = (
         t["orders"]
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
     )
+    r = fan_out(raw, sf_dir, "lineitem", "p", weight=8).distinct()
     pop = r.groupBy("p").agg(F.count("*").alias("np")).filter(F.col("np") <= _CF_POP_CAP)
-    rr = r.join(pop.select("p"), "p").transform(cut_lineage)
-    neighbors = rec_user_cf_topk(spark, sf_dir).select(
+    rr = r.join(
+        broadcast_if_small(pop.select("p"), sf_dir, "part"), "p"
+    ).transform(cut_lineage)
+    neighbors = _user_cf_topk_from(rr, sf_dir).select(
         F.col("custkey").alias("c"), F.col("neighbor").alias("nb"), "cos_fp"
     )
     votes = (

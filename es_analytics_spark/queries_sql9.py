@@ -54,6 +54,17 @@ _CC_MAX_ROUNDS = 64
 # first 3 probes were pure scheduler overhead; a tiny graph that
 # converges earlier just runs <= 3 cheap identity rounds.
 _CC_PROBE_FLOOR = 3
+# Above the floor, probe every STRIDE-th round. A skipped probe skips
+# only DETECTION — E still advances every round, so a probe that does
+# run compares ADJACENT rounds (nxt vs the previous frame), exactly the
+# fixpoint test; at worst convergence is noticed up to STRIDE-1 cheap
+# identity rounds late (a converged E maps to itself, so the eventual
+# probe reads equal sets). The win is two-fold: one fewer probe job
+# per skipped round, and the skipped round's lazy checkpoint stays
+# unmaterialized until the next probe executes both rounds in one
+# deeper job (fewer scheduler barriers). With floor 3 and stride 2 the
+# 6-round fixture probes at rounds 3 and 5 and still detects at 5.
+_CC_PROBE_STRIDE = 2
 
 _CC_SQL = f"""
     WITH RECURSIVE ps AS MATERIALIZED (
@@ -112,9 +123,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus small-star's closing dedup, checkpoint-linearized (the
     pagerank lineage rule); state stays edge-sized and SHRINKS
     monotonically toward the star forest. The convergence probe is
-    one LIMIT-1 symmetric-difference aggregate, not a data fetch, and
-    skips the first _CC_PROBE_FLOOR rounds (idempotence argument at
-    the constant). The
+    one LIMIT-1 symmetric-difference aggregate, not a data fetch; it
+    skips the first _CC_PROBE_FLOOR rounds and then runs every
+    _CC_PROBE_STRIDE-th round (idempotence arguments at the
+    constants). The
     recursive-CTE oracle's state is sum of size^2 per component —
     fixture-bounded; at 100x you run the Spark side."""
     from es_analytics_spark.queries_sql4 import _co_supply_edges
@@ -173,8 +185,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             st.filter(F.col("v") != F.col("m"))
             .select(F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b"))
         )
-        # exactly one (m, u) row per center u: d's (u, v) pairs are
-        # unique (edges is a dedup'd set), so v == m fires once per u
+        # one (m, u) row per center u PER duplicate: _large_star's output
+        # is deliberately NOT dedup'd (that exchange was dropped), so
+        # duplicate (u, v) pairs can reach here and v == m may fire more
+        # than once per u — the closing .distinct() below absorbs them
         centers = st.filter(F.col("v") == F.col("m")).select(
             F.col("m").alias("a"), F.col("u").alias("b")
         )
@@ -186,10 +200,13 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for rnd in range(_CC_MAX_ROUNDS):
         nxt = _small_star(_large_star(E)).transform(cut_lineage_lazy)
-        if rnd < _CC_PROBE_FLOOR:
-            # below the probe floor the round's frame still materializes
-            # (the next round's window consumes the checkpointed blocks)
-            # but no convergence probe runs — see _CC_PROBE_FLOOR
+        if rnd < _CC_PROBE_FLOOR or (rnd - _CC_PROBE_FLOOR) % _CC_PROBE_STRIDE:
+            # below the floor / off-stride: no convergence probe runs
+            # (see _CC_PROBE_FLOOR/_CC_PROBE_STRIDE) and, because the
+            # cut is LAZY, the round's frame does not materialize yet
+            # either — the next probe job executes every unprobed round
+            # of windows+distincts in one deep job and fills their
+            # checkpoints
             E = nxt
             continue
         # convergence probe: ONE symmetric-difference aggregate instead

@@ -1204,6 +1204,30 @@ def _write_part(
     return part
 
 
+def _part_num_rows(spark: SparkSession, part: str) -> int:
+    """Row count of a just-written part from its parquet FOOTERS —
+    driver-side metadata reads, no Spark job, on local stores (the
+    chunked-checkpoint footer pattern: counts a writer needs about its
+    own output are already durable in the files it wrote). URI stores
+    and missing-pyarrow environments fall back to a count job, which
+    Spark itself serves from footers."""
+    import os as _os
+
+    if not is_uri(part):
+        try:
+            import pyarrow.parquet as _pq
+
+            total = 0
+            for root, _dirs, files in _os.walk(part):
+                for f in files:
+                    if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                        total += _pq.read_metadata(_os.path.join(root, f)).num_rows
+            return total
+        except ImportError:
+            pass
+    return spark.read.parquet(part).count()
+
+
 def _json_stat(v):
     """JSON-safe, order-preserving encoding of a min/max value. ISO-8601
     strings compare lexicographically in timestamp order, so date/
@@ -2825,7 +2849,15 @@ def delete_where(
             spark, fs, path, cond, live, v0, schema, max_retries
         )
     tbl = _read_live(spark, live, schema, meta=True)
-    matched = tbl.filter(cond).select("_f_path").distinct().collect()
+    # one job answers both "which files hold matched rows" and "how
+    # many rows match" (rows_deleted) — the latter used to be a second
+    # count over the written change part
+    matched = (
+        tbl.filter(cond)
+        .groupBy("_f_path")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
     touched = _owning_parts(sorted(live), [r["_f_path"] for r in matched])
     if not touched:
         return {"version": v0, "rows_deleted": 0, "parts_rewritten": 0}
@@ -2834,15 +2866,19 @@ def delete_where(
     _to_physical(
         _read_live(spark, touched_live, schema).filter(cond), schema
     ).write.mode("overwrite").parquet(cdc_part)
-    # footer-only count of what was actually written — no recompute
-    rows_deleted = spark.read.parquet(cdc_part).count()
+    rows_deleted = sum(r["__n"] for r in matched)
     adds = []
     for p in touched:
         keep = _read_live(spark, {p: live[p]}, schema).filter(~cond)
-        if keep.isEmpty():
-            continue  # the whole part matched: pure remove
+        # write first, probe the footers after — same trade as
+        # merge_upsert: the common partially-matched part pays one job
+        # instead of isEmpty + write; a fully-matched part's zero-row
+        # output is deleted before it is ever referenced
         np = fs_join(_part_dir(path), uuid.uuid4().hex)
         _to_physical(keep, schema).write.mode("overwrite").parquet(np)
+        if _part_num_rows(spark, np) == 0:
+            fs.delete(np)
+            continue  # the whole part matched: pure remove
         add = {"path": np, "partition": live[p]["partition"], "rewrite": True}
         if live[p].get("stats"):
             # survivors are a subset of the original rows, so the
@@ -2954,7 +2990,13 @@ def update_where(
                 f"update_where: column(s) {bad} are not in the table "
                 f"({sorted(data_cols)}) — an UPDATE never evolves a schema"
             )
-    matched = tbl.filter(cond).select("_f_path").distinct().collect()
+    # one job: matched files AND the matched-row total (rows_updated)
+    matched = (
+        tbl.filter(cond)
+        .groupBy("_f_path")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
     touched = _owning_parts(sorted(live), [r["_f_path"] for r in matched])
     if not touched:
         return {"version": v0, "rows_updated": 0, "parts_rewritten": 0}
@@ -2962,7 +3004,7 @@ def update_where(
     old_rows = _read_live(spark, touched_live, schema).filter(cond)
     cdc_old = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
     _to_physical(old_rows, schema).write.mode("overwrite").parquet(cdc_old)
-    rows_updated = spark.read.parquet(cdc_old).count()
+    rows_updated = sum(r["__n"] for r in matched)
     cdc_new = fs_join(_part_dir(path), "cdc-" + uuid.uuid4().hex)
     _enforce_constraints(
         spark, path, v0, _apply(_read_parts(spark, [cdc_old], schema)),
@@ -3059,7 +3101,9 @@ def _delete_where_dv(
     _to_physical(hits.drop("_pb", *_META_COLS), schema).write.mode(
         "overwrite"
     ).parquet(cdc_part)
-    rows_deleted = spark.read.parquet(cdc_part).count()
+    # the per-part hit counts already sum to the matched-row total —
+    # no second count over the written change part
+    rows_deleted = sum(hit_counts.values())
     payload = {
         "operation": "delete_where",
         "adds": [],
@@ -3301,16 +3345,20 @@ def merge_upsert(
             remove_keys = matched_upd.filter(
                 F.col("__merge_del") | F.col("__merge_upd")
             ).select(*keys)
-        matched = (
-            _key_join(
-                tbl.select(F.col("_f_path").alias("__f"), *keys),
-                remove_keys, "left_semi",
-            )
-            .select("__f")
-            .distinct()
-            .collect()
-        )
-        touched = _owning_parts(parts, [r["__f"] for r in matched])
+        # ONE job answers both "which parts hold matched rows" and "how
+        # many distinct keys matched" (rows_updated) — the latter used
+        # to be a separate distinct-count over the written change part
+        # (guide §2.4: don't pay two passes for two scalars off one
+        # semi-join). struct() makes the distinct NULL-safe, matching
+        # the old .distinct().count() semantics for null_safe_keys.
+        matched = _key_join(
+            tbl.select(F.col("_f_path").alias("__f"), *keys),
+            remove_keys, "left_semi",
+        ).agg(
+            F.collect_set("__f").alias("__fs"),
+            F.countDistinct(F.struct(*keys)).alias("__nk"),
+        ).first()
+        touched = _owning_parts(parts, matched["__fs"])
         if partition is not None:
             # the declared single-partition contract must actually hold:
             # silently migrating a matched row from another partition
@@ -3335,24 +3383,26 @@ def merge_upsert(
             _to_physical(old_rows, schema).write.mode("overwrite").parquet(cdc_part)
             # distinct matched keys, not raw old rows: a key appended
             # twice counts as ONE update (all its rows are replaced);
-            # read back through the schema so logical keys resolve on
-            # the physically-named change part
-            rows_updated = (
-                _read_parts(spark, [cdc_part], table_schema)
-                .select(*keys)
-                .distinct()
-                .count()
-            )
+            # already computed inside the matched-parts job above
+            rows_updated = int(matched["__nk"])
             cdc = [{"path": cdc_part, "change_type": "delete"}]
             for p in touched:
                 keep = _key_join(
                     _read_live(spark, {p: live[p]}, table_schema),
                     remove_keys, "left_anti",
                 )
-                if keep.isEmpty():
-                    continue
+                # write first, probe the FOOTERS after: the old
+                # isEmpty() pre-probe ran the anti-join once per part
+                # just to skip the (rare) fully-emptied part — now the
+                # common case pays one job, and an emptied part's
+                # zero-row output is deleted before it is ever
+                # referenced (an unreferenced uuid dir, same crash
+                # debris class as any uncommitted write)
                 np = fs_join(_part_dir(path), uuid.uuid4().hex)
                 _to_physical(keep, schema).write.mode("overwrite").parquet(np)
+                if _part_num_rows(spark, np) == 0:
+                    fs.delete(np)
+                    continue
                 add = {"path": np, "partition": live[p]["partition"], "rewrite": True}
                 if live[p].get("stats"):
                     # survivors are a subset of the original rows, so the
@@ -3417,8 +3467,9 @@ def merge_upsert(
     _maybe_auto_checkpoint(spark, path, res["version"])
     # footer-only counts over the parts actually written — never a third
     # execution of the caller's updates lineage (which may be expensive
-    # or, for a re-read stream batch, not even deterministic)
-    n_new = spark.read.parquet(upd_part).count() if upd_part is not None else 0
+    # or, for a re-read stream batch, not even deterministic); read the
+    # footers driver-side (no job) where the store allows
+    n_new = _part_num_rows(spark, upd_part) if upd_part is not None else 0
     rows_deleted = 0
     if clausal and cdc_part is not None:
         # the change part holds BOTH clause-deleted and updated old

@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for catalog queries to plans/r11/.
+"""Dump .explain("formatted") for catalog queries to plans/$PLANS_ROUND/
+(default r12).
 
     python scripts/dump_plans.py before <query>[,<query>...] [sf_dir]
     python scripts/dump_plans.py after  <query>[,<query>...] [sf_dir]
@@ -27,7 +28,11 @@ def main() -> int:
     from es_analytics_spark.queries import REGISTRY
     from es_analytics_spark.session import get_spark
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r12"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plans")
     for name in names:

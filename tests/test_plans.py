@@ -2,6 +2,7 @@
 a 100× scale-up — pushdown reaches parquet, dims broadcast, no
 accidental cartesian products, projections prune columns."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from es_analytics_spark.plans.inspect import (
@@ -118,6 +119,7 @@ def test_q2_correlated_min_decorrelates(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.slow
 def test_no_registered_query_is_cartesian(spark, sf_dir):
     """No catalog query may plan an all-pairs product on data-sized
     tables. Allowlist: join_cross_theta is BY CONTRACT a cross/theta
@@ -135,6 +137,7 @@ def test_no_registered_query_is_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
 
 
+@pytest.mark.slow
 def test_no_data_sized_single_partition_window_or_sort(spark, sf_dir):
     """Catalog-wide guard for the ml_split_shuffle class of bug: no
     registered query may run a Window/Sort whose input funnels through

@@ -72,6 +72,7 @@ def test_drain_terminates_at_start_snapshot(spark, tmp_path):
     assert sorted(got) == list(range(0, 20)) + list(range(90, 95))
 
 
+@pytest.mark.slow
 def test_drain_kill_sweep_exactly_once(spark, tmp_path):
     """Kill the drain after each micro-batch (injected failure), re-run
     until it converges: the union of delivered batches equals the
