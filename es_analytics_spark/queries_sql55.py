@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from es_analytics_spark.functions.exact import dsum_expr, dsum
-from es_analytics_spark.functions.fanout import broadcast_if_small, fan_out
+from es_analytics_spark.functions.fanout import broadcast_if_small
 from es_analytics_spark.functions.lineage import cut_lineage
 from es_analytics_spark.queries import _t, query
 from es_analytics_spark.queries_sql16 import _P2_EXPR, _PDF_EXPR, _T_EXPR
@@ -223,13 +223,14 @@ def rec_association_rules_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_orders = op.select("o").distinct().agg(F.count("*").cast("bigint").alias("n"))
     item = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))
-    # basket explosion (C(s,2)/C(s,3) per order) runs in the post-join
-    # stage, which AQE coalesces to 1-2 partitions at this input size —
-    # fan the basket frame out on the order key so all three self-join
-    # sides co-partition at the conf-derived width (guide §2.2; the
-    # added exchange IS the join's), and build per-partition hash
-    # tables instead of paying three sort-merge input sorts
-    opf = fan_out(op, sf_dir, "lineitem", "o", weight=8)
+    # NO fan-out here: this was round 11's one never-won fan-out, and a
+    # round-12 conf-toggled A/B on the shared-pw shape below still read
+    # it 0.86x (the extra exchange costs more than the explosion
+    # parallelism buys at this basket size) — reverted per the verdict,
+    # keeping the shuffle_hash hints (the self-join sides' only
+    # consumer is the equi-join; sort-merge paid two input sorts for
+    # nothing)
+    opf = op
     a, b, c = opf.alias("a"), opf.alias("b"), opf.alias("c")
     # ONE materialized pair-with-order frame feeds BOTH the pair-support
     # aggregate and the triple join. The former shape derived the a-b

@@ -3282,8 +3282,16 @@ def merge_upsert(
         return F.coalesce(c.cast("boolean"), F.lit(False))
 
     fs = lake_fs(spark, path)
-    dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
-    if not dup.isEmpty():
+    # key-uniqueness check as ONE aggregate (row count vs distinct key
+    # count — struct() keeps the NULL-tuple group, like groupBy does)
+    # instead of groupBy+filter+isEmpty; the example rows for the error
+    # message are only computed on the failure path
+    uniq = updates.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct(F.struct(*keys)).alias("__k"),
+    ).first()
+    if uniq["__n"] != uniq["__k"]:
+        dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
         raise ValueError(
             "merge_upsert: updates contain duplicate key tuples "
             f"(e.g. {dup.limit(3).collect()})"
@@ -3320,7 +3328,10 @@ def merge_upsert(
         # matched updates (the update's old row goes to the change feed)
         remove_keys = matched_upd.select(*keys)
     else:
-        remove_keys = updates.select(*keys).distinct()
+        # no .distinct(): updates are key-unique (checked above), and
+        # the dedup exchange would re-run inside EVERY consuming action
+        # (matched probe, change-part write, each survivor anti-join)
+        remove_keys = updates.select(*keys)
     adds: list[dict] = []
     removes: list[str] = []
     cdc: list[dict] = []
