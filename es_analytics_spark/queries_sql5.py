@@ -2645,13 +2645,17 @@ def rec_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W2
 
     t = _t(spark, sf_dir, "orders", "lineitem")
-    # ONE materialized hub-capped ratings frame feeds the embedded CF
+    # ONE shared hub-capped ratings frame feeds the embedded CF
     # neighbor ranking AND the vote/novelty stages below — the former
-    # shape built the orders-lineitem dedup twice (its own rr plus the
-    # one inside rec_user_cf_topk). The eager cut costs the self-join
-    # its shared partitioning (localCheckpoint erases it), but that
-    # re-exchange reads checkpoint blocks, while the saved second
-    # dedup re-ran the whole join+distinct (round-11 verdict item 5).
+    # shape built the orders-lineitem dedup twice (its own eagerly-cut
+    # rr plus the one inside rec_user_cf_topk). The shared frame is
+    # deliberately NOT checkpointed: a cut erases the item-keyed
+    # partitioning the CF self-join shares (the measured 5.3 s trap
+    # from round 11 — and an eagerly-cut shared rr here re-measured
+    # 7.2 s vs 3.6 s for this shape); instead every consumer references
+    # the identical fanned dedup subtree in ONE final plan and AQE's
+    # stage cache reuses the shuffle stages at runtime, exactly the
+    # rec_user_cf_topk exchange-sharing contract.
     raw = (
         t["orders"]
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -2659,9 +2663,7 @@ def rec_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = fan_out(raw, sf_dir, "lineitem", "p", weight=8).distinct()
     pop = r.groupBy("p").agg(F.count("*").alias("np")).filter(F.col("np") <= _CF_POP_CAP)
-    rr = r.join(
-        broadcast_if_small(pop.select("p"), sf_dir, "part"), "p"
-    ).transform(cut_lineage)
+    rr = r.join(broadcast_if_small(pop.select("p"), sf_dir, "part"), "p")
     neighbors = _user_cf_topk_from(rr, sf_dir).select(
         F.col("custkey").alias("c"), F.col("neighbor").alias("nb"), "cos_fp"
     )
